@@ -76,21 +76,31 @@ object CleanFunctions {
   private val positiveKeywords = Seq("POSITIVE", "POS", "+", "P.FALCIPARUM", "P.VIVAX", "MALARIA")
   private val negativeKeywords = Seq("NEGATIVE", "NEG", "-", "NO MALARIA", "CLEAN")
 
-  /** F6 `interpret_test_result`: substring-keyword classifier. Order matters:
-    * positive keywords are checked before negative ones (so "POSITIVE-ISH"
-    * containing both "+"-class and "-"-class markers reads Positive), and
-    * `"+"`/`"-"` are raw substring checks. Empty/null → "Unknown", unmatched
-    * → "Inconclusive". (helpers.py:213-226, constants.py TEST_RESULT_KEYWORDS)
+  /** Generic ordered substring-keyword classifier — the reference's
+    * classification pattern (helpers.py:213-226) abstracted: the positive
+    * list is checked before the negative list, each by raw substring
+    * containment on the upper-trimmed input; empty/null gets its own label.
     */
-  def interpretTestResult(c: Column): Column = {
+  def keywordClassifier(c: Column, positive: Seq[String], negative: Seq[String],
+      posLabel: String, negLabel: String, fallback: String, emptyLabel: String): Column = {
     val s = upper(trim(c.cast("string")))
-    val hasPos = positiveKeywords.map(k => s.contains(k)).reduce(_ || _)
-    val hasNeg = negativeKeywords.map(k => s.contains(k)).reduce(_ || _)
-    when(c.isNull || s === "", "Unknown")
-      .when(hasPos, "Positive")
-      .when(hasNeg, "Negative")
-      .otherwise("Inconclusive")
+    val hasPos = positive.map(k => s.contains(k)).reduce(_ || _)
+    val hasNeg = negative.map(k => s.contains(k)).reduce(_ || _)
+    when(c.isNull || s === "", emptyLabel)
+      .when(hasPos, posLabel)
+      .when(hasNeg, negLabel)
+      .otherwise(fallback)
   }
+
+  /** F6 `interpret_test_result`: substring-keyword classifier. Order matters:
+    * positive keywords are checked before negative ones (so "no malaria",
+    * containing "MALARIA", reads Positive), and `"+"`/`"-"` are raw substring
+    * checks. Empty/null → "Unknown", unmatched → "Inconclusive".
+    * (helpers.py:213-226, constants.py TEST_RESULT_KEYWORDS)
+    */
+  def interpretTestResult(c: Column): Column =
+    keywordClassifier(c, positiveKeywords, negativeKeywords,
+      "Positive", "Negative", "Inconclusive", "Unknown")
 
   /** F7 `is_positive_case`. (helpers.py:229-231) */
   def isPositiveCase(c: Column): Column = interpretTestResult(c) === "Positive"

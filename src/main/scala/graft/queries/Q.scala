@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One correctness-gated query: a Spark plan plus (optionally) the DuckDB
+  * oracle SQL the driver checks it against. Oracle-less queries get a weaker
+  * rows-only check (used for ops whose exact SQL mirror isn't expressible —
+  * e.g. murmur3-based sketches).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Shared helpers for oracle-exact query plans. */
+object Qx {
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
+      // read the raw int64 nanos and convert (micro truncation is harmless —
+      // analytics bucket at day/month grain).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact-aggregation casts. The testdata's money/measure doubles carry at
+    * most 2 decimals, so aggregating them as decimals is EXACT and therefore
+    * independent of accumulation order — a raw `sum(double)` would differ in
+    * the last bits between Spark's partition-parallel order and DuckDB's,
+    * breaking the driver's hash compare. Final results are cast back to
+    * double (a deterministic, correctly-rounded conversion in both engines).
+    */
+  def d12(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** Narrow decimal for small fractions (discount, tax): keeps products
+    * within both engines' 38-digit decimal budget.
+    */
+  def d4(c: Column): Column = c.cast("decimal(4,2)")
+
+  def dbl(c: Column): Column = c.cast("double")
+}
