@@ -9,7 +9,8 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private def modules: Seq[Q] = CoreQueries.all
+  private def modules: Seq[Q] =
+    CoreQueries.all ++ TextQueries.all ++ SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Qx._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Float math parity with the oracle: every dot/norm is computed as a
+  * sequential left fold over doubles (`aggregate` in Spark, `list_reduce`
+  * in DuckDB) — both engines then execute the *same* IEEE operations in the
+  * *same* order, so results are bit-identical and need no rounding fudge.
+  *
+  * Scale path: brute-force top-k is the correctness baseline (a single
+  * pass + TakeOrderedAndProject, no shuffle of the vectors); the LSH
+  * variant buckets by sign bits so the candidate set per query is ~1/256
+  * of the corpus, which is the strategy that survives a 100-TB corpus —
+  * bucketing is a cheap narrow column, and the bucket join broadcasts the
+  * (tiny) probe set.
+  */
+object SimilarityQueries {
+
+  /** Sequential-fold dot product of two double-cast float arrays. */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def norm(a: String): Column =
+    sqrt(expr(s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+
+  private val dotSql =
+    "list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), (x, y) -> x + y)"
+  private def normSql(c: String) =
+    s"sqrt(list_reduce(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+
+  /** Sign-bit LSH bucket over the first 4 dimensions (axis-aligned
+    * hyperplanes): a 0..15 int computed row-local. 4 bits keeps ~1/16 of
+    * the corpus per bucket — recall-friendly at test scale; at production
+    * scale the bit count grows with the corpus (8-12 bits at 100 TB).
+    */
+  private def bucket(c: String): Column =
+    expr(s"aggregate(sequence(1, 4), 0, (acc, i) -> acc + CASE WHEN element_at($c, i) >= CAST(0 AS FLOAT) THEN CAST(pow(2, i - 1) AS INT) ELSE 0 END)")
+
+  private def bucketSql(c: String): String =
+    s"CAST(list_sum(list_transform(range(1, 5), i -> CASE WHEN $c[i] >= 0 THEN 1 << (i - 1) ELSE 0 END)) AS INTEGER)"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- brute-force cosine top-k (the exactness baseline) ----------------
+    Q("q40_cosine_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+        e.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= 0)
+          .withColumn("sim",
+            dot("embedding", "qv") / (norm("embedding") * norm("qv")))
+          .orderBy(desc("sim"), col("vec_id"))
+          .limit(10)
+          .select("vec_id", "sim")
+      },
+      Some(s"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+          $dotSql / (${normSql("embedding")} * ${normSql("qv")}) AS sim
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY sim DESC, vec_id LIMIT 10""")),
+
+    // ---- LSH-bucketed ANN: probe only the query's sign bucket -------------
+    Q("q41_lsh_ann",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .withColumn("bucket", bucket("embedding"))
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+        e.join(broadcast(qv), col("bucket") === col("qbucket"))
+          .filter(col("vec_id") =!= 0)
+          .withColumn("sim",
+            dot("embedding", "qv") / (norm("embedding") * norm("qv")))
+          .orderBy(desc("sim"), col("vec_id"))
+          .limit(5)
+          .select("vec_id", "bucket", "sim")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+        q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+        SELECT vec_id, bucket,
+          $dotSql / (${normSql("embedding")} * ${normSql("qv")}) AS sim
+        FROM b, q WHERE bucket = qbucket AND vec_id <> 0
+        ORDER BY sim DESC, vec_id LIMIT 5""")),
+
+    // ---- embedding near-dup: exact copies planted, found via buckets ------
+    // Corpus ∪ copies of every 50th vector; pairs from the same sign bucket
+    // with cosine >= 0.999 are reported (the planted copies give sim = 1).
+    Q("q42_embedding_neardup",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val planted = e.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        val all = e.unionByName(planted).withColumn("bucket", bucket("embedding"))
+        val a = all.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+        val b = all.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+        a.join(b, Seq("bucket"))
+          .filter(col("vec_a") < col("vec_b"))
+          .withColumn("sim",
+            expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+              / (norm("emb_a") * norm("emb_b")))
+          .filter(col("sim") >= 0.999)
+          .select("vec_a", "vec_b", "sim")
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""
+        WITH all_vecs AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+        bucketed AS (
+          SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM all_vecs),
+        pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            list_reduce(list_transform(range(1, 65),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+              / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS sim
+          FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.999
+        ORDER BY vec_a, vec_b""")),
+
+    // ---- label-centroid similarity (vector agg + rollup shape) ------------
+    // Per label: average vector (exact decimal per-dim sums), then cosine of
+    // each label centroid against the global centroid.
+    Q("q43_label_centroids",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        // Ordered folds everywhere (per-dim sums ordered by vec_id, norm
+        // ordered by dimension) so every double addition happens in the
+        // same sequence as the oracle's list_reduce → bit-identical output.
+        val perDim = e.select(col("label"), col("vec_id"), posexplode(col("embedding")))
+          .groupBy(col("label"), col("pos"))
+          .agg(count(lit(1)).as("n"),
+            sort_array(collect_list(struct(col("vec_id"), col("col").cast("double").as("v")))).as("vs"))
+          .select(col("label"), col("pos"), col("n"),
+            (expr("aggregate(transform(vs, x -> x.v), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") / col("n")).as("av"))
+        perDim.groupBy("label")
+          .agg(max("n").as("n"),
+            sort_array(collect_list(struct(col("pos"), col("av")))).as("arr"))
+          .select(col("label"), col("n"),
+            expr("aggregate(transform(arr, x -> x.av * x.av), CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("centroid_sq_norm"))
+          .orderBy("label")
+      },
+      Some("""
+        WITH per_dim AS (
+          SELECT label, i AS pos, COUNT(*) AS n,
+            list_reduce(list(CAST(embedding[i] AS DOUBLE) ORDER BY vec_id), (x, y) -> x + y)
+              / COUNT(*) AS av
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+          GROUP BY label, i),
+        centroids AS (
+          SELECT label, n, list(av ORDER BY pos) AS centroid
+          FROM per_dim GROUP BY label, n)
+        SELECT label, n,
+          list_reduce(list_transform(centroid, x -> x * x), (x, y) -> x + y) AS centroid_sq_norm
+        FROM centroids ORDER BY label"""))
+  )
+}

@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions._
+import Qx._
+
+/** Training-data-pipeline text operators over the `documents` table:
+  * exact + near dedup (MinHash/LSH, SimHash, n-gram Jaccard), token
+  * counting, quality scoring, language features, fingerprinting.
+  *
+  * The corpus has no natural duplicates, so dedup queries derive a
+  * deterministic perturbed corpus (docs with `doc_id % 25 == 0` re-added
+  * with the first two words dropped, id + 1000000) in BOTH engines — the
+  * pipelines then have real near-dup pairs to find.
+  *
+  * Scale notes: every per-doc computation (shingling, minhash signatures,
+  * simhash, quality features) is row-local inside whole-stage codegen — the
+  * only shuffles are the LSH band-bucket joins, which key on short hash
+  * strings and carry only (band_key, doc_id, signature), never full text.
+  */
+object TextQueries {
+
+  /** Perturbed corpus: base ∪ near-dup variants (first 2 words dropped,
+    * every 25th doc) ∪ exact copies (every 40th doc).
+    */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val toks = tokens(col("text"))
+    val nearDups = d.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(toks, lit(3), greatest(size(toks) - 2, lit(0))), " ").as("text"))
+    val copies = d.filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    d.unionByName(nearDups).unionByName(copies)
+  }
+
+  /** The same corpus as DuckDB SQL (CTE named `corpus`). */
+  private val corpusSql: String = """
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+        array_to_string(string_split_regex(trim(text), '\s+')[3:], ' ') AS text
+      FROM documents WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text
+      FROM documents WHERE doc_id % 40 = 0)"""
+
+  private val NUM_HASHES = 16
+  private val BAND_ROWS = 4
+
+  val all: Seq[Q] = Seq(
+
+    // ---- exact dedup: hash-groupBy over normalized text -------------------
+    Q("q31_dedup_exact",
+      (s, dir) => corpus(s, dir)
+        .groupBy(fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("copies"), min("doc_id").as("keep_id"))
+        .filter(col("copies") > 1)
+        .orderBy("fp"),
+      Some(s"""
+        WITH $corpusSql
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+          COUNT(*) AS copies, MIN(doc_id) AS keep_id
+        FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""")),
+
+    // ---- token counting: whitespace + BPE-ish regex -----------------------
+    Q("q32_token_counts",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(col("lang"),
+          size(tokens(col("text"))).as("ws_tokens"),
+          bpeishCount(col("text")).cast("long").as("bpeish_tokens"),
+          length(col("text")).as("chars"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("docs"),
+            sum("ws_tokens").as("total_ws_tokens"),
+            sum("bpeish_tokens").as("total_bpeish_tokens"),
+            sum("chars").as("total_chars"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS docs,
+          SUM(len(string_split_regex(trim(text), '\s+'))) AS total_ws_tokens,
+          SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS total_bpeish_tokens,
+          SUM(len(text)) AS total_chars
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // ---- quality scoring: length/word-shape/stopword signals --------------
+    Q("q33_quality_score",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val (nTok, nChar, avgLen, stopR) = qualityFeatures(col("text"))
+        d.select(col("doc_id"), nTok.as("n_tokens"), nChar.as("n_chars"),
+          avgLen.as("avg_word_len"), stopR.as("stopword_ratio"))
+          .withColumn("quality_label",
+            when(col("n_tokens") < 15, "too_short")
+              .when(col("stopword_ratio") > 0.4, "boilerplate")
+              .when(col("avg_word_len") < 3.0 || col("avg_word_len") > 9.0, "odd_words")
+              .otherwise("ok"))
+          .groupBy("quality_label")
+          .agg(count(lit(1)).as("docs"),
+            dbl(sum(d12(col("avg_word_len")))).as("sum_awl_2dp"))
+          .orderBy("quality_label")
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+            len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+            len(text) AS n_chars,
+            CAST(len(text) - len(string_split_regex(trim(text), '\s+')) + 1 AS DOUBLE)
+              / len(string_split_regex(trim(text), '\s+')) AS avg_word_len,
+            CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+              t -> list_contains(['the','a','of','and','in','to','is'], t))) AS DOUBLE)
+              / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio
+          FROM documents)
+        SELECT CASE WHEN n_tokens < 15 THEN 'too_short'
+                    WHEN stopword_ratio > 0.4 THEN 'boilerplate'
+                    WHEN avg_word_len < 3.0 OR avg_word_len > 9.0 THEN 'odd_words'
+                    ELSE 'ok' END AS quality_label,
+          COUNT(*) AS docs,
+          CAST(SUM(CAST(avg_word_len AS DECIMAL(12,2))) AS DOUBLE) AS sum_awl_2dp
+        FROM f GROUP BY 1 ORDER BY 1""")),
+
+    // ---- fingerprint dedup accounting per source --------------------------
+    Q("q34_fingerprint_stats",
+      (s, dir) => t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          countDistinct(fingerprint(col("text"))).as("distinct_fps"))
+        .withColumn("dup_docs", col("docs") - col("distinct_fps"))
+        .orderBy("source"),
+      Some("""
+        SELECT source, COUNT(*) AS docs,
+          COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS distinct_fps,
+          COUNT(*) - COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS dup_docs
+        FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // ---- MinHash + LSH near-dup pairs -------------------------------------
+    // shingle(3) -> 16 md5-minhashes -> 4 bands of 4 -> band-bucket join ->
+    // exact shingle-Jaccard verify >= 0.5.
+    Q("q35_minhash_lsh",
+      (s, dir) => {
+        val docs = corpus(s, dir)
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("sh", shingles(col("toks"), 3))
+          .filter(size(col("sh")) > 0)
+          .select((col("doc_id") +: col("sh") +:
+            (0 until NUM_HASHES).map(i => minhash(col("sh"), i).as(s"h$i"))): _*)
+        val bands = (0 until NUM_HASHES / BAND_ROWS).map { b =>
+          val ks = (b * BAND_ROWS until (b + 1) * BAND_ROWS).map(i => col(s"h$i"))
+          docs.select(col("doc_id"), col("sh"),
+            concat_ws("|", lit(b.toString) +: ks: _*).as("band_key"))
+        }.reduce(_ unionByName _)
+        val a = bands.select(col("band_key"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val b = bands.select(col("band_key"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        a.join(b, Seq("band_key"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+          .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= 0.5)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val minhashes = (0 until NUM_HASHES).map(i =>
+          s"list_aggregate(list_transform(sh, s -> substr(md5('$i#' || s), 1, 16)), 'min') AS h$i").mkString(",\n            ")
+        val bandSelects = (0 until NUM_HASHES / BAND_ROWS).map { b =>
+          val ks = (b * BAND_ROWS until (b + 1) * BAND_ROWS).map(i => s"h$i").mkString(", ")
+          s"SELECT doc_id, sh, concat_ws('|', '$b', $ks) AS band_key FROM sigs"
+        }.mkString("\n          UNION ALL\n          ")
+        s"""
+        WITH $corpusSql,
+        toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM corpus),
+        shingled AS (
+          SELECT doc_id,
+            CASE WHEN len(w) < 3 THEN []
+              ELSE list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS sh
+          FROM toks),
+        sigs AS (
+          SELECT doc_id, sh,
+            $minhashes
+          FROM shingled WHERE len(sh) > 0),
+        bands AS (
+          $bandSelects),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.sh AS sh_a, b.sh AS sh_b
+          FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        verified AS (
+          SELECT doc_a, doc_b,
+            CAST(len(list_distinct(sh_a)) + len(list_distinct(sh_b))
+              - len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE)
+              / len(list_distinct(list_concat(sh_a, sh_b))) AS jaccard
+          FROM pairs)
+        SELECT doc_a, doc_b, jaccard FROM verified
+        WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+      }),
+
+    // ---- SimHash near-dup pairs -------------------------------------------
+    // 60-bit simhash per doc (row-local), 4 bands of 15 bits, hamming <= 8.
+    Q("q36_simhash",
+      (s, dir) => {
+        val docs = corpus(s, dir)
+          .select(col("doc_id"), simhash60(tokens(col("text"))).as("fp"))
+        val bands = (0 until 4).map { k =>
+          docs.select(col("doc_id"), col("fp"), lit(k).as("band"),
+            shiftright(col("fp"), k * 15).bitwiseAND(32767).as("band_val"))
+        }.reduce(_ unionByName _)
+        val a = bands.select(col("band"), col("band_val"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+        val b = bands.select(col("band"), col("band_val"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+        a.join(b, Seq("band", "band_val"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "fp_a", "fp_b").distinct()
+          .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+          .filter(col("hamming") <= 8)
+          .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val bitTerms = (0 until 60).map(b =>
+          s"(CASE WHEN 2 * len(list_filter(hs, h -> (h >> $b) & 1 = 1)) >= len(hs) THEN ${1L << b} ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH $corpusSql,
+        hashed AS (
+          SELECT doc_id,
+            list_transform(string_split_regex(trim(text), '\\s+'),
+              t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
+          FROM corpus),
+        fps AS (
+          SELECT doc_id, CAST($bitTerms AS BIGINT) AS fp FROM hashed),
+        bands AS (
+          SELECT doc_id, fp, k AS band, (fp >> (k * 15)) & 32767 AS band_val
+          FROM fps, (SELECT unnest(generate_series(0, 3)) AS k)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fp_a, b.fp AS fp_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+            AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+        FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 8
+        ORDER BY doc_a, doc_b"""
+      }),
+
+    // ---- n-gram Jaccard near-dup (blocked exact, no sketch) ---------------
+    // Blocking key: last token (stable under the head-drop perturbation).
+    Q("q37_ngram_jaccard",
+      (s, dir) => {
+        val docs = corpus(s, dir)
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("sh", shingles(col("toks"), 3))
+          .filter(size(col("sh")) > 0)
+          .select(col("doc_id"), col("sh"),
+            element_at(col("toks"), size(col("toks"))).as("block"))
+        val a = docs.select(col("block"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val b = docs.select(col("block"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        a.join(b, Seq("block"))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= 0.3)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+        WITH $corpusSql,
+        docs AS (
+          SELECT doc_id,
+            CASE WHEN len(w) < 3 THEN []
+              ELSE list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS sh,
+            w[len(w)] AS block
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM corpus)
+          WHERE len(w) >= 3),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(len(list_distinct(a.sh)) + len(list_distinct(b.sh))
+              - len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          FROM docs a JOIN docs b ON a.block = b.block AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, jaccard FROM pairs
+        WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""")),
+
+    // ---- language features (langid heuristic inputs) ----------------------
+    Q("q38_lang_features",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val letters = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+        val vowels = length(regexp_replace(col("text"), "[^aeiouAEIOU]", ""))
+        d.select(col("lang"),
+          (vowels.cast("double") / letters).as("vowel_ratio"),
+          size(tokens(col("text"))).as("n_tokens"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("docs"),
+            dbl(sum(d12(col("vowel_ratio") * 1000))).as("sum_vowel_ratio_x1000"),
+            sum("n_tokens").as("total_tokens"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH f AS (
+          SELECT lang,
+            CAST(len(regexp_replace(text, '[^aeiouAEIOU]', '', 'g')) AS DOUBLE)
+              / len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS vowel_ratio,
+            len(string_split_regex(trim(text), '\s+')) AS n_tokens
+          FROM documents)
+        SELECT lang, COUNT(*) AS docs,
+          CAST(SUM(CAST(vowel_ratio * 1000 AS DECIMAL(12,2))) AS DOUBLE) AS sum_vowel_ratio_x1000,
+          SUM(n_tokens) AS total_tokens
+        FROM f GROUP BY 1 ORDER BY 1"""))
+  )
+}
