@@ -98,14 +98,21 @@ object SimilarityQueries {
         val e = t(s, dir, "embeddings").select("vec_id", "embedding")
         val planted = e.filter(col("vec_id") % 50 === 0)
           .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-        val all = e.unionByName(planted).withColumn("bucket", bucket("embedding"))
-        val a = all.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-        val b = all.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+        // Norms are computed once per VECTOR (before the pair join), so the
+        // per-pair work is just the dot product — at scale the pair join is
+        // quadratic-in-bucket and must stay as lean as possible.
+        val all = e.unionByName(planted)
+          .withColumn("bucket", bucket("embedding"))
+          .withColumn("nrm", norm("embedding"))
+        val a = all.select(col("bucket"), col("vec_id").as("vec_a"),
+          col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+        val b = all.select(col("bucket"), col("vec_id").as("vec_b"),
+          col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
         a.join(b, Seq("bucket"))
           .filter(col("vec_a") < col("vec_b"))
           .withColumn("sim",
             expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-              / (norm("emb_a") * norm("emb_b")))
+              / (col("nrm_a") * col("nrm_b")))
           .filter(col("sim") >= 0.999)
           .select("vec_a", "vec_b", "sim")
           .orderBy("vec_a", "vec_b")
@@ -116,12 +123,14 @@ object SimilarityQueries {
           UNION ALL
           SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
         bucketed AS (
-          SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM all_vecs),
+          SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket,
+            ${normSql("embedding")} AS nrm
+          FROM all_vecs),
         pairs AS (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
             list_reduce(list_transform(range(1, 65),
               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
-              / (${normSql("a.embedding")} * ${normSql("b.embedding")}) AS sim
+              / (a.nrm * b.nrm) AS sim
           FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.999
         ORDER BY vec_a, vec_b""")),

@@ -142,22 +142,34 @@ object TextQueries {
     // exact shingle-Jaccard verify >= 0.5.
     Q("q35_minhash_lsh",
       (s, dir) => {
-        val docs = corpus(s, dir)
-          .withColumn("toks", tokens(col("text")))
-          .withColumn("sh", shingles(col("toks"), 3))
-          .filter(size(col("sh")) > 0)
-          .select((col("doc_id") +: col("sh") +:
-            (0 until NUM_HASHES).map(i => minhash(col("sh"), i).as(s"h$i"))): _*)
-        val bands = (0 until NUM_HASHES / BAND_ROWS).map { b =>
+        // Plan shape for scale: shingles are exploded and hashed ONCE, with
+        // the 16 signature components as map-side partial `min` aggregates
+        // (a row-local transform-per-seed gets the tokenize+shingle subtree
+        // inlined 16x by project collapse). Band rows carry ONLY
+        // (band_key, doc_id) — never shingle arrays — so the candidate-pair
+        // shuffle is a few bytes per row; shingles are re-joined just for
+        // the (few) surviving pairs.
+        val shingleRows = corpus(s, dir)
+          .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh1"))
+        val minhashAggs = (0 until NUM_HASHES).map(i =>
+          min(substring(md5(concat(lit(s"$i#"), col("sh1"))), 1, 16)).as(s"h$i"))
+        val sigs = shingleRows.groupBy("doc_id")
+          .agg(minhashAggs.head, minhashAggs.tail: _*)
+        val bandKeys = (0 until NUM_HASHES / BAND_ROWS).map { b =>
           val ks = (b * BAND_ROWS until (b + 1) * BAND_ROWS).map(i => col(s"h$i"))
-          docs.select(col("doc_id"), col("sh"),
-            concat_ws("|", lit(b.toString) +: ks: _*).as("band_key"))
-        }.reduce(_ unionByName _)
-        val a = bands.select(col("band_key"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        val b = bands.select(col("band_key"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-        a.join(b, Seq("band_key"))
+          concat_ws("|", lit(b.toString) +: ks: _*)
+        }
+        val bandRows = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
+        val pairs = bandRows.select(col("band_key"), col("doc_id").as("doc_a"))
+          .join(bandRows.select(col("band_key"), col("doc_id").as("doc_b")), Seq("band_key"))
           .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+          .select("doc_a", "doc_b").distinct()
+        val sh = corpus(s, dir)
+          .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+        pairs
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
           .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
           .filter(col("jaccard") >= 0.5)
           .select("doc_a", "doc_b", "jaccard")
@@ -204,15 +216,28 @@ object TextQueries {
     // 60-bit simhash per doc (row-local), 4 bands of 15 bits, hamming <= 8.
     Q("q36_simhash",
       (s, dir) => {
-        val docs = corpus(s, dir)
-          .select(col("doc_id"), simhash60(tokens(col("text"))).as("fp"))
-        val bands = (0 until 4).map { k =>
-          docs.select(col("doc_id"), col("fp"), lit(k).as("band"),
-            shiftright(col("fp"), k * 15).bitwiseAND(32767).as("band_val"))
-        }.reduce(_ unionByName _)
-        val a = bands.select(col("band"), col("band_val"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
-        val b = bands.select(col("band"), col("band_val"), col("doc_id").as("doc_b"), col("fp").as("fp_b"))
-        a.join(b, Seq("band", "band_val"))
+        // Explode tokens and hash each ONCE, then build the 60 bit-votes as
+        // map-side partial sums: a row-local higher-order-function simhash
+        // gets inlined 60x by project collapse (each bit re-hashing every
+        // token), so the explode+groupBy shape is ~60x cheaper. The shuffle
+        // carries one +1/-1 vote row per token - narrow longs only.
+        val votes = corpus(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), tokenHash60(col("tok")).as("h"))
+        val bitSums = (0 until 60).map { b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+        }
+        val fps = votes.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"),
+            (0 until 60).map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(0L))
+              .reduce(_ + _).as("fp"))
+        val bandRows = fps.select(col("doc_id"), col("fp"),
+          explode(array((0 until 4).map(k =>
+            struct(lit(k).as("band"), shiftright(col("fp"), k * 15).bitwiseAND(32767).as("band_val"))): _*)).as("bk"))
+          .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.band_val").as("band_val"))
+        bandRows.select(col("band"), col("band_val"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+          .join(bandRows.select(col("band"), col("band_val"), col("doc_id").as("doc_b"), col("fp").as("fp_b")),
+            Seq("band", "band_val"))
           .filter(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b", "fp_a", "fp_b").distinct()
           .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))

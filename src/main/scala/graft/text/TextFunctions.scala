@@ -26,11 +26,22 @@ object TextFunctions {
 
   /** Word k-shingles as space-joined strings; empty array when the doc has
     * fewer than k tokens.
+    *
+    * Implementation note: built by zipping k shifted slices rather than
+    * `transform(sequence(...), i -> element_at(toks, i+j))` — higher-order
+    * lambdas are interpreted (no codegen), so an outer column expression
+    * referenced inside one is RE-EVALUATED per element; with `toks` being a
+    * regex split that made shingling O(tokens²) per doc. The zip form only
+    * touches the lambda variable, so the split runs k times per row, not
+    * k times per shingle.
     */
-  def shingles(toks: Column, k: Int): Column =
+  def shingles(toks: Column, k: Int): Column = {
+    val zipped = arrays_zip((0 until k).map(j => slice(toks, lit(j + 1), size(toks))): _*)
+    val joined = transform(zipped,
+      x => concat_ws(" ", (0 until k).map(j => x.getField(j.toString)): _*))
     when(size(toks) < k, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(slice(joined, lit(1), size(toks) - (k - 1)))
+  }
 
   /** One MinHash signature component: min over shingles of a seeded,
     * engine-portable hash (first 16 md5 hex chars of "seed#shingle").
