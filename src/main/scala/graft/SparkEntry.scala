@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
 
   private def modules: Seq[Q] =
-    CoreQueries.all ++ TextQueries.all ++ SimilarityQueries.all
+    CoreQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

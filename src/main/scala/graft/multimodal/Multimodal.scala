@@ -1,0 +1,76 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata,
+  * processed in partition-sized batches.
+  *
+  * The decode step is a clearly-marked deterministic STUB (this container
+  * has no image/audio codecs); everything around it — the schema contract,
+  * the binary column handling, the typed `mapPartitions` batch shape, and
+  * the partitioning story — is real and tested. Swapping [[decodeStub]] for
+  * a JNI/codec call is the only production change.
+  *
+  * Scale notes: payloads stay in executor space end-to-end (no collect);
+  * decode is a narrow per-partition pass, so throughput scales with input
+  * splits; metadata-only queries never touch the bytes thanks to parquet
+  * column pruning.
+  */
+object Multimodal {
+
+  /** One media asset: opaque bytes + typed metadata. */
+  final case class Asset(asset_id: Long, format: String, payload: Array[Byte])
+
+  /** Decoded features — what a real image decode would yield. */
+  final case class AssetFeatures(
+      asset_id: Long,
+      format: String,
+      byte_len: Int,
+      width: Int,
+      height: Int,
+      channels: Int,
+      mean_luma: Double)
+
+  /** STUB decode: deterministic pseudo-features derived from the payload
+    * alone (length + first/last byte), standing in for a codec call.
+    * Replace the body with the real decoder to productionize.
+    */
+  def decodeStub(a: Asset): AssetFeatures = {
+    val len = a.payload.length
+    val first = if (len > 0) a.payload(0) & 0xff else 0
+    val last = if (len > 0) a.payload(len - 1) & 0xff else 0
+    AssetFeatures(
+      asset_id = a.asset_id,
+      format = a.format,
+      byte_len = len,
+      width = 64 + (len % 512),
+      height = 64 + ((len * 7 + first) % 512),
+      channels = if (a.format == "png") 4 else 3,
+      mean_luma = ((first + last + len % 256) % 256).toDouble / 255.0)
+  }
+
+  /** Batch decode: a typed per-partition pass (the Scala analogue of a
+    * pandas-UDF `mapInPandas` stage) — each partition's assets stream
+    * through the decoder without materializing the whole partition.
+    */
+  def decode(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(decodeStub))
+  }
+
+  /** Derive a deterministic asset table from the documents corpus: text
+    * bytes stand in for media payloads, format cycles by id. Real
+    * ingestion would read binary files instead; the downstream pipeline is
+    * identical.
+    */
+  def assetsFromDocuments(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("asset_id"),
+        element_at(typedLit(Seq("png", "jpg", "webp")),
+          (col("doc_id") % 3 + 1).cast("int")).as("format"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[Asset]
+  }
+}

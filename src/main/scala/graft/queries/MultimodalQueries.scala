@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing under the correctness gate: the decode stub is
+  * deterministic arithmetic over (byte_len, first byte, last byte), so the
+  * whole binary→mapPartitions→features→aggregate pipeline has an exact
+  * DuckDB mirror — proving the Spark-side batch shape end-to-end.
+  */
+object MultimodalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    Q("q44_multimodal_decode",
+      (s, dir) => {
+        val features = Multimodal.decode(Multimodal.assetsFromDocuments(s, dir))
+        features.groupBy("format")
+          .agg(count(lit(1)).as("assets"),
+            sum(col("byte_len")).as("total_bytes"),
+            sum(col("width")).as("sum_width"),
+            sum(col("height")).as("sum_height"),
+            sum(round(col("mean_luma") * 255).cast("long")).as("sum_luma_num"))
+          .orderBy("format")
+      },
+      Some("""
+        WITH assets AS (
+          SELECT doc_id AS asset_id,
+            CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format,
+            strlen(text) AS byte_len,
+            ord(substr(text, 1, 1)) AS first_b,
+            ord(substr(text, -1, 1)) AS last_b
+          FROM documents),
+        features AS (
+          SELECT asset_id, format, byte_len,
+            64 + byte_len % 512 AS width,
+            64 + (byte_len * 7 + first_b) % 512 AS height,
+            (first_b + last_b + byte_len % 256) % 256 AS luma_num
+          FROM assets)
+        SELECT format, COUNT(*) AS assets,
+          CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+          CAST(SUM(width) AS BIGINT) AS sum_width,
+          CAST(SUM(height) AS BIGINT) AS sum_height,
+          CAST(SUM(luma_num) AS BIGINT) AS sum_luma_num
+        FROM features GROUP BY 1 ORDER BY 1"""))
+  )
+}

@@ -82,9 +82,9 @@ object TextQueries {
       },
       Some("""
         SELECT lang, COUNT(*) AS docs,
-          SUM(len(string_split_regex(trim(text), '\s+'))) AS total_ws_tokens,
-          SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS total_bpeish_tokens,
-          SUM(len(text)) AS total_chars
+          CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_ws_tokens,
+          CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpeish_tokens,
+          CAST(SUM(len(text)) AS BIGINT) AS total_chars
         FROM documents GROUP BY 1 ORDER BY 1""")),
 
     // ---- quality scoring: length/word-shape/stopword signals --------------
@@ -332,7 +332,7 @@ object TextQueries {
           FROM documents)
         SELECT lang, COUNT(*) AS docs,
           CAST(SUM(CAST(vowel_ratio * 1000 AS DECIMAL(12,2))) AS DOUBLE) AS sum_vowel_ratio_x1000,
-          SUM(n_tokens) AS total_tokens
+          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         FROM f GROUP BY 1 ORDER BY 1"""))
   )
 }
