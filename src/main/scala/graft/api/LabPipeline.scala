@@ -1,0 +1,87 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analytics.{HealthAnalytics, LabTransform}
+import graft.io.Writers
+
+/** The flagship health-center lab ETL endpoint re-expressed as one driver
+  * program (SURVEY.md §3.1): filter discovery → extract → transform →
+  * 5 analytics → load, with the reference's request parameters preserved.
+  * The per-filter dynamic TABLE NAMES become output subdirectories (the
+  * engine partitions instead of mangling table names, §1.1).
+  */
+object LabPipeline {
+
+  final case class Params(
+      years: Seq[Int] = Nil,
+      district: Option[String] = None,
+      sector: Option[String] = None,
+      updateMode: String = "replace", // replace | append
+      tablePrefix: String = "health_center_lab_data",
+      calculateAnalytics: Boolean = true,
+      saveToDb: Boolean = true)
+
+  final case class Result(
+      tableNamesCreated: Seq[String],
+      rawRecords: Long,
+      analyticsCounts: Map[String, Long],
+      processingTimeSeconds: Double)
+
+  private val analyticsBases = Seq(
+    "hc_analytics_yearly_statistics" -> ((df: DataFrame) => HealthAnalytics.yearlySlideStatus(df)),
+    "hc_analytics_gender_pos_by_year" -> ((df: DataFrame) => HealthAnalytics.genderPositivityByYear(df)),
+    "hc_analytics_village_pos_by_year" -> ((df: DataFrame) => HealthAnalytics.villagePositivityByYear(df)),
+    "hc_analytics_monthly_positivity" -> ((df: DataFrame) => HealthAnalytics.monthlyPositivity(df)),
+    "hc_analytics_total_summary" -> ((df: DataFrame) => HealthAnalytics.totalSummary(df)))
+
+  /** Case-insensitive trimmed equality, the reference's `$regex ^x$ i`
+    * filter semantics (P1) after column normalization.
+    */
+  private def ciEq(c: String, v: String) =
+    lower(trim(col(c))) === v.trim.toLowerCase
+
+  def run(spark: SparkSession, raw: DataFrame, params: Params,
+      outDir: Option[String] = None): Result = {
+    val t0 = System.nanoTime()
+
+    val cleaned = LabTransform.transform(raw)
+    val filtered = Seq(
+      params.district.map(d => ciEq("district", d)),
+      params.sector.map(s => ciEq("sector", s)),
+      Option(params.years).filter(_.nonEmpty).map(ys => col("year").isin(ys: _*)))
+      .flatten.foldLeft(cleaned)(_ filter _)
+
+    val lineage = filtered
+      .withColumn("filter_district", lit(params.district.getOrElse("all")))
+      .withColumn("filter_sector", lit(params.sector.getOrElse("all")))
+      .withColumn("filter_years", lit(params.years.sorted.distinct.mkString(",")))
+      .persist()
+    val rawCount = lineage.count()
+
+    val rawTable = TableNames.dynamicTableName(params.tablePrefix,
+      params.district, params.sector)
+
+    val analytics: Seq[(String, DataFrame)] =
+      if (params.calculateAnalytics)
+        analyticsBases.map { case (base, f) =>
+          TableNames.dynamicTableName(base, params.district, params.sector) -> f(lineage)
+        }
+      else Nil
+
+    val counts = analytics.map { case (name, df) => name -> df.count() }.toMap
+
+    if (params.saveToDb) outDir.foreach { dir =>
+      val rawPath = s"$dir/$rawTable"
+      params.updateMode match {
+        case "append" => Writers.upsertPath(spark, lineage, rawPath, Seq("unique_id"))
+        case _ => Writers.overwrite(lineage, rawPath)
+      }
+      analytics.foreach { case (name, df) => Writers.overwrite(df, s"$dir/$name") }
+    }
+    lineage.unpersist()
+
+    Result(rawTable +: analytics.map(_._1),
+      rawCount, counts, (System.nanoTime() - t0) / 1e9)
+  }
+}

@@ -122,14 +122,17 @@ object CleanFunctions {
   def apiRate(cases: Column, population: Column): Column =
     when(population > 0, cases.cast("double") / population * 1000).otherwise(0.0)
 
-  /** F16 WHO risk classifier over API. (malaria_api_calculator_etl_view.py:318-345) */
+  /** F16 WHO risk classifier over API; label strings verbatim from the
+    * reference (malaria_api_calculator_etl_view.py:318-331 — note the
+    * " Risk" suffix on every label except "No Transmission").
+    */
   def riskCategory(api: Column): Column =
     when(api === 0, "No Transmission")
-      .when(api < 1, "Very Low")
-      .when(api < 5, "Low")
-      .when(api < 50, "Moderate")
-      .when(api < 100, "High")
-      .otherwise("Very High")
+      .when(api < 1, "Very Low Risk")
+      .when(api < 5, "Low Risk")
+      .when(api < 50, "Moderate Risk")
+      .when(api < 100, "High Risk")
+      .otherwise("Very High Risk")
 
   /** F16 companions. */
   def highBurden(api: Column): Column = api >= 50

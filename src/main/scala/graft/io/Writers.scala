@@ -1,0 +1,76 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink layer replacing the reference's PostgreSQL drop/create/insert and
+  * ON-CONFLICT upsert services (SURVEY.md §2.1 S9/S10, §2.5 J6/J7) with
+  * atomic columnar writes:
+  *
+  *  - replace-mode DROP+INSERT → `overwrite` (write-then-swap; improved
+  *    failure semantics over the reference, which loses data if the insert
+  *    loop dies after the DROP — documented divergence)
+  *  - `ON CONFLICT (key) DO UPDATE` + inserted/updated tallies → left-anti
+  *    union with join-derived [[UpsertStats]] (the reference counts via
+  *    `xmax = 0`, postgresql_service.py:169-203)
+  *  - `delete_many(filter)` + insert batch → dynamic partition overwrite
+  *    (country_adm_boundaries_upload_views.py:274-346)
+  */
+object Writers {
+
+  final case class UpsertStats(inserted: Long, updated: Long, total: Long)
+
+  /** S9 replace mode. */
+  def overwrite(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S10/J6 upsert: incoming rows win on key collision; returns the merged
+    * frame plus inserted/updated accounting. The merge is one left-anti
+    * join (existing rows not replaced) plus a union — both sides shuffle on
+    * the key once; incoming is usually the small side and broadcastable.
+    */
+  def upsertByKey(existing: DataFrame, incoming: DataFrame, key: Seq[String])
+      : (DataFrame, UpsertStats) = {
+    val keyCols = key.map(col)
+    val existingKeys = existing.select(keyCols: _*).distinct()
+    val incomingKeys = incoming.select(keyCols: _*).distinct()
+    val updated = incomingKeys.join(existingKeys, key, "left_semi").count()
+    val inserted = incomingKeys.count() - updated
+    val survivors = existing.join(incoming.select(keyCols: _*).distinct(), key, "left_anti")
+    val merged = survivors.unionByName(incoming)
+    (merged, UpsertStats(inserted, updated, inserted + updated))
+  }
+
+  /** Upsert into a parquet path (read-merge-swap). For Delta-style storage
+    * this becomes MERGE INTO; on plain parquet the swap is the atomic unit.
+    */
+  def upsertPath(spark: SparkSession, incoming: DataFrame, path: String,
+      key: Seq[String]): UpsertStats = {
+    val exists = new java.io.File(path).exists()
+    if (!exists) {
+      incoming.write.mode(SaveMode.Overwrite).parquet(path)
+      UpsertStats(incoming.select(key.map(col): _*).distinct().count(), 0L,
+        incoming.count())
+    } else {
+      val existing = spark.read.parquet(path)
+      val (merged, stats) = upsertByKey(existing, incoming, key)
+      val staged = merged.persist()
+      staged.count() // materialize before overwriting the source we read
+      staged.write.mode(SaveMode.Overwrite).parquet(path)
+      staged.unpersist()
+      stats
+    }
+  }
+
+  /** J7 dataset-level replace: overwrite only the partitions present in
+    * `df` (the reference's delete_many({country,type,year}) + insert).
+    * Requires spark.sql.sources.partitionOverwriteMode=dynamic, set here
+    * per-write.
+    */
+  def partitionReplace(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+}

@@ -515,11 +515,11 @@ object CoreQueries {
           JOIN nation ON pop.c_nationkey = n_nationkey)
         SELECT n_name, cases, population, api,
           CASE WHEN api = 0 THEN 'No Transmission'
-               WHEN api < 1 THEN 'Very Low'
-               WHEN api < 5 THEN 'Low'
-               WHEN api < 50 THEN 'Moderate'
-               WHEN api < 100 THEN 'High'
-               ELSE 'Very High' END AS risk_category,
+               WHEN api < 1 THEN 'Very Low Risk'
+               WHEN api < 5 THEN 'Low Risk'
+               WHEN api < 50 THEN 'Moderate Risk'
+               WHEN api < 100 THEN 'High Risk'
+               ELSE 'Very High Risk' END AS risk_category,
           api >= 50 AS high_burden
         FROM j ORDER BY n_name""")),
 

@@ -1,0 +1,121 @@
+package graft.api
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TableNames.dynamicTableName reference parity") {
+    assert(TableNames.dynamicTableName("health_center_lab_data") == "hc_raw")
+    assert(TableNames.dynamicTableName("hc_analytics_yearly_statistics",
+      Some("Gasabo"), Some("Remera")) == "yearly_statist_gasabo_remera")
+    assert(TableNames.dynamicTableName("hc_analytics_total_summary",
+      Some("Kigali City"), None) == "hc_data_sum_kigalicity")
+    // 'all' and digits-only parts are dropped
+    assert(TableNames.dynamicTableName("hc_raw", Some("all"), Some("123")) == "hc_raw")
+    // 63-char budget fitting keeps the base and truncates locations
+    val long = TableNames.dynamicTableName("hc_analytics_village_pos_by_year",
+      Some("a" * 40), Some("b" * 40))
+    assert(long.length <= 63)
+    assert(long.startsWith("hc_data_village_pos_"))
+    assert(TableNames.simpleTableName("hc", Some("Ga sabo"), None, Seq(2023, 2021, 2023))
+      == "hc_gasabo_2021_2023")
+  }
+
+  test("WeatherPipeline: golden merge with fill ladder and uuid5 ids") {
+    // fixture mirrors the reference's SQL test seed (FIXTURES.md §5):
+    // Jan-2023 precip 100.5 + 200.0 -> 150.25; Jan-2023 temp 25.0 + 30.0 -> 27.5
+    val precip = Seq(("2023", "1", 100.5), ("2023", "January", 200.0), ("2023", "2", 80.0))
+      .toDF("Year", "Month", "PRECIP")
+    val temp = Seq(("2023", "1", 25.0), ("2023", "jan", 30.0), ("2023", "3", 18.0))
+      .toDF("Year", "Month", "TMPMAX")
+    val out = WeatherPipeline.monthlyMerge(spark, precip, temp, Seq(2023),
+      "Kigali", "all", "stprec", "sttemp").collect()
+    assert(out.length == 12) // full 12-month grid
+    val jan = out.find(_.getAs[Int]("month") == 1).get
+    assert(jan.getAs[Double]("monthly_precipitation") == 150.25)
+    assert(jan.getAs[Double]("monthly_temperature") == 27.5)
+    // uuid5 byte-parity: python uuid5(NAMESPACE_DNS, '2023_1_kigali_all_stprec_sttemp')
+    assert(jan.getAs[String]("unique_id") == "99805989-eb6c-5509-88d1-3cf1af6c9069")
+    assert(jan.getAs[String]("metadata") ==
+      "prec station: stprec - monthly prec, temp station: sttemp - monthly temp, district: Kigali")
+    // month 2: precip present, temp falls back to yearly avg of all temps
+    val feb = out.find(_.getAs[Int]("month") == 2).get
+    assert(feb.getAs[Double]("monthly_precipitation") == 80.0)
+    assert(feb.getAs[Double]("monthly_temperature") == bd(Seq(25.0, 30.0, 18.0))) // yearly avg 24.33
+    // month 4+: no data at all -> precip 0.0, temp yearly avg
+    val apr = out.find(_.getAs[Int]("month") == 4).get
+    assert(apr.getAs[Double]("monthly_precipitation") == 0.0)
+    assert(apr.getAs[Double]("monthly_temperature") == bd(Seq(25.0, 30.0, 18.0)))
+  }
+
+  private def bd(xs: Seq[Double]): Double =
+    BigDecimal(xs.sum / xs.size).setScale(2, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+
+  test("WeatherPipeline: no temp at all -> 20.0 default") {
+    val precip = Seq(("2024", "1", 10.0)).toDF("Year", "Month", "PRECIP")
+    val temp = Seq.empty[(String, String, Double)].toDF("Year", "Month", "TMPMAX")
+    val out = WeatherPipeline.monthlyMerge(spark, precip, temp, Seq(2024),
+      "", "all", "", "").collect()
+    assert(out.forall(_.getAs[Double]("monthly_temperature") == 20.0))
+    assert(out.find(_.getAs[Int]("month") == 1).get
+      .getAs[Double]("monthly_precipitation") == 10.0)
+  }
+
+  test("MalariaApiPipeline: wide->long unpivot with WHO risk categories") {
+    val wide = Seq(
+      ("East", "Rwamagana", "Muhazi", 120.0, 10000.0, 11.9, 30.0, 12000.0, 2.4),
+      ("East", "Rwamagana", "Karenge", 0.0, 8000.0, 0.0, 600.0, 8000.0, 74.0)
+    ).toDF("Province", "District", "Sector",
+      "Total Cases_2021", "Pop2021", "Incidence_2021",
+      "Total Cases_2022", "Pop2022", "Incidence_2022")
+    assert(MalariaApiPipeline.discoverYears(wide) == Seq(2021, 2022))
+    val long = MalariaApiPipeline.calculate(wide, "hmis-test").collect()
+    assert(long.length == 4)
+    val muh21 = long.find(r => r.getAs[String]("sector") == "Muhazi" && r.getAs[Int]("year") == 2021).get
+    assert(muh21.getAs[Int]("total_cases") == 120)
+    assert(muh21.getAs[Double]("api") == 12.0) // 120/10000*1000
+    assert(muh21.getAs[String]("risk_category") == "Moderate Risk")
+    assert(!muh21.getAs[Boolean]("high_burden"))
+    val kar21 = long.find(r => r.getAs[String]("sector") == "Karenge" && r.getAs[Int]("year") == 2021).get
+    assert(kar21.getAs[Double]("api") == 0.0)
+    assert(kar21.getAs[String]("risk_category") == "No Transmission")
+    assert(kar21.getAs[Boolean]("elimination_target"))
+    val kar22 = long.find(r => r.getAs[String]("sector") == "Karenge" && r.getAs[Int]("year") == 2022).get
+    assert(kar22.getAs[Double]("api") == 75.0)
+    assert(kar22.getAs[String]("risk_category") == "High Risk")
+    assert(kar22.getAs[Boolean]("high_burden"))
+
+    val hier = MalariaApiPipeline.locationHierarchy(
+      MalariaApiPipeline.calculate(wide, "hmis-test")).collect()
+    assert(hier.length == 1)
+    assert(hier.head.getAs[scala.collection.Seq[String]]("sectors").toSeq ==
+      Seq("Karenge", "Muhazi"))
+  }
+
+  test("LabPipeline end-to-end: filter, analytics, write, table names") {
+    val raw = Seq(
+      ("2023", "1", "Gasabo", "Remera", "HC1", "V1", "25", "M", "POSITIVE"),
+      ("2023", "1", "Gasabo", "Remera", "HC1", "V1", "30", "F", "negative"),
+      ("2023", "2", "Gasabo", "Remera", "HC1", "V2", "40", "M", "neg"),
+      ("2023", "2", "Nyarugenge", "Kimisagara", "HC2", "V3", "22", "F", "pos")
+    ).toDF("Year", "Month", "District", "Sector", "Health Center", "Village",
+      "Age", "Gender", "Slide Status")
+    val dir = Files.createTempDirectory("lab_pipeline").toString
+    val res = LabPipeline.run(spark, raw,
+      LabPipeline.Params(years = Seq(2023), district = Some("gasabo")),
+      Some(dir))
+    assert(res.rawRecords == 3) // Nyarugenge filtered out, case-insensitive match
+    assert(res.tableNamesCreated.head == "hc_raw_gasabo")
+    assert(res.tableNamesCreated.contains("yearly_statist_gasabo"))
+    val yearly = spark.read.parquet(s"$dir/yearly_statist_gasabo").collect()
+    assert(yearly.length == 1)
+    assert(yearly.head.getAs[Long]("total_tests") == 3)
+    assert(yearly.head.getAs[Long]("positive_cases") == 1)
+    val rawBack = spark.read.parquet(s"$dir/hc_raw_gasabo")
+    assert(rawBack.count() == 3)
+    assert(rawBack.columns.contains("filter_district"))
+  }
+}

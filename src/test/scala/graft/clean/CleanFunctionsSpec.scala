@@ -74,8 +74,8 @@ class CleanFunctionsSpec extends SparkSpec {
     assert(api == Seq(10.0, 0.0, 0.0))
     val rc = Seq(0.0, 0.5, 1.0, 4.9, 5.0, 49.9, 50.0, 99.9, 100.0).toDF("api")
       .select(riskCategory($"api")).as[String].collect.toSeq
-    assert(rc == Seq("No Transmission", "Very Low", "Low", "Low", "Moderate",
-      "Moderate", "High", "High", "Very High"))
+    assert(rc == Seq("No Transmission", "Very Low Risk", "Low Risk", "Low Risk",
+      "Moderate Risk", "Moderate Risk", "High Risk", "High Risk", "Very High Risk"))
   }
 
   test("slopeClass bins") {
