@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured Streaming surface over the events table — beyond-reference
+  * capability (the reference is batch-only, SURVEY.md §2.10) expressed the
+  * Spark-native way: readStream → event-time windowed aggregation with
+  * watermark → sink, plus a `mapGroupsWithState` sessionizer for custom
+  * state.
+  *
+  * The same transforms run in batch mode (DataFrame in, DataFrame out), so
+  * correctness is testable without a streaming harness and pipelines can be
+  * promoted batch→stream without rewrites.
+  */
+object EventStreams {
+
+  /** Event-time tumbling-window counts/averages per event_type with a
+    * 10-minute watermark — late rows beyond the watermark are dropped.
+    */
+  def windowedTypeStats(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("events"), col("sum_value"))
+
+  final case class SessionState(count: Long, lastTs: Long)
+  final case class SessionOut(user_id: Long, events: Long, closed: Boolean)
+
+  /** Per-user session tracker via mapGroupsWithState (processing-time
+    * timeout): counts events per user, emitting the running total; sessions
+    * idle past the timeout close and reset.
+    */
+  def sessionize(events: DataFrame, idleMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("ts").cast("timestamp"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.ProcessingTimeTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionOut(userId, s.count, closed = true)
+          } else {
+            val newCount = state.getOption.map(_.count).getOrElse(0L) + rows.length
+            val maxTs = rows.map(_._2.getTime).foldLeft(0L)(math.max)
+            state.update(SessionState(newCount, maxTs))
+            state.setTimeoutDuration(idleMs)
+            SessionOut(userId, newCount, closed = false)
+          }
+      }
+      .toDF()
+  }
+
+  /** Wire a parquet-directory stream through [[windowedTypeStats]] into an
+    * in-memory sink (used by tests and demos).
+    */
+  def startWindowedQuery(spark: SparkSession, sourceDir: String,
+      queryName: String): StreamingQuery = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    windowedTypeStats(stream)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+}

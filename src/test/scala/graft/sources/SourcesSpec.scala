@@ -1,0 +1,50 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.charset.{Charset, StandardCharsets}
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+
+  test("CsvSource detects UTF-8 vs windows-1252 and reads both") {
+    val utf8 = Files.createTempFile("utf8", ".csv")
+    Files.write(utf8, "name,city\nAimé,Kigali\n".getBytes(StandardCharsets.UTF_8))
+    val cp1252 = Files.createTempFile("cp1252", ".csv")
+    Files.write(cp1252, "name,city\nAimé,Kigali\n".getBytes(Charset.forName("windows-1252")))
+
+    assert(CsvSource.detectEncoding(utf8.toString) == "UTF-8")
+    assert(CsvSource.detectEncoding(cp1252.toString) == "windows-1252")
+    val a = CsvSource.read(spark, utf8.toString).collect().head.getString(0)
+    val b = CsvSource.read(spark, cp1252.toString).collect().head.getString(0)
+    assert(a == "Aimé" && b == "Aimé") // same text from both encodings
+  }
+
+  test("GeoJson explodes FeatureCollections and reassembles them") {
+    import spark.implicits._
+    val fc =
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","geometry":{"type":"Polygon","coordinates":[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,0.0]]]},
+        | "properties":{"village":"V1","slope":"3.5"}},
+        |{"type":"Feature","geometry":{"type":"Polygon","coordinates":[[[2.0,2.0],[3.0,2.0],[3.0,3.0],[2.0,2.0]]]},
+        | "properties":{"village":"V2","slope":"12.0"}}]}""".stripMargin.replaceAll("\n", "")
+    val features = GeoJson.explodeFeatures(Seq(fc).toDF("json"), "json")
+    val rows = features.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("geometry_type") == "Polygon")
+    assert(rows(0).getAs[Map[String, String]]("properties")("village") == "V1")
+    // geometry lands in the graft.geo polygon encoding - area works on it
+    val areas = features.select(graft.geo.GeoFunctions.stArea(col("geom")).as("a"))
+      .as[Double].collect().toSeq
+    assert(areas == Seq(0.5, 0.5))
+    // round-trip back to a FeatureCollection
+    val back = features.agg(GeoJson.toFeatureCollection(features.toDF(),
+      col("geometry_type"), col("geom"), col("properties")).as("fc"))
+      .as[String].head
+    assert(back.contains("\"FeatureCollection\""))
+    val reExploded = GeoJson.explodeFeatures(Seq(back).toDF("json"), "json").collect()
+    assert(reExploded.length == 2)
+    assert(reExploded.map(_.getAs[Map[String, String]]("properties")("village")).toSet
+      == Set("V1", "V2"))
+  }
+}

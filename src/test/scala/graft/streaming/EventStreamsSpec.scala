@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val fixture = Seq(
+    (1L, ts("2024-01-01 10:05:00"), "click", 1.0),
+    (2L, ts("2024-01-01 10:20:00"), "click", 2.0),
+    (3L, ts("2024-01-01 10:40:00"), "view", 3.0),
+    (4L, ts("2024-01-01 11:10:00"), "click", 4.0),
+    (5L, ts("2024-01-01 11:30:00"), "view", 5.0)
+  ).toDF("event_id", "ts", "event_type", "value")
+
+  test("windowed stats are correct in batch mode (stream/batch parity)") {
+    val r = EventStreams.windowedTypeStats(fixture).collect()
+      .map(x => (x.getAs[Timestamp]("window_start").toString,
+        x.getAs[String]("event_type"), x.getAs[Long]("events"),
+        x.getAs[Double]("sum_value"))).toSet
+    assert(r == Set(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 10:00:00.0", "view", 1L, 3.0),
+      ("2024-01-01 11:00:00.0", "click", 1L, 4.0),
+      ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
+  }
+
+  test("the same transform runs as a real stream with watermark") {
+    val dir = Files.createTempDirectory("events_stream").toString + "/src"
+    fixture.coalesce(1).write.parquet(dir)
+    val q = EventStreams.startWindowedQuery(spark, dir, "windowed_test")
+    try {
+      q.processAllAvailable()
+      // Append mode only emits windows the watermark has closed; feed a
+      // late-arriving batch that advances event time past 11:00+10min.
+      Seq((6L, ts("2024-01-01 12:30:00"), "click", 6.0))
+        .toDF("event_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val out = spark.sql("SELECT event_type, events, sum_value FROM windowed_test")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      // the 10:00 and 11:00 windows are closed by the 12:30 event
+      assert(out.contains(("click", 2L, 3.0)))
+      assert(out.contains(("view", 1L, 3.0)))
+      assert(out.contains(("click", 1L, 4.0)))
+      assert(out.contains(("view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize counts per-user events with custom state") {
+    val r = EventStreams.sessionize(
+      fixture.union(fixture).withColumnRenamed("event_id", "user_id")).collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("events"))).toMap
+    assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L))
+  }
+}
