@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Qx._
+
+/** Free-surface SQL operators the reference lacks but a complete engine
+  * must expose (SURVEY.md §2.4 "not present", §2.6): correlated scalar
+  * subqueries, date arithmetic, as-of joins, cube grouping sets.
+  */
+object ExtraQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- correlated scalar subquery (Catalyst decorrelation) --------------
+    Q("q60_correlated_subquery",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer_v")
+        s.sql("""
+          SELECT c_nationkey, COUNT(*) AS above_avg_customers
+          FROM customer_v c
+          WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+            FROM customer_v i WHERE i.c_nationkey = c.c_nationkey)
+          GROUP BY c_nationkey ORDER BY c_nationkey""")
+      },
+      Some("""
+        SELECT c_nationkey, COUNT(*) AS above_avg_customers
+        FROM customer c
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+          FROM customer i WHERE i.c_nationkey = c.c_nationkey)
+        GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // ---- date arithmetic: order -> last shipment lag ----------------------
+    Q("q61_ship_lag",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        l.groupBy("l_orderkey").agg(max("l_shipdate").as("last_ship"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(datediff(col("last_ship"), col("o_orderdate")).as("lag_days"))
+          .groupBy((col("lag_days") / 30).cast("int").as("lag_month_bucket"))
+          .agg(count(lit(1)).as("orders"), max("lag_days").as("max_lag_days"))
+          .orderBy("lag_month_bucket")
+      },
+      Some("""
+        WITH lags AS (
+          SELECT date_diff('day', o_orderdate, max(l_shipdate)) AS lag_days
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY l_orderkey, o_orderdate)
+        SELECT CAST(trunc(CAST(lag_days AS DOUBLE) / 30) AS INTEGER) AS lag_month_bucket,
+          COUNT(*) AS orders, CAST(MAX(lag_days) AS INTEGER) AS max_lag_days
+        FROM lags GROUP BY 1 ORDER BY 1""")),
+
+    // ---- as-of join: purchases matched to the latest preceding signup -----
+    // Composed from a union + running last_value window (the idiomatic
+    // Spark expression of an operator it lacks natively).
+    Q("q62_asof_join",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, dir, "events")
+        val relevant = e.filter(col("event_type").isin("signup", "purchase"))
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withSignup = relevant.withColumn("last_signup_ts",
+          last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+        withSignup.filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            (unix_millis(col("ts")) - unix_millis(col("last_signup_ts"))).as("lag_ms"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("purchases"),
+            sum(when(col("lag_ms").isNotNull, 1L).otherwise(0L)).as("matched"),
+            max("lag_ms").as("max_lag_ms"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH relevant AS (
+          SELECT user_id, event_type, ts, event_id FROM events
+          WHERE event_type IN ('signup', 'purchase')),
+        with_signup AS (
+          SELECT user_id, event_type, ts,
+            last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts
+          FROM relevant)
+        SELECT user_id, COUNT(*) AS purchases,
+          CAST(SUM(CASE WHEN last_signup_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+          CAST(MAX(epoch_ms(ts) - epoch_ms(last_signup_ts)) AS BIGINT) AS max_lag_ms
+        FROM with_signup WHERE event_type = 'purchase'
+        GROUP BY user_id ORDER BY user_id""")),
+
+    // ---- cube grouping sets ------------------------------------------------
+    Q("q63_cube",
+      (s, dir) => t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("cnt"))
+        .orderBy("o_orderstatus", "o_orderpriority"),
+      Some("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+          COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+          COUNT(*) AS cnt
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY 1, 2"""))
+  )
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analytics.HealthAnalytics
+import graft.clean.CleanFunctions._
+import Qx._
+
+/** The reference's health-center analytics (A1-A5) under the oracle gate.
+  * The testdata has no lab records, so both engines derive the SAME
+  * deterministic lab-shaped frame from `orders` (year/month from the order
+  * date, locations from key arithmetic, slide-status text from the order
+  * priority so the keyword classifier sees realistic mixed strings), then
+  * the REAL `HealthAnalytics`/`CleanFunctions` operators run on it and the
+  * oracle mirrors their semantics — including Python-round (banker's)
+  * rate rounding via round_even.
+  */
+object HealthQueries {
+
+  /** Deterministic lab-record synthesis (Spark side). */
+  private def labRecords(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val slide = when(col("o_orderpriority") === "1-URGENT", "POSITIVE")
+      .when(col("o_orderpriority") === "2-HIGH", "P.falciparum seen")
+      .when(col("o_orderpriority") === "3-MEDIUM", "no malaria")
+      .when(col("o_orderpriority") === "4-NOT SPECIFIED", "slide unreadable")
+      .otherwise("neg")
+    o.select(
+      year(col("o_orderdate")).cast("int").as("year"),
+      month(col("o_orderdate")).cast("int").as("month"),
+      concat(lit("V"), col("o_custkey") % 40).as("village"),
+      concat(lit("D"), col("o_custkey") % 5).as("district"),
+      concat(lit("S"), col("o_custkey") % 10).as("sector"),
+      when(col("o_orderstatus") === "O", "Male")
+        .when(col("o_orderstatus") === "F", "Female")
+        .otherwise("Unknown").as("gender"),
+      categorizeAge(floor(col("o_totalprice") % 90).cast("int")).as("age_group"),
+      slide.as("slide_status"),
+      interpretTestResult(slide).as("test_result"),
+      isPositiveCase(slide).as("is_positive"))
+  }
+
+  /** The same synthesis in DuckDB (CTE `lab`). The classifier cases are
+    * pre-resolved per priority value (the keyword classifier is
+    * deterministic on these five strings: POSITIVE→Positive,
+    * P.falciparum→Positive, "no malaria"→Positive (MALARIA keyword, order
+    * quirk), "slide unreadable"→Inconclusive, neg→Negative).
+    */
+  private val labSql: String = """
+    lab AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+        CAST(month(o_orderdate) AS INTEGER) AS month,
+        'V' || CAST(o_custkey % 40 AS VARCHAR) AS village,
+        'D' || CAST(o_custkey % 5 AS VARCHAR) AS district,
+        'S' || CAST(o_custkey % 10 AS VARCHAR) AS sector,
+        CASE o_orderstatus WHEN 'O' THEN 'Male' WHEN 'F' THEN 'Female'
+          ELSE 'Unknown' END AS gender,
+        CASE WHEN floor(o_totalprice % 90) < 5 THEN 'Under 5'
+             WHEN floor(o_totalprice % 90) < 15 THEN '5-14'
+             WHEN floor(o_totalprice % 90) < 25 THEN '15-24'
+             WHEN floor(o_totalprice % 90) < 45 THEN '25-44'
+             WHEN floor(o_totalprice % 90) < 65 THEN '45-64'
+             ELSE '65+' END AS age_group,
+        CASE o_orderpriority
+          WHEN '1-URGENT' THEN 'Positive' WHEN '2-HIGH' THEN 'Positive'
+          WHEN '3-MEDIUM' THEN 'Positive' WHEN '4-NOT SPECIFIED' THEN 'Inconclusive'
+          ELSE 'Negative' END AS test_result,
+        o_orderpriority NOT IN ('4-NOT SPECIFIED', '5-LOW') AS is_positive
+      FROM orders)"""
+
+  private val rateSql =
+    "CASE WHEN %s > 0 THEN round_even(CAST(%s AS DOUBLE) / %s * 100, 2) ELSE 0.0 END"
+
+  private def rate(n: String, d: String) = rateSql.format(d, n, d)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- A1 yearly slide status (real HealthAnalytics operator) -----------
+    Q("q50_yearly_slide_status",
+      (s, dir) => HealthAnalytics.yearlySlideStatus(labRecords(s, dir)),
+      Some(s"""
+        WITH $labSql
+        SELECT year, COUNT(*) AS total_tests,
+          CAST(SUM(CASE WHEN is_positive THEN 1 ELSE 0 END) AS BIGINT) AS positive_cases,
+          CAST(SUM(CASE WHEN test_result = 'Negative' THEN 1 ELSE 0 END) AS BIGINT) AS negative_cases,
+          COUNT(*) - CAST(SUM(CASE WHEN is_positive THEN 1 ELSE 0 END) AS BIGINT)
+            - CAST(SUM(CASE WHEN test_result = 'Negative' THEN 1 ELSE 0 END) AS BIGINT) AS inconclusive_cases,
+          ${rate("SUM(CASE WHEN is_positive THEN 1 ELSE 0 END)", "COUNT(*)")} AS positivity_rate,
+          ${rate("SUM(CASE WHEN test_result = 'Negative' THEN 1 ELSE 0 END)", "COUNT(*)")} AS negativity_rate,
+          ${rate("COUNT(*) - SUM(CASE WHEN is_positive THEN 1 ELSE 0 END) - SUM(CASE WHEN test_result = 'Negative' THEN 1 ELSE 0 END)", "COUNT(*)")} AS inconclusive_rate
+        FROM lab GROUP BY year ORDER BY year""")),
+
+    // ---- A2 gender positivity by year -------------------------------------
+    Q("q51_gender_positivity",
+      (s, dir) => HealthAnalytics.genderPositivityByYear(labRecords(s, dir)),
+      Some(s"""
+        WITH $labSql
+        SELECT year, gender, COUNT(*) AS total_tests,
+          CAST(SUM(CASE WHEN is_positive THEN 1 ELSE 0 END) AS BIGINT) AS positive_cases,
+          CAST(SUM(CASE WHEN test_result = 'Negative' THEN 1 ELSE 0 END) AS BIGINT) AS negative_cases,
+          COUNT(*) - CAST(SUM(CASE WHEN is_positive THEN 1 ELSE 0 END) AS BIGINT)
+            - CAST(SUM(CASE WHEN test_result = 'Negative' THEN 1 ELSE 0 END) AS BIGINT) AS inconclusive_cases,
+          ${rate("SUM(CASE WHEN is_positive THEN 1 ELSE 0 END)", "COUNT(*)")} AS positivity_rate,
+          ${rate("SUM(CASE WHEN test_result = 'Negative' THEN 1 ELSE 0 END)", "COUNT(*)")} AS negativity_rate,
+          ${rate("COUNT(*) - SUM(CASE WHEN is_positive THEN 1 ELSE 0 END) - SUM(CASE WHEN test_result = 'Negative' THEN 1 ELSE 0 END)", "COUNT(*)")} AS inconclusive_rate
+        FROM lab GROUP BY year, gender ORDER BY year, gender""")),
+
+    // ---- A4 monthly positivity with month names ---------------------------
+    Q("q52_monthly_positivity",
+      (s, dir) => HealthAnalytics.monthlyPositivity(labRecords(s, dir)),
+      Some(s"""
+        WITH $labSql
+        SELECT year, month,
+          monthname(make_date(2000, month, 1)) AS month_name,
+          COUNT(*) AS total_tests,
+          CAST(SUM(CASE WHEN is_positive THEN 1 ELSE 0 END) AS BIGINT) AS positive_cases,
+          ${rate("SUM(CASE WHEN is_positive THEN 1 ELSE 0 END)", "COUNT(*)")} AS positivity_rate
+        FROM lab GROUP BY year, month ORDER BY year, month""")),
+
+    // ---- A3 village positivity (deterministic first) ----------------------
+    Q("q53_village_positivity",
+      (s, dir) => HealthAnalytics.villagePositivityByYear(labRecords(s, dir)),
+      Some(s"""
+        WITH $labSql
+        SELECT village, year,
+          MIN(district) AS district, MIN(sector) AS sector,
+          COUNT(*) AS total_tests,
+          CAST(SUM(CASE WHEN is_positive THEN 1 ELSE 0 END) AS BIGINT) AS positive_cases,
+          COUNT(*) - CAST(SUM(CASE WHEN is_positive THEN 1 ELSE 0 END) AS BIGINT) AS negative_cases,
+          ${rate("SUM(CASE WHEN is_positive THEN 1 ELSE 0 END)", "COUNT(*)")} AS positivity_rate
+        FROM lab GROUP BY village, year ORDER BY village, year""")),
+
+    // ---- A5 total summary (scalar projection) -----------------------------
+    Q("q54_total_summary",
+      (s, dir) => HealthAnalytics.totalSummary(labRecords(s, dir))
+        .select("total_records", "total_positive_cases", "total_negative_cases",
+          "total_inconclusive_cases", "overall_pos_rate", "year_range",
+          "districts_count", "sectors_count", "villages_count"),
+      Some(s"""
+        WITH $labSql
+        SELECT COUNT(*) AS total_records,
+          CAST(SUM(CASE WHEN is_positive THEN 1 ELSE 0 END) AS BIGINT) AS total_positive_cases,
+          CAST(SUM(CASE WHEN test_result = 'Negative' THEN 1 ELSE 0 END) AS BIGINT) AS total_negative_cases,
+          COUNT(*) - CAST(SUM(CASE WHEN is_positive THEN 1 ELSE 0 END) AS BIGINT)
+            - CAST(SUM(CASE WHEN test_result = 'Negative' THEN 1 ELSE 0 END) AS BIGINT) AS total_inconclusive_cases,
+          ${rate("SUM(CASE WHEN is_positive THEN 1 ELSE 0 END)", "COUNT(*)")} AS overall_pos_rate,
+          CASE WHEN MIN(year) = MAX(year) THEN CAST(MIN(year) AS VARCHAR)
+            ELSE CAST(MIN(year) AS VARCHAR) || '-' || CAST(MAX(year) AS VARCHAR) END AS year_range,
+          COUNT(DISTINCT district) AS districts_count,
+          COUNT(DISTINCT sector) AS sectors_count,
+          COUNT(DISTINCT village) AS villages_count
+        FROM lab"""))
+  )
+}
