@@ -27,7 +27,10 @@ object Bench {
     "q35_minhash_lsh",     // shingle+minhash+band join+verify
     "q36_simhash",         // row-local simhash + banded pairs
     "q40_cosine_topk",     // brute-force vector top-k
-    "q42_embedding_neardup" // bucketed vector pair join
+    "q42_embedding_neardup", // bucketed vector pair join
+    "q45_zonal_stats",     // points-in-polygon tag + aggregate
+    "q50_yearly_slide_status", // domain analytics spine
+    "q62_asof_join"        // union + running last_value window
   )
 
   def main(args: Array[String]): Unit = {

@@ -207,33 +207,46 @@ object CoreQueries {
         GROUP BY 1 ORDER BY 1""")),
 
     // ---- A12: stats incl. exact median + area-weighted mean ---------------
-    // Median via the manual middle-pair formula so both engines do the same
-    // float ops: (lo+hi) summed exactly as decimal, then one division by 2
+    // Exact median WITHOUT a full per-group sort: build a (group, value)
+    // histogram (map-side partial agg -> tiny shuffle), cumulative-count the
+    // few distinct values with a window, and pick the middle pair by
+    // position range. A row_number window over the raw rows sorts the whole
+    // group on one task (3 groups = 3 tasks at any scale); the histogram
+    // approach shuffles only |distinct values| rows per group. The
+    // middle-pair is summed exactly as decimal, then one division by 2
     // (exact in binary). Stddev from exact decimal sums of x and x².
     Q("q14_stats_median",
       (s, dir) => {
         val l = t(s, dir, "lineitem")
-        val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-        val ranked = l.select(col("l_returnflag"), col("l_quantity"),
-          col("l_extendedprice"), col("l_discount"))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
-        ranked.groupBy("l_returnflag")
+        val stats = l.groupBy("l_returnflag")
           .agg(
             count(lit(1)).as("cnt"),
             min("l_quantity").as("min_qty"),
             max("l_quantity").as("max_qty"),
             dbl(sum(d12(col("l_quantity")))).as("sum_qty"),
             dbl(sum(d12(col("l_quantity")) * d12(col("l_quantity")))).as("sum_qty2"),
-            dbl(sum(when(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"),
-              d12(col("l_quantity"))))).as("mid_sum"),
             dbl(sum(d12(col("l_extendedprice")) * d4(col("l_discount")))).as("wsum"),
             dbl(sum(d4(col("l_discount")))).as("wtot"))
+        val hist = l.groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+        val cum = hist
+          .withColumn("cum_end", sum("c").over(w))
+          .withColumn("cum_start", col("cum_end") - col("c") + 1)
+        val mids = cum.join(stats.select(col("l_returnflag"), col("cnt")), "l_returnflag")
+          .withColumn("k1", expr("(cnt + 1) div 2"))
+          .withColumn("k2", expr("(cnt + 2) div 2"))
+          .withColumn("hits",
+            when(col("cum_start") <= col("k1") && col("k1") <= col("cum_end"), 1).otherwise(0) +
+              when(col("cum_start") <= col("k2") && col("k2") <= col("cum_end"), 1).otherwise(0))
+          .filter(col("hits") > 0)
+          .groupBy("l_returnflag")
+          .agg(dbl(sum(d12(col("l_quantity")) * col("hits"))).as("mid2"))
+        stats.join(mids, "l_returnflag")
           .withColumn("avg_qty", col("sum_qty") / col("cnt"))
           .withColumn("std_qty",
             sqrt((col("sum_qty2") - col("sum_qty") * col("sum_qty") / col("cnt")) / col("cnt")))
-          .withColumn("median_qty",
-            when(col("cnt") % 2 === 1, col("mid_sum")).otherwise(col("mid_sum") / 2))
+          .withColumn("median_qty", col("mid2") / 2)
           .withColumn("weighted_price", col("wsum") / col("wtot"))
           .select("l_returnflag", "cnt", "min_qty", "max_qty", "avg_qty",
             "std_qty", "median_qty", "weighted_price")

@@ -36,8 +36,15 @@ object GeoQueries {
               array(col("x0") + 10.0, col("y0") + 10.0),
               array(col("x0"), col("y0") + 10.0),
               array(col("x0"), col("y0")))).as("geom"))
-        pts.join(broadcast(zones),
-          GeoFunctions.stContainsPoint(col("geom"), col("x"), col("y")))
+        // envelope prefilter before the exact ray cast (the reference's
+        // prep(bbox) fast path): the range predicates are cheap codegen'd
+        // comparisons and AND short-circuits, so the interpreted
+        // point-in-polygon only evaluates for envelope survivors
+        val zonesEnv = zones.withColumn("env", GeoFunctions.stEnvelope(col("geom")))
+        pts.join(broadcast(zonesEnv),
+          col("x") >= col("env.minx") && col("x") <= col("env.maxx") &&
+            col("y") >= col("env.miny") && col("y") <= col("env.maxy") &&
+            GeoFunctions.stContainsPoint(col("geom"), col("x"), col("y")))
           .groupBy("zone")
           .agg(count(lit(1)).as("points"),
             dbl(sum(d12(col("v")))).as("sum_value"),

@@ -50,6 +50,79 @@ object TextQueries {
   private val NUM_HASHES = 16
   private val BAND_ROWS = 4
 
+  /** Verified MinHash/LSH near-dup pairs (jaccard >= 0.5) — shared by the
+    * pair listing (q35) and the dedup keep-list (q39). Plan shape for
+    * scale: shingles are exploded and hashed ONCE, with the 16 signature
+    * components as map-side partial `min` aggregates (a row-local
+    * transform-per-seed would get the tokenize+shingle subtree inlined 16x
+    * by project collapse). Band rows carry ONLY (band_key, doc_id) — never
+    * shingle arrays — so the candidate-pair shuffle is a few bytes per
+    * row; shingles are re-joined just for the (few) surviving pairs.
+    */
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val shingleRows = corpus(s, dir)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh1"))
+    val minhashAggs = (0 until NUM_HASHES).map(i =>
+      min(substring(md5(concat(lit(s"$i#"), col("sh1"))), 1, 16)).as(s"h$i"))
+    val sigs = shingleRows.groupBy("doc_id")
+      .agg(minhashAggs.head, minhashAggs.tail: _*)
+    val bandKeys = (0 until NUM_HASHES / BAND_ROWS).map { b =>
+      val ks = (b * BAND_ROWS until (b + 1) * BAND_ROWS).map(i => col(s"h$i"))
+      concat_ws("|", lit(b.toString) +: ks: _*)
+    }
+    val bandRows = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
+    val pairs = bandRows.select(col("band_key"), col("doc_id").as("doc_a"))
+      .join(bandRows.select(col("band_key"), col("doc_id").as("doc_b")), Seq("band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sh = corpus(s, dir)
+      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** DuckDB mirror of [[minhashVerifiedPairs]] as a WITH prefix ending at
+    * CTE `verified` (jaccard unfiltered — consumers filter).
+    */
+  private val minhashPairsSql: String = {
+    val minhashes = (0 until NUM_HASHES).map(i =>
+      s"list_aggregate(list_transform(sh, s -> substr(md5('$i#' || s), 1, 16)), 'min') AS h$i").mkString(",\n            ")
+    val bandSelects = (0 until NUM_HASHES / BAND_ROWS).map { b =>
+      val ks = (b * BAND_ROWS until (b + 1) * BAND_ROWS).map(i => s"h$i").mkString(", ")
+      s"SELECT doc_id, sh, concat_ws('|', '$b', $ks) AS band_key FROM sigs"
+    }.mkString("\n          UNION ALL\n          ")
+    s"""
+        WITH $corpusSql,
+        toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM corpus),
+        shingled AS (
+          SELECT doc_id,
+            CASE WHEN len(w) < 3 THEN []
+              ELSE list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS sh
+          FROM toks),
+        sigs AS (
+          SELECT doc_id, sh,
+            $minhashes
+          FROM shingled WHERE len(sh) > 0),
+        bands AS (
+          $bandSelects),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.sh AS sh_a, b.sh AS sh_b
+          FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        verified AS (
+          SELECT doc_a, doc_b,
+            CAST(len(list_distinct(sh_a)) + len(list_distinct(sh_b))
+              - len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE)
+              / len(list_distinct(list_concat(sh_a, sh_b))) AS jaccard
+          FROM pairs)"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- exact dedup: hash-groupBy over normalized text -------------------
@@ -141,76 +214,33 @@ object TextQueries {
     // shingle(3) -> 16 md5-minhashes -> 4 bands of 4 -> band-bucket join ->
     // exact shingle-Jaccard verify >= 0.5.
     Q("q35_minhash_lsh",
-      (s, dir) => {
-        // Plan shape for scale: shingles are exploded and hashed ONCE, with
-        // the 16 signature components as map-side partial `min` aggregates
-        // (a row-local transform-per-seed gets the tokenize+shingle subtree
-        // inlined 16x by project collapse). Band rows carry ONLY
-        // (band_key, doc_id) — never shingle arrays — so the candidate-pair
-        // shuffle is a few bytes per row; shingles are re-joined just for
-        // the (few) surviving pairs.
-        val shingleRows = corpus(s, dir)
-          .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh1"))
-        val minhashAggs = (0 until NUM_HASHES).map(i =>
-          min(substring(md5(concat(lit(s"$i#"), col("sh1"))), 1, 16)).as(s"h$i"))
-        val sigs = shingleRows.groupBy("doc_id")
-          .agg(minhashAggs.head, minhashAggs.tail: _*)
-        val bandKeys = (0 until NUM_HASHES / BAND_ROWS).map { b =>
-          val ks = (b * BAND_ROWS until (b + 1) * BAND_ROWS).map(i => col(s"h$i"))
-          concat_ws("|", lit(b.toString) +: ks: _*)
-        }
-        val bandRows = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
-        val pairs = bandRows.select(col("band_key"), col("doc_id").as("doc_a"))
-          .join(bandRows.select(col("band_key"), col("doc_id").as("doc_b")), Seq("band_key"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-        val sh = corpus(s, dir)
-          .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
-          .filter(size(col("sh")) > 0)
-        pairs
-          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-          .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-          .filter(col("jaccard") >= 0.5)
-          .select("doc_a", "doc_b", "jaccard")
-          .orderBy("doc_a", "doc_b")
-      },
-      Some {
-        val minhashes = (0 until NUM_HASHES).map(i =>
-          s"list_aggregate(list_transform(sh, s -> substr(md5('$i#' || s), 1, 16)), 'min') AS h$i").mkString(",\n            ")
-        val bandSelects = (0 until NUM_HASHES / BAND_ROWS).map { b =>
-          val ks = (b * BAND_ROWS until (b + 1) * BAND_ROWS).map(i => s"h$i").mkString(", ")
-          s"SELECT doc_id, sh, concat_ws('|', '$b', $ks) AS band_key FROM sigs"
-        }.mkString("\n          UNION ALL\n          ")
-        s"""
-        WITH $corpusSql,
-        toks AS (
-          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM corpus),
-        shingled AS (
-          SELECT doc_id,
-            CASE WHEN len(w) < 3 THEN []
-              ELSE list_transform(generate_series(1, len(w) - 2),
-                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS sh
-          FROM toks),
-        sigs AS (
-          SELECT doc_id, sh,
-            $minhashes
-          FROM shingled WHERE len(sh) > 0),
-        bands AS (
-          $bandSelects),
-        pairs AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-            a.sh AS sh_a, b.sh AS sh_b
-          FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        verified AS (
-          SELECT doc_a, doc_b,
-            CAST(len(list_distinct(sh_a)) + len(list_distinct(sh_b))
-              - len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE)
-              / len(list_distinct(list_concat(sh_a, sh_b))) AS jaccard
-          FROM pairs)
+      (s, dir) => minhashVerifiedPairs(s, dir)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b"),
+      Some(minhashPairsSql + """
         SELECT doc_a, doc_b, jaccard FROM verified
-        WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
-      }),
+        WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""")),
+
+    // ---- end-to-end dedup keep-list over the MinHash pairs ----------------
+    // Standard near-dup policy: a doc is dropped when it pairs (jaccard >=
+    // 0.5) with any lower doc_id; survivors form the deduplicated corpus.
+    Q("q39_dedup_keeplist",
+      (s, dir) => {
+        val dropped = minhashVerifiedPairs(s, dir)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val c = corpus(s, dir)
+        val total = c.count()
+        val surviving = c.join(dropped, Seq("doc_id"), "left_anti").count()
+        import s.implicits._
+        Seq((total, total - surviving, surviving))
+          .toDF("total_docs", "dropped_docs", "surviving_docs")
+      },
+      Some(minhashPairsSql + """
+        , dropped AS (
+          SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jaccard >= 0.5)
+        SELECT (SELECT COUNT(*) FROM corpus) AS total_docs,
+          (SELECT COUNT(*) FROM dropped) AS dropped_docs,
+          (SELECT COUNT(*) FROM corpus) - (SELECT COUNT(*) FROM dropped) AS surviving_docs""")),
 
     // ---- SimHash near-dup pairs -------------------------------------------
     // 60-bit simhash per doc (row-local), 4 bands of 15 bits, hamming <= 8.
