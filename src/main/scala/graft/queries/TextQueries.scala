@@ -50,6 +50,12 @@ object TextQueries {
   private val NUM_HASHES = 16
   private val BAND_ROWS = 4
 
+  /** xor-mix seeds for the k-from-1 minhash construction: 60-bit odd
+    * multiples of the golden-ratio constant, identical in the oracle SQL.
+    */
+  private val SEEDS: Seq[Long] =
+    (0 until NUM_HASHES).map(i => (i.toLong * 0x9E3779B97F4A7CL) & ((1L << 60) - 1))
+
   /** Verified MinHash/LSH near-dup pairs (jaccard >= 0.5) — shared by the
     * pair listing (q35) and the dedup keep-list (q39). Plan shape for
     * scale: shingles are exploded and hashed ONCE, with the 16 signature
@@ -60,10 +66,14 @@ object TextQueries {
     * row; shingles are re-joined just for the (few) surviving pairs.
     */
   private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    // ONE md5 per shingle, then 16 xor-mixed variants (a standard k-from-1
+    // minhash construction): 16x less hashing than seed-prefixed md5s.
     val shingleRows = corpus(s, dir)
       .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh1"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("sh1")), 1, 15), 16, 10).cast("long").as("hb"))
     val minhashAggs = (0 until NUM_HASHES).map(i =>
-      min(substring(md5(concat(lit(s"$i#"), col("sh1"))), 1, 16)).as(s"h$i"))
+      min(col("hb").bitwiseXOR(lit(SEEDS(i)))).as(s"h$i"))
     val sigs = shingleRows.groupBy("doc_id")
       .agg(minhashAggs.head, minhashAggs.tail: _*)
     val bandKeys = (0 until NUM_HASHES / BAND_ROWS).map { b =>
@@ -90,7 +100,7 @@ object TextQueries {
     */
   private val minhashPairsSql: String = {
     val minhashes = (0 until NUM_HASHES).map(i =>
-      s"list_aggregate(list_transform(sh, s -> substr(md5('$i#' || s), 1, 16)), 'min') AS h$i").mkString(",\n            ")
+      s"list_aggregate(list_transform(hb, b -> xor(b, ${SEEDS(i)})), 'min') AS h$i").mkString(",\n            ")
     val bandSelects = (0 until NUM_HASHES / BAND_ROWS).map { b =>
       val ks = (b * BAND_ROWS until (b + 1) * BAND_ROWS).map(i => s"h$i").mkString(", ")
       s"SELECT doc_id, sh, concat_ws('|', '$b', $ks) AS band_key FROM sigs"
@@ -108,7 +118,9 @@ object TextQueries {
         sigs AS (
           SELECT doc_id, sh,
             $minhashes
-          FROM shingled WHERE len(sh) > 0),
+          FROM (SELECT doc_id, sh,
+            list_transform(sh, s1 -> CAST('0x' || substr(md5(s1), 1, 15) AS BIGINT)) AS hb
+            FROM shingled WHERE len(sh) > 0)),
         bands AS (
           $bandSelects),
         pairs AS (
