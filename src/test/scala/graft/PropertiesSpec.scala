@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.analytics.HealthAnalytics
+import graft.clean.CleanFunctions._
+import graft.text.TextFunctions._
+
+/** Property-based invariants (SURVEY.md §5 port): totals conservation for
+  * the analytics, classifier totality, jaccard bounds/symmetry, simhash
+  * order-independence. Raw ScalaCheck generators sampled with fixed seeds
+  * (scalatestplus bridge unavailable offline) — deterministic across runs.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val slideGen = Gen.oneOf(
+    "POSITIVE", "pos", "+", "p.falciparum", "malaria", "NEGATIVE", "neg", "-",
+    "no malaria", "clean", "unclear", "", "xx", "Positive-ish", "N/A")
+
+  test("property: pos + neg + inconclusive == total for any slide mix") {
+    samples(Gen.listOfN(40, Gen.zip(Gen.choose(2020, 2024), slideGen)), 8)
+      .filter(_.nonEmpty).foreach { rows =>
+        val df = rows.toDF("year", "slide")
+          .select(col("year"),
+            interpretTestResult(col("slide")).as("test_result"),
+            isPositiveCase(col("slide")).as("is_positive"))
+          .withColumn("village", lit("v")).withColumn("district", lit("d"))
+          .withColumn("sector", lit("s")).withColumn("gender", lit("g"))
+          .withColumn("age_group", lit("a")).withColumn("month", lit(1))
+        HealthAnalytics.yearlySlideStatus(df).collect().foreach { r =>
+          assert(r.getAs[Long]("positive_cases") + r.getAs[Long]("negative_cases") +
+            r.getAs[Long]("inconclusive_cases") == r.getAs[Long]("total_tests"))
+          assert(r.getAs[Double]("positivity_rate") >= 0 &&
+            r.getAs[Double]("positivity_rate") <= 100)
+        }
+      }
+  }
+
+  test("property: classifier is total (every string maps to one of 4 labels)") {
+    val inputs = samples(Gen.asciiPrintableStr, 40)
+    val out = inputs.toDF("x").select(interpretTestResult(col("x")))
+      .as[String].collect()
+    assert(out.forall(Set("Positive", "Negative", "Inconclusive", "Unknown")))
+  }
+
+  private val wordGen = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g"))
+
+  test("property: jaccard is symmetric, bounded, and 1 on self") {
+    samples(Gen.zip(wordGen, wordGen), 15).foreach { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val ab = df.select(jaccard(col("a"), col("b"))).head.getDouble(0)
+      val ba = df.select(jaccard(col("b"), col("a"))).head.getDouble(0)
+      assert(ab == ba)
+      assert(ab >= 0.0 && ab <= 1.0)
+      if (a.nonEmpty) {
+        val self = Seq(Tuple1(a)).toDF("a")
+          .select(jaccard(col("a"), col("a"))).head.getDouble(0)
+        assert(self == 1.0)
+      }
+    }
+  }
+
+  test("property: simhash is token-order independent") {
+    val rnd = new scala.util.Random(7)
+    samples(Gen.listOfN(8, Gen.oneOf("spark", "query", "join", "filter", "sort")), 8)
+      .filter(_.nonEmpty).foreach { words =>
+        val fp1 = Seq(words.mkString(" ")).toDF("x")
+          .select(simhash60(tokens(col("x")))).head.getLong(0)
+        val fp2 = Seq(rnd.shuffle(words).mkString(" ")).toDF("x")
+          .select(simhash60(tokens(col("x")))).head.getLong(0)
+        assert(fp1 == fp2) // votes are a bag-sum, order can't matter
+      }
+  }
+
+  test("property: cleanMonth only ever yields 1-12 or null") {
+    val inputs = samples(Gen.oneOf(Gen.asciiPrintableStr,
+      Gen.choose(-50, 50).map(_.toString)), 40)
+    inputs.toDF("x").select(cleanMonth(col("x"))).collect().foreach { r =>
+      assert(r.isNullAt(0) || (r.getInt(0) >= 1 && r.getInt(0) <= 12))
+    }
+  }
+}
