@@ -1,0 +1,81 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.clean.CleanFunctions.slopeClass
+import graft.geo.{ContainsPoint, GeoFunctions}
+
+/** The geospatial merge pipeline (SURVEY.md §3.3): admin boundaries ×
+  * slope data → per-boundary zonal statistics + slope classification +
+  * centroid-based admin tagging — the reference's thread-choreographed
+  * batch loop (GeospatialBatchProcessor) as one declarative job.
+  *
+  * Scale: the boundary polygons are the small side (thousands of
+  * villages) and broadcast; slope samples (raster-derived points) are the
+  * fact side and never shuffle — the spatial join is a broadcast
+  * nested-loop with envelope short-circuit, then a hash aggregate per
+  * boundary.
+  */
+object GeoPipeline {
+
+  /** A13/J5 zonal statistics: per boundary polygon, mean/max/min/count of
+    * sample values inside it (the reference's rasterio.mask semantics with
+    * point samples) + F17 slope classification of the mean.
+    *
+    * @param boundaries (boundary_id, geom) — geom in graft.geo polygon encoding
+    * @param samples    (x, y, value) point samples
+    */
+  def zonalSlopeStats(boundaries: DataFrame, samples: DataFrame): DataFrame = {
+    ContainsPoint.register(boundaries.sparkSession)
+    val polys = broadcast(boundaries
+      .withColumn("env", GeoFunctions.stEnvelope(col("geom"))))
+    samples.join(polys,
+      col("x") >= col("env.minx") && col("x") <= col("env.maxx") &&
+        col("y") >= col("env.miny") && col("y") <= col("env.maxy") &&
+        ContainsPoint(col("geom"), col("x"), col("y")))
+      .groupBy("boundary_id")
+      .agg(
+        count(lit(1)).as("slope_points_used"),
+        bround(avg("value"), 2).as("mean_slope"),
+        max("value").as("max_slope"),
+        min("value").as("min_slope"))
+      .withColumn("slope_class", slopeClass(col("mean_slope")))
+  }
+
+  /** J4 admin tagging: each feature's vertex-mean centroid is matched to
+    * the containing admin polygon (the reference's STRtree lookup,
+    * SlopeGeoJsonUploadView.py:104-151).
+    *
+    * @param features (feature_id, geom)
+    * @param admin    (district, sector, admin_geom)
+    */
+  def tagAdmin(features: DataFrame, admin: DataFrame): DataFrame = {
+    ContainsPoint.register(features.sparkSession)
+    val withCentroid = features
+      .withColumn("centroid", GeoFunctions.stCentroidVertexMean(col("geom")))
+    val adminEnv = broadcast(admin
+      .withColumn("env", GeoFunctions.stEnvelope(col("admin_geom"))))
+    withCentroid.join(adminEnv,
+      col("centroid.lon") >= col("env.minx") && col("centroid.lon") <= col("env.maxx") &&
+        col("centroid.lat") >= col("env.miny") && col("centroid.lat") <= col("env.maxy") &&
+        ContainsPoint(col("admin_geom"), col("centroid.lon"), col("centroid.lat")),
+      "left")
+      .select(features.columns.map(col) :+
+        col("centroid") :+
+        col("district").as("associated_district") :+
+        col("sector").as("associated_sector"): _*)
+  }
+
+  /** Boundary enrichment (village ETL shape): area + centroid columns with
+    * the reference's decimal scales (centroid_lat DECIMAL(10,8) /
+    * centroid_lon DECIMAL(11,8), village_admin_boundaries_etl_view.py:
+    * 455-481).
+    */
+  def enrichBoundaries(boundaries: DataFrame): DataFrame =
+    boundaries
+      .withColumn("area", GeoFunctions.stArea(col("geom")))
+      .withColumn("centroid", GeoFunctions.stCentroidVertexMean(col("geom")))
+      .withColumn("centroid_lat", col("centroid.lat").cast("decimal(10,8)"))
+      .withColumn("centroid_lon", col("centroid.lon").cast("decimal(11,8)"))
+      .drop("centroid")
+}

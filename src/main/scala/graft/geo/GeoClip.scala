@@ -135,9 +135,14 @@ object GeoClip {
   * [[GeoClip.register]] directly on an existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("st_rect_clip_area"),
       new ExpressionInfo(classOf[RectClipArea].getName, "st_rect_clip_area"),
       (exprs: Seq[Expression]) => RectClipArea(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("st_contains_point"),
+      new ExpressionInfo(classOf[ContainsPoint].getName, "st_contains_point"),
+      (exprs: Seq[Expression]) => ContainsPoint(exprs)))
+  }
 }

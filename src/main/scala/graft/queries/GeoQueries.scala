@@ -38,13 +38,14 @@ object GeoQueries {
               array(col("x0"), col("y0")))).as("geom"))
         // envelope prefilter before the exact ray cast (the reference's
         // prep(bbox) fast path): the range predicates are cheap codegen'd
-        // comparisons and AND short-circuits, so the interpreted
-        // point-in-polygon only evaluates for envelope survivors
+        // comparisons and AND short-circuits, so the native ray-cast
+        // expression only evaluates for envelope survivors
+        graft.geo.ContainsPoint.register(s)
         val zonesEnv = zones.withColumn("env", GeoFunctions.stEnvelope(col("geom")))
         pts.join(broadcast(zonesEnv),
           col("x") >= col("env.minx") && col("x") <= col("env.maxx") &&
             col("y") >= col("env.miny") && col("y") <= col("env.maxy") &&
-            GeoFunctions.stContainsPoint(col("geom"), col("x"), col("y")))
+            graft.geo.ContainsPoint(col("geom"), col("x"), col("y")))
           .groupBy("zone")
           .agg(count(lit(1)).as("points"),
             dbl(sum(d12(col("v")))).as("sum_value"),
