@@ -90,6 +90,45 @@ object ExtraQueries {
         FROM with_signup WHERE event_type = 'purchase'
         GROUP BY user_id ORDER BY user_id""")),
 
+    // ---- language-ID: n-gram profile scoring + confusion matrix -----------
+    Q("q48_langid_confusion",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"), graft.text.LanguageId.predict(col("text")).as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("docs"))
+        .orderBy("lang", "predicted"),
+      Some {
+        val scoreExprs = graft.text.LanguageId.profiles.map { case (lang, grams) =>
+          grams.map(g => s"len(regexp_extract_all(lower(text), '$g'))")
+            .mkString(" + ") + s" AS s_$lang"
+        }.mkString(",\n            ")
+        val langs = graft.text.LanguageId.profiles.map(_._1)
+        val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+        val pick = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+        s"""
+        WITH scored AS (
+          SELECT lang,
+            $scoreExprs
+          FROM documents),
+        best AS (
+          SELECT lang, $m AS m, * FROM scored)
+        SELECT lang, CASE $pick END AS predicted, COUNT(*) AS docs
+        FROM best GROUP BY 1, 2 ORDER BY 1, 2"""
+      }),
+
+    // ---- F22/JSONB surface: JSON field extraction over events.props -------
+    Q("q49_json_extract",
+      (s, dir) => t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"))
+        .orderBy("k_mod"),
+      Some("""
+        SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+          COUNT(*) AS cnt,
+          CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     // ---- cube grouping sets ------------------------------------------------
     Q("q63_cube",
       (s, dir) => t(s, dir, "orders")
