@@ -129,6 +129,60 @@ object ExtraQueries {
           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
         FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // ---- gap-based sessionization (lag window -> session ids -> stats) ----
+    Q("q64_sessionize",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, dir, "events")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gapMs = 30 * 60 * 1000L
+        val sessions = e
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_millis(col("ts")) - unix_millis(col("prev_ts")) > gapMs, 1L).otherwise(0L))
+          .withColumn("session_no", sum("new_session").over(w))
+        sessions.groupBy("user_id", "session_no")
+          .agg(count(lit(1)).as("events_in_session"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("sessions"),
+            max("events_in_session").as("max_session_events"),
+            sum("events_in_session").as("total_events"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH marked AS (
+          SELECT user_id, event_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+              THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessioned AS (
+          SELECT user_id,
+            SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+          FROM marked),
+        per_session AS (
+          SELECT user_id, session_no, COUNT(*) AS events_in_session
+          FROM sessioned GROUP BY 1, 2)
+        SELECT user_id, COUNT(*) AS sessions,
+          CAST(MAX(events_in_session) AS BIGINT) AS max_session_events,
+          CAST(SUM(events_in_session) AS BIGINT) AS total_events
+        FROM per_session GROUP BY 1 ORDER BY 1""")),
+
+    // ---- approximate aggregates (rows-only check: sketches are
+    // engine-specific by nature, so no DuckDB oracle) -----------------------
+    Q("q65_approx_aggs",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          approx_count_distinct(col("o_custkey")).as("approx_customers"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority"),
+      None),
+
     // ---- cube grouping sets ------------------------------------------------
     Q("q63_cube",
       (s, dir) => t(s, dir, "orders")

@@ -47,4 +47,19 @@ class SourcesSpec extends SparkSpec {
     assert(reExploded.map(_.getAs[Map[String, String]]("properties")("village")).toSet
       == Set("V1", "V2"))
   }
+
+  test("ShapefilePicker scores and selects the village-level candidate") {
+    import ShapefilePicker._
+    val adm1 = Candidate("/a/adm1.shp", "adm1.shp", Seq("PROV_NAME"), 30)
+    val villages = Candidate("/a/Rwanda_Villages_adm4.shp", "Rwanda_Villages_adm4.shp",
+      Seq("Village", "Code_vill"), 14000)
+    val sectors = Candidate("/a/sectors.shp", "sectors.shp", Seq("Sect_ID1"), 400)
+    // villages: keywords village(s)+adm4 (village,villages,adm4 = 30) + col 20 + count 5
+    assert(score(villages) == 55)
+    // sectors: keywords sector+sectors (20) + no name indicator match in Sect_ID1 + 5
+    assert(score(sectors) == 25)
+    assert(score(adm1) == 20) // no filename keyword; PROV_NAME contains 'name' -> +20
+    assert(pick(Seq(adm1, sectors, villages)).get == villages)
+    assert(pick(Nil).isEmpty)
+  }
 }
