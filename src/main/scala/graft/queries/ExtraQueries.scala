@@ -183,6 +183,41 @@ object ExtraQueries {
         .orderBy("o_orderpriority"),
       None),
 
+    // ---- analytic-window suite: rank/dense_rank/ntile/lead/lag + frames ---
+    Q("q66_window_suite",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = t(s, dir, "orders")
+        val byCust = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+        val byCustTs = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        val running = byCustTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.select(col("o_custkey"), col("o_orderkey"),
+          rank().over(byCust).as("price_rank"),
+          dense_rank().over(byCust).as("price_dense_rank"),
+          ntile(4).over(byCust).as("price_quartile"),
+          lead(col("o_orderkey"), 1).over(byCustTs).as("next_order"),
+          lag(col("o_orderkey"), 1).over(byCustTs).as("prev_order"),
+          dbl(sum(d12(col("o_totalprice"))).over(running)).as("running_spend"))
+          .filter(col("o_custkey") < 100)
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+          CAST(RANK() OVER wp AS INTEGER) AS price_rank,
+          CAST(DENSE_RANK() OVER wp AS INTEGER) AS price_dense_rank,
+          CAST(NTILE(4) OVER wp AS INTEGER) AS price_quartile,
+          LEAD(o_orderkey, 1) OVER wt AS next_order,
+          LAG(o_orderkey, 1) OVER wt AS prev_order,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        FROM orders
+        WHERE o_custkey < 100
+        WINDOW
+          wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+          wt AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")),
+
     // ---- cube grouping sets ------------------------------------------------
     Q("q63_cube",
       (s, dir) => t(s, dir, "orders")
