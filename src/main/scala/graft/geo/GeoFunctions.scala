@@ -70,6 +70,18 @@ object GeoFunctions {
     aggregate(crossingsPerRing, lit(0), (acc, c) => acc + c) % 2 === 1
   }
 
+  /** P7 geometry validity filter: every ring closed (first == last point)
+    * with at least 4 points, and a non-degenerate exterior. The reference
+    * repairs with shapely `buffer(0)` or skips; parity only needs
+    * skip-invalid (SURVEY.md §2.2 P7).
+    */
+  def stIsValidPolygon(geom: Column): Column = {
+    val ringsOk = forall(geom, ring =>
+      size(ring) >= 4 &&
+        element_at(ring, 1) === element_at(ring, size(ring)))
+    size(geom) >= 1 && ringsOk && ringArea(element_at(geom, 1)) > 0
+  }
+
   /** Shoelace area of a ring (absolute value). */
   def ringArea(ring: Column): Column = {
     val pairs = arrays_zip(

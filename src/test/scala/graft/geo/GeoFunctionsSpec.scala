@@ -89,4 +89,16 @@ class GeoFunctionsSpec extends SparkSpec {
     assert(tagged.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
       Seq(("east", 2L, 70.0), ("west", 2L, 30.0)))
   }
+
+  test("polygon validity: closed rings, >=4 points, non-degenerate") {
+    import org.apache.spark.sql.functions.col
+    val open = Seq(Seq(Seq(0.0, 0.0), Seq(1.0, 0.0), Seq(1.0, 1.0), Seq(0.0, 1.0)))
+    val tooFew = Seq(Seq(Seq(0.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 0.0)))
+    val degenerate = Seq(Seq(Seq(0.0, 0.0), Seq(1.0, 0.0), Seq(2.0, 0.0), Seq(0.0, 0.0)))
+    assert(geomDf(square).select(stIsValidPolygon(col("geom"))).head.getBoolean(0))
+    assert(geomDf(holed).select(stIsValidPolygon(col("geom"))).head.getBoolean(0))
+    assert(!geomDf(open).select(stIsValidPolygon(col("geom"))).head.getBoolean(0))
+    assert(!geomDf(tooFew).select(stIsValidPolygon(col("geom"))).head.getBoolean(0))
+    assert(!geomDf(degenerate).select(stIsValidPolygon(col("geom"))).head.getBoolean(0))
+  }
 }
