@@ -20,12 +20,16 @@ import Qx._
   */
 object SimilarityQueries {
 
-  /** Sequential-fold dot product of two double-cast float arrays. */
+  /** Sequential dot product / norm via the native [[graft.ml.VecDot]]
+    * expression — numerically identical to the `aggregate(zip_with(...))`
+    * fold (left-to-right additions from 0.0, = DuckDB's list_reduce) but a
+    * tight JVM loop instead of interpreted per-element lambdas.
+    */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    graft.ml.VecOps.dot(col(a), col(b))
 
   private def norm(a: String): Column =
-    sqrt(expr(s"aggregate(transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+    graft.ml.VecOps.norm(col(a))
 
   private val dotSql =
     "list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), (x, y) -> x + y)"
@@ -48,6 +52,7 @@ object SimilarityQueries {
     // ---- brute-force cosine top-k (the exactness baseline) ----------------
     Q("q40_cosine_topk",
       (s, dir) => {
+        graft.ml.VecOps.register(s)
         val e = t(s, dir, "embeddings")
         val qv = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("qv"))
@@ -69,6 +74,7 @@ object SimilarityQueries {
     // ---- LSH-bucketed ANN: probe only the query's sign bucket -------------
     Q("q41_lsh_ann",
       (s, dir) => {
+        graft.ml.VecOps.register(s)
         val e = t(s, dir, "embeddings")
           .withColumn("bucket", bucket("embedding"))
         val qv = e.filter(col("vec_id") === 0)
@@ -95,6 +101,7 @@ object SimilarityQueries {
     // with cosine >= 0.999 are reported (the planted copies give sim = 1).
     Q("q42_embedding_neardup",
       (s, dir) => {
+        graft.ml.VecOps.register(s)
         val e = t(s, dir, "embeddings").select("vec_id", "embedding")
         val planted = e.filter(col("vec_id") % 50 === 0)
           .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
@@ -111,7 +118,7 @@ object SimilarityQueries {
         a.join(b, Seq("bucket"))
           .filter(col("vec_a") < col("vec_b"))
           .withColumn("sim",
-            expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+            graft.ml.VecOps.dot(col("emb_a"), col("emb_b"))
               / (col("nrm_a") * col("nrm_b")))
           .filter(col("sim") >= 0.999)
           .select("vec_a", "vec_b", "sim")
