@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Qx._
+
+/** Classic decision-support join/agg shapes (TPC-H Q3/Q4/Q7 analogs on the
+  * synthetic star schema) — exercising join reorder, semi-join
+  * decorrelation, and multi-dimension aggregation at bench scale — plus
+  * the reference dashboard's top-k positivity query (J8/O4).
+  */
+object TpchQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- Q3 shape: shipping priority (join + agg + top-k) -----------------
+    Q("q70_shipping_priority",
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15"))
+        val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-03-15"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(dbl(sum(d12(col("l_extendedprice")) * (lit(1).cast("decimal(3,2)") - d4(col("l_discount"))))).as("revenue"))
+          .orderBy(desc("revenue"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // ---- Q4 shape: order-priority check via EXISTS semi-join --------------
+    Q("q71_order_priority_exists",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1997-07-01"))
+        val lateItems = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        o.join(lateItems, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- Q7 shape: volume between two nation pairs ------------------------
+    Q("q72_nation_volume",
+      (s, dir) => {
+        val supNation = t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val custNation = t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("cn_key"))
+          .select(col("c_custkey"), col("cust_nation"))
+        val l = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(supNation, col("l_suppkey") === col("s_suppkey"))
+          .join(custNation, col("o_custkey") === col("c_custkey"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("int").as("ship_year"))
+          .agg(dbl(sum(d12(col("l_extendedprice")) * (lit(1).cast("decimal(3,2)") - d4(col("l_discount"))))).as("volume"),
+            count(lit(1)).as("shipments"))
+          .orderBy("supp_nation", "cust_nation", "ship_year")
+      },
+      Some("""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+          CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume,
+          COUNT(*) AS shipments
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+           OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // ---- J8/O4: dashboard top-20 villages by positivity (min 10 tests) ----
+    Q("q73_top_villages",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val lab = o.select(
+          concat(lit("V"), col("o_custkey") % 40).as("village"),
+          (col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH").as("is_positive"))
+        lab.groupBy("village")
+          .agg(count(lit(1)).as("total_tests"),
+            sum(when(col("is_positive"), 1L).otherwise(0L)).as("positive_cases"))
+          .filter(col("total_tests") >= 10)
+          .withColumn("positivity_rate",
+            graft.clean.CleanFunctions.pctRate(col("positive_cases"), col("total_tests")))
+          .orderBy(desc("positivity_rate"), col("village"))
+          .limit(20)
+      },
+      Some("""
+        WITH lab AS (
+          SELECT 'V' || CAST(o_custkey % 40 AS VARCHAR) AS village,
+            o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_positive
+          FROM orders),
+        agg AS (
+          SELECT village, COUNT(*) AS total_tests,
+            CAST(SUM(CASE WHEN is_positive THEN 1 ELSE 0 END) AS BIGINT) AS positive_cases
+          FROM lab GROUP BY 1 HAVING COUNT(*) >= 10)
+        SELECT village, total_tests, positive_cases,
+          CASE WHEN total_tests > 0
+            THEN round_even(CAST(positive_cases AS DOUBLE) / total_tests * 100, 2)
+            ELSE 0.0 END AS positivity_rate
+        FROM agg ORDER BY positivity_rate DESC, village LIMIT 20"""))
+  )
+}
