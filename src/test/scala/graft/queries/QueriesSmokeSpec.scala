@@ -10,7 +10,10 @@ import graft.{SparkEntry, SparkSpec}
   */
 class QueriesSmokeSpec extends SparkSpec {
 
-  private val mustBeNonEmpty = SparkEntry.queries.keySet -- Set()
+  // q72's two-nation pair filter legitimately matches nothing at the
+  // smallest scale factor (10 suppliers over 25 nations); the sf0.01
+  // oracle gate covers it with rows.
+  private val mustBeNonEmpty = SparkEntry.queries.keySet -- Set("q72_nation_volume")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
