@@ -65,12 +65,19 @@ object ContainsPoint {
 
   private val name = "st_contains_point"
 
-  /** Runtime registration (per session). Idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Runtime registration (per session). Idempotent. Also installs
+    * [[SpatialFilterRule]] so constant-polygon containment filters gain
+    * parquet-pushable envelope range predicates.
+    */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(name),
       new ExpressionInfo(classOf[ContainsPoint].getName, name),
       (exprs: Seq[Expression]) => ContainsPoint(exprs))
+    if (!spark.experimental.extraOptimizations.contains(SpatialFilterRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SpatialFilterRule
+  }
 
   def apply(geom: Column, x: Column, y: Column): Column =
     call_function(name, geom, x, y)

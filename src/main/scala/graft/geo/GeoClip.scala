@@ -144,5 +144,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("st_contains_point"),
       new ExpressionInfo(classOf[ContainsPoint].getName, "st_contains_point"),
       (exprs: Seq[Expression]) => ContainsPoint(exprs)))
+    ext.injectOptimizerRule(_ => SpatialFilterRule)
   }
 }
