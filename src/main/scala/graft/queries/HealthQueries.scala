@@ -130,6 +130,80 @@ object HealthQueries {
           ${rate("SUM(CASE WHEN is_positive THEN 1 ELSE 0 END)", "COUNT(*)")} AS positivity_rate
         FROM lab GROUP BY village, year ORDER BY village, year""")),
 
+    // ---- end-to-end LabTransform on messy raw records ---------------------
+    // Both engines synthesize the same RAW-shaped rows (string years, mixed
+    // month names/numbers, padded locations, gender variants, out-of-range
+    // ages, free-text slide status); Spark runs the REAL LabTransform and
+    // aggregates; the oracle replicates the cleaning semantics.
+    Q("q55_lab_transform_e2e",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val m = month(col("o_orderdate"))
+        val raw = o.select(
+          concat(year(col("o_orderdate")).cast("string"),
+            when(col("o_orderkey") % 3 === 0, ".0").otherwise("")).as("Year"),
+          when(m === 1, "Jan").when(m === 2, "february")
+            .when(m === 3, "bad-month").otherwise(m.cast("string")).as("Month"),
+          concat(lit("  D"), col("o_custkey") % 5, lit(" ")).as("District"),
+          concat(lit("S"), col("o_custkey") % 10).as("Sector"),
+          lit("HC1").as("Health Center"),
+          lit("C1").as("Cell"),
+          concat(lit("V"), col("o_custkey") % 40).as("Village"),
+          floor(col("o_totalprice") % 150).cast("string").as("Age"),
+          when(col("o_orderstatus") === "O", "M")
+            .when(col("o_orderstatus") === "F", "woman").otherwise("??").as("Gender"),
+          when(col("o_orderpriority") === "1-URGENT", "POSITIVE")
+            .when(col("o_orderpriority") === "2-HIGH", "P.falciparum seen")
+            .when(col("o_orderpriority") === "3-MEDIUM", "no malaria")
+            .when(col("o_orderpriority") === "4-NOT SPECIFIED", "slide unreadable")
+            .otherwise("neg").as("Slide Status"),
+          lit("local").as("Case Origin"),
+          lit("Kigali").as("Province"))
+        graft.analytics.LabTransform.transform(raw)
+          .groupBy("year", "month", "gender", "test_result", "age_group", "district")
+          .agg(count(lit(1)).as("records"),
+            sum(when(col("is_positive"), 1L).otherwise(0L)).as("positives"))
+          .orderBy("year", "month", "gender", "test_result", "age_group", "district")
+      },
+      Some("""
+        WITH raw AS (
+          SELECT
+            CAST(year(o_orderdate) AS VARCHAR) ||
+              CASE WHEN o_orderkey % 3 = 0 THEN '.0' ELSE '' END AS year_raw,
+            month(o_orderdate) AS m,
+            o_custkey, o_totalprice, o_orderstatus, o_orderpriority
+          FROM orders),
+        cleaned AS (
+          SELECT
+            CAST(TRY_CAST(year_raw AS DOUBLE) AS INTEGER) AS year,
+            CASE WHEN m = 1 THEN 1 WHEN m = 2 THEN 2 WHEN m = 3 THEN NULL
+              ELSE CAST(m AS INTEGER) END AS month,
+            'D' || CAST(o_custkey % 5 AS VARCHAR) AS district,
+            CASE o_orderstatus WHEN 'O' THEN 'Male' WHEN 'F' THEN 'Female'
+              ELSE 'Unknown' END AS gender,
+            CASE WHEN floor(o_totalprice % 150) > 120 THEN 30
+              ELSE CAST(floor(o_totalprice % 150) AS INTEGER) END AS age,
+            CASE o_orderpriority
+              WHEN '1-URGENT' THEN 'Positive' WHEN '2-HIGH' THEN 'Positive'
+              WHEN '3-MEDIUM' THEN 'Positive' WHEN '4-NOT SPECIFIED' THEN 'Inconclusive'
+              ELSE 'Negative' END AS test_result
+          FROM raw),
+        final AS (
+          SELECT year, month, district, gender, test_result,
+            CASE WHEN age < 5 THEN 'Under 5'
+                 WHEN age < 15 THEN '5-14'
+                 WHEN age < 25 THEN '15-24'
+                 WHEN age < 45 THEN '25-44'
+                 WHEN age < 65 THEN '45-64'
+                 ELSE '65+' END AS age_group,
+            test_result = 'Positive' AS is_positive
+          FROM cleaned)
+        SELECT year, month, gender, test_result, age_group, district,
+          COUNT(*) AS records,
+          CAST(SUM(CASE WHEN is_positive THEN 1 ELSE 0 END) AS BIGINT) AS positives
+        FROM final
+        GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1, 2, 3, 4, 5, 6""")),
+
     // ---- A5 total summary (scalar projection) -----------------------------
     Q("q54_total_summary",
       (s, dir) => HealthAnalytics.totalSummary(labRecords(s, dir))
