@@ -62,6 +62,42 @@ object Writers {
     }
   }
 
+  /** SCD2 upsert: keep full history with validity ranges instead of
+    * overwriting. Incoming rows close the current version of a changed key
+    * (`valid_to` set, `is_current` false) and append a new current
+    * version; unchanged keys are left alone (no-op change detection on the
+    * tracked columns). `batchId` stamps the version boundary — callers
+    * supply a monotonically increasing value (ingest time, batch number)
+    * so runs are reproducible.
+    */
+  def scd2Apply(existing: DataFrame, incoming: DataFrame, key: Seq[String],
+      tracked: Seq[String], batchId: Long): DataFrame = {
+    val keyCols = key.map(col)
+    val curr = existing.filter(col("is_current"))
+    val hist = existing.filter(!col("is_current"))
+    val changed = curr.alias("c").join(incoming.alias("i"), key)
+      .filter(tracked.map(t => col(s"c.$t") =!= col(s"i.$t")).reduce(_ || _))
+      .select(keyCols.map(k => col(s"c.${k.toString}")): _*)
+      .select(key.map(col): _*)
+    val newKeys = incoming.join(curr, key, "left_anti").select(keyCols: _*)
+    val toClose = curr.join(changed, key, "left_semi")
+      .withColumn("valid_to", lit(batchId))
+      .withColumn("is_current", lit(false))
+    val untouched = curr.join(changed, key, "left_anti")
+    val toInsert = incoming
+      .join(changed.unionByName(newKeys).distinct(), key, "left_semi")
+      .withColumn("valid_from", lit(batchId))
+      .withColumn("valid_to", lit(Long.MaxValue))
+      .withColumn("is_current", lit(true))
+    hist.unionByName(toClose).unionByName(untouched).unionByName(toInsert)
+  }
+
+  /** Bootstrap an SCD2 table from a first batch. */
+  def scd2Init(first: DataFrame, batchId: Long): DataFrame =
+    first.withColumn("valid_from", lit(batchId))
+      .withColumn("valid_to", lit(Long.MaxValue))
+      .withColumn("is_current", lit(true))
+
   /** J7 dataset-level replace: overwrite only the partitions present in
     * `df` (the reference's delete_many({country,type,year}) + insert).
     * Requires spark.sql.sources.partitionOverwriteMode=dynamic, set here

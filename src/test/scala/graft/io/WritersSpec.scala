@@ -36,4 +36,28 @@ class WritersSpec extends SparkSpec {
       .map(r => (r.getAs[Int]("year"), r.getAs[String]("k"), r.getAs[Int]("v"))).toSet
     assert(back == Set((2021, "x", 1), (2022, "y2", 20)))
   }
+
+  test("scd2: history preserved, changed keys versioned, unchanged untouched") {
+    import org.apache.spark.sql.functions.col
+    val t0 = Writers.scd2Init(
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), batchId = 100L)
+    // batch 200: id 2 changes, id 3 unchanged, id 4 new
+    val t1 = Writers.scd2Apply(t0,
+      Seq((2, "b2"), (3, "c"), (4, "d")).toDF("id", "v"),
+      key = Seq("id"), tracked = Seq("v"), batchId = 200L)
+
+    val current = t1.filter(col("is_current")).collect()
+      .map(r => r.getAs[Int]("id") -> r.getAs[String]("v")).toMap
+    assert(current == Map(1 -> "a", 2 -> "b2", 3 -> "c", 4 -> "d"))
+    val closed = t1.filter(!col("is_current")).collect()
+    assert(closed.length == 1)
+    assert(closed.head.getAs[Int]("id") == 2)
+    assert(closed.head.getAs[String]("v") == "b")
+    assert(closed.head.getAs[Long]("valid_to") == 200L)
+    // unchanged key 3 kept its original valid_from (not re-versioned)
+    val k3 = t1.filter(col("is_current") && col("id") === 3).head()
+    assert(k3.getAs[Long]("valid_from") == 100L)
+    // total rows: 4 current + 1 history
+    assert(t1.count() == 5)
+  }
 }
