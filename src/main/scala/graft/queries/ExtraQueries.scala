@@ -218,6 +218,32 @@ object ExtraQueries {
           wt AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY o_custkey, o_orderkey""")),
 
+    // ---- typed Aggregator: top-k per group without a window sort ----------
+    // Bounded k-buffer combining map-side (the window row_number form sorts
+    // each group's full row set on a single task); oracle mirrors with the
+    // window formulation — identical output, different physical strategy.
+    Q("q67_topk_aggregator",
+      (s, dir) => {
+        import s.implicits._
+        val o = t(s, dir, "orders")
+        val topk = new graft.ops.TopKPerGroup(3).toColumn
+        o.select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+          .as[(String, Double, Long)]
+          .groupByKey(_._1)
+          .mapValues(x => (x._2, x._3))
+          .agg(topk.name("top"))
+          .flatMap { case (prio, top) => top.map(x => (prio, x._1, x._2)) }
+          .toDF("o_orderpriority", "o_totalprice", "o_orderkey")
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("""
+        SELECT o_orderpriority, o_totalprice, o_orderkey FROM (
+          SELECT o_orderpriority, o_totalprice, o_orderkey,
+            ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 3
+        ORDER BY o_orderpriority, o_orderkey""")),
+
     // ---- cube grouping sets ------------------------------------------------
     Q("q63_cube",
       (s, dir) => t(s, dir, "orders")
