@@ -218,17 +218,23 @@ object CoreQueries {
     Q("q14_stats_median",
       (s, dir) => {
         val l = t(s, dir, "lineitem")
-        val stats = l.groupBy("l_returnflag")
+        // ONE fact-table scan: group by (flag, quantity) with decimal
+        // partial sums; every statistic then derives from the tiny
+        // histogram (decimal addition is associative, so re-aggregated
+        // partials equal the oracle's raw-row sums exactly).
+        val hist = l.groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("c"),
+            sum(d12(col("l_extendedprice")) * d4(col("l_discount"))).as("wsum_p"),
+            sum(d4(col("l_discount"))).as("wtot_p"))
+        val stats = hist.groupBy("l_returnflag")
           .agg(
-            count(lit(1)).as("cnt"),
+            sum(col("c")).as("cnt"),
             min("l_quantity").as("min_qty"),
             max("l_quantity").as("max_qty"),
-            dbl(sum(d12(col("l_quantity")))).as("sum_qty"),
-            dbl(sum(d12(col("l_quantity")) * d12(col("l_quantity")))).as("sum_qty2"),
-            dbl(sum(d12(col("l_extendedprice")) * d4(col("l_discount")))).as("wsum"),
-            dbl(sum(d4(col("l_discount")))).as("wtot"))
-        val hist = l.groupBy(col("l_returnflag"), col("l_quantity"))
-          .agg(count(lit(1)).as("c"))
+            dbl(sum(d12(col("l_quantity")) * col("c"))).as("sum_qty"),
+            dbl(sum(d12(col("l_quantity")) * d12(col("l_quantity")) * col("c"))).as("sum_qty2"),
+            dbl(sum(col("wsum_p"))).as("wsum"),
+            dbl(sum(col("wtot_p"))).as("wtot"))
         val w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
         val cum = hist
           .withColumn("cum_end", sum("c").over(w))
