@@ -95,6 +95,80 @@ object TpchQueries {
            OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
+    // ---- Q18 shape: large orders via HAVING + semi-join -------------------
+    Q("q74_large_orders",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val bigOrders = l.groupBy("l_orderkey")
+          .agg(dbl(sum(d12(col("l_quantity")))).as("total_qty"))
+          .filter(col("total_qty") > 150)
+        o.join(bigOrders, col("o_orderkey") === bigOrders("l_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+          .limit(25)
+      },
+      Some("""
+        WITH big AS (
+          SELECT l_orderkey,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+          FROM lineitem GROUP BY 1
+          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 150)
+        SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        FROM orders
+          JOIN big ON o_orderkey = big.l_orderkey
+          JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""")),
+
+    // ---- Q22 shape: scalar avg subquery + anti join -----------------------
+    Q("q75_dormant_rich_customers",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(year(col("o_orderdate")) >= 1999)
+        val avgBal = c.filter(col("c_acctbal") > 0)
+          .agg((dbl(sum(d12(col("c_acctbal")))) / count(lit(1))).as("avg_bal"))
+        c.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(o, col("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy((col("c_custkey") % 7).as("cust_group"))
+          .agg(count(lit(1)).as("numcust"),
+            dbl(sum(d12(col("c_acctbal")))).as("totacctbal"))
+          .orderBy("cust_group")
+      },
+      Some("""
+        WITH avg_bal AS (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS v
+          FROM customer WHERE c_acctbal > 0)
+        SELECT c_custkey % 7 AS cust_group, COUNT(*) AS numcust,
+          CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        FROM customer, avg_bal
+        WHERE c_acctbal > avg_bal.v
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND year(o_orderdate) >= 1999)
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- F14/F19 sanitize chain under the oracle --------------------------
+    Q("q76_name_sanitize",
+      (s, dir) => t(s, dir, "supplier")
+        .select(regexp_replace(
+          regexp_replace(lower(trim(col("s_name"))), "[^a-z0-9]+", "_"),
+          "_+", "_").as("sanitized"))
+        .groupBy(substring(col("sanitized"), -2, 2).as("suffix"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("sanitized")).as("distinct_names"))
+        .orderBy("suffix"),
+      Some("""
+        WITH s AS (
+          SELECT regexp_replace(
+            regexp_replace(lower(trim(s_name)), '[^a-z0-9]+', '_', 'g'),
+            '_+', '_', 'g') AS sanitized
+          FROM supplier)
+        SELECT right(sanitized, 2) AS suffix, COUNT(*) AS cnt,
+          COUNT(DISTINCT sanitized) AS distinct_names
+        FROM s GROUP BY 1 ORDER BY 1""")),
+
     // ---- J8/O4: dashboard top-20 villages by positivity (min 10 tests) ----
     Q("q73_top_villages",
       (s, dir) => {
