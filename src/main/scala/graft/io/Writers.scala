@@ -98,6 +98,20 @@ object Writers {
       .withColumn("valid_to", lit(Long.MaxValue))
       .withColumn("is_current", lit(true))
 
+  /** Bucketed managed table: pre-shuffles data into `buckets` files by
+    * `key` at write time so later equi-joins/aggregations on that key run
+    * WITHOUT an exchange (the 100-TB co-location strategy: pay the shuffle
+    * once at ingest, never per query). Requires saveAsTable (bucketing
+    * metadata lives in the catalog).
+    */
+  def writeBucketed(df: DataFrame, table: String, key: Seq[String],
+      buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key.head, key.tail: _*)
+      .sortBy(key.head, key.tail: _*)
+      .saveAsTable(table)
+
   /** J7 dataset-level replace: overwrite only the partitions present in
     * `df` (the reference's delete_many({country,type,year}) + insert).
     * Requires spark.sql.sources.partitionOverwriteMode=dynamic, set here

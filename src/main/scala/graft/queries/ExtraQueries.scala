@@ -244,6 +244,23 @@ object ExtraQueries {
           FROM orders) WHERE rn <= 3
         ORDER BY o_orderpriority, o_orderkey""")),
 
+    // ---- pivot: long -> wide (the inverse of the HMIS unpivot) ------------
+    Q("q68_pivot",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(dayofmonth(col("ts")).cast("int").as("event_day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("event_day"),
+      Some("""
+        SELECT CAST(day(ts) AS INTEGER) AS event_day,
+          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+          CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+          CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+          CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
     // ---- cube grouping sets ------------------------------------------------
     Q("q63_cube",
       (s, dir) => t(s, dir, "orders")

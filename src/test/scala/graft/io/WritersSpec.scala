@@ -60,4 +60,29 @@ class WritersSpec extends SparkSpec {
     // total rows: 4 current + 1 history
     assert(t1.count() == 5)
   }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import org.apache.spark.sql.functions.col
+    Writers.writeBucketed(
+      spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v1"),
+      "bkt_left", Seq("k"), buckets = 4)
+    Writers.writeBucketed(
+      spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS v2"),
+      "bkt_right", Seq("k"), buckets = 4)
+    try {
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected bucket co-location to avoid the shuffle:\n$plan")
+      assert(joined.count() == 1000)
+      // sanity: the same join on plain (unbucketed) frames does shuffle
+      val plain = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v1")
+        .join(spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS v2"), "k")
+      val planPlain = plain.queryExecution.executedPlan.toString
+      assert(planPlain.contains("Exchange") || planPlain.contains("Broadcast"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
 }
