@@ -58,4 +58,33 @@ class EventStreamsSpec extends SparkSpec {
       .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("events"))).toMap
     assert(r == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L))
   }
+
+  test("streaming ingest: foreachBatch drives the upsert sink (medallion path)") {
+    import org.apache.spark.sql.DataFrame
+    import graft.io.Writers
+    val srcDir = Files.createTempDirectory("stream_src").toString + "/src"
+    val sinkDir = Files.createTempDirectory("stream_sink").toString + "/bronze"
+    fixture.coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Writers.upsertPath(batch.sparkSession, batch, sinkDir, Seq("event_id"))
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(sinkDir).count() == 5)
+      // second micro-batch: one replay (same event_id) + one new event
+      Seq((5L, ts("2024-01-01 11:30:00"), "view", 5.0),
+        (6L, ts("2024-01-01 12:00:00"), "click", 6.0))
+        .toDF("event_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      val back = spark.read.parquet(sinkDir)
+      assert(back.count() == 6) // replayed id upserted, not duplicated
+      assert(back.select("event_id").distinct().count() == 6)
+    } finally q.stop()
+  }
 }
