@@ -118,4 +118,17 @@ class PipelinesSpec extends SparkSpec {
     assert(rawBack.count() == 3)
     assert(rawBack.columns.contains("filter_district"))
   }
+
+  test("YearsParser: every accepted form normalizes to sorted distinct ints") {
+    assert(YearsParser.parse("[2021, 2022, 2023]") == Seq(2021, 2022, 2023))
+    assert(YearsParser.parse("2023,2021,2021") == Seq(2021, 2023))
+    assert(YearsParser.parse("2021") == Seq(2021))
+    assert(YearsParser.parse("2020-2023") == Seq(2020, 2021, 2022, 2023))
+    assert(YearsParser.parse("[2021, abc, 2022]") == Seq(2021, 2022)) // non-digits skipped
+    assert(YearsParser.parse("") == Nil)
+    assert(YearsParser.parse(null) == Nil)
+    assert(YearsParser.parseAny(Seq("2022", 2021, "x")) == Seq(2021, 2022))
+    assert(YearsParser.parseAny(2024) == Seq(2024))
+    assert(YearsParser.parseAny(2024.0) == Seq(2024))
+  }
 }
