@@ -56,20 +56,24 @@ object CoreQueries {
       (s, dir) => t(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT" &&
           col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1998-01-01"))
-        .select("o_orderkey", "o_custkey", "o_totalprice"),
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey"),
       Some("""
         SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         WHERE o_orderpriority = '1-URGENT'
-          AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'""")),
+          AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        ORDER BY o_orderkey""")),
 
     // ---- P1: case-insensitive exact-match filter --------------------------
     Q("q03_ci_filter",
       (s, dir) => t(s, dir, "customer")
         .filter(lower(trim(col("c_mktsegment"))) === "building")
-        .select("c_custkey", "c_name", "c_acctbal"),
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey"),
       Some("""
         SELECT c_custkey, c_name, c_acctbal FROM customer
-        WHERE lower(trim(c_mktsegment)) = 'building'""")),
+        WHERE lower(trim(c_mktsegment)) = 'building'
+        ORDER BY c_custkey""")),
 
     // ---- P2: year-set filter ----------------------------------------------
     Q("q04_year_in_filter",
