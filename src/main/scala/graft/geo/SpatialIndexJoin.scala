@@ -1,0 +1,147 @@
+package graft.geo
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Grid-indexed broadcast point-in-polygon join — the scale path for J4/A13
+  * when the polygon side is large (the reference's real workload: ~14k
+  * village polygons). Spark's own `BroadcastNestedLoopJoin` evaluates the
+  * containment predicate for EVERY (point, polygon) pair; this operator
+  * builds a uniform grid over the broadcast polygons once per executor, so
+  * each point probes only the polygons overlapping its grid cell —
+  * O(points × candidates-per-cell) instead of O(points × polygons).
+  *
+  * This is the one operator where composing built-ins cannot express the
+  * *strategy* (no built-in indexes a broadcast side), so it drops to a
+  * `mapPartitions` pass per the preference order in SURVEY.md §2.11 — the
+  * probe loop is tight JVM code over primitive arrays, and the index is
+  * built lazily once per executor from the broadcast value.
+  */
+object SpatialIndexJoin {
+
+  /** Flattened polygon: ring offsets into packed coordinate arrays. */
+  final case class Poly(ringStarts: Array[Int], xs: Array[Double], ys: Array[Double],
+      minx: Double, miny: Double, maxx: Double, maxy: Double) extends Serializable {
+
+    def contains(x: Double, y: Double): Boolean = {
+      if (x < minx || x > maxx || y < miny || y > maxy) return false
+      var crossings = 0
+      var r = 0
+      while (r < ringStarts.length - 1) {
+        var i = ringStarts(r)
+        val end = ringStarts(r + 1) - 1
+        while (i < end) {
+          val x1 = xs(i); val y1 = ys(i)
+          val x2 = xs(i + 1); val y2 = ys(i + 1)
+          if ((y1 > y) != (y2 > y) && x < (x2 - x1) * (y - y1) / (y2 - y1) + x1)
+            crossings += 1
+          i += 1
+        }
+        r += 1
+      }
+      crossings % 2 == 1
+    }
+  }
+
+  /** Uniform grid over the polygon set; cells hold candidate polygon ids. */
+  final class GridIndex(val polys: Array[Poly], val payloads: Array[Row],
+      gridSize: Int) extends Serializable {
+    private val minx = polys.map(_.minx).min
+    private val miny = polys.map(_.miny).min
+    private val maxx = polys.map(_.maxx).max
+    private val maxy = polys.map(_.maxy).max
+    private val nx = math.max(gridSize, 1)
+    private val ny = math.max(gridSize, 1)
+    private val cw = math.max((maxx - minx) / nx, 1e-12)
+    private val ch = math.max((maxy - miny) / ny, 1e-12)
+    private val cells: Array[Array[Int]] = {
+      val buf = Array.fill(nx * ny)(List.empty[Int])
+      var p = 0
+      while (p < polys.length) {
+        val poly = polys(p)
+        val cx0 = clampX(poly.minx); val cx1 = clampX(poly.maxx)
+        val cy0 = clampY(poly.miny); val cy1 = clampY(poly.maxy)
+        var cx = cx0
+        while (cx <= cx1) {
+          var cy = cy0
+          while (cy <= cy1) { buf(cy * nx + cx) ::= p; cy += 1 }
+          cx += 1
+        }
+        p += 1
+      }
+      buf.map(_.toArray)
+    }
+
+    private def clampX(x: Double): Int =
+      math.min(math.max(((x - minx) / cw).toInt, 0), nx - 1)
+    private def clampY(y: Double): Int =
+      math.min(math.max(((y - miny) / ch).toInt, 0), ny - 1)
+
+    /** First (lowest-index) containing polygon id, or -1. */
+    def probe(x: Double, y: Double): Int = {
+      if (x < minx || x > maxx || y < miny || y > maxy) return -1
+      val candidates = cells(clampY(y) * nx + clampX(x))
+      var best = -1
+      var i = 0
+      while (i < candidates.length) {
+        val p = candidates(i)
+        if ((best == -1 || p < best) && polys(p).contains(x, y)) best = p
+        i += 1
+      }
+      best
+    }
+  }
+
+  private def toPoly(geom: collection.Seq[collection.Seq[collection.Seq[Double]]]): Poly = {
+    val ringStarts = new Array[Int](geom.length + 1)
+    var total = 0
+    geom.zipWithIndex.foreach { case (ring, i) =>
+      ringStarts(i) = total; total += ring.length
+    }
+    ringStarts(geom.length) = total
+    val xs = new Array[Double](total)
+    val ys = new Array[Double](total)
+    var k = 0
+    geom.foreach(_.foreach { p => xs(k) = p.head; ys(k) = p(1); k += 1 })
+    val minx = xs.min; val maxx = xs.max
+    val miny = ys.min; val maxy = ys.max
+    Poly(ringStarts, xs, ys, minx, miny, maxx, maxy)
+  }
+
+  /** Inner point-in-polygon join: `points` keeps all its columns, plus the
+    * polygon payload columns (everything in `polys` except `geomCol`).
+    * Points matching no polygon are dropped; ties resolve to the
+    * lowest-index polygon row (deterministic).
+    */
+  def join(points: DataFrame, polys: DataFrame, xCol: String, yCol: String,
+      geomCol: String, gridSize: Int = 64): DataFrame = {
+    val spark = points.sparkSession
+    val payloadSchema = StructType(polys.schema.filterNot(_.name == geomCol))
+    val payloadCols = payloadSchema.map(f => col(f.name))
+    val collected = polys.select(struct(payloadCols: _*).as("payload"), col(geomCol).as("g"))
+      .collect()
+    require(collected.nonEmpty, "polygon side is empty")
+    val polyArr = collected.map(r => toPoly(
+      r.getAs[collection.Seq[collection.Seq[collection.Seq[Double]]]]("g")))
+    val payloadArr = collected.map(_.getAs[Row]("payload"))
+    val index = spark.sparkContext.broadcast(
+      new GridIndex(polyArr, payloadArr, gridSize))
+
+    val xi = points.schema.fieldIndex(xCol)
+    val yi = points.schema.fieldIndex(yCol)
+    val outSchema = StructType(points.schema ++ payloadSchema)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    points.mapPartitions { iter =>
+      val idx = index.value
+      iter.flatMap { row =>
+        val x = row.getDouble(xi)
+        val y = row.getDouble(yi)
+        val p = idx.probe(x, y)
+        if (p < 0) None
+        else Some(Row.fromSeq(row.toSeq ++ idx.payloads(p).toSeq))
+      }
+    }(enc)
+  }
+}
