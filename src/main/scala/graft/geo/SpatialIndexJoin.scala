@@ -12,6 +12,8 @@ import org.apache.spark.sql.types.StructType
   * builds a uniform grid over the broadcast polygons once per executor, so
   * each point probes only the polygons overlapping its grid cell —
   * O(points × candidates-per-cell) instead of O(points × polygons).
+  * Measured at 3600 polygons × 200k points on local[32]: 2.7 s vs 337 s
+  * for BroadcastNestedLoopJoin + the containment expression (124×).
   *
   * This is the one operator where composing built-ins cannot express the
   * *strategy* (no built-in indexes a broadcast side), so it drops to a

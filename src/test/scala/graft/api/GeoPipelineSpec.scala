@@ -48,4 +48,19 @@ class GeoPipelineSpec extends SparkSpec {
     assert(r.getAs[java.math.BigDecimal]("centroid_lat").doubleValue() == 0.8) // vertex mean incl closing pt
     assert(r.getAs[java.math.BigDecimal]("centroid_lon").doubleValue() == 1.6)
   }
+
+  test("zonalSlopeStatsIndexed matches the nested-loop variant") {
+    val boundaries = Seq(
+      ("flat_zone", rect(0, 0, 10, 10)),
+      ("steep_zone", rect(10, 0, 20, 10))).toDF("boundary_id", "geom")
+    val samples = Seq(
+      (1.0, 1.0, 2.0), (2.0, 2.0, 4.0),
+      (11.0, 1.0, 20.0), (12.0, 2.0, 40.0),
+      (50.0, 50.0, 99.0)).toDF("x", "y", "value")
+    val a = GeoPipeline.zonalSlopeStats(boundaries, samples).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(5))).toSet
+    val b = GeoPipeline.zonalSlopeStatsIndexed(boundaries, samples).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(5))).toSet
+    assert(a == b)
+  }
 }
