@@ -111,11 +111,10 @@ object GeoFunctions {
     * reference's use (its bboxes are axis-aligned).
     */
   def stRectIntersectionArea(geom: Column,
-      minx: Column, miny: Column, maxx: Column, maxy: Column): Column = {
-    // Clip via a fold is awkward in pure HOFs (the subject list mutates per
-    // edge); instead intersect by uniform grid refinement would lose
-    // exactness. We clip each half-plane in sequence with a helper that
-    // rebuilds the ring as an array fold — see GeoClip.
+      minx: Column, miny: Column, maxx: Column, maxy: Column): Column =
+    // Sutherland–Hodgman clipping rebuilds the ring per half-plane, which
+    // doesn't fit pure higher-order functions (the vertex list mutates per
+    // edge) — this is the one op implemented as a native Catalyst
+    // Expression; see [[GeoClip]] / [[RectClipArea]].
     GeoClip.rectIntersectionArea(geom, minx, miny, maxx, maxy)
-  }
 }
