@@ -142,6 +142,65 @@ object SimilarityQueries {
         SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= 0.999
         ORDER BY vec_a, vec_b""")),
 
+    // ---- IVF ANN: coarse quantizer -> inverted cells -> probe one cell ----
+    // Codebook = the first 16 vectors (deterministic stand-in for k-means
+    // centroids); every vector is assigned to its max-cosine centroid via a
+    // cross join + row_number, and the query probes only its own cell.
+    // This is the inverted-file scale path: assignment is embarrassingly
+    // parallel, cells shrink the candidate set ~16x, and the codebook is
+    // the tunable (real deployments train it and use 4-64k cells).
+    Q("q77_ivf_ann",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, dir, "embeddings")
+        val centroids = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+            graft.ml.VecOps.norm(col("embedding")).as("c_nrm"))
+        val vecs = e.select(col("vec_id"), col("embedding"),
+          graft.ml.VecOps.norm(col("embedding")).as("v_nrm"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(desc("c_sim"), col("c_id"))
+        val assigned = vecs.crossJoin(broadcast(centroids))
+          .withColumn("c_sim",
+            graft.ml.VecOps.dot(col("embedding"), col("c_emb")) / (col("v_nrm") * col("c_nrm")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("v_nrm"), col("c_id").as("cell"))
+        val q = assigned.filter(col("vec_id") === 42)
+          .select(col("embedding").as("q_emb"), col("v_nrm").as("q_nrm"), col("cell").as("q_cell"))
+        assigned.join(broadcast(q), col("cell") === col("q_cell"))
+          .filter(col("vec_id") =!= 42)
+          .withColumn("sim",
+            graft.ml.VecOps.dot(col("embedding"), col("q_emb")) / (col("v_nrm") * col("q_nrm")))
+          .orderBy(desc("sim"), col("vec_id"))
+          .limit(5)
+          .select("vec_id", "cell", "sim")
+      },
+      Some(s"""
+        WITH nrm AS (
+          SELECT vec_id, embedding, ${normSql("embedding")} AS v_nrm FROM embeddings),
+        centroids AS (
+          SELECT vec_id AS c_id, embedding AS c_emb, v_nrm AS c_nrm
+          FROM nrm WHERE vec_id < 16),
+        assigned AS (
+          SELECT vec_id, embedding, v_nrm, c_id AS cell FROM (
+            SELECT n.vec_id, n.embedding, n.v_nrm, c.c_id,
+              ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(n.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), (x, y) -> x + y)
+                  / (n.v_nrm * c.c_nrm) DESC, c.c_id) AS rn
+            FROM nrm n CROSS JOIN centroids c) WHERE rn = 1),
+        q AS (
+          SELECT embedding AS q_emb, v_nrm AS q_nrm, cell AS q_cell
+          FROM assigned WHERE vec_id = 42)
+        SELECT vec_id, cell,
+          list_reduce(list_transform(range(1, 65),
+            i -> CAST(embedding[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)), (x, y) -> x + y)
+            / (v_nrm * q_nrm) AS sim
+        FROM assigned, q WHERE cell = q_cell AND vec_id <> 42
+        ORDER BY sim DESC, vec_id LIMIT 5""")),
+
     // ---- label-centroid similarity (vector agg + rollup shape) ------------
     // Per label: average vector (exact decimal per-dim sums), then cosine of
     // each label centroid against the global centroid.
