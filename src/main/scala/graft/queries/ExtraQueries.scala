@@ -261,6 +261,21 @@ object ExtraQueries {
           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
         FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // ---- the streaming transform under the oracle (batch parity) ----------
+    // EventStreams.windowedTypeStats is the SAME code that runs as a
+    // readStream query (EventStreamsSpec drives it live); here its batch
+    // output is oracle-checked against DuckDB's time_bucket.
+    Q("q78_hourly_windows",
+      (s, dir) => graft.streaming.EventStreams
+        .windowedTypeStats(t(s, dir, "events"))
+        .orderBy("window_start", "event_type"),
+      Some("""
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+          time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+          event_type, COUNT(*) AS events,
+          CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""")),
+
     // ---- cube grouping sets ------------------------------------------------
     Q("q63_cube",
       (s, dir) => t(s, dir, "orders")
