@@ -276,6 +276,26 @@ object ExtraQueries {
           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""")),
 
+    // ---- A5 map-shaped breakdowns as canonical JSON -----------------------
+    // The reference stores value_counts() dicts as JSON text; both engines
+    // serialize a sorted struct array to byte-identical compact JSON, so
+    // the map surface is hash-checkable.
+    Q("q79_histogram_json",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("day")
+        .agg(to_json(sort_array(collect_list(
+          struct(col("event_type").as("k"), col("n"))))).as("type_breakdown"))
+        .orderBy("day"),
+      Some("""
+        WITH counts AS (
+          SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+        SELECT day,
+          to_json(list_sort(list(struct_pack(k := event_type, n := n)))) AS type_breakdown
+        FROM counts GROUP BY 1 ORDER BY 1""")),
+
     // ---- cube grouping sets ------------------------------------------------
     Q("q63_cube",
       (s, dir) => t(s, dir, "orders")
