@@ -350,6 +350,30 @@ object TextQueries {
         SELECT doc_a, doc_b, jaccard FROM pairs
         WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""")),
 
+    // ---- deterministic sampling + train/val/test split --------------------
+    // Reproducible-pipeline pattern: split assignment from a content hash,
+    // not rand()/sample() (which are engine- and run-specific). Same docs
+    // land in the same split on any engine, any run, any partitioning.
+    Q("q30b_hash_split",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val bucket = conv(substring(md5(concat(lit("split#"), col("doc_id"))), 1, 4), 16, 10)
+          .cast("int") % 100
+        d.select(col("lang"),
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+          .groupBy("lang", "split").agg(count(lit(1)).as("docs"))
+          .orderBy("lang", "split")
+      },
+      Some("""
+        WITH assigned AS (
+          SELECT lang,
+            CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT lang,
+            CAST('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS b
+            FROM documents))
+        SELECT lang, split, COUNT(*) AS docs
+        FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- language features (langid heuristic inputs) ----------------------
     Q("q38_lang_features",
       (s, dir) => {
