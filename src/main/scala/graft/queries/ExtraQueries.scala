@@ -296,6 +296,44 @@ object ExtraQueries {
           to_json(list_sort(list(struct_pack(k := event_type, n := n)))) AS type_breakdown
         FROM counts GROUP BY 1 ORDER BY 1""")),
 
+    // ---- null semantics: null-safe equality + null-aware aggregation ------
+    // Nulls derived deterministically (events with value >= 190 get a null
+    // bucket); <=> in Spark mirrors IS NOT DISTINCT FROM, and count/sum
+    // null-skipping behavior is pinned cross-engine.
+    Q("q80_null_semantics",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_type"),
+            when(col("value") < 190, (col("value") / 50).cast("int")).as("bucket"),
+            col("value"))
+        val dim = e.sparkSession.range(0, 4)
+          .select(col("id").cast("int").as("bucket"),
+            concat(lit("B"), col("id")).as("bucket_name"))
+          .unionByName(e.sparkSession.range(1).select(
+            lit(null).cast("int").as("bucket"), lit("B_null").as("bucket_name")))
+        e.join(dim, e("bucket") <=> dim("bucket")) // null-safe: null matches B_null
+          .groupBy("bucket_name")
+          .agg(count(lit(1)).as("rows_matched"),
+            count(e("bucket")).as("non_null_buckets"),
+            dbl(sum(d12(col("value")))).as("sum_value"))
+          .orderBy("bucket_name")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type,
+            CASE WHEN value < 190 THEN CAST(trunc(value / 50) AS INTEGER) END AS bucket,
+            value
+          FROM events),
+        dim AS (
+          SELECT CAST(unnest(generate_series(0, 3)) AS INTEGER) AS bucket,
+            'B' || CAST(unnest(generate_series(0, 3)) AS VARCHAR) AS bucket_name
+          UNION ALL SELECT NULL, 'B_null')
+        SELECT bucket_name, COUNT(*) AS rows_matched,
+          COUNT(e.bucket) AS non_null_buckets,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM e JOIN dim ON e.bucket IS NOT DISTINCT FROM dim.bucket
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- cube grouping sets ------------------------------------------------
     Q("q63_cube",
       (s, dir) => t(s, dir, "orders")
