@@ -334,6 +334,28 @@ object ExtraQueries {
         FROM e JOIN dim ON e.bucket IS NOT DISTINCT FROM dim.bucket
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- intersect / except (set-op surface the reference lacks) ----------
+    Q("q81_intersect_except",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        val high = o.filter(col("o_orderpriority") === "2-HIGH").select("o_custkey")
+        val both = urgent.intersect(high).agg(count(lit(1)).as("n"))
+          .select(lit("both").as("set_op"), col("n"))
+        val urgentOnly = urgent.except(high).agg(count(lit(1)).as("n"))
+          .select(lit("urgent_only").as("set_op"), col("n"))
+        both.unionByName(urgentOnly).orderBy("set_op")
+      },
+      Some("""
+        WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        high AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+        SELECT 'both' AS set_op,
+          (SELECT COUNT(*) FROM (SELECT * FROM urgent INTERSECT SELECT * FROM high)) AS n
+        UNION ALL
+        SELECT 'urgent_only',
+          (SELECT COUNT(*) FROM (SELECT * FROM urgent EXCEPT SELECT * FROM high))
+        ORDER BY 1""")),
+
     // ---- cube grouping sets ------------------------------------------------
     Q("q63_cube",
       (s, dir) => t(s, dir, "orders")
