@@ -21,6 +21,7 @@ object Bench {
     "q08_segment_year",    // fact-fact join + group
     "q14_stats_median",    // window + stats
     "q15_revenue_by_nation", // 5-table broadcast star join
+    "q20_upsert_counts",   // upsert accounting (single-job outer-join agg)
     "q21_window_top1",     // window top-1 per group
     "q22_topk",            // TakeOrderedAndProject
     "q29_daily_avg",       // time-bucketed agg
@@ -28,9 +29,13 @@ object Bench {
     "q36_simhash",         // row-local simhash + banded pairs
     "q40_cosine_topk",     // brute-force vector top-k
     "q42_embedding_neardup", // bucketed vector pair join
+    "q43_label_centroids", // per-label vector mean (decimal partial aggs)
     "q45_zonal_stats",     // points-in-polygon tag + aggregate
     "q50_yearly_slide_status", // domain analytics spine
-    "q62_asof_join"        // union + running last_value window
+    "q55_lab_transform_e2e", // full lab cleaning pipeline end-to-end
+    "q62_asof_join",       // union + running last_value window
+    "q66_window_suite",    // rank/lag/lead/running-agg window battery
+    "q77_ivf_ann"          // IVF cell assign (row-local argmax) + probe
   )
 
   def main(args: Array[String]): Unit = {
@@ -49,22 +54,32 @@ object Bench {
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).queryExecution.toRdd.count()
 
     // min of two runs: the second run reflects steady-state (JIT-warm,
-    // file-cache-warm) execution, which is what a long-lived cluster sees
+    // file-cache-warm) execution, which is what a long-lived cluster sees.
+    // A failing query is reported under "errors", NOT folded into the
+    // timings (an aborted duration is not a measurement).
+    val errors = scala.collection.mutable.ListBuffer[String]()
     val results = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val times = (1 to 2).map { _ =>
+      SparkEntry.queries.get(name).flatMap { fn =>
+        val times = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).queryExecution.toRdd.count()
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-          (System.nanoTime() - t0) / 1e9
+          try {
+            fn(spark, sfDir).queryExecution.toRdd.count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: $e")
+              None
+          }
         }
-        name -> times.min
+        if (times.isEmpty) { errors += name; None }
+        else Some(name -> times.min)
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

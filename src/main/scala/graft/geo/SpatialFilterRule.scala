@@ -1,7 +1,7 @@
 package graft.geo
 
 import org.apache.spark.sql.catalyst.expressions.{And, Expression, GreaterThanOrEqual, LessThanOrEqual, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.DoubleType
@@ -45,8 +45,21 @@ object SpatialFilterRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** The AND-envelope rewrite changes null semantics (null AND false =
+    * false, where the bare predicate would stay null), which is only
+    * equivalent where null and false are treated alike — i.e. in
+    * Filter/Join conditions. So the rewrite is applied ONLY there, never
+    * in projections or other expression contexts.
+    */
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
+    plan.transform {
+      case f @ Filter(cond, _) => f.copy(condition = rewrite(cond))
+      case j @ Join(_, _, _, Some(cond), _) =>
+        j.copy(condition = Some(rewrite(cond)))
+    }
+
+  private def rewrite(e: Expression): Expression =
+    e.transform {
       case cp @ ContainsPoint(Seq(geom: Literal, x, y)) if geom.value != null =>
         envelope(geom) match {
           case Some((minx, miny, maxx, maxy)) =>

@@ -28,14 +28,23 @@ object Writers {
     * frame plus inserted/updated accounting. The merge is one left-anti
     * join (existing rows not replaced) plus a union — both sides shuffle on
     * the key once; incoming is usually the small side and broadcastable.
+    *
+    * Accounting is a SINGLE job: one outer join of the two key sets
+    * aggregated into (inserted, updated) — not two `count()` actions that
+    * would each re-run the full input lineage.
     */
   def upsertByKey(existing: DataFrame, incoming: DataFrame, key: Seq[String])
       : (DataFrame, UpsertStats) = {
     val keyCols = key.map(col)
-    val existingKeys = existing.select(keyCols: _*).distinct()
+    val existingKeys = existing.select(keyCols: _*).distinct().withColumn("_ex", lit(1))
     val incomingKeys = incoming.select(keyCols: _*).distinct()
-    val updated = incomingKeys.join(existingKeys, key, "left_semi").count()
-    val inserted = incomingKeys.count() - updated
+    val statsRow = incomingKeys.join(existingKeys, key, "left_outer")
+      .agg(
+        coalesce(sum(when(col("_ex").isNull, 1L)), lit(0L)).as("inserted"),
+        coalesce(sum(when(col("_ex").isNotNull, 1L)), lit(0L)).as("updated"))
+      .head()
+    val inserted = statsRow.getLong(0)
+    val updated = statsRow.getLong(1)
     val survivors = existing.join(incoming.select(keyCols: _*).distinct(), key, "left_anti")
     val merged = survivors.unionByName(incoming)
     (merged, UpsertStats(inserted, updated, inserted + updated))
@@ -43,21 +52,29 @@ object Writers {
 
   /** Upsert into a parquet path (read-merge-swap). For Delta-style storage
     * this becomes MERGE INTO; on plain parquet the swap is the atomic unit.
+    *
+    * The merged output is fully written to a sibling temp directory BEFORE
+    * the original is touched, then swapped in via the Hadoop FileSystem
+    * (works on HDFS/S3A/local alike). Writing straight over the source
+    * path — even behind persist() — is unsafe: any evicted cache block
+    * would recompute from the already-deleted input.
     */
   def upsertPath(spark: SparkSession, incoming: DataFrame, path: String,
       key: Seq[String]): UpsertStats = {
-    val exists = new java.io.File(path).exists()
-    if (!exists) {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) {
       incoming.write.mode(SaveMode.Overwrite).parquet(path)
-      UpsertStats(incoming.select(key.map(col): _*).distinct().count(), 0L,
-        incoming.count())
+      val n = incoming.select(key.map(col): _*).distinct().count()
+      UpsertStats(n, 0L, n)
     } else {
       val existing = spark.read.parquet(path)
       val (merged, stats) = upsertByKey(existing, incoming, key)
-      val staged = merged.persist()
-      staged.count() // materialize before overwriting the source we read
-      staged.write.mode(SaveMode.Overwrite).parquet(path)
-      staged.unpersist()
+      val tmp = new org.apache.hadoop.fs.Path(path + "._graft_staging")
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      fs.delete(hPath, true)
+      if (!fs.rename(tmp, hPath))
+        throw new java.io.IOException(s"swap failed: $tmp -> $hPath")
       stats
     }
   }
@@ -75,8 +92,10 @@ object Writers {
     val keyCols = key.map(col)
     val curr = existing.filter(col("is_current"))
     val hist = existing.filter(!col("is_current"))
+    // null-SAFE change detection: a tracked column moving null->value or
+    // value->null IS a change (plain =!= would yield null and drop it)
     val changed = curr.alias("c").join(incoming.alias("i"), key)
-      .filter(tracked.map(t => col(s"c.$t") =!= col(s"i.$t")).reduce(_ || _))
+      .filter(tracked.map(t => !(col(s"c.$t") <=> col(s"i.$t"))).reduce(_ || _))
       .select(keyCols.map(k => col(s"c.${k.toString}")): _*)
       .select(key.map(col): _*)
     val newKeys = incoming.join(curr, key, "left_anti").select(keyCols: _*)

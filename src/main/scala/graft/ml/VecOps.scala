@@ -52,19 +52,110 @@ case class VecDot(children: Seq[Expression])
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
+/** `vec_argmax_cell(vec, v_nrm, codebook)` — IVF coarse-quantizer cell
+  * assignment as a row-local native Expression: loops a (small, literal)
+  * codebook per row and returns the id of the max-cosine centroid
+  * (tie → lowest id, matching `ROW_NUMBER() OVER (ORDER BY sim DESC, id)`).
+  *
+  * This is the inverted-file scale shape: with the codebook broadcast as a
+  * literal, assignment needs NO join and NO shuffle — the previous
+  * crossJoin+window formulation pushed |codebook| × |corpus| rows through
+  * a full exchange just to pick a per-row maximum.
+  *
+  * `codebook` (child 2) must be a foldable literal
+  * `array<struct<id: bigint, emb: array<double>, nrm: double>>`,
+  * sorted by id ascending (the strictly-greater comparison then keeps the
+  * lowest id on cosine ties). Dot products are sequential left-to-right
+  * double folds — bit-identical to [[VecDot]] and DuckDB's `list_reduce`.
+  */
+case class VecArgmaxCell(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  private lazy val vecElemType =
+    children(0).dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+
+  /** Parsed once: the codebook child is a foldable literal. */
+  private lazy val codebook: Array[(Long, Array[Double], Double)] = {
+    val arr = children(2).eval(InternalRow.empty).asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map { i =>
+      val row = arr.getStruct(i, 3)
+      (row.getLong(0), row.getArray(1).toDoubleArray(), row.getDouble(2))
+    }.toArray.sortBy(_._1)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = children(0).eval(input)
+    val nrm = children(1).eval(input)
+    if (v == null || nrm == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    val vNrm = nrm.asInstanceOf[Double]
+    val isFloat = vecElemType == FloatType
+    var bestId = -1L
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < codebook.length) {
+      val (id, emb, cNrm) = codebook(c)
+      val n = math.min(a.numElements(), emb.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += (if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)) * emb(i)
+        i += 1
+      }
+      val sim = acc / (vNrm * cNrm)
+      if (sim > bestSim) { bestSim = sim; bestId = id }
+      c += 1
+    }
+    bestId
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
 object VecOps {
 
   private val name = "vec_dot"
+  private val argmaxName = "vec_argmax_cell"
 
   /** Runtime registration (per session). Idempotent. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(name),
       new ExpressionInfo(classOf[VecDot].getName, name),
       (exprs: Seq[Expression]) => VecDot(exprs))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(argmaxName),
+      new ExpressionInfo(classOf[VecArgmaxCell].getName, argmaxName),
+      (exprs: Seq[Expression]) => VecArgmaxCell(exprs))
+  }
 
   def dot(a: Column, b: Column): Column = call_function(name, a, b)
 
   def norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(call_function(name, a, a))
+
+  /** Row-local IVF cell assignment against a driver-collected codebook
+    * (small by construction — real deployments use 4-64k cells, all
+    * broadcastable). See [[VecArgmaxCell]].
+    */
+  def argmaxCell(vec: Column, vNrm: Column,
+      codebook: Seq[(Long, Seq[Double], Double)]): Column =
+    call_function(argmaxName, vec, vNrm,
+      org.apache.spark.sql.functions.typedLit(codebook))
+
+  /** Sign-bit LSH bucket over the first `bits` dimensions — a chain of
+    * plain `when` comparisons, fully inside whole-stage codegen (replaces
+    * the earlier interpreted `aggregate(...)` lambda; a per-row HOF is
+    * re-evaluated interpretively element by element, a when-chain is not).
+    */
+  def signBucket(vec: Column, bits: Int): Column = {
+    import org.apache.spark.sql.functions.{element_at, lit, when}
+    (0 until bits).map(i =>
+      when(element_at(vec, i + 1) >= lit(0f), lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+  }
 }

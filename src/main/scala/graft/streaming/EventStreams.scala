@@ -49,8 +49,11 @@ object EventStreams {
             state.remove()
             SessionOut(userId, s.count, closed = true)
           } else {
-            val newCount = state.getOption.map(_.count).getOrElse(0L) + rows.length
-            val maxTs = rows.map(_._2.getTime).foldLeft(0L)(math.max)
+            // materialize ONCE — `rows` is a one-shot iterator; calling
+            // .length would exhaust it and leave maxTs computed over nothing
+            val buf = rows.toSeq
+            val newCount = state.getOption.map(_.count).getOrElse(0L) + buf.size
+            val maxTs = buf.map(_._2.getTime).foldLeft(0L)(math.max)
             state.update(SessionState(newCount, maxTs))
             state.setTimeoutDuration(idleMs)
             SessionOut(userId, newCount, closed = false)

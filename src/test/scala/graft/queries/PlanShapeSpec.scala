@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-shape regression guards for the scale-sensitive queries: the
+  * correctness gate proves the VALUES; these prove the PLAN stays the one
+  * that survives a 100-TB scale-up (no unbounded aggregation buffers, no
+  * avoidable exchanges, no interpreted lambdas in hot paths).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def physicalPlan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q43 label centroids aggregates with constant-size state (no collect_list)") {
+    val plan = physicalPlan("q43_label_centroids")
+    assert(!plan.contains("collect_list"), "per-group list buffer is a scale-killer")
+    assert(!plan.contains("sort_array"))
+    assert(plan.contains("HashAggregate"), "expected partial+final hash aggregation")
+  }
+
+  test("q77 IVF cell assignment is row-local (no window exchange, no cross join)") {
+    val plan = physicalPlan("q77_ivf_ann")
+    assert(!plan.contains("Window"), "argmax must not go through a window")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("vecargmaxcell"), "expected the native argmax expression")
+  }
+
+  test("q41/q42 sign buckets are codegen'd when-chains (no interpreted HOF lambda)") {
+    for (q <- Seq("q41_lsh_ann", "q42_embedding_neardup")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("aggregate("), s"$q: interpreted lambda in bucket path")
+      assert(!plan.contains("lambdafunction"), s"$q: interpreted lambda in bucket path")
+    }
+  }
+
+  test("q20/q39 accounting is one declarative plan (no driver-side multi-action counts)") {
+    // a single aggregate over an outer join — materializes through one job
+    for (q <- Seq("q20_upsert_counts", "q39_dedup_keeplist")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      assert(df.queryExecution.executedPlan.toString.contains("HashAggregate"))
+      assert(df.count() == 1)
+    }
+  }
+}
