@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.clean.CleanFunctions.slopeClass
-import graft.geo.{ContainsPoint, GeoFunctions}
+import graft.geo.{ContainsPoint, CrsDetect, GeoFunctions, StReproject}
 
 /** The geospatial merge pipeline (SURVEY.md §3.3): admin boundaries ×
   * slope data → per-boundary zonal statistics + slope classification +
@@ -81,6 +81,31 @@ object GeoPipeline {
         col("centroid") :+
         col("district").as("associated_district") :+
         col("sector").as("associated_sector"): _*)
+  }
+
+  /** F21 end-to-end: auto-detect the source CRS from the first geometry's
+    * first coordinate (the reference's `_pick_source_epsg` probe,
+    * geoJson_slope_etl_view.py:312-354), then reproject every geometry to
+    * WGS84 with the column-level [[StReproject]] expression. `sourceEpsg`
+    * overrides detection — near-boundary data can mis-detect (SURVEY.md
+    * §7.4), so the escape hatch survives in the API like the reference's.
+    *
+    * Scale: detection is one `limit(1)` probe job (a few rows from one
+    * partition); the reprojection itself is row-local with zero shuffle.
+    */
+  def reprojectFeatures(features: DataFrame, sourceEpsg: Option[Int] = None): DataFrame = {
+    StReproject.register(features.sparkSession)
+    val epsg = sourceEpsg.getOrElse {
+      val sample = features.filter(col("geom").isNotNull)
+        .select(
+          element_at(element_at(element_at(col("geom"), 1), 1), 1).as("x"),
+          element_at(element_at(element_at(col("geom"), 1), 1), 2).as("y"))
+        .head()
+      CrsDetect.detect(sample.getDouble(0), sample.getDouble(1)).getOrElse(
+        throw new IllegalArgumentException(
+          "CRS detection failed for sample coordinate; pass sourceEpsg explicitly"))
+    }
+    features.withColumn("geom", StReproject(col("geom"), epsg))
   }
 
   /** Boundary enrichment (village ETL shape): area + centroid columns with

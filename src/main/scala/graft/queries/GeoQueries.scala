@@ -137,6 +137,91 @@ object GeoQueries {
           CAST(SUM(CAST(area AS DECIMAL(12,2))) AS DOUBLE) AS total_area,
           CAST(SUM(CAST(c_lon AS DECIMAL(12,2))) AS DOUBLE) AS sum_c_lon,
           MAX(maxx) AS max_maxx
-        FROM g GROUP BY 1 ORDER BY 1"""))
+        FROM g GROUP BY 1 ORDER BY 1""")),
+
+    // ---- F21 runtime half: column-level geometry reprojection -------------
+    // UTM 35S squares derived from nation keys (a synthetic in-Rwanda grid),
+    // reprojected to WGS84 by the native st_reproject expression walking
+    // every ring/vertex. The oracle recomputes the same Snyder
+    // transverse-Mercator inverse in SQL (derived constants inlined from
+    // the SAME Scala doubles); outputs are rounded to 1e-7 deg (~1 cm) to
+    // absorb cross-engine libm last-bit variance in sin/cos/tan/pow.
+    Q("q82_reproject", (s, dir) => {
+        graft.geo.StReproject.register(s)
+        val n = t(s, dir, "nation")
+        val e0 = (col("n_nationkey") % 5).cast("double") * 40000.0 + 650000.0
+        val n0 = expr("n_nationkey div 5").cast("double") * 40000.0 + 9680000.0
+        val geom = array(array(
+          array(e0, n0), array(e0 + 20000.0, n0),
+          array(e0 + 20000.0, n0 + 20000.0), array(e0, n0 + 20000.0),
+          array(e0, n0)))
+        n.select(col("n_nationkey"),
+            graft.geo.StReproject(geom, 32735).as("g"))
+          .select(col("n_nationkey"), posexplode(element_at(col("g"), 1)))
+          .select(col("n_nationkey"), col("pos").as("pt_idx"),
+            round(element_at(col("col"), 1), 7).as("lon"),
+            round(element_at(col("col"), 2), 7).as("lat"))
+          .orderBy("n_nationkey", "pt_idx")
+      },
+      Some(reprojectOracleSql))
   )
+
+  /** DuckDB mirror of [[graft.geo.CrsDetect.utmInverse]] for EPSG 32735:
+    * same formula sequence, with every DATA-INDEPENDENT derived constant
+    * computed here in Scala (identical doubles, round-tripped through
+    * Double.toString) so only the per-point transcendentals differ at the
+    * last bit — absorbed by the 7-dp rounding.
+    */
+  private def reprojectOracleSql: String = {
+    val ell = graft.geo.CrsDetect.Wgs84
+    // every constant lands in SQL as CAST(... AS DOUBLE): a bare decimal
+    // literal is DECIMAL in DuckDB and overflows in the series products
+    def d(x: Double): String = s"CAST($x AS DOUBLE)"
+    val e2v = ell.f * (2 - ell.f)
+    val sqv = math.sqrt(1 - e2v)
+    val e1v = (1 - sqv) / (1 + sqv)
+    val a = d(ell.a)
+    val e2 = d(e2v)
+    val ep2 = d(e2v / (1 - e2v))
+    val oneMinusE2 = d(1 - e2v)
+    val mDen = d(ell.a * (1 - e2v / 4 - 3 * e2v * e2v / 64 - 5 * e2v * e2v * e2v / 256))
+    val p2 = d(3 * e1v / 2 - 27 * math.pow(e1v, 3) / 32)
+    val p4 = d(21 * e1v * e1v / 16 - 55 * math.pow(e1v, 4) / 32)
+    val p6 = d(151 * math.pow(e1v, 3) / 96)
+    val p8 = d(1097 * math.pow(e1v, 4) / 512)
+    val lam0 = d(math.toRadians(27.0))
+    s"""
+      WITH grid AS (
+        SELECT n_nationkey,
+          CAST(n_nationkey % 5 AS DOUBLE) * 40000.0 + 650000.0 AS e0,
+          CAST(n_nationkey // 5 AS DOUBLE) * 40000.0 + 9680000.0 AS n0
+        FROM nation),
+      verts AS (
+        SELECT g.n_nationkey, v.pt_idx,
+          g.e0 + v.dx * 20000.0 AS x, g.n0 + v.dy * 20000.0 AS y
+        FROM grid g CROSS JOIN (VALUES
+          (0, 0.0, 0.0), (1, 1.0, 0.0), (2, 1.0, 1.0), (3, 0.0, 1.0), (4, 0.0, 0.0))
+          AS v(pt_idx, dx, dy)),
+      s3 AS (
+        SELECT *, mu + $p2 * sin(2*mu) + $p4 * sin(4*mu) + $p6 * sin(6*mu) + $p8 * sin(8*mu) AS phi1
+        FROM (SELECT *, ((y - 10000000.0) / 0.9996) / $mDen AS mu FROM verts)),
+      s5 AS (
+        SELECT *,
+          $ep2 * cp * cp AS c1, tp * tp AS t1,
+          $a / sqrt(1 - $e2 * sp * sp) AS n1,
+          $a * $oneMinusE2 / pow(1 - $e2 * sp * sp, 1.5) AS r1
+        FROM (SELECT *, sin(phi1) AS sp, cos(phi1) AS cp, tan(phi1) AS tp FROM s3)),
+      s6 AS (
+        SELECT *, (x - 500000.0) / (n1 * 0.9996) AS d FROM s5),
+      pts AS (
+        SELECT n_nationkey, pt_idx,
+          ($lam0 + (d - (1 + 2*t1 + c1) * pow(d, 3) / 6 +
+            (5 - 2*c1 + 28*t1 - 3*c1*c1 + 8*$ep2 + 24*t1*t1) * pow(d, 5) / 120) / cp) * 180.0 / pi() AS lon,
+          (phi1 - (n1 * tp / r1) * (d*d/2 -
+            (5 + 3*t1 + 10*c1 - 4*c1*c1 - 9*$ep2) * pow(d, 4) / 24 +
+            (61 + 90*t1 + 298*c1 + 45*t1*t1 - 252*$ep2 - 3*c1*c1) * pow(d, 6) / 720)) * 180.0 / pi() AS lat
+        FROM s6)
+      SELECT n_nationkey, pt_idx, round(lon, 7) AS lon, round(lat, 7) AS lat
+      FROM pts ORDER BY n_nationkey, pt_idx"""
+  }
 }
