@@ -223,6 +223,71 @@ object HealthQueries {
           COUNT(DISTINCT district) AS districts_count,
           COUNT(DISTINCT sector) AS sectors_count,
           COUNT(DISTINCT village) AS villages_count
-        FROM lab"""))
+        FROM lab""")),
+
+    // ---- J8 dashboard KPI card (get_kpi_data, data-true version) ----------
+    // Totals + latest-vs-previous-year change strings; the window runs over
+    // the per-YEAR aggregate (a handful of rows), never over raw records.
+    Q("q83_dashboard_kpis",
+      (s, dir) => graft.api.DashboardPipeline.kpiData(labRecords(s, dir)),
+      Some(s"""
+        WITH $labSql,
+        by_year AS (
+          SELECT year,
+            CAST(SUM(CASE WHEN is_positive THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+            CAST(SUM(CASE WHEN test_result = 'Negative' THEN 1 ELSE 0 END) AS BIGINT) AS neg
+          FROM lab GROUP BY year),
+        ordered AS (
+          SELECT *, lag(pos) OVER (ORDER BY year) AS prev_pos,
+            lag(neg) OVER (ORDER BY year) AS prev_neg,
+            ROW_NUMBER() OVER (ORDER BY year DESC) AS rn
+          FROM by_year),
+        latest AS (SELECT pos AS l_pos, neg AS l_neg, prev_pos, prev_neg FROM ordered WHERE rn = 1),
+        totals AS (
+          SELECT COUNT(*) AS total_tests,
+            CAST(SUM(CASE WHEN is_positive THEN 1 ELSE 0 END) AS BIGINT) AS total_positive,
+            CAST(SUM(CASE WHEN test_result = 'Negative' THEN 1 ELSE 0 END) AS BIGINT) AS total_negative
+          FROM lab)
+        SELECT total_tests, total_positive, total_negative,
+          ${rate("total_positive", "total_tests")} AS avg_positivity_rate,
+          CAST(CASE WHEN prev_pos IS NULL OR prev_pos = 0 THEN 0.0
+            ELSE round_even(CAST(l_pos - prev_pos AS DOUBLE) / prev_pos * 100.0, 1) END AS VARCHAR)
+            || '%' AS positive_change,
+          CAST(CASE WHEN prev_neg IS NULL OR prev_neg = 0 THEN 0.0
+            ELSE round_even(CAST(l_neg - prev_neg AS DOUBLE) / prev_neg * 100.0, 1) END AS VARCHAR)
+            || '%' AS negative_change
+        FROM totals, latest""")),
+
+    // ---- J8 location summary (get_location_summary, district level) -------
+    Q("q84_location_summary",
+      (s, dir) => graft.api.DashboardPipeline.locationSummary(labRecords(s, dir), "district"),
+      Some(s"""
+        WITH $labSql
+        SELECT district, COUNT(*) AS total_tests,
+          COUNT(DISTINCT village) AS num_villages
+        FROM lab GROUP BY district
+        ORDER BY total_tests DESC, district""")),
+
+    // ---- J8 gender breakdown (get_gender_analysis) ------------------------
+    Q("q85_gender_analysis",
+      (s, dir) => graft.api.DashboardPipeline.genderAnalysis(labRecords(s, dir)),
+      Some(s"""
+        WITH $labSql
+        SELECT gender, COUNT(*) AS count
+        FROM lab GROUP BY gender ORDER BY count DESC, gender""")),
+
+    // ---- J8 monthly trend matrix (get_monthly_trend): pivot by year -------
+    // Explicit pivot years keep the schema static; empty (month, year)
+    // cells land as the 0.0 no-data rate in BOTH engines (pctRate's d=0
+    // branch) — 1998 stops in August in the TPC-H calendar.
+    Q("q86_monthly_trend",
+      (s, dir) => graft.api.DashboardPipeline.monthlyTrend(labRecords(s, dir), Seq(1996, 1997, 1998)),
+      Some(s"""
+        WITH $labSql
+        SELECT month,
+          ${Seq(1996, 1997, 1998).map(y =>
+            rate(s"SUM(CASE WHEN year = $y AND is_positive THEN 1 ELSE 0 END)",
+              s"COUNT(CASE WHEN year = $y THEN 1 END)") + s" AS y$y").mkString(",\n          ")}
+        FROM lab GROUP BY month ORDER BY month"""))
   )
 }
