@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main — runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric":…,"queries":{name:sec,…}}.
@@ -75,11 +76,65 @@ object Bench {
         else Some(name -> times.min)
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // ---- skew-resilience demo: one hot key holding ~50% of the fact side.
+    // Plain shuffled join (AQE off) serializes the hot key onto one task;
+    // the salted join and AQE's skew split both spread it. The small side
+    // is forced off the broadcast path (autoBroadcastJoinThreshold=-1) to
+    // model the 100-TB case where the dim side is itself too big to ship.
+    val skewResults = benchSkew(spark, sfDir)
+
+    val qs = (results ++ skewResults).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  private def benchSkew(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    // 20M generated rows, one key holding 50%: a cheap codegen'd map side
+    // keeps the measurement on the REDUCER, where skew actually hurts
+    val skewed = spark.range(0, 20000000L, 1, 32).select(
+      when(col("id") % 2 === 0, 0L).otherwise(col("id") % 997).as("k"),
+      (col("id") % 100).cast("double").as("v"))
+    val dim = spark.range(0, 997).select(col("id").as("k"), (col("id") * 2).as("w"))
+
+    def run(aqe: Boolean, salted: Boolean): Double = {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      // sf0.1-sized partitions need lower AQE skew thresholds to trigger
+      // the same split a 100-TB run gets with the defaults; force the
+      // optimization past the downstream-agg distribution check too
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", aqe)
+      val times = (1 to 2).map { _ =>
+        // rebuild the frame per iteration: re-timing one Dataset would let
+        // the second run reuse its shuffle files (skipped stages) and
+        // report fiction
+        val joined =
+          if (salted) graft.ops.SkewJoin.saltedInnerJoin(skewed, dim, Seq("k"), 16)
+          else skewed.join(dim, Seq("k"))
+        val agged = joined.agg(sum(col("v") * col("w")))
+        val t0 = System.nanoTime()
+        agged.queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
+      spark.conf.set("spark.sql.adaptive.enabled", true)
+      times.min
+    }
+
+    try Seq(
+      "skew_plain_join" -> run(aqe = false, salted = false),
+      "skew_salted_join" -> run(aqe = false, salted = true),
+      "skew_aqe_join" -> run(aqe = true, salted = false))
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] skew demo failed: $e"); Seq.empty
+    }
   }
 }
