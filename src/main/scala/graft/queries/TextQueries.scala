@@ -58,26 +58,24 @@ object TextQueries {
 
   /** Verified MinHash/LSH near-dup pairs (jaccard >= 0.5) — shared by the
     * pair listing (q35) and the dedup keep-list (q39). Plan shape for
-    * scale: shingles are exploded and hashed ONCE, with the 16 signature
-    * components as map-side partial `min` aggregates (a row-local
-    * transform-per-seed would get the tokenize+shingle subtree inlined 16x
-    * by project collapse). Band rows carry ONLY (band_key, doc_id) — never
-    * shingle arrays — so the candidate-pair shuffle is a few bytes per
-    * row; shingles are re-joined just for the (few) surviving pairs.
+    * scale: the whole 16-component signature computes ROW-LOCAL in one
+    * pass over each document (native [[graft.text.MinHashSig]]: one md5
+    * per shingle, 16 xor-mixed mins — the k-from-1 construction) inside
+    * the scan stage; nothing shuffles until the band join, and band rows
+    * carry ONLY (band_key, doc_id) — never text or shingle arrays.
+    * Shingles are re-joined just for the (few) surviving pairs.
+    * (The previous explode+groupBy shape shuffled one row per shingle —
+    * correct, but an exchange proportional to corpus token count.)
     */
   private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    // ONE md5 per shingle, then 16 xor-mixed variants (a standard k-from-1
-    // minhash construction): 16x less hashing than seed-prefixed md5s.
-    val shingleRows = corpus(s, dir)
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 3)).as("sh1"))
+    graft.text.TextSketch.register(s)
+    val sigs = corpus(s, dir)
       .select(col("doc_id"),
-        conv(substring(md5(col("sh1")), 1, 15), 16, 10).cast("long").as("hb"))
-    val minhashAggs = (0 until NUM_HASHES).map(i =>
-      min(col("hb").bitwiseXOR(lit(SEEDS(i)))).as(s"h$i"))
-    val sigs = shingleRows.groupBy("doc_id")
-      .agg(minhashAggs.head, minhashAggs.tail: _*)
+        graft.text.TextSketch.minhashSig(col("text"), 3, SEEDS).as("sig"))
+      .filter(col("sig").isNotNull)
     val bandKeys = (0 until NUM_HASHES / BAND_ROWS).map { b =>
-      val ks = (b * BAND_ROWS until (b + 1) * BAND_ROWS).map(i => col(s"h$i"))
+      val ks = (b * BAND_ROWS until (b + 1) * BAND_ROWS).map(i =>
+        element_at(col("sig"), i + 1))
       concat_ws("|", lit(b.toString) +: ks: _*)
     }
     val bandRows = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
@@ -85,8 +83,16 @@ object TextQueries {
       .join(bandRows.select(col("band_key"), col("doc_id").as("doc_b")), Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sh = corpus(s, dir)
-      .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+    // verify-side shingles compute ONLY for candidate docs (semi-join
+    // first): at scale the candidate set is a sliver of the corpus, and
+    // shuffling full shingle arrays for every doc would re-introduce the
+    // corpus-sized exchange the banded LSH exists to avoid. The repeated
+    // `pairs` subtrees below dedupe via ReuseExchange (one physical scan).
+    val candidates = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = corpus(s, dir).join(candidates, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        graft.text.TextSketch.wordShingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -260,21 +266,16 @@ object TextQueries {
     // 60-bit simhash per doc (row-local), 4 bands of 15 bits, hamming <= 8.
     Q("q36_simhash",
       (s, dir) => {
-        // Explode tokens and hash each ONCE, then build the 60 bit-votes as
-        // map-side partial sums: a row-local higher-order-function simhash
-        // gets inlined 60x by project collapse (each bit re-hashing every
-        // token), so the explode+groupBy shape is ~60x cheaper. The shuffle
-        // carries one +1/-1 vote row per token - narrow longs only.
-        val votes = corpus(s, dir)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-          .select(col("doc_id"), tokenHash60(col("tok")).as("h"))
-        val bitSums = (0 until 60).map { b =>
-          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
-        }
-        val fps = votes.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-          .select(col("doc_id"),
-            (0 until 60).map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(0L))
-              .reduce(_ + _).as("fp"))
+        // The 60-bit fingerprint computes row-local in one pass per doc
+        // (native SimHash60 expression: one md5 per token, all 60 votes in
+        // a tight loop) — no explode, no 60-column vote shuffle. A
+        // higher-order-function formulation would be inlined 60x by
+        // project collapse (re-hashing every token per bit), and the
+        // explode+groupBy alternative shuffles one row per token; the
+        // native expression avoids both.
+        graft.text.TextSketch.register(s)
+        val fps = corpus(s, dir)
+          .select(col("doc_id"), graft.text.TextSketch.simhash60(col("text")).as("fp"))
         val bandRows = fps.select(col("doc_id"), col("fp"),
           explode(array((0 until 4).map(k =>
             struct(lit(k).as("band"), shiftright(col("fp"), k * 15).bitwiseAND(32767).as("band_val"))): _*)).as("bk"))
@@ -318,9 +319,10 @@ object TextQueries {
     // Blocking key: last token (stable under the head-drop perturbation).
     Q("q37_ngram_jaccard",
       (s, dir) => {
+        graft.text.TextSketch.register(s)
         val docs = corpus(s, dir)
           .withColumn("toks", tokens(col("text")))
-          .withColumn("sh", shingles(col("toks"), 3))
+          .withColumn("sh", graft.text.TextSketch.wordShingles(col("text"), 3))
           .filter(size(col("sh")) > 0)
           .select(col("doc_id"), col("sh"),
             element_at(col("toks"), size(col("toks"))).as("block"))
