@@ -1,0 +1,53 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Delta-style MERGE / CDC-apply on plain frames: one FULL OUTER join on
+  * the key applies a change batch carrying an `op` column —
+  *
+  *  - matched + 'D'   → row deleted
+  *  - matched + 'U'/'I' → row replaced by the change row
+  *  - unmatched + 'U'/'I' → row inserted
+  *  - unmatched + 'D' → no-op (delete of a missing key)
+  *
+  * This is the batch complement of the streaming foreachBatch upsert and
+  * the engine form of `MERGE INTO ... WHEN MATCHED [AND cond] THEN
+  * UPDATE/DELETE WHEN NOT MATCHED THEN INSERT`. Both sides shuffle once on
+  * the key; stats come from ONE aggregation over the same join (no extra
+  * lineage runs), mirroring Writers.upsertByKey's single-job accounting.
+  */
+object MergeInto {
+
+  final case class MergeStats(updated: Long, deleted: Long, inserted: Long, kept: Long)
+
+  /** Apply `changes` (same schema as `target` plus `opCol`) to `target`.
+    * Returns the merged frame (target schema) and one-job stats.
+    */
+  def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
+      opCol: String = "op"): (DataFrame, MergeStats) = {
+    val dataCols = target.columns.filterNot(keys.contains).toSeq
+    require(dataCols.forall(changes.columns.contains),
+      s"changes must carry target columns; missing ${dataCols.filterNot(changes.columns.contains)}")
+
+    val t = target.select(
+      keys.map(col) ++ dataCols.map(c => col(c).as(s"__t_$c")) :+ lit(1).as("__t"): _*)
+    val c = changes.select(
+      keys.map(col) ++ dataCols.map(c0 => col(c0).as(s"__s_$c0")) :+
+        col(opCol).as("__op") :+ lit(1).as("__s"): _*)
+    val joined = t.join(c, keys, "full_outer")
+
+    val merged = joined
+      .filter(col("__s").isNull || col("__op") =!= "D") // drop deletes
+      .filter(col("__t").isNotNull || col("__op") =!= "D") // delete-of-missing: no-op
+      .select(keys.map(col) ++ dataCols.map(d =>
+        when(col("__s").isNotNull, col(s"__s_$d")).otherwise(col(s"__t_$d")).as(d)): _*)
+
+    val st = joined.agg(
+      coalesce(sum(when(col("__t").isNotNull && col("__s").isNotNull && col("__op") =!= "D", 1L)), lit(0L)),
+      coalesce(sum(when(col("__t").isNotNull && col("__s").isNotNull && col("__op") === "D", 1L)), lit(0L)),
+      coalesce(sum(when(col("__t").isNull && col("__op") =!= "D", 1L)), lit(0L)),
+      coalesce(sum(when(col("__s").isNull, 1L)), lit(0L))).head()
+    (merged, MergeStats(st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3)))
+  }
+}

@@ -371,6 +371,41 @@ object ExtraQueries {
           COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
           COUNT(*) AS cnt
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // ---- Delta-style MERGE / CDC apply ------------------------------------
+    // Target = per-customer pre-1997 order stats; change batch = 1997+
+    // stats with op D (cust % 10 < 2), else U — updates matched keys,
+    // inserts new ones, deletes matched D keys. One full-outer join.
+    Q("q91_merge_cdc",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val target = o.filter(year(col("o_orderdate")) < 1997)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("cnt"), dbl(sum(d12(col("o_totalprice")))).as("total"))
+        val changes = o.filter(year(col("o_orderdate")) >= 1997)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("cnt"), dbl(sum(d12(col("o_totalprice")))).as("total"))
+          .withColumn("op", when(col("o_custkey") % 10 < 2, "D").otherwise("U"))
+        val (merged, _) = graft.io.MergeInto.applyCdc(target, changes, Seq("o_custkey"))
+        merged.orderBy("o_custkey")
+      },
+      Some("""
+        WITH target AS (
+          SELECT o_custkey, COUNT(*) AS cnt,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+          FROM orders WHERE year(o_orderdate) < 1997 GROUP BY 1),
+        changes AS (
+          SELECT o_custkey, COUNT(*) AS cnt,
+            CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+            CASE WHEN o_custkey % 10 < 2 THEN 'D' ELSE 'U' END AS op
+          FROM orders WHERE year(o_orderdate) >= 1997 GROUP BY 1)
+        SELECT COALESCE(t.o_custkey, c.o_custkey) AS o_custkey,
+          CASE WHEN c.o_custkey IS NOT NULL THEN c.cnt ELSE t.cnt END AS cnt,
+          CASE WHEN c.o_custkey IS NOT NULL THEN c.total ELSE t.total END AS total
+        FROM target t FULL OUTER JOIN changes c ON t.o_custkey = c.o_custkey
+        WHERE (c.o_custkey IS NULL OR c.op <> 'D')
+          AND (t.o_custkey IS NOT NULL OR c.op <> 'D')
+        ORDER BY 1"""))
   )
 }

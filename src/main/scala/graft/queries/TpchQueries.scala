@@ -198,6 +198,161 @@ object TpchQueries {
           CASE WHEN total_tests > 0
             THEN round_even(CAST(positive_cases AS DOUBLE) / total_tests * 100, 2)
             ELSE 0.0 END AS positivity_rate
-        FROM agg ORDER BY positivity_rate DESC, village LIMIT 20"""))
+        FROM agg ORDER BY positivity_rate DESC, village LIMIT 20""")),
+
+    // ---- Q5 shape: local-supplier volume (6-table join) -------------------
+    // The canonical join-reorder stress: fact tables join on their keys
+    // while region/nation/supplier ride broadcasts; the local-supplier
+    // predicate (c_nationkey = s_nationkey) correlates two dim joins.
+    Q("q87_local_supplier_volume",
+      (s, dir) => {
+        val asia = broadcast(t(s, dir, "nation")
+          .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey")))
+        val sup = broadcast(t(s, dir, "supplier"))
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+          .filter(year(col("o_orderdate")) === 1996)
+        val l = t(s, dir, "lineitem")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(asia, col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(dbl(sum(d12(col("l_extendedprice")) *
+            (lit(1).cast("decimal(3,2)") - d4(col("l_discount"))))).as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      },
+      Some("""
+        SELECT n_name,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' AND year(o_orderdate) = 1996
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
+    // ---- Q10 shape: returned-item reporting (top 20 by lost revenue) ------
+    Q("q88_returned_items",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val n = broadcast(t(s, dir, "nation"))
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-10-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+        val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(dbl(sum(d12(col("l_extendedprice")) *
+            (lit(1).cast("decimal(3,2)") - d4(col("l_discount"))))).as("revenue"))
+          .orderBy(desc("revenue"), col("c_custkey"))
+          .limit(20)
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // ---- Q14 shape: promo revenue share per month -------------------------
+    // Conditional-aggregate ratio: both sums stay decimal (exact) and only
+    // the final ratio goes through doubles, identically ordered on both
+    // engines.
+    Q("q89_promo_share",
+      (s, dir) => {
+        val p = broadcast(t(s, dir, "part"))
+        val l = t(s, dir, "lineitem")
+          .filter(year(col("l_shipdate")) === 1996)
+        val vol = d12(col("l_extendedprice")) *
+          (lit(1).cast("decimal(3,2)") - d4(col("l_discount")))
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy(month(col("l_shipdate")).cast("int").as("month"))
+          .agg(
+            dbl(sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0).cast("decimal(12,2)")))).as("promo_revenue"),
+            dbl(sum(vol)).as("total_revenue"))
+          .withColumn("promo_share",
+            when(col("total_revenue") > 0,
+              col("promo_revenue") / col("total_revenue") * 100.0).otherwise(0.0))
+          .orderBy("month")
+      },
+      Some("""
+        SELECT CAST(month(l_shipdate) AS INTEGER) AS month,
+          CAST(SUM(CASE WHEN p_type = 'PROMO'
+            THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue,
+          CASE WHEN CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) > 0
+            THEN CAST(SUM(CASE WHEN p_type = 'PROMO'
+              THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+              ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+              / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) * 100.0
+            ELSE 0.0 END AS promo_share
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE year(l_shipdate) = 1996
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- Q8 shape: national market share per year -------------------------
+    Q("q90_market_share",
+      (s, dir) => {
+        val america = broadcast(t(s, dir, "nation").as("cn")
+          .join(t(s, dir, "region").filter(col("r_name") === "AMERICA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("c_nkey")))
+        val supNation = broadcast(t(s, dir, "supplier")
+          .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+        val p = broadcast(t(s, dir, "part").filter(col("p_type") === "ECONOMY"))
+        val vol = d12(col("l_extendedprice")) *
+          (lit(1).cast("decimal(3,2)") - d4(col("l_discount")))
+        t(s, dir, "lineitem")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(america, col("c_nationkey") === col("c_nkey"))
+          .join(supNation, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).cast("int").as("o_year"))
+          .agg(
+            dbl(sum(when(col("supp_nation") === "NATION_3", vol)
+              .otherwise(lit(0).cast("decimal(12,2)")))).as("nation_volume"),
+            dbl(sum(vol)).as("total_volume"))
+          .withColumn("mkt_share",
+            when(col("total_volume") > 0,
+              col("nation_volume") / col("total_volume")).otherwise(0.0))
+          .orderBy("o_year")
+      },
+      Some("""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+          CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+            THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS nation_volume,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_volume,
+          CASE WHEN CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) > 0
+            THEN CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+              THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+              ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+              / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+            ELSE 0.0 END AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        GROUP BY 1 ORDER BY 1"""))
   )
 }
