@@ -242,6 +242,85 @@ object SimilarityQueries {
           FROM per_dim GROUP BY label, n)
         SELECT label, n,
           list_reduce(list_transform(centroid, x -> x * x), (x, y) -> x + y) AS centroid_sq_norm
-        FROM centroids ORDER BY label"""))
+        FROM centroids ORDER BY label""")),
+
+    // ---- IVF with LEARNED centroids: Lloyd k-means, 2 iterations ----------
+    // Each iteration = one corpus pass: row-local argmax assignment against
+    // the broadcast codebook + a k-row decimal-sum aggregate. Output: cell
+    // occupancy and centroid norms under the trained codebook. The oracle
+    // replays both iterations in SQL with identical arithmetic.
+    Q("q92_kmeans_ivf",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val codebook = graft.ml.KMeans.fitCodebook(s, e, k = 16, iters = 2)
+        val assigned = e.select(col("vec_id"), col("embedding"),
+            graft.ml.VecOps.norm(col("embedding")).as("v_nrm"))
+          .withColumn("cell",
+            graft.ml.VecOps.argmaxCell(col("embedding"), col("v_nrm"), codebook))
+        val counts = assigned.groupBy("cell").agg(count(lit(1)).as("members"))
+        val cb = codebook.map { case (id, c, _) =>
+          (id, c.foldLeft(0.0)((acc, v) => acc + v * v))
+        }.toDF("cell", "centroid_sq_norm")
+        cb.join(counts, Seq("cell"), "left")
+          .select(col("cell"), coalesce(col("members"), lit(0L)).as("members"),
+            col("centroid_sq_norm"))
+          .orderBy("cell")
+      },
+      Some(kmeansOracleSql))
   )
+
+  /** DuckDB replay of [[graft.ml.KMeans.fitCodebook]] (k=16, 2 iterations):
+    * same init (first 16 vectors), same row-local argmax order (sim DESC,
+    * c_id), same exact decimal means, same empty-cell keep-old policy.
+    */
+  private def kmeansOracleSql: String = {
+    val S = "17592186044416.0"
+    def assign(cents: String, out: String) = s"""
+        $out AS (
+          SELECT vec_id, embedding, v_nrm, c_id AS cell FROM (
+            SELECT n.vec_id, n.embedding, n.v_nrm, c.c_id,
+              ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(n.embedding[i] AS DOUBLE) * c.centroid[i]), (x, y) -> x + y)
+                  / (n.v_nrm * c.c_nrm) DESC, c.c_id) AS rn
+            FROM nrm n CROSS JOIN $cents c) WHERE rn = 1)"""
+    def update(assigned: String, prev: String, tag: String) = s"""
+        sums$tag AS (
+          SELECT cell, i, COUNT(*) AS n,
+            CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * $S AS DECIMAL(38,0))) AS DOUBLE) AS sd
+          FROM $assigned, (SELECT unnest(generate_series(1, 64)) AS i)
+          GROUP BY cell, i),
+        raw$tag AS (
+          SELECT p.c_id,
+            CASE WHEN COUNT(s.i) = 0 THEN p.centroid
+                 ELSE list(s.sd / s.n / $S ORDER BY s.i) END AS centroid
+          FROM $prev p LEFT JOIN sums$tag s ON s.cell = p.c_id
+          GROUP BY p.c_id, p.centroid),
+        cents$tag AS (
+          SELECT c_id, centroid,
+            sqrt(list_reduce(list_transform(centroid, x -> x * x), (x, y) -> x + y)) AS c_nrm
+          FROM raw$tag)"""
+    s"""
+        WITH nrm AS (
+          SELECT vec_id, embedding, ${normSql("embedding")} AS v_nrm FROM embeddings),
+        c0 AS (
+          SELECT vec_id AS c_id,
+            list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS centroid
+          FROM embeddings WHERE vec_id < 16),
+        cents0 AS (
+          SELECT c_id, centroid,
+            sqrt(list_reduce(list_transform(centroid, x -> x * x), (x, y) -> x + y)) AS c_nrm
+          FROM c0),
+        ${assign("cents0", "assign1")},
+        ${update("assign1", "cents0", "1")},
+        ${assign("cents1", "assign2")},
+        ${update("assign2", "cents1", "2")},
+        ${assign("cents2", "assignF")},
+        counts AS (SELECT cell, COUNT(*) AS members FROM assignF GROUP BY cell)
+        SELECT c.c_id AS cell, COALESCE(m.members, 0) AS members,
+          list_reduce(list_transform(c.centroid, x -> x * x), (x, y) -> x + y) AS centroid_sq_norm
+        FROM cents2 c LEFT JOIN counts m ON m.cell = c.c_id
+        ORDER BY c.c_id"""
+  }
 }
