@@ -69,16 +69,26 @@ object TextQueries {
     */
   private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     graft.text.TextSketch.register(s)
+    // shingle-able docs gated by a CHEAP token-count predicate, not by
+    // isNotNull(sig): predicate pushdown would duplicate the filter
+    // expression below the projection, and with the sig itself as the
+    // filter that meant one full extra tokenize+md5 pass per row
     val sigs = corpus(s, dir)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 3)
       .select(col("doc_id"),
         graft.text.TextSketch.minhashSig(col("text"), 3, SEEDS).as("sig"))
-      .filter(col("sig").isNotNull)
-    val bandKeys = (0 until NUM_HASHES / BAND_ROWS).map { b =>
-      val ks = (b * BAND_ROWS until (b + 1) * BAND_ROWS).map(i =>
-        element_at(col("sig"), i + 1))
-      concat_ws("|", lit(b.toString) +: ks: _*)
-    }
-    val bandRows = sigs.select(col("doc_id"), explode(array(bandKeys: _*)).as("band_key"))
+    // explode the band INDEX first, build keys above the Generate barrier:
+    // band keys built directly over `sig` get the sig expression inlined
+    // into every element_at by CollapseProject — 16 full re-tokenizations
+    // per row (measured 2.5x on this query). Above the barrier they
+    // reference the materialized attribute.
+    val bandRows = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(NUM_HASHES / BAND_ROWS - 1))).as("band"))
+      .select(col("doc_id"), concat_ws("|",
+        col("band").cast("string") +:
+          (0 until BAND_ROWS).map(i =>
+            element_at(col("sig"), col("band") * BAND_ROWS + lit(i + 1))): _*).as("band_key"))
     val pairs = bandRows.select(col("band_key"), col("doc_id").as("doc_a"))
       .join(bandRows.select(col("band_key"), col("doc_id").as("doc_b")), Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
@@ -86,10 +96,12 @@ object TextQueries {
     // verify-side shingles compute ONLY for candidate docs (semi-join
     // first): at scale the candidate set is a sliver of the corpus, and
     // shuffling full shingle arrays for every doc would re-introduce the
-    // corpus-sized exchange the banded LSH exists to avoid. The repeated
-    // `pairs` subtrees below dedupe via ReuseExchange (one physical scan).
-    val candidates = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // corpus-sized exchange the banded LSH exists to avoid. Candidates
+    // come from ONE reference to `pairs` (explode, not a two-branch
+    // union, which would replicate the whole band-join lineage).
+    val candidates = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
     val sh = corpus(s, dir).join(candidates, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         graft.text.TextSketch.wordShingles(col("text"), 3).as("sh"))
@@ -274,12 +286,21 @@ object TextQueries {
         // explode+groupBy alternative shuffles one row per token; the
         // native expression avoids both.
         graft.text.TextSketch.register(s)
+        // text gated by a cheap scan-level null filter, and fp wrapped
+        // non-nullable (coalesce): otherwise the band join's inferred
+        // isnotnull(band_val) constraint pushes below the projection and
+        // re-evaluates the whole simhash per row as a filter
         val fps = corpus(s, dir)
-          .select(col("doc_id"), graft.text.TextSketch.simhash60(col("text")).as("fp"))
-        val bandRows = fps.select(col("doc_id"), col("fp"),
-          explode(array((0 until 4).map(k =>
-            struct(lit(k).as("band"), shiftright(col("fp"), k * 15).bitwiseAND(32767).as("band_val"))): _*)).as("bk"))
-          .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.band_val").as("band_val"))
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            coalesce(graft.text.TextSketch.simhash60(col("text")), lit(0L)).as("fp"))
+        // band index exploded BELOW the key projection (same CollapseProject
+        // inlining hazard as q35: band values built straight over `fp` would
+        // re-evaluate the simhash per reference)
+        val bandRows = fps
+          .select(col("doc_id"), col("fp"), explode(sequence(lit(0), lit(3))).as("band"))
+          .select(col("doc_id"), col("fp"), col("band"),
+            expr("shiftright(fp, band * 15)").bitwiseAND(32767).as("band_val"))
         bandRows.select(col("band"), col("band_val"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
           .join(bandRows.select(col("band"), col("band_val"), col("doc_id").as("doc_b"), col("fp").as("fp_b")),
             Seq("band", "band_val"))

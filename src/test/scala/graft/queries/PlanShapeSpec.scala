@@ -36,6 +36,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q35/q36 sketch expressions are not re-evaluated by pushdown or project collapse") {
+    // a pushed-down isNotNull(sig) filter or band keys built straight over
+    // the sketch column would duplicate the full per-doc hash pass
+    val p35 = physicalPlan("q35_minhash_lsh")
+    assert(!p35.contains("isnotnull(minhashsig"), "sig-null filter was pushed below the projection")
+    val p36 = physicalPlan("q36_simhash")
+    assert("simhash60\\(".r.findAllIn(p36).length <= 12,
+      "simhash inlined into band expressions (CollapseProject regression)")
+  }
+
   test("q20/q39 accounting is one declarative plan (no driver-side multi-action counts)") {
     // a single aggregate over an outer join — materializes through one job
     for (q <- Seq("q20_upsert_counts", "q39_dedup_keeplist")) {
