@@ -131,6 +131,21 @@ object Writers {
       .sortBy(key.head, key.tail: _*)
       .saveAsTable(table)
 
+  /** S11 at the FORMAT level: the Elasticsearch bulk-API line protocol —
+    * an action line (`{"index":{"_index":…,"_id":…}}`) followed by the
+    * source document line, per row (the reference's `helpers.bulk` payload,
+    * geoJson_slope_etl_view.py:81-113). Emitting the wire format keeps the
+    * transport (HTTP client, retries, cluster) out of the engine — write
+    * the frame as text and any bulk ingester ships it. `docJson` should be
+    * canonical JSON (see q79/q93 for the hash-stable construction).
+    */
+  def esBulkLines(df: DataFrame, index: String, idCol: String,
+      docJson: org.apache.spark.sql.Column): DataFrame =
+    df.select(col(idCol), posexplode(array(
+      concat(lit("{\"index\":{\"_index\":\"" + index + "\",\"_id\":\""),
+        col(idCol).cast("string"), lit("\"}}")),
+      docJson)).as(Seq("seq", "line")))
+
   /** J7 dataset-level replace: overwrite only the partitions present in
     * `df` (the reference's delete_many({country,type,year}) + insert).
     * Requires spark.sql.sources.partitionOverwriteMode=dynamic, set here

@@ -406,6 +406,62 @@ object ExtraQueries {
         FROM target t FULL OUTER JOIN changes c ON t.o_custkey = c.o_custkey
         WHERE (c.o_custkey IS NULL OR c.op <> 'D')
           AND (t.o_custkey IS NOT NULL OR c.op <> 'D')
-        ORDER BY 1"""))
+        ORDER BY 1""")),
+
+    // ---- S11 as a wire format: Elasticsearch _bulk line protocol ----------
+    // The reference ships geo docs to ES via helpers.bulk; the engine's
+    // job ends at the bulk payload (action line + canonical-JSON source
+    // line per row) — byte-identical in both engines, so hash-checkable.
+    Q("q93_es_bulk_format",
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+        val doc = concat(
+          lit("{\"nation\":\""), col("n_name"),
+          lit("\",\"region\":"), col("n_regionkey").cast("string"), lit("}"))
+        graft.io.Writers.esBulkLines(n, "graft_geo", "n_nationkey", doc)
+          .orderBy("n_nationkey", "seq")
+      },
+      Some("""
+        SELECT n_nationkey, 0 AS seq,
+          '{"index":{"_index":"graft_geo","_id":"' || CAST(n_nationkey AS VARCHAR) || '"}}' AS line
+        FROM nation
+        UNION ALL
+        SELECT n_nationkey, 1,
+          '{"nation":"' || n_name || '","region":' || CAST(n_regionkey AS VARCHAR) || '}'
+        FROM nation
+        ORDER BY 1, 2""")),
+
+    // ---- window-frame suite: ntile / percent_rank / cume_dist / RANGE -----
+    // Unique (o_totalprice, o_orderkey) ordering pins tie behavior so
+    // ntile's arbitrary-within-tie split is deterministic cross-engine;
+    // the RANGE frame sums decimals over a value window, not a row window.
+    Q("q94_window_frames",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = t(s, dir, "orders").filter(col("o_custkey") % 100 === 0)
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wr = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"))
+          .rangeBetween(-1000L, 0L)
+        o.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            dbl(sum(d12(col("o_totalprice"))).over(wr)).as("range_sum"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+          ntile(4) OVER w AS quartile,
+          percent_rank() OVER w AS pct_rank,
+          cume_dist() OVER w AS cume,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+            PARTITION BY o_orderstatus ORDER BY o_totalprice
+            RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum
+        FROM orders
+        WHERE o_custkey % 100 = 0
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey"""))
   )
 }
