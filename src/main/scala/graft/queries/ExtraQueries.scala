@@ -462,6 +462,51 @@ object ExtraQueries {
         FROM orders
         WHERE o_custkey % 100 = 0
         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ---- statistical aggregates from EXACT decimal moments ----------------
+    // stddev/variance/correlation built from decimal moment sums (Σx, Σx²,
+    // Σxy — exact, order-free) with the closing double arithmetic sequenced
+    // identically on both engines. A native stddev_samp(double) would NOT
+    // hash-match cross-engine (accumulation order changes the last bits);
+    // moments make second-order statistics oracle-exact AND shuffle-narrow
+    // (constant aggregation state, map-side partials).
+    Q("q95_exact_moments",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val x = d12(col("l_extendedprice"))
+        val y = d12(col("l_quantity"))
+        l.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum(x * x).as("sxx"), sum(y * y).as("syy"),
+            sum(x * y).as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+            ((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+              / (col("n") - 1)).as("var_price"),
+            sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+              / (col("n") - 1)).as("stddev_price"),
+            ((col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / col("n"))
+              / sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+                * (col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double") / col("n"))))
+              .as("corr_price_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH m AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+            SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sx,
+            SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sy,
+            SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxx,
+            SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS syy,
+            SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxy
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, n,
+          (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS var_price,
+          sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) AS stddev_price,
+          (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+            / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+              * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS corr_price_qty
+        FROM m ORDER BY 1"""))
   )
 }
