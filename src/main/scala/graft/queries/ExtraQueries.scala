@@ -507,6 +507,57 @@ object ExtraQueries {
           (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
             / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
               * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS corr_price_qty
-        FROM m ORDER BY 1"""))
+        FROM m ORDER BY 1""")),
+
+    // ---- streaming dedup, batch-parity half -------------------------------
+    // The same EventStreams.dedupById call is stateful watermark-bounded
+    // dedup on a stream; here the batch path runs under the oracle
+    // (duplicates derived deterministically: every 10th event re-appended).
+    Q("q96_stream_dedup",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val corpus = e.unionByName(e.filter(col("event_id") % 10 === 0))
+        graft.streaming.EventStreams.dedupById(corpus)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("events"),
+            dbl(sum(d12(col("value")))).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT * FROM events
+          UNION ALL SELECT * FROM events WHERE event_id % 10 = 0),
+        deduped AS (SELECT DISTINCT * FROM corpus)
+        SELECT event_type, COUNT(*) AS events,
+          CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM deduped GROUP BY 1 ORDER BY 1""")),
+
+    // ---- stream-stream interval join, batch-parity half -------------------
+    // purchase←click attribution within 30 minutes per user: the range
+    // predicate that bounds streaming join state IS the batch range join.
+    Q("q97_interval_join",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        graft.streaming.EventStreams.purchaseAttribution(
+            e.filter(col("event_type") === "purchase"),
+            e.filter(col("event_type") === "click"), 30)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("attributed_clicks"),
+            dbl(sum(d12(col("purchase_value")))).as("sum_purchase"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, ts AS purchase_ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id AS c_user, ts AS click_ts
+          FROM events WHERE event_type = 'click')
+        SELECT user_id, COUNT(*) AS attributed_clicks,
+          CAST(SUM(CAST(purchase_value AS DECIMAL(12,2))) AS DOUBLE) AS sum_purchase
+        FROM p JOIN c ON user_id = c_user
+          AND click_ts >= purchase_ts - INTERVAL 30 MINUTE
+          AND click_ts <= purchase_ts
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -62,6 +62,36 @@ object EventStreams {
       .toDF()
   }
 
+  /** Exactly-once-style dedup by event id. In batch mode this is a plain
+    * `dropDuplicates`; in streaming mode the SAME call becomes stateful
+    * dedup bounded by the watermark (state for ids older than the
+    * watermark is evicted — the at-least-once-source → exactly-once-sink
+    * pattern at 100 TB/day rates needs the eviction or state grows without
+    * bound).
+    */
+  def dedupById(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
+  /** Stream-stream-joinable interval join: each purchase matched to the
+    * same user's clicks in the preceding `windowMinutes`. The time-range
+    * predicate is what lets Structured Streaming bound the join state
+    * (both sides' watermarks + the interval give an eviction horizon);
+    * in batch mode the identical plan is a plain range join.
+    */
+  def purchaseAttribution(purchases: DataFrame, clicks: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val p = purchases.select(col("user_id"), col("ts").as("purchase_ts"),
+      col("value").as("purchase_value"))
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("click_ts") <= col("purchase_ts"))
+      .drop("c_user")
+  }
+
   /** Wire a parquet-directory stream through [[windowedTypeStats]] into an
     * in-memory sink (used by tests and demos).
     */

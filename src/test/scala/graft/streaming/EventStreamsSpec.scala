@@ -87,4 +87,58 @@ class EventStreamsSpec extends SparkSpec {
       assert(back.select("event_id").distinct().count() == 6)
     } finally q.stop()
   }
+
+  test("dedupById runs as stateful watermark-bounded dedup on a live stream") {
+    val dir = Files.createTempDirectory("dedup_stream").toString + "/src"
+    // duplicates inside AND across micro-batches
+    fixture.union(fixture.filter(col("event_id") === 1L))
+      .coalesce(1).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = EventStreams.dedupById(
+        spark.readStream.schema(schema).parquet(dir))
+      .writeStream.format("memory").queryName("dedup_test").start()
+    try {
+      q.processAllAvailable()
+      // replay id 2 in a later micro-batch: state still inside watermark
+      fixture.filter(col("event_id") === 2L)
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val out = spark.sql("SELECT event_id FROM dedup_test")
+        .collect().map(_.getLong(0)).sorted
+      assert(out.toSeq == Seq(1L, 2L, 3L, 4L, 5L)) // every id exactly once
+    } finally q.stop()
+  }
+
+  test("purchaseAttribution matches clicks within the window (batch parity)") {
+    val purchases = Seq((7L, ts("2024-01-01 10:30:00"), 100.0))
+      .toDF("user_id", "ts", "value")
+    val clicks = Seq(
+      (7L, ts("2024-01-01 10:10:00")), // inside 30 min
+      (7L, ts("2024-01-01 09:50:00")), // too early
+      (8L, ts("2024-01-01 10:20:00"))  // other user
+    ).toDF("user_id", "ts")
+    val r = EventStreams.purchaseAttribution(purchases, clicks, 30).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Timestamp]("click_ts") == ts("2024-01-01 10:10:00"))
+  }
+
+  test("purchaseAttribution runs as a stream-stream interval join") {
+    val pDir = Files.createTempDirectory("attr_p").toString + "/src"
+    val cDir = Files.createTempDirectory("attr_c").toString + "/src"
+    Seq((7L, ts("2024-01-01 10:30:00"), 100.0)).toDF("user_id", "ts", "value")
+      .coalesce(1).write.parquet(pDir)
+    Seq((7L, ts("2024-01-01 10:10:00")), (7L, ts("2024-01-01 09:00:00")))
+      .toDF("user_id", "ts").coalesce(1).write.parquet(cDir)
+    val pS = spark.readStream.schema(spark.read.parquet(pDir).schema).parquet(pDir)
+      .withWatermark("ts", "1 hour")
+    val cS = spark.readStream.schema(spark.read.parquet(cDir).schema).parquet(cDir)
+      .withWatermark("ts", "1 hour")
+    val q = EventStreams.purchaseAttribution(pS, cS, 30)
+      .writeStream.format("memory").queryName("attr_test").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.sql("SELECT user_id, purchase_value FROM attr_test").collect()
+      assert(out.length == 1 && out.head.getLong(0) == 7L && out.head.getDouble(1) == 100.0)
+    } finally q.stop()
+  }
 }
