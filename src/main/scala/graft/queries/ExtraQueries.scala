@@ -482,13 +482,17 @@ object ExtraQueries {
             sum(x * x).as("sxx"), sum(y * y).as("syy"),
             sum(x * y).as("sxy"))
           .select(col("l_returnflag"), col("n"),
-            ((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+            // decimal -> double via STRING on both engines: DuckDB's direct
+            // wide-decimal cast double-rounds (int128 -> double, then
+            // x10^-scale) and is off by an ulp once the scaled value tops
+            // 2^53; string parses are correctly rounded everywhere
+            ((d2d(col("sxx")) - d2d(col("sx")) * d2d(col("sx")) / col("n"))
               / (col("n") - 1)).as("var_price"),
-            sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))
+            sqrt((d2d(col("sxx")) - d2d(col("sx")) * d2d(col("sx")) / col("n"))
               / (col("n") - 1)).as("stddev_price"),
-            ((col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / col("n"))
-              / sqrt((col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))
-                * (col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double") / col("n"))))
+            ((d2d(col("sxy")) - d2d(col("sx")) * d2d(col("sy")) / col("n"))
+              / sqrt((d2d(col("sxx")) - d2d(col("sx")) * d2d(col("sx")) / col("n"))
+                * (d2d(col("syy")) - d2d(col("sy")) * d2d(col("sy")) / col("n"))))
               .as("corr_price_qty"))
           .orderBy("l_returnflag")
       },
@@ -502,11 +506,11 @@ object ExtraQueries {
             SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxy
           FROM lineitem GROUP BY 1)
         SELECT l_returnflag, n,
-          (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS var_price,
-          sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) AS stddev_price,
-          (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-            / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-              * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) AS corr_price_qty
+          (CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / n) / (n - 1) AS var_price,
+          sqrt((CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / n) / (n - 1)) AS stddev_price,
+          (CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / n)
+            / sqrt((CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / n)
+              * (CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / n)) AS corr_price_qty
         FROM m ORDER BY 1""")),
 
     // ---- streaming dedup, batch-parity half -------------------------------

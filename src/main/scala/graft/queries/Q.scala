@@ -41,4 +41,13 @@ object Qx {
   def d4(c: Column): Column = c.cast("decimal(4,2)")
 
   def dbl(c: Column): Column = c.cast("double")
+
+  /** Decimal→double via a STRING round-trip. Use for decimals whose scaled
+    * integer value can exceed 2^53: DuckDB's direct wide-decimal→double
+    * cast rounds twice (int128→double, then ×10^-scale) and lands an ulp
+    * off the correctly-rounded value; string→double parses are correctly
+    * rounded in both engines. Mirror as
+    * `CAST(CAST(x AS VARCHAR) AS DOUBLE)`.
+    */
+  def d2d(c: Column): Column = c.cast("string").cast("double")
 }
