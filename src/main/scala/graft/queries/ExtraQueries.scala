@@ -513,6 +513,47 @@ object ExtraQueries {
               * (CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / n)) AS corr_price_qty
         FROM m ORDER BY 1""")),
 
+    // ---- exact per-group quantiles via value histogram --------------------
+    // The q14 median technique generalized: cumulative counts over DISTINCT
+    // values only (no per-group sort of raw rows — a group's heaviest task
+    // is O(distinct values), not O(rows)), then the type-1 quantile is the
+    // first value whose cumulative count reaches ceil(p*n). Identical
+    // arithmetic both engines; no approx_percentile (engine-specific
+    // sketches can't hash-match).
+    Q("q98_group_quantiles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val l = t(s, dir, "lineitem")
+        val hist = l.groupBy("l_returnflag", "l_quantity")
+          .agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("l_returnflag")
+        val cum = hist
+          .withColumn("cum", sum("c").over(wCum))
+          .withColumn("n", sum("c").over(wAll))
+        def q(p: Double) = min(when(col("cum") >= ceil(lit(p) * col("n")), col("l_quantity")))
+        cum.groupBy("l_returnflag")
+          .agg(max("n").as("n"),
+            q(0.5).as("p50"), q(0.9).as("p90"), q(0.99).as("p99"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH hist AS (
+          SELECT l_returnflag, l_quantity, COUNT(*) AS c
+          FROM lineitem GROUP BY 1, 2),
+        cum AS (
+          SELECT l_returnflag, l_quantity,
+            SUM(c) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(c) OVER (PARTITION BY l_returnflag) AS n
+          FROM hist)
+        SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+          MIN(CASE WHEN cum >= ceil(0.5 * n) THEN l_quantity END) AS p50,
+          MIN(CASE WHEN cum >= ceil(0.9 * n) THEN l_quantity END) AS p90,
+          MIN(CASE WHEN cum >= ceil(0.99 * n) THEN l_quantity END) AS p99
+        FROM cum GROUP BY 1 ORDER BY 1""")),
+
     // ---- streaming dedup, batch-parity half -------------------------------
     // The same EventStreams.dedupById call is stateful watermark-bounded
     // dedup on a stream; here the batch path runs under the oracle
