@@ -93,22 +93,24 @@ object TextQueries {
       .join(bandRows.select(col("band_key"), col("doc_id").as("doc_b")), Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // verify-side shingles compute ONLY for candidate docs (semi-join
-    // first): at scale the candidate set is a sliver of the corpus, and
-    // shuffling full shingle arrays for every doc would re-introduce the
-    // corpus-sized exchange the banded LSH exists to avoid. Candidates
-    // come from ONE reference to `pairs` (explode, not a two-branch
-    // union, which would replicate the whole band-join lineage).
-    val candidates = pairs
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-    val sh = corpus(s, dir).join(candidates, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        graft.text.TextSketch.wordShingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-    pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    // verify stage: the candidate PAIRS broadcast (tiny by LSH
+    // construction — banding exists precisely to keep this set sparse)
+    // against two plain (doc_id, text) corpus scans, with shingles
+    // computed only for rows that survive the joins. `pairs` is
+    // referenced ONCE — Spark has no DataFrame-level CSE, so a second
+    // reference would re-run the whole band-join lineage — and the
+    // corpus text never shuffles (broadcast joins, no exchange).
+    val docs = corpus(s, dir)
+    val withA = docs
+      .select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+      .join(broadcast(pairs), Seq("doc_a"))
+    val withB = docs
+      .select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+      .join(broadcast(withA), Seq("doc_b"))
+    withB
+      .withColumn("sh_a", graft.text.TextSketch.wordShingles(col("text_a"), 3))
+      .withColumn("sh_b", graft.text.TextSketch.wordShingles(col("text_b"), 3))
+      .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
   }
