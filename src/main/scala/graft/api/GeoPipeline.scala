@@ -100,8 +100,12 @@ object GeoPipeline {
         .select(
           element_at(element_at(element_at(col("geom"), 1), 1), 1).as("x"),
           element_at(element_at(element_at(col("geom"), 1), 1), 2).as("y"))
-        .head()
-      CrsDetect.detect(sample.getDouble(0), sample.getDouble(1)).getOrElse(
+        .filter(col("x").isNotNull && col("y").isNotNull)
+        .take(1)
+      if (sample.isEmpty)
+        throw new IllegalArgumentException(
+          "CRS detection needs at least one non-empty geometry; pass sourceEpsg explicitly")
+      CrsDetect.detect(sample.head.getDouble(0), sample.head.getDouble(1)).getOrElse(
         throw new IllegalArgumentException(
           "CRS detection failed for sample coordinate; pass sourceEpsg explicitly"))
     }

@@ -23,6 +23,11 @@ object MergeInto {
 
   /** Apply `changes` (same schema as `target` plus `opCol`) to `target`.
     * Returns the merged frame (target schema) and one-job stats.
+    *
+    * Like SQL MERGE, the change batch must have AT MOST ONE row per key —
+    * two change rows matching one target row make the outcome
+    * order-dependent (ANSI MERGE raises the same error). Enforced inside
+    * the single stats job: duplicate keys throw before anything merges.
     */
   def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
       opCol: String = "op"): (DataFrame, MergeStats) = {
@@ -35,6 +40,7 @@ object MergeInto {
     val c = changes.select(
       keys.map(col) ++ dataCols.map(c0 => col(c0).as(s"__s_$c0")) :+
         col(opCol).as("__op") :+ lit(1).as("__s"): _*)
+      .withColumn("__sid", monotonically_increasing_id())
     val joined = t.join(c, keys, "full_outer")
 
     val merged = joined
@@ -43,11 +49,18 @@ object MergeInto {
       .select(keys.map(col) ++ dataCols.map(d =>
         when(col("__s").isNotNull, col(s"__s_$d")).otherwise(col(s"__t_$d")).as(d)): _*)
 
+    val changeKey = struct(keys.map(col): _*)
     val st = joined.agg(
       coalesce(sum(when(col("__t").isNotNull && col("__s").isNotNull && col("__op") =!= "D", 1L)), lit(0L)),
       coalesce(sum(when(col("__t").isNotNull && col("__s").isNotNull && col("__op") === "D", 1L)), lit(0L)),
       coalesce(sum(when(col("__t").isNull && col("__op") =!= "D", 1L)), lit(0L)),
-      coalesce(sum(when(col("__s").isNull, 1L)), lit(0L))).head()
+      coalesce(sum(when(col("__s").isNull, 1L)), lit(0L)),
+      countDistinct(col("__sid")), // change ROWS (robust to duplicate target keys)
+      countDistinct(when(col("__s").isNotNull, changeKey))).head()
+    if (st.getLong(4) != st.getLong(5))
+      throw new IllegalArgumentException(
+        s"MERGE changes contain duplicate keys (${st.getLong(4)} change rows over " +
+          s"${st.getLong(5)} distinct keys); like ANSI MERGE, at most one change row per key is allowed")
     (merged, MergeStats(st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3)))
   }
 }

@@ -140,11 +140,18 @@ object Writers {
     * canonical JSON (see q79/q93 for the hash-stable construction).
     */
   def esBulkLines(df: DataFrame, index: String, idCol: String,
-      docJson: org.apache.spark.sql.Column): DataFrame =
+      docJson: org.apache.spark.sql.Column): DataFrame = {
+    // JSON-escape backslashes then quotes in the id (ids are arbitrary
+    // strings; an unescaped quote would corrupt the action line)
+    val escapedId = regexp_replace(
+      regexp_replace(col(idCol).cast("string"), "\\\\", "\\\\\\\\"),
+      "\"", "\\\\\"")
+    val escapedIndex = index.replace("\\", "\\\\").replace("\"", "\\\"")
     df.select(col(idCol), posexplode(array(
-      concat(lit("{\"index\":{\"_index\":\"" + index + "\",\"_id\":\""),
-        col(idCol).cast("string"), lit("\"}}")),
+      concat(lit("{\"index\":{\"_index\":\"" + escapedIndex + "\",\"_id\":\""),
+        escapedId, lit("\"}}")),
       docJson)).as(Seq("seq", "line")))
+  }
 
   /** J7 dataset-level replace: overwrite only the partitions present in
     * `df` (the reference's delete_many({country,type,year}) + insert).

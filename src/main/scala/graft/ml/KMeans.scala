@@ -53,7 +53,9 @@ object KMeans {
         .map { r =>
           val n = r.getLong(1)
           val c = (0 until dims).map(i =>
-            r.getDecimal(2 + i).doubleValue() / n / Scale)
+            // toString->parseDouble is guaranteed correctly rounded; it
+            // mirrors the oracle's VARCHAR round-trip (see Qx.d2d)
+            java.lang.Double.parseDouble(r.getDecimal(2 + i).toPlainString) / n / Scale)
           r.getLong(0) -> c
         }.toMap
       codebook = codebook.map { case (id, prev, prevNrm) =>

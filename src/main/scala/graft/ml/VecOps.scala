@@ -93,8 +93,10 @@ case class VecArgmaxCell(children: Seq[Expression])
     val a = v.asInstanceOf[ArrayData]
     val vNrm = nrm.asInstanceOf[Double]
     val isFloat = vecElemType == FloatType
+    if (codebook.isEmpty) return null
     var bestId = -1L
-    var bestSim = Double.NegativeInfinity
+    var bestSim = 0.0
+    var first = true
     var c = 0
     while (c < codebook.length) {
       val (id, emb, cNrm) = codebook(c)
@@ -106,7 +108,16 @@ case class VecArgmaxCell(children: Seq[Expression])
         i += 1
       }
       val sim = acc / (vNrm * cNrm)
-      if (sim > bestSim) { bestSim = sim; bestId = id }
+      // SQL window ordering (sim DESC, id ASC) sorts NaN GREATEST in both
+      // Spark and DuckDB — e.g. a zero-norm vector makes every sim NaN and
+      // the oracle assigns the lowest id, so NaN must beat non-NaN here
+      // and the first (lowest-id, codebook is sorted) entry wins ties
+      val better =
+        if (first) true
+        else if (sim.isNaN) !bestSim.isNaN // NaN displaces non-NaN, ties keep first
+        else !bestSim.isNaN && sim > bestSim
+      if (better) { bestSim = sim; bestId = id }
+      first = false
       c += 1
     }
     bestId

@@ -224,7 +224,9 @@ object SimilarityQueries {
         val agged = e.groupBy("label")
           .agg(count(lit(1)).as("n"), dimSums: _*)
         val avSquares = (0 until 64).map { i =>
-          val av = col(s"s$i").cast("double") / col("n") / lit(scale)
+          // d2d: decimal→double through a string (correctly rounded on
+          // both engines even past 2^53 of scaled units — see Qx.d2d)
+          val av = d2d(col(s"s$i")) / col("n") / lit(scale)
           av * av
         }
         agged.select(col("label"), col("n"),
@@ -234,7 +236,7 @@ object SimilarityQueries {
       Some("""
         WITH per_dim AS (
           SELECT label, i AS pos, COUNT(*) AS n,
-            CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * 17592186044416.0 AS DECIMAL(38,0))) AS DOUBLE) AS sd
+            CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * 17592186044416.0 AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sd
           FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
           GROUP BY label, i),
         centroids AS (
@@ -288,7 +290,7 @@ object SimilarityQueries {
     def update(assigned: String, prev: String, tag: String) = s"""
         sums$tag AS (
           SELECT cell, i, COUNT(*) AS n,
-            CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * $S AS DECIMAL(38,0))) AS DOUBLE) AS sd
+            CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * $S AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sd
           FROM $assigned, (SELECT unnest(generate_series(1, 64)) AS i)
           GROUP BY cell, i),
         raw$tag AS (

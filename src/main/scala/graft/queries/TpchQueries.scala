@@ -176,14 +176,7 @@ object TpchQueries {
         val lab = o.select(
           concat(lit("V"), col("o_custkey") % 40).as("village"),
           (col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH").as("is_positive"))
-        lab.groupBy("village")
-          .agg(count(lit(1)).as("total_tests"),
-            sum(when(col("is_positive"), 1L).otherwise(0L)).as("positive_cases"))
-          .filter(col("total_tests") >= 10)
-          .withColumn("positivity_rate",
-            graft.clean.CleanFunctions.pctRate(col("positive_cases"), col("total_tests")))
-          .orderBy(desc("positivity_rate"), col("village"))
-          .limit(20)
+        graft.api.DashboardPipeline.topVillages(lab, minTests = 10, k = 20)
       },
       Some("""
         WITH lab AS (

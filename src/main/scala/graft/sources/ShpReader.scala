@@ -49,6 +49,8 @@ object ShpReader {
       val recHdr = ByteBuffer.wrap(bytes, off, 8).order(ByteOrder.BIG_ENDIAN)
       val recNo = recHdr.getInt
       val contentBytes = recHdr.getInt * 2
+      require(contentBytes >= 4 && off + 8 + contentBytes <= bytes.length,
+        s"record $recNo: content length $contentBytes overruns the file (truncated/corrupt .shp)")
       val body = ByteBuffer.wrap(bytes, off + 8, contentBytes).order(ByteOrder.LITTLE_ENDIAN)
       val shapeType = body.getInt
       shapeType match {

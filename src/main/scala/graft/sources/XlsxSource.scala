@@ -35,15 +35,22 @@ object XlsxSource {
     val zip = new ZipFile(path)
     try {
       val shared = readSharedStrings(zip)
+      // first worksheet = lowest-numbered sheetN.xml: writers that delete
+      // or reorder sheets keep non-contiguous numbering (sheet2.xml may be
+      // the only sheet), so a hardcoded sheet1.xml would miss it
       val sheetEntry = {
         val es = zip.entries()
-        var found: Option[java.util.zip.ZipEntry] = None
+        val pat = "xl/worksheets/sheet(\\d+)\\.xml".r
+        var found: Option[(Int, java.util.zip.ZipEntry)] = None
         while (es.hasMoreElements) {
           val e = es.nextElement()
-          if (e.getName.matches("xl/worksheets/sheet1\\.xml")) found = Some(e)
+          e.getName match {
+            case pat(n) if found.forall(_._1 > n.toInt) => found = Some((n.toInt, e))
+            case _ =>
+          }
         }
-        found.getOrElse(throw new IllegalArgumentException(
-          s"$path: no xl/worksheets/sheet1.xml — not an xlsx workbook?"))
+        found.map(_._2).getOrElse(throw new IllegalArgumentException(
+          s"$path: no xl/worksheets/sheetN.xml — not an xlsx workbook?"))
       }
       val rows = readSheet(zip, sheetEntry, shared)
       if (rows.isEmpty) (Seq.empty, Seq.empty)
@@ -117,6 +124,7 @@ object XlsxSource {
       var row: ArrayBuffer[String] = null
       var cellCol = -1
       var cellType = ""
+      var sawValue = false
       var inV = false
       val v = new StringBuilder
       while (r.hasNext) {
@@ -128,25 +136,30 @@ object XlsxSource {
                 val ref = Option(r.getAttributeValue(null, "r")).getOrElse("")
                 cellCol = colIndex(ref, fallback = row.length)
                 cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
-              case "v" | "t" if cellCol >= 0 => inV = true; v.clear()
+                sawValue = false
+                v.clear()
+              // accumulate across ALL v/t fragments of the cell: inline
+              // rich text is multiple <r><t> runs that concatenate (same
+              // rule readSharedStrings applies within one <si>)
+              case "v" | "t" if cellCol >= 0 => inV = true; sawValue = true
               case _ =>
             }
           case XMLStreamConstants.CHARACTERS if inV => v.append(r.getText)
           case XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
-              case "v" | "t" if inV =>
-                inV = false
-                val raw = v.toString
-                val value = cellType match {
-                  case "s" => shared.lift(raw.trim.toInt).orNull
-                  case "b" => if (raw.trim == "1") "true" else "false"
-                  case _ => raw
-                }
-                if (cellCol >= 0) {
+              case "v" | "t" => inV = false
+              case "c" =>
+                if (cellCol >= 0 && sawValue) {
+                  val raw = v.toString
+                  val value = cellType match {
+                    case "s" => shared.lift(raw.trim.toInt).orNull
+                    case "b" => if (raw.trim == "1") "true" else "false"
+                    case _ => raw
+                  }
                   while (row.length <= cellCol) row += null
                   row(cellCol) = value
                 }
-              case "c" => cellCol = -1
+                cellCol = -1
               case "row" => rows += row; row = null
               case _ =>
             }

@@ -28,4 +28,24 @@ class MergeIntoSpec extends SparkSpec {
     val (merged, _) = MergeInto.applyCdc(target, changes, Seq("k"))
     assert(merged.columns.toSeq == target.columns.toSeq)
   }
+
+  test("duplicate change keys are rejected (ANSI MERGE multiple-match rule)") {
+    import spark.implicits._
+    val target = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq((1L, "b", "U"), (1L, "c", "D")).toDF("k", "v", "op")
+    val e = intercept[IllegalArgumentException] {
+      MergeInto.applyCdc(target, changes, Seq("k"))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+  }
+
+  test("duplicate TARGET keys are allowed (each row merges independently)") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (1L, "a2"), (2L, "b")).toDF("k", "v")
+    val changes = Seq((1L, "z", "U")).toDF("k", "v", "op")
+    val (merged, stats) = MergeInto.applyCdc(target, changes, Seq("k"))
+    val rows = merged.orderBy("k", "v").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "z"), (1L, "z"), (2L, "b")))
+    assert(stats.updated == 2 && stats.kept == 1)
+  }
 }

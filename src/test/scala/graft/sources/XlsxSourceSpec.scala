@@ -53,7 +53,7 @@ class XlsxSourceSpec extends SparkSpec {
         |<sheetData>
         |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c><c r="D1" t="s"><v>3</v></c><c r="E1" t="s"><v>4</v></c></row>
         |<row r="2"><c r="A2"><v>2023</v></c><c r="B2" t="s"><v>5</v></c><c r="C2"><v>34</v></c><c r="D2" t="s"><v>6</v></c><c r="E2" t="s"><v>7</v></c></row>
-        |<row r="3"><c r="A3"><v>2024</v></c><c r="C3"><v>7</v></c><c r="D3" t="inlineStr"><is><t>F</t></is></c><c r="E3" t="s"><v>8</v></c></row>
+        |<row r="3"><c r="A3"><v>2024</v></c><c r="C3"><v>7</v></c><c r="D3" t="inlineStr"><is><r><t>F</t></r><r><t>emale</t></r></is></c><c r="E3" t="s"><v>8</v></c></row>
         |</sheetData>
         |</worksheet>""".stripMargin)
     zos.close()
@@ -65,7 +65,8 @@ class XlsxSourceSpec extends SparkSpec {
     assert(header == Seq("Year", "Month", "Age", "Gender", "Slide Status"))
     assert(rows.size == 2)
     assert(rows(0) == Seq("2023", "January", "34", "Male", "POSITIVE"))
-    assert(rows(1) == Seq("2024", null, "7", "F", "no malaria"))
+    // inline rich text: multiple <r><t> runs concatenate ("F" + "emale")
+    assert(rows(1) == Seq("2024", null, "7", "Female", "no malaria"))
   }
 
   test("column reference decoding") {
