@@ -554,6 +554,65 @@ object ExtraQueries {
           MIN(CASE WHEN cum >= ceil(0.99 * n) THEN l_quantity END) AS p99
         FROM cum GROUP BY 1 ORDER BY 1""")),
 
+    // ---- explicit GROUPING SETS + grouping() markers ----------------------
+    // Beyond rollup (q30) and cube (q63): an arbitrary grouping-set list
+    // with grouping() flags distinguishing "NULL value" from "aggregated
+    // over" — identical ANSI SQL in both engines.
+    Q("q99_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+        s.sql("""
+          SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+            COALESCE(o_orderpriority, 'ALL') AS priority,
+            CAST(grouping(o_orderstatus) AS INT) AS g_status,
+            CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+            COUNT(*) AS cnt
+          FROM orders_gs
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY 1, 2""")
+      },
+      Some("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+          COALESCE(o_orderpriority, 'ALL') AS priority,
+          CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+          CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+          COUNT(*) AS cnt
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY 1, 2""")),
+
+    // ---- fuzzy matching via blocked edit distance -------------------------
+    // The P4 fuzzy surface strengthened: distinct part names blocked by
+    // their noun, pairs scored with levenshtein (same classic DP in both
+    // engines — exact integers, no rounding concerns).
+    Q("q100_fuzzy_levenshtein",
+      (s, dir) => {
+        val names = t(s, dir, "part")
+          .select(col("p_name")).distinct()
+          .select(col("p_name"),
+            element_at(split(col("p_name"), " "), 2).as("noun"))
+        val a = names.select(col("noun"), col("p_name").as("name_a"))
+        val b = names.select(col("noun"), col("p_name").as("name_b"))
+        a.join(b, Seq("noun"))
+          .filter(col("name_a") < col("name_b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .groupBy("noun")
+          .agg(count(lit(1)).as("pairs"),
+            sum(when(col("dist") <= 2, 1L).otherwise(0L)).as("close_pairs"),
+            min("dist").as("min_dist"))
+          .orderBy("noun")
+      },
+      Some("""
+        WITH names AS (
+          SELECT DISTINCT p_name, string_split(p_name, ' ')[2] AS noun FROM part),
+        pairs AS (
+          SELECT a.noun, levenshtein(a.p_name, b.p_name) AS dist
+          FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name)
+        SELECT noun, COUNT(*) AS pairs,
+          CAST(SUM(CASE WHEN dist <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS close_pairs,
+          CAST(MIN(dist) AS INTEGER) AS min_dist
+        FROM pairs GROUP BY 1 ORDER BY 1""")),
+
     // ---- streaming dedup, batch-parity half -------------------------------
     // The same EventStreams.dedupById call is stateful watermark-bounded
     // dedup on a stream; here the batch path runs under the oracle
