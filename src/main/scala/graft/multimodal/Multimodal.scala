@@ -59,6 +59,28 @@ object Multimodal {
     assets.mapPartitions(_.map(decodeStub))
   }
 
+  /** Frame sampling: explode each asset into fixed-size frames, keep every
+    * `stride`-th, emit per-frame features (length + content digest). The
+    * frame extraction itself is the honest stand-in (character chunks of
+    * the payload text — a real video sampler seeks keyframes instead), but
+    * the PLUMBING is the production shape: per-row frame explosion is
+    * row-local inside the scan stage, sampled frames carry only narrow
+    * features forward, and full payloads never shuffle.
+    */
+  def sampleFrameFeatures(docs: DataFrame, frameChars: Int = 256,
+      stride: Int = 4): DataFrame =
+    docs.select(col("doc_id").as("asset_id"), col("text"))
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .withColumn("n_frames",
+        ceil(length(col("text")).cast("double") / frameChars).cast("int"))
+      .withColumn("frame_idx", explode(sequence(lit(0), col("n_frames") - 1)))
+      .filter(col("frame_idx") % stride === 0)
+      .select(col("asset_id"), col("frame_idx"),
+        expr(s"substring(text, frame_idx * $frameChars + 1, $frameChars)").as("frame"))
+      .select(col("asset_id"), col("frame_idx"),
+        length(col("frame")).as("frame_chars"),
+        md5(col("frame")).as("frame_md5"))
+
   /** Derive a deterministic asset table from the documents corpus: text
     * bytes stand in for media payloads, format cycles by id. Real
     * ingestion would read binary files instead; the downstream pipeline is

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
+import Qx.t
 
 /** Multimodal plumbing under the correctness gate: the decode stub is
   * deterministic arithmetic over (byte_len, first byte, last byte), so the
@@ -42,6 +43,42 @@ object MultimodalQueries {
           CAST(SUM(width) AS BIGINT) AS sum_width,
           CAST(SUM(height) AS BIGINT) AS sum_height,
           CAST(SUM(luma_num) AS BIGINT) AS sum_luma_num
-        FROM features GROUP BY 1 ORDER BY 1"""))
+        FROM features GROUP BY 1 ORDER BY 1""")),
+
+    // ---- frame sampling: explode -> stride-sample -> per-frame digests ----
+    // The video-pipeline shape: per-asset frame explosion stays row-local,
+    // sampled frames reduce to narrow (idx, length, digest) features, and
+    // payloads never shuffle. Output: per-asset sampled-frame counts plus
+    // a digest-of-digests (order-pinned md5 roll-up).
+    Q("q101_frame_sample",
+      (s, dir) => {
+        val frames = Multimodal.sampleFrameFeatures(
+          t(s, dir, "documents"), frameChars = 256, stride = 4)
+        frames.groupBy("asset_id")
+          .agg(count(lit(1)).as("sampled_frames"),
+            sum(col("frame_chars").cast("long")).as("sampled_chars"),
+            md5(concat_ws("|",
+              sort_array(collect_list(struct(col("frame_idx"), col("frame_md5"))))
+                .getField("frame_md5"))).as("frames_digest"))
+          .orderBy("asset_id")
+      },
+      Some("""
+        WITH assets AS (
+          SELECT doc_id AS asset_id, text,
+            CAST(ceil(length(text) / 256.0) AS INTEGER) AS n_frames
+          FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        frames AS (
+          SELECT asset_id,
+            unnest(range(0, n_frames)) AS frame_idx, text
+          FROM assets),
+        sampled AS (
+          SELECT asset_id, frame_idx,
+            length(substr(text, frame_idx * 256 + 1, 256)) AS frame_chars,
+            md5(substr(text, frame_idx * 256 + 1, 256)) AS frame_md5
+          FROM frames WHERE frame_idx % 4 = 0)
+        SELECT asset_id, COUNT(*) AS sampled_frames,
+          CAST(SUM(frame_chars) AS BIGINT) AS sampled_chars,
+          md5(string_agg(frame_md5, '|' ORDER BY frame_idx)) AS frames_digest
+        FROM sampled GROUP BY 1 ORDER BY 1"""))
   )
 }
