@@ -46,6 +46,14 @@ class PlanShapeSpec extends SparkSpec {
       "simhash inlined into band expressions (CollapseProject regression)")
   }
 
+  test("no query plans a CartesianProduct (unbroadcast cross joins are scale bombs)") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("q20/q39 accounting is one declarative plan (no driver-side multi-action counts)") {
     // a single aggregate over an outer join — materializes through one job
     for (q <- Seq("q20_upsert_counts", "q39_dedup_keeplist")) {
