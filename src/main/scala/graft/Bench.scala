@@ -48,8 +48,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft_bench_warehouse")
+      // a loaded host can stall block-manager RPCs past the 10s default;
+      // the resulting TimeoutException stacks are harmless but pollute the
+      // captured output around the result line — wait instead of whining
+      .config("spark.rpc.askTimeout", "600s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
     // JVM/codegen warmup on the smallest scale so measured times reflect
     // execution, not first-query JIT + classload.
@@ -92,8 +97,17 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // stop FIRST: once the context is down no background thread can emit
+    // a log line that interleaves with (or trails) the result line
     spark.stop()
+    // belt-and-braces artifact: the same line on disk, immune to stdout
+    // capture glitches entirely
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
+    System.out.flush()
   }
 
   /** Same join+agg over orders⋈lineitem, off plain parquet vs pre-bucketed

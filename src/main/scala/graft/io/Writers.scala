@@ -51,13 +51,20 @@ object Writers {
   }
 
   /** Upsert into a parquet path (read-merge-swap). For Delta-style storage
-    * this becomes MERGE INTO; on plain parquet the swap is the atomic unit.
+    * this becomes MERGE INTO; on plain parquet the swap is a rename-rename
+    * sequence: old → `.bak` sibling, staging → live, delete `.bak` last.
+    * At every point between those steps a FULL copy of the data exists
+    * under `path` or its `.bak` sibling, so a crash never leaves the
+    * destination empty (the old delete-then-rename shape had exactly that
+    * window). On HDFS/local each rename is an atomic metadata operation;
+    * on object stores (S3A) rename is a non-atomic O(data) copy, so the
+    * guarantee there is recoverability, not atomicity — a transactional
+    * table format is the right tool when that matters.
     *
-    * The merged output is fully written to a sibling temp directory BEFORE
-    * the original is touched, then swapped in via the Hadoop FileSystem
-    * (works on HDFS/S3A/local alike). Writing straight over the source
-    * path — even behind persist() — is unsafe: any evicted cache block
-    * would recompute from the already-deleted input.
+    * Writing straight over the source path — even behind persist() — is
+    * unsafe: any evicted cache block would recompute from the
+    * already-deleted input. Stale staging/backup dirs from a previous
+    * failed run are cleaned up before writing.
     */
   def upsertPath(spark: SparkSession, incoming: DataFrame, path: String,
       key: Seq[String]): UpsertStats = {
@@ -71,10 +78,17 @@ object Writers {
       val existing = spark.read.parquet(path)
       val (merged, stats) = upsertByKey(existing, incoming, key)
       val tmp = new org.apache.hadoop.fs.Path(path + "._graft_staging")
+      val bak = new org.apache.hadoop.fs.Path(path + "._graft_bak")
+      if (fs.exists(tmp)) fs.delete(tmp, true) // stale staging from a failed run
+      if (fs.exists(bak)) fs.delete(bak, true) // stale backup: live copy exists
       merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      fs.delete(hPath, true)
-      if (!fs.rename(tmp, hPath))
+      if (!fs.rename(hPath, bak))
+        throw new java.io.IOException(s"backup rename failed: $hPath -> $bak")
+      if (!fs.rename(tmp, hPath)) {
+        fs.rename(bak, hPath) // restore — the old data is still intact
         throw new java.io.IOException(s"swap failed: $tmp -> $hPath")
+      }
+      fs.delete(bak, true)
       stats
     }
   }

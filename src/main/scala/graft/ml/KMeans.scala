@@ -29,7 +29,12 @@ object KMeans {
     def norm(c: Seq[Double]): Double =
       math.sqrt(c.foldLeft(0.0)((acc, v) => acc + v * v))
 
-    var codebook: Seq[(Long, Seq[Double], Double)] = vecs
+    // null embeddings are ungroupable (argmax yields a null cell) and
+    // would NPE the driver-side collects below — gate them out up front,
+    // mirroring the null gating in q35/q36
+    val clean = vecs.filter(col("embedding").isNotNull)
+
+    var codebook: Seq[(Long, Seq[Double], Double)] = clean
       .filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect()
@@ -38,7 +43,7 @@ object KMeans {
         (r.getLong(0), c, norm(c))
       }).sortBy(_._1).toSeq
 
-    val withNrm = vecs.select(col("vec_id"), col("embedding"),
+    val withNrm = clean.select(col("vec_id"), col("embedding"),
       VecOps.norm(col("embedding")).as("v_nrm"))
 
     for (_ <- 1 to iters) {

@@ -93,21 +93,28 @@ object TextQueries {
       .join(bandRows.select(col("band_key"), col("doc_id").as("doc_b")), Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // verify stage: the candidate PAIRS broadcast (tiny by LSH
-    // construction — banding exists precisely to keep this set sparse)
-    // against two plain (doc_id, text) corpus scans, with shingles
-    // computed only for rows that survive the joins. `pairs` is
-    // referenced ONCE — Spark has no DataFrame-level CSE, so a second
-    // reference would re-run the whole band-join lineage — and the
-    // corpus text never shuffles (broadcast joins, no exchange).
+    // verify stage: only the NARROW candidate pair set (doc_a, doc_b) is
+    // ever broadcast — tiny by LSH construction (banding exists precisely
+    // to keep it sparse), and crucially text-free: a near-dup-heavy or
+    // band-skewed corpus inflates the pair COUNT, not the broadcast row
+    // width, so the failure mode is graceful. `pairs` is referenced by
+    // BOTH corpus joins, so it is persisted first — Spark has no
+    // DataFrame-level CSE and the two broadcast keys (doc_a vs doc_b)
+    // defeat exchange reuse; without the persist the whole band-join
+    // lineage would execute twice.
+    val pairsCached = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docs = corpus(s, dir)
     val withA = docs
       .select(col("doc_id").as("doc_a"), col("text").as("text_a"))
-      .join(broadcast(pairs), Seq("doc_a"))
+      .join(broadcast(pairsCached), Seq("doc_a"))
     val withB = docs
       .select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-      .join(broadcast(withA), Seq("doc_b"))
-    withB
+      .join(broadcast(pairsCached), Seq("doc_b"))
+    // survivor ⋈ survivor on the full pair key: both sides are
+    // pair-bounded, and the explicit merge hint keeps Spark from
+    // broadcasting survivor TEXT if AQE sizes one side under the
+    // threshold — text moves only through a survivor-sized shuffle.
+    withA.hint("shuffle_merge").join(withB, Seq("doc_a", "doc_b"))
       .withColumn("sh_a", graft.text.TextSketch.wordShingles(col("text_a"), 3))
       .withColumn("sh_b", graft.text.TextSketch.wordShingles(col("text_b"), 3))
       .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)

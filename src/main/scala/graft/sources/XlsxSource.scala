@@ -152,7 +152,10 @@ object XlsxSource {
                 if (cellCol >= 0 && sawValue) {
                   val raw = v.toString
                   val value = cellType match {
-                    case "s" => shared.lift(raw.trim.toInt).orNull
+                    // malformed or out-of-range shared-string indexes
+                    // degrade the one cell to null, not the whole parse
+                    case "s" => scala.util.Try(raw.trim.toInt).toOption
+                      .flatMap(shared.lift).orNull
                     case "b" => if (raw.trim == "1") "true" else "false"
                     case _ => raw
                   }

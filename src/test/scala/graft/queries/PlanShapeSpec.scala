@@ -7,7 +7,8 @@ import graft.{SparkEntry, SparkSpec}
   * that survives a 100-TB scale-up (no unbounded aggregation buffers, no
   * avoidable exchanges, no interpreted lambdas in hot paths).
   */
-class PlanShapeSpec extends SparkSpec {
+class PlanShapeSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -44,6 +45,21 @@ class PlanShapeSpec extends SparkSpec {
     val p36 = physicalPlan("q36_simhash")
     assert("simhash60\\(".r.findAllIn(p36).length <= 12,
       "simhash inlined into band expressions (CollapseProject regression)")
+  }
+
+  test("q35 broadcast exchanges carry only narrow pair ids (never document text)") {
+    // the verify stage must broadcast the (doc_a, doc_b) candidate set,
+    // not any frame carrying text: pair COUNT is data-dependent, but a
+    // text-free broadcast degrades gracefully where a wide one OOMs
+    val plan = SparkEntry.queries("q35_minhash_lsh")(spark, dir)
+      .queryExecution.executedPlan
+    val broadcasts = collect(plan) {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(broadcasts.nonEmpty, "expected broadcast pair joins in the verify stage")
+    for (b <- broadcasts; a <- b.output)
+      assert(!a.name.toLowerCase.contains("text"),
+        s"document text column '${a.name}' inside a broadcast exchange")
   }
 
   test("no query plans a CartesianProduct (unbroadcast cross joins are scale bombs)") {
