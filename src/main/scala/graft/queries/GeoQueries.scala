@@ -146,6 +146,49 @@ object GeoQueries {
     // transverse-Mercator inverse in SQL (derived constants inlined from
     // the SAME Scala doubles); outputs are rounded to 1e-7 deg (~1 cm) to
     // absorb cross-engine libm last-bit variance in sin/cos/tan/pow.
+    // ---- S5 runtime half: raster polygonize via two-level CCL -------------
+    // A deterministic 64-wide raster is derived from part keys; the class
+    // function paints concentric rings, so regions snake across many tiles
+    // (tile=13 deliberately misaligns with the ring geometry). Component id
+    // = min cell id per 4-connected region, computed distributedly
+    // (tile-local union-find + large-star/small-star on boundary roots) and
+    // mirrored in DuckDB by a recursive-CTE min-label flood — two utterly
+    // different algorithms, identical fixpoint.
+    Q("q102_polygonize",
+      (s, dir) => {
+        val cells = t(s, dir, "part")
+          .filter(col("p_partkey") < 4096) // partkeys are 0-based in the testdata
+          .selectExpr(
+            "CAST(p_partkey AS BIGINT) AS id",
+            "CAST(p_partkey div 64 AS INT) AS r",
+            "CAST(p_partkey % 64 AS INT) AS c")
+          .selectExpr("id", "r", "c",
+            "CAST((((r-16)*(r-16) + (c-32)*(c-32)) div 96) % 2 AS INT) AS v")
+        graft.geo.RasterPolygonize.regions(s, cells, tile = 13)
+          .orderBy("component_id")
+      },
+      Some("""
+        WITH RECURSIVE cl AS (
+          SELECT id, r, c, CAST((((r-16)*(r-16) + (c-32)*(c-32)) // 96) % 2 AS INT) AS v
+          FROM (
+            SELECT CAST(p_partkey AS BIGINT) AS id,
+              CAST(p_partkey // 64 AS INT) AS r,
+              CAST(p_partkey % 64 AS INT) AS c
+            FROM part WHERE p_partkey < 4096)),
+        edges AS (
+          SELECT a.id AS u, b.id AS w FROM cl a JOIN cl b
+            ON a.v = b.v AND ((b.r = a.r AND b.c = a.c + 1) OR (b.r = a.r + 1 AND b.c = a.c))),
+        sym AS (SELECT u, w FROM edges UNION ALL SELECT w AS u, u AS w FROM edges),
+        reach(id, l) AS (
+          SELECT id, id AS l FROM cl
+          UNION
+          SELECT s.w AS id, r.l FROM reach r JOIN sym s ON s.u = r.id WHERE r.l < s.w),
+        lab AS (SELECT id, MIN(l) AS comp FROM reach GROUP BY id)
+        SELECT l.comp AS component_id, c.v AS klass, COUNT(*) AS n_cells,
+          MIN(c.r) AS min_r, MAX(c.r) AS max_r, MIN(c.c) AS min_c, MAX(c.c) AS max_c
+        FROM lab l JOIN cl c ON l.id = c.id
+        GROUP BY 1, 2 ORDER BY 1""")),
+
     Q("q82_reproject", (s, dir) => {
         graft.geo.StReproject.register(s)
         val n = t(s, dir, "nation")
