@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Qx._
+
+/** Training-data curation operators beyond dedup: benchmark
+  * decontamination, repetition-based quality filtering (the published
+  * Gopher-style rules), PII redaction, and deterministic domain-mix
+  * sampling. Each is a first-class oracled query; each plan keeps the
+  * corpus un-shuffled (broadcast the small side, aggregate map-side,
+  * row-local text work inside the scan stage).
+  */
+object PipelineQueries {
+
+  /** The 8-gram concat DuckDB mirror of WordShingles(n=8). */
+  private val duck8gram: String = {
+    val body = (0 until 8).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"CASE WHEN len(w) < 8 THEN [] ELSE list_transform(generate_series(1, len(w)-7), i -> $body) END"
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ---- benchmark decontamination: 8-gram overlap vs a held-out set ------
+    // The "benchmark" is derived from every 50th doc with its first two
+    // words dropped (a leaked test set is never byte-identical to its
+    // training twin). A corpus doc is contaminated when it shares >= 5
+    // distinct 8-grams with a benchmark item. Scale shape: the benchmark
+    // gram set is tiny by nature and BROADCAST; corpus grams explode
+    // map-side into the broadcast join, so nothing corpus-sized ever
+    // shuffles — only matching grams reach the aggregation exchange.
+    Q("q103_decontaminate",
+      (s, dir) => {
+        graft.text.TextSketch.register(s)
+        val d = t(s, dir, "documents")
+        val toks = split(trim(col("text")), "\\s+")
+        val bench = d.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("bench_id"),
+            array_join(slice(toks, lit(3), greatest(size(toks) - 2, lit(0))), " ").as("btext"))
+        val benchGrams = bench
+          .select(col("bench_id"),
+            explode(graft.text.TextSketch.wordShingles(col("btext"), 8)).as("gram"))
+          .distinct()
+        val corpusGrams = d.select(col("doc_id"),
+          explode(graft.text.TextSketch.wordShingles(col("text"), 8)).as("gram"))
+        corpusGrams.join(broadcast(benchGrams), Seq("gram"))
+          .groupBy("doc_id", "bench_id")
+          .agg(countDistinct("gram").as("shared_8grams"))
+          .filter(col("shared_8grams") >= 5)
+          .orderBy("doc_id", "bench_id")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+        bench AS (
+          SELECT doc_id AS bench_id, w[3:] AS w FROM tok WHERE doc_id % 50 = 0),
+        bg AS (
+          SELECT DISTINCT bench_id, g
+          FROM bench, UNNEST($duck8gram) AS t(g)),
+        cg AS (
+          SELECT doc_id, g FROM tok, UNNEST($duck8gram) AS t(g))
+        SELECT c.doc_id, b.bench_id, COUNT(DISTINCT c.g) AS shared_8grams
+        FROM cg c JOIN bg b ON c.g = b.g
+        GROUP BY 1, 2 HAVING COUNT(DISTINCT c.g) >= 5
+        ORDER BY 1, 2""")),
+
+    // ---- repetition filter: top-2-gram token fraction (Gopher-style) ------
+    // One explode pass: per-(doc, gram) counts, then per-doc max; n_tokens
+    // falls out of the same aggregation (sum of gram counts + 1), so the
+    // text is scanned exactly once. Both shuffles carry narrow keyed longs.
+    Q("q104_repetition_filter",
+      (s, dir) => {
+        graft.text.TextSketch.register(s)
+        val d = t(s, dir, "documents")
+        val grams = d.select(col("doc_id"), col("lang"),
+          explode(graft.text.TextSketch.wordShingles(col("text"), 2)).as("g"))
+        val per = grams.groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id", "lang")
+          .agg(max("c").as("m2"), (sum("c") + 1).as("n_tokens"))
+          .withColumn("rep2", lit(2.0) * col("m2") / col("n_tokens"))
+        per.groupBy("lang")
+          .agg(count(lit(1)).as("docs"),
+            coalesce(sum(when(col("rep2") > 0.09, 1L)), lit(0L)).as("repetitive_docs"),
+            dbl(sum(col("rep2").cast("decimal(14,6)"))).as("sum_rep2_6dp"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        grams AS (
+          SELECT doc_id, lang, g FROM tok,
+            UNNEST(list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])) AS t(g)),
+        cnt AS (SELECT doc_id, lang, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3),
+        per AS (
+          SELECT doc_id, lang, MAX(c) AS m2, SUM(c) + 1 AS n_tokens,
+            2.0 * MAX(c) / (SUM(c) + 1) AS rep2
+          FROM cnt GROUP BY 1, 2)
+        SELECT lang, COUNT(*) AS docs,
+          COALESCE(SUM(CASE WHEN rep2 > CAST(0.09 AS DOUBLE) THEN 1 ELSE 0 END), 0) AS repetitive_docs,
+          CAST(SUM(CAST(rep2 AS DECIMAL(14,6))) AS DOUBLE) AS sum_rep2_6dp
+        FROM per GROUP BY 1 ORDER BY 1""")),
+
+    // ---- PII redaction: pattern scrub + accounting ------------------------
+    // Row-local regexp_replace chains inside whole-stage codegen; the only
+    // shuffle is the final per-segment aggregate. Patterns kept to the
+    // regex intersection both engines compile identically.
+    Q("q105_pii_redact",
+      (s, dir) => {
+        // the testdata customer table carries no contact columns, so
+        // phone/account strings are derived deterministically from the key
+        // in BOTH engines — every fifth customer unlisted, every third
+        // without an account number, so the redaction tallies vary
+        val c = t(s, dir, "customer")
+        val phone = concat(
+          lpad(((col("c_custkey") % 90) + 10).cast("string"), 2, "0"), lit("-"),
+          lpad((col("c_custkey") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(((col("c_custkey") * 7) % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad(((col("c_custkey") * 13) % 10000).cast("string"), 4, "0"))
+        val contact = when(col("c_custkey") % 5 === 0, lit("unlisted")).otherwise(phone)
+        val acct = when(col("c_custkey") % 3 === 0, lit("no-acct"))
+          .otherwise((lit(10000) + col("c_custkey") * 37).cast("string"))
+        val text = concat(lit("contact "), contact, lit(" acct "), acct,
+          lit(" seg "), col("c_mktsegment"))
+        val noPhone = regexp_replace(text, "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]")
+        val clean = regexp_replace(noPhone, "[0-9]{5,}", "[NUM]")
+        c.select(col("c_mktsegment"), text.as("t"), noPhone.as("np"), clean.as("cl"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("docs"),
+            coalesce(sum(when(length(col("np")) =!= length(col("t")), 1L)), lit(0L)).as("phone_redactions"),
+            coalesce(sum(when(length(col("cl")) =!= length(col("np")), 1L)), lit(0L)).as("numrun_redactions"),
+            sum(length(col("t")) - length(col("cl"))).as("chars_delta"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        WITH base AS (
+          SELECT c_mktsegment,
+            'contact ' ||
+            CASE WHEN c_custkey % 5 = 0 THEN 'unlisted' ELSE
+              lpad(CAST((c_custkey % 90) + 10 AS VARCHAR), 2, '0') || '-' ||
+              lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+              lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+              lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0') END ||
+            ' acct ' ||
+            CASE WHEN c_custkey % 3 = 0 THEN 'no-acct'
+              ELSE CAST(10000 + c_custkey * 37 AS VARCHAR) END ||
+            ' seg ' || c_mktsegment AS t
+          FROM customer),
+        r AS (
+          SELECT c_mktsegment, t,
+            regexp_replace(t, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS np
+          FROM base),
+        r2 AS (SELECT *, regexp_replace(np, '[0-9]{5,}', '[NUM]', 'g') AS cl FROM r)
+        SELECT c_mktsegment, COUNT(*) AS docs,
+          COALESCE(SUM(CASE WHEN len(np) <> len(t) THEN 1 ELSE 0 END), 0) AS phone_redactions,
+          COALESCE(SUM(CASE WHEN len(cl) <> len(np) THEN 1 ELSE 0 END), 0) AS numrun_redactions,
+          SUM(len(t) - len(cl)) AS chars_delta
+        FROM r2 GROUP BY 1 ORDER BY 1""")),
+
+    // ---- domain-mix sampling: per-source rates, engine-independent hash ---
+    // The reweighting recipe of every large pretraining corpus: each
+    // source gets a target per-mille rate and an epoch multiplier; doc
+    // selection is a pure function of doc_id (md5 bucket, the q30b trick),
+    // so any engine — and any re-run — draws the identical sample.
+    Q("q106_domain_mix",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val srcNum = substring(col("source"), 4, 2).cast("int")
+        val rate = lit(100) + lit(150) * (srcNum % 4)
+        val epochs = lit(1) + (srcNum % 3)
+        val bucket = conv(substring(md5(concat(lit("mix#"), col("doc_id"))), 1, 4), 16, 10)
+          .cast("int") % 1000
+        d.select(col("source"), rate.as("target_permille"), epochs.as("epochs"),
+          (bucket < rate).as("keep"))
+          .groupBy("source", "target_permille", "epochs")
+          .agg(count(lit(1)).as("docs"),
+            coalesce(sum(when(col("keep"), 1L)), lit(0L)).as("sampled_docs"))
+          .withColumn("weighted_docs", col("sampled_docs") * col("epochs"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH m AS (
+          SELECT source,
+            100 + 150 * (CAST(substr(source, 4, 2) AS INT) % 4) AS target_permille,
+            1 + (CAST(substr(source, 4, 2) AS INT) % 3) AS epochs,
+            CAST('0x' || substr(md5('mix#' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 1000
+              < 100 + 150 * (CAST(substr(source, 4, 2) AS INT) % 4) AS keep
+          FROM documents)
+        SELECT source, target_permille, epochs, COUNT(*) AS docs,
+          COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS sampled_docs,
+          COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) * epochs AS weighted_docs
+        FROM m GROUP BY 1, 2, 3 ORDER BY 1"""))
+  )
+}

@@ -62,6 +62,22 @@ class PlanShapeSpec extends SparkSpec
         s"document text column '${a.name}' inside a broadcast exchange")
   }
 
+  test("q103 decontamination joins corpus grams against a BROADCAST bench set") {
+    // the corpus side must stream map-side into the broadcast join — a
+    // shuffle of every corpus 8-gram would be an exchange proportional to
+    // total token count
+    val plan = SparkEntry.queries("q103_decontaminate")(spark, dir)
+      .queryExecution.executedPlan
+    val bhj = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, "expected a broadcast hash join for the gram match")
+    val smj = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, "corpus grams must not shuffle into a merge join")
+  }
+
   test("no query plans a CartesianProduct (unbroadcast cross joins are scale bombs)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
