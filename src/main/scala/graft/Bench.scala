@@ -86,6 +86,12 @@ object Bench {
     // exchange-free forever after (the 100-TB co-location strategy)
     val bucketResults = benchBucketed(spark, sfDir)
 
+    // ---- z-order data-skipping demo: identical rows + identical box
+    // query, three physical layouts. Linear-by-x prunes one dimension;
+    // the z-order layout makes BOTH range predicates selective against
+    // row-group min/max stats (the Delta/Iceberg OPTIMIZE ZORDER effect).
+    val zorderResults = benchZOrder(spark)
+
     // ---- skew-resilience demo: one hot key holding ~50% of the fact side.
     // Plain shuffled join (AQE off) serializes the hot key onto one task;
     // the salted join and AQE's skew split both spread it. The small side
@@ -93,7 +99,8 @@ object Bench {
     // model the 100-TB case where the dim side is itself too big to ship.
     val skewResults = benchSkew(spark, sfDir)
 
-    val qs = (results ++ bucketResults ++ skewResults).map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = (results ++ bucketResults ++ zorderResults ++ skewResults)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -149,6 +156,47 @@ object Bench {
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] bucketed demo failed: $e"); Seq.empty
+    }
+  }
+
+  /** 20M (x, y, payload) rows, box filter selecting 0.39% of the space
+    * (256x256 of 4096^2, cell-aligned so the box is ONE contiguous
+    * z-range). 256 files, each sorted, so row-group min/max stats are the
+    * pruning grain: linear-by-x can only prune to the x-slice (~6%);
+    * z-order prunes to the files whose z-range intersects the box (<1%).
+    */
+  private def benchZOrder(spark: SparkSession): Seq[(String, Double)] = {
+    import org.apache.spark.sql.DataFrame
+    val rows = spark.range(0, 20000000L, 1, 32).select(
+      pmod(hash(col("id")), lit(4096)).as("x"),
+      pmod(hash(col("id") + 987654321L), lit(4096)).as("y"),
+      col("id").as("payload"))
+
+    def box(df: DataFrame) = df
+      .filter(col("x") >= 1024 && col("x") < 1280 && col("y") >= 2048 && col("y") < 2304)
+      .agg(sum("payload"))
+
+    def time(df: => DataFrame): Double = {
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        box(df).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.min
+    }
+
+    try {
+      val linPath = "/tmp/graft_bench_linear"
+      val zPath = "/tmp/graft_bench_zorder"
+      rows.repartitionByRange(256, col("x")).sortWithinPartitions("x", "y")
+        .write.mode("overwrite").parquet(linPath)
+      graft.ops.ZOrder.writeZOrdered(rows, zPath, col("x"), col("y"), 256)
+      Seq(
+        "zorder_box_linear" -> time(spark.read.parquet(linPath)),
+        "zorder_box_zorder" -> time(spark.read.parquet(zPath)))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] zorder demo failed: $e"); Seq.empty
     }
   }
 

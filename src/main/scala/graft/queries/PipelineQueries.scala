@@ -18,7 +18,43 @@ object PipelineQueries {
     s"CASE WHEN len(w) < 8 THEN [] ELSE list_transform(generate_series(1, len(w)-7), i -> $body) END"
   }
 
+  /** DuckDB mirror of [[graft.ops.ZOrder.spread16]]: the same magic-number
+    * shift/mask ladder as a nested SQL expression.
+    */
+  private def duckSpread(e: String): String = {
+    val s0 = s"(($e) & 65535)"
+    val s1 = s"(($s0 | ($s0 << 8)) & 16711935)"
+    val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"
+    val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"
+    s"(($s3 | ($s3 << 1)) & 1431655765)"
+  }
+
   val all: Seq[Q] = Seq(
+
+    // ---- z-order layout key: Morton interleave as plain column math -------
+    // The data-layout dial for multi-column pruning at 100 TB (see
+    // ops/ZOrder + the bench skipping demo): here the code itself is
+    // oracled — Spark's shift/mask Column ladder vs the identical ladder
+    // in DuckDB SQL — plus a bucket profile proving range locality.
+    Q("q107_zorder",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.select(
+          graft.ops.ZOrder.zvalue(col("o_orderkey") % 4096, col("o_custkey") % 4096).as("z"))
+          .groupBy((col("z") / 1048576).cast("long").as("zbucket"))
+          .agg(count(lit(1)).as("n"), min("z").as("min_z"), max("z").as("max_z"))
+          .orderBy("zbucket")
+      },
+      Some {
+        val zx = duckSpread("o_orderkey % 4096")
+        val zy = duckSpread("o_custkey % 4096")
+        s"""
+        WITH z AS (
+          SELECT ($zx | ($zy << 1)) AS z FROM orders)
+        SELECT CAST(z // 1048576 AS BIGINT) AS zbucket, COUNT(*) AS n,
+          MIN(z) AS min_z, MAX(z) AS max_z
+        FROM z GROUP BY 1 ORDER BY 1"""
+      }),
 
     // ---- benchmark decontamination: 8-gram overlap vs a held-out set ------
     // The "benchmark" is derived from every 50th doc with its first two
