@@ -346,6 +346,79 @@ object TpchQueries {
         JOIN supplier ON l_suppkey = s_suppkey
         JOIN nation sn ON s_nationkey = sn.n_nationkey
         WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- Q6 shape: forecast-revenue — pure scan-side filter + one agg -----
+    // The canonical pushdown probe: every predicate lands in
+    // PushedFilters, nothing shuffles but one partial-agg row per task.
+    Q("q108_forecast_revenue",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        l.filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+          .agg(dbl(sum(d12(col("l_extendedprice")) * d4(col("l_discount")))).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""
+        SELECT
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+          AND l_quantity < 24""")),
+
+    // ---- Q13 shape: order-count distribution incl. zero-order customers ---
+    // The classic outer-join trap: the order filter must live in the JOIN
+    // condition — in a WHERE it would silently turn the join inner and
+    // drop the zero-order bucket.
+    Q("q109_custdist",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY 1)
+        SELECT c_count, COUNT(*) AS custdist
+        FROM per GROUP BY 1 ORDER BY custdist DESC, c_count DESC""")),
+
+    // ---- Q19 shape: disjunctive-band join (equi key + OR residual) --------
+    // Catalyst must extract the common l_partkey = p_partkey conjunct so
+    // this stays a hash join with a residual filter — a naive planner
+    // sees the OR and falls back to a cartesian nested loop.
+    Q("q110_disjunctive_bands",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val p = t(s, dir, "part")
+        val bands =
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey") && bands)
+          .agg(dbl(sum(d12(col("l_extendedprice")) *
+            (lit(1).cast("decimal(3,2)") - d4(col("l_discount"))))).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""
+        SELECT
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+          COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey AND (
+          (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) OR
+          (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) OR
+          (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))"""))
   )
 }
