@@ -36,7 +36,11 @@ object Bench {
     "q55_lab_transform_e2e", // full lab cleaning pipeline end-to-end
     "q62_asof_join",       // union + running last_value window
     "q66_window_suite",    // rank/lag/lead/running-agg window battery
-    "q77_ivf_ann"          // IVF cell assign (row-local argmax) + probe
+    "q77_ivf_ann",         // IVF cell assign (row-local argmax) + probe
+    "q102_polygonize",     // two-level CCL (tile union-find + dist. merge)
+    "q103_decontaminate",  // 8-gram overlap vs broadcast bench set
+    "q104_repetition_filter", // gram-count repetition stats
+    "q111_partial_merge"   // two-level mergeable-partials re-aggregation
   )
 
   def main(args: Array[String]): Unit = {

@@ -56,6 +56,46 @@ object PipelineQueries {
         FROM z GROUP BY 1 ORDER BY 1"""
       }),
 
+    // ---- mergeable partial aggregates: two-level stats re-aggregation -----
+    // The 100-TB maintenance pattern: per-ingest-partition summary rows
+    // (count / decimal sum / decimal sum-of-squares / min / max) merge
+    // into exact finals WITHOUT touching raw data again — the merge
+    // algebra is associative because the moments are exact decimals.
+    // The oracle computes the same stats in ONE level directly from the
+    // raw table: hash-equality proves the re-aggregation is lossless.
+    Q("q111_partial_merge",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val q = d12(col("l_quantity"))
+        val partials = l
+          .groupBy(col("l_returnflag").as("flag"),
+            date_format(col("l_shipdate"), "yyyy-MM").as("mon"))
+          .agg(count(lit(1)).as("cnt"), sum(q).as("s1"), sum(q * q).as("s2"),
+            min("l_quantity").as("mn"), max("l_quantity").as("mx"))
+        partials.groupBy("flag")
+          .agg(sum("cnt").as("n"),
+            dbl(sum("s1")).as("sum_qty"),
+            dbl(sum("s2")).as("sum_qty_sq"),
+            min("mn").as("min_qty"), max("mx").as("max_qty"),
+            count(lit(1)).as("n_partials"))
+          .withColumn("mean_qty", col("sum_qty") / col("n"))
+          .withColumn("var_qty",
+            (col("sum_qty_sq") - col("sum_qty") * col("sum_qty") / col("n")) / col("n"))
+          .orderBy("flag")
+      },
+      Some("""
+        WITH direct AS (
+          SELECT l_returnflag AS flag, COUNT(*) AS n,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty_sq,
+            MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+            COUNT(DISTINCT strftime(l_shipdate, '%Y-%m')) AS n_partials
+          FROM lineitem GROUP BY 1)
+        SELECT flag, n, sum_qty, sum_qty_sq, min_qty, max_qty, n_partials,
+          sum_qty / n AS mean_qty,
+          (sum_qty_sq - sum_qty * sum_qty / n) / n AS var_qty
+        FROM direct ORDER BY flag""")),
+
     // ---- benchmark decontamination: 8-gram overlap vs a held-out set ------
     // The "benchmark" is derived from every 50th doc with its first two
     // words dropped (a leaked test set is never byte-identical to its
