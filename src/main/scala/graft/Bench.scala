@@ -150,6 +150,14 @@ object Bench {
     try {
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      // a fresh in-memory catalog doesn't know last run's tables, so DROP
+      // can't clear their leftover warehouse locations — saveAsTable then
+      // fails with LOCATION_ALREADY_EXISTS; remove the dirs directly
+      for (t <- Seq("b_orders", "b_lineitem")) {
+        val p = new org.apache.hadoop.fs.Path(s"/tmp/graft_bench_warehouse/$t")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
       graft.io.Writers.writeBucketed(
         spark.read.parquet(s"$sfDir/orders.parquet"), "b_orders", Seq("o_orderkey"), 32)
       graft.io.Writers.writeBucketed(

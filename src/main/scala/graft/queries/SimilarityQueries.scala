@@ -201,6 +201,79 @@ object SimilarityQueries {
         FROM assigned, q WHERE cell = q_cell AND vec_id <> 42
         ORDER BY sim DESC, vec_id LIMIT 5""")),
 
+    // ---- IVF multi-probe: nprobe=2 recall dial -----------------------------
+    // Single-cell IVF misses neighbors that land just across a Voronoi
+    // boundary; probing the query's top-N cells is the standard recall
+    // dial. The CORPUS side is untouched (same zero-shuffle row-local
+    // argmax assignment as q77); only the one query row ranks the 16
+    // broadcast centroids and keeps two — per-query work, independent of
+    // corpus size. The candidate join then broadcasts 2 narrow probe rows.
+    Q("q112_ivf_multiprobe",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val codebook = e.filter(col("vec_id") < 16)
+          .select(col("vec_id"), col("embedding").cast("array<double>"),
+            graft.ml.VecOps.norm(col("embedding")))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+          .sortBy(_._1).toSeq
+        val cbDf = codebook.toDF("c_id", "c_emb", "c_nrm")
+          .select(col("c_id"), col("c_emb").cast("array<float>"), col("c_nrm"))
+        val assigned = e
+          .select(col("vec_id"), col("embedding"),
+            graft.ml.VecOps.norm(col("embedding")).as("v_nrm"))
+          .withColumn("cell",
+            graft.ml.VecOps.argmaxCell(col("embedding"), col("v_nrm"), codebook))
+        val qv = e.filter(col("vec_id") === 42)
+          .select(col("embedding").as("q_emb"),
+            graft.ml.VecOps.norm(col("embedding")).as("q_nrm"))
+        val probes = qv.crossJoin(broadcast(cbDf))
+          .withColumn("c_sim",
+            graft.ml.VecOps.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+          .orderBy(desc("c_sim"), col("c_id"))
+          .limit(2)
+          .select(col("c_id").as("q_cell"), col("q_emb"), col("q_nrm"))
+        assigned.join(broadcast(probes), col("cell") === col("q_cell"))
+          .filter(col("vec_id") =!= 42)
+          .withColumn("sim",
+            graft.ml.VecOps.dot(col("embedding"), col("q_emb")) / (col("v_nrm") * col("q_nrm")))
+          .orderBy(desc("sim"), col("vec_id"))
+          .limit(5)
+          .select("vec_id", "cell", "sim")
+      },
+      Some(s"""
+        WITH nrm AS (
+          SELECT vec_id, embedding, ${normSql("embedding")} AS v_nrm FROM embeddings),
+        centroids AS (
+          SELECT vec_id AS c_id, embedding AS c_emb, v_nrm AS c_nrm
+          FROM nrm WHERE vec_id < 16),
+        assigned AS (
+          SELECT vec_id, embedding, v_nrm, c_id AS cell FROM (
+            SELECT n.vec_id, n.embedding, n.v_nrm, c.c_id,
+              ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(n.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), (x, y) -> x + y)
+                  / (n.v_nrm * c.c_nrm) DESC, c.c_id) AS rn
+            FROM nrm n CROSS JOIN centroids c) WHERE rn = 1),
+        qv AS (SELECT embedding AS q_emb, v_nrm AS q_nrm FROM nrm WHERE vec_id = 42),
+        probes AS (
+          SELECT c_id AS q_cell, q_emb, q_nrm FROM (
+            SELECT c.c_id, q.q_emb, q.q_nrm,
+              ROW_NUMBER() OVER (ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), (x, y) -> x + y)
+                  / (q.q_nrm * c.c_nrm) DESC, c.c_id) AS rn
+            FROM qv q CROSS JOIN centroids c) WHERE rn <= 2)
+        SELECT vec_id, cell,
+          list_reduce(list_transform(range(1, 65),
+            i -> CAST(embedding[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)), (x, y) -> x + y)
+            / (v_nrm * q_nrm) AS sim
+        FROM assigned JOIN probes ON cell = q_cell
+        WHERE vec_id <> 42
+        ORDER BY sim DESC, vec_id LIMIT 5""")),
+
     // ---- label-centroid similarity (vector agg + rollup shape) ------------
     // Per label: average vector via ASSOCIATIVE decimal sums, then the
     // squared norm of each label centroid.
