@@ -25,8 +25,16 @@ object ConnectedComponents {
   /** edges(src, dst) → (node, root) where root is the smallest node id in
     * the component. Nodes with no edges don't appear — callers left-join
     * and coalesce to self. Self-loops and duplicates are tolerated.
+    *
+    * Size-aware: an edge set under `driverThreshold` (after dedup) is
+    * solved by one collect + union-find — O(E α(E)) on the driver beats
+    * ~log n shuffle rounds when E is perimeter-sized, which is exactly
+    * what [[graft.geo.RasterPolygonize]]'s contracted graphs are. Larger
+    * graphs take the distributed large-star/small-star path; the
+    * threshold is the handover dial, not a capacity limit.
     */
-  def run(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+  def run(edges: DataFrame, maxIters: Int = 50,
+      driverThreshold: Long = 100000L): DataFrame = {
     var e = edges
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
@@ -34,9 +42,12 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
 
+    val nEdges = e.count()
+    if (nEdges <= driverThreshold) return runOnDriver(e)
+
     var prevSig: Option[(Long, Long)] = None
     var iter = 0
-    var converged = e.isEmpty
+    var converged = nEdges == 0L
     while (!converged && iter < maxIters) {
       // large-star: attach every strictly-larger neighbor of u to the min
       // of u's closed neighborhood
@@ -70,5 +81,31 @@ object ConnectedComponents {
       iter += 1
     }
     e.select(col("u").as("node"), col("v").as("root"))
+  }
+
+  /** Exact same contract as [[run]], solved with an in-memory union-find
+    * over a collected (small) edge list.
+    */
+  private def runOnDriver(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var root = parent.getOrElseUpdate(x, x)
+      while (parent(root) != root) root = parent(root)
+      var cur = x
+      while (parent(cur) != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    for ((a, b) <- pairs) {
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val out = parent.keysIterator
+      .map(n => n -> find(n))
+      .filter { case (n, r) => n != r }
+      .toSeq
+    spark.createDataset(out).toDF("node", "root")
   }
 }
