@@ -348,6 +348,41 @@ object TpchQueries {
         WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- Q15 shape: top supplier by window revenue (scalar-max subquery) --
+    // The revenue CTE feeds both the ranking and the max — in Spark the
+    // one-row max side is broadcast back against the same aggregate, so
+    // ties surface exactly like the reference view formulation.
+    Q("q113_top_supplier",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val sup = t(s, dir, "supplier")
+        // referenced by both the ranking join and the scalar max — persist
+        // so the lineitem scan+agg lineage runs ONCE (same discipline as
+        // q35's pairs; a global window would single-partition the frame)
+        val revenue = l
+          .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(dbl(sum(d12(col("l_extendedprice")) *
+            (lit(1).cast("decimal(3,2)") - d4(col("l_discount"))))).as("total_revenue"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val maxRev = revenue.agg(max("total_revenue").as("mx"))
+        sup.join(revenue, col("s_suppkey") === col("supplier_no"))
+          .join(broadcast(maxRev), col("total_revenue") === col("mx"))
+          .select("s_suppkey", "s_name", "total_revenue")
+          .orderBy("s_suppkey")
+      },
+      Some("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY 1)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey""")),
+
     // ---- Q6 shape: forecast-revenue — pure scan-side filter + one agg -----
     // The canonical pushdown probe: every predicate lands in
     // PushedFilters, nothing shuffles but one partial-agg row per task.
