@@ -171,6 +171,47 @@ object ExtraQueries {
           CAST(SUM(events_in_session) AS BIGINT) AS total_events
         FROM per_session GROUP BY 1 ORDER BY 1""")),
 
+    // ---- native session_window sessionization ------------------------------
+    // The Spark-FIRST formulation of q64: `session_window` is the operator
+    // Structured Streaming uses for stateful sessionization (state store +
+    // watermark eviction in stream mode; identical semantics in batch, as
+    // here). Boundary nuance mirrored exactly: session_window intervals
+    // are half-open [start, last+gap), so an event arriving at EXACTLY
+    // gap ms starts a NEW session — the oracle's gaps-and-islands uses >=
+    // where q64's uses > . Agreement with q64's aggregates (modulo exact-
+    // boundary events) cross-validates both formulations.
+    Q("q114_session_window",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("events_in_session"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("sessions"),
+            max("events_in_session").as("max_session_events"),
+            sum("events_in_session").as("total_events"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH marked AS (
+          SELECT user_id, event_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+              THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessioned AS (
+          SELECT user_id,
+            SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+          FROM marked),
+        per_session AS (
+          SELECT user_id, session_no, COUNT(*) AS events_in_session
+          FROM sessioned GROUP BY 1, 2)
+        SELECT user_id, COUNT(*) AS sessions,
+          CAST(MAX(events_in_session) AS BIGINT) AS max_session_events,
+          CAST(SUM(events_in_session) AS BIGINT) AS total_events
+        FROM per_session GROUP BY 1 ORDER BY 1""")),
+
     // ---- approximate aggregates (rows-only check: sketches are
     // engine-specific by nature, so no DuckDB oracle) -----------------------
     Q("q65_approx_aggs",
