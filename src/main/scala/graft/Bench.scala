@@ -134,7 +134,9 @@ object Bench {
 
     def run(bucketed: Boolean): Double = {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
-      val times = (1 to 2).map { _ =>
+      // min-of-3: this micro is short enough that one GC pause or page
+      // eviction doubles a sample; the min is the steady-state signal
+      val times = (1 to 3).map { _ =>
         val (o, l) =
           if (bucketed) (spark.table("b_orders"), spark.table("b_lineitem"))
           else (spark.read.parquet(s"$sfDir/orders.parquet"),

@@ -25,6 +25,21 @@ class WritersSpec extends SparkSpec {
     assert(back == Map(1 -> "a", 2 -> "b2", 3 -> "c"))
   }
 
+  test("upsertPath cleans stale staging/backup dirs and leaves none behind") {
+    val dir = Files.createTempDirectory("upsertswap").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Writers.upsertPath(spark, Seq((1, "a")).toDF("id", "v"), dir, Seq("id"))
+    // debris from a hypothetical earlier crash mid-swap
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + "._graft_staging"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + "._graft_bak"))
+    Writers.upsertPath(spark, Seq((2, "b")).toDF("id", "v"), dir, Seq("id"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "._graft_staging")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "._graft_bak")))
+    val back = spark.read.parquet(dir).collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(back == Map(1 -> "a", 2 -> "b"))
+  }
+
   test("partitionReplace only overwrites incoming partitions") {
     val dir = Files.createTempDirectory("partrep").toString + "/t"
     Writers.partitionReplace(

@@ -78,6 +78,19 @@ class PlanShapeSpec extends SparkSpec
     assert(smj.isEmpty, "corpus grams must not shuffle into a merge join")
   }
 
+  test("one-pass queries scan their base table exactly once") {
+    // q104 derives n_tokens from the same gram aggregation (no second
+    // text scan); q111's two-level partial merge is one lineitem read;
+    // q108 is the pure pushdown probe
+    for (q <- Seq("q104_repetition_filter", "q111_partial_merge", "q108_forecast_revenue")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      val scans = collect(plan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.size == 1, s"$q: expected a single file scan, got ${scans.size}")
+    }
+  }
+
   test("no query plans a CartesianProduct (unbroadcast cross joins are scale bombs)") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
