@@ -62,6 +62,23 @@ object EventStreams {
       .toDF()
   }
 
+  /** Event-time session aggregation via `session_window` — the
+    * DECLARATIVE sessionizer (vs [[sessionize]]'s explicit state): in
+    * streaming mode the state store merges overlapping session windows
+    * per key and the watermark both bounds state and closes sessions
+    * (append mode emits a session only once no on-time event can extend
+    * it). The identical transform runs in batch — q114 oracles it.
+    */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("events"))
+
   /** Exactly-once-style dedup by event id. In batch mode this is a plain
     * `dropDuplicates`; in streaming mode the SAME call becomes stateful
     * dedup bounded by the watermark (state for ids older than the

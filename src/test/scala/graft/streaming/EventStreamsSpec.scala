@@ -109,6 +109,47 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window aggregation: batch parity on explicit gaps") {
+    val ev = Seq(
+      (7L, ts("2024-01-01 10:00:00")),
+      (7L, ts("2024-01-01 10:10:00")), // same session (10 min gap)
+      (7L, ts("2024-01-01 11:30:00")), // new session (80 min gap)
+      (8L, ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "ts")
+    val r = EventStreams.sessionWindowStats(ev).collect()
+      .map(x => (x.getLong(0), x.getAs[Timestamp]("session_start").toString, x.getLong(3)))
+      .toSet
+    assert(r == Set(
+      (7L, "2024-01-01 10:00:00.0", 2L),
+      (7L, "2024-01-01 11:30:00.0", 1L),
+      (8L, "2024-01-01 10:00:00.0", 1L)))
+  }
+
+  test("session_window runs as a live stream: watermark closes sessions") {
+    val dir = Files.createTempDirectory("session_stream").toString + "/src"
+    Seq(
+      (7L, ts("2024-01-01 10:00:00")),
+      (7L, ts("2024-01-01 10:10:00")),
+      (8L, ts("2024-01-01 10:05:00"))
+    ).toDF("user_id", "ts").coalesce(1).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = EventStreams.sessionWindowStats(
+        spark.readStream.schema(schema).parquet(dir))
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode holds sessions open until the watermark passes
+      // session_end: advance event time far enough to close them
+      Seq((9L, ts("2024-01-01 13:00:00"))).toDF("user_id", "ts")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val out = spark.sql("SELECT user_id, events FROM session_test")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(out == Set(7L -> 2L, 8L -> 1L)) // both 10:xx sessions closed; 9's still open
+    } finally q.stop()
+  }
+
   test("purchaseAttribution matches clicks within the window (batch parity)") {
     val purchases = Seq((7L, ts("2024-01-01 10:30:00"), 100.0))
       .toDF("user_id", "ts", "value")
