@@ -13,35 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
-  /** Headline set: the scan/agg/join spine plus the heaviest text/vector
-    * pipelines. A subset keeps the per-round bench signal readable; Verify
-    * still runs everything.
+  /** Every registered query gets timed (min-of-2) — a regression anywhere
+    * in the registry shows up in the per-round artifact, not just a
+    * curated subset. Layout/skew demos append their own labeled entries.
     */
-  private val headline = Seq(
-    "q01_pricing_summary", // agg spine over lineitem
-    "q08_segment_year",    // fact-fact join + group
-    "q14_stats_median",    // window + stats
-    "q15_revenue_by_nation", // 5-table broadcast star join
-    "q20_upsert_counts",   // upsert accounting (single-job outer-join agg)
-    "q21_window_top1",     // window top-1 per group
-    "q22_topk",            // TakeOrderedAndProject
-    "q29_daily_avg",       // time-bucketed agg
-    "q35_minhash_lsh",     // shingle+minhash+band join+verify
-    "q36_simhash",         // row-local simhash + banded pairs
-    "q40_cosine_topk",     // brute-force vector top-k
-    "q42_embedding_neardup", // bucketed vector pair join
-    "q43_label_centroids", // per-label vector mean (decimal partial aggs)
-    "q45_zonal_stats",     // points-in-polygon tag + aggregate
-    "q50_yearly_slide_status", // domain analytics spine
-    "q55_lab_transform_e2e", // full lab cleaning pipeline end-to-end
-    "q62_asof_join",       // union + running last_value window
-    "q66_window_suite",    // rank/lag/lead/running-agg window battery
-    "q77_ivf_ann",         // IVF cell assign (row-local argmax) + probe
-    "q102_polygonize",     // two-level CCL (tile union-find + dist. merge)
-    "q103_decontaminate",  // 8-gram overlap vs broadcast bench set
-    "q104_repetition_filter", // gram-count repetition stats
-    "q111_partial_merge"   // two-level mergeable-partials re-aggregation
-  )
+  private def headline: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -179,11 +179,99 @@ case class SimHash60(children: Seq[Expression])
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
+/** `shingle_hash_set(text, k)` → SORTED DISTINCT array<long> of the
+  * 60-bit md5 hashes of the word k-shingles. The per-doc normal form for
+  * exact pairwise Jaccard: pair joins carry 8-byte longs instead of
+  * shingle strings (~5x narrower shuffle rows), and sortedness lets the
+  * per-pair intersection be a primitive merge scan instead of a hash
+  * probe over strings. Hash = the same md5-prefix construction as
+  * MinHashSig, so the oracle mirrors it with the identical SQL ladder.
+  */
+case class ShingleHashSet(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private lazy val k: Int =
+    children(1).eval(InternalRow.empty).asInstanceOf[Int]
+
+  override def eval(input: InternalRow): Any = {
+    val t = children(0).eval(input)
+    if (t == null) return null
+    val toks = Md5Hash.sparkTokens(t.asInstanceOf[UTF8String])
+    if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+    val n = toks.length - k + 1
+    val hs = new Array[Long](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      hs(i) = Md5Hash.first15(sb.toString)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // dedup in place on the sorted array
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    val out = new Array[Any](w)
+    i = 0
+    while (i < w) { out(i) = hs(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/** `sorted_intersect_count(a, b)` → int: |a ∩ b| for two SORTED distinct
+  * long arrays via a primitive merge scan — O(|a|+|b|) with no per-call
+  * allocation, the per-pair kernel of blocked exact Jaccard.
+  */
+case class SortedIntersectCount(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val av = children(0).eval(input)
+    val bv = children(1).eval(input)
+    if (av == null || bv == null) return null
+    val a = av.asInstanceOf[ArrayData]
+    val b = bv.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val na = a.numElements(); val nb = b.numElements()
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
 object TextSketch {
 
   private val minhashName = "minhash_sig"
   private val simhashName = "simhash60"
   private val shinglesName = "word_shingles"
+  private val hashSetName = "shingle_hash_set"
+  private val intersectName = "sorted_intersect_count"
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -198,6 +286,14 @@ object TextSketch {
       FunctionIdentifier(shinglesName),
       new ExpressionInfo(classOf[WordShingles].getName, shinglesName),
       (exprs: Seq[Expression]) => WordShingles(exprs))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(hashSetName),
+      new ExpressionInfo(classOf[ShingleHashSet].getName, hashSetName),
+      (exprs: Seq[Expression]) => ShingleHashSet(exprs))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(intersectName),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, intersectName),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs))
   }
 
   def minhashSig(text: Column, k: Int, seeds: Seq[Long]): Column =
@@ -207,4 +303,10 @@ object TextSketch {
 
   def wordShingles(text: Column, k: Int): Column =
     call_function(shinglesName, text, lit(k))
+
+  def shingleHashSet(text: Column, k: Int): Column =
+    call_function(hashSetName, text, lit(k))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function(intersectName, a, b)
 }

@@ -37,6 +37,31 @@ class TextSketchSpec extends SparkSpec {
     both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("shingle_hash_set == sorted distinct md5-hashes of word_shingles") {
+    val both = docs.select(
+      TextSketch.shingleHashSet(col("text"), 3).as("native"),
+      array_sort(array_distinct(transform(
+        TextSketch.wordShingles(col("text"), 3),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("sorted_intersect_count == size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    val cases = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),      // partial overlap
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),               // identical
+      (Seq(1L, 2L), Seq(5L, 6L)),                       // disjoint
+      (Seq.empty[Long], Seq(1L)),                       // empty side
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MaxValue)) // extremes
+    ).toDF("a", "b")
+    val r = cases.select(
+      TextSketch.sortedIntersectCount(col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).as("builtin")).collect()
+    r.foreach(x => assert(x.getInt(0) == x.getInt(1)))
+  }
+
   test("simhash60 == explode+vote formulation") {
     val native = docs.select(col("doc_id"), TextSketch.simhash60(col("text")).as("fp"))
     val votes = docs
