@@ -91,9 +91,14 @@ object ExtraQueries {
         GROUP BY user_id ORDER BY user_id""")),
 
     // ---- language-ID: n-gram profile scoring + confusion matrix -----------
+    // scores computed ONCE per row behind a Generate barrier (the
+    // single-Column predict() nests when-trees and Catalyst duplicates
+    // every regexp ~2^langs times — measured ~5x on this query)
     Q("q48_langid_confusion",
       (s, dir) => t(s, dir, "documents")
-        .select(col("lang"), graft.text.LanguageId.predict(col("text")).as("predicted"))
+        .select(col("lang"), graft.text.LanguageId.scoresArray(col("text")).as("ss0"))
+        .select(col("lang"), explode(array(col("ss0"))).as("ss"))
+        .select(col("lang"), graft.text.LanguageId.pickFromScores(col("ss")).as("predicted"))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("docs"))
         .orderBy("lang", "predicted"),

@@ -29,6 +29,13 @@ object LanguageId {
 
   /** Predicted language: argmax score, ties broken by language code order
     * (deterministic).
+    *
+    * NOTE: this single-Column form nests `when` trees, so Catalyst
+    * duplicates every score subtree (≈2^langs regexp evaluations per
+    * row). Fine for one-off use; for per-corpus scoring use
+    * [[scoresArray]] behind a Generate barrier + [[pickFromScores]] —
+    * each regexp then evaluates exactly once per row (measured ~5x on
+    * q48).
     */
   def predict(text: Column): Column = {
     val scores = profiles.map { case (lang, grams) => lang -> score(text, grams) }
@@ -39,4 +46,20 @@ object LanguageId {
           when(s > bestScore, lang).otherwise(bestLang))
     }._2
   }
+
+  /** All profile scores as one array column (compute ONCE, then place a
+    * Generate barrier — e.g. `explode(array(ss))` — between this and
+    * [[pickFromScores]] so CollapseProject can't inline the regexps into
+    * every consumer).
+    */
+  def scoresArray(text: Column): Column =
+    array(profiles.map { case (_, grams) => score(text, grams) }: _*)
+
+  /** First-argmax language from a materialized score array — identical
+    * tie semantics to [[predict]] (earliest language wins ties, since
+    * array_position returns the FIRST occurrence of the max).
+    */
+  def pickFromScores(ss: Column): Column =
+    element_at(typedLit(profiles.map(_._1)),
+      array_position(ss, array_max(ss)).cast("int"))
 }
