@@ -48,6 +48,10 @@ object Bench {
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).flatMap { fn =>
         val times = (1 to 2).flatMap { _ =>
+          // queries that persist() an intermediate (q35, q113) would
+          // otherwise serve run 2 from CacheManager — a cached-read time,
+          // not a query time — and pin blocks across the whole registry
+          spark.catalog.clearCache()
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).queryExecution.toRdd.count()

@@ -64,7 +64,9 @@ object RasterPolygonize {
       .select(col("id").cast("long"), col("r").cast("int"),
         col("c").cast("int"), col("v").cast("int"))
       .as[RCell]
-      .groupByKey(x => (x.r / tile, x.c / tile))
+      // floorDiv, not /: truncating division folds tiles -1 and 0
+      // together at negative coordinates (projected grids go negative)
+      .groupByKey(x => (Math.floorDiv(x.r, tile), Math.floorDiv(x.c, tile)))
       .flatMapGroups((_, it) => localLabel(it))
       .toDF()
       // referenced by both boundary-edge derivations AND the final join;
@@ -73,20 +75,22 @@ object RasterPolygonize {
 
     // boundary adjacencies only: right edge of a tile against the left
     // edge of its east neighbor, bottom edge against the top of its south
-    // neighbor — O(perimeter), not O(cells)
+    // neighbor — O(perimeter), not O(cells). pmod, not %: Scala/SQL %
+    // returns negative remainders below zero, which would silently drop
+    // every cross-tile edge in the negative quadrants
     val slim = labeled.select("r", "c", "v", "lroot")
     def border(edgeA: DataFrame, edgeB: DataFrame): DataFrame =
       edgeA.join(edgeB, Seq("jr", "jc", "jv"))
         .select(col("la").as("src"), col("lb").as("dst"))
     val hEdges = border(
-      slim.filter(col("c") % tile === tile - 1)
+      slim.filter(pmod(col("c"), lit(tile)) === tile - 1)
         .select(col("r").as("jr"), (col("c") + 1).as("jc"), col("v").as("jv"), col("lroot").as("la")),
-      slim.filter(col("c") % tile === 0)
+      slim.filter(pmod(col("c"), lit(tile)) === 0)
         .select(col("r").as("jr"), col("c").as("jc"), col("v").as("jv"), col("lroot").as("lb")))
     val vEdges = border(
-      slim.filter(col("r") % tile === tile - 1)
+      slim.filter(pmod(col("r"), lit(tile)) === tile - 1)
         .select((col("r") + 1).as("jr"), col("c").as("jc"), col("v").as("jv"), col("lroot").as("la")),
-      slim.filter(col("r") % tile === 0)
+      slim.filter(pmod(col("r"), lit(tile)) === 0)
         .select(col("r").as("jr"), col("c").as("jc"), col("v").as("jv"), col("lroot").as("lb")))
 
     val roots = graft.ops.ConnectedComponents.run(hEdges.unionAll(vEdges))

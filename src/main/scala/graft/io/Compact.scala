@@ -41,12 +41,17 @@ object Compact {
 
   /** Rewrite `path` into ~`targetFileBytes` files (default 128 MiB, the
     * usual HDFS-block-aligned choice). Returns (filesBefore, filesAfter).
-    * The rewrite goes through a staging sibling + rename-rename swap so a
-    * crash never leaves the directory empty or half-written.
+    * The rewrite stages then lands via [[Writers.swapInto]] — one shared
+    * crash-safety protocol: [[Writers.recoverAndClean]] first restores
+    * any backup a crashed previous run (of compaction OR upsert) left
+    * behind, so the dataset is never lost and never half-written.
     */
   def compactPath(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       sortBy: Option[String] = None): (Int, Int) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Writers.recoverAndClean(fs, hPath)
     val before = dataFileCount(spark, path)
     val nOut = math.max(1, math.ceil(dataBytes(spark, path).toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(path)
@@ -54,20 +59,8 @@ object Compact {
       case Some(c) => df.repartitionByRange(nOut, col(c)).sortWithinPartitions(c)
       case None => df.repartition(nOut)
     }
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + "._graft_staging")
-    val bak = new org.apache.hadoop.fs.Path(path + "._graft_bak")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    if (fs.exists(bak)) fs.delete(bak, true)
-    laidOut.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (!fs.rename(hPath, bak))
-      throw new java.io.IOException(s"backup rename failed: $hPath -> $bak")
-    if (!fs.rename(tmp, hPath)) {
-      fs.rename(bak, hPath)
-      throw new java.io.IOException(s"swap failed: $tmp -> $hPath")
-    }
-    fs.delete(bak, true)
+    laidOut.write.mode(SaveMode.Overwrite).parquet(path + Writers.StagingSuffix)
+    Writers.swapInto(fs, hPath)
     (before, dataFileCount(spark, path))
   }
 }

@@ -50,26 +50,66 @@ object Writers {
     (merged, UpsertStats(inserted, updated, inserted + updated))
   }
 
+  private[io] val StagingSuffix = "._graft_staging"
+  private[io] val BakSuffix = "._graft_bak"
+
+  /** Crash recovery + stale-debris cleanup for the rename-rename swap
+    * protocol. MUST run before any existence check on `live`: a crash
+    * between the two renames leaves the data ONLY under the `.bak`
+    * sibling, and treating that state as "path doesn't exist" would
+    * silently drop every pre-crash row. Restores the backup when the
+    * live path is missing; deletes stale staging, and deletes the backup
+    * only when a live copy exists.
+    */
+  private[io] def recoverAndClean(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(live.toString + StagingSuffix)
+    val bak = new org.apache.hadoop.fs.Path(live.toString + BakSuffix)
+    if (fs.exists(tmp)) fs.delete(tmp, true) // staging is never the only copy
+    if (fs.exists(bak)) {
+      if (fs.exists(live)) fs.delete(bak, true) // stale: live copy exists
+      else if (!fs.rename(bak, live)) // crashed mid-swap: bak IS the data
+        throw new java.io.IOException(s"backup restore failed: $bak -> $live")
+    }
+  }
+
+  /** Rename-rename swap: live → `.bak`, staging → live, delete `.bak`
+    * last. At every point a FULL copy exists under `live` or its `.bak`
+    * sibling, and [[recoverAndClean]] restores the latter on the next
+    * run, so a crash never loses the dataset. On HDFS/local each rename
+    * is an atomic metadata operation; on object stores (S3A) rename is a
+    * non-atomic O(data) copy, so the guarantee there is recoverability,
+    * not atomicity — a transactional table format is the right tool when
+    * that matters.
+    */
+  private[io] def swapInto(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(live.toString + StagingSuffix)
+    val bak = new org.apache.hadoop.fs.Path(live.toString + BakSuffix)
+    if (!fs.rename(live, bak))
+      throw new java.io.IOException(s"backup rename failed: $live -> $bak")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(bak, live) // restore — the old data is still intact
+      throw new java.io.IOException(s"swap failed: $tmp -> $live")
+    }
+    fs.delete(bak, true)
+  }
+
   /** Upsert into a parquet path (read-merge-swap). For Delta-style storage
-    * this becomes MERGE INTO; on plain parquet the swap is a rename-rename
-    * sequence: old → `.bak` sibling, staging → live, delete `.bak` last.
-    * At every point between those steps a FULL copy of the data exists
-    * under `path` or its `.bak` sibling, so a crash never leaves the
-    * destination empty (the old delete-then-rename shape had exactly that
-    * window). On HDFS/local each rename is an atomic metadata operation;
-    * on object stores (S3A) rename is a non-atomic O(data) copy, so the
-    * guarantee there is recoverability, not atomicity — a transactional
-    * table format is the right tool when that matters.
+    * this becomes MERGE INTO; on plain parquet the write goes to a
+    * staging sibling and lands via [[swapInto]] (see its crash-safety
+    * contract); [[recoverAndClean]] first restores any backup a crashed
+    * previous run left behind.
     *
     * Writing straight over the source path — even behind persist() — is
     * unsafe: any evicted cache block would recompute from the
-    * already-deleted input. Stale staging/backup dirs from a previous
-    * failed run are cleaned up before writing.
+    * already-deleted input.
     */
   def upsertPath(spark: SparkSession, incoming: DataFrame, path: String,
       key: Seq[String]): UpsertStats = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverAndClean(fs, hPath)
     if (!fs.exists(hPath)) {
       incoming.write.mode(SaveMode.Overwrite).parquet(path)
       val n = incoming.select(key.map(col): _*).distinct().count()
@@ -77,18 +117,8 @@ object Writers {
     } else {
       val existing = spark.read.parquet(path)
       val (merged, stats) = upsertByKey(existing, incoming, key)
-      val tmp = new org.apache.hadoop.fs.Path(path + "._graft_staging")
-      val bak = new org.apache.hadoop.fs.Path(path + "._graft_bak")
-      if (fs.exists(tmp)) fs.delete(tmp, true) // stale staging from a failed run
-      if (fs.exists(bak)) fs.delete(bak, true) // stale backup: live copy exists
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      if (!fs.rename(hPath, bak))
-        throw new java.io.IOException(s"backup rename failed: $hPath -> $bak")
-      if (!fs.rename(tmp, hPath)) {
-        fs.rename(bak, hPath) // restore — the old data is still intact
-        throw new java.io.IOException(s"swap failed: $tmp -> $hPath")
-      }
-      fs.delete(bak, true)
+      merged.write.mode(SaveMode.Overwrite).parquet(path + StagingSuffix)
+      swapInto(fs, hPath)
       stats
     }
   }

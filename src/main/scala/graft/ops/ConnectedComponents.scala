@@ -80,6 +80,12 @@ object ConnectedComponents {
       e = ss
       iter += 1
     }
+    // non-convergence must be LOUD: intermediate edges are not (node,
+    // component-min) pairs, and emitting them would corrupt every
+    // downstream component id with no error
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds")
     e.select(col("u").as("node"), col("v").as("root"))
   }
 

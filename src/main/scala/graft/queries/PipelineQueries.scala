@@ -198,11 +198,14 @@ object PipelineQueries {
           lit(" seg "), col("c_mktsegment"))
         val noPhone = regexp_replace(text, "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]")
         val clean = regexp_replace(noPhone, "[0-9]{5,}", "[NUM]")
+        // redaction detection compares STRINGS, not lengths: a redacted
+        // 5-digit run is replaced by the 5-char '[NUM]', so a length
+        // proxy would silently miss it
         c.select(col("c_mktsegment"), text.as("t"), noPhone.as("np"), clean.as("cl"))
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("docs"),
-            coalesce(sum(when(length(col("np")) =!= length(col("t")), 1L)), lit(0L)).as("phone_redactions"),
-            coalesce(sum(when(length(col("cl")) =!= length(col("np")), 1L)), lit(0L)).as("numrun_redactions"),
+            coalesce(sum(when(col("np") =!= col("t"), 1L)), lit(0L)).as("phone_redactions"),
+            coalesce(sum(when(col("cl") =!= col("np"), 1L)), lit(0L)).as("numrun_redactions"),
             sum(length(col("t")) - length(col("cl"))).as("chars_delta"))
           .orderBy("c_mktsegment")
       },
@@ -226,8 +229,8 @@ object PipelineQueries {
           FROM base),
         r2 AS (SELECT *, regexp_replace(np, '[0-9]{5,}', '[NUM]', 'g') AS cl FROM r)
         SELECT c_mktsegment, COUNT(*) AS docs,
-          COALESCE(SUM(CASE WHEN len(np) <> len(t) THEN 1 ELSE 0 END), 0) AS phone_redactions,
-          COALESCE(SUM(CASE WHEN len(cl) <> len(np) THEN 1 ELSE 0 END), 0) AS numrun_redactions,
+          COALESCE(SUM(CASE WHEN np <> t THEN 1 ELSE 0 END), 0) AS phone_redactions,
+          COALESCE(SUM(CASE WHEN cl <> np THEN 1 ELSE 0 END), 0) AS numrun_redactions,
           SUM(len(t) - len(cl)) AS chars_delta
         FROM r2 GROUP BY 1 ORDER BY 1""")),
 

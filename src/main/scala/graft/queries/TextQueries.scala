@@ -356,7 +356,7 @@ object TextQueries {
     // size. Pair rows carry 8-byte longs, never shingle strings — ~5x
     // narrower shuffle. The first all-query bench caught the
     // string-array formulation at 57 s (sf0.1); this runs the identical
-    // set math in ~2 s. Jaccard over the hash SETS equals Jaccard over
+    // set math in ~4-6 s. Jaccard over the hash SETS equals Jaccard over
     // the shingle sets (the hash is injective on this corpus, and both
     // engines hash identically, so even a collision would agree).
     Q("q37_ngram_jaccard",

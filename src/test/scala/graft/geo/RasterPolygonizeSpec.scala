@@ -63,6 +63,18 @@ class RasterPolygonizeSpec extends SparkSpec {
     check(cells, tile = 3)
   }
 
+  test("negative coordinates: tile math must not split regions at the origin") {
+    // truncating / and % fold tiles -1 and 0 together and miss cross-tile
+    // edges below zero; floorDiv/pmod keep the grid uniform
+    val cells = grid(12, 12)((r, c) => ((r / 4) + (c / 4)) % 2)
+      .map { case (id, r, c, v) => (id, r - 6, c - 6, v) }
+    val got = RasterPolygonize
+      .label(spark, cells.toDF("id", "r", "c", "v"), tile = 5)
+      .select("id", "component")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == bfsLabel(cells))
+  }
+
   test("ids need not be dense or grid-ordered") {
     val cells = grid(6, 6)((r, c) => c / 3).map { case (id, r, c, v) => (id * 7 + 13, r, c, v) }
     check(cells, tile = 2)

@@ -40,6 +40,23 @@ class WritersSpec extends SparkSpec {
     assert(back == Map(1 -> "a", 2 -> "b"))
   }
 
+  test("upsertPath recovers the dataset from a crash between the two swap renames") {
+    val dir = Files.createTempDirectory("upsertcrash").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Writers.upsertPath(spark, Seq((1, "a"), (2, "b")).toDF("id", "v"), dir, Seq("id"))
+    // simulate a crash after `live -> .bak` but before `staging -> live`:
+    // the ONLY copy of the data is the backup
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "._graft_bak")))
+    val stats = Writers.upsertPath(spark, Seq((2, "b2"), (3, "c")).toDF("id", "v"), dir, Seq("id"))
+    // pre-crash rows MUST survive: this is an upsert against restored
+    // data, not a bootstrap of an empty path
+    assert(stats == Writers.UpsertStats(1, 1, 2))
+    val back = spark.read.parquet(dir).collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(back == Map(1 -> "a", 2 -> "b2", 3 -> "c"))
+  }
+
   test("partitionReplace only overwrites incoming partitions") {
     val dir = Files.createTempDirectory("partrep").toString + "/t"
     Writers.partitionReplace(

@@ -13,6 +13,14 @@ class ConnectedComponentsSpec extends SparkSpec {
     ConnectedComponents.run(edges.toDF("src", "dst"), driverThreshold = threshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("non-convergence is loud, never silently-wrong component ids") {
+    val chain = (0L until 50L).map(i => (i, i + 1))
+    assertThrows[IllegalStateException] {
+      ConnectedComponents.run(chain.toDF("src", "dst"),
+        maxIters = 1, driverThreshold = 0L).collect()
+    }
+  }
+
   for ((label, threshold) <- Seq("distributed" -> 0L, "driver" -> 100000L)) {
 
     test(s"[$label] long chain collapses to the min (worst case for naive propagation)") {
