@@ -97,6 +97,12 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // printed TWICE: the driver keeps only a bounded tail of stdout, and a
+    // single ~4 KB line can straddle the window edge (r3's parsed:null).
+    // Two consecutive copies guarantee one complete line inside any tail
+    // window larger than the line itself; BENCH_LOCAL.json is the on-disk
+    // authority either way.
+    println(line)
     println(line)
     System.out.flush()
   }

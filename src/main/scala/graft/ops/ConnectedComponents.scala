@@ -45,13 +45,12 @@ object ConnectedComponents {
     val nEdges = e.count()
     if (nEdges <= driverThreshold) return runOnDriver(e)
 
-    var prevSig: Option[(Long, Long)] = None
-    var iter = 0
-    var converged = nEdges == 0L
-    while (!converged && iter < maxIters) {
+    // one alternating large-star/small-star contraction round; output
+    // edges are distinct (u > v) pairs
+    def round(in: DataFrame): DataFrame = {
       // large-star: attach every strictly-larger neighbor of u to the min
       // of u's closed neighborhood
-      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val sym = in.unionAll(in.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       val ls = sym.join(mins, "u")
@@ -63,13 +62,19 @@ object ConnectedComponents {
       // small-star: attach every smaller neighbor (and u itself) to the
       // min of u's smaller neighborhood; ls edges are already (u > v)
       val mins2 = ls.groupBy("u").agg(min("v").as("m"))
-      val ss = ls.join(mins2, "u")
+      ls.join(mins2, "u")
         .select(col("v").as("n"), col("m"))
         .unionAll(mins2.select(col("u").as("n"), col("m")))
         .filter(col("n") =!= col("m"))
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
-        .localCheckpoint()
+    }
+
+    var prevSig: Option[(Long, Long)] = None
+    var iter = 0
+    var converged = nEdges == 0L
+    while (!converged && iter < maxIters) {
+      val ss = round(e).localCheckpoint()
       // order-independent signature instead of a full set-compare: two
       // exceptAll jobs per round would double the loop cost (xor fold:
       // no ANSI overflow, edges are distinct so no self-cancellation)
@@ -86,6 +91,21 @@ object ConnectedComponents {
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds")
+    // the signature is probabilistic: a (count, xor-of-hash) collision
+    // between consecutive NON-equal edge sets would silently accept a
+    // non-converged state. One exact check at the end — a single extra
+    // round plus exceptAll, O(1) of total loop cost — removes the
+    // collision bound from the correctness argument entirely. (Both sides
+    // are distinct sets, so equal counts + empty one-way difference
+    // implies set equality.)
+    if (prevSig.exists(_._1 > 0L)) {
+      val next = round(e)
+      val sameCount = next.count() == prevSig.get._1
+      if (!sameCount || next.exceptAll(e).limit(1).count() > 0L)
+        throw new IllegalStateException(
+          "connected components: signature collision — edge set accepted as " +
+            "converged was not a fixpoint")
+    }
     e.select(col("u").as("node"), col("v").as("root"))
   }
 

@@ -171,7 +171,7 @@ object PipelineQueries {
             2.0 * MAX(c) / (SUM(c) + 1) AS rep2
           FROM cnt GROUP BY 1, 2)
         SELECT lang, COUNT(*) AS docs,
-          COALESCE(SUM(CASE WHEN rep2 > CAST(0.09 AS DOUBLE) THEN 1 ELSE 0 END), 0) AS repetitive_docs,
+          CAST(COALESCE(SUM(CASE WHEN rep2 > CAST(0.09 AS DOUBLE) THEN 1 ELSE 0 END), 0) AS BIGINT) AS repetitive_docs,
           CAST(SUM(CAST(rep2 AS DECIMAL(14,6))) AS DOUBLE) AS sum_rep2_6dp
         FROM per GROUP BY 1 ORDER BY 1""")),
 
@@ -229,9 +229,9 @@ object PipelineQueries {
           FROM base),
         r2 AS (SELECT *, regexp_replace(np, '[0-9]{5,}', '[NUM]', 'g') AS cl FROM r)
         SELECT c_mktsegment, COUNT(*) AS docs,
-          COALESCE(SUM(CASE WHEN np <> t THEN 1 ELSE 0 END), 0) AS phone_redactions,
-          COALESCE(SUM(CASE WHEN cl <> np THEN 1 ELSE 0 END), 0) AS numrun_redactions,
-          SUM(len(t) - len(cl)) AS chars_delta
+          CAST(COALESCE(SUM(CASE WHEN np <> t THEN 1 ELSE 0 END), 0) AS BIGINT) AS phone_redactions,
+          CAST(COALESCE(SUM(CASE WHEN cl <> np THEN 1 ELSE 0 END), 0) AS BIGINT) AS numrun_redactions,
+          CAST(SUM(len(t) - len(cl)) AS BIGINT) AS chars_delta
         FROM r2 GROUP BY 1 ORDER BY 1""")),
 
     // ---- domain-mix sampling: per-source rates, engine-independent hash ---
@@ -264,8 +264,8 @@ object PipelineQueries {
               < 100 + 150 * (CAST(substr(source, 4, 2) AS INT) % 4) AS keep
           FROM documents)
         SELECT source, target_permille, epochs, COUNT(*) AS docs,
-          COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS sampled_docs,
-          COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) * epochs AS weighted_docs
+          CAST(COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS sampled_docs,
+          CAST(COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) * epochs AS BIGINT) AS weighted_docs
         FROM m GROUP BY 1, 2, 3 ORDER BY 1"""))
   )
 }

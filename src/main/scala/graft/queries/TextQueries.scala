@@ -162,6 +162,138 @@ object TextQueries {
           FROM pairs)"""
   }
 
+  /** Above this many docs, a last-token block is re-blocked by content
+    * (MinHash bands) instead of exact all-pairs — the per-block pair count
+    * is then bounded by band-bucket sizes, not the Zipfian block size.
+    */
+  private[graft] val JACCARD_BLOCK_CAP = 64
+
+  /** Per-doc state for the blocked-Jaccard pipeline: (doc_id, dsh sorted
+    * distinct 60-bit shingle-hash set, block = last token, n = |dsh|).
+    */
+  private[graft] def jaccardBlockedDocs(s: SparkSession, raw: DataFrame): DataFrame = {
+    graft.text.TextSketch.register(s)
+    raw
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("dsh", graft.text.TextSketch.shingleHashSet(col("text"), 3))
+      .filter(size(col("dsh")) > 0)
+      .select(col("doc_id"), col("dsh"),
+        element_at(col("toks"), size(col("toks"))).as("block"))
+      .withColumn("n", size(col("dsh")))
+  }
+
+  /** Candidate (doc_a, doc_b, sh_a, n_a, sh_b, n_b) rows: exact all-pairs
+    * inside small blocks; MinHash-band sub-blocking inside blocks over
+    * [[JACCARD_BLOCK_CAP]]. Band mins are computed directly over the
+    * already-hashed shingle set (xor-mix, the same k-from-1 construction
+    * as q35), so the overflow path re-reads no text.
+    */
+  private[graft] def ngramJaccardCandidates(docs0: DataFrame): DataFrame = {
+    val sizes = docs0.groupBy("block").agg(count(lit(1)).as("block_cnt"))
+    // map-side partial aggregation collapses the hot block to ONE count
+    // row before the exchange, and the join-back fans that single row out
+    // — no step here is quadratic in the block size
+    val docs = docs0.join(sizes, Seq("block"))
+    val small = docs.filter(col("block_cnt") <= JACCARD_BLOCK_CAP)
+    val smallPairs = small
+      .select(col("block"), col("doc_id").as("doc_a"),
+        col("dsh").as("sh_a"), col("n").as("n_a"))
+      .join(small.select(col("block"), col("doc_id").as("doc_b"),
+        col("dsh").as("sh_b"), col("n").as("n_b")), Seq("block"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "n_a", "sh_b", "n_b")
+    // overflow path: 16 xor-mixed mins over dsh → 4 bands of 4, band key
+    // compounded with the block. Built in two projections around the
+    // Generate barrier (same CollapseProject hazard as q35: keys built
+    // straight over the sig array would inline the 16 array-min scans
+    // into every element_at).
+    val big = docs.filter(col("block_cnt") > JACCARD_BLOCK_CAP)
+    val sigs = big.select(col("doc_id"), col("block"), col("dsh"), col("n"),
+      array(SEEDS.map(seed =>
+        array_min(transform(col("dsh"), h => h.bitwiseXOR(lit(seed))))): _*).as("sig"))
+    val bandRows = sigs
+      .select(col("doc_id"), col("block"), col("dsh"), col("n"), col("sig"),
+        explode(sequence(lit(0), lit(NUM_HASHES / BAND_ROWS - 1))).as("band"))
+      .select(col("doc_id"), col("dsh"), col("n"),
+        concat_ws("|",
+          col("block") +: col("band").cast("string") +:
+            (0 until BAND_ROWS).map(i =>
+              element_at(col("sig"), col("band") * BAND_ROWS + lit(i + 1))): _*).as("band_key"))
+    val bigPairs = bandRows
+      .select(col("band_key"), col("doc_id").as("doc_a"),
+        col("dsh").as("sh_a"), col("n").as("n_a"))
+      .join(bandRows.select(col("band_key"), col("doc_id").as("doc_b"),
+        col("dsh").as("sh_b"), col("n").as("n_b")), Seq("band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "n_a", "sh_b", "n_b")
+      // a pair can collide in up to 4 bands; dedup BEFORE the verify scan
+      .dropDuplicates("doc_a", "doc_b")
+    smallPairs.unionByName(bigPairs)
+  }
+
+  /** Blocked n-gram Jaccard pairs at threshold >= 0.3. The size-ratio
+    * gate is provably redundant (J <= n_min/n_max, and integer math keeps
+    * the excluded pairs strictly under the threshold) so it appears only
+    * here, not in the oracle — it prunes verify work, never results.
+    */
+  private[graft] def ngramJaccardPairs(docs0: DataFrame): DataFrame =
+    ngramJaccardCandidates(docs0)
+      .filter(least(col("n_a"), col("n_b")) * 10 >= greatest(col("n_a"), col("n_b")) * 3)
+      .withColumn("inter",
+        graft.text.TextSketch.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("union_n", col("n_a") + col("n_b") - col("inter"))
+      .withColumn("jaccard",
+        when(col("union_n") === 0, 0.0)
+          .otherwise(col("inter").cast("double") / col("union_n")))
+      .filter(col("jaccard") >= 0.3)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** DuckDB mirror of [[ngramJaccardPairs]] over a corpus CTE. */
+  private[graft] def ngramJaccardSql(corpusCte: String): String = {
+    val mins = (0 until NUM_HASHES).map(i =>
+      s"list_aggregate(list_transform(sh, h -> xor(h, ${SEEDS(i)})), 'min') AS h$i")
+      .mkString(",\n            ")
+    val bandSelects = (0 until NUM_HASHES / BAND_ROWS).map { b =>
+      val ks = (b * BAND_ROWS until (b + 1) * BAND_ROWS).map(i => s"h$i").mkString(", ")
+      s"SELECT doc_id, concat_ws('|', block, '$b', $ks) AS band_key FROM sigs"
+    }.mkString("\n          UNION ALL\n          ")
+    s"""
+        WITH $corpusCte,
+        docs AS (
+          SELECT doc_id,
+            list_distinct(list_transform(generate_series(1, len(w) - 2),
+              i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT))) AS sh,
+            w[len(w)] AS block
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM corpus)
+          WHERE len(w) >= 3),
+        bs AS (SELECT block, COUNT(*) AS cnt FROM docs GROUP BY 1),
+        sd AS (SELECT d.doc_id, d.sh, d.block, b.cnt FROM docs d JOIN bs b USING (block)),
+        smallp AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sd a JOIN sd b ON a.block = b.block AND a.doc_id < b.doc_id
+          WHERE a.cnt <= $JACCARD_BLOCK_CAP),
+        sigs AS (
+          SELECT doc_id, block,
+            $mins
+          FROM sd WHERE cnt > $JACCARD_BLOCK_CAP),
+        bands AS (
+          $bandSelects),
+        bigp AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        cand AS (SELECT doc_a, doc_b FROM smallp UNION SELECT doc_a, doc_b FROM bigp),
+        pairs AS (
+          SELECT c.doc_a, c.doc_b,
+            CAST(len(da.sh) + len(db.sh)
+              - len(list_distinct(list_concat(da.sh, db.sh))) AS DOUBLE)
+              / len(list_distinct(list_concat(da.sh, db.sh))) AS jaccard
+          FROM cand c
+          JOIN docs da ON da.doc_id = c.doc_a
+          JOIN docs db ON db.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, jaccard FROM pairs
+        WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- exact dedup: hash-groupBy over normalized text -------------------
@@ -345,7 +477,7 @@ object TextQueries {
         ORDER BY doc_a, doc_b"""
       }),
 
-    // ---- n-gram Jaccard near-dup (blocked exact, no sketch) ---------------
+    // ---- n-gram Jaccard near-dup (blocked exact, skew-capped) -------------
     // Blocking key: last token (stable under the head-drop perturbation).
     // Per-PAIR work is the cost center (pairs grow quadratically within a
     // block), so everything per-DOC is hoisted out of the pair loop: each
@@ -359,50 +491,21 @@ object TextQueries {
     // set math in ~4-6 s. Jaccard over the hash SETS equals Jaccard over
     // the shingle sets (the hash is injective on this corpus, and both
     // engines hash identically, so even a collision would agree).
+    //
+    // SKEW CAP (the 100-TB guard): last tokens are Zipfian on web corpora
+    // (punctuation, boilerplate endings), so one hot block would go
+    // quadratic. Blocks over [[JACCARD_BLOCK_CAP]] docs are re-blocked by
+    // CONTENT — MinHash bands over the already-hashed shingle set — so
+    // dissimilar docs that merely share a last token land in different
+    // sub-buckets and never pair, while near-dups (which agree on band
+    // mins with probability ~jaccard per band, 4 chances) still collide.
+    // Small blocks keep the exact all-pairs semantics; the oracle mirrors
+    // the cap logic bit-for-bit. See TextQueriesSkewSpec for the bounded
+    // pair-count property under a 30%-hot-block corpus.
     Q("q37_ngram_jaccard",
-      (s, dir) => {
-        graft.text.TextSketch.register(s)
-        val docs = corpus(s, dir)
-          .withColumn("toks", tokens(col("text")))
-          .withColumn("dsh", graft.text.TextSketch.shingleHashSet(col("text"), 3))
-          .filter(size(col("dsh")) > 0)
-          .select(col("doc_id"), col("dsh"),
-            element_at(col("toks"), size(col("toks"))).as("block"))
-          .withColumn("n", size(col("dsh")))
-        val a = docs.select(col("block"), col("doc_id").as("doc_a"),
-          col("dsh").as("sh_a"), col("n").as("n_a"))
-        val b = docs.select(col("block"), col("doc_id").as("doc_b"),
-          col("dsh").as("sh_b"), col("n").as("n_b"))
-        a.join(b, Seq("block"))
-          .filter(col("doc_a") < col("doc_b"))
-          .withColumn("inter",
-            graft.text.TextSketch.sortedIntersectCount(col("sh_a"), col("sh_b")))
-          .withColumn("union_n", col("n_a") + col("n_b") - col("inter"))
-          .withColumn("jaccard",
-            when(col("union_n") === 0, 0.0)
-              .otherwise(col("inter").cast("double") / col("union_n")))
-          .filter(col("jaccard") >= 0.3)
-          .select("doc_a", "doc_b", "jaccard")
-          .orderBy("doc_a", "doc_b")
-      },
-      Some(s"""
-        WITH $corpusSql,
-        docs AS (
-          SELECT doc_id,
-            CASE WHEN len(w) < 3 THEN []
-              ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
-                i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT))) END AS sh,
-            w[len(w)] AS block
-          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM corpus)
-          WHERE len(w) >= 3),
-        pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-            CAST(len(a.sh) + len(b.sh)
-              - len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
-              / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-          FROM docs a JOIN docs b ON a.block = b.block AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b, jaccard FROM pairs
-        WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b""")),
+      (s, dir) => ngramJaccardPairs(jaccardBlockedDocs(s, corpus(s, dir)))
+        .orderBy("doc_a", "doc_b"),
+      Some(ngramJaccardSql(corpusSql))),
 
     // ---- deterministic sampling + train/val/test split --------------------
     // Reproducible-pipeline pattern: split assignment from a content hash,
