@@ -226,8 +226,10 @@ object TextQueries {
         col("dsh").as("sh_b"), col("n").as("n_b")), Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sh_a", "n_a", "sh_b", "n_b")
-      // a pair can collide in up to 4 bands; dedup BEFORE the verify scan
-      .dropDuplicates("doc_a", "doc_b")
+    // a pair can collide in up to 4 bands — deduped AFTER verification
+    // ([[ngramJaccardPairs]]), where rows are narrow (ids + a double):
+    // deduping here would shuffle the full shingle arrays, and the extra
+    // verify cost is one cheap merge scan per duplicate near-dup pair
     smallPairs.unionByName(bigPairs)
   }
 
@@ -247,6 +249,7 @@ object TextQueries {
           .otherwise(col("inter").cast("double") / col("union_n")))
       .filter(col("jaccard") >= 0.3)
       .select("doc_a", "doc_b", "jaccard")
+      .dropDuplicates("doc_a", "doc_b")
 
   /** DuckDB mirror of [[ngramJaccardPairs]] over a corpus CTE. */
   private[graft] def ngramJaccardSql(corpusCte: String): String = {
