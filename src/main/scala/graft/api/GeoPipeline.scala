@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.clean.CleanFunctions.slopeClass
-import graft.geo.{ContainsPoint, CrsDetect, GeoFunctions, StReproject}
+import graft.geo.{ContainsPoint, CrsDetect, GeoFunctions, StReproject, StSimplify}
 
 /** The geospatial merge pipeline (SURVEY.md §3.3): admin boundaries ×
   * slope data → per-boundary zonal statistics + slope classification +
@@ -110,6 +110,20 @@ object GeoPipeline {
           "CRS detection failed for sample coordinate; pass sourceEpsg explicitly"))
     }
     features.withColumn("geom", StReproject(col("geom"), epsg))
+  }
+
+  /** The slope-feature decimation step that follows reprojection in the
+    * reference (SlopeGeoJsonUploadView.py:263-264, 396-397: reproject to
+    * WGS84, then `simplify(tolerance, preserve_topology=True)` at 0.001°,
+    * dropping features that end up empty/invalid). Row-local Douglas-
+    * Peucker ([[StSimplify]]) with a validity gate — payload sizes and
+    * vertex counts match the reference's decimated output behavior.
+    */
+  def simplifyFeatures(features: DataFrame, tolerance: Double = 0.001): DataFrame = {
+    StSimplify.register(features.sparkSession)
+    features
+      .withColumn("geom", StSimplify(col("geom"), tolerance))
+      .filter(col("geom").isNotNull && GeoFunctions.stIsValidPolygon(col("geom")))
   }
 
   /** Boundary enrichment (village ETL shape): area + centroid columns with

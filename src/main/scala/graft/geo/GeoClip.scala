@@ -144,6 +144,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("st_contains_point"),
       new ExpressionInfo(classOf[ContainsPoint].getName, "st_contains_point"),
       (exprs: Seq[Expression]) => ContainsPoint(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("st_simplify"),
+      new ExpressionInfo(classOf[StSimplify].getName, "st_simplify"),
+      (exprs: Seq[Expression]) => StSimplify(exprs)))
     ext.injectOptimizerRule(_ => SpatialFilterRule)
   }
 }

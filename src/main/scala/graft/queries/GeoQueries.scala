@@ -189,6 +189,33 @@ object GeoQueries {
         FROM lab l JOIN cl c ON l.id = c.id
         GROUP BY 1, 2 ORDER BY 1""")),
 
+    // ---- st_simplify: Douglas-Peucker decimation, recursion vs CTE --------
+    // Jittered 25-vertex squares derived from nation keys (integer-derived
+    // doubles only — no trig, so every coordinate is bit-identical across
+    // engines). The engine runs the native StSimplify expression
+    // (stack-recursive DP); the oracle re-derives the SAME kept-vertex set
+    // with a recursive-CTE segment tree — two different algorithmic
+    // formulations, one fixpoint, like q102's union-find vs flood. Output:
+    // vertex counts + area + coordinate checksum of the decimated ring
+    // (decimal-rounded to absorb summation-order last-bits).
+    Q("q115_simplify",
+      (s, dir) => {
+        graft.geo.StSimplify.register(s)
+        val n = t(s, dir, "nation")
+        val geom = array(simplifyTestRing())
+        val simp = graft.geo.StSimplify(geom, 0.001)
+        val ring = element_at(simp, 1)
+        n.select(col("n_nationkey"),
+          size(element_at(geom, 1)).as("n_before"),
+          size(ring).as("n_after"),
+          dbl(graft.geo.GeoFunctions.stArea(simp).cast("decimal(18,6)")).as("area_after"),
+          dbl(aggregate(ring, lit(0.0),
+            (acc, p) => acc + element_at(p, 1) + element_at(p, 2))
+            .cast("decimal(18,6)")).as("sum_coords"))
+          .orderBy("n_nationkey")
+      },
+      Some(simplifyOracleSql)),
+
     Q("q82_reproject", (s, dir) => {
         graft.geo.StReproject.register(s)
         val n = t(s, dir, "nation")
@@ -208,6 +235,107 @@ object GeoQueries {
       },
       Some(reprojectOracleSql))
   )
+
+  /** The q115 test ring: a 25-vertex closed square (side 6, corner at
+    * (cx, cy) from the nation key) whose vertices carry a deterministic
+    * perpendicular jitter of (key*31 + i*17) % 7 / 2500 ∈ {0 … 0.0024} —
+    * straddling the 0.001 DP tolerance. Every coordinate is built from
+    * integer-derived doubles with explicit association (no trig, division
+    * by exact constants only), so Spark and DuckDB compute bit-identical
+    * values and the DP decisions cannot diverge.
+    */
+  private def simplifyTestRing(): org.apache.spark.sql.Column = {
+    val k = col("n_nationkey")
+    val cx = (k % 5).cast("double") * 10.0
+    val cy = expr("n_nationkey div 5").cast("double") * 10.0
+    def j(i: Int): org.apache.spark.sql.Column =
+      ((k * 31 + lit(i * 17)) % 7).cast("double") / 2500.0
+    def pt(i: Int): org.apache.spark.sql.Column = {
+      val t = (i % 6).toDouble
+      (i / 6) match {
+        case 0 => array(cx + lit(t), cy + j(i))
+        case 1 => array(cx + lit(6.0) - j(i), cy + lit(t))
+        case 2 => array(cx + lit(6.0) - lit(t), cy + lit(6.0) - j(i))
+        case _ => array(cx + j(i), cy + lit(6.0) - lit(t))
+      }
+    }
+    array(((0 until 24).map(pt) :+ pt(0)): _*)
+  }
+
+  /** DuckDB mirror of q115: the SAME ring construction, then Douglas-
+    * Peucker re-derived as a recursive-CTE segment tree — each working-set
+    * row (lo, hi) computes the chord distances of its interior vertices
+    * with the exact formula order of [[graft.geo.StSimplify.chordDist]],
+    * splits at the FIRST max when it exceeds the tolerance, and emits both
+    * halves. The kept-vertex set is the union of all segment endpoints
+    * (order-independent, same fixpoint as the engine's stack recursion).
+    */
+  private def simplifyOracleSql: String = {
+    def jSql(i: Int) = s"(CAST((n_nationkey*31 + ${i * 17}) % 7 AS DOUBLE) / 2500.0)"
+    def ptSql(i: Int): String = {
+      val t = (i % 6).toDouble
+      val j = jSql(i)
+      (i / 6) match {
+        case 0 => s"[(cx + $t), (cy + $j)]"
+        case 1 => s"[((cx + 6) - $j), (cy + $t)]"
+        case 2 => s"[((cx + 6) - $t), ((cy + 6) - $j)]"
+        case _ => s"[(cx + $j), ((cy + 6) - $t)]"
+      }
+    }
+    val ptsList = ((0 until 24).map(ptSql) :+ ptSql(0)).mkString(",\n            ")
+    s"""
+      WITH RECURSIVE base AS (
+        SELECT n_nationkey,
+          CAST(n_nationkey % 5 AS DOUBLE) * 10.0 AS cx,
+          CAST(n_nationkey // 5 AS DOUBLE) * 10.0 AS cy
+        FROM nation),
+      p AS (
+        SELECT n_nationkey AS k,
+          [$ptsList] AS pts
+        FROM base),
+      seg AS (
+        SELECT k, 1 AS lo, 25 AS hi FROM p
+        UNION ALL
+        SELECT x.k,
+          CASE WHEN h.half = 0 THEN x.lo ELSE x.split END AS lo,
+          CASE WHEN h.half = 0 THEN x.split ELSE x.hi END AS hi
+        FROM (
+          SELECT d.k, d.lo, d.hi,
+            d.lo + list_position(d.ds, list_aggregate(d.ds, 'max')) AS split
+          FROM (
+            SELECT s.k, s.lo, s.hi,
+              list_transform(generate_series(s.lo + 1, s.hi - 1), i ->
+                CASE WHEN (pp.pts[s.hi][1] - pp.pts[s.lo][1]) = 0
+                      AND (pp.pts[s.hi][2] - pp.pts[s.lo][2]) = 0
+                THEN sqrt((pp.pts[i][1] - pp.pts[s.lo][1]) * (pp.pts[i][1] - pp.pts[s.lo][1])
+                        + (pp.pts[i][2] - pp.pts[s.lo][2]) * (pp.pts[i][2] - pp.pts[s.lo][2]))
+                ELSE abs((pp.pts[s.hi][1] - pp.pts[s.lo][1]) * (pp.pts[i][2] - pp.pts[s.lo][2])
+                       - (pp.pts[s.hi][2] - pp.pts[s.lo][2]) * (pp.pts[i][1] - pp.pts[s.lo][1]))
+                   / sqrt((pp.pts[s.hi][1] - pp.pts[s.lo][1]) * (pp.pts[s.hi][1] - pp.pts[s.lo][1])
+                        + (pp.pts[s.hi][2] - pp.pts[s.lo][2]) * (pp.pts[s.hi][2] - pp.pts[s.lo][2]))
+                END) AS ds
+            FROM seg s JOIN p pp USING (k)
+            WHERE s.hi - s.lo >= 2) d
+          WHERE list_aggregate(d.ds, 'max') > (CAST(1 AS DOUBLE) / 1000.0)) x
+        CROSS JOIN (VALUES (0), (1)) AS h(half)),
+      kidx AS (
+        SELECT k, list_sort(list(DISTINCT i)) AS idx
+        FROM (SELECT k, lo AS i FROM seg UNION SELECT k, hi AS i FROM seg)
+        GROUP BY k),
+      simp AS (
+        SELECT pp.k,
+          CASE WHEN len(ki.idx) < 4 THEN pp.pts
+               ELSE list_transform(ki.idx, ii -> pp.pts[ii]) END AS s
+        FROM kidx ki JOIN p pp USING (k))
+      SELECT s2.k AS n_nationkey,
+        CAST(len(pp.pts) AS INTEGER) AS n_before,
+        CAST(len(s2.s) AS INTEGER) AS n_after,
+        CAST(CAST(abs(list_sum(list_transform(generate_series(1, len(s2.s) - 1),
+          jx -> s2.s[jx][1] * s2.s[jx+1][2] - s2.s[jx+1][1] * s2.s[jx][2])) / 2) AS DECIMAL(18,6)) AS DOUBLE) AS area_after,
+        CAST(CAST(list_sum(list_transform(s2.s, pp2 -> pp2[1] + pp2[2])) AS DECIMAL(18,6)) AS DOUBLE) AS sum_coords
+      FROM simp s2 JOIN p pp USING (k)
+      ORDER BY 1"""
+  }
 
   /** DuckDB mirror of [[graft.geo.CrsDetect.utmInverse]] for EPSG 32735:
     * same formula sequence, with every DATA-INDEPENDENT derived constant
