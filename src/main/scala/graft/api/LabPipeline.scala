@@ -41,10 +41,18 @@ object LabPipeline {
   private def ciEq(c: String, v: String) =
     lower(trim(col(c))) === v.trim.toLowerCase
 
+  /** @param processId when set, the run reports staged progress through
+    *   [[ProgressTracker]] with the reference's stage vocabulary —
+    *   task-level percents during execution, `completed` +
+    *   `processing_time_seconds` at the end.
+    */
   def run(spark: SparkSession, raw: DataFrame, params: Params,
-      outDir: Option[String] = None): Result = {
+      outDir: Option[String] = None, processId: Option[String] = None): Result = {
     val t0 = System.nanoTime()
+    def tracked[T](stage: Int, msg: String)(body: => T): T =
+      processId.map(ProgressTracker.trackStage(spark, _, stage, msg)(body)).getOrElse(body)
 
+    processId.foreach(ProgressTracker.update(_, 1, 100, "Validating input columns"))
     val cleaned = LabTransform.transform(raw)
     val filtered = Seq(
       params.district.map(d => ciEq("district", d)),
@@ -57,7 +65,7 @@ object LabPipeline {
       .withColumn("filter_sector", lit(params.sector.getOrElse("all")))
       .withColumn("filter_years", lit(params.years.sorted.distinct.mkString(",")))
       .persist()
-    val rawCount = lineage.count()
+    val rawCount = tracked(2, "Transforming and extracting records")(lineage.count())
 
     val rawTable = TableNames.dynamicTableName(params.tablePrefix,
       params.district, params.sector)
@@ -69,18 +77,23 @@ object LabPipeline {
         }
       else Nil
 
-    val counts = analytics.map { case (name, df) => name -> df.count() }.toMap
+    val counts = tracked(2, "Calculating analytics")(
+      analytics.map { case (name, df) => name -> df.count() }.toMap)
 
     if (params.saveToDb) outDir.foreach { dir =>
-      val rawPath = s"$dir/$rawTable"
-      params.updateMode match {
-        case "append" => Writers.upsertPath(spark, lineage, rawPath, Seq("unique_id"))
-        case _ => Writers.overwrite(lineage, rawPath)
+      tracked(3, "Saving tables") {
+        val rawPath = s"$dir/$rawTable"
+        params.updateMode match {
+          case "append" => Writers.upsertPath(spark, lineage, rawPath, Seq("unique_id"))
+          case _ => Writers.overwrite(lineage, rawPath)
+        }
+        analytics.foreach { case (name, df) => Writers.overwrite(df, s"$dir/$name") }
       }
-      analytics.foreach { case (name, df) => Writers.overwrite(df, s"$dir/$name") }
     }
     lineage.unpersist()
 
+    processId.foreach(ProgressTracker.complete(_,
+      s"Created ${1 + analytics.size} tables from $rawCount records"))
     Result(rawTable +: analytics.map(_._1),
       rawCount, counts, (System.nanoTime() - t0) / 1e9)
   }

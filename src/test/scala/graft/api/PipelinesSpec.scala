@@ -119,6 +119,55 @@ class PipelinesSpec extends SparkSpec {
     assert(rawBack.columns.contains("filter_district"))
   }
 
+  test("ProgressTracker: staged LabPipeline run emits monotone percents") {
+    val raw = (1 to 200).map { i =>
+      ("2023", (i % 12 + 1).toString, "Gasabo", "Remera", s"HC${i % 3}",
+        s"V${i % 10}", (20 + i % 40).toString, if (i % 2 == 0) "M" else "F",
+        if (i % 3 == 0) "POSITIVE" else "negative")
+    }.toDF("Year", "Month", "District", "Sector", "Health Center", "Village",
+      "Age", "Gender", "Slide Status").repartition(8)
+    val dir = Files.createTempDirectory("lab_progress").toString
+    val id = ProgressTracker.createProcess()
+    assert(ProgressTracker.getStatus(id).stage == "upload")
+    assert(ProgressTracker.getStatus(id).message == "Initializing...")
+
+    LabPipeline.run(spark, raw, LabPipeline.Params(years = Seq(2023)),
+      Some(dir), processId = Some(id))
+
+    val fin = ProgressTracker.getStatus(id)
+    assert(fin.completed && fin.stage == "completed" && fin.progress == 100)
+    assert(fin.processingTimeSeconds.exists(_ > 0))
+    assert(fin.message.startsWith("Created 6 tables"))
+
+    val events = ProgressTracker.history(id)
+    // every reference stage fires, in vocabulary order
+    val stagesSeen = events.map(_._1).distinct
+    assert(stagesSeen.containsSlice(Seq("validation", "processing", "merging", "completed")),
+      s"stages: $stagesSeen")
+    // percents are monotone non-decreasing within each tracked span (a
+    // stage name recurs — extract and analytics both run as "processing"
+    // — so spans are identified by stage + message)
+    events.groupBy(e => (e._1, e._2)).foreach { case (span, evs) =>
+      val ps = evs.map(_._3)
+      assert(ps == ps.sorted, s"non-monotone percents in $span: $ps")
+    }
+    // the listener produced real intermediate task-derived percents
+    val processing = events.filter(_._1 == "processing").map(_._3)
+    assert(processing.exists(p => p > 0 && p < 100),
+      s"no intermediate task percents: $processing")
+  }
+
+  test("ProgressTracker: reference status semantics") {
+    val ghost = ProgressTracker.getStatus("nope")
+    assert(ghost.stage == "unknown" && ghost.error.contains("Invalid process ID"))
+    val id = ProgressTracker.createProcess()
+    ProgressTracker.update(id, 2, 40, "working", error = Some("boom"))
+    val st = ProgressTracker.getStatus(id)
+    assert(st.completed && st.error.contains("boom") && st.stage == "processing")
+    assert(ProgressTracker.cleanupOldProcesses(hours = 0) >= 1)
+    assert(ProgressTracker.getStatus(id).stage == "unknown")
+  }
+
   test("YearsParser: every accepted form normalizes to sorted distinct ints") {
     assert(YearsParser.parse("[2021, 2022, 2023]") == Seq(2021, 2022, 2023))
     assert(YearsParser.parse("2023,2021,2021") == Seq(2021, 2023))
