@@ -111,6 +111,14 @@ object Bench {
     * tables (32 buckets on the join key, sorted): the bucketed plan runs
     * the SortMergeJoin with ZERO exchanges and no per-query sort — the
     * write-once shuffle amortized across every later query.
+    *
+    * The joined data is replicated 8× first (distinct keys, same join
+    * fan-out): at raw sf0.1 the join runs sub-second and one GC pause
+    * flips the ordering — round 3's artifact measured bucketed 2.6×
+    * SLOWER purely from noise. At ~5M joined rows the shuffle the
+    * bucketed plan avoids is the dominant cost, so the ordering is the
+    * signal. Both variants read the SAME replicated parquet; only the
+    * layout differs.
     */
   private def benchBucketed(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
     def joined(o: org.apache.spark.sql.DataFrame, l: org.apache.spark.sql.DataFrame) =
@@ -118,15 +126,16 @@ object Bench {
         .groupBy("o_orderpriority")
         .agg(sum(col("l_quantity").cast("decimal(14,2)")).as("qty"))
 
+    val rep = 8
+    val repOrdersPath = "/tmp/graft_bench_join_orders"
+    val repLineitemPath = "/tmp/graft_bench_join_lineitem"
+
     def run(bucketed: Boolean): Double = {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
-      // min-of-3: this micro is short enough that one GC pause or page
-      // eviction doubles a sample; the min is the steady-state signal
       val times = (1 to 3).map { _ =>
         val (o, l) =
           if (bucketed) (spark.table("b_orders"), spark.table("b_lineitem"))
-          else (spark.read.parquet(s"$sfDir/orders.parquet"),
-            spark.read.parquet(s"$sfDir/lineitem.parquet"))
+          else (spark.read.parquet(repOrdersPath), spark.read.parquet(repLineitemPath))
         val t0 = System.nanoTime()
         joined(o, l).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
@@ -146,10 +155,20 @@ object Bench {
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
       }
+      // replicate with DISTINCT keys (k*rep + r) so the join fan-out per
+      // key is unchanged — the join just has 8× the rows on both sides
+      def replicate(df: org.apache.spark.sql.DataFrame, key: String) = df
+        .crossJoin(spark.range(rep).select(col("id").as("__r")))
+        .withColumn(key, col(key) * rep + col("__r"))
+        .drop("__r")
+      replicate(spark.read.parquet(s"$sfDir/orders.parquet"), "o_orderkey")
+        .write.mode("overwrite").parquet(repOrdersPath)
+      replicate(spark.read.parquet(s"$sfDir/lineitem.parquet"), "l_orderkey")
+        .write.mode("overwrite").parquet(repLineitemPath)
       graft.io.Writers.writeBucketed(
-        spark.read.parquet(s"$sfDir/orders.parquet"), "b_orders", Seq("o_orderkey"), 32)
+        spark.read.parquet(repOrdersPath), "b_orders", Seq("o_orderkey"), 32)
       graft.io.Writers.writeBucketed(
-        spark.read.parquet(s"$sfDir/lineitem.parquet"), "b_lineitem", Seq("l_orderkey"), 32)
+        spark.read.parquet(repLineitemPath), "b_lineitem", Seq("l_orderkey"), 32)
       Seq(
         "join_shuffled" -> run(bucketed = false),
         "join_bucketed" -> run(bucketed = true))

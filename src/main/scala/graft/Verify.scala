@@ -40,6 +40,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    // the contract spec drives this main inside the shared test JVM, where
+    // stopping the (getOrCreate-shared) session kills every suite running
+    // in parallel with it
+    if (!sys.props.get("graft.verify.noStop").contains("1")) spark.stop()
   }
 }

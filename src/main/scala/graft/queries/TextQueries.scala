@@ -188,7 +188,12 @@ object TextQueries {
     * already-hashed shingle set (xor-mix, the same k-from-1 construction
     * as q35), so the overflow path re-reads no text.
     */
-  private[graft] def ngramJaccardCandidates(docs0: DataFrame): DataFrame = {
+  private[graft] def ngramJaccardCandidates(docs0uncached: DataFrame): DataFrame = {
+    // the per-doc state (one md5 per shingle) feeds FIVE plan branches
+    // (sizes, small a/b, big band a/b); without a persist each branch
+    // re-scans and re-hashes the corpus — Spark has no DataFrame-level
+    // CSE across self-joins (same reasoning as q35's pair persist)
+    val docs0 = docs0uncached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = docs0.groupBy("block").agg(count(lit(1)).as("block_cnt"))
     // map-side partial aggregation collapses the hot block to ONE count
     // row before the exchange, and the join-back fans that single row out

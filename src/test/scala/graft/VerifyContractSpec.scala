@@ -10,6 +10,9 @@ class VerifyContractSpec extends SparkSpec {
 
   test("Verify.main dumps results + oracle json for the driver") {
     val out = Files.createTempDirectory("verify_contract").toString
+    // keep the shared test session alive: Verify.main's final stop() would
+    // tear down the context under every concurrently-running suite
+    System.setProperty("graft.verify.noStop", "1")
     Verify.main(Array("/root/testdata/sf0.001", out))
 
     val json = new String(Files.readAllBytes(Paths.get(s"$out/oracle_sql.json")), "UTF-8")
