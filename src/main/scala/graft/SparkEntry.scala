@@ -12,7 +12,8 @@ object SparkEntry {
   private def modules: Seq[Q] =
     CoreQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
       MultimodalQueries.all ++ GeoQueries.all ++ HealthQueries.all ++
-      ExtraQueries.all ++ TpchQueries.all ++ PipelineQueries.all
+      ExtraQueries.all ++ TpchQueries.all ++ PipelineQueries.all ++
+      CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

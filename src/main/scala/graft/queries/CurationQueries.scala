@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions.{shingles, tokens}
+import Qx._
+
+/** Second wave of training-data curation operators: chunk-level exact
+  * dedup (sub-document granularity — the unit modern pipelines dedup at),
+  * an ordered quality-filter cascade with first-fail attribution (the
+  * funnel report every curation run ships with), BM25 ranked retrieval
+  * (corpus search for inspection/decontamination triage), and
+  * deterministic stratified sampling (fixed-size per-stratum draws for
+  * eval sets).
+  *
+  * Scale notes are per-query; the common theme is that document text
+  * never shuffles — only 32-char hashes, token keys, and ids do.
+  */
+object CurationQueries {
+
+  private val duckTokens = "string_split_regex(trim(text), '\\s+')"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- chunk-level exact dedup ------------------------------------------
+    // Documents are chunked into consecutive non-overlapping 20-token
+    // windows; a chunk is duplicated when its text occurs anywhere else in
+    // the corpus (same doc or not). Per-source report: total docs, chunks,
+    // duplicated chunks, and docs where >= half the chunks are duplicated
+    // (the "mostly boilerplate" flag). Sub-document dedup catches shared
+    // headers/footers that document-fingerprint dedup (q31/q34) misses.
+    //
+    // 100 TB shape: chunking and hashing are row-local in the scan stage;
+    // what shuffles is (doc_id, source, md5) — never text. The global
+    // chunk-count is a hash-groupBy on the md5 key, and the count join is
+    // a narrow shuffle join on the same key, so the exchange is reused.
+    // Integer threshold math (dup*2 >= chunks) keeps the oracle exact.
+    Q("q116_chunk_dedup",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        // non-overlapping 20-grams = every 20th overlapping 20-shingle
+        // (shingles() is the codegen-safe zip form; the (_, i) filter keeps
+        // starts 1, 21, 41, ... — identical to floor(n/20) fixed windows)
+        val chunks = filter(shingles(tokens(col("text")), 20), (_, i) => i % 20 === 0)
+        val ch = d.select(col("doc_id"), col("source"),
+          explode(chunks).as("chunk")).select(
+          col("doc_id"), col("source"), md5(col("chunk")).as("h"))
+        val global = ch.groupBy("h").agg(count(lit(1)).as("cnt"))
+        val perDoc = ch.join(global, "h")
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("chunks"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup"))
+        val bySource = t(s, dir, "documents").groupBy("source")
+          .agg(count(lit(1)).as("docs"))
+        bySource.join(
+          perDoc.groupBy("source").agg(
+            sum("chunks").as("pc"), sum("dup").as("pd"),
+            sum(when(col("dup") * 2 >= col("chunks"), 1L).otherwise(0L)).as("pf")),
+          Seq("source"), "left")
+          .select(col("source"), col("docs"),
+            coalesce(col("pc"), lit(0L)).as("total_chunks"),
+            coalesce(col("pd"), lit(0L)).as("dup_chunks"),
+            coalesce(col("pf"), lit(0L)).as("flagged_docs"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, source, $duckTokens AS w FROM documents),
+        ch AS (
+          SELECT doc_id, source,
+            unnest(list_transform(generate_series(0, len(w)//20 - 1),
+              i -> md5(array_to_string(w[i*20+1 : i*20+20], ' ')))) AS h
+          FROM w),
+        g AS (SELECT h, COUNT(*) AS cnt FROM ch GROUP BY 1),
+        per_doc AS (
+          SELECT ch.doc_id, ch.source, COUNT(*) AS chunks,
+            SUM(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS dup
+          FROM ch JOIN g USING (h) GROUP BY 1, 2),
+        per_src AS (
+          SELECT source, SUM(chunks) AS pc, SUM(dup) AS pd,
+            SUM(CASE WHEN dup * 2 >= chunks THEN 1 ELSE 0 END) AS pf
+          FROM per_doc GROUP BY 1),
+        src AS (SELECT source, COUNT(*) AS docs FROM documents GROUP BY 1)
+        SELECT src.source, src.docs,
+          CAST(COALESCE(pc, 0) AS BIGINT) AS total_chunks,
+          CAST(COALESCE(pd, 0) AS BIGINT) AS dup_chunks,
+          CAST(COALESCE(pf, 0) AS BIGINT) AS flagged_docs
+        FROM src LEFT JOIN per_src USING (source) ORDER BY source"""))
+    ,
+
+    // ---- quality-filter cascade with first-fail attribution ---------------
+    // C4/Gopher-style rule battery applied as an ORDERED cascade: each doc
+    // is attributed to the FIRST rule it fails (or 'kept'), and the report
+    // is the survival funnel — stage, docs dropped there, survivors after.
+    // That attribution/funnel view (not just per-rule booleans — q33/q104
+    // cover those) is what curation runs publish to compare pipelines.
+    //
+    // All five features come from ONE token explode + two-level keyed agg
+    // (same shape as the Gopher filter q104): per-(doc, token) counts,
+    // then per-doc n/vocab/max-single/stopword sums — narrow longs all the
+    // way, text never leaves the scan stage. Thresholds are integer
+    // cross-multiplications (dup of the published ratio rules) so the
+    // DuckDB mirror is exact with no float boundary risk.
+    Q("q117_filter_funnel",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val stops = Seq("the", "a", "of", "and", "in", "to", "is")
+        val tokCnt = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        val feats = tokCnt.groupBy("doc_id").agg(
+          sum("cnt").as("n"),
+          count(lit(1)).as("vocab"),
+          max("cnt").as("max_single"),
+          sum(when(col("tok").isin(stops: _*), col("cnt")).otherwise(0L)).as("stop_cnt"))
+        def v(stage: Int, rule: String) =
+          struct(lit(stage).as("stage"), lit(rule).as("rule"))
+        val staged = feats.select(
+          when(col("n") < 15, v(1, "too_short"))
+            .when(col("n") > 95, v(2, "too_long"))
+            .when(col("max_single") * 5 > col("n"), v(3, "repetitive"))
+            .when(col("vocab") * 5 < col("n") * 2, v(4, "low_vocab"))
+            .when(col("stop_cnt") * 50 < col("n"), v(5, "low_stopword"))
+            .otherwise(v(6, "kept")).as("verdict"))
+        val totals = d.agg(count(lit(1)).as("total"))
+        staged.groupBy(col("verdict.stage").as("stage"), col("verdict.rule").as("rule"))
+          .agg(count(lit(1)).as("cnt"))
+          // 'kept' docs are not dropped — zero BEFORE the running sum so
+          // the final funnel row reads (kept: 0 dropped, N survivors)
+          .withColumn("dropped",
+            when(col("rule") === "kept", 0L).otherwise(col("cnt")))
+          .crossJoin(broadcast(totals))
+          .withColumn("survivors_after",
+            col("total") - sum("dropped").over(
+              Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("stage").cast("long").as("stage"), col("rule"),
+            col("dropped"), col("survivors_after"))
+          .orderBy("stage")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest($duckTokens) AS tok FROM documents),
+        tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        feats AS (
+          SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS vocab, MAX(cnt) AS max_single,
+            SUM(CASE WHEN tok IN ('the','a','of','and','in','to','is')
+                THEN cnt ELSE 0 END) AS stop_cnt
+          FROM tc GROUP BY 1),
+        staged AS (
+          SELECT CASE WHEN n < 15 THEN 1 WHEN n > 95 THEN 2
+                      WHEN max_single * 5 > n THEN 3
+                      WHEN vocab * 5 < n * 2 THEN 4
+                      WHEN stop_cnt * 50 < n THEN 5 ELSE 6 END AS stage,
+                 CASE WHEN n < 15 THEN 'too_short' WHEN n > 95 THEN 'too_long'
+                      WHEN max_single * 5 > n THEN 'repetitive'
+                      WHEN vocab * 5 < n * 2 THEN 'low_vocab'
+                      WHEN stop_cnt * 50 < n THEN 'low_stopword'
+                      ELSE 'kept' END AS rule
+          FROM feats),
+        funnel AS (
+          SELECT stage, rule,
+            CASE WHEN rule = 'kept' THEN 0 ELSE COUNT(*) END AS dropped
+          FROM staged GROUP BY 1, 2)
+        SELECT CAST(stage AS BIGINT) AS stage, rule,
+          CAST(dropped AS BIGINT) AS dropped,
+          CAST((SELECT COUNT(*) FROM documents)
+            - SUM(dropped) OVER (ORDER BY stage
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS survivors_after
+        FROM funnel ORDER BY stage"""))
+    ,
+
+    // ---- BM25 ranked retrieval --------------------------------------------
+    // Top-15 documents for the query {spark, window, hash} under BM25
+    // (k1 = 1.2, b = 0.75) with the log-free idf weight
+    // (N - df + 0.5)/(df + 0.5) — a strictly monotone transform of the
+    // classic log idf, chosen because every arithmetic op is then an IEEE
+    // +|*|/ that both engines round identically (ln() is only
+    // 1-ulp-accurate and engine-specific, which would break the driver's
+    // hash compare). Per-term contributions are cast to DECIMAL(24,10)
+    // before the per-doc sum so the reduction is associative — a raw
+    // double sum would depend on partition order.
+    //
+    // 100 TB shape: tokens are filtered to the query terms INSIDE the
+    // row-local lambda, so only (doc_id, dl, term) rows for matching terms
+    // reach the exchange — the corpus itself never shuffles. df (3 rows)
+    // and the corpus stats (1 row) are broadcast.
+    Q("q118_bm25",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val terms = Seq("spark", "window", "hash")
+        val toks = tokens(col("text"))
+        val base = d.select(col("doc_id"), size(toks).as("dl"),
+          explode(filter(toks, _.isin(terms: _*))).as("term"))
+        val tf = base.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        val stats = d.agg(count(lit(1)).as("n"),
+          (sum(size(toks)).cast("double") / count(lit(1))).as("avgdl"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val tfD = col("tf").cast("double")
+        val idf = ((col("n") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))
+        val denom = tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))
+        val contrib = idf * ((tfD * lit(2.2)) / denom)
+        tf.join(broadcast(df), "term")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), contrib.cast("decimal(24,10)").as("c"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("matched_terms"), dbl(sum(col("c"))).as("score"))
+          .orderBy(desc("score"), col("doc_id"))
+          .limit(15)
+      },
+      Some(s"""
+        WITH tk AS (
+          SELECT doc_id, len($duckTokens) AS dl,
+            unnest(list_filter($duckTokens,
+              t -> t IN ('spark', 'window', 'hash'))) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2, 3),
+        stats AS (
+          SELECT COUNT(*) AS n,
+            CAST(SUM(len($duckTokens)) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM documents),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        contrib AS (
+          SELECT doc_id,
+            CAST(((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+              * ((CAST(tf AS DOUBLE) * 2.2)
+                 / (CAST(tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+              AS DECIMAL(24,10)) AS c
+          FROM tf JOIN df USING (term), stats)
+        SELECT doc_id, COUNT(*) AS matched_terms, CAST(SUM(c) AS DOUBLE) AS score
+        FROM contrib GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 15"""))
+    ,
+
+    // ---- deterministic stratified sampling --------------------------------
+    // Fixed-size per-stratum draw: 20 docs per language, selected by
+    // ranking on md5(doc_id) — an engine-independent, content-addressed
+    // order (same property as the q30b hash split), so the sample is
+    // reproducible across engines, runs, and cluster sizes. This is the
+    // eval-set / human-inspection draw every curation pipeline needs.
+    //
+    // 100 TB shape: the projection narrows to (lang, doc_id, n_chars)
+    // BEFORE the window, so the per-stratum sort shuffles ids, not text.
+    // With heavier strata, swap the window for ops.TopKPerGroup (the
+    // partial-aggregating top-k used by q67), which caps per-partition
+    // state at k rows; at 5 strata x 20 rows the window is already tiny.
+    Q("q119_stratified_sample",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        d.select(col("lang"), col("doc_id"), col("n_chars"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 20)
+          .select("lang", "rk", "doc_id", "n_chars")
+          .orderBy("lang", "rk")
+      },
+      Some("""
+        SELECT lang, rk, doc_id, n_chars FROM (
+          SELECT lang, doc_id, n_chars,
+            ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 20 ORDER BY lang, rk"""))
+  )
+}

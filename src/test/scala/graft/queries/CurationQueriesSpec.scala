@@ -1,0 +1,105 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.Row
+
+/** Hand-computed fixtures for the curation wave (q116-q119). The sf0.01
+  * oracle gate proves DuckDB parity; these specs pin the SEMANTICS on
+  * corpora small enough to verify by hand (chunk boundaries, cascade
+  * order, the BM25 formula, sample determinism).
+  */
+class CurationQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Writes a documents.parquet fixture; returns the dir queries read. */
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = Files.createTempDirectory("curation_docs").toString
+    rows.map { case (id, text, lang, src) => (id, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def words(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("q116: chunking is non-overlapping 20-token windows, tail dropped") {
+    val a20 = words("a", 20) // chunk shared by docs 1 and 2
+    val b20 = words("b", 20)
+    val c20 = words("c", 20)
+    val dir = docsDir(Seq(
+      (1L, s"$a20 $b20 tail tail tail", "en", "s1"), // chunks [a20, b20] + dropped tail
+      (2L, s"$a20 $c20", "en", "s1"),                // chunks [a20, c20] -> dup a20
+      (3L, words("z", 19), "en", "s2")))             // < 20 tokens -> 0 chunks
+    val out = SparkEntry.queries("q116_chunk_dedup")(spark, dir).collect()
+    assert(out.toSeq === Seq(
+      // s1: 4 chunks, a20 duplicated in both docs -> 2 dup chunks; both
+      // docs have dup*2 >= chunks (1*2 >= 2) -> 2 flagged
+      Row("s1", 2L, 4L, 2L, 2L),
+      // s2: the 19-token doc contributes no chunks but still counts as a doc
+      Row("s2", 1L, 0L, 0L, 0L)))
+  }
+
+  test("q117: first-fail attribution follows cascade order") {
+    val stops = "the a of and in to is"
+    // ok doc: 20 distinct tokens incl. enough stopwords, no repetition
+    val ok = s"$stops ${words("u", 13)}"
+    val dir = docsDir(Seq(
+      (1L, "one two three", "en", "s"),                     // too_short (n=3)
+      (2L, s"${words("w", 96)}", "en", "s"),                // too_long (n=96)
+      // repetitive: 'x' 10 times of n=20 -> 10*5 > 20; also <15 is false,
+      // also low_vocab would fire (11*5 < 40) but stage 3 wins
+      (3L, s"${Seq.fill(10)("x").mkString(" ")} ${words("y", 10)}", "en", "s"),
+      // low_vocab: 5 distinct over n=16 (each 3x + one extra) -> 5*5 < 32;
+      // max_single = 4 -> 4*5 = 20 > 16 FAILS repetitive first? 20 > 16 yes.
+      // Use 8 distinct x2 = 16 tokens: vocab 8*5=40 >= 32 not low_vocab...
+      // -> 6 distinct x3 = 18: vocab 6*5=30 < 36 low_vocab; max_single 3*5=15 < 18 ok
+      (4L, (0 until 6).flatMap(i => Seq.fill(3)(s"v$i")).mkString(" "), "en", "s"),
+      // low_stopword: 60 distinct tokens, no stopwords -> 0*50 < 60
+      (5L, words("q", 60), "en", "s"),
+      (6L, ok, "en", "s")))                                 // kept
+    val out = SparkEntry.queries("q117_filter_funnel")(spark, dir).collect()
+    assert(out.toSeq === Seq(
+      Row(1L, "too_short", 1L, 5L),
+      Row(2L, "too_long", 1L, 4L),
+      Row(3L, "repetitive", 1L, 3L),
+      Row(4L, "low_vocab", 1L, 2L),
+      Row(5L, "low_stopword", 1L, 1L),
+      Row(6L, "kept", 0L, 1L)))
+  }
+
+  test("q118: score matches the BM25 formula computed independently") {
+    // two docs, one query term each way: doc 1 has 'spark' twice in 4
+    // tokens, doc 2 has it once in 2 tokens, doc 3 never
+    val dir = docsDir(Seq(
+      (1L, "spark x spark y", "en", "s"),
+      (2L, "spark z", "en", "s"),
+      (3L, "w w w w w w", "en", "s")))
+    val out = SparkEntry.queries("q118_bm25")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val n = 3.0; val df = 2.0; val avgdl = (4 + 2 + 6) / 3.0
+    def bm25(tf: Double, dl: Double): Double = {
+      val idf = (n - df + 0.5) / (df + 0.5)
+      val raw = idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+      BigDecimal(raw).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L) === ((1L, bm25(2.0, 4.0))))
+    assert(out(2L) === ((1L, bm25(1.0, 2.0))))
+  }
+
+  test("q119: per-stratum size is exact and the draw is deterministic") {
+    val q = SparkEntry.queries("q119_stratified_sample")
+    val out = q(spark, "/root/testdata/sf0.001")
+    val sizes = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every language has >= 20 docs at sf0.001, so each stratum is full
+    assert(sizes.values.toSet === Set(20L))
+    assert(out.collect().toSeq === q(spark, "/root/testdata/sf0.001").collect().toSeq)
+    // ranks are 1..20 within each stratum
+    val ranks = out.collect().groupBy(_.getString(0)).values
+    ranks.foreach(rs => assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to 20L)))
+  }
+}
