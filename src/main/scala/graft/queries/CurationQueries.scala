@@ -32,8 +32,10 @@ object CurationQueries {
     //
     // 100 TB shape: chunking and hashing are row-local in the scan stage;
     // what shuffles is (doc_id, source, md5) — never text. The global
-    // chunk-count is a hash-groupBy on the md5 key, and the count join is
-    // a narrow shuffle join on the same key, so the exchange is reused.
+    // multiplicity comes from a count window over the md5 partition, so
+    // the corpus text is scanned + chunked ONCE (a groupBy-count + join
+    // formulation would re-read and re-hash every document for the count
+    // branch — 2x the scan cost at 100 TB for the same one shuffle).
     // Integer threshold math (dup*2 >= chunks) keeps the oracle exact.
     Q("q116_chunk_dedup",
       (s, dir) => {
@@ -45,8 +47,8 @@ object CurationQueries {
         val ch = d.select(col("doc_id"), col("source"),
           explode(chunks).as("chunk")).select(
           col("doc_id"), col("source"), md5(col("chunk")).as("h"))
-        val global = ch.groupBy("h").agg(count(lit(1)).as("cnt"))
-        val perDoc = ch.join(global, "h")
+        val perDoc = ch
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
           .groupBy("doc_id", "source")
           .agg(count(lit(1)).as("chunks"),
             sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup"))
@@ -71,11 +73,12 @@ object CurationQueries {
             unnest(list_transform(generate_series(0, len(w)//20 - 1),
               i -> md5(array_to_string(w[i*20+1 : i*20+20], ' ')))) AS h
           FROM w),
-        g AS (SELECT h, COUNT(*) AS cnt FROM ch GROUP BY 1),
+        cn AS (SELECT doc_id, source,
+                 COUNT(*) OVER (PARTITION BY h) AS cnt FROM ch),
         per_doc AS (
-          SELECT ch.doc_id, ch.source, COUNT(*) AS chunks,
-            SUM(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS dup
-          FROM ch JOIN g USING (h) GROUP BY 1, 2),
+          SELECT doc_id, source, COUNT(*) AS chunks,
+            SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS dup
+          FROM cn GROUP BY 1, 2),
         per_src AS (
           SELECT source, SUM(chunks) AS pc, SUM(dup) AS pd,
             SUM(CASE WHEN dup * 2 >= chunks THEN 1 ELSE 0 END) AS pf
@@ -262,5 +265,49 @@ object CurationQueries {
               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
           FROM documents)
         WHERE rk <= 20 ORDER BY lang, rk"""))
+    ,
+
+    // ---- training-shard packing -------------------------------------------
+    // Pack documents into ~2000-token shards per language: docs are laid
+    // out in the deterministic md5(doc_id) order and a shard boundary
+    // falls every 2000 tokens of running offset (a doc belongs to the
+    // shard its FIRST token lands in). The report is per-shard fill —
+    // docs and tokens — which is what a dataloader needs to size epochs
+    // and what makes packing reproducible across engines and runs.
+    //
+    // 100 TB shape: the running offset is a window cumsum partitioned by
+    // language over (lang, doc_id, n) — token counts come from one
+    // row-local pass in the scan stage and only those narrow triples
+    // shuffle. A GLOBAL pack order would serialize on one partition; the
+    // per-stratum partitioning is what keeps every stream independent (at
+    // real scale the stratum key gains a hash-bucket component, same as
+    // q30b, so each packer sees bounded data). Shard ids use integer
+    // division of exact long offsets — no float boundary risk.
+    Q("q120_shard_pack",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        d.select(col("lang"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n"))
+          .withColumn("cum", sum("n").over(w))
+          .withColumn("shard", expr("(cum - n) div 2000"))
+          .groupBy("lang", "shard")
+          .agg(count(lit(1)).as("docs"), sum("n").as("tokens"))
+          .orderBy("lang", "shard")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT lang, doc_id, len($duckTokens) AS n FROM documents),
+        c AS (
+          SELECT lang, doc_id, n,
+            SUM(n) OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM d)
+        SELECT lang, CAST((cum - n) // 2000 AS BIGINT) AS shard,
+          COUNT(*) AS docs, CAST(SUM(n) AS BIGINT) AS tokens
+        FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

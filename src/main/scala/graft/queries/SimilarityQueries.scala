@@ -343,6 +343,77 @@ object SimilarityQueries {
           .orderBy("cell")
       },
       Some(kmeansOracleSql))
+    ,
+
+    // ---- SemDeDup: semantic dedup inside coarse-quantizer cells -----------
+    // The published SemDeDup recipe: cluster the corpus embeddings, then
+    // inside each cluster drop every vector whose cosine to a kept
+    // (lower-id) member exceeds the threshold — near-duplicate MEANINGS,
+    // not just near-duplicate bytes. Cells reuse q77's zero-shuffle
+    // row-local argmax over the broadcast 16-centroid codebook; the
+    // quadratic pair search is confined to a cell, which is the entire
+    // point of the clustering step — at 100 TB the codebook grows to
+    // ~100k cells (SemDeDup's published setting) so each cell stays a few
+    // thousand vectors and the per-cell self-join stays bounded. The
+    // report is the per-cell keep/drop ledger a curation run publishes.
+    Q("q121_semdedup",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        val e = t(s, dir, "embeddings")
+        val codebook = e.filter(col("vec_id") < 16)
+          .select(col("vec_id"), col("embedding").cast("array<double>"),
+            graft.ml.VecOps.norm(col("embedding")))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+          .sortBy(_._1).toSeq
+        val assigned = e
+          .select(col("vec_id"), col("embedding"),
+            graft.ml.VecOps.norm(col("embedding")).as("v_nrm"))
+          .withColumn("cell",
+            graft.ml.VecOps.argmaxCell(col("embedding"), col("v_nrm"), codebook))
+        val a = assigned.select(col("vec_id").as("a_id"),
+          col("embedding").as("a_emb"), col("v_nrm").as("a_nrm"), col("cell"))
+        val b = assigned.select(col("vec_id").as("b_id"),
+          col("embedding").as("b_emb"), col("v_nrm").as("b_nrm"),
+          col("cell").as("b_cell"))
+        val dropped = a.join(b,
+            col("cell") === col("b_cell") && col("a_id") > col("b_id"))
+          .filter(graft.ml.VecOps.dot(col("a_emb"), col("b_emb")) /
+            (col("a_nrm") * col("b_nrm")) >= 0.999)
+          .select(col("a_id").as("vec_id")).distinct()
+        assigned.join(dropped.withColumn("is_drop", lit(1L)), Seq("vec_id"), "left")
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(coalesce(col("is_drop"), lit(0L))).as("dropped"))
+          .withColumn("kept", col("n_vectors") - col("dropped"))
+          .orderBy("cell")
+      },
+      Some(s"""
+        WITH nrm AS (
+          SELECT vec_id, embedding, ${normSql("embedding")} AS v_nrm FROM embeddings),
+        centroids AS (
+          SELECT vec_id AS c_id, embedding AS c_emb, v_nrm AS c_nrm
+          FROM nrm WHERE vec_id < 16),
+        assigned AS (
+          SELECT vec_id, embedding, v_nrm, c_id AS cell FROM (
+            SELECT n.vec_id, n.embedding, n.v_nrm, c.c_id,
+              ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(n.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), (x, y) -> x + y)
+                  / (n.v_nrm * c.c_nrm) DESC, c.c_id) AS rn
+            FROM nrm n CROSS JOIN centroids c) WHERE rn = 1),
+        dropped AS (
+          SELECT DISTINCT a.vec_id FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id > b.vec_id
+          WHERE list_reduce(list_transform(range(1, 65),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+              / (a.v_nrm * b.v_nrm) >= 0.999)
+        SELECT cell, COUNT(*) AS n_vectors,
+          CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+          CAST(COUNT(*) - SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept
+        FROM assigned LEFT JOIN dropped d USING (vec_id)
+        GROUP BY 1 ORDER BY 1""")
+    )
   )
 
   /** DuckDB replay of [[graft.ml.KMeans.fitCodebook]] (k=16, 2 iterations):

@@ -90,6 +90,42 @@ class CurationQueriesSpec extends SparkSpec {
     assert(out(2L) === ((1L, bm25(1.0, 2.0))))
   }
 
+  test("q120: shard boundaries fall every 2000 tokens of running offset") {
+    // 100 docs x 30 tokens, one stratum: starts 0,30,...,2970 -> shard 0
+    // holds starts 0..1980 (67 docs, 2010 tokens), shard 1 the rest. All
+    // docs share a token count, so the assertion is order-independent.
+    val dir = docsDir((1L to 100L).map(i => (i, words(s"d${i}_", 30), "en", "s")))
+    val out = SparkEntry.queries("q120_shard_pack")(spark, dir).collect()
+    assert(out.toSeq === Seq(Row("en", 0L, 67L, 2010L), Row("en", 1L, 33L, 990L)))
+  }
+
+  test("q121: an identical vector in the same cell is dropped, sums reconcile") {
+    val dir = Files.createTempDirectory("semdedup").toString
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
+    // ids 0..15: the codebook (distinct axes, mutually orthogonal so no
+    // drops among themselves); 20/40: two scales of the SAME off-axis
+    // direction (axis3+axis17) -> both land in cell 3 at cosine 1/sqrt(2)
+    // to the centroid (kept vs centroid) but cosine 1.0 to each other ->
+    // the higher id drops; 21: off-axis near axis 7, alone -> kept
+    def mix(a: Int, b: Int, s: Float): Array[Float] =
+      Array.tabulate(64)(i => if (i == a || i == b) s else 0.0f)
+    val rows = (0L to 15L).map(id => (id, unit(id.toInt), 0)) ++ Seq(
+      (20L, mix(3, 17, 0.6f), 1),
+      (40L, mix(3, 17, 0.9f), 1),
+      (21L, mix(7, 30, 0.5f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q121_semdedup")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._2).sum === rows.size.toLong)
+    assert(out.map(_._3).sum === 1L) // only the higher-id twin drops
+    out.foreach { case (_, n, dropped, kept) => assert(kept === n - dropped) }
+    // the drop happened in cell 3 (codebook id 3's cell holds 3, 20, 40)
+    val cell3 = out.find(_._1 === 3L).get
+    assert(cell3 === ((3L, 3L, 1L, 2L)))
+  }
+
   test("q119: per-stratum size is exact and the draw is deterministic") {
     val q = SparkEntry.queries("q119_stratified_sample")
     val out = q(spark, "/root/testdata/sf0.001")
