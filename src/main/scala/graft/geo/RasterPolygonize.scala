@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
 object RasterPolygonize {
 
   final case class RCell(id: Long, r: Int, c: Int, v: Int)
-  private final case class LCell(id: Long, r: Int, c: Int, v: Int, lroot: Long)
+  // public like RCell: Janino-generated encoder code lives outside this
+  // package, so a private case class forces ERROR-logged codegen fallback
+  // to interpreted serializers on every q102 run
+  final case class LCell(id: Long, r: Int, c: Int, v: Int, lroot: Long)
 
   /** Tile-local exact labeling: union-find over one tile's cells, roots
     * are min cell ids. Runs inside flatMapGroups — memory is O(tile²).

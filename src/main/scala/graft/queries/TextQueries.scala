@@ -423,6 +423,71 @@ object TextQueries {
           (SELECT COUNT(*) FROM dropped) AS dropped_docs,
           (SELECT COUNT(*) FROM corpus) - (SELECT COUNT(*) FROM dropped) AS surviving_docs""")),
 
+    // ---- incremental near-dup dedup of a new batch vs history -------------
+    // The OPERATIONAL dedup mode: a corpus is never deduplicated once —
+    // each ingest batch must be checked against what is already accepted.
+    // History = doc_id < 250 (the standing corpus); everything else is
+    // the arriving batch. Batch policy (two-phase, declarative): a batch
+    // doc is dropped_vs_history when it near-dups (jaccard >= 0.5) ANY
+    // history doc, else dropped_in_batch when it near-dups an
+    // earlier-id batch doc, else accepted. The report buckets arrivals
+    // by cohort (doc_id div 1e6: 0 = organic, 1 = planted near-dups,
+    // 2 = planted copies) — the planted cohorts must drop, organic
+    // near-pairs drop exactly one side.
+    //
+    // 100 TB shape: identical to q35 (one row-local signature pass, band
+    // keys only in the exchange) — at scale the history side contributes
+    // just its stored SIGNATURES (recomputing them here only because the
+    // testdata has no signature store), so an ingest batch costs
+    // O(batch + matching bands), not O(corpus).
+    Q("q122_incremental_neardup",
+      (s, dir) => {
+        val pairs = minhashVerifiedPairs(s, dir).select("doc_a", "doc_b")
+        val partners = pairs
+          .select(col("doc_a").as("doc"), col("doc_b").as("partner"))
+          .unionByName(pairs.select(col("doc_b").as("doc"), col("doc_a").as("partner")))
+          .filter(col("doc") >= 250)
+        val flags = partners.groupBy("doc").agg(
+          max(when(col("partner") < 250, 1L).otherwise(0L)).as("vs_hist"),
+          max(when(col("partner") >= 250 && col("partner") < col("doc"), 1L)
+            .otherwise(0L)).as("vs_batch"))
+        corpus(s, dir).filter(col("doc_id") >= 250)
+          .join(flags, col("doc_id") === col("doc"), "left_outer")
+          .groupBy(expr("doc_id div 1000000").as("cohort"))
+          .agg(count(lit(1)).as("arrivals"),
+            coalesce(sum(when(col("vs_hist") === 1L, 1L).otherwise(0L)), lit(0L))
+              .as("dropped_vs_history"),
+            coalesce(sum(when(coalesce(col("vs_hist"), lit(0L)) === 0L &&
+              col("vs_batch") === 1L, 1L).otherwise(0L)), lit(0L))
+              .as("dropped_in_batch"),
+            coalesce(sum(when(coalesce(col("vs_hist"), lit(0L)) === 0L &&
+              coalesce(col("vs_batch"), lit(0L)) === 0L, 1L).otherwise(0L)), lit(0L))
+              .as("accepted"))
+          .orderBy("cohort")
+      },
+      Some(minhashPairsSql + """
+        , vpairs AS (
+          SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+        partners AS (
+          SELECT doc_a AS doc, doc_b AS partner FROM vpairs
+          UNION ALL
+          SELECT doc_b AS doc, doc_a AS partner FROM vpairs),
+        flags AS (
+          SELECT doc,
+            MAX(CASE WHEN partner < 250 THEN 1 ELSE 0 END) AS vs_hist,
+            MAX(CASE WHEN partner >= 250 AND partner < doc THEN 1 ELSE 0 END) AS vs_batch
+          FROM partners WHERE doc >= 250 GROUP BY 1)
+        SELECT CAST(doc_id // 1000000 AS BIGINT) AS cohort,
+          COUNT(*) AS arrivals,
+          CAST(SUM(CASE WHEN vs_hist = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS dropped_vs_history,
+          CAST(SUM(CASE WHEN COALESCE(vs_hist, 0) = 0 AND vs_batch = 1
+            THEN 1 ELSE 0 END) AS BIGINT) AS dropped_in_batch,
+          CAST(SUM(CASE WHEN COALESCE(vs_hist, 0) = 0 AND COALESCE(vs_batch, 0) = 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS accepted
+        FROM corpus LEFT JOIN flags ON doc_id = flags.doc
+        WHERE doc_id >= 250 GROUP BY 1 ORDER BY 1""")),
+
     // ---- SimHash near-dup pairs -------------------------------------------
     // 60-bit simhash per doc (row-local), 4 bands of 15 bits, hamming <= 8.
     Q("q36_simhash",

@@ -126,6 +126,24 @@ class CurationQueriesSpec extends SparkSpec {
     assert(cell3 === ((3L, 3L, 1L, 2L)))
   }
 
+  test("q122: batch ledger reconciles; planted copies never survive") {
+    val out = SparkEntry.queries("q122_incremental_neardup")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // cohorts: 0 = organic batch (doc_id 250..499), 1 = planted near-dups
+    // (every 25th doc), 2 = planted exact copies (every 40th doc)
+    assert(out(0L)._1 === 250L)
+    assert(out(1L)._1 === 20L)
+    assert(out(2L)._1 === 13L)
+    // arrivals = drops + accepted, per cohort
+    out.values.foreach { case (n, dh, db, acc) => assert(dh + db + acc === n) }
+    // an exact copy always minhash-collides with its source -> none accepted
+    assert(out(2L)._4 === 0L)
+    // near-dup plants overwhelmingly drop (tiny docs may fall under the
+    // jaccard threshold once shortened, so not asserted to zero)
+    assert(out(1L)._2 + out(1L)._3 > 10L)
+  }
+
   test("q119: per-stratum size is exact and the draw is deterministic") {
     val q = SparkEntry.queries("q119_stratified_sample")
     val out = q(spark, "/root/testdata/sf0.001")
