@@ -42,28 +42,34 @@ object Bench {
 
     // min of two runs: the second run reflects steady-state (JIT-warm,
     // file-cache-warm) execution, which is what a long-lived cluster sees.
+    // The two samples come from two FULL PASSES over the registry, not
+    // back-to-back executions: a transient host stall (observed: a
+    // ~10-minute interference window inflating one alphabetical block
+    // 20-50x) then poisons at most one sample per query instead of both.
     // A failing query is reported under "errors", NOT folded into the
     // timings (an aborted duration is not a measurement).
     val errors = scala.collection.mutable.ListBuffer[String]()
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+    for (_ <- 1 to 2; name <- headline; fn <- SparkEntry.queries.get(name)) {
+      // queries that persist() an intermediate (q35, q113) would
+      // otherwise serve run 2 from CacheManager — a cached-read time,
+      // not a query time — and pin blocks across the whole registry
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(name, Nil)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+      }
+    }
     val results = headline.flatMap { name =>
-      SparkEntry.queries.get(name).flatMap { fn =>
-        val times = (1 to 2).flatMap { _ =>
-          // queries that persist() an intermediate (q35, q113) would
-          // otherwise serve run 2 from CacheManager — a cached-read time,
-          // not a query time — and pin blocks across the whole registry
-          spark.catalog.clearCache()
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).queryExecution.toRdd.count()
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name failed: $e")
-              None
-          }
-        }
-        if (times.isEmpty) { errors += name; None }
-        else Some(name -> times.min)
+      samples.get(name) match {
+        case Some(ts) if ts.nonEmpty => Some(name -> ts.min)
+        case _ =>
+          if (SparkEntry.queries.contains(name)) errors += name
+          None
       }
     }
     // ---- bucketing demo: pay the shuffle once at write time, join
@@ -130,18 +136,13 @@ object Bench {
     val repOrdersPath = "/tmp/graft_bench_join_orders"
     val repLineitemPath = "/tmp/graft_bench_join_lineitem"
 
-    def run(bucketed: Boolean): Double = {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
-      val times = (1 to 3).map { _ =>
-        val (o, l) =
-          if (bucketed) (spark.table("b_orders"), spark.table("b_lineitem"))
-          else (spark.read.parquet(repOrdersPath), spark.read.parquet(repLineitemPath))
-        val t0 = System.nanoTime()
-        joined(o, l).queryExecution.toRdd.count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      times.min
+    def once(bucketed: Boolean): Double = {
+      val (o, l) =
+        if (bucketed) (spark.table("b_orders"), spark.table("b_lineitem"))
+        else (spark.read.parquet(repOrdersPath), spark.read.parquet(repLineitemPath))
+      val t0 = System.nanoTime()
+      joined(o, l).queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
     }
 
     try {
@@ -169,9 +170,18 @@ object Bench {
         spark.read.parquet(repOrdersPath), "b_orders", Seq("o_orderkey"), 32)
       graft.io.Writers.writeBucketed(
         spark.read.parquet(repLineitemPath), "b_lineitem", Seq("l_orderkey"), 32)
+      // INTERLEAVED rounds (shuffled, bucketed, shuffled, bucketed, ...):
+      // back-to-back min-of-3 per variant let slow JVM drift (GC pressure,
+      // page-cache state after the 117-query sweep) land entirely on one
+      // variant and flip the ordering between runs; alternating rounds
+      // expose both variants to the same drift, so the per-variant min is
+      // comparable
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val rounds = (1 to 3).map(_ => (once(bucketed = false), once(bucketed = true)))
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       Seq(
-        "join_shuffled" -> run(bucketed = false),
-        "join_bucketed" -> run(bucketed = true))
+        "join_shuffled" -> rounds.map(_._1).min,
+        "join_bucketed" -> rounds.map(_._2).min)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] bucketed demo failed: $e"); Seq.empty
@@ -195,13 +205,10 @@ object Bench {
       .filter(col("x") >= 1024 && col("x") < 1280 && col("y") >= 2048 && col("y") < 2304)
       .agg(sum("payload"))
 
-    def time(df: => DataFrame): Double = {
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        box(df).queryExecution.toRdd.count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      times.min
+    def once(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      box(df).queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
     }
 
     try {
@@ -210,9 +217,12 @@ object Bench {
       rows.repartitionByRange(256, col("x")).sortWithinPartitions("x", "y")
         .write.mode("overwrite").parquet(linPath)
       graft.ops.ZOrder.writeZOrdered(rows, zPath, col("x"), col("y"), 256)
+      // interleaved rounds — see benchBucketed for why
+      val rounds = (1 to 3).map(_ => (once(spark.read.parquet(linPath)),
+        once(spark.read.parquet(zPath))))
       Seq(
-        "zorder_box_linear" -> time(spark.read.parquet(linPath)),
-        "zorder_box_zorder" -> time(spark.read.parquet(zPath)))
+        "zorder_box_linear" -> rounds.map(_._1).min,
+        "zorder_box_zorder" -> rounds.map(_._2).min)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] zorder demo failed: $e"); Seq.empty
@@ -227,7 +237,7 @@ object Bench {
       (col("id") % 100).cast("double").as("v"))
     val dim = spark.range(0, 997).select(col("id").as("k"), (col("id") * 2).as("w"))
 
-    def run(aqe: Boolean, salted: Boolean): Double = {
+    def once(aqe: Boolean, salted: Boolean): Double = {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
       // sf0.1-sized partitions need lower AQE skew thresholds to trigger
@@ -236,31 +246,36 @@ object Bench {
       spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m")
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", aqe)
-      val times = (1 to 2).map { _ =>
-        // rebuild the frame per iteration: re-timing one Dataset would let
-        // the second run reuse its shuffle files (skipped stages) and
-        // report fiction
-        val joined =
-          if (salted) graft.ops.SkewJoin.saltedInnerJoin(skewed, dim, Seq("k"), 16)
-          else skewed.join(dim, Seq("k"))
-        val agged = joined.agg(sum(col("v") * col("w")))
-        val t0 = System.nanoTime()
-        agged.queryExecution.toRdd.count()
-        (System.nanoTime() - t0) / 1e9
-      }
+      // rebuild the frame per iteration: re-timing one Dataset would let
+      // a later run reuse its shuffle files (skipped stages) and report
+      // fiction
+      val joined =
+        if (salted) graft.ops.SkewJoin.saltedInnerJoin(skewed, dim, Seq("k"), 16)
+        else skewed.join(dim, Seq("k"))
+      val agged = joined.agg(sum(col("v") * col("w")))
+      val t0 = System.nanoTime()
+      agged.queryExecution.toRdd.count()
+      val dt = (System.nanoTime() - t0) / 1e9
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
       spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
       spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
       spark.conf.set("spark.sql.adaptive.enabled", true)
-      times.min
+      dt
     }
 
-    try Seq(
-      "skew_plain_join" -> run(aqe = false, salted = false),
-      "skew_salted_join" -> run(aqe = false, salted = true),
-      "skew_aqe_join" -> run(aqe = true, salted = false))
-    catch {
+    // interleaved rounds — see benchBucketed for why
+    try {
+      val rounds = (1 to 3).map { _ =>
+        (once(aqe = false, salted = false),
+          once(aqe = false, salted = true),
+          once(aqe = true, salted = false))
+      }
+      Seq(
+        "skew_plain_join" -> rounds.map(_._1).min,
+        "skew_salted_join" -> rounds.map(_._2).min,
+        "skew_aqe_join" -> rounds.map(_._3).min)
+    } catch {
       case e: Throwable =>
         System.err.println(s"[bench] skew demo failed: $e"); Seq.empty
     }

@@ -107,4 +107,71 @@ class PlanShapeSpec extends SparkSpec
       assert(df.count() == 1)
     }
   }
+
+  test("q116 chunk dedup scans document text once; only hashes shuffle") {
+    val plan = SparkEntry.queries("q116_chunk_dedup")(spark, dir)
+      .queryExecution.executedPlan
+    // the window-count formulation reads + chunks the corpus ONCE (the
+    // groupBy+join alternative pays the text scan twice); the second scan
+    // in the plan is the per-source doc count, which must NOT read text
+    val textScans = plan.toString.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("text#"))
+    assert(textScans == 1, s"expected one text-reading scan, got $textScans")
+    val shuffles = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    for (e <- shuffles; a <- e.output)
+      assert(!a.name.toLowerCase.contains("text") && a.name != "chunk",
+        s"wide column '${a.name}' in a shuffle exchange")
+  }
+
+  test("q118 BM25 never shuffles or broadcasts text; df and stats broadcast") {
+    val plan = SparkEntry.queries("q118_bm25")(spark, dir)
+      .queryExecution.executedPlan
+    val shuffles = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    for (e <- shuffles; a <- e.output)
+      assert(!a.name.toLowerCase.contains("text"),
+        s"document text column '${a.name}' in a shuffle exchange")
+    val broadcasts = collect(plan) {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(broadcasts.nonEmpty, "df + corpus stats should be broadcast")
+    for (b <- broadcasts; a <- b.output)
+      assert(!a.name.toLowerCase.contains("text"),
+        s"document text column '${a.name}' in a broadcast exchange")
+  }
+
+  test("q119/q120 stratified window inputs are narrow (no text through an exchange)") {
+    for (q <- Seq("q119_stratified_sample", "q120_shard_pack")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      assert(plan.toString.contains("Window"), s"$q: expected a window")
+      val shuffles = collect(plan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      for (e <- shuffles; a <- e.output)
+        assert(!a.name.toLowerCase.contains("text"),
+          s"$q: text column '${a.name}' in a shuffle exchange")
+    }
+  }
+
+  test("q121 SemDeDup assignment is row-local (native argmax, no window)") {
+    val plan = physicalPlan("q121_semdedup")
+    assert(plan.contains("vecargmaxcell"), "expected the native argmax expression")
+    assert(!plan.contains("Window"), "cell assignment must not go through a window")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q122 incremental dedup broadcasts only narrow pair ids (never text)") {
+    val plan = SparkEntry.queries("q122_incremental_neardup")(spark, dir)
+      .queryExecution.executedPlan
+    val broadcasts = collect(plan) {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(broadcasts.nonEmpty, "expected broadcast pair joins in the verify stage")
+    for (b <- broadcasts; a <- b.output)
+      assert(!a.name.toLowerCase.contains("text"),
+        s"document text column '${a.name}' inside a broadcast exchange")
+  }
 }
