@@ -133,8 +133,12 @@ object Bench {
         .agg(sum(col("l_quantity").cast("decimal(14,2)")).as("qty"))
 
     val rep = 8
-    val repOrdersPath = "/tmp/graft_bench_join_orders"
-    val repLineitemPath = "/tmp/graft_bench_join_lineitem"
+    // per-JVM paths: a second bench on the same host overwriting a shared
+    // /tmp dir mid-demo would yank parquet files out from under this one;
+    // deleted in the finally below (they're ~8x sf0.1 of disk)
+    val runTag = java.lang.ProcessHandle.current().pid().toString
+    val repOrdersPath = s"/tmp/graft_bench_join_orders_$runTag"
+    val repLineitemPath = s"/tmp/graft_bench_join_lineitem_$runTag"
 
     def once(bucketed: Boolean): Double = {
       val (o, l) =
@@ -185,6 +189,13 @@ object Bench {
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] bucketed demo failed: $e"); Seq.empty
+    } finally {
+      for (dir <- Seq(repOrdersPath, repLineitemPath)) {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        ()
+      }
     }
   }
 
@@ -211,9 +222,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    val runTag = java.lang.ProcessHandle.current().pid().toString
+    val linPath = s"/tmp/graft_bench_linear_$runTag"
+    val zPath = s"/tmp/graft_bench_zorder_$runTag"
     try {
-      val linPath = "/tmp/graft_bench_linear"
-      val zPath = "/tmp/graft_bench_zorder"
       rows.repartitionByRange(256, col("x")).sortWithinPartitions("x", "y")
         .write.mode("overwrite").parquet(linPath)
       graft.ops.ZOrder.writeZOrdered(rows, zPath, col("x"), col("y"), 256)
@@ -226,6 +238,13 @@ object Bench {
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] zorder demo failed: $e"); Seq.empty
+    } finally {
+      for (dir <- Seq(linPath, zPath)) {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        ()
+      }
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageSubmitted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import scala.collection.concurrent.TrieMap
 
@@ -121,39 +121,82 @@ object ProgressTracker {
     * tick backwards). The listener is scoped to the call: attached before,
     * detached after, final 100% emitted on success.
     *
+    * Two sharp edges the scoping handles:
+    * - the span runs under a unique JOB GROUP, and only stages of jobs in
+    *   that group are counted — a shared SparkContext (concurrent pipeline
+    *   runs, parallel test suites) would otherwise feed foreign task
+    *   events into this span's percent;
+    * - listener events arrive ASYNC on the bus thread, so a straggler
+    *   task-end can land after `body` returns; every emission goes through
+    *   one lock-serialized monotone gate, and the terminal update sets
+    *   lastPct=100 inside it, so a late event can never regress a
+    *   completed span (the bug: 100% then 87%).
+    *
+    * Denominator discipline: a job's stages are REGISTERED at job start
+    * (group-scoped) but only counted into the total when actually
+    * submitted — shuffle-reused stages are skipped by the scheduler and
+    * would otherwise inflate the denominator so 100% is never reached.
+    *
     * This is the honest version of the reference's hand-placed checkpoint
     * percents (batch loops updating every N rows): the engine already
     * knows its task graph, so progress reflects actual execution.
     */
   def trackStage[T](spark: SparkSession, processId: String, stage: Int,
       message: String)(body: => T): T = {
-    @volatile var totalTasks = 0L
-    @volatile var doneTasks = 0L
-    @volatile var lastPct = 0
+    val lock = new Object
+    var totalTasks = 0L
+    var doneTasks = 0L
+    var lastPct = 0
+    val group = s"graft-progress-$processId-${java.util.UUID.randomUUID()}"
+    val pending = scala.collection.mutable.Map.empty[Int, Int] // stageId -> numTasks
+    val active = scala.collection.mutable.Set.empty[Int]
     val listener = new SparkListener {
-      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = {
-        totalTasks += s.stageInfo.numTasks
-        ()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val g = Option(j.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g == group) lock.synchronized {
+          j.stageInfos.foreach(si => pending.getOrElseUpdate(si.stageId, si.numTasks))
+          ()
+        }
       }
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-        doneTasks += 1
-        val pct = math.min(99, (doneTasks * 100 / math.max(totalTasks, 1L)).toInt)
-        if (pct > lastPct) {
-          lastPct = pct
-          update(processId, stage, pct, message)
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        lock.synchronized {
+          pending.remove(s.stageInfo.stageId).foreach { _ =>
+            active += s.stageInfo.stageId
+            totalTasks += s.stageInfo.numTasks
+          }
+        }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = lock.synchronized {
+        if (active.contains(t.stageId)) {
+          doneTasks += 1
+          val pct = math.min(99, (doneTasks * 100 / math.max(totalTasks, 1L)).toInt)
+          if (pct > lastPct) {
+            lastPct = pct
+            update(processId, stage, pct, message)
+          }
         }
       }
     }
-    update(processId, stage, math.max(lastPct, 0), message)
+    update(processId, stage, 0, message)
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, s"graft progress stage $stage", interruptOnCancel = false)
     try {
       val out = body
-      update(processId, stage, 100, message)
+      lock.synchronized {
+        lastPct = 100
+        update(processId, stage, 100, message)
+      }
       out
     } catch {
       case e: Throwable =>
-        update(processId, stage, lastPct, message, error = Some(e.getMessage))
+        lock.synchronized {
+          val reached = lastPct
+          lastPct = 100 // terminal for this span: no straggler may re-emit
+          update(processId, stage, reached, message, error = Some(e.getMessage))
+        }
         throw e
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 }

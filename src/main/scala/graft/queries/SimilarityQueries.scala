@@ -347,9 +347,10 @@ object SimilarityQueries {
 
     // ---- SemDeDup: semantic dedup inside coarse-quantizer cells -----------
     // The published SemDeDup recipe: cluster the corpus embeddings, then
-    // inside each cluster drop every vector whose cosine to a kept
-    // (lower-id) member exceeds the threshold — near-duplicate MEANINGS,
-    // not just near-duplicate bytes. Cells reuse q77's zero-shuffle
+    // inside each cluster drop every vector whose cosine to ANY lower-id
+    // member (kept or itself dropped — the official batch formulation,
+    // which over-drops chains rather than re-ranking them) exceeds the
+    // threshold — near-duplicate MEANINGS, not just near-duplicate bytes. Cells reuse q77's zero-shuffle
     // row-local argmax over the broadcast 16-centroid codebook; the
     // quadratic pair search is confined to a cell, which is the entire
     // point of the clustering step — at 100 TB the codebook grows to

@@ -192,7 +192,11 @@ object TextQueries {
     // the per-doc state (one md5 per shingle) feeds FIVE plan branches
     // (sizes, small a/b, big band a/b); without a persist each branch
     // re-scans and re-hashes the corpus — Spark has no DataFrame-level
-    // CSE across self-joins (same reasoning as q35's pair persist)
+    // CSE across self-joins (same reasoning as q35's pair persist).
+    // CACHE CONTRACT: the returned frame is lazy, so this function cannot
+    // unpersist after the action it never sees; the registry runners
+    // (Verify, Bench) clearCache() between queries, and library callers
+    // own the same duty after consuming the result.
     val docs0 = docs0uncached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = docs0.groupBy("block").agg(count(lit(1)).as("block_cnt"))
     // map-side partial aggregation collapses the hot block to ONE count

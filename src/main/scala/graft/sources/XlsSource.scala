@@ -39,12 +39,20 @@ object XlsSource {
     val wb = workbookStream(bytes, path)
     val cells = firstSheetCells(wb)
     if (cells.isEmpty) return (Seq.empty, Seq.empty)
-    val maxRow = cells.keysIterator.map(_._1).max
-    val width = cells.keysIterator.filter(_._1 == 0).map(_._2).maxOption.map(_ + 1).getOrElse(0)
-    val header = (0 until width).map(c => cells.getOrElse((0, c), "")).map(v => if (v == null) "" else v)
-    val data = (1 to maxRow).map { r =>
+    // PRESENT rows only, like the xlsx reader (which sees only the <row>
+    // elements the writer emitted): the header is the first row carrying
+    // any cell record — a sheet whose table starts below a leading blank
+    // row must parse identically in both formats — and gap rows between
+    // records are skipped rather than materialized as all-null rows
+    val present = cells.keysIterator.map(_._1).toArray.distinct.sorted
+    val headerRow = present.head
+    val width = cells.keysIterator.filter(_._1 == headerRow)
+      .map(_._2).maxOption.map(_ + 1).getOrElse(0)
+    val header = (0 until width)
+      .map(c => cells.getOrElse((headerRow, c), "")).map(v => if (v == null) "" else v)
+    val data = present.iterator.drop(1).map { r =>
       (0 until width).map(c => cells.getOrElse((r, c), null)): Seq[String]
-    }
+    }.toSeq
     (header, data)
   }
 
@@ -360,7 +368,9 @@ object ExcelSource {
   def read(spark: SparkSession, path: String): DataFrame = {
     val head = {
       val in = new java.io.FileInputStream(path)
-      try { val b = new Array[Byte](8); val n = in.read(b); b.take(math.max(n, 0)) }
+      // readNBytes, not read: a single read() may legally return fewer
+      // than 8 bytes, which would misclassify a valid workbook
+      try in.readNBytes(8)
       finally in.close()
     }
     if (XlsSource.isCfb(head)) XlsSource.read(spark, path)

@@ -54,8 +54,15 @@ class XlsSourceSpec extends SparkSpec {
 
   /** BIFF8 workbook stream: globals (SST split across a CONTINUE whose
     * second fragment switches to UTF-16) + one worksheet substream.
+    *
+    * `rowOff` shifts the whole table down (leading blank rows) and
+    * `gapAfterHeader` opens an empty row between header and data — real
+    * HMIS exports do both, and parse() must resolve them identically to
+    * the xlsx reader (header = first PRESENT row, gap rows skipped).
     */
-  private def biffStream(): Array[Byte] = {
+  private def biffStream(rowOff: Int = 0, gapAfterHeader: Int = 0): Array[Byte] = {
+    val h = rowOff            // header row index
+    val d = rowOff + 1 + gapAfterHeader // first data row index
     val bof = rec(0x0809, le16(0x0600) ++ le16(0x0005) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
     val bofSheet = rec(0x0809, le16(0x0600) ++ le16(0x0010) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
     val eof = rec(0x000A, Array.empty[Byte])
@@ -73,17 +80,18 @@ class XlsSourceSpec extends SparkSpec {
 
     val sheet = Array.concat(
       bofSheet,
-      // header row 0 from SST
-      labelSst(0, 0, 0), labelSst(0, 1, 1), labelSst(0, 2, 2), labelSst(0, 3, 3), labelSst(0, 4, 4),
-      // row 1: NUMBER, LABELSST, MULRK [int 34, x100 7.25], LABELSST
-      number(1, 0, 2023.0), labelSst(1, 1, 5),
-      mulRk(1, 2, Seq((34 << 2) | 2, (725 << 2) | 3)), labelSst(1, 4, 7),
-      // row 2: RK x100 int (202400 -> 2024), gap at B, RK raw-double 0.5,
-      // UTF-16 SST label, BOOLERR true
-      rkRec(2, 0, (202400 << 2) | 3), rkRec(2, 2, 0x3FE00000), labelSst(2, 3, 6), boolErr(2, 4, true),
-      // row 3: formula with cached numeric result; formula with string
-      // result carried by the trailing STRING record
-      formulaNum(3, 0, 4046.0), formulaStr(3, 1), rec(0x0207, str8("sum")),
+      // header row from SST
+      labelSst(h, 0, 0), labelSst(h, 1, 1), labelSst(h, 2, 2), labelSst(h, 3, 3), labelSst(h, 4, 4),
+      // data row 1: NUMBER, LABELSST, MULRK [int 34, x100 7.25], LABELSST
+      number(d, 0, 2023.0), labelSst(d, 1, 5),
+      mulRk(d, 2, Seq((34 << 2) | 2, (725 << 2) | 3)), labelSst(d, 4, 7),
+      // data row 2: RK x100 int (202400 -> 2024), gap at B, RK raw-double
+      // 0.5, UTF-16 SST label, BOOLERR true
+      rkRec(d + 1, 0, (202400 << 2) | 3), rkRec(d + 1, 2, 0x3FE00000),
+      labelSst(d + 1, 3, 6), boolErr(d + 1, 4, true),
+      // data row 3: formula with cached numeric result; formula with
+      // string result carried by the trailing STRING record
+      formulaNum(d + 2, 0, 4046.0), formulaStr(d + 2, 1), rec(0x0207, str8("sum")),
       eof)
 
     val globalsPrefix = bof
@@ -101,8 +109,8 @@ class XlsSourceSpec extends SparkSpec {
   /** Minimal OLE2/CFB container: FAT sector 0, directory sector 1,
     * workbook stream in sectors 2+.
     */
-  private def writeFixture(): String = {
-    val wb = biffStream()
+  private def writeFixture(rowOff: Int = 0, gapAfterHeader: Int = 0): String = {
+    val wb = biffStream(rowOff, gapAfterHeader)
     val nStream = (wb.length + 511) / 512
     val header = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
     header.put(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
@@ -158,6 +166,17 @@ class XlsSourceSpec extends SparkSpec {
     assert(rows(0) == Seq("2023", "January", "34", "7.25", "POSITIVE"))
     assert(rows(1) == Seq("2024", null, "0.5", "Kigalié", "true"))
     assert(rows(2) == Seq("4046", "sum", null, null, null))
+  }
+
+  test("leading blank rows and a header-data gap resolve like the xlsx reader") {
+    // table starts at sheet row 2 with an empty row between header and
+    // data: header must come from the first PRESENT row and the gap row
+    // must be skipped, not materialized as an all-null record — the
+    // absolute-row-0 anchoring this regression-tests rejected such files
+    val (header, rows) = XlsSource.parse(writeFixture(rowOff = 2, gapAfterHeader = 1))
+    assert(header == Seq("Year", "Month", "Age", "Score", "Status"))
+    assert(rows.size == 3)
+    assert(rows(0) == Seq("2023", "January", "34", "7.25", "POSITIVE"))
   }
 
   test("xls feeds the engine as strings (S2 legacy upload path)") {

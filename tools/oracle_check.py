@@ -74,10 +74,14 @@ def arrow_type_diffs(s_schema, o_schema):
     and the DuckDB oracle result (column names already verified equal)."""
     s_types = {f.name: type_class(f.type) for f in s_schema}
     o_types = {f.name: type_class(f.type) for f in o_schema}
+    # "null" anywhere in either type is a wildcard, not just top-level:
+    # an all-empty-array oracle column infers list<null> in Arrow while
+    # Spark's parquet carries list<double> — both serialize '[]'
+    # identically in the driver's hasher
     return [(c, s_types[c], o_types[c])
             for c in sorted(s_types)
             if c in o_types and s_types[c] != o_types[c]
-            and "null" not in (s_types[c], o_types[c])]
+            and "null" not in s_types[c] and "null" not in o_types[c]]
 
 
 def main():
