@@ -708,6 +708,85 @@ object ExtraQueries {
         FROM p JOIN c ON user_id = c_user
           AND click_ts >= purchase_ts - INTERVAL 30 MINUTE
           AND click_ts <= purchase_ts
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- ordered event funnel: view -> click -> purchase ------------------
+    // The product-analytics staple: how many users progressed through the
+    // funnel IN ORDER (each step strictly after the user's first
+    // occurrence of the previous step). Three keyed min-aggregations
+    // chained by per-user joins — each level shuffles only (user_id,
+    // timestamp) pairs, so the plan is three narrow exchanges regardless
+    // of event volume; per-user event history is never collected.
+    Q("q123_event_funnel",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        v.agg(count(lit(1)).as("viewed"))
+          .crossJoin(broadcast(c.agg(count(lit(1)).as("clicked_after_view"))))
+          .crossJoin(broadcast(p.agg(count(lit(1)).as("purchased_after_click"))))
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id, MIN(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        c AS (
+          SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+        p AS (
+          SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+        SELECT (SELECT COUNT(*) FROM v) AS viewed,
+          (SELECT COUNT(*) FROM c) AS clicked_after_view,
+          (SELECT COUNT(*) FROM p) AS purchased_after_click""")),
+
+    // ---- retention cohorts: signup day x activity-day offset --------------
+    // The other analytics staple: users cohorted by first-signup DAY,
+    // retention = distinct users active k days later (k = 0..7). All
+    // integer/date math — day floors agree between Spark's micro and
+    // DuckDB's nano timestamps, and the cohort day is emitted as a string
+    // so the hash compare is type-stable. Shape: one distinct over
+    // (user, day) — narrow — then a keyed join against the (tiny)
+    // cohort frame and a two-key count-distinct aggregation.
+    Q("q124_retention_cohorts",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val coh = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(to_date(col("ts"))).as("cd"))
+        val act = e.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        val sz = coh.groupBy("cd").agg(count(lit(1)).as("cohort_size"))
+        act.join(coh, "user_id")
+          .withColumn("day_offset", datediff(col("d"), col("cd")).cast("long"))
+          .filter(col("day_offset") >= 0 && col("day_offset") <= 7)
+          .groupBy("cd", "day_offset")
+          .agg(countDistinct("user_id").as("active_users"))
+          .join(sz, "cd")
+          .select(date_format(col("cd"), "yyyy-MM-dd").as("cohort"),
+            col("day_offset"), col("active_users"), col("cohort_size"))
+          .orderBy("cohort", "day_offset")
+      },
+      Some("""
+        WITH coh AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS cd FROM events
+          WHERE event_type = 'signup' GROUP BY 1),
+        act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        sz AS (SELECT cd, COUNT(*) AS cohort_size FROM coh GROUP BY 1),
+        r AS (
+          SELECT cd, date_diff('day', cd, d) AS day_offset,
+            COUNT(DISTINCT a.user_id) AS active_users
+          FROM act a JOIN coh USING (user_id)
+          WHERE date_diff('day', cd, d) BETWEEN 0 AND 7
+          GROUP BY 1, 2)
+        SELECT strftime(r.cd, '%Y-%m-%d') AS cohort,
+          CAST(day_offset AS BIGINT) AS day_offset,
+          CAST(active_users AS BIGINT) AS active_users,
+          CAST(cohort_size AS BIGINT) AS cohort_size
+        FROM r JOIN sz USING (cd) ORDER BY 1, 2"""))
   )
 }
