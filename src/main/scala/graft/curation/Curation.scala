@@ -1,0 +1,210 @@
+package graft.curation
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions.{shingles, tokens}
+
+/** Public training-data curation API over arbitrary DataFrames — the
+  * library surface behind the oracled registry queries q116-q121. Every
+  * function is a pure DataFrame-in/DataFrame-out transformation with
+  * column names as parameters, so it composes with any corpus schema;
+  * the registry queries delegate here with the testdata's column names
+  * (which keeps each function under the DuckDB hash-exactness gate).
+  *
+  * Scale contracts are part of each function's doc — the common theme is
+  * that document text and embedding vectors never shuffle; only hashes,
+  * ids and counts do.
+  */
+object Curation {
+
+  /** Per-group chunk-level exact-dedup report: documents are chunked into
+    * consecutive non-overlapping `chunkTokens`-token windows; a chunk is
+    * duplicated when its text occurs anywhere else in the corpus. Output
+    * per `groupCol`: docs, total_chunks, dup_chunks, flagged_docs (docs
+    * with >= half their chunks duplicated). One text scan; only
+    * (id, group, md5) triples shuffle.
+    */
+  def chunkDedupReport(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", groupCol: String = "source",
+      chunkTokens: Int = 20): DataFrame = {
+    val chunks = filter(shingles(tokens(col(textCol)), chunkTokens),
+      (_, i) => i % chunkTokens === 0)
+    val ch = docs.select(col(idCol), col(groupCol), explode(chunks).as("chunk"))
+      .select(col(idCol), col(groupCol), md5(col("chunk")).as("h"))
+    val perDoc = ch
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .groupBy(idCol, groupCol)
+      .agg(count(lit(1)).as("chunks"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup"))
+    val byGroup = docs.groupBy(groupCol).agg(count(lit(1)).as("docs"))
+    byGroup.join(
+      perDoc.groupBy(groupCol).agg(
+        sum("chunks").as("pc"), sum("dup").as("pd"),
+        sum(when(col("dup") * 2 >= col("chunks"), 1L).otherwise(0L)).as("pf")),
+      Seq(groupCol), "left")
+      .select(col(groupCol), col("docs"),
+        coalesce(col("pc"), lit(0L)).as("total_chunks"),
+        coalesce(col("pd"), lit(0L)).as("dup_chunks"),
+        coalesce(col("pf"), lit(0L)).as("flagged_docs"))
+      .orderBy(groupCol)
+  }
+
+  /** One quality rule of the [[filterFunnel]] cascade: `fails` is built
+    * from the integer per-doc features `n` (tokens), `vocab` (distinct
+    * tokens), `max_single` (highest single-token count) and `stop_cnt`
+    * (stopword occurrences).
+    */
+  final case class FunnelRule(name: String, fails: Column)
+
+  /** The default C4/Gopher-style cascade (integer-only thresholds). */
+  def defaultFunnelRules: Seq[FunnelRule] = Seq(
+    FunnelRule("too_short", col("n") < 15),
+    FunnelRule("too_long", col("n") > 95),
+    FunnelRule("repetitive", col("max_single") * 5 > col("n")),
+    FunnelRule("low_vocab", col("vocab") * 5 < col("n") * 2),
+    FunnelRule("low_stopword", col("stop_cnt") * 50 < col("n")))
+
+  /** Ordered quality-filter cascade with first-fail attribution: each doc
+    * is attributed to the FIRST rule it fails (or 'kept'), and the output
+    * is the survival funnel (stage, rule, dropped, survivors_after). All
+    * rule features derive from ONE token explode + two-level keyed agg —
+    * text never leaves the scan stage.
+    */
+  def filterFunnel(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id",
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is"),
+      rules: Seq[FunnelRule] = defaultFunnelRules): DataFrame = {
+    val tokCnt = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("cnt"))
+    val feats = tokCnt.groupBy(idCol).agg(
+      sum("cnt").as("n"),
+      count(lit(1)).as("vocab"),
+      max("cnt").as("max_single"),
+      sum(when(col("tok").isin(stopwords: _*), col("cnt")).otherwise(0L)).as("stop_cnt"))
+    def v(stage: Int, rule: String) =
+      struct(lit(stage).as("stage"), lit(rule).as("rule"))
+    val verdict = rules.zipWithIndex.foldRight(v(rules.size + 1, "kept"): Column) {
+      case ((r, i), rest) => when(r.fails, v(i + 1, r.name)).otherwise(rest)
+    }
+    val staged = feats.select(verdict.as("verdict"))
+    val totals = docs.agg(count(lit(1)).as("total"))
+    staged.groupBy(col("verdict.stage").as("stage"), col("verdict.rule").as("rule"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dropped",
+        when(col("rule") === "kept", 0L).otherwise(col("cnt")))
+      .crossJoin(broadcast(totals))
+      .withColumn("survivors_after",
+        col("total") - sum("dropped").over(
+          Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("stage").cast("long").as("stage"), col("rule"),
+        col("dropped"), col("survivors_after"))
+      .orderBy("stage")
+  }
+
+  /** BM25 top-k ranked retrieval with the log-free idf weight
+    * (N - df + 0.5)/(df + 0.5) — a strictly monotone transform of the
+    * classic log idf chosen so every operation is an IEEE +|*|/ (exactly
+    * reproducible; no engine-specific ln rounding). Tokens are filtered
+    * to the query terms inside the scan-stage lambda, so only matching
+    * (id, dl, term) rows shuffle; df and corpus stats broadcast.
+    * Per-term contributions are decimal-cast before the per-doc sum so
+    * the reduction is order-independent.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], topK: Int = 15,
+      textCol: String = "text", idCol: String = "doc_id",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = docs.select(col(idCol), size(toks).as("dl"),
+      explode(filter(toks, _.isin(terms: _*))).as("term"))
+    val tf = base.groupBy(idCol, "dl", "term").agg(count(lit(1)).as("tf"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      (sum(size(toks)).cast("double") / count(lit(1))).as("avgdl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val tfD = col("tf").cast("double")
+    val idf = ((col("n") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val denom = tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))
+    val contrib = idf * ((tfD * lit(k1 + 1.0)) / denom)
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), contrib.cast("decimal(24,10)").as("c"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("matched_terms"),
+        sum(col("c")).cast("double").as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(topK)
+  }
+
+  /** Deterministic fixed-size per-stratum sample: `n` rows per stratum,
+    * selected by ranking on md5 of the id — content-addressed, so the
+    * draw is reproducible across engines, runs and cluster sizes. The
+    * projection narrows to (stratum, id, carry) BEFORE the window.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, n: Int,
+      idCol: String = "doc_id", carryCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.select((Seq(strataCol, idCol) ++ carryCols).map(col): _*)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= n)
+      .select((Seq(col(strataCol), col("rk"), col(idCol)) ++ carryCols.map(col)): _*)
+      .orderBy(strataCol, "rk")
+  }
+
+  /** Deterministic training-shard packing: per stratum, documents are
+    * laid out in md5(id) order and a shard boundary falls every
+    * `tokensPerShard` tokens of running offset (a doc belongs to the
+    * shard its first token lands in). Output: per-(stratum, shard) docs
+    * and token counts. Only narrow (stratum, id, n) triples shuffle; no
+    * pack stream serializes globally.
+    */
+  def packShards(docs: DataFrame, tokensPerShard: Int = 2000,
+      strataCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.select(col(strataCol), col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n"))
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("shard", expr(s"(cum - n) div $tokensPerShard"))
+      .groupBy(strataCol, "shard")
+      .agg(count(lit(1)).as("docs"), sum("n").as("tokens"))
+      .orderBy(strataCol, "shard")
+  }
+
+  /** SemDeDup ledger: embeddings are assigned to coarse-quantizer cells
+    * (row-local argmax over the broadcast `codebook`), and inside each
+    * cell every vector whose cosine to ANY lower-id member exceeds
+    * `threshold` is dropped (the official batch formulation). Output per
+    * cell: n_vectors, dropped, kept. The quadratic pair search is
+    * confined to cells; size the codebook so cells stay bounded
+    * (SemDeDup's published setting is ~100k clusters at web scale).
+    */
+  def semDeDupLedger(embeddings: DataFrame,
+      codebook: Seq[(Long, Seq[Double], Double)], threshold: Double = 0.999,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = embeddings
+      .select(col(idCol), col(vecCol),
+        graft.ml.VecOps.norm(col(vecCol)).as("v_nrm"))
+      .withColumn("cell",
+        graft.ml.VecOps.argmaxCell(col(vecCol), col("v_nrm"), codebook))
+    val a = assigned.select(col(idCol).as("a_id"),
+      col(vecCol).as("a_emb"), col("v_nrm").as("a_nrm"), col("cell"))
+    val b = assigned.select(col(idCol).as("b_id"),
+      col(vecCol).as("b_emb"), col("v_nrm").as("b_nrm"),
+      col("cell").as("b_cell"))
+    val dropped = a.join(b,
+        col("cell") === col("b_cell") && col("a_id") > col("b_id"))
+      .filter(graft.ml.VecOps.dot(col("a_emb"), col("b_emb")) /
+        (col("a_nrm") * col("b_nrm")) >= threshold)
+      .select(col("a_id").as(idCol)).distinct()
+    assigned.join(dropped.withColumn("is_drop", lit(1L)), Seq(idCol), "left")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(coalesce(col("is_drop"), lit(0L))).as("dropped"))
+      .withColumn("kept", col("n_vectors") - col("dropped"))
+      .orderBy("cell")
+  }
+}

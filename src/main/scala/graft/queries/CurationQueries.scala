@@ -1,8 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
-import graft.text.TextFunctions.{shingles, tokens}
 import Qx._
 
 /** Second wave of training-data curation operators: chunk-level exact
@@ -13,8 +10,12 @@ import Qx._
   * deterministic stratified sampling (fixed-size per-stratum draws for
   * eval sets).
   *
-  * Scale notes are per-query; the common theme is that document text
-  * never shuffles — only 32-char hashes, token keys, and ids do.
+  * The Spark side of every entry delegates to the PUBLIC
+  * [[graft.curation.Curation]] API (column-parameterized, reusable over
+  * any corpus schema); this module contributes the testdata bindings and
+  * the DuckDB oracle mirrors. Scale notes live with the API; the common
+  * theme is that document text never shuffles — only 32-char hashes,
+  * token keys, and ids do.
   */
 object CurationQueries {
 
@@ -38,33 +39,7 @@ object CurationQueries {
     // branch — 2x the scan cost at 100 TB for the same one shuffle).
     // Integer threshold math (dup*2 >= chunks) keeps the oracle exact.
     Q("q116_chunk_dedup",
-      (s, dir) => {
-        val d = t(s, dir, "documents")
-        // non-overlapping 20-grams = every 20th overlapping 20-shingle
-        // (shingles() is the codegen-safe zip form; the (_, i) filter keeps
-        // starts 1, 21, 41, ... — identical to floor(n/20) fixed windows)
-        val chunks = filter(shingles(tokens(col("text")), 20), (_, i) => i % 20 === 0)
-        val ch = d.select(col("doc_id"), col("source"),
-          explode(chunks).as("chunk")).select(
-          col("doc_id"), col("source"), md5(col("chunk")).as("h"))
-        val perDoc = ch
-          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
-          .groupBy("doc_id", "source")
-          .agg(count(lit(1)).as("chunks"),
-            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup"))
-        val bySource = t(s, dir, "documents").groupBy("source")
-          .agg(count(lit(1)).as("docs"))
-        bySource.join(
-          perDoc.groupBy("source").agg(
-            sum("chunks").as("pc"), sum("dup").as("pd"),
-            sum(when(col("dup") * 2 >= col("chunks"), 1L).otherwise(0L)).as("pf")),
-          Seq("source"), "left")
-          .select(col("source"), col("docs"),
-            coalesce(col("pc"), lit(0L)).as("total_chunks"),
-            coalesce(col("pd"), lit(0L)).as("dup_chunks"),
-            coalesce(col("pf"), lit(0L)).as("flagged_docs"))
-          .orderBy("source")
-      },
+      (s, dir) => graft.curation.Curation.chunkDedupReport(t(s, dir, "documents")),
       Some(s"""
         WITH w AS (
           SELECT doc_id, source, $duckTokens AS w FROM documents),
@@ -105,40 +80,7 @@ object CurationQueries {
     // cross-multiplications (dup of the published ratio rules) so the
     // DuckDB mirror is exact with no float boundary risk.
     Q("q117_filter_funnel",
-      (s, dir) => {
-        val d = t(s, dir, "documents")
-        val stops = Seq("the", "a", "of", "and", "in", "to", "is")
-        val tokCnt = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-        val feats = tokCnt.groupBy("doc_id").agg(
-          sum("cnt").as("n"),
-          count(lit(1)).as("vocab"),
-          max("cnt").as("max_single"),
-          sum(when(col("tok").isin(stops: _*), col("cnt")).otherwise(0L)).as("stop_cnt"))
-        def v(stage: Int, rule: String) =
-          struct(lit(stage).as("stage"), lit(rule).as("rule"))
-        val staged = feats.select(
-          when(col("n") < 15, v(1, "too_short"))
-            .when(col("n") > 95, v(2, "too_long"))
-            .when(col("max_single") * 5 > col("n"), v(3, "repetitive"))
-            .when(col("vocab") * 5 < col("n") * 2, v(4, "low_vocab"))
-            .when(col("stop_cnt") * 50 < col("n"), v(5, "low_stopword"))
-            .otherwise(v(6, "kept")).as("verdict"))
-        val totals = d.agg(count(lit(1)).as("total"))
-        staged.groupBy(col("verdict.stage").as("stage"), col("verdict.rule").as("rule"))
-          .agg(count(lit(1)).as("cnt"))
-          // 'kept' docs are not dropped — zero BEFORE the running sum so
-          // the final funnel row reads (kept: 0 dropped, N survivors)
-          .withColumn("dropped",
-            when(col("rule") === "kept", 0L).otherwise(col("cnt")))
-          .crossJoin(broadcast(totals))
-          .withColumn("survivors_after",
-            col("total") - sum("dropped").over(
-              Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, 0)))
-          .select(col("stage").cast("long").as("stage"), col("rule"),
-            col("dropped"), col("survivors_after"))
-          .orderBy("stage")
-      },
+      (s, dir) => graft.curation.Curation.filterFunnel(t(s, dir, "documents")),
       Some(s"""
         WITH tok AS (
           SELECT doc_id, unnest($duckTokens) AS tok FROM documents),
@@ -187,30 +129,12 @@ object CurationQueries {
     // row-local lambda, so only (doc_id, dl, term) rows for matching terms
     // reach the exchange — the corpus itself never shuffles. df (3 rows)
     // and the corpus stats (1 row) are broadcast.
+    // k1+1.0 and 1.0-b fold to exactly the 2.2 / 0.25 literals the
+    // oracle spells (verified IEEE identities), so the generic API stays
+    // hash-exact under the gate
     Q("q118_bm25",
-      (s, dir) => {
-        val d = t(s, dir, "documents")
-        val terms = Seq("spark", "window", "hash")
-        val toks = tokens(col("text"))
-        val base = d.select(col("doc_id"), size(toks).as("dl"),
-          explode(filter(toks, _.isin(terms: _*))).as("term"))
-        val tf = base.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-        val stats = d.agg(count(lit(1)).as("n"),
-          (sum(size(toks)).cast("double") / count(lit(1))).as("avgdl"))
-        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val tfD = col("tf").cast("double")
-        val idf = ((col("n") - col("df")).cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))
-        val denom = tfD + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))
-        val contrib = idf * ((tfD * lit(2.2)) / denom)
-        tf.join(broadcast(df), "term")
-          .crossJoin(broadcast(stats))
-          .select(col("doc_id"), contrib.cast("decimal(24,10)").as("c"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("matched_terms"), dbl(sum(col("c"))).as("score"))
-          .orderBy(desc("score"), col("doc_id"))
-          .limit(15)
-      },
+      (s, dir) => graft.curation.Curation.bm25(
+        t(s, dir, "documents"), Seq("spark", "window", "hash")),
       Some(s"""
         WITH tk AS (
           SELECT doc_id, len($duckTokens) AS dl,
@@ -248,16 +172,8 @@ object CurationQueries {
     // partial-aggregating top-k used by q67), which caps per-partition
     // state at k rows; at 5 strata x 20 rows the window is already tiny.
     Q("q119_stratified_sample",
-      (s, dir) => {
-        val d = t(s, dir, "documents")
-        val w = Window.partitionBy("lang")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        d.select(col("lang"), col("doc_id"), col("n_chars"))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 20)
-          .select("lang", "rk", "doc_id", "n_chars")
-          .orderBy("lang", "rk")
-      },
+      (s, dir) => graft.curation.Curation.stratifiedSample(
+        t(s, dir, "documents"), "lang", 20, carryCols = Seq("n_chars")),
       Some("""
         SELECT lang, rk, doc_id, n_chars FROM (
           SELECT lang, doc_id, n_chars,
@@ -284,19 +200,7 @@ object CurationQueries {
     // q30b, so each packer sees bounded data). Shard ids use integer
     // division of exact long offsets — no float boundary risk.
     Q("q120_shard_pack",
-      (s, dir) => {
-        val d = t(s, dir, "documents")
-        val w = Window.partitionBy("lang")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, 0)
-        d.select(col("lang"), col("doc_id"),
-          size(tokens(col("text"))).cast("long").as("n"))
-          .withColumn("cum", sum("n").over(w))
-          .withColumn("shard", expr("(cum - n) div 2000"))
-          .groupBy("lang", "shard")
-          .agg(count(lit(1)).as("docs"), sum("n").as("tokens"))
-          .orderBy("lang", "shard")
-      },
+      (s, dir) => graft.curation.Curation.packShards(t(s, dir, "documents")),
       Some(s"""
         WITH d AS (
           SELECT lang, doc_id, len($duckTokens) AS n FROM documents),

@@ -367,27 +367,7 @@ object SimilarityQueries {
           .collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
           .sortBy(_._1).toSeq
-        val assigned = e
-          .select(col("vec_id"), col("embedding"),
-            graft.ml.VecOps.norm(col("embedding")).as("v_nrm"))
-          .withColumn("cell",
-            graft.ml.VecOps.argmaxCell(col("embedding"), col("v_nrm"), codebook))
-        val a = assigned.select(col("vec_id").as("a_id"),
-          col("embedding").as("a_emb"), col("v_nrm").as("a_nrm"), col("cell"))
-        val b = assigned.select(col("vec_id").as("b_id"),
-          col("embedding").as("b_emb"), col("v_nrm").as("b_nrm"),
-          col("cell").as("b_cell"))
-        val dropped = a.join(b,
-            col("cell") === col("b_cell") && col("a_id") > col("b_id"))
-          .filter(graft.ml.VecOps.dot(col("a_emb"), col("b_emb")) /
-            (col("a_nrm") * col("b_nrm")) >= 0.999)
-          .select(col("a_id").as("vec_id")).distinct()
-        assigned.join(dropped.withColumn("is_drop", lit(1L)), Seq("vec_id"), "left")
-          .groupBy("cell")
-          .agg(count(lit(1)).as("n_vectors"),
-            sum(coalesce(col("is_drop"), lit(0L))).as("dropped"))
-          .withColumn("kept", col("n_vectors") - col("dropped"))
-          .orderBy("cell")
+        graft.curation.Curation.semDeDupLedger(e, codebook)
       },
       Some(s"""
         WITH nrm AS (

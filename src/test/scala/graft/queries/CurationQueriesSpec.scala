@@ -144,6 +144,28 @@ class CurationQueriesSpec extends SparkSpec {
     assert(out(1L)._2 + out(1L)._3 > 10L)
   }
 
+  test("Curation API is column-parameterized (nonstandard schemas work)") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "news"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "blog"),
+      (3L, "x1 x2 x3", "blog")).toDF("post_id", "body", "channel")
+    val rep = graft.curation.Curation.chunkDedupReport(df,
+      textCol = "body", idCol = "post_id", groupCol = "channel", chunkTokens = 5)
+    assert(rep.columns.toSeq ===
+      Seq("channel", "docs", "total_chunks", "dup_chunks", "flagged_docs"))
+    // posts 1 and 2 share both 5-token chunks across channels
+    assert(rep.collect().map(r => r.getString(0) -> r.getLong(3)).toMap ===
+      Map("news" -> 2L, "blog" -> 2L))
+    val s = graft.curation.Curation.stratifiedSample(df, "channel", 1, idCol = "post_id")
+    assert(s.count() === 2L)
+    val bm = graft.curation.Curation.bm25(df, Seq("w1"), topK = 5,
+      textCol = "body", idCol = "post_id")
+    assert(bm.count() === 2L)
+    val funnel = graft.curation.Curation.filterFunnel(df,
+      textCol = "body", idCol = "post_id")
+    assert(funnel.select("survivors_after").collect().last.getLong(0) >= 0L)
+  }
+
   test("q119: per-stratum size is exact and the draw is deterministic") {
     val q = SparkEntry.queries("q119_stratified_sample")
     val out = q(spark, "/root/testdata/sf0.001")
