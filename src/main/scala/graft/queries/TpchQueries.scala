@@ -149,6 +149,39 @@ object TpchQueries {
                           WHERE o_custkey = c_custkey AND year(o_orderdate) >= 1999)
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- Q17 shape: small-quantity revenue vs per-part average ------------
+    // The broadcast-aggregate-join decorrelation: the per-part average
+    // quantity (the correlated subquery in the classic formulation)
+    // computes ONCE as a keyed aggregate and joins back — at scale the
+    // aggregate side is |parts|-sized, far under the fact table, and the
+    // brand filter prunes both sides before the join. Threshold math is
+    // IEEE-identical in both engines: avg = CAST(decimal sum AS
+    // DOUBLE)/count, then one multiply by 0.2, parenthesized the same.
+    Q("q125_small_qty_revenue",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val p = t(s, dir, "part").filter(col("p_brand") === "Brand#23")
+        val avgQ = l.groupBy(col("l_partkey").as("pk"))
+          .agg((dbl(sum(d12(col("l_quantity")))) / count(lit(1))).as("avg_qty"))
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .join(avgQ, col("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .agg((dbl(sum(d12(col("l_extendedprice")))) / lit(7.0)).as("avg_yearly"),
+            count(lit(1)).as("small_lots"))
+      },
+      Some("""
+        WITH avg_q AS (
+          SELECT l_partkey AS pk,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+          FROM lineitem GROUP BY 1)
+        SELECT
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+          COUNT(*) AS small_lots
+        FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN avg_q ON l_partkey = pk
+        WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty""")),
+
     // ---- F14/F19 sanitize chain under the oracle --------------------------
     Q("q76_name_sanitize",
       (s, dir) => t(s, dir, "supplier")
