@@ -174,6 +174,22 @@ object Curation {
       .orderBy(strataCol, "shard")
   }
 
+  /** Exact-dedup for a DOCUMENT STREAM: normalize-fingerprint each doc
+    * row-local (md5 of lowercased whitespace-collapsed text) and keep the
+    * first arrival per fingerprint. Under Structured Streaming the state
+    * store holds one fingerprint per doc bounded by the `watermark` on
+    * `tsCol` (late duplicates beyond it age out — the same bounded-state
+    * discipline as [[graft.streaming.EventStreams.dedupById]]); the same
+    * plan runs identically in batch, where the watermark is a no-op. This
+    * is the continuous-ingest counterpart of the batch ledger
+    * (incremental dedup q122) for the exact-duplicate layer.
+    */
+  def fingerprintDedupStream(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ingest_ts", watermark: String = "10 minutes"): DataFrame =
+    docs.withColumn("fp", graft.text.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("fp")
+
   /** SemDeDup ledger: embeddings are assigned to coarse-quantizer cells
     * (row-local argmax over the broadcast `codebook`), and inside each
     * cell every vector whose cosine to ANY lower-id member exceeds

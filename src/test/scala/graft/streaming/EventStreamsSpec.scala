@@ -109,6 +109,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation fingerprint dedup runs on a live document stream") {
+    val dir = Files.createTempDirectory("doc_stream").toString + "/src"
+    val docs = Seq(
+      (1L, "alpha beta gamma", ts("2024-01-01 10:00:00")),
+      (2L, "  ALPHA   beta GAMMA ", ts("2024-01-01 10:01:00")), // dup after normalize
+      (3L, "delta epsilon", ts("2024-01-01 10:02:00"))
+    ).toDF("doc_id", "text", "ingest_ts")
+    docs.coalesce(1).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = graft.curation.Curation.fingerprintDedupStream(
+        spark.readStream.schema(schema).parquet(dir))
+      .writeStream.format("memory").queryName("doc_dedup_test").start()
+    try {
+      q.processAllAvailable()
+      // replay the SAME normalized text in a later micro-batch: the
+      // fingerprint state (inside watermark) must still suppress it
+      Seq((4L, "alpha  beta  gamma", ts("2024-01-01 10:03:00")))
+        .toDF("doc_id", "text", "ingest_ts")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id FROM doc_dedup_test")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(out == Seq(1L, 3L)) // one survivor per fingerprint
+    } finally q.stop()
+  }
+
   test("session_window aggregation: batch parity on explicit gaps") {
     val ev = Seq(
       (7L, ts("2024-01-01 10:00:00")),
