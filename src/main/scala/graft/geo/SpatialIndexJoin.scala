@@ -122,7 +122,10 @@ object SpatialIndexJoin {
     val spark = points.sparkSession
     val payloadSchema = StructType(polys.schema.filterNot(_.name == geomCol))
     val payloadCols = payloadSchema.map(f => col(f.name))
-    val collected = polys.select(struct(payloadCols: _*).as("payload"), col(geomCol).as("g"))
+    // null geometries can't match any point — drop them before collect
+    // (toPoly would NPE on geom.length otherwise)
+    val collected = polys.filter(col(geomCol).isNotNull)
+      .select(struct(payloadCols: _*).as("payload"), col(geomCol).as("g"))
       .collect()
     require(collected.nonEmpty, "polygon side is empty")
     val polyArr = collected.map(r => toPoly(
@@ -138,11 +141,16 @@ object SpatialIndexJoin {
     points.mapPartitions { iter =>
       val idx = index.value
       iter.flatMap { row =>
-        val x = row.getDouble(xi)
-        val y = row.getDouble(yi)
-        val p = idx.probe(x, y)
-        if (p < 0) None
-        else Some(Row.fromSeq(row.toSeq ++ idx.payloads(p).toSeq))
+        // null coordinates match no polygon — the predicate-join contract
+        // this operator mirrors (getDouble would NPE-unbox instead)
+        if (row.isNullAt(xi) || row.isNullAt(yi)) None
+        else {
+          val x = row.getDouble(xi)
+          val y = row.getDouble(yi)
+          val p = idx.probe(x, y)
+          if (p < 0) None
+          else Some(Row.fromSeq(row.toSeq ++ idx.payloads(p).toSeq))
+        }
       }
     }(enc)
   }

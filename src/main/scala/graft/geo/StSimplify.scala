@@ -46,6 +46,9 @@ case class StSimplify(children: Seq[Expression])
       case d: java.lang.Double => d
       case d: java.math.BigDecimal => d.doubleValue()
       case o: org.apache.spark.sql.types.Decimal => o.toDouble
+      // SQL integer/float literals (st_simplify(g, 0) is the natural way
+      // to spell the reference's no-op short-circuit) are numbers too
+      case n: java.lang.Number => n.doubleValue()
       case other => throw new IllegalArgumentException(
         s"st_simplify: tolerance must be a numeric literal, got $other")
     }

@@ -43,9 +43,13 @@ object MergeInto {
       .withColumn("__sid", monotonically_increasing_id())
     val joined = t.join(c, keys, "full_outer")
 
+    // one filter covers every delete case: matched 'D' removes the target
+    // row, unmatched 'D' contributes nothing. A null/unknown op would be
+    // silently swallowed by this predicate (null || null = dropped), which
+    // is why the stats job below REJECTS such rows before merged is ever
+    // consumed.
     val merged = joined
-      .filter(col("__s").isNull || col("__op") =!= "D") // drop deletes
-      .filter(col("__t").isNotNull || col("__op") =!= "D") // delete-of-missing: no-op
+      .filter(col("__s").isNull || col("__op") =!= "D")
       .select(keys.map(col) ++ dataCols.map(d =>
         when(col("__s").isNotNull, col(s"__s_$d")).otherwise(col(s"__t_$d")).as(d)): _*)
 
@@ -56,7 +60,13 @@ object MergeInto {
       coalesce(sum(when(col("__t").isNull && col("__op") =!= "D", 1L)), lit(0L)),
       coalesce(sum(when(col("__s").isNull, 1L)), lit(0L)),
       countDistinct(col("__sid")), // change ROWS (robust to duplicate target keys)
-      countDistinct(when(col("__s").isNotNull, changeKey))).head()
+      countDistinct(when(col("__s").isNotNull, changeKey)),
+      coalesce(sum(when(col("__s").isNotNull &&
+        (col("__op").isNull || !col("__op").isin("I", "U", "D")), 1L)), lit(0L))).head()
+    if (st.getLong(6) > 0L)
+      throw new IllegalArgumentException(
+        s"MERGE changes contain ${st.getLong(6)} rows with a null/unknown '$opCol' " +
+          "(allowed: I, U, D); rejecting rather than silently dropping the matched target rows")
     if (st.getLong(4) != st.getLong(5))
       throw new IllegalArgumentException(
         s"MERGE changes contain duplicate keys (${st.getLong(4)} change rows over " +

@@ -20,31 +20,59 @@ object Writers {
 
   final case class UpsertStats(inserted: Long, updated: Long, total: Long)
 
-  /** S9 replace mode. */
-  def overwrite(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(path)
+  /** S9 replace mode — via the same staging-write + rename-rename swap as
+    * [[upsertPath]], so a crash mid-write never loses the previous
+    * dataset (a bare SaveMode.Overwrite deletes the old directory before
+    * the new job commits — exactly the reference's DROP-then-die hole
+    * this sink exists to close).
+    */
+  def overwrite(df: DataFrame, path: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    recoverAndClean(fs, hPath)
+    if (!fs.exists(hPath)) df.write.mode(SaveMode.Overwrite).parquet(path)
+    else {
+      df.write.mode(SaveMode.Overwrite).parquet(path + StagingSuffix)
+      swapInto(fs, hPath)
+    }
+  }
 
   /** S10/J6 upsert: incoming rows win on key collision; returns the merged
     * frame plus inserted/updated accounting. The merge is one left-anti
     * join (existing rows not replaced) plus a union — both sides shuffle on
     * the key once; incoming is usually the small side and broadcastable.
     *
-    * Accounting is a SINGLE job: one outer join of the two key sets
-    * aggregated into (inserted, updated) — not two `count()` actions that
-    * would each re-run the full input lineage.
+    * The incoming batch must be KEY-UNIQUE: the reference's row-sequential
+    * `ON CONFLICT DO UPDATE` loop resolves intra-batch duplicates by input
+    * order, but a set-oriented merge has no row order, so duplicates are
+    * rejected loudly (same rule as ANSI MERGE / [[MergeInto.applyCdc]])
+    * instead of silently persisting a dup-key table.
+    *
+    * Accounting is a SINGLE job: one outer join of the incoming key rows
+    * against the existing key set aggregated into (inserted, updated,
+    * rows) — not two `count()` actions that would each re-run the full
+    * input lineage; the rows-vs-distinct comparison rides the same job.
     */
   def upsertByKey(existing: DataFrame, incoming: DataFrame, key: Seq[String])
       : (DataFrame, UpsertStats) = {
     val keyCols = key.map(col)
+    val keyStruct = struct(keyCols: _*)
     val existingKeys = existing.select(keyCols: _*).distinct().withColumn("_ex", lit(1))
-    val incomingKeys = incoming.select(keyCols: _*).distinct()
-    val statsRow = incomingKeys.join(existingKeys, key, "left_outer")
+    val statsRow = incoming.select(keyCols: _*)
+      .join(existingKeys, key, "left_outer")
       .agg(
-        coalesce(sum(when(col("_ex").isNull, 1L)), lit(0L)).as("inserted"),
-        coalesce(sum(when(col("_ex").isNotNull, 1L)), lit(0L)).as("updated"))
+        countDistinct(when(col("_ex").isNull, keyStruct)).as("inserted"),
+        countDistinct(when(col("_ex").isNotNull, keyStruct)).as("updated"),
+        count(lit(1)).as("rows"))
       .head()
     val inserted = statsRow.getLong(0)
     val updated = statsRow.getLong(1)
+    if (statsRow.getLong(2) != inserted + updated)
+      throw new IllegalArgumentException(
+        s"upsert batch contains duplicate keys (${statsRow.getLong(2)} rows over " +
+          s"${inserted + updated} distinct keys); a set-oriented upsert has no row " +
+          "order to break the tie — deduplicate the batch first")
     val survivors = existing.join(incoming.select(keyCols: _*).distinct(), key, "left_anti")
     val merged = survivors.unionByName(incoming)
     (merged, UpsertStats(inserted, updated, inserted + updated))
@@ -112,7 +140,10 @@ object Writers {
     recoverAndClean(fs, hPath)
     if (!fs.exists(hPath)) {
       incoming.write.mode(SaveMode.Overwrite).parquet(path)
-      val n = incoming.select(key.map(col): _*).distinct().count()
+      // stats from the WRITTEN files, not a second pass over the incoming
+      // lineage: re-running an expensive (or non-deterministic) upstream
+      // just to count could also disagree with what landed on disk
+      val n = spark.read.parquet(path).select(key.map(col): _*).distinct().count()
       UpsertStats(n, 0L, n)
     } else {
       val existing = spark.read.parquet(path)
@@ -134,6 +165,15 @@ object Writers {
   def scd2Apply(existing: DataFrame, incoming: DataFrame, key: Seq[String],
       tracked: Seq[String], batchId: Long): DataFrame = {
     val keyCols = key.map(col)
+    // key-unique batch or nothing: two incoming versions of one key would
+    // both be stamped is_current=true, silently breaking the
+    // at-most-one-current invariant and compounding on the next apply
+    val kr = incoming.select(keyCols: _*)
+      .agg(count(lit(1)), countDistinct(struct(keyCols: _*))).head()
+    if (kr.getLong(0) != kr.getLong(1))
+      throw new IllegalArgumentException(
+        s"SCD2 batch contains duplicate keys (${kr.getLong(0)} rows over " +
+          s"${kr.getLong(1)} distinct keys); one version per key per batch")
     val curr = existing.filter(col("is_current"))
     val hist = existing.filter(!col("is_current"))
     // null-SAFE change detection: a tracked column moving null->value or
@@ -185,16 +225,14 @@ object Writers {
     */
   def esBulkLines(df: DataFrame, index: String, idCol: String,
       docJson: org.apache.spark.sql.Column): DataFrame = {
-    // JSON-escape backslashes then quotes in the id (ids are arbitrary
-    // strings; an unescaped quote would corrupt the action line)
-    val escapedId = regexp_replace(
-      regexp_replace(col(idCol).cast("string"), "\\\\", "\\\\\\\\"),
-      "\"", "\\\\\"")
-    val escapedIndex = index.replace("\\", "\\\\").replace("\"", "\\\"")
-    df.select(col(idCol), posexplode(array(
-      concat(lit("{\"index\":{\"_index\":\"" + escapedIndex + "\",\"_id\":\""),
-        escapedId, lit("\"}}")),
-      docJson)).as(Seq("seq", "line")))
+    // the action line is built with to_json, which applies FULL JSON
+    // string escaping (quotes, backslashes, AND control characters — a
+    // newline in an id hand-escaped for quotes alone would split the
+    // NDJSON action line and poison the whole _bulk batch)
+    val action = concat(lit("{\"index\":"),
+      to_json(struct(lit(index).as("_index"), col(idCol).cast("string").as("_id"))),
+      lit("}"))
+    df.select(col(idCol), posexplode(array(action, docJson)).as(Seq("seq", "line")))
   }
 
   /** J7 dataset-level replace: overwrite only the partitions present in

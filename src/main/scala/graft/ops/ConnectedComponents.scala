@@ -36,8 +36,12 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIters: Int = 50,
       driverThreshold: Long = 100000L): DataFrame = {
     var e = edges
-      .select(greatest(col("src"), col("dst")).as("u"),
-        least(col("src"), col("dst")).as("v"))
+      // normalize to LongType up front: the driver path reads getLong and
+      // int-typed edge columns would ClassCastException there while the
+      // distributed path accepted them — behavior must not flip on volume,
+      // and both paths now return (node, root) as longs
+      .select(greatest(col("src"), col("dst")).cast("long").as("u"),
+        least(col("src"), col("dst")).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
