@@ -70,7 +70,10 @@ object CleanFunctions {
     val asNum = cleanInteger(c)
     coalesce(
       when(asNum.between(1, 12), asNum),
-      element_at(monthNameToNum, lower(trim(c.cast("string")))))
+      // try_element_at, not element_at: under ANSI mode (Spark 4 default)
+      // a missing map key RAISES instead of nulling — 'N/A' in a month
+      // column must yield null per the reference contract, not kill the job
+      try_element_at(monthNameToNum, lower(trim(c.cast("string")))))
   }
 
   private val positiveKeywords = Seq("POSITIVE", "POS", "+", "P.FALCIPARUM", "P.VIVAX", "MALARIA")

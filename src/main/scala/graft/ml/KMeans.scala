@@ -34,21 +34,27 @@ object KMeans {
     // mirroring the null gating in q35/q36
     val clean = vecs.filter(col("embedding").isNotNull)
 
+    // init = the first k vectors BY ID (orderBy+limit, not `vec_id < k`:
+    // sparse or offset id spaces would otherwise yield a partial or empty
+    // codebook and a null-cell NPE in the first iteration)
     var codebook: Seq[(Long, Seq[Double], Double)] = clean
-      .filter(col("vec_id") < k)
+      .orderBy(col("vec_id")).limit(k)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect()
       .map(r => {
         val c = r.getSeq[Double](1)
         (r.getLong(0), c, norm(c))
       }).sortBy(_._1).toSeq
+    require(codebook.nonEmpty, "k-means: no non-null embeddings to initialize from")
 
     val withNrm = clean.select(col("vec_id"), col("embedding"),
       VecOps.norm(col("embedding")).as("v_nrm"))
 
     for (_ <- 1 to iters) {
       val dimSums = (0 until dims).map(i =>
-        sum((element_at(col("embedding"), i + 1).cast("double") * Scale)
+        // try_element_at: a short vector contributes null (skipped by sum)
+        // for missing dims instead of an ANSI INVALID_ARRAY_INDEX error
+        sum((try_element_at(col("embedding"), lit(i + 1)).cast("double") * Scale)
           .cast("decimal(38,0)")).as(s"s$i"))
       val agg = withNrm
         .withColumn("cell", VecOps.argmaxCell(col("embedding"), col("v_nrm"), codebook))

@@ -164,9 +164,12 @@ object VecOps {
     * re-evaluated interpretively element by element, a when-chain is not).
     */
   def signBucket(vec: Column, bits: Int): Column = {
-    import org.apache.spark.sql.functions.{element_at, lit, when}
+    import org.apache.spark.sql.functions.{lit, try_element_at, when}
+    // try_element_at: a vector shorter than `bits` contributes 0 for the
+    // missing dimensions (null comparison -> otherwise-0) instead of
+    // raising INVALID_ARRAY_INDEX under ANSI mode
     (0 until bits).map(i =>
-      when(element_at(vec, i + 1) >= lit(0f), lit(1 << i)).otherwise(lit(0)))
+      when(try_element_at(vec, lit(i + 1)) >= lit(0f), lit(1 << i)).otherwise(lit(0)))
       .reduce(_ + _)
   }
 }

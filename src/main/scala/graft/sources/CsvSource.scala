@@ -30,12 +30,20 @@ object CsvSource {
     val in = Files.newInputStream(f)
     try { var off = 0; while (off < n) { val r = in.read(bytes, off, n - off); if (r < 0) off = n else off += r } }
     finally in.close()
+    // when the probe is a PREFIX of a larger file, decode with
+    // endOfInput=false so a multibyte sequence split at the probe
+    // boundary reads as "underflow, more input coming" instead of
+    // malformed — a hard-truncated decode() misdetected valid UTF-8
+    // files larger than the probe as windows-1252
+    val complete = n.toLong == size
     candidates.find { cs =>
       val dec: CharsetDecoder = cs.newDecoder()
         .onMalformedInput(CodingErrorAction.REPORT)
         .onUnmappableCharacter(CodingErrorAction.REPORT)
-      try { dec.decode(java.nio.ByteBuffer.wrap(bytes)); true }
-      catch { case _: Exception => false }
+      val out = java.nio.CharBuffer.allocate(n + 1)
+      val res = dec.decode(java.nio.ByteBuffer.wrap(bytes), out, complete)
+      val flushed = if (complete && !res.isError) dec.flush(out) else res
+      !res.isError && !flushed.isError
     }.getOrElse(StandardCharsets.ISO_8859_1).name()
   }
 

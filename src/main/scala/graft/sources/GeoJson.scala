@@ -11,8 +11,12 @@ import org.apache.spark.sql.types._
   * `to_json(collect_list(struct(...)))` — both directions columnar.
   *
   * Geometry coordinates land in the engine's polygon encoding
-  * (`array<array<array<double>>>`, see graft.geo) for Polygon; other types
-  * keep their raw JSON for round-tripping.
+  * (`array<array<array<double>>>`, see graft.geo) for Polygon — the only
+  * geometry type the reference's geo pipelines carry. Features of other
+  * geometry rank (Point, LineString, MultiPolygon) keep their
+  * `geometry_type` and properties but parse with a null `geom` (the
+  * coordinates field doesn't match the polygon rank); ingest them via a
+  * rank-specific schema if they ever matter.
   */
 object GeoJson {
 
@@ -43,14 +47,28 @@ object GeoJson {
 
   /** Reassemble a feature DataFrame into a single FeatureCollection JSON
     * string (the reference's export endpoint shape,
-    * geospatial_merger/views.py:212-246).
+    * geospatial_merger/views.py:212-246). Features are emitted in
+    * `orderBy` order (default: the `feature_index` explodeFeatures
+    * produced) — a bare collect_list gathers in partition-arrival order,
+    * which scrambles the export run-to-run on multi-partition frames.
     */
   def toFeatureCollection(features: DataFrame, geometryType: Column,
-      geom: Column, properties: Column): Column =
-    to_json(struct(
-      lit("FeatureCollection").as("type"),
-      collect_list(struct(
+      geom: Column, properties: Column,
+      orderBy: Column = col("feature_index")): Column = {
+    val keyed = collect_list(struct(
+      orderBy.as("_o"),
+      struct(
         lit("Feature").as("type"),
         struct(geometryType.as("type"), geom.as("coordinates")).as("geometry"),
-        properties.as("properties"))).as("features")))
+        properties.as("properties")).as("_f")))
+    // array_sort with an explicit _o comparator: sort_array needs an
+    // orderable element type, and the feature struct carries a map
+    val sorted = array_sort(keyed, (a, b) =>
+      when(a.getField("_o") < b.getField("_o"), -1)
+        .when(a.getField("_o") > b.getField("_o"), 1)
+        .otherwise(0))
+    to_json(struct(
+      lit("FeatureCollection").as("type"),
+      transform(sorted, x => x.getField("_f")).as("features")))
+  }
 }

@@ -14,7 +14,7 @@ import scala.collection.mutable.ArrayBuffer
   * header (big-endian file code 9994, little-endian shape type + bbox),
   * then records of [big-endian rec#/length][little-endian geometry].
   *
-  * Supported shapes: Point (1), PolyLine (3), Polygon (5) — the types the
+  * Supported shapes: Point (1), PolyLine (3, emitted with its GeoJSON name "LineString" so shapefile- and GeoJSON-sourced frames filter identically), Polygon (5) — the types the
   * reference's admin-boundary and slope uploads contain. Output rows match
   * [[GeoJson.explodeFeatures]]'s feature frame (feature_index,
   * geometry_type, geom, properties) so the downstream geo layer
@@ -58,7 +58,7 @@ object ShpReader {
         case 1 => // Point: x, y
           val x = body.getDouble; val y = body.getDouble
           out += ShpFeature(recNo - 1, "Point", Seq(Seq((x, y))))
-        case 3 | 5 => // PolyLine / Polygon: box, numParts, numPoints, parts, points
+        case 3 | 5 => // PolyLine (GeoJSON: LineString) / Polygon: box, numParts, numPoints, parts, points
           body.position(body.position() + 32) // skip box (4 doubles)
           val numParts = body.getInt
           val numPoints = body.getInt
@@ -68,7 +68,7 @@ object ShpReader {
           val rings = (0 until numParts).map(i =>
             pts.slice(bounds(i), bounds(i + 1)).toSeq)
           out += ShpFeature(recNo - 1,
-            if (shapeType == 5) "Polygon" else "PolyLine", rings)
+            if (shapeType == 5) "Polygon" else "LineString", rings)
         case t =>
           throw new IllegalArgumentException(
             s"record $recNo: unsupported shape type $t (Point/PolyLine/Polygon only)")

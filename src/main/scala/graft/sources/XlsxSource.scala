@@ -35,10 +35,15 @@ object XlsxSource {
     val zip = new ZipFile(path)
     try {
       val shared = readSharedStrings(zip)
-      // first worksheet = lowest-numbered sheetN.xml: writers that delete
-      // or reorder sheets keep non-contiguous numbering (sheet2.xml may be
-      // the only sheet), so a hardcoded sheet1.xml would miss it
-      val sheetEntry = {
+      // first worksheet = the first <sheet> in workbook.xml resolved
+      // through workbook.xml.rels — pd.read_excel(sheet_name=0) order. A
+      // user who reorders tabs keeps the data in its original part file
+      // (sheet2.xml may be the FIRST sheet), so part filenames are only
+      // the fallback when the workbook metadata is absent/degenerate.
+      val sheetEntry = firstSheetByWorkbookOrder(zip).orElse {
+        // fallback: lowest-numbered sheetN.xml (writers that delete
+        // sheets keep non-contiguous numbering — sheet2.xml may be the
+        // only sheet, so a hardcoded sheet1.xml would miss it)
         val es = zip.entries()
         val pat = "xl/worksheets/sheet(\\d+)\\.xml".r
         var found: Option[(Int, java.util.zip.ZipEntry)] = None
@@ -49,9 +54,9 @@ object XlsxSource {
             case _ =>
           }
         }
-        found.map(_._2).getOrElse(throw new IllegalArgumentException(
-          s"$path: no xl/worksheets/sheetN.xml — not an xlsx workbook?"))
-      }
+        found.map(_._2)
+      }.getOrElse(throw new IllegalArgumentException(
+        s"$path: no xl/worksheets/sheetN.xml — not an xlsx workbook?"))
       val rows = readSheet(zip, sheetEntry, shared)
       if (rows.isEmpty) (Seq.empty, Seq.empty)
       else {
@@ -82,6 +87,55 @@ object XlsxSource {
     df.write.mode("overwrite").parquet(outPath)
     df.count()
   }
+
+  /** Resolve the first sheet in WORKBOOK order: the first `<sheet>` of
+    * xl/workbook.xml, mapped through xl/_rels/workbook.xml.rels
+    * (r:id → worksheet part). Returns None when either part or attribute
+    * is missing so the caller can fall back to the filename heuristic.
+    */
+  private def firstSheetByWorkbookOrder(zip: ZipFile): Option[java.util.zip.ZipEntry] =
+    try {
+      val wbEntry = Option(zip.getEntry("xl/workbook.xml"))
+      val relsEntry = Option(zip.getEntry("xl/_rels/workbook.xml.rels"))
+      for {
+        wb <- wbEntry
+        rels <- relsEntry
+        firstRid <- {
+          val in = zip.getInputStream(wb)
+          try {
+            val r = XMLInputFactory.newInstance().createXMLStreamReader(in)
+            var rid: Option[String] = None
+            while (rid.isEmpty && r.hasNext) {
+              if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet")
+                rid = (0 until r.getAttributeCount)
+                  .find(i => r.getAttributeLocalName(i) == "id")
+                  .map(r.getAttributeValue)
+            }
+            rid
+          } finally in.close()
+        }
+        target <- {
+          val in = zip.getInputStream(rels)
+          try {
+            val r = XMLInputFactory.newInstance().createXMLStreamReader(in)
+            var t: Option[String] = None
+            while (t.isEmpty && r.hasNext) {
+              if (r.next() == XMLStreamConstants.START_ELEMENT &&
+                r.getLocalName == "Relationship" &&
+                Option(r.getAttributeValue(null, "Id")).contains(firstRid))
+                t = Option(r.getAttributeValue(null, "Target"))
+            }
+            t
+          } finally in.close()
+        }
+        entry <- {
+          // Target is usually relative ("worksheets/sheet2.xml"), sometimes
+          // absolute ("/xl/worksheets/sheet2.xml")
+          val name = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
+          Option(zip.getEntry(name))
+        }
+      } yield entry
+    } catch { case _: Exception => None }
 
   private def readSharedStrings(zip: ZipFile): IndexedSeq[String] = {
     val entry = zip.getEntry("xl/sharedStrings.xml")

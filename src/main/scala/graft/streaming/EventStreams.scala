@@ -24,7 +24,10 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("events"),
-        sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+        // try_cast: one out-of-range/NaN value must not kill a long-
+        // running streaming query with an ANSI cast overflow; such rows
+        // null out of the sum instead
+        sum(expr("try_cast(value AS DECIMAL(14,2))")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("events"), col("sum_value"))

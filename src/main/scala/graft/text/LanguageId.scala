@@ -39,12 +39,16 @@ object LanguageId {
     */
   def predict(text: Column): Column = {
     val scores = profiles.map { case (lang, grams) => lang -> score(text, grams) }
-    // fold: keep the first language with the strictly-highest score
-    scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+    // fold: keep the first language with the strictly-highest score.
+    // Null text must predict null (matching pickFromScores): without the
+    // guard every comparison is null, so the fold's otherwise() chain
+    // would leak the seed language for null rows.
+    val best = scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
       case ((bestScore, bestLang), (lang, s)) =>
         (when(s > bestScore, s).otherwise(bestScore),
           when(s > bestScore, lang).otherwise(bestLang))
     }._2
+    when(text.isNotNull, best)
   }
 
   /** All profile scores as one array column (compute ONCE, then place a
