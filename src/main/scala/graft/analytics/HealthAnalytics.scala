@@ -78,7 +78,9 @@ object HealthAnalytics {
         count(lit(1)).as("total_tests"),
         sum(pos(col("is_positive"))).as("positive_cases"))
       .withColumn("month_name",
-        coalesce(element_at(monthNumToName, col("month").cast("int")),
+        // try_element_at: under ANSI a missing map key raises, making the
+        // "Month N" fallback unreachable for out-of-range months
+        coalesce(try_element_at(monthNumToName, col("month").cast("int")),
           concat(lit("Month "), col("month"))))
       .withColumn("positivity_rate", pctRate(col("positive_cases"), col("total_tests")))
       .select("year", "month", "month_name", "total_tests", "positive_cases", "positivity_rate")
@@ -94,9 +96,12 @@ object HealthAnalytics {
       count(lit(1)).as("total_records"),
       sum(pos(col("is_positive"))).as("total_positive_cases"),
       sum(when(col("test_result") === "Negative", 1L).otherwise(0L)).as("total_negative_cases"),
-      countDistinct(col("district")).as("districts_count"),
-      countDistinct(col("sector")).as("sectors_count"),
-      countDistinct(col("village")).as("villages_count"),
+      // counts mirror the *_covered lists below: the empty string (a
+      // cleaned-away null location) is not a district — counting it while
+      // the list excludes it reported a phantom entry
+      countDistinct(when(col("district") =!= "", col("district"))).as("districts_count"),
+      countDistinct(when(col("sector") =!= "", col("sector"))).as("sectors_count"),
+      countDistinct(when(col("village") =!= "", col("village"))).as("villages_count"),
       min(col("year")).as("min_year"),
       max(col("year")).as("max_year"),
       sort_array(collect_set(col("year").cast("int"))).as("years_covered"),

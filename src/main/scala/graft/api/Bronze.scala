@@ -29,8 +29,12 @@ object Bronze {
     */
   def ingest(df: DataFrame, bronzeDir: String, datasetName: String,
       district: String, sector: String, year: Int): Unit = {
+    // ONE id per ingest call (the reference injects one upload id per
+    // request): a per-row uuid() would make "the rows of upload X"
+    // unidentifiable for audit/rollback
+    val uploadId = java.util.UUID.randomUUID().toString
     val stamped = df
-      .withColumn("_upload_id", expr("uuid()"))
+      .withColumn("_upload_id", lit(uploadId))
       .withColumn("_dataset_name", lit(datasetName))
       .withColumn("_district", lit(district.toLowerCase))
       .withColumn("_sector", lit(sector.toLowerCase))

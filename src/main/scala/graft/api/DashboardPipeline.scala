@@ -40,7 +40,10 @@ object DashboardPipeline {
       count(lit(1)).as("total_tests"),
       sum(when(col("is_positive"), 1L).otherwise(0L)).as("total_positive"),
       sum(when(col("test_result") === "Negative", 1L).otherwise(0L)).as("total_negative"))
-    totals.crossJoin(latest).select(
+    // left join on true, not crossJoin: an empty lab frame has zero
+    // latest-year rows, and crossJoin would return NO KPI row at all
+    // instead of a zeroed card (pctChangeStr handles the null lat cols)
+    totals.join(latest, lit(true), "left").select(
       col("total_tests"), col("total_positive"), col("total_negative"),
       pctRate(col("total_positive"), col("total_tests")).as("avg_positivity_rate"),
       pctChangeStr(col("l_pos"), col("prev_pos")).as("positive_change"),

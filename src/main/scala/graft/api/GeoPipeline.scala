@@ -77,6 +77,14 @@ object GeoPipeline {
         col("centroid.lat") >= col("env.miny") && col("centroid.lat") <= col("env.maxy") &&
         ContainsPoint(col("admin_geom"), col("centroid.lon"), col("centroid.lat")),
       "left")
+      // a centroid on a shared boundary (or inside overlapping admin
+      // polygons) satisfies ContainsPoint for BOTH rows; the reference's
+      // STRtree lookup tags exactly one — pick the lexicographically first
+      // (district, sector) deterministically instead of duplicating
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("feature_id")
+          .orderBy(col("district").asc_nulls_last, col("sector").asc_nulls_last)))
+      .filter(col("__rn") === 1)
       .select(features.columns.map(col) :+
         col("centroid") :+
         col("district").as("associated_district") :+
@@ -98,8 +106,10 @@ object GeoPipeline {
     val epsg = sourceEpsg.getOrElse {
       val sample = features.filter(col("geom").isNotNull)
         .select(
-          element_at(element_at(element_at(col("geom"), 1), 1), 1).as("x"),
-          element_at(element_at(element_at(col("geom"), 1), 1), 2).as("y"))
+          // try_element_at: empty geometries/rings probe as null (then
+          // filtered) instead of raising INVALID_ARRAY_INDEX under ANSI
+          try_element_at(try_element_at(try_element_at(col("geom"), lit(1)), lit(1)), lit(1)).as("x"),
+          try_element_at(try_element_at(try_element_at(col("geom"), lit(1)), lit(1)), lit(2)).as("y"))
         .filter(col("x").isNotNull && col("y").isNotNull)
         .take(1)
       if (sample.isEmpty)

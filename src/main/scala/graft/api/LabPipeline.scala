@@ -70,10 +70,29 @@ object LabPipeline {
     val rawTable = TableNames.dynamicTableName(params.tablePrefix,
       params.district, params.sector)
 
+    // In append mode the analytics must reflect the FULL post-merge store
+    // (the reference recomputes from the extracted collection on every
+    // request) — aggregating the incoming batch alone would overwrite
+    // yearly/monthly tables with a view that silently drops every prior
+    // year. The source below is exactly upsertPath's merge result
+    // (existing rows not replaced by key, plus the batch), computed
+    // without waiting for the write.
+    val analyticsSource = (params.updateMode, outDir) match {
+      case ("append", Some(dir)) if params.saveToDb =>
+        val rawPath = new org.apache.hadoop.fs.Path(s"$dir/$rawTable")
+        val fs = rawPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(rawPath)) {
+          val existing = spark.read.parquet(rawPath.toString)
+          existing.join(lineage.select("unique_id"), Seq("unique_id"), "left_anti")
+            .unionByName(lineage)
+        } else lineage
+      case _ => lineage
+    }
+
     val analytics: Seq[(String, DataFrame)] =
       if (params.calculateAnalytics)
         analyticsBases.map { case (base, f) =>
-          TableNames.dynamicTableName(base, params.district, params.sector) -> f(lineage)
+          TableNames.dynamicTableName(base, params.district, params.sector) -> f(analyticsSource)
         }
       else Nil
 
@@ -84,10 +103,15 @@ object LabPipeline {
       tracked(3, "Saving tables") {
         val rawPath = s"$dir/$rawTable"
         params.updateMode match {
-          case "append" => Writers.upsertPath(spark, lineage, rawPath, Seq("unique_id"))
-          case _ => Writers.overwrite(lineage, rawPath)
+          case "append" =>
+            // analytics FIRST: their plans scan the current raw files,
+            // which the upsert's rename-rename swap is about to delete
+            analytics.foreach { case (name, df) => Writers.overwrite(df, s"$dir/$name") }
+            Writers.upsertPath(spark, lineage, rawPath, Seq("unique_id"))
+          case _ =>
+            Writers.overwrite(lineage, rawPath)
+            analytics.foreach { case (name, df) => Writers.overwrite(df, s"$dir/$name") }
         }
-        analytics.foreach { case (name, df) => Writers.overwrite(df, s"$dir/$name") }
       }
     }
     lineage.unpersist()

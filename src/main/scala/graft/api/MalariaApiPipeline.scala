@@ -30,10 +30,6 @@ object MalariaApiPipeline {
       .filter(y => wide.columns.contains(s"Pop$y"))
     require(years.nonEmpty, "no Total Cases_<year>/Pop<year> column pairs found")
 
-    def num(name: String): Column =
-      if (wide.columns.contains(name)) coalesce(col(s"`$name`").try_cast("double"), lit(0.0))
-      else lit(0.0)
-
     val stacked = wide.select(
       cleanText(col("Province")).as("province"),
       cleanText(col("District")).as("district"),
@@ -43,11 +39,18 @@ object MalariaApiPipeline {
           (if (wide.columns.contains(s"Incidence_$y")) s"`Incidence_$y`" else "CAST(NULL AS DOUBLE)"))
         .mkString(", ") + ") AS (year, cases_raw, pop_raw, incidence_raw)"))
 
-    val parsed = stacked.select(
-      col("province"), col("district"), col("sector"), col("year").cast("int").as("year"),
-      coalesce(col("cases_raw").try_cast("double"), lit(0.0)).as("total_cases_d"),
-      coalesce(col("pop_raw").try_cast("double"), lit(0.0)).as("population_d"),
-      coalesce(col("incidence_raw").try_cast("double"), lit(0.0)).as("incidence_d"))
+    // rows whose cases or population don't parse are DROPPED — the
+    // reference's `continue` (a zero-fill would fabricate false
+    // "No Transmission" records and inflate every summary count); only
+    // missing incidence defaults to 0
+    val parsed = stacked
+      .filter(col("cases_raw").try_cast("double").isNotNull &&
+        col("pop_raw").try_cast("double").isNotNull)
+      .select(
+        col("province"), col("district"), col("sector"), col("year").cast("int").as("year"),
+        col("cases_raw").try_cast("double").as("total_cases_d"),
+        col("pop_raw").try_cast("double").as("population_d"),
+        coalesce(col("incidence_raw").try_cast("double"), lit(0.0)).as("incidence_d"))
 
     val api = when(col("population_d") > 0,
       col("total_cases_d") / col("population_d") * 1000).otherwise(0.0)

@@ -39,7 +39,9 @@ object TableNames {
     if (shortBase.startsWith("health_") && shortBase.length > 20) shortBase = "hc_raw"
 
     def locParts(v: Option[String]): Option[String] =
-      v.filter(x => x != "all" && x.trim.nonEmpty).flatMap(cleanLoc)
+      // case-insensitive sentinel: "All"/"ALL"/" all " must behave like
+      // "all", or the same dataset silently splits across two table names
+      v.filter(x => x.trim.toLowerCase != "all" && x.trim.nonEmpty).flatMap(cleanLoc)
 
     val locations = Seq(locParts(district), locParts(sector)).flatten
     var tableName = (shortBase +: locations).mkString("_")

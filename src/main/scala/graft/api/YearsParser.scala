@@ -18,10 +18,14 @@ object YearsParser {
       if (body.contains(",")) body.split(",").toSeq
       else if (body.matches("\\s*\\d+\\s*-\\s*\\d+\\s*")) {
         val Array(a, b) = body.split("-").map(_.trim)
-        return (a.toInt to b.toInt).toSeq // range form is already sorted-distinct
+        // toIntOption: an all-digit run beyond Int range (a pasted
+        // timestamp) must be skipped like any other bad entry, not crash
+        // the lenient parser
+        return (for { ai <- a.toIntOption; bi <- b.toIntOption }
+          yield (ai to bi).toSeq).getOrElse(Nil) // range form is already sorted-distinct
       } else Seq(body)
     parts.map(_.trim).filter(p => p.nonEmpty && p.forall(_.isDigit))
-      .map(_.toInt).distinct.sorted
+      .flatMap(_.toIntOption).distinct.sorted
   }
 
   /** Parse a heterogeneous value (list / scalar / string) like the
@@ -36,7 +40,7 @@ object YearsParser {
     case xs: Seq[_] =>
       xs.map(x => String.valueOf(x).trim)
         .filter(x => x.nonEmpty && x.forall(_.isDigit))
-        .map(_.toInt).distinct.sorted
+        .flatMap(_.toIntOption).distinct.sorted
     case other => parse(String.valueOf(other))
   }
 }

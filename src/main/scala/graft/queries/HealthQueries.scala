@@ -220,9 +220,9 @@ object HealthQueries {
           ${rate("SUM(CASE WHEN is_positive THEN 1 ELSE 0 END)", "COUNT(*)")} AS overall_pos_rate,
           CASE WHEN MIN(year) = MAX(year) THEN CAST(MIN(year) AS VARCHAR)
             ELSE CAST(MIN(year) AS VARCHAR) || '-' || CAST(MAX(year) AS VARCHAR) END AS year_range,
-          COUNT(DISTINCT district) AS districts_count,
-          COUNT(DISTINCT sector) AS sectors_count,
-          COUNT(DISTINCT village) AS villages_count
+          COUNT(DISTINCT CASE WHEN district <> '' THEN district END) AS districts_count,
+          COUNT(DISTINCT CASE WHEN sector <> '' THEN sector END) AS sectors_count,
+          COUNT(DISTINCT CASE WHEN village <> '' THEN village END) AS villages_count
         FROM lab""")),
 
     // ---- J8 dashboard KPI card (get_kpi_data, data-true version) ----------

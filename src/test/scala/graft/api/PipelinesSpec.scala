@@ -119,6 +119,26 @@ class PipelinesSpec extends SparkSpec {
     assert(rawBack.columns.contains("filter_district"))
   }
 
+  test("LabPipeline append mode: analytics reflect the merged store, not the batch") {
+    def batch(year: String) = Seq(
+      (year, "1", "Gasabo", "Remera", "HC1", "V1", "25", "M", "POSITIVE"),
+      (year, "2", "Gasabo", "Remera", "HC1", "V2", "30", "F", "negative")
+    ).toDF("Year", "Month", "District", "Sector", "Health Center", "Village",
+      "Age", "Gender", "Slide Status")
+    val dir = Files.createTempDirectory("lab_append").toString
+    LabPipeline.run(spark, batch("2023"),
+      LabPipeline.Params(years = Seq(2023)), Some(dir))
+    LabPipeline.run(spark, batch("2024"),
+      LabPipeline.Params(years = Seq(2024), updateMode = "append"), Some(dir))
+    // raw store holds both batches...
+    assert(spark.read.parquet(s"$dir/hc_raw").count() == 4)
+    // ...and the OVERWRITTEN yearly analytics still cover BOTH years (the
+    // batch-only regression dropped 2023 from the recomputed table)
+    val years = spark.read.parquet(s"$dir/yearly_statist")
+      .select("year").collect().map(_.getInt(0)).sorted.toSeq
+    assert(years == Seq(2023, 2024))
+  }
+
   test("ProgressTracker: staged LabPipeline run emits monotone percents") {
     val raw = (1 to 200).map { i =>
       ("2023", (i % 12 + 1).toString, "Gasabo", "Remera", s"HC${i % 3}",
