@@ -85,4 +85,63 @@ class PropertiesSpec extends SparkSpec {
       assert(r.isNullAt(0) || (r.getInt(0) >= 1 && r.getInt(0) <= 12))
     }
   }
+
+  // random word-soup corpora for the curation invariants: ids unique,
+  // strata from a small set, doc lengths spanning sub- and multi-chunk
+  private def corpusGen: Gen[Seq[(Long, String, String)]] =
+    Gen.listOfN(30, Gen.zip(
+      Gen.oneOf("aa", "bb", "cc"),
+      Gen.choose(1, 50),
+      Gen.choose(0, 5))).map(_.zipWithIndex.map { case ((s, len, w), i) =>
+      (i.toLong, (0 until len).map(j => s"w${(j + w) % 9}").mkString(" "), s)
+    })
+
+  test("property: packShards conserves docs and tokens across shards") {
+    samples(corpusGen, 6).foreach { rows =>
+      val df = rows.toDF("doc_id", "text", "lang")
+      val out = graft.curation.Curation.packShards(df, tokensPerShard = 40).collect()
+      assert(out.map(_.getAs[Long]("docs")).sum == rows.size.toLong)
+      val expectedTokens = rows.map(_._2.split("\\s+").length.toLong).sum
+      assert(out.map(_.getAs[Long]("tokens")).sum == expectedTokens)
+      // shard ids start at 0 per stratum and are distinct; gaps are legal
+      // (a doc longer than the budget jumps the running offset past a
+      // whole shard), contiguity is NOT an invariant
+      out.groupBy(_.getString(0)).foreach { case (_, shards) =>
+        val ids = shards.map(_.getAs[Long]("shard"))
+        assert(ids.min == 0L && ids.distinct.length == ids.length)
+      }
+    }
+  }
+
+  test("property: stratifiedSample is exact-size, deterministic, within-stratum") {
+    samples(corpusGen, 6).foreach { rows =>
+      val df = rows.toDF("doc_id", "text", "lang")
+      val n = 4
+      val out = graft.curation.Curation.stratifiedSample(df, "lang", n).collect()
+      val byStratum = out.groupBy(_.getString(0))
+      val strataSizes = rows.groupBy(_._3).view.mapValues(_.size).toMap
+      byStratum.foreach { case (s, picked) =>
+        assert(picked.length == math.min(n, strataSizes(s)))
+        assert(picked.map(_.getAs[Long]("rk")).sorted.toSeq ==
+          (1L to picked.length).toSeq)
+      }
+      val again = graft.curation.Curation.stratifiedSample(df, "lang", n).collect()
+      assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    }
+  }
+
+  test("property: chunkDedupReport totals reconcile with the corpus") {
+    samples(corpusGen, 6).foreach { rows =>
+      val df = rows.toDF("doc_id", "text", "lang")
+      val out = graft.curation.Curation.chunkDedupReport(df, groupCol = "lang",
+        chunkTokens = 10).collect()
+      assert(out.map(_.getAs[Long]("docs")).sum == rows.size.toLong)
+      val expectedChunks = rows.map(_._2.split("\\s+").length / 10).map(_.toLong).sum
+      assert(out.map(_.getAs[Long]("total_chunks")).sum == expectedChunks)
+      out.foreach { r =>
+        assert(r.getAs[Long]("dup_chunks") <= r.getAs[Long]("total_chunks"))
+        assert(r.getAs[Long]("flagged_docs") <= r.getAs[Long]("docs"))
+      }
+    }
+  }
 }
