@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   * This is the batch complement of the streaming foreachBatch upsert and
   * the engine form of `MERGE INTO ... WHEN MATCHED [AND cond] THEN
   * UPDATE/DELETE WHEN NOT MATCHED THEN INSERT`. Both sides shuffle once on
-  * the key; stats come from ONE aggregation over the same join (no extra
-  * lineage runs), mirroring Writers.upsertByKey's single-job accounting.
+  * the key. Validation + accounting run in ONE eager job over KEYS-ONLY
+  * projections (the exchange carries keys + op, never the data columns),
+  * so the full-width join below stays lazy and executes exactly once —
+  * when the caller consumes the merged frame. At scale the data-carrying
+  * exchange dominates MERGE cost; doubling it (the naive "validate by
+  * running the join twice" shape) is the thing this layout avoids.
   */
 object MergeInto {
 
@@ -40,7 +44,6 @@ object MergeInto {
     val c = changes.select(
       keys.map(col) ++ dataCols.map(c0 => col(c0).as(s"__s_$c0")) :+
         col(opCol).as("__op") :+ lit(1).as("__s"): _*)
-      .withColumn("__sid", monotonically_increasing_id())
     val joined = t.join(c, keys, "full_outer")
 
     // one filter covers every delete case: matched 'D' removes the target
@@ -53,8 +56,17 @@ object MergeInto {
       .select(keys.map(col) ++ dataCols.map(d =>
         when(col("__s").isNotNull, col(s"__s_$d")).otherwise(col(s"__t_$d")).as(d)): _*)
 
+    // Validation + accounting: the SAME full-outer shape, but over
+    // keys-only projections. Parquet scans prune to the key columns, the
+    // shuffle rows are (keys, op) tuples, and the full-width `joined`
+    // lineage above is never executed here — it runs once, lazily, when
+    // the caller consumes `merged`. Rejections (null/unknown op, dup
+    // change keys) throw from this job before `merged` can be consumed.
+    val tk = target.select(keys.map(col) :+ lit(1).as("__t"): _*)
+    val ck = changes.select(keys.map(col) :+ col(opCol).as("__op") :+ lit(1).as("__s"): _*)
+      .withColumn("__sid", monotonically_increasing_id())
     val changeKey = struct(keys.map(col): _*)
-    val st = joined.agg(
+    val st = tk.join(ck, keys, "full_outer").agg(
       coalesce(sum(when(col("__t").isNotNull && col("__s").isNotNull && col("__op") =!= "D", 1L)), lit(0L)),
       coalesce(sum(when(col("__t").isNotNull && col("__s").isNotNull && col("__op") === "D", 1L)), lit(0L)),
       coalesce(sum(when(col("__t").isNull && col("__op") =!= "D", 1L)), lit(0L)),
