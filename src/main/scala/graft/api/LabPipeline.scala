@@ -104,10 +104,16 @@ object LabPipeline {
         val rawPath = s"$dir/$rawTable"
         params.updateMode match {
           case "append" =>
-            // analytics FIRST: their plans scan the current raw files,
-            // which the upsert's rename-rename swap is about to delete
-            analytics.foreach { case (name, df) => Writers.overwrite(df, s"$dir/$name") }
+            // stage analytics FIRST (their plans scan the current raw
+            // files, which the upsert's rename-rename swap is about to
+            // delete), but commit them live only AFTER the raw upsert
+            // lands: a crash in between leaves the old analytics
+            // describing the old raw store — never fresh analytics over
+            // a merge the raw path never persisted
+            val commits = analytics.map { case (name, df) =>
+              Writers.overwriteStaged(df, s"$dir/$name") }
             Writers.upsertPath(spark, lineage, rawPath, Seq("unique_id"))
+            commits.foreach(_.apply())
           case _ =>
             Writers.overwrite(lineage, rawPath)
             analytics.foreach { case (name, df) => Writers.overwrite(df, s"$dir/$name") }

@@ -185,10 +185,17 @@ object Curation {
     * (incremental dedup q122) for the exact-duplicate layer.
     */
   def fingerprintDedupStream(docs: DataFrame, textCol: String = "text",
-      tsCol: String = "ingest_ts", watermark: String = "10 minutes"): DataFrame =
-    docs.withColumn("fp", graft.text.TextFunctions.fingerprint(col(textCol)))
-      .withWatermark(tsCol, watermark)
-      .dropDuplicates("fp")
+      tsCol: String = "ingest_ts", watermark: String = "10 minutes"): DataFrame = {
+    val fp = docs.withColumn("fp",
+      graft.text.TextFunctions.fingerprint(col(textCol)))
+    // dropDuplicatesWithinWatermark, not dropDuplicates: plain streaming
+    // dropDuplicates only evicts state when the event-time column is part
+    // of the dedup subset, so keying on `fp` alone would grow state
+    // unboundedly despite the watermark (same rule as dedupById)
+    if (fp.isStreaming)
+      fp.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark("fp")
+    else fp.dropDuplicates("fp")
+  }
 
   /** SemDeDup ledger: embeddings are assigned to coarse-quantizer cells
     * (row-local argmax over the broadcast `codebook`), and inside each

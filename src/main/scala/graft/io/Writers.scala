@@ -123,6 +123,30 @@ object Writers {
     fs.delete(bak, true)
   }
 
+  /** Two-phase overwrite: materialize `df` to a staging sibling NOW,
+    * return a commit thunk that swaps it live LATER. For multi-table
+    * writes where derived tables must not become visible unless a primary
+    * write commits first (e.g. analytics recomputed over a raw store the
+    * upsert is about to replace): stage the derived tables, run the
+    * primary write, then commit. A crash before commit leaves the OLD
+    * derived tables — consistent with whatever raw state survived — and
+    * [[recoverAndClean]] removes the staging debris on the next run.
+    */
+  def overwriteStaged(df: DataFrame, path: String): () => Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    recoverAndClean(fs, hPath)
+    df.write.mode(SaveMode.Overwrite).parquet(path + StagingSuffix)
+    () =>
+      if (fs.exists(hPath)) swapInto(fs, hPath)
+      else {
+        val tmp = new org.apache.hadoop.fs.Path(path + StagingSuffix)
+        if (!fs.rename(tmp, hPath))
+          throw new java.io.IOException(s"staged commit rename failed: $tmp -> $hPath")
+      }
+  }
+
   /** Upsert into a parquet path (read-merge-swap). For Delta-style storage
     * this becomes MERGE INTO; on plain parquet the write goes to a
     * staging sibling and lands via [[swapInto]] (see its crash-safety
@@ -139,12 +163,25 @@ object Writers {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverAndClean(fs, hPath)
     if (!fs.exists(hPath)) {
-      incoming.write.mode(SaveMode.Overwrite).parquet(path)
-      // stats from the WRITTEN files, not a second pass over the incoming
-      // lineage: re-running an expensive (or non-deterministic) upstream
-      // just to count could also disagree with what landed on disk
-      val n = spark.read.parquet(path).select(key.map(col): _*).distinct().count()
-      UpsertStats(n, 0L, n)
+      // the first batch obeys the same key-unique contract as every later
+      // one: write to staging, check rows-vs-distinct from the WRITTEN
+      // files (not a second pass over the incoming lineage, which could
+      // be expensive or non-deterministic), and only then rename into
+      // place — a duplicate-key batch never becomes the live table
+      incoming.write.mode(SaveMode.Overwrite).parquet(path + StagingSuffix)
+      val tmp = new org.apache.hadoop.fs.Path(path + StagingSuffix)
+      val st = spark.read.parquet(tmp.toString)
+        .agg(count(lit(1)), countDistinct(struct(key.map(col): _*))).head()
+      if (st.getLong(0) != st.getLong(1)) {
+        fs.delete(tmp, true)
+        throw new IllegalArgumentException(
+          s"upsert batch contains duplicate keys (${st.getLong(0)} rows over " +
+            s"${st.getLong(1)} distinct keys); a set-oriented upsert has no row " +
+            "order to break the tie — deduplicate the batch first")
+      }
+      if (!fs.rename(tmp, hPath))
+        throw new java.io.IOException(s"initial write rename failed: $tmp -> $hPath")
+      UpsertStats(st.getLong(0), 0L, st.getLong(0))
     } else {
       val existing = spark.read.parquet(path)
       val (merged, stats) = upsertByKey(existing, incoming, key)
@@ -228,9 +265,16 @@ object Writers {
     // the action line is built with to_json, which applies FULL JSON
     // string escaping (quotes, backslashes, AND control characters — a
     // newline in an id hand-escaped for quotes alone would split the
-    // NDJSON action line and poison the whole _bulk batch)
+    // NDJSON action line and poison the whole _bulk batch).
+    // A null id is rejected at row level: to_json would silently OMIT the
+    // _id field, making Elasticsearch auto-generate ids — duplicate docs
+    // on every re-run instead of idempotent upserts.
+    val idStr = coalesce(col(idCol).cast("string"),
+      raise_error(lit(s"esBulkLines: null value in id column '$idCol' — " +
+        "a missing _id makes Elasticsearch auto-generate one, so re-runs " +
+        "would duplicate the document; supply a non-null id")))
     val action = concat(lit("{\"index\":"),
-      to_json(struct(lit(index).as("_index"), col(idCol).cast("string").as("_id"))),
+      to_json(struct(lit(index).as("_index"), idStr.as("_id"))),
       lit("}"))
     df.select(col(idCol), posexplode(array(action, docJson)).as(Seq("seq", "line")))
   }

@@ -25,6 +25,54 @@ class WritersSpec extends SparkSpec {
     assert(back == Map(1 -> "a", 2 -> "b2", 3 -> "c"))
   }
 
+  test("upsertPath rejects a duplicate-key FIRST batch without creating the table") {
+    val dir = Files.createTempDirectory("upsertdup").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val e = intercept[IllegalArgumentException] {
+      Writers.upsertPath(spark, Seq((1, "a"), (1, "a2")).toDF("id", "v"), dir, Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+    // the bad batch must not have landed as the live table, and no
+    // staging debris may survive the rejection
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "._graft_staging")))
+    // a clean batch afterwards bootstraps normally
+    val stats = Writers.upsertPath(spark, Seq((1, "a")).toDF("id", "v"), dir, Seq("id"))
+    assert(stats == Writers.UpsertStats(1, 0, 1))
+  }
+
+  test("overwriteStaged defers visibility until commit") {
+    val dir = Files.createTempDirectory("staged").toString + "/t"
+    Writers.overwrite(Seq((1, "old")).toDF("id", "v"), dir)
+    val commit = Writers.overwriteStaged(Seq((1, "new"), (2, "new2")).toDF("id", "v"), dir)
+    // staged but not committed: readers still see the old table
+    assert(spark.read.parquet(dir).collect().map(_.getString(1)).toSeq == Seq("old"))
+    commit()
+    val back = spark.read.parquet(dir).collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(back == Map(1 -> "new", 2 -> "new2"))
+  }
+
+  test("overwriteStaged commit creates the table when none existed") {
+    val dir = Files.createTempDirectory("stagedfresh").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commit = Writers.overwriteStaged(Seq((1, "a")).toDF("id", "v"), dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir))) // not yet visible
+    commit()
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
+  test("esBulkLines fails loudly on a null id instead of omitting _id") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((Some(1L), "x"), (None: Option[Long], "y")).toDF("id", "payload")
+    val lines = Writers.esBulkLines(df, "idx", "id", to_json(struct(col("payload"))))
+    val e = intercept[Exception] { lines.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("null value in id column")))
+  }
+
   test("upsertPath cleans stale staging/backup dirs and leaves none behind") {
     val dir = Files.createTempDirectory("upsertswap").toString + "/t"
     val fs = new org.apache.hadoop.fs.Path(dir)

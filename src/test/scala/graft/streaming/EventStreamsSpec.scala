@@ -118,8 +118,14 @@ class EventStreamsSpec extends SparkSpec {
     ).toDF("doc_id", "text", "ingest_ts")
     docs.coalesce(1).write.parquet(dir)
     val schema = spark.read.parquet(dir).schema
-    val q = graft.curation.Curation.fingerprintDedupStream(
-        spark.readStream.schema(schema).parquet(dir))
+    val streamed = graft.curation.Curation.fingerprintDedupStream(
+      spark.readStream.schema(schema).parquet(dir))
+    // state must be EVICTABLE: plain dropDuplicates on fp alone would
+    // never age out (event-time not in the dedup subset) — the plan has
+    // to carry the within-watermark dedup operator
+    assert(streamed.queryExecution.analyzed.toString
+      .contains("DeduplicateWithinWatermark"))
+    val q = streamed
       .writeStream.format("memory").queryName("doc_dedup_test").start()
     try {
       q.processAllAvailable()
