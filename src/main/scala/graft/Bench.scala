@@ -40,6 +40,21 @@ object Bench {
     // execution, not first-query JIT + classload.
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).queryExecution.toRdd.count()
 
+    // dev mode: SPARK_GRAFT_MICROS_ONLY=skew|bucket|zorder (comma-separable)
+    // runs just the named layout micros — iterating on one demo shouldn't
+    // cost a 20-minute full-registry pass
+    sys.env.get("SPARK_GRAFT_MICROS_ONLY").foreach { which =>
+      val sel = which.split(",").map(_.trim).toSet
+      val micros =
+        (if (sel("bucket")) benchBucketed(spark, sfDir) else Nil) ++
+        (if (sel("zorder")) benchZOrder(spark) else Nil) ++
+        (if (sel("skew")) benchSkew(spark, sfDir) else Nil)
+      val mq = micros.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      spark.stop()
+      println(s"""{"metric":"micros","queries":$mq}""")
+      return
+    }
+
     // min of two runs: the second run reflects steady-state (JIT-warm,
     // file-cache-warm) execution, which is what a long-lived cluster sees.
     // The two samples come from two FULL PASSES over the registry, not
@@ -248,15 +263,30 @@ object Bench {
     }
   }
 
+  /** Max task duration across a run — the STRAGGLER metric. Wall time on
+    * a 32-core box understates skew (31 idle cores don't slow the clock
+    * much and host noise swamps the signal); the serialized reducer shows
+    * up directly as the longest task, and that task IS the job's critical
+    * path on a real cluster where every core has queued work.
+    */
+  private final class MaxTaskListener extends org.apache.spark.scheduler.SparkListener {
+    @volatile var maxMs: Long = 0L
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      synchronized { if (t.taskInfo != null && t.taskInfo.duration > maxMs) maxMs = t.taskInfo.duration }
+  }
+
   private def benchSkew(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
-    // 20M generated rows, one key holding 50%: a cheap codegen'd map side
-    // keeps the measurement on the REDUCER, where skew actually hurts
-    val skewed = spark.range(0, 20000000L, 1, 32).select(
+    // 60M generated rows, one key holding 50% (30M): sized so the hot
+    // reducer's sort dominates every per-row overhead the mitigation adds
+    // (round 3 taught the same lesson on the bucketed micro — too-small
+    // workloads let host noise flip the ordering). A cheap codegen'd map
+    // side keeps the measurement on the REDUCER, where skew actually hurts.
+    val skewed = spark.range(0, 60000000L, 1, 32).select(
       when(col("id") % 2 === 0, 0L).otherwise(col("id") % 997).as("k"),
       (col("id") % 100).cast("double").as("v"))
     val dim = spark.range(0, 997).select(col("id").as("k"), (col("id") * 2).as("w"))
 
-    def once(aqe: Boolean, salted: Boolean): Double = {
+    def once(aqe: Boolean, salted: Boolean, saltFactor: Int): (Double, Double) = {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
       // sf0.1-sized partitions need lower AQE skew thresholds to trigger
@@ -269,31 +299,46 @@ object Bench {
       // a later run reuse its shuffle files (skipped stages) and report
       // fiction
       val joined =
-        if (salted) graft.ops.SkewJoin.saltedInnerJoin(skewed, dim, Seq("k"), 16)
+        if (salted) graft.ops.SkewJoin.saltedInnerJoin(skewed, dim, Seq("k"), saltFactor)
         else skewed.join(dim, Seq("k"))
       val agged = joined.agg(sum(col("v") * col("w")))
+      val listener = new MaxTaskListener
+      spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       agged.queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
+      // task-end events are dispatched async; give the bus a moment to
+      // drain before reading the straggler max
+      Thread.sleep(300)
+      spark.sparkContext.removeSparkListener(listener)
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
       spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
       spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
       spark.conf.set("spark.sql.adaptive.enabled", true)
-      dt
+      (dt, listener.maxMs / 1e3)
     }
 
     // interleaved rounds — see benchBucketed for why
     try {
+      // the salt is MEASURED, not guessed: adaptiveSaltFactor samples the
+      // key distribution (keys-only job, outside the timed region — on a
+      // real deployment the share estimate comes from ingest statistics)
+      val factor = graft.ops.SkewJoin.adaptiveSaltFactor(
+        skewed, Seq("k"), sampleFraction = 0.001)
       val rounds = (1 to 3).map { _ =>
-        (once(aqe = false, salted = false),
-          once(aqe = false, salted = true),
-          once(aqe = true, salted = false))
+        (once(aqe = false, salted = false, factor),
+          once(aqe = false, salted = true, factor),
+          once(aqe = true, salted = false, factor))
       }
       Seq(
-        "skew_plain_join" -> rounds.map(_._1).min,
-        "skew_salted_join" -> rounds.map(_._2).min,
-        "skew_aqe_join" -> rounds.map(_._3).min)
+        "skew_plain_join" -> rounds.map(_._1._1).min,
+        "skew_salted_join" -> rounds.map(_._2._1).min,
+        "skew_aqe_join" -> rounds.map(_._3._1).min,
+        "skew_plain_max_task" -> rounds.map(_._1._2).min,
+        "skew_salted_max_task" -> rounds.map(_._2._2).min,
+        "skew_aqe_max_task" -> rounds.map(_._3._2).min,
+        "skew_salt_factor" -> factor.toDouble)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] skew demo failed: $e"); Seq.empty

@@ -15,16 +15,60 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Deterministic salt for `df`: a whole-row hash mod `saltFactor` —
+    * uniform enough to split a hot key across saltFactor partitions, and
+    * reproducible (no rand()) so re-runs and retries agree.
+    */
+  def saltExpr(df: DataFrame, saltFactor: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(saltFactor)).cast("int")
+
   def saltedInnerJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       saltFactor: Int = 8): DataFrame = {
     require(saltFactor > 0)
-    // salt from a hash of the whole row (deterministic, no rand()):
-    // uniform enough to split a hot key across saltFactor partitions
-    val bigSalted = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(saltFactor)).cast("int"))
+    val bigSalted = big.withColumn("__salt", saltExpr(big, saltFactor))
     val saltRange = explode(sequence(lit(0), lit(saltFactor - 1)))
     val smallReplicated = small.withColumn("__salt", saltRange)
     bigSalted.join(smallReplicated, keys :+ "__salt")
       .drop("__salt")
+  }
+
+  /** Size the salt from OBSERVED skew instead of a guess: estimate the
+    * hottest key's row share from a keys-only sample, then split that key
+    * into enough salts that each slice carries about one average
+    * reducer's load (`share × shuffle.partitions`), clamped to
+    * [1, maxFactor]. 1 means "don't salt" — a uniform key distribution
+    * pays zero replication.
+    *
+    * Cost: one sampled keys-only pass over `big` (parquet prunes to the
+    * key columns). On a real deployment the share estimate comes for free
+    * from ingest-time statistics or a stored count-min sketch; pass it
+    * straight to [[saltedInnerJoin]] in that case.
+    */
+  def adaptiveSaltFactor(big: DataFrame, keys: Seq[String],
+      sampleFraction: Double = 0.01, maxFactor: Int = 64): Int = {
+    require(sampleFraction > 0 && sampleFraction <= 1)
+    val partitions =
+      big.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val top = big.select(keys.map(col): _*)
+      .sample(withReplacement = false, sampleFraction, seed = 42L)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")), sum(col("__n"))).head()
+    if (top.isNullAt(0)) 1 // empty sample: nothing to split
+    else {
+      val share = top.getLong(0).toDouble / math.max(1L, top.getLong(1)).toDouble
+      math.max(1, math.min(maxFactor, math.ceil(share * partitions).toInt))
+    }
+  }
+
+  /** [[saltedInnerJoin]] with the factor measured by
+    * [[adaptiveSaltFactor]]; falls back to the plain join when the
+    * observed distribution doesn't need salting.
+    */
+  def saltedInnerJoinAdaptive(big: DataFrame, small: DataFrame,
+      keys: Seq[String], sampleFraction: Double = 0.01,
+      maxFactor: Int = 64): DataFrame = {
+    val factor = adaptiveSaltFactor(big, keys, sampleFraction, maxFactor)
+    if (factor <= 1) big.join(small, keys)
+    else saltedInnerJoin(big, small, keys, factor)
   }
 }

@@ -21,8 +21,38 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
     // salt actually spreads the hot key across partitions
     val saltSpread = big
-      .withColumn("__salt", pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(8)))
+      .withColumn("__salt", SkewJoin.saltExpr(big, 8))
       .filter(col("k") === 1).select("__salt").distinct().count()
     assert(saltSpread == 8)
+  }
+
+  test("adaptive factor sizes from observed skew and bounds per-salt load") {
+    // 50% of rows on one hot key, the rest uniform over 100 keys
+    val big = spark.range(0, 20000)
+      .select(when(col("id") % 2 === 0, 0L).otherwise(col("id") % 100).as("k"),
+        col("id").as("payload"))
+    val small = spark.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("w"))
+
+    val factor = SkewJoin.adaptiveSaltFactor(big, Seq("k"), sampleFraction = 0.5)
+    // ~50% share × 4 test shuffle partitions → the hot key must split
+    assert(factor >= 2, s"expected a real salt for a 50%-hot corpus, got $factor")
+
+    // bounded per-task input: no (key, salt) slice may exceed ~1.5× the
+    // hot key's fair share at the chosen factor
+    val maxSlice = big.withColumn("__salt", SkewJoin.saltExpr(big, factor))
+      .groupBy("k", "__salt").count().agg(max("count")).head().getLong(0)
+    assert(maxSlice <= (10000.0 / factor * 1.5).toLong,
+      s"hot-key slice $maxSlice exceeds fair-share bound at factor $factor")
+
+    // row identity through the adaptive path
+    val plain = big.join(small, Seq("k"))
+    val adaptive = SkewJoin.saltedInnerJoinAdaptive(big, small, Seq("k"), sampleFraction = 0.5)
+    assert(adaptive.count() == plain.count())
+    assert(adaptive.exceptAll(plain).isEmpty && plain.exceptAll(adaptive).isEmpty)
+
+    // a uniform corpus measures factor 1: no replication is paid
+    val uniform = spark.range(0, 20000)
+      .select((col("id") % 100).as("k"), col("id").as("payload"))
+    assert(SkewJoin.adaptiveSaltFactor(uniform, Seq("k"), sampleFraction = 0.5) == 1)
   }
 }
