@@ -136,6 +136,73 @@ object GeoPipeline {
       .filter(col("geom").isNotNull && GeoFunctions.stIsValidPolygon(col("geom")))
   }
 
+  /** file_stats the reference accumulates across the merge thread
+    * (batch_processor.py:30-45, 155-189): boundary feature counts and the
+    * slope-point total actually used.
+    */
+  final case class MergeStats(
+      totalBoundaryFeatures: Long,
+      processedFeatures: Long,
+      slopePointsUsed: Long)
+
+  /** The end-to-end geospatial merge thread
+    * (batch_processor.py:108-177 `process_files`) as one tracked run. The
+    * reference's hand-placed checkpoints (diagnosing 5 → loading 15 →
+    * processing 25-85 via per-batch ratios at :385-388 → saving 90 →
+    * completed 100) become [[ProgressTracker]] spans whose percents come
+    * from real task completions; stage names use progress_tracker.py's
+    * vocabulary (validation / processing / merging / completed), messages
+    * keep the batch processor's wording. There is no batch loop to count:
+    * the whole merge is one declarative job, so "Batch k/n" becomes
+    * task-level percent from the engine's own scheduler.
+    *
+    * @param outDir when set, the merged result is written (replace-mode)
+    *   under the reference's saving checkpoint before completion
+    */
+  def run(spark: org.apache.spark.sql.SparkSession, boundaries: DataFrame,
+      samples: DataFrame, processId: Option[String] = None,
+      outDir: Option[String] = None): (DataFrame, MergeStats) = {
+    def tracked[T](stage: Int, msg: String)(body: => T): T =
+      processId.map(ProgressTracker.trackStage(spark, _, stage, msg)(body)).getOrElse(body)
+
+    processId.foreach(ProgressTracker.update(_, 1, 0, "Diagnosing CRS and overlap issues..."))
+    // the reference's fix_crs_overlap gate: reject inputs that can't merge
+    // (here: schema contract) with an error status, like :122-125
+    val missing =
+      Seq("boundary_id", "geom").filterNot(boundaries.columns.contains).map("boundaries." + _) ++
+        Seq("x", "y", "value").filterNot(samples.columns.contains).map("samples." + _)
+    if (missing.nonEmpty) {
+      val msg = s"CRS/Overlap fix failed: missing columns ${missing.mkString(", ")}"
+      processId.foreach(ProgressTracker.update(_, 1, 0, msg, error = Some(msg)))
+      throw new IllegalArgumentException(msg)
+    }
+    val totalFeatures =
+      tracked(1, "Loading data and converting to WGS84...")(boundaries.count())
+
+    val stats = tracked(2, "Processing slope analysis in WGS84...") {
+      val s = zonalSlopeStatsIndexed(boundaries, samples).persist()
+      s.count()
+      s
+    }
+    // persisted: the save below, the caller's consumption, and the tallies
+    // must not re-run the zonal-stats lineage after stats unpersists
+    val merged = tracked(3, "Merging zonal statistics onto boundaries...") {
+      val m = boundaries.join(stats, Seq("boundary_id"), "left").persist()
+      m.count()
+      m
+    }
+    outDir.foreach { dir =>
+      tracked(3, "Saving WGS84 results...")(graft.io.Writers.overwrite(merged, dir))
+    }
+    val tallies = stats
+      .agg(count(lit(1)).as("n"), coalesce(sum("slope_points_used"), lit(0L)).as("pts"))
+      .head()
+    stats.unpersist()
+    processId.foreach(ProgressTracker.complete(_,
+      "Processing completed with WGS84 coordinates!"))
+    (merged, MergeStats(totalFeatures, tallies.getLong(0), tallies.getLong(1)))
+  }
+
   /** Boundary enrichment (village ETL shape): area + centroid columns with
     * the reference's decimal scales (centroid_lat DECIMAL(10,8) /
     * centroid_lon DECIMAL(11,8), village_admin_boundaries_etl_view.py:

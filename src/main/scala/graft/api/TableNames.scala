@@ -68,6 +68,47 @@ object TableNames {
     if (tableName.isEmpty) shortBase else tableName
   }
 
+  /** `_generate_monthly_weather_table_name` parity
+    * (weather_data_prec_temp_etl_view.py:97-132): 12-char sanitized parts
+    * in `weather_{prec}_prec_and_{temp}_temp_{district}_{sector}`, with the
+    * reference's proportional re-fit when the name exceeds 60 chars (the
+    * year_part participates in the budget arithmetic but never appears in
+    * the final name — quirk preserved).
+    */
+  def weatherTableName(precStation: String, tempStation: String,
+      district: String, sector: String, years: Seq[Int] = Nil): String = {
+    def sanitize(name: String): String = {
+      if (name == null || name.trim.isEmpty) "unknown"
+      else {
+        val s = name.toLowerCase.replaceAll("[^a-z0-9_]", "_")
+          .replaceAll("_+", "_").stripPrefix("_").stripSuffix("_")
+        val cut = s.take(12)
+        if (cut.isEmpty) "unknown" else cut
+      }
+    }
+    val prec = sanitize(precStation)
+    val temp = sanitize(tempStation)
+    val dist = sanitize(district)
+    val sect = sanitize(sector)
+    val yearPart =
+      if (years.nonEmpty) {
+        val sorted = years.sorted
+        if (sorted.length <= 3) sorted.mkString("_") else s"${sorted.head}_${sorted.last}"
+      } else "all"
+    val name = s"weather_${prec}_prec_and_${temp}_temp_${dist}_${sect}"
+    if (name.length <= 60) name
+    else {
+      val available = 60 - s"weather__prec_and__temp__$yearPart".length - 3
+      val precMax = math.min(prec.length, available / 4)
+      val tempMax = math.min(temp.length, available / 4)
+      val distMax = math.min(dist.length, available / 4)
+      val sectMax = available - precMax - tempMax - distMax
+      def cut(s: String, n: Int) = if (n > 0) s.take(n) else s.take(3)
+      s"weather_${cut(prec, precMax)}_prec_and_${cut(temp, tempMax)}_temp_" +
+        s"${cut(dist, distMax)}_${cut(sect, sectMax)}"
+    }
+  }
+
   /** `generate_simple_table_name` parity (years appended sorted-distinct). */
   def simpleTableName(baseName: String, district: Option[String] = None,
       sector: Option[String] = None, years: Seq[Int] = Nil): String = {

@@ -92,4 +92,47 @@ object WeatherPipeline {
         formatTimestamp(current_timestamp()).as("updated_at"))
       .orderBy("year", "month")
   }
+
+  /** [[monthlyMerge]] with the reference ETL's run surface: staged progress
+    * (the `WEATHER PROGRESS: n/total records inserted` checkpoints every
+    * 1000 rows, weather_data_prec_temp_etl_view.py:679-681, become
+    * [[ProgressTracker]] task-level percents — the engine writes files, not
+    * row-at-a-time INSERTs, so the per-1000 counter has no analogue), the
+    * reference's dynamic table name ([[TableNames.weatherTableName]]), an
+    * optional replace-mode save, and the
+    * `Successfully saved N weather records to 'table'` terminal message
+    * (:693-695).
+    *
+    * @return (merged frame — persisted, caller may unpersist —, table name,
+    *   record count)
+    */
+  def run(
+      spark: SparkSession,
+      precip: DataFrame,
+      temp: DataFrame,
+      years: Seq[Int],
+      district: String,
+      sector: String,
+      precStation: String,
+      tempStation: String,
+      processId: Option[String] = None,
+      outDir: Option[String] = None): (DataFrame, String, Long) = {
+    def tracked[T](stage: Int, msg: String)(body: => T): T =
+      processId.map(ProgressTracker.trackStage(spark, _, stage, msg)(body)).getOrElse(body)
+
+    processId.foreach(ProgressTracker.update(_, 1, 100, "Validating input columns"))
+    val merged = monthlyMerge(spark, precip, temp, years, district, sector,
+      precStation, tempStation).persist()
+    val n = tracked(2, "Computing monthly precipitation and temperature records")(
+      merged.count())
+    val table = TableNames.weatherTableName(precStation, tempStation, district,
+      sector, years)
+    outDir.foreach { dir =>
+      tracked(3, s"Saving weather records to '$table'")(
+        graft.io.Writers.overwrite(merged, s"$dir/$table"))
+    }
+    processId.foreach(ProgressTracker.complete(_,
+      s"Successfully saved $n weather records to '$table'"))
+    (merged, table, n)
+  }
 }

@@ -49,6 +49,55 @@ class GeoPipelineSpec extends SparkSpec {
     assert(r.getAs[java.math.BigDecimal]("centroid_lon").doubleValue() == 1.6)
   }
 
+  test("run: tracked merge emits reference stages, stats, and saved output") {
+    val boundaries = Seq(
+      ("flat_zone", rect(0, 0, 10, 10)),
+      ("steep_zone", rect(10, 0, 20, 10)),
+      ("empty_zone", rect(30, 30, 40, 40))).toDF("boundary_id", "geom")
+    val samples = Seq(
+      (1.0, 1.0, 2.0), (2.0, 2.0, 4.0),
+      (11.0, 1.0, 20.0), (12.0, 2.0, 40.0),
+      (50.0, 50.0, 99.0)).toDF("x", "y", "value").repartition(4)
+    val dir = java.nio.file.Files.createTempDirectory("geo_run").toString + "/merged"
+    val id = ProgressTracker.createProcess()
+
+    val (merged, stats) = GeoPipeline.run(spark, boundaries, samples,
+      processId = Some(id), outDir = Some(dir))
+    // left join keeps pointless boundaries with null stats
+    assert(merged.count() == 3)
+    assert(stats == GeoPipeline.MergeStats(
+      totalBoundaryFeatures = 3, processedFeatures = 2, slopePointsUsed = 4))
+    assert(spark.read.parquet(dir).count() == 3)
+
+    val fin = ProgressTracker.getStatus(id)
+    assert(fin.completed && fin.stage == "completed" && fin.progress == 100)
+    assert(fin.message == "Processing completed with WGS84 coordinates!")
+    assert(fin.processingTimeSeconds.exists(_ > 0))
+    val events = ProgressTracker.history(id)
+    assert(events.map(_._1).distinct
+      .containsSlice(Seq("validation", "processing", "merging", "completed")),
+      s"stages: ${events.map(_._1).distinct}")
+    events.groupBy(e => (e._1, e._2)).foreach { case (span, evs) =>
+      val ps = evs.map(_._3)
+      assert(ps == ps.sorted, s"non-monotone percents in $span: $ps")
+    }
+    // batch_processor message vocabulary rides the tracked spans
+    assert(events.exists(_._2 == "Processing slope analysis in WGS84..."))
+    assert(events.exists(_._2 == "Saving WGS84 results..."))
+    merged.unpersist()
+  }
+
+  test("run: schema gate rejects with an error status like the CRS-fix gate") {
+    val bad = Seq(("b1", 1)).toDF("boundary_id", "not_geom")
+    val samples = Seq((1.0, 1.0, 2.0)).toDF("x", "y", "value")
+    val id = ProgressTracker.createProcess()
+    val e = intercept[IllegalArgumentException](
+      GeoPipeline.run(spark, bad, samples, processId = Some(id)))
+    assert(e.getMessage.contains("boundaries.geom"))
+    val st = ProgressTracker.getStatus(id)
+    assert(st.completed && st.error.exists(_.contains("CRS/Overlap fix failed")))
+  }
+
   test("zonalSlopeStatsIndexed matches the nested-loop variant") {
     val boundaries = Seq(
       ("flat_zone", rect(0, 0, 10, 10)),

@@ -24,6 +24,56 @@ class PipelinesSpec extends SparkSpec {
       == "hc_gasabo_2021_2023")
   }
 
+  test("TableNames.weatherTableName reference parity") {
+    // goldens from the reference's _generate_monthly_weather_table_name
+    // run standalone (weather_data_prec_temp_etl_view.py:97-132)
+    assert(TableNames.weatherTableName("stprec", "sttemp", "Kigali", "all", Seq(2023))
+      == "weather_stprec_prec_and_sttemp_temp_kigali_all")
+    assert(TableNames.weatherTableName("", "St. Témp-1", "", "Remera")
+      == "weather_unknown_prec_and_st_t_mp_1_temp_unknown_remera")
+    // >60 chars: proportional re-fit under the year-part budget
+    assert(TableNames.weatherTableName("Kigali Meteorological Station Alpha",
+      "Butare Temperature Observatory", "Nyarugenge District",
+      "Kimisagara Sector", Seq(2021, 2022))
+      == "weather_kigal_prec_and_butar_temp_nyaru_kimisaga")
+    // >3 years collapse to min_max in the budget arithmetic
+    assert(TableNames.weatherTableName("Kigali Meteorological Station Alpha",
+      "Butare Temperature Observatory", "Nyarugenge District",
+      "Kimisagara Sector", Seq(2018, 2019, 2020, 2021))
+      == "weather_kigal_prec_and_butar_temp_nyaru_kimisaga")
+    assert(TableNames.weatherTableName("A", "B", "C", "D")
+      == "weather_a_prec_and_b_temp_c_d")
+  }
+
+  test("WeatherPipeline.run: tracked run saves the reference table name") {
+    val precip = Seq(("2023", "1", 100.5), ("2023", "2", 80.0))
+      .toDF("Year", "Month", "PRECIP").repartition(4)
+    val temp = Seq(("2023", "1", 25.0), ("2023", "3", 18.0))
+      .toDF("Year", "Month", "TMPMAX").repartition(4)
+    val dir = Files.createTempDirectory("weather_run").toString
+    val id = ProgressTracker.createProcess()
+
+    val (merged, table, n) = WeatherPipeline.run(spark, precip, temp, Seq(2023),
+      "Kigali", "all", "stprec", "sttemp", processId = Some(id), outDir = Some(dir))
+    assert(table == "weather_stprec_prec_and_sttemp_temp_kigali_all")
+    assert(n == 12)
+    assert(spark.read.parquet(s"$dir/$table").count() == 12)
+
+    val fin = ProgressTracker.getStatus(id)
+    assert(fin.completed && fin.stage == "completed" && fin.progress == 100)
+    assert(fin.message == s"Successfully saved 12 weather records to '$table'")
+    val events = ProgressTracker.history(id)
+    assert(events.map(_._1).distinct
+      .containsSlice(Seq("validation", "processing", "merging", "completed")),
+      s"stages: ${events.map(_._1).distinct}")
+    // monotone percents within each tracked span
+    events.groupBy(e => (e._1, e._2)).foreach { case (span, evs) =>
+      val ps = evs.map(_._3)
+      assert(ps == ps.sorted, s"non-monotone percents in $span: $ps")
+    }
+    merged.unpersist()
+  }
+
   test("WeatherPipeline: golden merge with fill ladder and uuid5 ids") {
     // fixture mirrors the reference's SQL test seed (FIXTURES.md §5):
     // Jan-2023 precip 100.5 + 200.0 -> 150.25; Jan-2023 temp 25.0 + 30.0 -> 27.5
