@@ -217,17 +217,45 @@ object ExtraQueries {
           CAST(SUM(events_in_session) AS BIGINT) AS total_events
         FROM per_session GROUP BY 1 ORDER BY 1""")),
 
-    // ---- approximate aggregates (rows-only check: sketches are
-    // engine-specific by nature, so no DuckDB oracle) -----------------------
+    // ---- approximate aggregates, tolerance-banded oracle ------------------
+    // Sketch values are engine-specific (HLL++ / KLL registers), so raw
+    // approx columns can never hash-match DuckDB. The banded check makes the
+    // row REAL anyway: Spark computes BOTH the sketch and the exact value,
+    // and emits in-band booleans; the oracle emits the same exact values and
+    // literal TRUE. A sketch drifting outside its documented bound flips the
+    // boolean and fails the driver's hash compare.
+    // Bands: approx_count_distinct at rsd=0.05 must land within ±15% of
+    // exact (3σ of the configured relative standard deviation);
+    // percentile_approx at accuracy=1000 guarantees rank error ≤ 0.1% — the
+    // band accepts values between the exact 49th and 51st percentiles (10×
+    // the guarantee, still tight enough to catch a broken sketch).
+    // The exact aggregates exist to CHECK the sketches — production callers
+    // use the approximate columns alone at a fraction of the cost.
     Q("q65_approx_aggs",
       (s, dir) => t(s, dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-          approx_count_distinct(col("o_custkey")).as("approx_customers"),
-          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+          approx_count_distinct(col("o_custkey"), rsd = 0.05).as("ac"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("am"),
+          countDistinct(col("o_custkey")).as("exact_customers"),
+          percentile(col("o_totalprice"), lit(0.49)).as("q49"),
+          percentile(col("o_totalprice"), lit(0.51)).as("q51"),
           count(lit(1)).as("cnt"))
+        .select(
+          col("o_orderpriority"),
+          col("exact_customers"),
+          col("cnt"),
+          (col("ac") >= col("exact_customers") * 0.85 &&
+            col("ac") <= col("exact_customers") * 1.15).as("approx_customers_in_band"),
+          (col("am") >= col("q49") && col("am") <= col("q51")).as("approx_median_in_band"))
         .orderBy("o_orderpriority"),
-      None),
+      Some("""
+        SELECT o_orderpriority,
+          CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+          CAST(COUNT(*) AS BIGINT) AS cnt,
+          TRUE AS approx_customers_in_band,
+          TRUE AS approx_median_in_band
+        FROM orders GROUP BY 1 ORDER BY 1""")),
 
     // ---- analytic-window suite: rank/dense_rank/ntile/lead/lag + frames ---
     Q("q66_window_suite",
