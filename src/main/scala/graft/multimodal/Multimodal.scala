@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata,
   * processed in partition-sized batches.
   *
-  * The decode step is a clearly-marked deterministic STUB (this container
-  * has no image/audio codecs); everything around it — the schema contract,
-  * the binary column handling, the typed `mapPartitions` batch shape, and
-  * the partitioning story — is real and tested. Swapping [[decodeStub]] for
-  * a JNI/codec call is the only production change.
+  * Two decode tiers: `bmp` assets get a REAL pure-JVM decode
+  * ([[BmpCodec]], headers + padding + bottom-up rows + per-pixel sums);
+  * codec-backed formats (png/jpg/webp) keep a clearly-marked deterministic
+  * STUB (this container has no native codecs). Everything around both —
+  * the schema contract, the binary column handling, the typed
+  * `mapPartitions` batch shape, and the partitioning story — is identical
+  * and tested; swapping [[decodeStub]] for a JNI/codec call is the only
+  * production change for the stubbed formats.
   *
   * Scale notes: payloads stay in executor space end-to-end (no collect);
   * decode is a narrow per-partition pass, so throughput scales with input
@@ -80,6 +83,58 @@ object Multimodal {
       .select(col("asset_id"), col("frame_idx"),
         length(col("frame")).as("frame_chars"),
         md5(col("frame")).as("frame_md5"))
+
+  /** Decoded BMP features. All-integer milli-luma (299R+587G+114B per
+    * pixel) instead of a float mean: exact in any summation order, so the
+    * oracle compare is equality, not tolerance.
+    */
+  final case class BmpFeatures(
+      asset_id: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      byte_len: Int,
+      luma_sum: Long,
+      top_left_luma: Long,
+      bottom_right_luma: Long)
+
+  /** REAL decode for `bmp` assets via [[BmpCodec]] — no stub: the payload
+    * bytes are parsed (headers, bottom-up rows, BGR order, row padding)
+    * and every pixel is summed. Same typed per-partition batch shape as
+    * [[decode]]; fails loudly on non-BMP input.
+    */
+  def decodeBmp(assets: Dataset[Asset]): Dataset[BmpFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      require(a.format == "bmp", s"decodeBmp got format '${a.format}'")
+      val d = BmpCodec.decode(a.payload)
+      BmpFeatures(a.asset_id, d.width, d.height, d.channels, a.payload.length,
+        d.lumaSumMilli, d.topLeftLumaMilli, d.bottomRightLumaMilli)
+    })
+  }
+
+  /** Deterministic REAL-BMP asset table: each document becomes a w×h
+    * 24-bit BMP whose red channel carries an (x+y) gradient and whose
+    * green/blue are doc-derived constants. Parameters are arithmetic in
+    * doc_id (dims 8-23, rBase ≤ 199 so the gradient never wraps), which
+    * gives the decoded features a closed-form SQL oracle while the decode
+    * itself runs a real binary parser over real pixel arrays. Payload
+    * synthesis is row-local in the scan stage; bytes never shuffle.
+    */
+  def bmpAssetsFromDocuments(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + id % 16).toInt
+        val h = (8 + (id * 3) % 16).toInt
+        val rBase = (id % 200).toInt
+        val g = ((id * 7) % 256).toInt
+        val b = ((id * 13) % 256).toInt
+        Asset(id, "bmp",
+          BmpCodec.encode(w, h)((x, y) => ((rBase + x + y) << 16) | (g << 8) | b))
+      })
+  }
 
   /** Derive a deterministic asset table from the documents corpus: text
     * bytes stand in for media payloads, format cycles by id. Real

@@ -45,6 +45,44 @@ object MultimodalQueries {
           CAST(SUM(luma_num) AS BIGINT) AS sum_luma_num
         FROM features GROUP BY 1 ORDER BY 1""")),
 
+    // ---- REAL decode: synthesized 24-bit BMPs through an actual binary
+    // parser. The oracle never parses BMP — it predicts every feature in
+    // closed form from the synthesis parameters (gradient sums, header+
+    // padding arithmetic), so a decoder bug in stride, orientation, or BGR
+    // order breaks the hash. top_left/bottom_right pin row orientation
+    // (a sum alone is permutation-invariant and would miss a flip).
+    Q("q126_bmp_decode",
+      (s, dir) => {
+        val feats = Multimodal.decodeBmp(Multimodal.bmpAssetsFromDocuments(s, dir))
+        feats.select(
+          col("asset_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("byte_len").cast("long").as("byte_len"),
+          col("luma_sum"), col("top_left_luma"), col("bottom_right_luma"))
+          .orderBy("asset_id")
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+            8 + doc_id % 16 AS w,
+            8 + (doc_id * 3) % 16 AS h,
+            doc_id % 200 AS r,
+            (doc_id * 7) % 256 AS g,
+            (doc_id * 13) % 256 AS b
+          FROM documents)
+        SELECT doc_id AS asset_id,
+          CAST(w AS BIGINT) AS width,
+          CAST(h AS BIGINT) AS height,
+          CAST(3 AS BIGINT) AS channels,
+          CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS byte_len,
+          CAST(299 * (w * h * r + h * ((w * (w - 1)) // 2) + w * ((h * (h - 1)) // 2))
+               + w * h * (587 * g + 114 * b) AS BIGINT) AS luma_sum,
+          CAST(299 * r + 587 * g + 114 * b AS BIGINT) AS top_left_luma,
+          CAST(299 * (r + w - 1 + h - 1) + 587 * g + 114 * b AS BIGINT) AS bottom_right_luma
+        FROM p ORDER BY 1""")),
+
     // ---- frame sampling: explode -> stride-sample -> per-frame digests ----
     // The video-pipeline shape: per-asset frame explosion stays row-local,
     // sampled frames reduce to narrow (idx, length, digest) features, and

@@ -23,6 +23,28 @@ class MultimodalSpec extends SparkSpec {
     assert(again == f)
   }
 
+  test("bmp assets decode for REAL: parsed features match synthesis closed forms") {
+    val feats = decodeBmp(bmpAssetsFromDocuments(spark, "/root/testdata/sf0.001"))
+      .collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      val id = f.asset_id
+      val w = (8 + id % 16).toInt
+      val h = (8 + (id * 3) % 16).toInt
+      val r = (id % 200).toInt
+      val g = ((id * 7) % 256).toInt
+      val b = ((id * 13) % 256).toInt
+      val n = w.toLong * h
+      assert(f.width == w && f.height == h && f.channels == 3)
+      assert(f.byte_len == BmpCodec.fileSize(w, h))
+      val sumR = n * r + h.toLong * (w * (w - 1)) / 2 + w.toLong * (h * (h - 1)) / 2
+      assert(f.luma_sum == 299 * sumR + n * (587L * g + 114L * b), s"luma sum, id=$id")
+      assert(f.top_left_luma == 299L * r + 587L * g + 114L * b, s"top-left, id=$id")
+      assert(f.bottom_right_luma == 299L * (r + w - 1 + h - 1) + 587L * g + 114L * b,
+        s"bottom-right, id=$id")
+    }
+  }
+
   test("binary payload round-trips through the typed Dataset") {
     import spark.implicits._
     val a = Seq(Asset(1L, "png", Array[Byte](1, 2, 3))).toDS()
