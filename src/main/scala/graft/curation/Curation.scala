@@ -197,6 +197,112 @@ object Curation {
     else fp.dropDuplicates("fp")
   }
 
+  // ---- MinHash signature store -------------------------------------------
+
+  /** LSH geometry shared by the signature store and the registry's
+    * near-dup queries: 16 hashes in 4 bands of 4 rows, with 60-bit
+    * golden-ratio xor-mix seeds (the k-from-1 construction).
+    */
+  val MinHashNumHashes = 16
+  val MinHashBandRows = 4
+  def minhashSeeds: Seq[Long] =
+    (0 until MinHashNumHashes).map(i => (i.toLong * 0x9E3779B97F4A7CL) & ((1L << 60) - 1))
+
+  /** Per-doc MinHash signatures — (doc_id, sig ARRAY<BIGINT>[16]) — the
+    * rows a signature store persists. Row-local in the scan stage (native
+    * [[graft.text.MinHashSig]]); docs too short to shingle are omitted
+    * (they can never near-dup by signature).
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleWidth: Int = 3): DataFrame = {
+    graft.text.TextSketch.register(docs.sparkSession)
+    docs
+      .filter(size(split(trim(col(textCol)), "\\s+")) >= shingleWidth)
+      .select(col(idCol).as("doc_id"),
+        graft.text.TextSketch.minhashSig(col(textCol), shingleWidth, minhashSeeds).as("sig"))
+  }
+
+  /** Persist the signature store at INGEST (crash-safe replace). This is
+    * the operational design q122's scale note promises: once signatures
+    * are stored, checking an arriving batch costs O(batch + matching
+    * bands) and the history corpus contributes only (doc_id, sig) rows —
+    * its text is NEVER read again.
+    */
+  def writeSignatureStore(docs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleWidth: Int = 3): Unit =
+    graft.io.Writers.overwrite(minhashSignatures(docs, idCol, textCol, shingleWidth), path)
+
+  /** LSH band rows over a signature frame: (doc_id, sig, band_key). The
+    * band INDEX explodes below the key projection and keys build above the
+    * Generate barrier (the CollapseProject hazard documented on q35).
+    */
+  private def bandRows(sigs: DataFrame): DataFrame =
+    sigs
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(MinHashNumHashes / MinHashBandRows - 1))).as("band"))
+      .select(col("doc_id"), col("sig"), concat_ws("|",
+        col("band").cast("string") +:
+          (0 until MinHashBandRows).map(i =>
+            element_at(col("sig"), col("band") * MinHashBandRows + lit(i + 1))): _*)
+        .as("band_key"))
+
+  /** Signature-estimate Jaccard: fraction of matching minhash components.
+    * The store-backed verdict metric — with signatures for both sides,
+    * near-dup needs no text re-join at all (expectation of the estimator
+    * IS the Jaccard similarity; at 16 components the estimate is coarse
+    * but the LSH banding already gated candidates at ~the same scale).
+    */
+  private def sigJaccardEst(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / MinHashNumHashes
+
+  /** Incremental near-dup of an arriving batch against a signature store.
+    * Two-phase policy (q122): a batch doc is `dropped_vs_history` when its
+    * signature-estimate Jaccard to ANY stored signature reaches
+    * `estThreshold`; else `dropped_in_batch` against an earlier-id batch
+    * doc; else `accepted`. Docs too short to sign are accepted.
+    *
+    * Scale shape: batch signatures compute row-local from text; the store
+    * side reads (doc_id, sig) columns only; both exchanges carry
+    * (band_key, doc_id, sig[16]) — no document text anywhere after the
+    * batch's own scan stage.
+    *
+    * @param store the signature store frame (schema of
+    *   [[minhashSignatures]]) — e.g. `spark.read.parquet(storePath)`
+    * @return one row per batch doc: (idCol, verdict)
+    */
+  def incrementalNearDup(batch: DataFrame, store: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleWidth: Int = 3, estThreshold: Double = 0.5): DataFrame = {
+    val batchBands = bandRows(minhashSignatures(batch, idCol, textCol, shingleWidth))
+    val storeBands = bandRows(store.select(col("doc_id"), col("sig")))
+
+    val vsHist = batchBands
+      .select(col("band_key"), col("doc_id").as("doc"), col("sig").as("sig_a"))
+      .join(storeBands.select(col("band_key"), col("sig").as("sig_b")), Seq("band_key"))
+      .filter(sigJaccardEst(col("sig_a"), col("sig_b")) >= estThreshold)
+      .select(col("doc")).distinct()
+      .withColumn("vs_hist", lit(1L))
+    val vsBatch = batchBands
+      .select(col("band_key"), col("doc_id").as("doc"), col("sig").as("sig_a"))
+      .join(batchBands.select(col("band_key"), col("doc_id").as("partner"),
+        col("sig").as("sig_b")), Seq("band_key"))
+      .filter(col("partner") < col("doc") &&
+        sigJaccardEst(col("sig_a"), col("sig_b")) >= estThreshold)
+      .select(col("doc")).distinct()
+      .withColumn("vs_batch", lit(1L))
+
+    batch.select(col(idCol))
+      .join(vsHist, col(idCol) === vsHist("doc"), "left_outer").drop(vsHist("doc"))
+      .join(vsBatch, col(idCol) === vsBatch("doc"), "left_outer").drop(vsBatch("doc"))
+      .select(col(idCol),
+        when(col("vs_hist") === 1L, "dropped_vs_history")
+          .when(col("vs_batch") === 1L, "dropped_in_batch")
+          .otherwise("accepted").as("verdict"))
+  }
+
   /** SemDeDup ledger: embeddings are assigned to coarse-quantizer cells
     * (row-local argmax over the broadcast `codebook`), and inside each
     * cell every vector whose cosine to ANY lower-id member exceeds

@@ -47,14 +47,16 @@ object TextQueries {
       SELECT doc_id + 2000000 AS doc_id, text
       FROM documents WHERE doc_id % 40 = 0)"""
 
-  private val NUM_HASHES = 16
-  private val BAND_ROWS = 4
+  // one LSH geometry across the registry and the curation API — the
+  // signature STORE written by Curation.writeSignatureStore must band
+  // identically to the queries that later read it
+  private val NUM_HASHES = graft.curation.Curation.MinHashNumHashes
+  private val BAND_ROWS = graft.curation.Curation.MinHashBandRows
 
   /** xor-mix seeds for the k-from-1 minhash construction: 60-bit odd
     * multiples of the golden-ratio constant, identical in the oracle SQL.
     */
-  private val SEEDS: Seq[Long] =
-    (0 until NUM_HASHES).map(i => (i.toLong * 0x9E3779B97F4A7CL) & ((1L << 60) - 1))
+  private val SEEDS: Seq[Long] = graft.curation.Curation.minhashSeeds
 
   /** Verified MinHash/LSH near-dup pairs (jaccard >= 0.5) — shared by the
     * pair listing (q35) and the dedup keep-list (q39). Plan shape for
@@ -491,6 +493,83 @@ object TextQueries {
             THEN 1 ELSE 0 END) AS BIGINT) AS accepted
         FROM corpus LEFT JOIN flags ON doc_id = flags.doc
         WHERE doc_id >= 250 GROUP BY 1 ORDER BY 1""")),
+
+    // ---- incremental near-dup against a PERSISTED signature store ---------
+    // The operational q122: history text is ingested ONCE
+    // (Curation.writeSignatureStore), and the arriving batch is checked
+    // against stored (doc_id, sig) rows — the history corpus text is never
+    // re-read (plan-asserted in CurationSpec). Verdicts use the
+    // signature-estimate Jaccard (matching components / 16 >= 0.5), which
+    // is what a store-backed dedup can compute without any text re-join;
+    // the oracle mirrors the estimator exactly, so this row checks the
+    // whole store→band→estimate→policy pipeline.
+    Q("q127_sigstore_dedup",
+      (s, dir) => {
+        val full = corpus(s, dir)
+        val storeDir = java.nio.file.Files
+          .createTempDirectory("graft_sigstore").toString + "/sigs"
+        graft.curation.Curation.writeSignatureStore(
+          full.filter(col("doc_id") < 250), storeDir)
+        graft.curation.Curation.incrementalNearDup(
+          full.filter(col("doc_id") >= 250), s.read.parquet(storeDir))
+          .groupBy(expr("doc_id div 1000000").as("cohort"))
+          .agg(count(lit(1)).as("arrivals"),
+            coalesce(sum(when(col("verdict") === "dropped_vs_history", 1L)
+              .otherwise(0L)), lit(0L)).as("dropped_vs_history"),
+            coalesce(sum(when(col("verdict") === "dropped_in_batch", 1L)
+              .otherwise(0L)), lit(0L)).as("dropped_in_batch"),
+            coalesce(sum(when(col("verdict") === "accepted", 1L)
+              .otherwise(0L)), lit(0L)).as("accepted"))
+          .orderBy("cohort")
+      },
+      Some {
+        val minhashes = (0 until NUM_HASHES).map(i =>
+          s"list_aggregate(list_transform(hb, b -> xor(b, ${SEEDS(i)})), 'min') AS h$i")
+          .mkString(",\n            ")
+        val hCols = (0 until NUM_HASHES).map(i => s"h$i").mkString(", ")
+        val bandSelects = (0 until NUM_HASHES / BAND_ROWS).map { b =>
+          val ks = (b * BAND_ROWS until (b + 1) * BAND_ROWS).map(i => s"h$i").mkString(", ")
+          s"SELECT doc_id, $hCols, concat_ws('|', '$b', $ks) AS band_key FROM sigs"
+        }.mkString("\n          UNION ALL\n          ")
+        val estExpr = (0 until NUM_HASHES)
+          .map(i => s"(CASE WHEN a.h$i = p.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""
+        WITH $corpusSql,
+        toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM corpus),
+        shingled AS (
+          SELECT doc_id,
+            CASE WHEN len(w) < 3 THEN []
+              ELSE list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS sh
+          FROM toks),
+        sigs AS (
+          SELECT doc_id,
+            $minhashes
+          FROM (SELECT doc_id,
+            list_transform(sh, s1 -> CAST('0x' || substr(md5(s1), 1, 15) AS BIGINT)) AS hb
+            FROM shingled WHERE len(sh) > 0)),
+        bands AS (
+          $bandSelects),
+        flags AS (
+          SELECT a.doc_id AS doc,
+            MAX(CASE WHEN p.doc_id < 250 AND ($estExpr) >= 8 THEN 1 ELSE 0 END) AS vs_hist,
+            MAX(CASE WHEN p.doc_id >= 250 AND p.doc_id < a.doc_id
+              AND ($estExpr) >= 8 THEN 1 ELSE 0 END) AS vs_batch
+          FROM bands a JOIN bands p ON a.band_key = p.band_key
+          WHERE a.doc_id >= 250 AND (p.doc_id < 250 OR p.doc_id < a.doc_id)
+          GROUP BY 1)
+        SELECT CAST(doc_id // 1000000 AS BIGINT) AS cohort,
+          COUNT(*) AS arrivals,
+          CAST(SUM(CASE WHEN vs_hist = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS dropped_vs_history,
+          CAST(SUM(CASE WHEN COALESCE(vs_hist, 0) = 0 AND vs_batch = 1
+            THEN 1 ELSE 0 END) AS BIGINT) AS dropped_in_batch,
+          CAST(SUM(CASE WHEN COALESCE(vs_hist, 0) = 0 AND COALESCE(vs_batch, 0) = 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS accepted
+        FROM corpus LEFT JOIN flags ON doc_id = flags.doc
+        WHERE doc_id >= 250 GROUP BY 1 ORDER BY 1"""
+      }),
 
     // ---- SimHash near-dup pairs -------------------------------------------
     // 60-bit simhash per doc (row-local), 4 bands of 15 bits, hamming <= 8.

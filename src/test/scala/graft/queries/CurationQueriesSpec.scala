@@ -144,6 +144,55 @@ class CurationQueriesSpec extends SparkSpec {
     assert(out(1L)._2 + out(1L)._3 > 10L)
   }
 
+  test("signature store: ingest-then-dedup reads zero history text (plan-asserted)") {
+    import graft.curation.Curation
+    // history INGEST: docs (with text) land on disk, signatures persist
+    val histDir = Files.createTempDirectory("sig_hist").toString + "/docs"
+    Seq((1L, words("x", 30)), (2L, words("y", 30)))
+      .toDF("doc_id", "text").write.parquet(histDir)
+    val storeDir = Files.createTempDirectory("sig_store").toString + "/sigs"
+    Curation.writeSignatureStore(spark.read.parquet(histDir), storeDir)
+    val store = spark.read.parquet(storeDir)
+    assert(store.columns.toSeq === Seq("doc_id", "sig"))
+    assert(store.count() === 2L)
+
+    // arriving batch: 10 dups history; 12 dups earlier-batch 11; 13 unsigned
+    val batch = Seq(
+      (10L, words("x", 30)),
+      (11L, words("q", 30)),
+      (12L, words("q", 30)),
+      (13L, "one two")).toDF("doc_id", "text")
+    val verdicts = Curation.incrementalNearDup(batch, spark.read.parquet(storeDir))
+
+    // THE design point: the dedup plan scans the signature store, never the
+    // history documents — ingest was the last time history text was read
+    val plan = verdicts.queryExecution.executedPlan.toString
+    assert(plan.contains("sigs"), s"store scan missing from plan")
+    assert(!plan.contains(histDir), s"history docs scanned by the batch path")
+
+    val m = verdicts.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(
+      10L -> "dropped_vs_history",
+      11L -> "accepted",
+      12L -> "dropped_in_batch",
+      13L -> "accepted"))
+  }
+
+  test("q127: store-backed ledger reconciles and kills planted copies") {
+    val out = SparkEntry.queries("q127_sigstore_dedup")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L)._1 === 250L)
+    assert(out(1L)._1 === 20L)
+    assert(out(2L)._1 === 13L)
+    out.values.foreach { case (n, dh, db, acc) => assert(dh + db + acc === n) }
+    // an exact copy's signature matches its source on all 16 components
+    assert(out(2L)._4 === 0L)
+    // near-dup plants: the 16-component estimate is coarser than exact
+    // jaccard, but the planted shortened docs still overwhelmingly drop
+    assert(out(1L)._2 + out(1L)._3 > 10L)
+  }
+
   test("Curation API is column-parameterized (nonstandard schemas work)") {
     val df = Seq(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", "news"),
