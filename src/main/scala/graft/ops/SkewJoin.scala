@@ -43,12 +43,19 @@ object SkewJoin {
     * key columns). On a real deployment the share estimate comes for free
     * from ingest-time statistics or a stored count-min sketch; pass it
     * straight to [[saltedInnerJoin]] in that case.
+    *
+    * @param targetPartitions the reducer count the salt is sized against;
+    *   defaults to the session's `spark.sql.shuffle.partitions`. Pass it
+    *   explicitly when sizing for a different stage (e.g. an
+    *   AQE-coalesced exchange) — or whenever ambient session conf
+    *   shouldn't decide the factor.
     */
   def adaptiveSaltFactor(big: DataFrame, keys: Seq[String],
-      sampleFraction: Double = 0.01, maxFactor: Int = 64): Int = {
+      sampleFraction: Double = 0.01, maxFactor: Int = 64,
+      targetPartitions: Option[Int] = None): Int = {
     require(sampleFraction > 0 && sampleFraction <= 1)
-    val partitions =
-      big.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val partitions = targetPartitions.getOrElse(
+      big.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
     val top = big.select(keys.map(col): _*)
       .sample(withReplacement = false, sampleFraction, seed = 42L)
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
@@ -66,8 +73,8 @@ object SkewJoin {
     */
   def saltedInnerJoinAdaptive(big: DataFrame, small: DataFrame,
       keys: Seq[String], sampleFraction: Double = 0.01,
-      maxFactor: Int = 64): DataFrame = {
-    val factor = adaptiveSaltFactor(big, keys, sampleFraction, maxFactor)
+      maxFactor: Int = 64, targetPartitions: Option[Int] = None): DataFrame = {
+    val factor = adaptiveSaltFactor(big, keys, sampleFraction, maxFactor, targetPartitions)
     if (factor <= 1) big.join(small, keys)
     else saltedInnerJoin(big, small, keys, factor)
   }

@@ -33,8 +33,12 @@ class SkewJoinSpec extends SparkSpec {
         col("id").as("payload"))
     val small = spark.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("w"))
 
-    val factor = SkewJoin.adaptiveSaltFactor(big, Seq("k"), sampleFraction = 0.5)
-    // ~50% share × 4 test shuffle partitions → the hot key must split
+    // explicit target partitions: the factor must come from the DATA, not
+    // from whatever shuffle.partitions an earlier suite left on the
+    // shared session
+    val factor = SkewJoin.adaptiveSaltFactor(big, Seq("k"), sampleFraction = 0.5,
+      targetPartitions = Some(4))
+    // ~50% share × 4 target partitions → the hot key must split
     assert(factor >= 2, s"expected a real salt for a 50%-hot corpus, got $factor")
 
     // bounded per-task input: no (key, salt) slice may exceed ~1.5× the
@@ -46,13 +50,15 @@ class SkewJoinSpec extends SparkSpec {
 
     // row identity through the adaptive path
     val plain = big.join(small, Seq("k"))
-    val adaptive = SkewJoin.saltedInnerJoinAdaptive(big, small, Seq("k"), sampleFraction = 0.5)
+    val adaptive = SkewJoin.saltedInnerJoinAdaptive(big, small, Seq("k"),
+      sampleFraction = 0.5, targetPartitions = Some(4))
     assert(adaptive.count() == plain.count())
     assert(adaptive.exceptAll(plain).isEmpty && plain.exceptAll(adaptive).isEmpty)
 
     // a uniform corpus measures factor 1: no replication is paid
     val uniform = spark.range(0, 20000)
       .select((col("id") % 100).as("k"), col("id").as("payload"))
-    assert(SkewJoin.adaptiveSaltFactor(uniform, Seq("k"), sampleFraction = 0.5) == 1)
+    assert(SkewJoin.adaptiveSaltFactor(uniform, Seq("k"), sampleFraction = 0.5,
+      targetPartitions = Some(4)) == 1)
   }
 }
