@@ -136,6 +136,54 @@ object Multimodal {
       })
   }
 
+  /** Decoded WAV features — integer amplitude statistics ([[WavCodec]]),
+    * exact in any summation order.
+    */
+  final case class WavFeatures(
+      asset_id: Long,
+      channels: Int,
+      sample_rate: Int,
+      bits: Int,
+      n_frames: Long,
+      byte_len: Int,
+      amp_sum: Long,
+      amp_sq_sum: Long,
+      min_amp: Int,
+      max_amp: Int)
+
+  /** REAL decode for `wav` assets via [[WavCodec]]: the payload's RIFF
+    * chunk stream is walked and every PCM sample summed. Same typed
+    * per-partition batch shape as [[decode]]; fails loudly on non-WAV
+    * input.
+    */
+  def decodeWav(assets: Dataset[Asset]): Dataset[WavFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      require(a.format == "wav", s"decodeWav got format '${a.format}'")
+      val d = WavCodec.decode(a.payload)
+      WavFeatures(a.asset_id, d.channels, d.sampleRate, d.bitsPerSample,
+        d.nFrames, a.payload.length, d.ampSum, d.ampSqSum, d.minAmp, d.maxAmp)
+    })
+  }
+
+  /** Deterministic REAL-WAV asset table: each document becomes a mono
+    * 16-bit 16 kHz PCM clip whose amplitude is a doc-parameterized linear
+    * ramp (`a0 + i`, never clipping) — closed-form integer sums for the
+    * oracle, a real container walk + sample loop for the decoder. Same
+    * scale shape as [[bmpAssetsFromDocuments]]: synthesis is row-local,
+    * payloads never shuffle.
+    */
+  def wavAssetsFromDocuments(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (500 + id % 500).toInt
+        val a0 = (id % 100).toInt - 50
+        Asset(id, "wav", WavCodec.encode(n)((f, _) => a0 + f))
+      })
+  }
+
   /** Derive a deterministic asset table from the documents corpus: text
     * bytes stand in for media payloads, format cycles by id. Real
     * ingestion would read binary files instead; the downstream pipeline is

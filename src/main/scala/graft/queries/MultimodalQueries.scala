@@ -83,6 +83,45 @@ object MultimodalQueries {
           CAST(299 * (r + w - 1 + h - 1) + 587 * g + 114 * b AS BIGINT) AS bottom_right_luma
         FROM p ORDER BY 1""")),
 
+    // ---- REAL audio decode: synthesized 16-bit PCM WAVs through an actual
+    // RIFF chunk-stream walk. Like q126, the oracle predicts every feature
+    // in closed form from the synthesis ramp (n*a0 + triangular/square-
+    // pyramidal sums) — wrong sample signedness, stride, or chunk
+    // handling breaks the hash.
+    Q("q128_wav_decode",
+      (s, dir) => {
+        val feats = Multimodal.decodeWav(Multimodal.wavAssetsFromDocuments(s, dir))
+        feats.select(
+          col("asset_id"),
+          col("channels").cast("long").as("channels"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("bits").cast("long").as("bits"),
+          col("n_frames"),
+          col("byte_len").cast("long").as("byte_len"),
+          col("amp_sum"), col("amp_sq_sum"),
+          col("min_amp").cast("long").as("min_amp"),
+          col("max_amp").cast("long").as("max_amp"))
+          .orderBy("asset_id")
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+            500 + doc_id % 500 AS n,
+            doc_id % 100 - 50 AS a
+          FROM documents)
+        SELECT doc_id AS asset_id,
+          CAST(1 AS BIGINT) AS channels,
+          CAST(16000 AS BIGINT) AS sample_rate,
+          CAST(16 AS BIGINT) AS bits,
+          CAST(n AS BIGINT) AS n_frames,
+          CAST(44 + 2 * n AS BIGINT) AS byte_len,
+          CAST(n * a + (n * (n - 1)) // 2 AS BIGINT) AS amp_sum,
+          CAST(n * a * a + 2 * a * ((n * (n - 1)) // 2)
+               + ((n - 1) * n * (2 * n - 1)) // 6 AS BIGINT) AS amp_sq_sum,
+          CAST(a AS BIGINT) AS min_amp,
+          CAST(a + n - 1 AS BIGINT) AS max_amp
+        FROM p ORDER BY 1""")),
+
     // ---- frame sampling: explode -> stride-sample -> per-frame digests ----
     // The video-pipeline shape: per-asset frame explosion stays row-local,
     // sampled frames reduce to narrow (idx, length, digest) features, and

@@ -45,6 +45,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wav assets decode for REAL: parsed stats match the synthesis ramp") {
+    val feats = decodeWav(wavAssetsFromDocuments(spark, "/root/testdata/sf0.001"))
+      .collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      val id = f.asset_id
+      val n = (500 + id % 500).toInt
+      val a0 = (id % 100).toInt - 50
+      assert(f.channels == 1 && f.sample_rate == 16000 && f.bits == 16)
+      assert(f.n_frames == n && f.byte_len == WavCodec.fileSize(n))
+      assert(f.amp_sum == n.toLong * a0 + n.toLong * (n - 1) / 2, s"amp sum, id=$id")
+      assert(f.amp_sq_sum == n.toLong * a0 * a0 + 2L * a0 * (n.toLong * (n - 1) / 2) +
+        (n - 1).toLong * n * (2 * n - 1) / 6, s"energy, id=$id")
+      assert(f.min_amp == a0 && f.max_amp == a0 + n - 1)
+    }
+  }
+
   test("binary payload round-trips through the typed Dataset") {
     import spark.implicits._
     val a = Seq(Asset(1L, "png", Array[Byte](1, 2, 3))).toDS()
