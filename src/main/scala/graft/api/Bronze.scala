@@ -46,6 +46,28 @@ object Bronze {
       .parquet(bronzeDir)
   }
 
+  /** The signature-store sibling of a bronze documents table. */
+  def signatureDir(bronzeDir: String): String = s"${bronzeDir}_sigs"
+
+  /** Document-corpus ingest: append the batch into bronze AND upsert its
+    * MinHash signatures into the store sibling, so incremental near-dup
+    * ([[graft.curation.Curation.incrementalNearDup]]) later reads stored
+    * (doc_id, sig) rows — ingest is the LAST time this text is scanned
+    * for dedup purposes. Signatures are keyed-upserted, so re-ingesting a
+    * doc_id refreshes its signature instead of duplicating it.
+    *
+    * @return the signature upsert's accounting (inserted = new doc ids,
+    *   updated = re-ingested ids whose signature was refreshed)
+    */
+  def ingestDocuments(df: DataFrame, bronzeDir: String, datasetName: String,
+      district: String, sector: String, year: Int,
+      idCol: String = "doc_id", textCol: String = "text"): graft.io.Writers.UpsertStats = {
+    ingest(df, bronzeDir, datasetName, district, sector, year)
+    val sigs = graft.curation.Curation.minhashSignatures(df, idCol, textCol)
+    graft.io.Writers.upsertPath(
+      df.sparkSession, sigs, signatureDir(bronzeDir), Seq("doc_id"))
+  }
+
   /** Read a bronze slice; the filters land on partition columns so Spark
     * prunes directories without reading data files.
     */
