@@ -46,9 +46,9 @@ object Bench {
     sys.env.get("SPARK_GRAFT_MICROS_ONLY").foreach { which =>
       val sel = which.split(",").map(_.trim).toSet
       val micros =
+        (if (sel("skew")) benchSkew(spark, sfDir) else Nil) ++
         (if (sel("bucket")) benchBucketed(spark, sfDir) else Nil) ++
-        (if (sel("zorder")) benchZOrder(spark) else Nil) ++
-        (if (sel("skew")) benchSkew(spark, sfDir) else Nil)
+        (if (sel("zorder")) benchZOrder(spark) else Nil)
       val mq = micros.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
       spark.stop()
       println(s"""{"metric":"micros","queries":$mq}""")
@@ -87,6 +87,19 @@ object Bench {
           None
       }
     }
+    // ---- skew-resilience demo: one hot key holding ~50% of the fact side.
+    // Plain shuffled join (AQE off) serializes the hot key onto one task;
+    // the salted join and AQE's skew split both spread it. The small side
+    // is forced off the broadcast path (autoBroadcastJoinThreshold=-1) to
+    // model the 100-TB case where the dim side is itself too big to ship.
+    // RUNS FIRST among the micros: the bucket/zorder demos write ~78M rows
+    // of tables, and in a full-registry run that page-cache + heap aging
+    // systematically distorted the skew timings (a salted round measured
+    // 3x its dedicated-run time); variant fairness WITHIN the micro is
+    // handled by its own interleaved rounds, so demo order is free to
+    // choose for isolation.
+    val skewResults = benchSkew(spark, sfDir)
+
     // ---- bucketing demo: pay the shuffle once at write time, join
     // exchange-free forever after (the 100-TB co-location strategy)
     val bucketResults = benchBucketed(spark, sfDir)
@@ -96,13 +109,6 @@ object Bench {
     // the z-order layout makes BOTH range predicates selective against
     // row-group min/max stats (the Delta/Iceberg OPTIMIZE ZORDER effect).
     val zorderResults = benchZOrder(spark)
-
-    // ---- skew-resilience demo: one hot key holding ~50% of the fact side.
-    // Plain shuffled join (AQE off) serializes the hot key onto one task;
-    // the salted join and AQE's skew split both spread it. The small side
-    // is forced off the broadcast path (autoBroadcastJoinThreshold=-1) to
-    // model the 100-TB case where the dim side is itself too big to ship.
-    val skewResults = benchSkew(spark, sfDir)
 
     val qs = (results ++ bucketResults ++ zorderResults ++ skewResults)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
@@ -304,6 +310,9 @@ object Bench {
       val agged = joined.agg(sum(col("v") * col("w")))
       val listener = new MaxTaskListener
       spark.sparkContext.addSparkListener(listener)
+      // aged-heap hygiene: in a full-registry run this micro executes in a
+      // long-lived JVM — don't bill earlier demos' garbage to this variant
+      System.gc()
       val t0 = System.nanoTime()
       agged.queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9

@@ -238,8 +238,8 @@ object ExtraQueries {
           approx_count_distinct(col("o_custkey"), rsd = 0.05).as("ac"),
           percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("am"),
           countDistinct(col("o_custkey")).as("exact_customers"),
-          percentile(col("o_totalprice"), lit(0.49)).as("q49"),
-          percentile(col("o_totalprice"), lit(0.51)).as("q51"),
+          // one buffer for both band edges, not two sort-based aggs
+          percentile(col("o_totalprice"), array(lit(0.49), lit(0.51))).as("qs"),
           count(lit(1)).as("cnt"))
         .select(
           col("o_orderpriority"),
@@ -247,7 +247,8 @@ object ExtraQueries {
           col("cnt"),
           (col("ac") >= col("exact_customers") * 0.85 &&
             col("ac") <= col("exact_customers") * 1.15).as("approx_customers_in_band"),
-          (col("am") >= col("q49") && col("am") <= col("q51")).as("approx_median_in_band"))
+          (col("am") >= element_at(col("qs"), 1) &&
+            col("am") <= element_at(col("qs"), 2)).as("approx_median_in_band"))
         .orderBy("o_orderpriority"),
       Some("""
         SELECT o_orderpriority,
