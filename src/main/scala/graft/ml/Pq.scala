@@ -1,0 +1,144 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the memory side of the canonical large-scale ANN
+  * stack (IVF partitions the corpus, PQ compresses the residents): each
+  * vector's M subspaces are quantized to one of K centroids, shrinking a
+  * 64-dim float vector to M small codes, and queries scan codes with an
+  * asymmetric-distance (ADC) lookup table instead of touching floats.
+  *
+  * Spark shape, every stage:
+  *  - training is M independent L2 Lloyd loops on `slice`d subvectors —
+  *    assignment is a row-local codegen'd expression over BROADCAST
+  *    (literal) centroids, the update a K-row aggregate of per-dim exact
+  *    decimal sums (the [[KMeans]] discipline, L2 instead of cosine);
+  *  - encoding is row-local (no shuffle, no join): M chained-`when`
+  *    argmins in the scan stage;
+  *  - ADC search precomputes the M×K distance table ONCE (driver-side,
+  *    K·M·subDim flops) and scans codes with `element_at` lookups — at
+  *    100 TB the table is still M×256 doubles and the scan reads only
+  *    code columns (M bytes/vector instead of 512).
+  *
+  * Exactness: distance folds run in element order (`aggregate` over
+  * `zip_with` ↔ DuckDB `list_reduce`), argmin ties break to the lowest
+  * centroid id in both engines, means divide exactly-scaled decimal sums —
+  * the full pipeline (train → encode → ADC top-k) is hash-exact against
+  * the q129 oracle.
+  */
+object Pq {
+
+  /** One subspace's codebook: K centroids of `subDim` doubles, indexed by
+    * centroid id 0..K-1.
+    */
+  type SubCodebook = Seq[Seq[Double]]
+
+  /** Squared L2 distance between a subvector column and a literal
+    * centroid, folded in element order (bit-reproducible across engines:
+    * the oracle's `list_reduce` folds the same sequence).
+    */
+  private def sqDistTo(sub: Column, c: Seq[Double]): Column =
+    aggregate(
+      zip_with(sub, lit(c.toArray), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Subvector m of a 64-wide embedding column (1-based slice). */
+  private def subvec(vec: Column, m: Int, subDim: Int): Column =
+    slice(vec.cast("array<double>"), m * subDim + 1, subDim)
+
+  /** Row-local L2 argmin over a literal codebook; ties break to the
+    * LOWEST centroid index (first `when` wins), matching the oracle's
+    * `ROW_NUMBER ... ORDER BY dist, c_id`.
+    */
+  private def argminCell(sub: Column, cb: SubCodebook): Column = {
+    val dists = cb.map(c => sqDistTo(sub, c))
+    val minD = least(dists: _*)
+    dists.zipWithIndex.tail.foldLeft(when(dists.head === minD, 0L)) {
+      case (acc, (d, i)) => acc.when(d === minD, i.toLong)
+    }
+  }
+
+  /** Train M sub-codebooks with `iters` Lloyd iterations each. Init per
+    * subspace = the subvectors of the first K vectors by id ([[KMeans]]'s
+    * deterministic init); empty cells keep their previous centroid.
+    */
+  def fit(spark: SparkSession, vecs: DataFrame, m: Int, k: Int, iters: Int,
+      dims: Int = 64): Seq[SubCodebook] = {
+    val subDim = dims / m
+    require(m * subDim == dims, s"$m subspaces must divide $dims dims")
+    val clean = vecs.filter(col("embedding").isNotNull)
+    val initRows = clean.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0))
+    require(initRows.length == k, s"PQ init needs $k vectors, got ${initRows.length}")
+
+    (0 until m).map { mi =>
+      var cb: SubCodebook = initRows.map(v => v.slice(mi * subDim, (mi + 1) * subDim)).toSeq
+      for (_ <- 1 to iters) {
+        val sub = subvec(col("embedding"), mi, subDim)
+        val agg = clean
+          .select(sub.as("__sub"))
+          .select(argminCell(col("__sub"), cb).as("cell"), col("__sub").as("sub"))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n"), (0 until subDim).map(i =>
+            sum((try_element_at(col("sub"), lit(i + 1)) * KMeans.Scale)
+              .cast("decimal(38,0)")).as(s"s$i")): _*)
+          .collect()
+          .map { r =>
+            val n = r.getLong(1)
+            r.getLong(0) -> (0 until subDim).map(i =>
+              java.lang.Double.parseDouble(r.getDecimal(2 + i).toPlainString) / n / KMeans.Scale)
+          }.toMap
+        cb = cb.zipWithIndex.map { case (prev, id) => agg.getOrElse(id.toLong, prev) }
+      }
+      cb
+    }
+  }
+
+  /** Encode every vector to its M codes — entirely row-local in the scan
+    * stage. Output: input columns + `codes ARRAY<BIGINT>[M]`.
+    */
+  def encode(vecs: DataFrame, codebooks: Seq[SubCodebook], dims: Int = 64): DataFrame = {
+    val m = codebooks.length
+    val subDim = dims / m
+    vecs.withColumn("codes", array(codebooks.zipWithIndex.map { case (cb, mi) =>
+      argminCell(subvec(col("embedding"), mi, subDim), cb)
+    }: _*))
+  }
+
+  /** ADC distance table for a query vector: table(m)(k) = squared L2 from
+    * the query's m-th subvector to centroid k, folded in the SAME element
+    * order as the in-plan expression (0.0 + e1 + e2 + … — the leading
+    * +0.0 is exact for the non-negative squares, so the driver-side fold
+    * bit-matches the engines' list folds).
+    */
+  def adcTable(query: Seq[Double], codebooks: Seq[SubCodebook],
+      dims: Int = 64): Seq[Seq[Double]] = {
+    val m = codebooks.length
+    val subDim = dims / m
+    codebooks.zipWithIndex.map { case (cb, mi) =>
+      val q = query.slice(mi * subDim, (mi + 1) * subDim)
+      cb.map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < subDim) { val d = q(i) - c(i); acc += d * d; i += 1 }
+        acc
+      }
+    }
+  }
+
+  /** Approximate top-k by ADC: one row-local pass over the coded corpus,
+    * summing M table lookups per row (fixed m-order, bit-reproducible),
+    * then a TakeOrderedAndProject. The corpus' float vectors are never
+    * read — this is the query path PQ exists for.
+    */
+  def adcTopK(coded: DataFrame, table: Seq[Seq[Double]], topK: Int): DataFrame = {
+    val adc = table.zipWithIndex.map { case (t, mi) =>
+      element_at(lit(t.toArray), element_at(col("codes"), mi + 1).cast("int") + 1)
+    }.reduce(_ + _)
+    coded.select(col("vec_id"), col("codes"), adc.as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(topK)
+  }
+}

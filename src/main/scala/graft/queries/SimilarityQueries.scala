@@ -345,6 +345,27 @@ object SimilarityQueries {
       Some(kmeansOracleSql))
     ,
 
+    // ---- product quantization: train -> encode -> ADC top-k ---------------
+    // The memory side of the IVF stack (q77/q92/q112 partition the corpus;
+    // PQ compresses the residents): M=4 subspaces x K=4 L2 centroids,
+    // 2 Lloyd iterations each, every vector reduced to 4 codes, and the
+    // query scanned against codes via a 4x4 ADC lookup table — the float
+    // corpus is never read on the query path. Training assignment,
+    // encoding, table entries and the ADC sum all fold doubles in the same
+    // element order as the oracle's list_reduce, so the ENTIRE pipeline is
+    // hash-exact end to end.
+    Q("q129_pq_adc",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cbs = graft.ml.Pq.fit(s, e, m = 4, k = 4, iters = 2)
+        val coded = graft.ml.Pq.encode(e.filter(col("embedding").isNotNull), cbs)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        graft.ml.Pq.adcTopK(coded, graft.ml.Pq.adcTable(q, cbs), topK = 10)
+      },
+      Some(pqOracleSql))
+    ,
+
     // ---- SemDeDup: semantic dedup inside coarse-quantizer cells -----------
     // The published SemDeDup recipe: cluster the corpus embeddings, then
     // inside each cluster drop every vector whose cosine to ANY lower-id
@@ -396,6 +417,74 @@ object SimilarityQueries {
         GROUP BY 1 ORDER BY 1""")
     )
   )
+
+  /** DuckDB replay of the full [[graft.ml.Pq]] pipeline (M=4 subspaces,
+    * K=4, 2 L2 Lloyd iterations, ADC top-10 for vec 0's query): same init
+    * (first 4 vectors' subvectors), same argmin order (dist ASC, c_id —
+    * the Scala chained-`when` lowest-index tie-break), same exact decimal
+    * means, same left-assoc distance folds, same fixed-m-order ADC sum.
+    */
+  private def pqOracleSql: String = {
+    val S = "17592186044416.0"
+    val M = 4; val K = 4; val Iters = 2; val SubDim = 16
+    def dist(sv: String, cent: String) =
+      s"""list_reduce(list_transform(range(1, ${SubDim + 1}),
+                  i -> ($sv[i] - $cent[i]) * ($sv[i] - $cent[i])), (x, y) -> x + y)"""
+    def assign(m: Int, cents: String, out: String) = s"""
+        $out AS (
+          SELECT vec_id, sv, c_id AS cell FROM (
+            SELECT s.vec_id, s.sv, c.c_id,
+              ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+                ${dist("s.sv", "c.centroid")} ASC, c.c_id) AS rn
+            FROM sub$m s CROSS JOIN $cents c) WHERE rn = 1)"""
+    def update(m: Int, assigned: String, prev: String, out: String) = s"""
+        sums_$out AS (
+          SELECT cell, i, COUNT(*) AS n,
+            CAST(CAST(SUM(CAST(sv[i] * $S AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sd
+          FROM $assigned, (SELECT unnest(generate_series(1, $SubDim)) AS i)
+          GROUP BY cell, i),
+        $out AS (
+          SELECT p.c_id, CASE WHEN MAX(s.cell) IS NULL THEN p.centroid
+            ELSE list(s.sd / s.n / $S ORDER BY s.i) END AS centroid
+          FROM $prev p LEFT JOIN sums_$out s ON s.cell = p.c_id
+          GROUP BY p.c_id, p.centroid)"""
+    val perSubspace = (0 until M).map { m =>
+      val off = m * SubDim
+      val iterCtes = (1 to Iters).map(t =>
+        assign(m, s"cents${m}_${t - 1}", s"assign${m}_$t") + "," +
+          update(m, s"assign${m}_$t", s"cents${m}_${t - 1}", s"cents${m}_$t"))
+        .mkString(",")
+      s"""
+        sub$m AS (
+          SELECT vec_id,
+            list_transform(range(${off + 1}, ${off + SubDim + 1}),
+              i -> CAST(embedding[i] AS DOUBLE)) AS sv
+          FROM embeddings WHERE embedding IS NOT NULL),
+        cents${m}_0 AS (
+          SELECT vec_id AS c_id, sv AS centroid FROM sub$m WHERE vec_id < $K),
+        $iterCtes,
+        codes$m AS (
+          SELECT vec_id, c_id AS code$m FROM (
+            SELECT s.vec_id, c.c_id,
+              ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+                ${dist("s.sv", "c.centroid")} ASC, c.c_id) AS rn
+            FROM sub$m s CROSS JOIN cents${m}_$Iters c) WHERE rn = 1),
+        tbl$m AS (
+          SELECT c.c_id, ${dist("q.sv", "c.centroid")} AS t
+          FROM cents${m}_$Iters c CROSS JOIN (SELECT sv FROM sub$m WHERE vec_id = 0) q)"""
+    }.mkString(",")
+    val codeJoins = (0 until M).map(m =>
+      s"JOIN codes$m c$m ON c$m.vec_id = e.vec_id JOIN tbl$m t$m ON t$m.c_id = c$m.code$m")
+      .mkString("\n          ")
+    val codesArr = (0 until M).map(m => s"c$m.code$m").mkString("[", ", ", "]")
+    val adcSum = (0 until M).map(m => s"t$m.t").mkString(" + ")
+    s"""
+        WITH $perSubspace
+        SELECT e.vec_id, $codesArr AS codes, ($adcSum) AS adc_dist
+        FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL) e
+          $codeJoins
+        ORDER BY adc_dist, e.vec_id LIMIT 10"""
+  }
 
   /** DuckDB replay of [[graft.ml.KMeans.fitCodebook]] (k=16, 2 iterations):
     * same init (first 16 vectors), same row-local argmax order (sim DESC,
