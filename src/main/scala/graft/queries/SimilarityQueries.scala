@@ -353,7 +353,8 @@ object SimilarityQueries {
     // corpus is never read on the query path. Training assignment,
     // encoding, table entries and the ADC sum all fold doubles in the same
     // element order as the oracle's list_reduce, so the ENTIRE pipeline is
-    // hash-exact end to end.
+    // hash-exact end to end. The code vector is emitted pipe-joined (not
+    // as a raw array) so every driver-side comparator can sort the rows.
     Q("q129_pq_adc",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
@@ -362,6 +363,7 @@ object SimilarityQueries {
         val q = e.filter(col("vec_id") === 0)
           .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
         graft.ml.Pq.adcTopK(coded, graft.ml.Pq.adcTable(q, cbs), topK = 10)
+          .withColumn("codes", concat_ws("|", col("codes")))
       },
       Some(pqOracleSql))
     ,
@@ -476,11 +478,11 @@ object SimilarityQueries {
     val codeJoins = (0 until M).map(m =>
       s"JOIN codes$m c$m ON c$m.vec_id = e.vec_id JOIN tbl$m t$m ON t$m.c_id = c$m.code$m")
       .mkString("\n          ")
-    val codesArr = (0 until M).map(m => s"c$m.code$m").mkString("[", ", ", "]")
+    val codesStr = (0 until M).map(m => s"c$m.code$m").mkString("concat_ws('|', ", ", ", ")")
     val adcSum = (0 until M).map(m => s"t$m.t").mkString(" + ")
     s"""
         WITH $perSubspace
-        SELECT e.vec_id, $codesArr AS codes, ($adcSum) AS adc_dist
+        SELECT e.vec_id, $codesStr AS codes, ($adcSum) AS adc_dist
         FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL) e
           $codeJoins
         ORDER BY adc_dist, e.vec_id LIMIT 10"""
