@@ -316,9 +316,9 @@ object Bench {
       val t0 = System.nanoTime()
       agged.queryExecution.toRdd.count()
       val dt = (System.nanoTime() - t0) / 1e9
-      // task-end events are dispatched async; give the bus a moment to
-      // drain before reading the straggler max
-      Thread.sleep(300)
+      // task-end events are dispatched async; drain the bus before reading
+      // the straggler max (a fixed sleep under-reports on loaded hosts)
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext, 10000L)
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")

@@ -116,8 +116,13 @@ object BmpCodec {
     require(bpp == 24, s"unsupported bpp $bpp (24-bit BI_RGB only)")
     require(compression == 0, s"unsupported compression $compression")
     val stride = rowSize(width)
-    require(bytes.length >= pixelOffset + stride * height,
-      s"truncated pixel array: need ${pixelOffset + stride * height}, have ${bytes.length}")
+    // pixelOffset comes from the file; guard it (and the total-size check)
+    // in Long arithmetic so crafted headers fail the documented
+    // IllegalArgumentException path instead of ArrayIndexOutOfBounds.
+    require(pixelOffset >= 54, s"bad pixel offset $pixelOffset (< header size)")
+    val need = pixelOffset.toLong + stride.toLong * height
+    require(bytes.length >= need,
+      s"truncated pixel array: need $need, have ${bytes.length}")
 
     def lumaAt(x: Int, y: Int): Long = {
       val storedRow = if (bottomUp) height - 1 - y else y

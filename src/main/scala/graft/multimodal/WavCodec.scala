@@ -112,7 +112,7 @@ object WavCodec {
     while (off + 8 <= bytes.length && dataOff < 0) {
       val id = tag(bytes, off)
       val len = getIntLE(bytes, off + 4)
-      require(len >= 0 && off + 8 + len <= bytes.length,
+      require(len >= 0 && off.toLong + 8 + len <= bytes.length,
         s"chunk '$id' overruns file (len $len at offset $off)")
       id match {
         case "fmt " =>

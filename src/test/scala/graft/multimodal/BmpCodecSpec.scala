@@ -85,5 +85,14 @@ class BmpCodecSpec extends AnyFunSuite {
     val short = java.util.Arrays.copyOf(good, good.length - 1)
     assert(intercept[IllegalArgumentException](
       BmpCodec.decode(short)).getMessage.contains("pixel array"))
+    // crafted headers must hit the documented require, not AIOOBE
+    val negOff = good.clone(); negOff(13) = 0x80.toByte // pixelOffset < 0
+    assert(intercept[IllegalArgumentException](
+      BmpCodec.decode(negOff)).getMessage.contains("pixel offset"))
+    val hugeDims = good.clone() // 65535 x 65535: stride*height overflows Int
+    hugeDims(18) = 0xff.toByte; hugeDims(19) = 0xff.toByte
+    hugeDims(22) = 0xff.toByte; hugeDims(23) = 0xff.toByte
+    assert(intercept[IllegalArgumentException](
+      BmpCodec.decode(hugeDims)).getMessage.contains("pixel array"))
   }
 }

@@ -87,5 +87,12 @@ class WavCodecSpec extends AnyFunSuite {
     val truncated = java.util.Arrays.copyOf(good, good.length - 3)
     assert(intercept[IllegalArgumentException](
       WavCodec.decode(truncated)).getMessage.contains("overruns"))
+    // a crafted data-chunk length near Int.MaxValue must not wrap the
+    // off + 8 + len bound check (Int overflow → negative → "fits")
+    val hugeLen = good.clone()
+    hugeLen(40) = 0xff.toByte; hugeLen(41) = 0xff.toByte
+    hugeLen(42) = 0xff.toByte; hugeLen(43) = 0x7f.toByte
+    assert(intercept[IllegalArgumentException](
+      WavCodec.decode(hugeLen)).getMessage.contains("overruns"))
   }
 }
