@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata,
   * processed in partition-sized batches.
   *
-  * Two decode tiers: `bmp` assets get a REAL pure-JVM decode
-  * ([[BmpCodec]], headers + padding + bottom-up rows + per-pixel sums);
-  * codec-backed formats (png/jpg/webp) keep a clearly-marked deterministic
-  * STUB (this container has no native codecs). Everything around both —
-  * the schema contract, the binary column handling, the typed
-  * `mapPartitions` batch shape, and the partitioning story — is identical
-  * and tested; swapping [[decodeStub]] for a JNI/codec call is the only
-  * production change for the stubbed formats.
+  * Two decode tiers: the common image/audio formats get a REAL decode —
+  * `bmp` via the pure-JVM [[BmpCodec]] (headers + padding + bottom-up
+  * rows), `wav` via [[WavCodec]] (RIFF chunk walk), and png/jpg/gif/tiff
+  * via the JDK's built-in `javax.imageio` plugins ([[ImageIoCodec]], no
+  * native deps). Only formats the JVM genuinely cannot decode (webp and
+  * arbitrary opaque blobs) keep the clearly-marked deterministic STUB.
+  * Everything around both tiers — the schema contract, the binary column
+  * handling, the typed `mapPartitions` batch shape, and the partitioning
+  * story — is identical and tested; swapping [[decodeStub]] for a JNI
+  * call is the only production change for the remaining stub formats.
   *
   * Scale notes: payloads stay in executor space end-to-end (no collect);
   * decode is a narrow per-partition pass, so throughput scales with input
@@ -35,9 +37,11 @@ object Multimodal {
       channels: Int,
       mean_luma: Double)
 
-  /** STUB decode: deterministic pseudo-features derived from the payload
-    * alone (length + first/last byte), standing in for a codec call.
-    * Replace the body with the real decoder to productionize.
+  /** STUB decode for formats with no JVM codec (webp) or genuinely opaque
+    * blobs: deterministic pseudo-features derived from the payload alone
+    * (length + first/last byte), standing in for a codec call. Replace
+    * the body with the real decoder to productionize. png/jpg/gif/tiff do
+    * NOT go through here — they get [[ImageIoCodec]]'s real decode.
     */
   def decodeStub(a: Asset): AssetFeatures = {
     val len = a.payload.length
@@ -49,17 +53,29 @@ object Multimodal {
       byte_len = len,
       width = 64 + (len % 512),
       height = 64 + ((len * 7 + first) % 512),
-      channels = if (a.format == "png") 4 else 3,
-      mean_luma = ((first + last + len % 256) % 256).toDouble / 255.0)
+      channels = if (a.format == "webp") 4 else 3,
+      mean_luma = ((first + last + len % 256) % 256) / 255.0)
   }
+
+  /** Formats [[decode]] routes to a REAL decoder ([[ImageIoCodec]]). */
+  private val imageIoFormats = Set("png", "jpg", "jpeg", "gif", "tiff", "tif")
 
   /** Batch decode: a typed per-partition pass (the Scala analogue of a
     * pandas-UDF `mapInPandas` stage) — each partition's assets stream
     * through the decoder without materializing the whole partition.
+    * Dispatch: png/jpg/gif/tiff payloads are REALLY decoded via
+    * `javax.imageio`; anything else (webp, opaque blobs) takes the stub.
     */
   def decode(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions(_.map(decodeStub))
+    assets.mapPartitions(_.map { a =>
+      if (imageIoFormats(a.format)) {
+        val d = ImageIoCodec.decode(a.payload)
+        AssetFeatures(a.asset_id, a.format, a.payload.length, d.width,
+          d.height, d.channels,
+          d.lumaSumMilli.toDouble / (255000.0 * d.width * d.height))
+      } else decodeStub(a)
+    })
   }
 
   /** Frame sampling: explode each asset into fixed-size frames, keep every
@@ -136,6 +152,86 @@ object Multimodal {
       })
   }
 
+  /** Decoded image features via `javax.imageio` — same integer milli-luma
+    * statistics as [[BmpFeatures]], plus the format tag (one query can mix
+    * png and gif assets).
+    */
+  final case class ImageFeatures(
+      asset_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      channels: Int,
+      luma_sum: Long,
+      top_left_luma: Long,
+      bottom_right_luma: Long)
+
+  /** REAL decode for png/jpg/gif/tiff assets via [[ImageIoCodec]] — the
+    * JDK's own codec plugins parse the compressed payload and every pixel
+    * is summed. Same typed per-partition batch shape as [[decode]]; fails
+    * loudly on undecodable input.
+    */
+  def decodeImage(assets: Dataset[Asset]): Dataset[ImageFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      require(imageIoFormats(a.format), s"decodeImage got format '${a.format}'")
+      val d = ImageIoCodec.decode(a.payload)
+      ImageFeatures(a.asset_id, a.format, d.width, d.height, d.channels,
+        d.lumaSumMilli, d.topLeftLumaMilli, d.bottomRightLumaMilli)
+    })
+  }
+
+  /** Deterministic REAL-image asset table: each document becomes a w×h
+    * image (format alternating png/gif by doc_id) whose red channel
+    * carries an (x+y) gradient and whose green/blue are doc-derived
+    * constants — the same closed-form-oracle trick as
+    * [[bmpAssetsFromDocuments]], but the payloads are REAL compressed
+    * PNG/GIF streams written by `javax.imageio` (deflate for PNG, LZW +
+    * palette for GIF — the gradient keeps ≤ 38 distinct colors, inside
+    * GIF's 256-color limit, so both round-trip losslessly). Dim/color
+    * parameters deliberately differ from the BMP recipe so a decoder
+    * reading the wrong table breaks the hash. Synthesis is row-local in
+    * the scan stage; payload bytes never shuffle.
+    */
+  def imageAssetsFromDocuments(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val fmt = if (id % 2 == 0) "png" else "gif"
+        val w = (8 + (id * 5) % 16).toInt
+        val h = (8 + (id * 7) % 16).toInt
+        val rBase = (id % 200).toInt
+        val g = ((id * 11) % 256).toInt
+        val b = ((id * 17) % 256).toInt
+        Asset(id, fmt,
+          ImageIoCodec.encode(w, h, fmt)((x, y) => ((rBase + x + y) << 16) | (g << 8) | b))
+      })
+  }
+
+  /** Deterministic REAL-JPEG asset table: same gradient recipe as
+    * [[imageAssetsFromDocuments]] (smooth gradients are JPEG-friendly),
+    * but the payload is a REAL lossy JPEG stream — so downstream checks
+    * band the luma features instead of hash-matching them (dims and
+    * channel count survive the lossy round-trip exactly; pixel values are
+    * within a few luma levels, measured max channel error 3/255 on this
+    * recipe in-container).
+    */
+  def jpegAssetsFromDocuments(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + (id * 5) % 16).toInt
+        val h = (8 + (id * 7) % 16).toInt
+        val rBase = (id % 200).toInt
+        val g = ((id * 11) % 256).toInt
+        val b = ((id * 17) % 256).toInt
+        Asset(id, "jpg",
+          ImageIoCodec.encode(w, h, "jpg")((x, y) => ((rBase + x + y) << 16) | (g << 8) | b))
+      })
+  }
+
   /** Decoded WAV features — integer amplitude statistics ([[WavCodec]]),
     * exact in any summation order.
     */
@@ -185,15 +281,17 @@ object Multimodal {
   }
 
   /** Derive a deterministic asset table from the documents corpus: text
-    * bytes stand in for media payloads, format cycles by id. Real
-    * ingestion would read binary files instead; the downstream pipeline is
-    * identical.
+    * bytes stand in for media payloads, format cycles by id over the
+    * STUB-tier formats (webp has no JVM codec; bin/raw model genuinely
+    * opaque blobs) — the real-codec formats get their own synthesized
+    * tables above, with actually-decodable payloads. Real ingestion would
+    * read binary files instead; the downstream pipeline is identical.
     */
   def assetsFromDocuments(spark: SparkSession, dir: String): Dataset[Asset] = {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("asset_id"),
-        element_at(typedLit(Seq("png", "jpg", "webp")),
+        element_at(typedLit(Seq("webp", "bin", "raw")),
           (col("doc_id") % 3 + 1).cast("int")).as("format"),
         encode(col("text"), "UTF-8").as("payload"))
       .as[Asset]

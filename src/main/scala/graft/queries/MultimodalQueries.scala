@@ -4,10 +4,14 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 import Qx.t
 
-/** Multimodal plumbing under the correctness gate: the decode stub is
-  * deterministic arithmetic over (byte_len, first byte, last byte), so the
-  * whole binary→mapPartitions→features→aggregate pipeline has an exact
-  * DuckDB mirror — proving the Spark-side batch shape end-to-end.
+/** Multimodal plumbing under the correctness gate. Three decode tiers,
+  * each with its own oracle strategy: STUB formats (q44) use deterministic
+  * arithmetic over (byte_len, first byte, last byte) so the pipeline shape
+  * has an exact DuckDB mirror; REAL lossless decodes (q126 BMP, q128 WAV,
+  * q130 PNG/GIF) synthesize payloads from closed-form parameters so the
+  * oracle predicts every decoded feature without parsing a byte; REAL
+  * lossy decode (q131 JPEG) hash-matches what survives the round-trip
+  * exactly (dims, channels) and tolerance-bands the pixel statistics.
   */
 object MultimodalQueries {
 
@@ -27,7 +31,7 @@ object MultimodalQueries {
       Some("""
         WITH assets AS (
           SELECT doc_id AS asset_id,
-            CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format,
+            CASE doc_id % 3 WHEN 0 THEN 'webp' WHEN 1 THEN 'bin' ELSE 'raw' END AS format,
             strlen(text) AS byte_len,
             ord(substr(text, 1, 1)) AS first_b,
             ord(substr(text, -1, 1)) AS last_b
@@ -156,6 +160,81 @@ object MultimodalQueries {
         SELECT asset_id, COUNT(*) AS sampled_frames,
           CAST(SUM(frame_chars) AS BIGINT) AS sampled_chars,
           md5(string_agg(frame_md5, '|' ORDER BY frame_idx)) AS frames_digest
-        FROM sampled GROUP BY 1 ORDER BY 1"""))
+        FROM sampled GROUP BY 1 ORDER BY 1""")),
+
+    // ---- REAL compressed-image decode: synthesized PNG (deflate) and GIF
+    // (LZW + palette) payloads through the JDK's own javax.imageio codec
+    // plugins. Like q126, the oracle predicts every feature in closed form
+    // from the synthesis parameters — but here the decoder undoes actual
+    // entropy coding, not just header arithmetic. Both formats round-trip
+    // losslessly (the gradient stays within GIF's 256-color palette), so
+    // the compare is hash-exact. byte_len is deliberately absent: the
+    // compressed size is an encoder artifact with no closed form.
+    Q("q130_image_decode",
+      (s, dir) => {
+        val feats = Multimodal.decodeImage(Multimodal.imageAssetsFromDocuments(s, dir))
+        feats.select(
+          col("asset_id"),
+          col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("luma_sum"), col("top_left_luma"), col("bottom_right_luma"))
+          .orderBy("asset_id")
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS format,
+            8 + (doc_id * 5) % 16 AS w,
+            8 + (doc_id * 7) % 16 AS h,
+            doc_id % 200 AS r,
+            (doc_id * 11) % 256 AS g,
+            (doc_id * 17) % 256 AS b
+          FROM documents)
+        SELECT doc_id AS asset_id, format,
+          CAST(w AS BIGINT) AS width,
+          CAST(h AS BIGINT) AS height,
+          CAST(3 AS BIGINT) AS channels,
+          CAST(299 * (w * h * r + h * ((w * (w - 1)) // 2) + w * ((h * (h - 1)) // 2))
+               + w * h * (587 * g + 114 * b) AS BIGINT) AS luma_sum,
+          CAST(299 * r + 587 * g + 114 * b AS BIGINT) AS top_left_luma,
+          CAST(299 * (r + w - 1 + h - 1) + 587 * g + 114 * b AS BIGINT) AS bottom_right_luma
+        FROM p ORDER BY 1""")),
+
+    // ---- REAL lossy decode: JPEG through javax.imageio. Dims and channel
+    // count survive the lossy round-trip exactly (hash-matched); the pixel
+    // statistics are tolerance-banded booleans — measured worst-case error
+    // over this recipe is 576 milli-luma (mean) / 1299 (corners), banded
+    // at 1500/3000, while a decoder bug (flip, stride, BGR swap) is off by
+    // tens of thousands. The oracle expects every band check TRUE.
+    Q("q131_jpeg_decode",
+      (s, dir) => {
+        val feats = Multimodal.decodeImage(Multimodal.jpegAssetsFromDocuments(s, dir))
+        val w = col("width").cast("long")
+        val h = col("height").cast("long")
+        val r = col("asset_id") % 200
+        val g = (col("asset_id") * 11) % 256
+        val b = (col("asset_id") * 17) % 256
+        val expTl = lit(299) * r + lit(587) * g + lit(114) * b
+        val expBr = lit(299) * (r + w - 1 + h - 1) + lit(587) * g + lit(114) * b
+        val expMean = (lit(299.0) * (r + (w - 1) / lit(2.0) + (h - 1) / lit(2.0))
+          + lit(587) * g + lit(114) * b)
+        feats.select(
+          col("asset_id"), w.as("width"), h.as("height"),
+          col("channels").cast("long").as("channels"),
+          (abs(col("luma_sum") / (w * h) - expMean) <= 1500.0).as("mean_luma_ok"),
+          (abs(col("top_left_luma") - expTl) <= 3000L &&
+            abs(col("bottom_right_luma") - expBr) <= 3000L).as("corners_ok"))
+          .orderBy("asset_id")
+      },
+      Some("""
+        SELECT doc_id AS asset_id,
+          CAST(8 + (doc_id * 5) % 16 AS BIGINT) AS width,
+          CAST(8 + (doc_id * 7) % 16 AS BIGINT) AS height,
+          CAST(3 AS BIGINT) AS channels,
+          TRUE AS mean_luma_ok,
+          TRUE AS corners_ok
+        FROM documents ORDER BY 1"""))
   )
 }

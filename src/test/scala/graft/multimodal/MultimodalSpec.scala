@@ -11,7 +11,7 @@ class MultimodalSpec extends SparkSpec {
     assert(features.length == 500)
     // formats cycle by id
     val byFormat = features.groupBy(_.format).view.mapValues(_.length).toMap
-    assert(byFormat.keySet == Set("png", "jpg", "webp"))
+    assert(byFormat.keySet == Set("webp", "bin", "raw"))
     // stub decode is deterministic and in-range
     val f = features.find(_.asset_id == 0).get
     assert(f.channels == 4 || f.channels == 3)
@@ -64,9 +64,58 @@ class MultimodalSpec extends SparkSpec {
 
   test("binary payload round-trips through the typed Dataset") {
     import spark.implicits._
-    val a = Seq(Asset(1L, "png", Array[Byte](1, 2, 3))).toDS()
+    val a = Seq(Asset(1L, "webp", Array[Byte](1, 2, 3))).toDS()
     val d = decode(a).head()
     assert(d.byte_len == 3)
     assert(d.channels == 4)
+  }
+
+  test("png/gif assets decode for REAL: imageio round-trip matches closed forms") {
+    val feats = decodeImage(imageAssetsFromDocuments(spark, "/root/testdata/sf0.001"))
+      .collect()
+    assert(feats.length == 500)
+    assert(feats.map(_.format).toSet == Set("png", "gif"))
+    feats.foreach { f =>
+      val id = f.asset_id
+      val w = (8 + (id * 5) % 16).toInt
+      val h = (8 + (id * 7) % 16).toInt
+      val r = (id % 200).toInt
+      val g = ((id * 11) % 256).toInt
+      val b = ((id * 17) % 256).toInt
+      val n = w.toLong * h
+      assert(f.format == (if (id % 2 == 0) "png" else "gif"))
+      assert(f.width == w && f.height == h && f.channels == 3)
+      val sumR = n * r + h.toLong * (w * (w - 1)) / 2 + w.toLong * (h * (h - 1)) / 2
+      assert(f.luma_sum == 299 * sumR + n * (587L * g + 114L * b), s"luma sum, id=$id")
+      assert(f.top_left_luma == 299L * r + 587L * g + 114L * b, s"top-left, id=$id")
+      assert(f.bottom_right_luma == 299L * (r + w - 1 + h - 1) + 587L * g + 114L * b,
+        s"bottom-right, id=$id")
+    }
+  }
+
+  test("jpeg decode is real and lossy-banded; undecodable real formats fail loudly") {
+    import spark.implicits._
+    val feats = decodeImage(jpegAssetsFromDocuments(spark, "/root/testdata/sf0.001"))
+      .collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      val id = f.asset_id
+      val w = (8 + (id * 5) % 16).toInt
+      val h = (8 + (id * 7) % 16).toInt
+      val r = (id % 200).toInt
+      val g = ((id * 11) % 256).toInt
+      val b = ((id * 17) % 256).toInt
+      assert(f.width == w && f.height == h && f.channels == 3)
+      val expMean = 299.0 * (r + (w - 1) / 2.0 + (h - 1) / 2.0) + 587.0 * g + 114.0 * b
+      assert(math.abs(f.luma_sum.toDouble / (w.toLong * h) - expMean) <= 1500.0,
+        s"mean luma band, id=$id")
+      assert(math.abs(f.top_left_luma - (299L * r + 587L * g + 114L * b)) <= 3000L,
+        s"top-left band, id=$id")
+    }
+    // garbage labeled as a real-codec format must not silently pseudo-decode
+    val garbage = Seq(Asset(1L, "png", Array[Byte](1, 2, 3))).toDS()
+    val e = intercept[org.apache.spark.SparkException](decode(garbage).collect())
+    assert(e.getMessage.contains("undecodable") ||
+      Option(e.getCause).exists(_.getMessage.contains("undecodable")))
   }
 }
