@@ -133,12 +133,17 @@ object Pq {
     * then a TakeOrderedAndProject. The corpus' float vectors are never
     * read — this is the query path PQ exists for.
     */
-  def adcTopK(coded: DataFrame, table: Seq[Seq[Double]], topK: Int): DataFrame = {
-    val adc = table.zipWithIndex.map { case (t, mi) =>
-      element_at(lit(t.toArray), element_at(col("codes"), mi + 1).cast("int") + 1)
-    }.reduce(_ + _)
-    coded.select(col("vec_id"), col("codes"), adc.as("adc_dist"))
+  def adcTopK(coded: DataFrame, table: Seq[Seq[Double]], topK: Int): DataFrame =
+    coded.select(col("vec_id"), col("codes"), adcDist(table).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(topK)
-  }
+
+  /** The ADC distance column alone (over a `codes` column), for callers
+    * that compose PQ with other pruning — e.g. the IVF×PQ layout, which
+    * joins a probe-cell filter BEFORE this projection.
+    */
+  def adcDist(table: Seq[Seq[Double]]): Column =
+    table.zipWithIndex.map { case (t, mi) =>
+      element_at(lit(t.toArray), element_at(col("codes"), mi + 1).cast("int") + 1)
+    }.reduce(_ + _)
 }

@@ -368,6 +368,65 @@ object SimilarityQueries {
       Some(pqOracleSql))
     ,
 
+    // ---- IVF x PQ: the production ANN layout --------------------------------
+    // q112 (IVF multi-probe) partitions the corpus; q129 (PQ/ADC)
+    // compresses it; this is their composition — the layout FAISS calls
+    // IVFPQ (here without residual encoding): every vector carries a
+    // coarse cell id AND M PQ codes, a query ranks the broadcast coarse
+    // centroids, keeps nprobe=2 cells, and ADC-scans ONLY those cells'
+    // residents. The plan is the point: the broadcast probe join prunes
+    // cells BEFORE the ADC projection, so at 100 TB the scan cost is
+    // (nprobe/ncells) x corpus over code columns alone — the float
+    // vectors are read once at index-build time, never per query. Every
+    // stage reuses an already-verified piece (q112's assignment + probe
+    // selection, q129's training/encode/table), so the compare stays
+    // hash-exact end to end.
+    Q("q132_ivf_pq",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val clean = e.filter(col("embedding").isNotNull)
+        // coarse quantizer: 16 broadcast centroids, row-local cosine argmax
+        val codebook = e.filter(col("vec_id") < 16)
+          .select(col("vec_id"), col("embedding").cast("array<double>"),
+            graft.ml.VecOps.norm(col("embedding")))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+          .sortBy(_._1).toSeq
+        val cbDf = codebook.toDF("c_id", "c_emb", "c_nrm")
+          .select(col("c_id"), col("c_emb").cast("array<float>"), col("c_nrm"))
+        // index build: cell id + PQ codes per vector, all row-local
+        val cbs = graft.ml.Pq.fit(s, e, m = 4, k = 4, iters = 2)
+        val indexed = graft.ml.Pq.encode(clean, cbs)
+          .select(col("vec_id"), col("embedding"), col("codes"),
+            graft.ml.VecOps.norm(col("embedding")).as("v_nrm"))
+          .withColumn("cell",
+            graft.ml.VecOps.argmaxCell(col("embedding"), col("v_nrm"), codebook))
+        // per-query work: rank 16 centroids, keep 2 probe cells
+        val qv = clean.filter(col("vec_id") === 42)
+          .select(col("embedding").as("q_emb"),
+            graft.ml.VecOps.norm(col("embedding")).as("q_nrm"))
+        val probes = qv.crossJoin(broadcast(cbDf))
+          .withColumn("c_sim",
+            graft.ml.VecOps.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+          .orderBy(desc("c_sim"), col("c_id"))
+          .limit(2)
+          .select(col("c_id").as("q_cell"))
+        val q = clean.filter(col("vec_id") === 42)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        // probe-cell prune FIRST, then the code-only ADC projection
+        indexed.join(broadcast(probes), col("cell") === col("q_cell"))
+          .filter(col("vec_id") =!= 42)
+          .select(col("vec_id"), col("cell"),
+            concat_ws("|", col("codes")).as("codes"),
+            graft.ml.Pq.adcDist(graft.ml.Pq.adcTable(q, cbs)).as("adc_dist"))
+          .orderBy(col("adc_dist"), col("vec_id"))
+          .limit(10)
+      },
+      Some(ivfPqOracleSql))
+    ,
+
     // ---- SemDeDup: semantic dedup inside coarse-quantizer cells -----------
     // The published SemDeDup recipe: cluster the corpus embeddings, then
     // inside each cluster drop every vector whose cosine to ANY lower-id
@@ -426,7 +485,26 @@ object SimilarityQueries {
     * the Scala chained-`when` lowest-index tie-break), same exact decimal
     * means, same left-assoc distance folds, same fixed-m-order ADC sum.
     */
-  private def pqOracleSql: String = {
+  private def pqOracleSql: String = pqOracleSqlFor(qVecId = 0)
+
+  /** The q129 oracle with the ADC query vector as a parameter, so the
+    * IVF×PQ composition (q132, query vec 42) replays the identical
+    * train→encode→table pipeline.
+    */
+  private def pqOracleSqlFor(qVecId: Int): String = {
+    val (perSubspace, codeJoins, codesStr, adcSum) = pqOracleParts(qVecId)
+    s"""
+        WITH $perSubspace
+        SELECT e.vec_id, $codesStr AS codes, ($adcSum) AS adc_dist
+        FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL) e
+          $codeJoins
+        ORDER BY adc_dist, e.vec_id LIMIT 10"""
+  }
+
+  /** Shared CTE fragments of the PQ replay: (per-subspace CTE chain,
+    * code/table joins, pipe-joined code string, fixed-m-order ADC sum).
+    */
+  private def pqOracleParts(qVecId: Int): (String, String, String, String) = {
     val S = "17592186044416.0"
     val M = 4; val K = 4; val Iters = 2; val SubDim = 16
     def dist(sv: String, cent: String) =
@@ -473,18 +551,53 @@ object SimilarityQueries {
             FROM sub$m s CROSS JOIN cents${m}_$Iters c) WHERE rn = 1),
         tbl$m AS (
           SELECT c.c_id, ${dist("q.sv", "c.centroid")} AS t
-          FROM cents${m}_$Iters c CROSS JOIN (SELECT sv FROM sub$m WHERE vec_id = 0) q)"""
+          FROM cents${m}_$Iters c CROSS JOIN (SELECT sv FROM sub$m WHERE vec_id = $qVecId) q)"""
     }.mkString(",")
     val codeJoins = (0 until M).map(m =>
       s"JOIN codes$m c$m ON c$m.vec_id = e.vec_id JOIN tbl$m t$m ON t$m.c_id = c$m.code$m")
       .mkString("\n          ")
     val codesStr = (0 until M).map(m => s"c$m.code$m").mkString("concat_ws('|', ", ", ", ")")
     val adcSum = (0 until M).map(m => s"t$m.t").mkString(" + ")
+    (perSubspace, codeJoins, codesStr, adcSum)
+  }
+
+  /** DuckDB replay of the composed IVF×PQ layout: q112's coarse cosine
+    * assignment + probe selection glued onto q129's PQ replay — the ADC
+    * scan runs only over residents of the 2 probed cells.
+    */
+  private def ivfPqOracleSql: String = {
+    val (perSubspace, codeJoins, codesStr, adcSum) = pqOracleParts(qVecId = 42)
     s"""
-        WITH $perSubspace
-        SELECT e.vec_id, $codesStr AS codes, ($adcSum) AS adc_dist
+        WITH nrm AS (
+          SELECT vec_id, embedding, ${normSql("embedding")} AS v_nrm FROM embeddings),
+        centroids AS (
+          SELECT vec_id AS c_id, embedding AS c_emb, v_nrm AS c_nrm
+          FROM nrm WHERE vec_id < 16),
+        assigned AS (
+          SELECT vec_id, c_id AS cell FROM (
+            SELECT n.vec_id, c.c_id,
+              ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(n.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), (x, y) -> x + y)
+                  / (n.v_nrm * c.c_nrm) DESC, c.c_id) AS rn
+            FROM nrm n CROSS JOIN centroids c) WHERE rn = 1),
+        qv AS (SELECT embedding AS q_emb, v_nrm AS q_nrm FROM nrm WHERE vec_id = 42),
+        probes AS (
+          SELECT c_id AS q_cell FROM (
+            SELECT c.c_id,
+              ROW_NUMBER() OVER (ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), (x, y) -> x + y)
+                  / (q.q_nrm * c.c_nrm) DESC, c.c_id) AS rn
+            FROM qv q CROSS JOIN centroids c) WHERE rn <= 2),
+        $perSubspace
+        SELECT e.vec_id, CAST(a.cell AS BIGINT) AS cell,
+          $codesStr AS codes, ($adcSum) AS adc_dist
         FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL) e
+          JOIN assigned a ON a.vec_id = e.vec_id
+          JOIN probes p ON a.cell = p.q_cell
           $codeJoins
+        WHERE e.vec_id <> 42
         ORDER BY adc_dist, e.vec_id LIMIT 10"""
   }
 

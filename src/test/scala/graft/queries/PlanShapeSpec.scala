@@ -163,6 +163,29 @@ class PlanShapeSpec extends SparkSpec
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q132 IVF x PQ prunes probe cells BEFORE the ADC scan") {
+    val plan = SparkEntry.queries("q132_ivf_pq")(spark, dir)
+      .queryExecution.executedPlan
+    // the probe filter must be a broadcast join (2 narrow q_cell rows),
+    // never a shuffle of the indexed corpus
+    val bhj = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.exists(_.leftKeys.exists(_.toString.contains("cell"))),
+      "expected a broadcast probe join on the cell id")
+    assert(collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, "indexed corpus must not shuffle into a merge join")
+    // the ADC table lookups live ABOVE the probe join in the plan tree —
+    // i.e. only probed residents pay the element_at scan
+    val s = plan.toString
+    val adcAt = s.indexOf("element_at")
+    val joinAt = s.indexOf("BroadcastHashJoin")
+    assert(adcAt >= 0 && joinAt >= 0 && adcAt < joinAt,
+      "ADC projection must sit above (after) the probe-cell join")
+    assert(!s.contains("Window"), "cell assignment must not go through a window")
+  }
+
   test("q122 incremental dedup broadcasts only narrow pair ids (never text)") {
     val plan = SparkEntry.queries("q122_incremental_neardup")(spark, dir)
       .queryExecution.executedPlan
