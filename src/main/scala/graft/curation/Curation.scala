@@ -233,6 +233,23 @@ object Curation {
       shingleWidth: Int = 3): Unit =
     graft.io.Writers.overwrite(minhashSignatures(docs, idCol, textCol, shingleWidth), path)
 
+  /** Persist the signature store PRE-BANDED and BUCKETED by `band_key`
+    * (managed table via [[graft.io.Writers.writeBucketed]]): each stored
+    * doc becomes its 4 (doc_id, sig, band_key) band rows, hash-bucketed on
+    * the join key. This is the 100-TB ingest shape: a per-batch
+    * [[incrementalNearDup]] then co-locates on the bucketed scan's own
+    * partitioning — the batch side (small) shuffles to the bucket count,
+    * the store side (the 100-TB-scale one) is read in place with NO
+    * exchange (plan-asserted in CurationSpec). The path-based
+    * [[writeSignatureStore]] remains for stores too small to care.
+    */
+  def writeBandedSignatureStore(docs: DataFrame, table: String,
+      buckets: Int = 32, idCol: String = "doc_id", textCol: String = "text",
+      shingleWidth: Int = 3): Unit =
+    graft.io.Writers.writeBucketed(
+      bandRows(minhashSignatures(docs, idCol, textCol, shingleWidth)),
+      table, Seq("band_key"), buckets)
+
   /** LSH band rows over a signature frame: (doc_id, sig, band_key). The
     * band INDEX explodes below the key projection and keys build above the
     * Generate barrier (the CollapseProject hazard documented on q35).
@@ -277,8 +294,26 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text",
       shingleWidth: Int = 3, estThreshold: Double = 0.5): DataFrame = {
     val batchBands = bandRows(minhashSignatures(batch, idCol, textCol, shingleWidth))
-    val storeBands = bandRows(store.select(col("doc_id"), col("sig")))
+    // a store that already carries band_key rows (the bucketed layout of
+    // writeBandedSignatureStore) is used AS-IS — its bucketing then feeds
+    // the join with no store-side exchange; a plain (doc_id, sig) store
+    // is banded here (and pays a store-side shuffle, acceptable small)
+    val storeBands =
+      if (store.columns.contains("band_key"))
+        store.select(col("doc_id"), col("sig"), col("band_key"))
+      else bandRows(store.select(col("doc_id"), col("sig")))
 
+    verdictsFromBands(batch.select(col(idCol)), batchBands, storeBands,
+      idCol, estThreshold)
+  }
+
+  /** The policy core of [[incrementalNearDup]], over already-banded
+    * frames — shared by the batch entry point and the streaming ingest
+    * loop (which computes batch bands once and reuses them for the store
+    * append).
+    */
+  private def verdictsFromBands(batchIds: DataFrame, batchBands: DataFrame,
+      storeBands: DataFrame, idCol: String, estThreshold: Double): DataFrame = {
     val vsHist = batchBands
       .select(col("band_key"), col("doc_id").as("doc"), col("sig").as("sig_a"))
       .join(storeBands.select(col("band_key"), col("sig").as("sig_b")), Seq("band_key"))
@@ -294,7 +329,7 @@ object Curation {
       .select(col("doc")).distinct()
       .withColumn("vs_batch", lit(1L))
 
-    batch.select(col(idCol))
+    batchIds
       .join(vsHist, col(idCol) === vsHist("doc"), "left_outer").drop(vsHist("doc"))
       .join(vsBatch, col(idCol) === vsBatch("doc"), "left_outer").drop(vsBatch("doc"))
       .select(col(idCol),
@@ -302,6 +337,70 @@ object Curation {
           .when(col("vs_batch") === 1L, "dropped_in_batch")
           .otherwise("accepted").as("verdict"))
   }
+
+  /** Store-backed STREAMING near-dup ingest: the operational join of the
+    * two halves this file already had — [[fingerprintDedupStream]]'s
+    * continuous shape and [[incrementalNearDup]] + the signature store's
+    * O(batch) check. Each micro-batch:
+    *   1. computes its band rows ONCE (row-local, persisted for the batch);
+    *   2. verdicts against the bucketed store table (no store-side
+    *      exchange — the bucketed scan co-locates the join);
+    *   3. appends ONLY accepted docs' band rows back to the store (same
+    *      bucket spec), so batch N+1 near-dups against everything batch N
+    *      admitted;
+    *   4. hands (id, verdict) rows to `sink` — the caller's write stage.
+    *
+    * The store table is created on first use with `buckets` buckets.
+    * State lives in the TABLE, not executor memory: restarts resume from
+    * whatever the store holds, and store size is bounded by accepted docs
+    * (4 narrow band rows each), not stream length.
+    */
+  def nearDupIngestStream(docs: DataFrame, storeTable: String,
+      buckets: Int = 32, idCol: String = "doc_id", textCol: String = "text",
+      shingleWidth: Int = 3, estThreshold: Double = 0.5)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val bands = bandRows(
+          minhashSignatures(batch, idCol, textCol, shingleWidth)).persist()
+        try {
+          val storeBands =
+            if (s.catalog.tableExists(storeTable))
+              s.table(storeTable).select(col("doc_id"), col("sig"), col("band_key"))
+            else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+              bands.schema)
+          // localCheckpoint (eager) BEFORE the append, not persist():
+          // writing to the store table invalidates any cached plan that
+          // references it, so a merely-persisted verdict frame would
+          // silently RECOMPUTE against the post-append store — and every
+          // just-accepted doc would then self-match as dropped_vs_history.
+          // The checkpoint truncates lineage, pinning the pre-append read.
+          val verdicts = verdictsFromBands(batch.select(col(idCol)), bands,
+            storeBands, idCol, estThreshold).localCheckpoint(true)
+          val acceptedBands = bands.join(
+            verdicts.filter(col("verdict") === "accepted")
+              .select(col(idCol).as("doc_id")),
+            Seq("doc_id"))
+          if (s.catalog.tableExists(storeTable))
+            graft.io.Writers.appendBucketed(acceptedBands, storeTable,
+              Seq("band_key"), buckets)
+          else
+            graft.io.Writers.writeBucketed(acceptedBands, storeTable,
+              Seq("band_key"), buckets)
+          // foreachBatch runs in a CLONED session whose catalog caches are
+          // its own — refresh the outer (default) session too, or an
+          // interactive reader keeps serving the pre-append file listing
+          // (each batch's own clone is fresh, so the loop itself is safe)
+          s.catalog.refreshTable(storeTable)
+          org.apache.spark.sql.SparkSession.getDefaultSession
+            .filter(_ ne s).foreach(_.catalog.refreshTable(storeTable))
+          sink(verdicts)
+          ()
+        } finally bands.unpersist()
+      }
+      .start()
 
   /** SemDeDup ledger: embeddings are assigned to coarse-quantizer cells
     * (row-local argmax over the broadcast `codebook`), and inside each

@@ -252,6 +252,19 @@ object Writers {
       .sortBy(key.head, key.tail: _*)
       .saveAsTable(table)
 
+  /** Append to an existing bucketed table with the SAME bucket spec —
+    * the incremental-ingest companion of [[writeBucketed]] (a mismatched
+    * spec would silently break the no-shuffle join guarantee; Spark
+    * validates it against the catalog on append).
+    */
+  def appendBucketed(df: DataFrame, table: String, key: Seq[String],
+      buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Append)
+      .bucketBy(buckets, key.head, key.tail: _*)
+      .sortBy(key.head, key.tail: _*)
+      .saveAsTable(table)
+
   /** S11 at the FORMAT level: the Elasticsearch bulk-API line protocol —
     * an action line (`{"index":{"_index":…,"_id":…}}`) followed by the
     * source document line, per row (the reference's `helpers.bulk` payload,

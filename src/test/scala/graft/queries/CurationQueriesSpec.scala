@@ -25,6 +25,21 @@ class CurationQueriesSpec extends SparkSpec {
   private def words(prefix: String, n: Int): String =
     (0 until n).map(i => s"$prefix$i").mkString(" ")
 
+  /** Drop `table` from both the catalog and the warehouse directory — a
+    * crashed earlier run can leave the location behind with no catalog
+    * entry, which fails the next CREATE with LOCATION_ALREADY_EXISTS.
+    */
+  private def freshTable(table: String): String = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    table
+  }
+
   test("q116: chunking is non-overlapping 20-token windows, tail dropped") {
     val a20 = words("a", 20) // chunk shared by docs 1 and 2
     val b20 = words("b", 20)
@@ -176,6 +191,90 @@ class CurationQueriesSpec extends SparkSpec {
       11L -> "accepted",
       12L -> "dropped_in_batch",
       13L -> "accepted"))
+  }
+
+  test("banded store: bucketed layout joins with NO store-side exchange (plan-asserted)") {
+    import graft.curation.Curation
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    val table = freshTable("sig_store_banded_test")
+    Curation.writeBandedSignatureStore(
+      Seq((1L, words("x", 30)), (2L, words("y", 30))).toDF("doc_id", "text"),
+      table, buckets = 4)
+    val store = spark.table(table)
+    assert(store.columns.toSeq === Seq("doc_id", "sig", "band_key"))
+    assert(store.count() === 8L) // 2 docs x 4 bands
+
+    val batch = Seq(
+      (10L, words("x", 30)),
+      (11L, words("q", 30))).toDF("doc_id", "text")
+    // force the merge-join path (a broadcast store would also avoid the
+    // exchange, but only because the fixture is tiny — the claim under
+    // test is the bucketed co-location that holds at store scale)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val verdicts = Curation.incrementalNearDup(batch, spark.table(table))
+      verdicts.collect() // materialize so AQE finalizes the plan
+      val plan = verdicts.queryExecution.executedPlan
+      // the store scan must be bucketed, and no exchange may sit between
+      // it and its join (shuffles ABOVE the join — distincts over narrow
+      // candidate ids — are the batch-sized ones and are fine)
+      def reachesStoreScanPreJoin(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        helper.collect(p) {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.toString.contains(table) => s
+        }.nonEmpty && helper.collect(p) {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+          case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        }.isEmpty
+      val storeScans = helper.collect(plan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.toString.contains(table) => s
+      }
+      assert(storeScans.nonEmpty && storeScans.forall(_.toString.contains("Bucketed: true")),
+        s"store scan not bucketed:\n$plan")
+      val storeSideShuffles = helper.collect(plan) {
+        case e: ShuffleExchangeExec if reachesStoreScanPreJoin(e.child) => e
+      }
+      assert(storeSideShuffles.isEmpty,
+        s"signature store shuffled despite bucketing:\n$plan")
+      val m = verdicts.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(m === Map(10L -> "dropped_vs_history", 11L -> "accepted"))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("streaming near-dup ingest: verdicts against the store, store grows per batch") {
+    import graft.curation.Curation
+    val table = freshTable("sig_store_stream_test")
+    val srcDir = Files.createTempDirectory("neardup_stream").toString + "/src"
+    val b1 = Seq((1L, words("x", 30)), (2L, words("y", 30))).toDF("doc_id", "text")
+    b1.coalesce(1).write.parquet(srcDir)
+
+    val verdictLog = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = Curation.nearDupIngestStream(
+      spark.readStream.schema(b1.schema).parquet(srcDir), table, buckets = 4) {
+      v => verdictLog ++= v.collect().map(r => r.getLong(0) -> r.getString(1))
+    }
+    try {
+      q.processAllAvailable()
+      assert(verdictLog.toMap === Map(1L -> "accepted", 2L -> "accepted"))
+      assert(spark.table(table).count() === 8L) // batch 1 admitted 2 docs
+
+      // batch 2: 10 near-dups stored doc 1; 11 is new; 12 dups 11 in-batch
+      Seq((10L, words("x", 30)), (11L, words("q", 30)), (12L, words("q", 30)))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      assert(verdictLog.toMap === Map(
+        1L -> "accepted", 2L -> "accepted",
+        10L -> "dropped_vs_history", 11L -> "accepted",
+        12L -> "dropped_in_batch"))
+      // only accepted docs' band rows landed: 2 + 1 docs -> 12 rows
+      assert(spark.table(table).count() === 12L)
+      assert(spark.table(table).select("doc_id").distinct().collect()
+        .map(_.getLong(0)).toSet === Set(1L, 2L, 11L))
+    } finally q.stop()
   }
 
   test("q127: store-backed ledger reconciles and kills planted copies") {
