@@ -427,6 +427,191 @@ object SimilarityQueries {
       Some(ivfPqOracleSql))
     ,
 
+    // ---- hybrid retrieval: BM25 + vector ranks fused by RRF ----------------
+    // The production retrieval stack is rarely one arm: lexical BM25
+    // (q118's log-free formulation) and embedding cosine (q40's brute
+    // baseline) each retrieve top-15 for the same query (doc 0's terms /
+    // doc 0's embedding, self excluded from both arms), and the lists fuse
+    // by Reciprocal Rank Fusion: score = sum over arms of 1/(60 + rank).
+    // RRF needs only the integer RANKS — no score calibration between
+    // arms — and 1/(60+r) is a single IEEE division both engines round
+    // identically, so the fusion is hash-exact. Each arm's rank window
+    // runs over its own 15-row top-k (driver-side tiny); the corpus-side
+    // work is exactly q118's and q40's already-audited shapes.
+    Q("q133_rrf_fusion",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val e = t(s, dir, "embeddings")
+        val bm = graft.curation.Curation.bm25(
+            docs.filter(col("doc_id") =!= 0), Seq("spark", "window", "hash"),
+            topK = 15)
+          .select(col("doc_id"),
+            row_number().over(Window.orderBy(desc("score"), col("doc_id")))
+              .cast("long").as("bm25_rank"))
+        val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val vec = e.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= 0)
+          .withColumn("sim", dot("embedding", "qv") / (norm("embedding") * norm("qv")))
+          .orderBy(desc("sim"), col("vec_id"))
+          .limit(15)
+          .select(col("vec_id").as("doc_id"),
+            row_number().over(Window.orderBy(desc("sim"), col("vec_id")))
+              .cast("long").as("vec_rank"))
+        bm.join(vec, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("bm25_rank"), col("vec_rank"),
+            (coalesce(lit(1.0) / (lit(60L) + col("bm25_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60L) + col("vec_rank")), lit(0.0))).as("rrf"))
+          .orderBy(desc("rrf"), col("doc_id"))
+          .limit(10)
+      },
+      Some(s"""
+        WITH tk AS (
+          SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS dl,
+            unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+              t -> t IN ('spark', 'window', 'hash'))) AS term
+          FROM documents WHERE doc_id <> 0),
+        tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2, 3),
+        stats AS (
+          SELECT COUNT(*) AS n,
+            CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM documents WHERE doc_id <> 0),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        contrib AS (
+          SELECT doc_id,
+            CAST(((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+              * ((CAST(tf AS DOUBLE) * 2.2)
+                 / (CAST(tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+              AS DECIMAL(24,10)) AS c
+          FROM tf JOIN df USING (term), stats),
+        bm_top AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+          FROM (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score
+                FROM contrib GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 15)),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        vec_top AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS vec_rank
+          FROM (SELECT vec_id AS doc_id,
+                  $dotSql / (${normSql("embedding")} * ${normSql("qv")}) AS sim
+                FROM embeddings, q WHERE vec_id <> 0
+                ORDER BY sim DESC, vec_id LIMIT 15))
+        SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id, b.bm25_rank, v.vec_rank,
+          COALESCE(CAST(1 AS DOUBLE) / (60 + b.bm25_rank), CAST(0 AS DOUBLE))
+            + COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), CAST(0 AS DOUBLE)) AS rrf
+        FROM bm_top b FULL OUTER JOIN vec_top v ON b.doc_id = v.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT 10"""))
+    ,
+
+    // ---- ANN quality dial: recall@10 of IVF multi-probe vs brute force -----
+    // An ANN index without a measured recall number is a guess — this is
+    // the evaluation query an engineer runs before turning the nprobe /
+    // cell-count dials in production. Ground truth = q40's brute cosine
+    // top-10; candidate = q112's IVF nprobe=2 multi-probe top-10 (same
+    // query vector 42, self excluded); output is one row: k, hits, recall,
+    // and the missed ids — all integer/ratio arithmetic, hash-exact.
+    // Scale shape: both arms are already-audited plans (brute =
+    // TakeOrderedAndProject single pass; IVF = broadcast probe join); the
+    // final comparison joins two 10-row frames.
+    Q("q134_ann_recall",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val codebook = e.filter(col("vec_id") < 16)
+          .select(col("vec_id"), col("embedding").cast("array<double>"),
+            graft.ml.VecOps.norm(col("embedding")))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+          .sortBy(_._1).toSeq
+        val cbDf = codebook.toDF("c_id", "c_emb", "c_nrm")
+          .select(col("c_id"), col("c_emb").cast("array<float>"), col("c_nrm"))
+        val assigned = e
+          .select(col("vec_id"), col("embedding"),
+            graft.ml.VecOps.norm(col("embedding")).as("v_nrm"))
+          .withColumn("cell",
+            graft.ml.VecOps.argmaxCell(col("embedding"), col("v_nrm"), codebook))
+        val qv = e.filter(col("vec_id") === 42)
+          .select(col("embedding").as("q_emb"),
+            graft.ml.VecOps.norm(col("embedding")).as("q_nrm"))
+        val probes = qv.crossJoin(broadcast(cbDf))
+          .withColumn("c_sim",
+            graft.ml.VecOps.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+          .orderBy(desc("c_sim"), col("c_id"))
+          .limit(2)
+          .select(col("c_id").as("q_cell"), col("q_emb"), col("q_nrm"))
+        val ivf = assigned.join(broadcast(probes), col("cell") === col("q_cell"))
+          .filter(col("vec_id") =!= 42)
+          .withColumn("sim",
+            graft.ml.VecOps.dot(col("embedding"), col("q_emb")) / (col("v_nrm") * col("q_nrm")))
+          .orderBy(desc("sim"), col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), lit(1L).as("hit"))
+        val brute = e.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= 42)
+          .withColumn("sim",
+            graft.ml.VecOps.dot(col("embedding"), col("q_emb")) / (norm("embedding") * col("q_nrm")))
+          .orderBy(desc("sim"), col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"))
+        brute.join(ivf, Seq("vec_id"), "left_outer")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+            // sort numerically FIRST, stringify after (lexicographic sort
+            // of "10" < "9" would diverge from the oracle's ORDER BY)
+            concat_ws(",", transform(
+              sort_array(collect_list(when(col("hit").isNull, col("vec_id")))),
+              _.cast("string"))).as("missed"))
+          .select(lit(10L).as("k"), col("hits"),
+            (col("hits").cast("double") / lit(10.0)).as("recall"), col("missed"))
+      },
+      Some(s"""
+        WITH nrm AS (
+          SELECT vec_id, embedding, ${normSql("embedding")} AS v_nrm FROM embeddings),
+        centroids AS (
+          SELECT vec_id AS c_id, embedding AS c_emb, v_nrm AS c_nrm
+          FROM nrm WHERE vec_id < 16),
+        assigned AS (
+          SELECT vec_id, embedding, v_nrm, c_id AS cell FROM (
+            SELECT n.vec_id, n.embedding, n.v_nrm, c.c_id,
+              ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(n.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), (x, y) -> x + y)
+                  / (n.v_nrm * c.c_nrm) DESC, c.c_id) AS rn
+            FROM nrm n CROSS JOIN centroids c) WHERE rn = 1),
+        qv AS (SELECT embedding AS q_emb, v_nrm AS q_nrm FROM nrm WHERE vec_id = 42),
+        probes AS (
+          SELECT c_id AS q_cell FROM (
+            SELECT c.c_id,
+              ROW_NUMBER() OVER (ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), (x, y) -> x + y)
+                  / (q.q_nrm * c.c_nrm) DESC, c.c_id) AS rn
+            FROM qv q CROSS JOIN centroids c) WHERE rn <= 2),
+        ivf AS (
+          SELECT vec_id, 1 AS hit FROM (
+            SELECT a.vec_id,
+              list_reduce(list_transform(range(1, 65),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)), (x, y) -> x + y)
+                / (a.v_nrm * q.q_nrm) AS sim
+            FROM assigned a JOIN probes p ON a.cell = p.q_cell, qv q
+            WHERE a.vec_id <> 42
+            ORDER BY sim DESC, a.vec_id LIMIT 10)),
+        brute AS (
+          SELECT n.vec_id,
+            list_reduce(list_transform(range(1, 65),
+              i -> CAST(n.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)), (x, y) -> x + y)
+              / (n.v_nrm * q.q_nrm) AS sim
+          FROM nrm n, qv q WHERE n.vec_id <> 42
+          ORDER BY sim DESC, n.vec_id LIMIT 10)
+        SELECT CAST(10 AS BIGINT) AS k,
+          CAST(SUM(COALESCE(i.hit, 0)) AS BIGINT) AS hits,
+          CAST(CAST(SUM(COALESCE(i.hit, 0)) AS DOUBLE) / CAST(10 AS DOUBLE) AS DOUBLE) AS recall,
+          COALESCE(string_agg(CASE WHEN i.hit IS NULL
+            THEN CAST(b.vec_id AS VARCHAR) END, ',' ORDER BY b.vec_id), '') AS missed
+        FROM brute b LEFT JOIN ivf i ON b.vec_id = i.vec_id"""))
+    ,
+
     // ---- SemDeDup: semantic dedup inside coarse-quantizer cells -----------
     // The published SemDeDup recipe: cluster the corpus embeddings, then
     // inside each cluster drop every vector whose cosine to ANY lower-id
