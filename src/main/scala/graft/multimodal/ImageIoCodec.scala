@@ -78,4 +78,36 @@ object ImageIoCodec {
     Decoded(w, h, img.getColorModel.getNumComponents, sum,
       lumaAt(0, 0), lumaAt(w - 1, h - 1))
   }
+
+  /** Resize-by-box-pooling: decode and pool the pixel grid into a
+    * `grid`×`grid` thumbnail of integer milli-luma box SUMS (not means —
+    * sums stay exact integers in any order; callers divide by the box
+    * pixel count if they want the mean). Box (gx, gy) covers columns
+    * [gx·w/grid, (gx+1)·w/grid) × rows [gy·h/grid, (gy+1)·h/grid) in
+    * integer arithmetic, so every pixel lands in exactly one box for any
+    * image size. Output is row-major. This is the feature-extract /
+    * downsample stage of an image pipeline (a perceptual hash is a few
+    * comparisons over these sums — see the q135 query).
+    */
+  def boxSums(bytes: Array[Byte], grid: Int): (Int, Int, Array[Long]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable payload (${bytes.length} bytes)")
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= grid && h >= grid, s"${w}x$h too small for a $grid x $grid grid")
+    val sums = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      val gy = y * grid / h
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sums(gy * grid + x * grid / w) +=
+          299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, sums)
+  }
 }

@@ -232,6 +232,33 @@ object Multimodal {
       })
   }
 
+  /** Thumbnail features: the image resized by box-pooling into a
+    * grid×grid panel of integer milli-luma box sums (row-major). The
+    * downsample/feature-extract stage of an image pipeline, kept as exact
+    * integers so the oracle compare is equality.
+    */
+  final case class ThumbFeatures(
+      asset_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      box_sums: Seq[Long])
+
+  /** REAL resize: decode (any [[ImageIoCodec]] format) and box-pool to a
+    * `grid`×`grid` thumbnail — the standard downsample step before
+    * perceptual hashing / visual dedup. Same typed per-partition batch
+    * shape as [[decode]]; pooling is one pass over the decoded pixels,
+    * row-local, and only grid² longs leave the decoder.
+    */
+  def decodeThumb(assets: Dataset[Asset], grid: Int = 2): Dataset[ThumbFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      require(imageIoFormats(a.format), s"decodeThumb got format '${a.format}'")
+      val (w, h, sums) = ImageIoCodec.boxSums(a.payload, grid)
+      ThumbFeatures(a.asset_id, a.format, w, h, sums.toSeq)
+    })
+  }
+
   /** Decoded WAV features — integer amplitude statistics ([[WavCodec]]),
     * exact in any summation order.
     */

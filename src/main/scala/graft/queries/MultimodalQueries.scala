@@ -235,6 +235,76 @@ object MultimodalQueries {
           CAST(3 AS BIGINT) AS channels,
           TRUE AS mean_luma_ok,
           TRUE AS corners_ok
-        FROM documents ORDER BY 1"""))
+        FROM documents ORDER BY 1""")),
+
+    // ---- REAL resize / feature-extract: box-pooled thumbnail + dHash ------
+    // The downsample stage of a visual-dedup pipeline: each PNG/GIF
+    // payload is REALLY decoded (javax.imageio) and pooled into a 2x2
+    // panel of integer milli-luma box sums, from which a 4-bit
+    // difference hash is computed (left-vs-right per row, top-vs-bottom
+    // per column — the dHash recipe at toy grid size). Box partitioning
+    // is integer arithmetic (pixel x lands in box x*2/w), so the oracle
+    // predicts every box sum in closed form from the gradient synthesis:
+    // a pooling bug (box boundary off by one, row-major mixup) breaks the
+    // hash-exact compare. Only 4 longs per image leave the decoder.
+    Q("q135_thumbnail_dhash",
+      (s, dir) => {
+        val feats = Multimodal.decodeThumb(
+          Multimodal.imageAssetsFromDocuments(s, dir), grid = 2)
+        val b = (0 until 4).map(i => element_at(col("box_sums"), i + 1))
+        feats.select(
+          col("asset_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          b(0).as("b00"), b(1).as("b01"), b(2).as("b10"), b(3).as("b11"),
+          (when(b(0) > b(1), 1L).otherwise(0L)
+            + when(b(2) > b(3), 2L).otherwise(0L)
+            + when(b(0) > b(2), 4L).otherwise(0L)
+            + when(b(1) > b(3), 8L).otherwise(0L)).as("dhash"))
+          .orderBy("asset_id")
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+            8 + (doc_id * 5) % 16 AS w,
+            8 + (doc_id * 7) % 16 AS h,
+            doc_id % 200 AS r,
+            (doc_id * 11) % 256 AS g,
+            (doc_id * 17) % 256 AS b
+          FROM documents),
+        -- pixel x is in box 0 iff x*2/w < 1, so the split is ceil(w/2)
+        bounds AS (
+          SELECT doc_id, w, h, r, g, b,
+            (w + 1) // 2 AS xs, (h + 1) // 2 AS ys
+          FROM p),
+        boxes AS (
+          SELECT doc_id, w, h, r, g, b, gx, gy,
+            CASE gx WHEN 0 THEN 0 ELSE xs END AS x0,
+            CASE gx WHEN 0 THEN xs ELSE w END AS x1,
+            CASE gy WHEN 0 THEN 0 ELSE ys END AS y0,
+            CASE gy WHEN 0 THEN ys ELSE h END AS y1
+          FROM bounds, (SELECT unnest([0, 1]) AS gx), (SELECT unnest([0, 1]) AS gy)),
+        sums AS (
+          SELECT doc_id, gx, gy,
+            (x1 - x0) * (y1 - y0) * (299 * r + 587 * g + 114 * b)
+              + 299 * ((y1 - y0) * (((x0 + x1 - 1) * (x1 - x0)) // 2)
+                       + (x1 - x0) * (((y0 + y1 - 1) * (y1 - y0)) // 2)) AS s
+          FROM boxes),
+        wide AS (
+          SELECT doc_id,
+            MAX(CASE WHEN gy = 0 AND gx = 0 THEN s END) AS b00,
+            MAX(CASE WHEN gy = 0 AND gx = 1 THEN s END) AS b01,
+            MAX(CASE WHEN gy = 1 AND gx = 0 THEN s END) AS b10,
+            MAX(CASE WHEN gy = 1 AND gx = 1 THEN s END) AS b11
+          FROM sums GROUP BY 1)
+        SELECT w.doc_id AS asset_id,
+          CAST(p.w AS BIGINT) AS width, CAST(p.h AS BIGINT) AS height,
+          CAST(b00 AS BIGINT) AS b00, CAST(b01 AS BIGINT) AS b01,
+          CAST(b10 AS BIGINT) AS b10, CAST(b11 AS BIGINT) AS b11,
+          CAST((CASE WHEN b00 > b01 THEN 1 ELSE 0 END)
+            + (CASE WHEN b10 > b11 THEN 2 ELSE 0 END)
+            + (CASE WHEN b00 > b10 THEN 4 ELSE 0 END)
+            + (CASE WHEN b01 > b11 THEN 8 ELSE 0 END) AS BIGINT) AS dhash
+        FROM wide w JOIN p ON p.doc_id = w.doc_id ORDER BY 1"""))
   )
 }

@@ -118,4 +118,18 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("undecodable") ||
       Option(e.getCause).exists(_.getMessage.contains("undecodable")))
   }
+
+  test("thumbnail box-pooling splits odd dims at ceil(n/2), row-major") {
+    // 3x2 image, one distinct gray per pixel: luma(x, y) = (299+587+114)*v
+    // where v = 10*(y*3 + x). Split: columns {0,1 | 2}, rows {0 | 1}.
+    val png = ImageIoCodec.encode(3, 2, "png") { (x, y) =>
+      val v = 10 * (y * 3 + x); (v << 16) | (v << 8) | v
+    }
+    val (w, h, sums) = ImageIoCodec.boxSums(png, 2)
+    assert(w == 3 && h == 2)
+    val u = 299L + 587L + 114L // 1000: one gray level in milli-luma
+    assert(sums.toSeq == Seq(
+      u * (0 + 10), u * 20, // row 0: boxes {v=0,10 | v=20}
+      u * (30 + 40), u * 50)) // row 1: boxes {v=30,40 | v=50}
+  }
 }
