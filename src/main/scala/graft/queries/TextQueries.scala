@@ -21,6 +21,18 @@ import Qx._
   */
 object TextQueries {
 
+  /** q136's fixed subword vocabulary: covers every corpus word in 1-2
+    * pieces, includes the win/wind/ow/dow greedy trap, and leaves "dup"
+    * prefix-less so the char fallback fires. Lowercase a-z only ('?'
+    * marks fallback pieces unambiguously).
+    */
+  private val SubwordVocab: Seq[String] = Seq(
+    "a", "agg", "bat", "ch", "big", "col", "umn", "cust", "omer", "dat",
+    "fast", "fil", "ter", "gro", "up", "hash", "jo", "in", "key", "li",
+    "ne", "mer", "ge", "or", "der", "part", "que", "ry", "row", "sc",
+    "an", "slow", "sma", "ll", "sort", "spark", "str", "eam", "tab", "le",
+    "the", "val", "ue", "vec", "tor", "win", "wind", "ow", "dow")
+
   /** Perturbed corpus: base ∪ near-dup variants (first 2 words dropped,
     * every 25th doc) ∪ exact copies (every 40th doc).
     */
@@ -344,6 +356,68 @@ object TextQueries {
           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpeish_tokens,
           CAST(SUM(len(text)) AS BIGINT) AS total_chars
         FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // ---- REAL subword tokenization: greedy longest-match (WordPiece rule) --
+    // Beyond q32's regex approximation: an actual segmentation against a
+    // vocabulary, per whitespace word, longest matching piece first, with
+    // single-char fallback for out-of-vocab spans (the '?'-prefixed
+    // pieces). The vocab is a fixed literal (49 pieces) that covers every
+    // corpus word in 1-2 pieces and deliberately contains the greedy trap
+    // win/wind/ow/dow — "window" must segment wind|ow, which separates
+    // longest-match from any shortest-first or left-factored variant; the
+    // corpus word "dup" has no matching prefix, exercising the fallback.
+    // The oracle replays the EXACT segmentation with a recursive CTE
+    // (advance by the longest matching piece or 1 char) and both sides
+    // md5 the full pipe-joined piece stream — one transposed piece
+    // boundary anywhere in ~45k pieces flips the hash.
+    //
+    // 100 TB shape: the native expression segments each doc in ONE pass
+    // inside the scan stage (no explode, no per-token exchange; same
+    // discipline as the MinHash sketch); a production 30-100k-piece vocab
+    // broadcasts once and the per-piece probe cost is bounded by max
+    // piece length, not vocab size.
+    Q("q136_subword_tokenize",
+      (s, dir) => {
+        graft.text.SubwordTokenizer.register(s)
+        val seg = graft.text.SubwordTokenizer.tokenize(col("text"), SubwordVocab)
+        t(s, dir, "documents")
+          .select(col("doc_id"), seg.as("seg"))
+          .select(col("doc_id"),
+            col("seg.n_pieces").cast("long").as("n_pieces"),
+            col("seg.n_unk").cast("long").as("n_unk"),
+            md5(col("seg.joined")).as("pieces_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH RECURSIVE
+        vocab AS (SELECT unnest([${SubwordVocab.map("'" + _ + "'").mkString(", ")}]) AS piece),
+        ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+        words AS (
+          SELECT doc_id, i AS widx, ws[i] AS word
+          FROM ws, (SELECT unnest(generate_series(1, 400)) AS i) WHERE i <= len(ws)),
+        tok AS (
+          SELECT doc_id, widx, word, 1 AS pos, 0 AS np, 0 AS unk, '' AS acc FROM words
+          UNION ALL
+          SELECT doc_id, widx, word,
+            pos + COALESCE(length(bp), 1),
+            np + 1,
+            unk + CASE WHEN bp IS NULL THEN 1 ELSE 0 END,
+            acc || CASE WHEN pos = 1 THEN '' ELSE '|' END
+                || COALESCE(bp, '?' || substr(word, pos, 1))
+          FROM (
+            SELECT doc_id, widx, word, pos, np, unk, acc,
+              (SELECT v.piece FROM vocab v
+               WHERE substr(word, pos, length(v.piece)) = v.piece
+               ORDER BY length(v.piece) DESC, v.piece LIMIT 1) AS bp
+            FROM tok WHERE pos <= length(word))),
+        done AS (SELECT doc_id, widx, np, unk, acc FROM tok WHERE pos > length(word)),
+        perdoc AS (
+          SELECT doc_id, SUM(np) AS n_pieces, SUM(unk) AS n_unk,
+            string_agg(acc, '|' ORDER BY widx) AS joined
+          FROM done GROUP BY 1)
+        SELECT doc_id, CAST(n_pieces AS BIGINT) AS n_pieces,
+          CAST(n_unk AS BIGINT) AS n_unk, md5(joined) AS pieces_md5
+        FROM perdoc ORDER BY 1""")),
 
     // ---- quality scoring: length/word-shape/stopword signals --------------
     Q("q33_quality_score",
