@@ -487,6 +487,121 @@ object TpchQueries {
         FROM lineitem JOIN part ON l_partkey = p_partkey AND (
           (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) OR
           (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) OR
-          (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))"""))
+          (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""")),
+
+    // ---- Q2 shape: min-cost supplier per part (agg + join-on-aggregate) ---
+    // The schema has no partsupp table, so the observed supply cost proxies
+    // it: min discounted price per (part, supplier) from lineitem. The Q2
+    // skeleton survives intact — an aggregate correlated to each part
+    // (the per-part minimum) decides which (part, supplier) rows survive,
+    // and ALL tied suppliers are kept. Spark shape: two partial-agg
+    // passes over the same narrow frame + an equi-join on (part, cost) —
+    // the decorrelated form Catalyst would rewrite the scalar subquery to
+    // anyway, stated directly.
+    Q("q137_min_cost_supplier",
+      (s, dir) => {
+        val cost = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part").filter(col("p_size") < 10)
+            .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(dbl(min(d12(col("l_extendedprice")) *
+            (lit(1).cast("decimal(3,2)") - d4(col("l_discount"))))).as("supply_cost"))
+        val best = cost.groupBy(col("l_partkey").as("b_part"))
+          .agg(min(col("supply_cost")).as("best_cost"))
+        cost.join(best, col("l_partkey") === col("b_part") &&
+            col("supply_cost") === col("best_cost"))
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+            col("s_name"), col("supply_cost"))
+          .orderBy("p_partkey", "s_suppkey")
+      },
+      Some("""
+        WITH cost AS (
+          SELECT l_partkey, l_suppkey,
+            CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+              AS supply_cost
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_size < 10 GROUP BY 1, 2),
+        best AS (SELECT l_partkey, MIN(supply_cost) AS best_cost FROM cost GROUP BY 1)
+        SELECT c.l_partkey AS p_partkey, s.s_suppkey, s.s_name, c.supply_cost
+        FROM cost c
+          JOIN best b ON c.l_partkey = b.l_partkey AND c.supply_cost = b.best_cost
+          JOIN supplier s ON c.l_suppkey = s.s_suppkey
+        ORDER BY 1, 2""")),
+
+    // ---- Q11 shape: important parts (global-threshold scalar subquery) ----
+    // Parts whose total traded value exceeds a fraction of the GLOBAL
+    // value: the one-row global aggregate broadcasts into the per-part
+    // HAVING — Spark's decorrelated plan for Q11's scalar subquery, and
+    // the only sane 100-TB shape (the global sum is a second partial-agg
+    // pass, never a driver-side constant baked per run). Decimal sums on
+    // both sides keep the threshold compare exact.
+    Q("q138_important_parts",
+      (s, dir) => {
+        val value = t(s, dir, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(d12(col("l_extendedprice")) *
+            (lit(1).cast("decimal(3,2)") - d4(col("l_discount")))).as("val_dec"))
+        val total = value.agg(sum(col("val_dec")).as("total_dec"))
+        value.crossJoin(broadcast(total))
+          .filter(col("val_dec") > col("total_dec") * lit(0.0006).cast("decimal(6,4)"))
+          .select(col("l_partkey").as("p_partkey"), dbl(col("val_dec")).as("part_value"))
+          .orderBy(desc("part_value"), col("p_partkey"))
+      },
+      Some("""
+        WITH value AS (
+          SELECT l_partkey,
+            SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS val_dec
+          FROM lineitem GROUP BY 1),
+        total AS (SELECT SUM(val_dec) AS total_dec FROM value)
+        SELECT l_partkey AS p_partkey, CAST(val_dec AS DOUBLE) AS part_value
+        FROM value, total
+        WHERE val_dec > total_dec * CAST(0.0006 AS DECIMAL(6,4))
+        ORDER BY 2 DESC, 1""")),
+
+    // ---- Q21 shape: the only-late supplier on multi-supplier orders -------
+    // Q21's double correlated EXISTS/NOT EXISTS, stated as the per-order
+    // aggregate Spark decorrelates it to: an item is late when it shipped
+    // more than 90 days after the order date (the schema has no
+    // commit/receipt dates); supplier S is charged for order O when S was
+    // late on O, O involves >1 supplier, and S is the ONLY late supplier.
+    // One narrow (orderkey, suppkey, late) aggregation feeds both exists
+    // conditions — no correlated re-scan of lineitem per supplier.
+    Q("q139_waiting_suppliers",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val perSupp = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(max(when(col("l_shipdate") > date_add(col("o_orderdate"), 90), 1L)
+            .otherwise(0L)).as("late"))
+        val perOrder = perSupp.groupBy(col("l_orderkey").as("po_key"))
+          .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+        perSupp.join(perOrder, col("l_orderkey") === col("po_key"))
+          .filter(col("late") === 1L && col("n_supp") > 1L && col("n_late") === 1L)
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), col("s_name"))
+          .limit(10)
+      },
+      Some("""
+        WITH per_supp AS (
+          SELECT l_orderkey, l_suppkey,
+            MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+              THEN 1 ELSE 0 END) AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2),
+        per_order AS (
+          SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+          FROM per_supp GROUP BY 1)
+        SELECT s_name, COUNT(*) AS numwait
+        FROM per_supp p
+          JOIN per_order o ON p.l_orderkey = o.l_orderkey
+          JOIN supplier ON p.l_suppkey = s_suppkey
+        WHERE p.late = 1 AND o.n_supp > 1 AND o.n_late = 1
+        GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10"""))
   )
 }
