@@ -259,6 +259,31 @@ object Multimodal {
     })
   }
 
+  /** Image corpus with planted perceptual near-duplicates: every 25th doc
+    * re-renders the PREVIOUS 25th-doc's image one red level brighter
+    * (byte-different payload, same visual structure), and every 40th doc
+    * is an exact re-render of doc 0 (byte-identical for PNG — the
+    * deterministic encoder). The visual-dedup fixture: exact dups collide
+    * on payload md5, near-dups only on perceptual features.
+    */
+  def imageAssetsWithNearDups(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val exactDup = id > 0 && id % 40 == 0
+        val nearDup = id > 0 && id % 25 == 0 && !exactDup
+        val base = if (exactDup) 0L else if (nearDup) id - 1 else id
+        val w = (8 + (base * 5) % 16).toInt
+        val h = (8 + (base * 7) % 16).toInt
+        val rBase = (base % 199).toInt + (if (nearDup) 1 else 0)
+        val g = ((base * 11) % 256).toInt
+        val b = ((base * 17) % 256).toInt
+        Asset(id, "png",
+          ImageIoCodec.encode(w, h, "png")((x, y) => ((rBase + x + y) << 16) | (g << 8) | b))
+      })
+  }
+
   /** Decoded WAV features — integer amplitude statistics ([[WavCodec]]),
     * exact in any summation order.
     */

@@ -305,6 +305,99 @@ object MultimodalQueries {
             + (CASE WHEN b10 > b11 THEN 2 ELSE 0 END)
             + (CASE WHEN b00 > b10 THEN 4 ELSE 0 END)
             + (CASE WHEN b01 > b11 THEN 8 ELSE 0 END) AS BIGINT) AS dhash
-        FROM wide w JOIN p ON p.doc_id = w.doc_id ORDER BY 1"""))
+        FROM wide w JOIN p ON p.doc_id = w.doc_id ORDER BY 1""")),
+
+    // ---- visual near-dup: block on dims, verify on thumbnail bands --------
+    // Image dedup over a corpus with PLANTED visual duplicates: every
+    // 40th image is an exact re-render of image 0 (byte-identical — the
+    // PNG encoder is deterministic) and every 25th re-renders its
+    // neighbor one red level brighter (byte-DIFFERENT payload, same
+    // visual structure — exactly what byte-level dedup can't see). The
+    // standard block+verify shape over real decoded pixels: block on
+    // (width, height), verify per-pair that every 2x2 thumbnail box mean
+    // differs by <= 1 luma level — computed as integer sum differences
+    // against 1000·boxPixels, exact in both engines. 'exact' pairs are
+    // the ones byte-md5 equality also catches (Spark hashes the real
+    // payload; the oracle proves the same verdict from parameter
+    // equality — deterministic encoder makes these equivalent); 'near'
+    // pairs are invisible to md5 and THE reason perceptual features
+    // exist. Payloads never join — only (dims, 4 sums, md5) rows do.
+    Q("q140_visual_neardup",
+      (s, dir) => {
+        val md5s = Multimodal.imageAssetsWithNearDups(s, dir).toDF()
+          .select(col("asset_id"), md5(col("payload")).as("pm"))
+        val bx = (0 until 4).map(i => element_at(col("box_sums"), i + 1))
+        val feats = Multimodal.decodeThumb(
+            Multimodal.imageAssetsWithNearDups(s, dir), grid = 2).toDF()
+          .join(md5s, "asset_id")
+          .select(col("asset_id"), col("width"), col("height"), col("pm"),
+            bx(0).as("b00"), bx(1).as("b01"), bx(2).as("b10"), bx(3).as("b11"))
+          .withColumn("xs", expr("(width + 1) div 2"))
+          .withColumn("ys", expr("(height + 1) div 2"))
+        def side(p: String) =
+          feats.columns.foldLeft(feats)((d, c) => d.withColumnRenamed(c, p + c))
+        val a = side("a_"); val b = side("b_")
+        def band(bn: String, n: org.apache.spark.sql.Column) =
+          abs(col("a_" + bn) - col("b_" + bn)) <= lit(1000L) * n
+        a.join(b, col("a_width") === col("b_width") &&
+            col("a_height") === col("b_height") &&
+            col("a_asset_id") < col("b_asset_id"))
+          .filter(
+            band("b00", col("a_xs") * col("a_ys")) &&
+            band("b01", (col("a_width") - col("a_xs")) * col("a_ys")) &&
+            band("b10", col("a_xs") * (col("a_height") - col("a_ys"))) &&
+            band("b11", (col("a_width") - col("a_xs")) * (col("a_height") - col("a_ys"))))
+          .select(col("a_asset_id").as("id_a"), col("b_asset_id").as("id_b"),
+            col("a_width").cast("long").as("w"), col("a_height").cast("long").as("h"),
+            when(col("a_pm") === col("b_pm"), "exact").otherwise("near").as("kind"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH p0 AS (
+          SELECT doc_id,
+            CASE WHEN doc_id > 0 AND doc_id % 40 = 0 THEN 0
+                 WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
+                 ELSE doc_id END AS base,
+            CASE WHEN doc_id > 0 AND doc_id % 25 = 0 AND doc_id % 40 <> 0
+                 THEN 1 ELSE 0 END AS bright
+          FROM documents),
+        p AS (
+          SELECT doc_id,
+            8 + (base * 5) % 16 AS w, 8 + (base * 7) % 16 AS h,
+            base % 199 + bright AS r, (base * 11) % 256 AS g, (base * 17) % 256 AS b,
+            (8 + (base * 5) % 16 + 1) // 2 AS xs, (8 + (base * 7) % 16 + 1) // 2 AS ys
+          FROM p0),
+        boxes AS (
+          SELECT doc_id, w, h, r, g, b, xs, ys, gx, gy,
+            CASE gx WHEN 0 THEN 0 ELSE xs END AS x0,
+            CASE gx WHEN 0 THEN xs ELSE w END AS x1,
+            CASE gy WHEN 0 THEN 0 ELSE ys END AS y0,
+            CASE gy WHEN 0 THEN ys ELSE h END AS y1
+          FROM p, (SELECT unnest([0, 1]) AS gx), (SELECT unnest([0, 1]) AS gy)),
+        sums AS (
+          SELECT doc_id, gx, gy,
+            (x1 - x0) * (y1 - y0) * (299 * r + 587 * g + 114 * b)
+              + 299 * ((y1 - y0) * (((x0 + x1 - 1) * (x1 - x0)) // 2)
+                       + (x1 - x0) * (((y0 + y1 - 1) * (y1 - y0)) // 2)) AS s
+          FROM boxes),
+        wide AS (
+          SELECT p.doc_id, p.w, p.h, p.r, p.g, p.b, p.xs, p.ys,
+            MAX(CASE WHEN gy = 0 AND gx = 0 THEN s END) AS b00,
+            MAX(CASE WHEN gy = 0 AND gx = 1 THEN s END) AS b01,
+            MAX(CASE WHEN gy = 1 AND gx = 0 THEN s END) AS b10,
+            MAX(CASE WHEN gy = 1 AND gx = 1 THEN s END) AS b11
+          FROM sums JOIN p ON sums.doc_id = p.doc_id
+          GROUP BY ALL)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(a.w AS BIGINT) AS w, CAST(a.h AS BIGINT) AS h,
+          CASE WHEN a.r = b.r AND a.g = b.g AND a.b = b.b
+               THEN 'exact' ELSE 'near' END AS kind
+        FROM wide a JOIN wide b
+          ON a.w = b.w AND a.h = b.h AND a.doc_id < b.doc_id
+        WHERE abs(a.b00 - b.b00) <= 1000 * (a.xs * a.ys)
+          AND abs(a.b01 - b.b01) <= 1000 * ((a.w - a.xs) * a.ys)
+          AND abs(a.b10 - b.b10) <= 1000 * (a.xs * (a.h - a.ys))
+          AND abs(a.b11 - b.b11) <= 1000 * ((a.w - a.xs) * (a.h - a.ys))
+        ORDER BY 1, 2"""))
   )
 }
