@@ -38,6 +38,34 @@ object Writers {
     }
   }
 
+  /** Small-file compaction accounting. */
+  final case class CompactStats(filesBefore: Int, filesAfter: Int, bytes: Long)
+
+  /** Compact a parquet dataset's small files toward `targetBytes` output
+    * parts — the operational fix for the 100-TB small-file problem (every
+    * streaming/incremental sink accretes part files; each costs a task,
+    * an open, and a footer read on every later scan). One pass: size the
+    * file count from on-disk bytes, `coalesce` (narrow — no shuffle; a
+    * compaction that shuffles 100 TB to save file handles is worse than
+    * the disease), and rewrite through the same crash-safe staging swap
+    * as [[overwrite]]. No-ops (zero rewrites) when the layout is already
+    * at or under the target count.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L << 20): CompactStats = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(hPath)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    val bytes = parts.map(_.getLen).sum
+    val target = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+    if (parts.length <= target) CompactStats(parts.length, parts.length, bytes)
+    else {
+      overwrite(spark.read.parquet(path).coalesce(target), path)
+      CompactStats(parts.length, target, bytes)
+    }
+  }
+
   /** S10/J6 upsert: incoming rows win on key collision; returns the merged
     * frame plus inserted/updated accounting. The merge is one left-anti
     * join (existing rows not replaced) plus a union — both sides shuffle on
