@@ -186,6 +186,35 @@ class PlanShapeSpec extends SparkSpec
     assert(!s.contains("Window"), "cell assignment must not go through a window")
   }
 
+  test("q136 subword tokenization is one pass: no explode, no text in exchanges") {
+    val plan = SparkEntry.queries("q136_subword_tokenize")(spark, dir)
+      .queryExecution.executedPlan
+    assert(!plan.toString.contains("Generate"),
+      "segmentation must not explode per-token rows")
+    val scans = collect(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"expected a single documents scan, got ${scans.size}")
+    for (e <- collect(plan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }; a <- e.output)
+      assert(!a.name.toLowerCase.contains("text") && a.name != "joined",
+        s"wide column '${a.name}' in a shuffle exchange")
+  }
+
+  test("q140 visual near-dup joins narrow features; payloads never shuffle") {
+    val plan = SparkEntry.queries("q140_visual_neardup")(spark, dir)
+      .queryExecution.executedPlan
+    val exchanges = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.output
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b.output
+    }
+    for (out <- exchanges; a <- out)
+      assert(!a.name.toLowerCase.contains("payload"),
+        s"image payload column '${a.name}' in an exchange")
+    assert(!plan.toString.contains("CartesianProduct"))
+  }
+
   test("q122 incremental dedup broadcasts only narrow pair ids (never text)") {
     val plan = SparkEntry.queries("q122_incremental_neardup")(spark, dir)
       .queryExecution.executedPlan
