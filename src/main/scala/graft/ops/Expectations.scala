@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the validation stage a
+  * production pipeline runs between ingest and publish (the reference
+  * cleans row-at-a-time in Python; a declarative engine asserts the same
+  * invariants corpus-wide in one aggregate).
+  *
+  * Scale shape: ALL row-level rules evaluate in a SINGLE pass — one
+  * partial/final hash aggregate carrying (1 + #rules) longs, no matter
+  * how many rules or rows; the per-rule report then unpivots the one
+  * aggregate row (driver-side constant work). Referential integrity is
+  * the one rule that genuinely needs a second relation: a left-anti join
+  * against the (distinct) parent keys, broadcastable when the parent key
+  * set fits.
+  */
+object Expectations {
+
+  /** One expectation: `violated` must evaluate to TRUE exactly on rows
+    * that break the rule (nulls count as violations — an unknown is not a
+    * pass; wrap in `coalesce` at the call site to opt out).
+    */
+  final case class Rule(name: String, violated: Column)
+
+  /** Evaluate all rules in one aggregate pass. Output: one row per rule,
+    * in the given order — (rule, rows, violations, violation_rate).
+    */
+  def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val aggd = df.agg(
+      count(lit(1)).as("__rows"),
+      rules.zipWithIndex.map { case (r, i) =>
+        sum(when(coalesce(r.violated, lit(true)), 1L).otherwise(0L)).as(s"__v$i")
+      }: _*)
+    val stacked = rules.zipWithIndex.map { case (r, i) =>
+      s"'${r.name.replace("'", "''")}', __v$i"
+    }.mkString(", ")
+    aggd.select(col("__rows"),
+        expr(s"stack(${rules.length}, $stacked) AS (rule, violations)"))
+      .select(col("rule"), col("__rows").as("n_rows"), col("violations"),
+        (col("violations").cast("double") / col("__rows")).as("violation_rate"))
+  }
+
+  /** Referential-integrity violation rows: child rows whose `childKey` has
+    * no match in `parent`'s `parentKey` (null child keys violate too —
+    * they reference nothing). Count it for a report row; keep it for
+    * quarantine.
+    */
+  def refViolations(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val parents = parent.select(col(parentKey).as("__pk")).distinct()
+    child.join(parents, col(childKey) === col("__pk"), "left_anti")
+  }
+}

@@ -266,6 +266,55 @@ object PipelineQueries {
         SELECT source, target_permille, epochs, COUNT(*) AS docs,
           CAST(COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS sampled_docs,
           CAST(COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) * epochs AS BIGINT) AS weighted_docs
-        FROM m GROUP BY 1, 2, 3 ORDER BY 1"""))
+        FROM m GROUP BY 1, 2, 3 ORDER BY 1""")),
+
+    // ---- declarative data-quality expectations -----------------------------
+    // The validate-before-publish stage: every row-level rule folds into
+    // ONE aggregate pass over the fact table (a (1 + #rules)-long state,
+    // independent of rule count and row count), then unpivots to the
+    // per-rule report; referential integrity — the one rule needing a
+    // second relation — is a left-anti join against the distinct parent
+    // keys. Thresholds here are chosen so some rules FAIL on real rows
+    // (a validator whose fixtures can't produce violations tests
+    // nothing), while price_positive and the RI check prove clean at 0.
+    Q("q141_data_quality",
+      (s, dir) => {
+        import graft.ops.Expectations._
+        val l = t(s, dir, "lineitem")
+        val rowRules = report(l, Seq(
+          Rule("discount_in_band", !col("l_discount").between(0.0, 0.05)),
+          Rule("price_positive", col("l_extendedprice") <= 0.0),
+          Rule("quantity_in_range", !col("l_quantity").between(1, 30)),
+          Rule("shipdate_present", col("l_shipdate").isNull)))
+        val riViol = refViolations(l, "l_orderkey", t(s, dir, "orders"), "o_orderkey")
+          .agg(count(lit(1)).as("violations"))
+        val riRow = l.agg(count(lit(1)).as("n_rows")).crossJoin(riViol)
+          .select(lit("orderkey_refs_order").as("rule"), col("n_rows"),
+            col("violations"),
+            (col("violations").cast("double") / col("n_rows")).as("violation_rate"))
+        rowRules.unionByName(riRow).orderBy("rule")
+      },
+      Some("""
+        WITH base AS (
+          SELECT COUNT(*) AS n_rows,
+            SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.05) THEN 1 ELSE 0 END) AS v0,
+            SUM(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS v1,
+            SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 30) THEN 1 ELSE 0 END) AS v2,
+            SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v3
+          FROM lineitem),
+        ri AS (
+          SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows,
+            COUNT(*) AS v
+          FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        rep AS (
+          SELECT 'discount_in_band' AS rule, n_rows, v0 AS violations FROM base
+          UNION ALL SELECT 'price_positive', n_rows, v1 FROM base
+          UNION ALL SELECT 'quantity_in_range', n_rows, v2 FROM base
+          UNION ALL SELECT 'shipdate_present', n_rows, v3 FROM base
+          UNION ALL SELECT 'orderkey_refs_order', n_rows, v FROM ri)
+        SELECT rule, CAST(n_rows AS BIGINT) AS n_rows,
+          CAST(violations AS BIGINT) AS violations,
+          CAST(violations AS DOUBLE) / n_rows AS violation_rate
+        FROM rep ORDER BY rule"""))
   )
 }
