@@ -53,4 +53,33 @@ object Expectations {
     val parents = parent.select(col(parentKey).as("__pk")).distinct()
     child.join(parents, col(childKey) === col("__pk"), "left_anti")
   }
+
+  /** STREAMING quality gate: per micro-batch, split rows into pass /
+    * quarantine on the conjunction of `rules` and hand each side (plus
+    * the per-rule report) to its sink — the operational shape where bad
+    * rows must not silently vanish OR poison the published table. The
+    * split predicate evaluates row-local in the batch's scan stage; the
+    * report is the same one-aggregate pass as [[report]]. Sinks run in
+    * order (good, quarantined, report) inside the batch transaction.
+    */
+  def gateStream(docs: DataFrame, rules: Seq[Rule])(
+      good: DataFrame => Unit, quarantined: DataFrame => Unit,
+      reportSink: DataFrame => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(rules.nonEmpty, "at least one rule")
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bad = rules.map(r => coalesce(r.violated, lit(true)))
+          .reduce(_ || _)
+        val tagged = batch.withColumn("__bad", bad).persist()
+        try {
+          good(tagged.filter(!col("__bad")).drop("__bad"))
+          quarantined(tagged.filter(col("__bad")).drop("__bad"))
+          reportSink(report(batch, rules))
+          ()
+        } finally tagged.unpersist()
+      }
+      .start()
+  }
 }

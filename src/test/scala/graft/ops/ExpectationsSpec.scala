@@ -20,6 +20,32 @@ class ExpectationsSpec extends SparkSpec {
     assert(rep("s_present") === ((3L, 1L)))
   }
 
+  test("gateStream splits live batches into pass/quarantine and reports") {
+    val srcDir = java.nio.file.Files.createTempDirectory("gate").toString + "/src"
+    val b1 = Seq((1L, 10.0), (2L, -1.0), (3L, 5.0)).toDF("id", "amount")
+    b1.coalesce(1).write.parquet(srcDir)
+    val goodIds = scala.collection.mutable.ArrayBuffer[Long]()
+    val badIds = scala.collection.mutable.ArrayBuffer[Long]()
+    val rates = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val q = gateStream(
+      spark.readStream.schema(b1.schema).parquet(srcDir),
+      Seq(Rule("amount_nonneg", col("amount") < 0)))(
+      g => goodIds ++= g.collect().map(_.getLong(0)),
+      b => badIds ++= b.collect().map(_.getLong(0)),
+      r => rates ++= r.collect().map(x => x.getString(0) -> x.getLong(2)))
+    try {
+      q.processAllAvailable()
+      assert(goodIds.sorted.toSeq === Seq(1L, 3L) && badIds.toSeq === Seq(2L))
+      assert(rates.toSeq === Seq("amount_nonneg" -> 1L))
+      Seq((4L, -2.0), (5L, 1.0)).toDF("id", "amount")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      assert(goodIds.sorted.toSeq === Seq(1L, 3L, 5L))
+      assert(badIds.sorted.toSeq === Seq(2L, 4L))
+      assert(rates.map(_._2).sum === 2L)
+    } finally q.stop()
+  }
+
   test("refViolations keeps orphan child rows, including null keys") {
     val child = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (99L, "c"), (null, "d"))
       .toDF("fk", "payload")
