@@ -351,26 +351,41 @@ object Curation {
     *   4. hands (id, verdict) rows to `sink` — the caller's write stage.
     *
     * The store table is created on first use with `buckets` buckets.
-    * State lives in the TABLE, not executor memory: restarts resume from
-    * whatever the store holds, and store size is bounded by accepted docs
-    * (4 narrow band rows each), not stream length.
+    * State lives in the TABLE, not executor memory, and store size is
+    * bounded by accepted docs (4 narrow band rows each), not stream
+    * length. Retry/restart safety: foreachBatch is at-least-once, and the
+    * store append lands BEFORE the sink — so a re-executed batch is made
+    * self-consistent by construction: the batch's own doc ids are
+    * excluded from the store side of the verdict join (its prior partial
+    * append can't flip its verdicts to self-matches), and already-stored
+    * ids are excluded from the re-append (no duplicate band rows). Both
+    * exclusions broadcast the batch's id set — no store-side exchange.
+    * Pass `checkpoint` in production so a restart resumes the source
+    * instead of reprocessing history; the sink still receives replayed
+    * verdicts on a crash-retry and should be idempotent per id.
     */
   def nearDupIngestStream(docs: DataFrame, storeTable: String,
       buckets: Int = 32, idCol: String = "doc_id", textCol: String = "text",
-      shingleWidth: Int = 3, estThreshold: Double = 0.5)(
-      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .outputMode("append")
+      shingleWidth: Int = 3, estThreshold: Double = 0.5,
+      checkpoint: Option[String] = None)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream.outputMode("append")
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         val bands = bandRows(
           minhashSignatures(batch, idCol, textCol, shingleWidth)).persist()
+        val batchIds = batch.select(col(idCol).as("doc_id")).distinct()
         try {
           val storeBands =
-            if (s.catalog.tableExists(storeTable))
+            (if (s.catalog.tableExists(storeTable))
               s.table(storeTable).select(col("doc_id"), col("sig"), col("band_key"))
             else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-              bands.schema)
+              bands.schema))
+              // a crashed earlier attempt of THIS batch may have appended
+              // some of its rows already — they must not self-match
+              .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
           // localCheckpoint (eager) BEFORE the append, not persist():
           // writing to the store table invalidates any cached plan that
           // references it, so a merely-persisted verdict frame would
@@ -383,10 +398,16 @@ object Curation {
             verdicts.filter(col("verdict") === "accepted")
               .select(col(idCol).as("doc_id")),
             Seq("doc_id"))
-          if (s.catalog.tableExists(storeTable))
-            graft.io.Writers.appendBucketed(acceptedBands, storeTable,
-              Seq("band_key"), buckets)
-          else
+          if (s.catalog.tableExists(storeTable)) {
+            // retry dedup: ids a crashed attempt already appended stay
+            // appended once. The probe streams the store's doc_id column
+            // against the broadcast batch ids (no store-side exchange).
+            val alreadyStored = s.table(storeTable).select(col("doc_id"))
+              .join(broadcast(batchIds), Seq("doc_id"), "left_semi").distinct()
+            graft.io.Writers.appendBucketed(
+              acceptedBands.join(broadcast(alreadyStored), Seq("doc_id"), "left_anti"),
+              storeTable, Seq("band_key"), buckets)
+          } else
             graft.io.Writers.writeBucketed(acceptedBands, storeTable,
               Seq("band_key"), buckets)
           // foreachBatch runs in a CLONED session whose catalog caches are
@@ -401,6 +422,7 @@ object Curation {
         } finally bands.unpersist()
       }
       .start()
+  }
 
   /** SemDeDup ledger: embeddings are assigned to coarse-quantizer cells
     * (row-local argmax over the broadcast `codebook`), and inside each

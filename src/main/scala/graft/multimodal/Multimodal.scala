@@ -57,18 +57,25 @@ object Multimodal {
       mean_luma = ((first + last + len % 256) % 256) / 255.0)
   }
 
-  /** Formats [[decode]] routes to a REAL decoder ([[ImageIoCodec]]). */
-  private val imageIoFormats = Set("png", "jpg", "jpeg", "gif", "tiff", "tif")
+  /** Formats [[decode]] routes to a REAL decoder ([[ImageIoCodec]] — the
+    * JDK's plugins cover bmp too, so the generic path never pseudo-decodes
+    * a format the typed [[decodeBmp]] parses for real).
+    */
+  private val imageIoFormats =
+    Set("png", "jpg", "jpeg", "gif", "tiff", "tif", "bmp")
 
   /** Batch decode: a typed per-partition pass (the Scala analogue of a
     * pandas-UDF `mapInPandas` stage) — each partition's assets stream
     * through the decoder without materializing the whole partition.
-    * Dispatch: png/jpg/gif/tiff payloads are REALLY decoded via
-    * `javax.imageio`; anything else (webp, opaque blobs) takes the stub.
+    * Dispatch: png/jpg/gif/tiff/bmp payloads are REALLY decoded via
+    * `javax.imageio`; `wav` is rejected loudly (audio features don't fit
+    * this image schema — use [[decodeWav]]); anything else (webp, opaque
+    * blobs) takes the stub.
     */
   def decode(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
+      require(a.format != "wav", "wav assets carry audio features — use decodeWav")
       if (imageIoFormats(a.format)) {
         val d = ImageIoCodec.decode(a.payload)
         AssetFeatures(a.asset_id, a.format, a.payload.length, d.width,
@@ -257,6 +264,36 @@ object Multimodal {
       val (w, h, sums) = ImageIoCodec.boxSums(a.payload, grid)
       ThumbFeatures(a.asset_id, a.format, w, h, sums.toSeq)
     })
+  }
+
+  /** [[ThumbFeatures]] plus the payload's md5 — both derived in the SAME
+    * per-partition pass, for pipelines (visual dedup) that need the
+    * byte-level and perceptual fingerprints together without synthesizing
+    * or decoding the corpus twice.
+    */
+  final case class ThumbMd5Features(
+      asset_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      box_sums: Seq[Long],
+      payload_md5: String)
+
+  /** One-pass [[decodeThumb]] + payload md5 (hex, matching Spark's
+    * `md5()` function so oracles can mirror either side).
+    */
+  def decodeThumbWithMd5(assets: Dataset[Asset], grid: Int = 2): Dataset[ThumbMd5Features] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { a =>
+        require(imageIoFormats(a.format), s"decodeThumbWithMd5 got format '${a.format}'")
+        val (w, h, sums) = ImageIoCodec.boxSums(a.payload, grid)
+        digest.reset()
+        val hex = digest.digest(a.payload).map("%02x".format(_)).mkString
+        ThumbMd5Features(a.asset_id, a.format, w, h, sums.toSeq, hex)
+      }
+    }
   }
 
   /** Image corpus with planted perceptual near-duplicates: every 25th doc

@@ -34,13 +34,16 @@ object Expectations {
       rules.zipWithIndex.map { case (r, i) =>
         sum(when(coalesce(r.violated, lit(true)), 1L).otherwise(0L)).as(s"__v$i")
       }: _*)
-    val stacked = rules.zipWithIndex.map { case (r, i) =>
-      s"'${r.name.replace("'", "''")}', __v$i"
-    }.mkString(", ")
-    aggd.select(col("__rows"),
-        expr(s"stack(${rules.length}, $stacked) AS (rule, violations)"))
-      .select(col("rule"), col("__rows").as("n_rows"), col("violations"),
-        (col("violations").cast("double") / col("__rows")).as("violation_rate"))
+    // unpivot via the Column API (explode over literal structs), not a
+    // stack() SQL string — rule names never pass through the SQL lexer,
+    // so quotes/backslashes in a name can't corrupt the report
+    val entries = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), col(s"__v$i").as("violations"))
+    }
+    aggd.select(col("__rows"), explode(array(entries: _*)).as("__e"))
+      .select(col("__e.rule").as("rule"), col("__rows").as("n_rows"),
+        col("__e.violations").as("violations"),
+        (col("__e.violations").cast("double") / col("__rows")).as("violation_rate"))
   }
 
   /** Referential-integrity violation rows: child rows whose `childKey` has
@@ -61,22 +64,33 @@ object Expectations {
     * split predicate evaluates row-local in the batch's scan stage; the
     * report is the same one-aggregate pass as [[report]]. Sinks run in
     * order (good, quarantined, report) inside the batch transaction.
+    *
+    * Delivery is AT-LEAST-ONCE per sink, like any foreachBatch: a sink
+    * failure or restart re-runs the whole batch. Each sink therefore
+    * receives the `batchId` — make the write idempotent on it (overwrite
+    * a batchId-keyed partition, or MERGE on (batchId, key)) — and pass
+    * `checkpoint` in production so a restart resumes instead of
+    * reprocessing history.
     */
-  def gateStream(docs: DataFrame, rules: Seq[Rule])(
-      good: DataFrame => Unit, quarantined: DataFrame => Unit,
-      reportSink: DataFrame => Unit = _ => ())
+  def gateStream(docs: DataFrame, rules: Seq[Rule],
+      checkpoint: Option[String] = None)(
+      good: (DataFrame, Long) => Unit, quarantined: (DataFrame, Long) => Unit,
+      reportSink: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(rules.nonEmpty, "at least one rule")
-    docs.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    val writer = docs.writeStream.outputMode("append")
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bad = rules.map(r => coalesce(r.violated, lit(true)))
           .reduce(_ || _)
         val tagged = batch.withColumn("__bad", bad).persist()
         try {
-          good(tagged.filter(!col("__bad")).drop("__bad"))
-          quarantined(tagged.filter(col("__bad")).drop("__bad"))
-          reportSink(report(batch, rules))
+          good(tagged.filter(!col("__bad")).drop("__bad"), batchId)
+          quarantined(tagged.filter(col("__bad")).drop("__bad"), batchId)
+          // aggregate off the persisted split, not the raw batch — the
+          // report must not re-read the micro-batch source
+          reportSink(report(tagged.drop("__bad"), rules), batchId)
           ()
         } finally tagged.unpersist()
       }

@@ -324,13 +324,12 @@ object MultimodalQueries {
     // exist. Payloads never join — only (dims, 4 sums, md5) rows do.
     Q("q140_visual_neardup",
       (s, dir) => {
-        val md5s = Multimodal.imageAssetsWithNearDups(s, dir).toDF()
-          .select(col("asset_id"), md5(col("payload")).as("pm"))
         val bx = (0 until 4).map(i => element_at(col("box_sums"), i + 1))
-        val feats = Multimodal.decodeThumb(
+        // byte md5 + box sums in ONE synthesis/decode pass per image
+        val feats = Multimodal.decodeThumbWithMd5(
             Multimodal.imageAssetsWithNearDups(s, dir), grid = 2).toDF()
-          .join(md5s, "asset_id")
-          .select(col("asset_id"), col("width"), col("height"), col("pm"),
+          .select(col("asset_id"), col("width"), col("height"),
+            col("payload_md5").as("pm"),
             bx(0).as("b00"), bx(1).as("b01"), bx(2).as("b10"), bx(3).as("b11"))
           .withColumn("xs", expr("(width + 1) div 2"))
           .withColumn("ys", expr("(height + 1) div 2"))

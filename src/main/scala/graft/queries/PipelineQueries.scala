@@ -296,16 +296,25 @@ object PipelineQueries {
       },
       Some("""
         WITH base AS (
+          -- COALESCE(..., TRUE): a NULL rule column counts as a violation,
+          -- matching Expectations.report's unknown-is-not-a-pass default
           SELECT COUNT(*) AS n_rows,
-            SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.05) THEN 1 ELSE 0 END) AS v0,
-            SUM(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS v1,
-            SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 30) THEN 1 ELSE 0 END) AS v2,
+            SUM(CASE WHEN COALESCE(NOT (l_discount BETWEEN 0.0 AND 0.05), TRUE)
+                THEN 1 ELSE 0 END) AS v0,
+            SUM(CASE WHEN COALESCE(l_extendedprice <= 0.0, TRUE)
+                THEN 1 ELSE 0 END) AS v1,
+            SUM(CASE WHEN COALESCE(NOT (l_quantity BETWEEN 1 AND 30), TRUE)
+                THEN 1 ELSE 0 END) AS v2,
             SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v3
           FROM lineitem),
         ri AS (
+          -- anti-join, not NOT IN: a NULL child key must count as an
+          -- orphan (NOT IN would silently drop it), matching refViolations
           SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows,
             COUNT(*) AS v
-          FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+          FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+            ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderkey IS NULL),
         rep AS (
           SELECT 'discount_in_band' AS rule, n_rows, v0 AS violations FROM base
           UNION ALL SELECT 'price_positive', n_rows, v1 FROM base

@@ -49,6 +49,78 @@ object SimilarityQueries {
   private def bucketSql(c: String): String =
     s"CAST(list_sum(list_transform(range(1, 5), i -> CASE WHEN $c[i] >= 0 THEN 1 << (i - 1) ELSE 0 END)) AS INTEGER)"
 
+  // ---- shared IVF plumbing (q112 / q132 / q134) ---------------------------
+  // One coarse-quantizer recipe — 16 first vectors, cosine argmax, lowest
+  // id on ties — expressed ONCE on each engine so the three queries that
+  // compose it can never silently desynchronize from their oracles.
+
+  /** Driver-collected coarse codebook: (id, vector, norm) of the first 16
+    * vectors — tiny by construction, broadcast with the plan.
+    */
+  private def coarseCodebook(e: DataFrame): Seq[(Long, Seq[Double], Double)] =
+    e.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding").cast("array<double>"),
+        graft.ml.VecOps.norm(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+
+  /** Add `v_nrm` + `cell` (row-local argmax over the literal codebook) to
+    * any frame carrying `embedding` — other columns pass through.
+    */
+  private def assignCells(df: DataFrame,
+      codebook: Seq[(Long, Seq[Double], Double)]): DataFrame =
+    df.withColumn("v_nrm", graft.ml.VecOps.norm(col("embedding")))
+      .withColumn("cell",
+        graft.ml.VecOps.argmaxCell(col("embedding"), col("v_nrm"), codebook))
+
+  /** The query's probe set: rank the broadcast centroids against vector
+    * `qid`, keep `nprobe` — (q_cell, q_emb, q_nrm) rows, per-query work
+    * independent of corpus size.
+    */
+  private def probeRows(e: DataFrame, codebook: Seq[(Long, Seq[Double], Double)],
+      qid: Int, nprobe: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    val cbDf = codebook.toDF("c_id", "c_emb", "c_nrm")
+      .select(col("c_id"), col("c_emb").cast("array<float>"), col("c_nrm"))
+    e.filter(col("vec_id") === qid)
+      .select(col("embedding").as("q_emb"),
+        graft.ml.VecOps.norm(col("embedding")).as("q_nrm"))
+      .crossJoin(broadcast(cbDf))
+      .withColumn("c_sim",
+        graft.ml.VecOps.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .orderBy(desc("c_sim"), col("c_id"))
+      .limit(nprobe)
+      .select(col("c_id").as("q_cell"), col("q_emb"), col("q_nrm"))
+  }
+
+  /** The oracle's mirror of the same recipe: nrm / centroids / assigned /
+    * qv / probes CTEs, parameterized by query vector and nprobe.
+    */
+  private def ivfOracleCtes(qVecId: Int, nprobe: Int): String = s"""
+        nrm AS (
+          SELECT vec_id, embedding, ${normSql("embedding")} AS v_nrm FROM embeddings),
+        centroids AS (
+          SELECT vec_id AS c_id, embedding AS c_emb, v_nrm AS c_nrm
+          FROM nrm WHERE vec_id < 16),
+        assigned AS (
+          SELECT vec_id, embedding, v_nrm, c_id AS cell FROM (
+            SELECT n.vec_id, n.embedding, n.v_nrm, c.c_id,
+              ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(n.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), (x, y) -> x + y)
+                  / (n.v_nrm * c.c_nrm) DESC, c.c_id) AS rn
+            FROM nrm n CROSS JOIN centroids c) WHERE rn = 1),
+        qv AS (SELECT embedding AS q_emb, v_nrm AS q_nrm FROM nrm WHERE vec_id = $qVecId),
+        probes AS (
+          SELECT c_id AS q_cell FROM (
+            SELECT c.c_id,
+              ROW_NUMBER() OVER (ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), (x, y) -> x + y)
+                  / (q.q_nrm * c.c_nrm) DESC, c.c_id) AS rn
+            FROM qv q CROSS JOIN centroids c) WHERE rn <= $nprobe)"""
+
   val all: Seq[Q] = Seq(
 
     // ---- brute-force cosine top-k (the exactness baseline) ----------------
@@ -211,30 +283,11 @@ object SimilarityQueries {
     Q("q112_ivf_multiprobe",
       (s, dir) => {
         graft.ml.VecOps.register(s)
-        import s.implicits._
         val e = t(s, dir, "embeddings")
-        val codebook = e.filter(col("vec_id") < 16)
-          .select(col("vec_id"), col("embedding").cast("array<double>"),
-            graft.ml.VecOps.norm(col("embedding")))
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-          .sortBy(_._1).toSeq
-        val cbDf = codebook.toDF("c_id", "c_emb", "c_nrm")
-          .select(col("c_id"), col("c_emb").cast("array<float>"), col("c_nrm"))
-        val assigned = e
-          .select(col("vec_id"), col("embedding"),
-            graft.ml.VecOps.norm(col("embedding")).as("v_nrm"))
-          .withColumn("cell",
-            graft.ml.VecOps.argmaxCell(col("embedding"), col("v_nrm"), codebook))
-        val qv = e.filter(col("vec_id") === 42)
-          .select(col("embedding").as("q_emb"),
-            graft.ml.VecOps.norm(col("embedding")).as("q_nrm"))
-        val probes = qv.crossJoin(broadcast(cbDf))
-          .withColumn("c_sim",
-            graft.ml.VecOps.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
-          .orderBy(desc("c_sim"), col("c_id"))
-          .limit(2)
-          .select(col("c_id").as("q_cell"), col("q_emb"), col("q_nrm"))
+        val codebook = coarseCodebook(e)
+        val assigned = assignCells(
+          e.select(col("vec_id"), col("embedding")), codebook)
+        val probes = probeRows(e, codebook, qid = 42, nprobe = 2)
         assigned.join(broadcast(probes), col("cell") === col("q_cell"))
           .filter(col("vec_id") =!= 42)
           .withColumn("sim",
@@ -244,35 +297,14 @@ object SimilarityQueries {
           .select("vec_id", "cell", "sim")
       },
       Some(s"""
-        WITH nrm AS (
-          SELECT vec_id, embedding, ${normSql("embedding")} AS v_nrm FROM embeddings),
-        centroids AS (
-          SELECT vec_id AS c_id, embedding AS c_emb, v_nrm AS c_nrm
-          FROM nrm WHERE vec_id < 16),
-        assigned AS (
-          SELECT vec_id, embedding, v_nrm, c_id AS cell FROM (
-            SELECT n.vec_id, n.embedding, n.v_nrm, c.c_id,
-              ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-                list_reduce(list_transform(range(1, 65),
-                  i -> CAST(n.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), (x, y) -> x + y)
-                  / (n.v_nrm * c.c_nrm) DESC, c.c_id) AS rn
-            FROM nrm n CROSS JOIN centroids c) WHERE rn = 1),
-        qv AS (SELECT embedding AS q_emb, v_nrm AS q_nrm FROM nrm WHERE vec_id = 42),
-        probes AS (
-          SELECT c_id AS q_cell, q_emb, q_nrm FROM (
-            SELECT c.c_id, q.q_emb, q.q_nrm,
-              ROW_NUMBER() OVER (ORDER BY
-                list_reduce(list_transform(range(1, 65),
-                  i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), (x, y) -> x + y)
-                  / (q.q_nrm * c.c_nrm) DESC, c.c_id) AS rn
-            FROM qv q CROSS JOIN centroids c) WHERE rn <= 2)
-        SELECT vec_id, cell,
+        WITH ${ivfOracleCtes(qVecId = 42, nprobe = 2)}
+        SELECT a.vec_id, a.cell,
           list_reduce(list_transform(range(1, 65),
-            i -> CAST(embedding[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)), (x, y) -> x + y)
-            / (v_nrm * q_nrm) AS sim
-        FROM assigned JOIN probes ON cell = q_cell
-        WHERE vec_id <> 42
-        ORDER BY sim DESC, vec_id LIMIT 5""")),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)), (x, y) -> x + y)
+            / (a.v_nrm * q.q_nrm) AS sim
+        FROM assigned a JOIN probes p ON a.cell = p.q_cell, qv q
+        WHERE a.vec_id <> 42
+        ORDER BY sim DESC, a.vec_id LIMIT 5""")),
 
     // ---- label-centroid similarity (vector agg + rollup shape) ------------
     // Per label: average vector via ASSOCIATIVE decimal sums, then the
@@ -384,35 +416,16 @@ object SimilarityQueries {
     Q("q132_ivf_pq",
       (s, dir) => {
         graft.ml.VecOps.register(s)
-        import s.implicits._
         val e = t(s, dir, "embeddings")
         val clean = e.filter(col("embedding").isNotNull)
         // coarse quantizer: 16 broadcast centroids, row-local cosine argmax
-        val codebook = e.filter(col("vec_id") < 16)
-          .select(col("vec_id"), col("embedding").cast("array<double>"),
-            graft.ml.VecOps.norm(col("embedding")))
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-          .sortBy(_._1).toSeq
-        val cbDf = codebook.toDF("c_id", "c_emb", "c_nrm")
-          .select(col("c_id"), col("c_emb").cast("array<float>"), col("c_nrm"))
+        val codebook = coarseCodebook(e)
         // index build: cell id + PQ codes per vector, all row-local
         val cbs = graft.ml.Pq.fit(s, e, m = 4, k = 4, iters = 2)
-        val indexed = graft.ml.Pq.encode(clean, cbs)
-          .select(col("vec_id"), col("embedding"), col("codes"),
-            graft.ml.VecOps.norm(col("embedding")).as("v_nrm"))
-          .withColumn("cell",
-            graft.ml.VecOps.argmaxCell(col("embedding"), col("v_nrm"), codebook))
+        val indexed = assignCells(graft.ml.Pq.encode(clean, cbs), codebook)
         // per-query work: rank 16 centroids, keep 2 probe cells
-        val qv = clean.filter(col("vec_id") === 42)
-          .select(col("embedding").as("q_emb"),
-            graft.ml.VecOps.norm(col("embedding")).as("q_nrm"))
-        val probes = qv.crossJoin(broadcast(cbDf))
-          .withColumn("c_sim",
-            graft.ml.VecOps.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
-          .orderBy(desc("c_sim"), col("c_id"))
-          .limit(2)
-          .select(col("c_id").as("q_cell"))
+        val probes = probeRows(e, codebook, qid = 42, nprobe = 2)
+          .select(col("q_cell"))
         val q = clean.filter(col("vec_id") === 42)
           .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
         // probe-cell prune FIRST, then the code-only ADC projection
@@ -517,30 +530,11 @@ object SimilarityQueries {
     Q("q134_ann_recall",
       (s, dir) => {
         graft.ml.VecOps.register(s)
-        import s.implicits._
         val e = t(s, dir, "embeddings")
-        val codebook = e.filter(col("vec_id") < 16)
-          .select(col("vec_id"), col("embedding").cast("array<double>"),
-            graft.ml.VecOps.norm(col("embedding")))
-          .collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-          .sortBy(_._1).toSeq
-        val cbDf = codebook.toDF("c_id", "c_emb", "c_nrm")
-          .select(col("c_id"), col("c_emb").cast("array<float>"), col("c_nrm"))
-        val assigned = e
-          .select(col("vec_id"), col("embedding"),
-            graft.ml.VecOps.norm(col("embedding")).as("v_nrm"))
-          .withColumn("cell",
-            graft.ml.VecOps.argmaxCell(col("embedding"), col("v_nrm"), codebook))
-        val qv = e.filter(col("vec_id") === 42)
-          .select(col("embedding").as("q_emb"),
-            graft.ml.VecOps.norm(col("embedding")).as("q_nrm"))
-        val probes = qv.crossJoin(broadcast(cbDf))
-          .withColumn("c_sim",
-            graft.ml.VecOps.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
-          .orderBy(desc("c_sim"), col("c_id"))
-          .limit(2)
-          .select(col("c_id").as("q_cell"), col("q_emb"), col("q_nrm"))
+        val codebook = coarseCodebook(e)
+        val assigned = assignCells(
+          e.select(col("vec_id"), col("embedding")), codebook)
+        val probes = probeRows(e, codebook, qid = 42, nprobe = 2)
         val ivf = assigned.join(broadcast(probes), col("cell") === col("q_cell"))
           .filter(col("vec_id") =!= 42)
           .withColumn("sim",
@@ -548,6 +542,9 @@ object SimilarityQueries {
           .orderBy(desc("sim"), col("vec_id"))
           .limit(10)
           .select(col("vec_id"), lit(1L).as("hit"))
+        val qv = e.filter(col("vec_id") === 42)
+          .select(col("embedding").as("q_emb"),
+            graft.ml.VecOps.norm(col("embedding")).as("q_nrm"))
         val brute = e.crossJoin(broadcast(qv))
           .filter(col("vec_id") =!= 42)
           .withColumn("sim",
@@ -566,28 +563,7 @@ object SimilarityQueries {
             (col("hits").cast("double") / lit(10.0)).as("recall"), col("missed"))
       },
       Some(s"""
-        WITH nrm AS (
-          SELECT vec_id, embedding, ${normSql("embedding")} AS v_nrm FROM embeddings),
-        centroids AS (
-          SELECT vec_id AS c_id, embedding AS c_emb, v_nrm AS c_nrm
-          FROM nrm WHERE vec_id < 16),
-        assigned AS (
-          SELECT vec_id, embedding, v_nrm, c_id AS cell FROM (
-            SELECT n.vec_id, n.embedding, n.v_nrm, c.c_id,
-              ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-                list_reduce(list_transform(range(1, 65),
-                  i -> CAST(n.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), (x, y) -> x + y)
-                  / (n.v_nrm * c.c_nrm) DESC, c.c_id) AS rn
-            FROM nrm n CROSS JOIN centroids c) WHERE rn = 1),
-        qv AS (SELECT embedding AS q_emb, v_nrm AS q_nrm FROM nrm WHERE vec_id = 42),
-        probes AS (
-          SELECT c_id AS q_cell FROM (
-            SELECT c.c_id,
-              ROW_NUMBER() OVER (ORDER BY
-                list_reduce(list_transform(range(1, 65),
-                  i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), (x, y) -> x + y)
-                  / (q.q_nrm * c.c_nrm) DESC, c.c_id) AS rn
-            FROM qv q CROSS JOIN centroids c) WHERE rn <= 2),
+        WITH ${ivfOracleCtes(qVecId = 42, nprobe = 2)},
         ivf AS (
           SELECT vec_id, 1 AS hit FROM (
             SELECT a.vec_id,
@@ -753,28 +729,7 @@ object SimilarityQueries {
   private def ivfPqOracleSql: String = {
     val (perSubspace, codeJoins, codesStr, adcSum) = pqOracleParts(qVecId = 42)
     s"""
-        WITH nrm AS (
-          SELECT vec_id, embedding, ${normSql("embedding")} AS v_nrm FROM embeddings),
-        centroids AS (
-          SELECT vec_id AS c_id, embedding AS c_emb, v_nrm AS c_nrm
-          FROM nrm WHERE vec_id < 16),
-        assigned AS (
-          SELECT vec_id, c_id AS cell FROM (
-            SELECT n.vec_id, c.c_id,
-              ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-                list_reduce(list_transform(range(1, 65),
-                  i -> CAST(n.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), (x, y) -> x + y)
-                  / (n.v_nrm * c.c_nrm) DESC, c.c_id) AS rn
-            FROM nrm n CROSS JOIN centroids c) WHERE rn = 1),
-        qv AS (SELECT embedding AS q_emb, v_nrm AS q_nrm FROM nrm WHERE vec_id = 42),
-        probes AS (
-          SELECT c_id AS q_cell FROM (
-            SELECT c.c_id,
-              ROW_NUMBER() OVER (ORDER BY
-                list_reduce(list_transform(range(1, 65),
-                  i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), (x, y) -> x + y)
-                  / (q.q_nrm * c.c_nrm) DESC, c.c_id) AS rn
-            FROM qv q CROSS JOIN centroids c) WHERE rn <= 2),
+        WITH ${ivfOracleCtes(qVecId = 42, nprobe = 2)},
         $perSubspace
         SELECT e.vec_id, CAST(a.cell AS BIGINT) AS cell,
           $codesStr AS codes, ($adcSum) AS adc_dist

@@ -393,8 +393,12 @@ object TextQueries {
         vocab AS (SELECT unnest([${SubwordVocab.map("'" + _ + "'").mkString(", ")}]) AS piece),
         ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
         words AS (
+          -- the series bound is corpus-derived, not a hard-coded cap: a
+          -- doc longer than a literal bound would silently lose its tail
           SELECT doc_id, i AS widx, ws[i] AS word
-          FROM ws, (SELECT unnest(generate_series(1, 400)) AS i) WHERE i <= len(ws)),
+          FROM ws, (SELECT unnest(generate_series(1,
+            (SELECT GREATEST(1, MAX(len(ws))) FROM ws))) AS i)
+          WHERE i <= len(ws)),
         tok AS (
           SELECT doc_id, widx, word, 1 AS pos, 0 AS np, 0 AS unk, '' AS acc FROM words
           UNION ALL

@@ -544,8 +544,13 @@ object TpchQueries {
           .agg(sum(d12(col("l_extendedprice")) *
             (lit(1).cast("decimal(3,2)") - d4(col("l_discount")))).as("val_dec"))
         val total = value.agg(sum(col("val_dec")).as("total_dec"))
+        // the threshold compare runs in DOUBLES: Spark's ANSI decimal
+        // multiply rounds decimal(38,4)*decimal(6,4) at a different scale
+        // than DuckDB's exact decimal(38,8), so a decimal-typed threshold
+        // can disagree between engines near a boundary — one IEEE multiply
+        // + compare is bit-identical in both
         value.crossJoin(broadcast(total))
-          .filter(col("val_dec") > col("total_dec") * lit(0.0006).cast("decimal(6,4)"))
+          .filter(dbl(col("val_dec")) > dbl(col("total_dec")) * lit(0.0006))
           .select(col("l_partkey").as("p_partkey"), dbl(col("val_dec")).as("part_value"))
           .orderBy(desc("part_value"), col("p_partkey"))
       },
@@ -558,7 +563,8 @@ object TpchQueries {
         total AS (SELECT SUM(val_dec) AS total_dec FROM value)
         SELECT l_partkey AS p_partkey, CAST(val_dec AS DOUBLE) AS part_value
         FROM value, total
-        WHERE val_dec > total_dec * CAST(0.0006 AS DECIMAL(6,4))
+        WHERE CAST(val_dec AS DOUBLE)
+          > CAST(total_dec AS DOUBLE) * CAST(0.0006 AS DOUBLE)
         ORDER BY 2 DESC, 1""")),
 
     // ---- Q21 shape: the only-late supplier on multi-supplier orders -------

@@ -27,12 +27,13 @@ class ExpectationsSpec extends SparkSpec {
     val goodIds = scala.collection.mutable.ArrayBuffer[Long]()
     val badIds = scala.collection.mutable.ArrayBuffer[Long]()
     val rates = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val batchIds = scala.collection.mutable.ArrayBuffer[Long]()
     val q = gateStream(
       spark.readStream.schema(b1.schema).parquet(srcDir),
       Seq(Rule("amount_nonneg", col("amount") < 0)))(
-      g => goodIds ++= g.collect().map(_.getLong(0)),
-      b => badIds ++= b.collect().map(_.getLong(0)),
-      r => rates ++= r.collect().map(x => x.getString(0) -> x.getLong(2)))
+      (g, bid) => { goodIds ++= g.collect().map(_.getLong(0)); batchIds += bid },
+      (b, _) => badIds ++= b.collect().map(_.getLong(0)),
+      (r, _) => rates ++= r.collect().map(x => x.getString(0) -> x.getLong(2)))
     try {
       q.processAllAvailable()
       assert(goodIds.sorted.toSeq === Seq(1L, 3L) && badIds.toSeq === Seq(2L))
@@ -43,6 +44,7 @@ class ExpectationsSpec extends SparkSpec {
       assert(goodIds.sorted.toSeq === Seq(1L, 3L, 5L))
       assert(badIds.sorted.toSeq === Seq(2L, 4L))
       assert(rates.map(_._2).sum === 2L)
+      assert(batchIds.toSeq === Seq(0L, 1L)) // sinks see the batch id
     } finally q.stop()
   }
 

@@ -275,6 +275,26 @@ class CurationQueriesSpec extends SparkSpec {
       assert(spark.table(table).select("doc_id").distinct().collect()
         .map(_.getLong(0)).toSet === Set(1L, 2L, 11L))
     } finally q.stop()
+
+    // replay: a restart WITHOUT a checkpoint reprocesses every source file
+    // against the already-populated store. The batch's own ids are
+    // excluded from the store side (else everything would self-match as
+    // dropped_vs_history) and already-stored ids are not re-appended
+    // (else the store would double)
+    val replayLog = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q2 = Curation.nearDupIngestStream(
+      spark.readStream.schema(b1.schema).parquet(srcDir), table, buckets = 4) {
+      v => replayLog ++= v.collect().map(r => r.getLong(0) -> r.getString(1))
+    }
+    try {
+      q2.processAllAvailable()
+      assert(replayLog.toMap === Map(
+        1L -> "accepted", 2L -> "accepted",
+        10L -> "dropped_in_batch", // partner is doc 1, now in the SAME batch
+        11L -> "accepted",
+        12L -> "dropped_in_batch"))
+      assert(spark.table(table).count() === 12L) // no duplicate band rows
+    } finally q2.stop()
   }
 
   test("q127: store-backed ledger reconciles and kills planted copies") {
