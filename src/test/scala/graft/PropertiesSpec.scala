@@ -144,4 +144,100 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("property: subword segmentation is lossless, greedy, and vocab-confined") {
+    graft.text.SubwordTokenizer.register(spark)
+    val alpha = Gen.oneOf('a', 'b', 'c')
+    val wordGen = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, alpha).map(_.mkString))
+    val caseGen = for {
+      vocab <- Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, wordGen)).map(_.distinct)
+      words <- Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, wordGen))
+    } yield (vocab, words)
+    samples(caseGen, 40).foreach { case (vocab, words) =>
+      val text = words.mkString(" ")
+      val r = Seq(text).toDF("text")
+        .select(graft.text.SubwordTokenizer.tokenize(col("text"), vocab).as("s"))
+        .select("s.n_pieces", "s.n_unk", "s.joined").head()
+      val pieces = if (r.getString(2).isEmpty) Nil else r.getString(2).split("\\|").toSeq
+      // losslessness: stripping the '?' fallback marks reconstructs input
+      assert(pieces.map(_.stripPrefix("?")).mkString == words.mkString)
+      assert(r.getInt(0) == pieces.length)
+      assert(r.getInt(1) == pieces.count(_.startsWith("?")))
+      // every real piece is in the vocab; every fallback is a single char
+      val vset = vocab.toSet
+      pieces.foreach { p =>
+        if (p.startsWith("?")) assert(p.length == 2)
+        else assert(vset.contains(p), s"piece '$p' not in vocab")
+      }
+      // greedy: at each position the emitted piece is the LONGEST match
+      var rest = pieces
+      words.foreach { w =>
+        var pos = 0
+        while (pos < w.length) {
+          val p = rest.head; rest = rest.tail
+          val longest = (math.min(10, w.length - pos) to 1 by -1)
+            .map(l => w.substring(pos, pos + l)).find(vset.contains)
+          longest match {
+            case Some(best) => assert(p == best, s"greedy broke at $w:$pos")
+            case None => assert(p == "?" + w.charAt(pos))
+          }
+          pos += (if (p.startsWith("?")) 1 else p.length)
+        }
+      }
+    }
+  }
+
+  test("property: ImageIO round-trip luma and box pooling match direct computation") {
+    val caseGen = for {
+      w <- Gen.choose(2, 20); h <- Gen.choose(2, 20)
+      seed <- Gen.choose(0, 1000000)
+    } yield (w, h, seed)
+    samples(caseGen, 25).foreach { case (w, h, seed) =>
+      // deterministic pseudo-random pixels from the case seed
+      def rgb(x: Int, y: Int): Int = {
+        val v = (seed * 2654435761L + x * 40503L + y * 10619863L) & 0xffffff
+        v.toInt
+      }
+      def luma(p: Int): Long =
+        299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+      val png = graft.multimodal.ImageIoCodec.encode(w, h, "png")(rgb)
+      val d = graft.multimodal.ImageIoCodec.decode(png)
+      val expected = (for (y <- 0 until h; x <- 0 until w) yield luma(rgb(x, y))).sum
+      assert(d.width == w && d.height == h)
+      assert(d.lumaSumMilli == expected, s"$w x $h seed=$seed")
+      assert(d.topLeftLumaMilli == luma(rgb(0, 0)))
+      assert(d.bottomRightLumaMilli == luma(rgb(w - 1, h - 1)))
+      // box pooling: partition of the total, each box = direct sum
+      val (_, _, sums) = graft.multimodal.ImageIoCodec.boxSums(png, 2)
+      assert(sums.sum == expected)
+      for (gy <- 0 until 2; gx <- 0 until 2) {
+        val direct = (for {
+          y <- 0 until h if y * 2 / h == gy
+          x <- 0 until w if x * 2 / w == gx
+        } yield luma(rgb(x, y))).sum
+        assert(sums(gy * 2 + gx) == direct, s"box $gx,$gy of $w x $h")
+      }
+    }
+  }
+
+  test("property: expectations report matches brute-force rule counts") {
+    import graft.ops.Expectations._
+    val rowGen = Gen.zip(Gen.choose(-50, 50), Gen.choose(-5.0, 5.0))
+    val caseGen = for {
+      rows <- Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, rowGen))
+      t1 <- Gen.choose(-40, 40); t2 <- Gen.choose(-4.0, 4.0)
+    } yield (rows, t1, t2)
+    samples(caseGen, 20).foreach { case (rows, t1, t2) =>
+      val df = rows.toDF("i", "x")
+      val rep = report(df, Seq(
+        Rule("i_over", col("i") > t1),
+        Rule("x_over", col("x") > t2)))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      val expI = rows.count(_._1 > t1).toLong
+      val expX = rows.count(_._2 > t2).toLong
+      assert(rep("i_over") === ((rows.size.toLong, expI, expI.toDouble / rows.size)))
+      assert(rep("x_over") === ((rows.size.toLong, expX, expX.toDouble / rows.size)))
+    }
+  }
 }
