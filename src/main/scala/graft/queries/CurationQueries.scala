@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import Qx._
 
 /** Second wave of training-data curation operators: chunk-level exact
@@ -212,6 +213,79 @@ object CurationQueries {
           FROM d)
         SELECT lang, CAST((cum - n) // 2000 AS BIGINT) AS shard,
           COUNT(*) AS docs, CAST(SUM(n) AS BIGINT) AS tokens
-        FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM c GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- deterministic interleaved training order ---------------------------
+    // The data-ordering step before shard writing: a training run wants a
+    // REPRODUCIBLE global shuffle (same order on any engine, cluster size,
+    // or retry — so a crashed epoch resumes mid-stream) that also
+    // INTERLEAVES sources (long same-domain runs bias gradient batches).
+    // Order = (rank-within-source by content-addressed md5, then source):
+    // round-robin across sources while they last, each source's internal
+    // order itself a reproducible shuffle. The report proves both
+    // properties per source: position span, and the max CONSECUTIVE
+    // same-source run (gaps-and-islands over the global sequence) — 1
+    // while all sources are live, growing only after smaller sources
+    // exhaust.
+    //
+    // 100 TB shape: ranks and the interleave key are narrow window work
+    // per source; the TOTAL order is materialized the way q120 packs
+    // shards — range-partition on the interleave key, sort within
+    // partitions — a global row_number here is bench-scale shorthand for
+    // that layout (the verdict columns are identical either way).
+    Q("q142_training_order",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val perSource = Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        val global = Window.orderBy("rk", "source")
+        val runs = Window.orderBy("pos")
+        val ordered = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .withColumn("rk", row_number().over(perSource).cast("long"))
+          .withColumn("pos", row_number().over(global).cast("long"))
+        ordered
+          .withColumn("run_start",
+            when(lag(col("source"), 1).over(runs).isNull ||
+              lag(col("source"), 1).over(runs) =!= col("source"), 1L).otherwise(0L))
+          .withColumn("run_id", sum(col("run_start")).over(
+            runs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("source", "run_id")
+          .agg(count(lit(1)).as("run_len"), min(col("pos")).as("run_pos"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("runs"),
+            sum(col("run_len")).as("docs"),
+            min(col("run_pos")).as("first_pos"),
+            max(col("run_len")).as("max_run"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH ordered AS (
+          SELECT doc_id, source,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+          FROM documents),
+        pos AS (
+          SELECT doc_id, source, rk,
+            CAST(ROW_NUMBER() OVER (ORDER BY rk, source) AS BIGINT) AS pos
+          FROM ordered),
+        runs AS (
+          SELECT source, pos,
+            CASE WHEN LAG(source) OVER (ORDER BY pos) IS DISTINCT FROM source
+              THEN 1 ELSE 0 END AS run_start
+          FROM pos),
+        grouped AS (
+          SELECT source, pos,
+            SUM(run_start) OVER (ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+          FROM runs),
+        per_run AS (
+          SELECT source, run_id, COUNT(*) AS run_len, MIN(pos) AS run_pos
+          FROM grouped GROUP BY 1, 2)
+        SELECT source, COUNT(*) AS runs,
+          CAST(SUM(run_len) AS BIGINT) AS docs,
+          CAST(MIN(run_pos) AS BIGINT) AS first_pos,
+          CAST(MAX(run_len) AS BIGINT) AS max_run
+        FROM per_run GROUP BY 1 ORDER BY 1"""))
   )
 }
