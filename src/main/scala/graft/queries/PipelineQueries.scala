@@ -324,6 +324,68 @@ object PipelineQueries {
         SELECT rule, CAST(n_rows AS BIGINT) AS n_rows,
           CAST(violations AS BIGINT) AS violations,
           CAST(violations AS DOUBLE) / n_rows AS violation_rate
-        FROM rep ORDER BY rule"""))
+        FROM rep ORDER BY rule""")),
+
+    // ---- temperature-flattened source mixing -------------------------------
+    // q106 samples at FIXED per-source rates; this is the other half of
+    // the pretraining mix recipe: rates DERIVED from measured source
+    // sizes, w_s ∝ n_s^alpha with alpha=1/2 (the flattening exponent),
+    // so small sources are upsampled (epochs > 1) and large ones
+    // downsampled. Exactness: n_s = Σ chars is an exact integer, the
+    // alpha power is floor(sqrt(n_s)) (sqrt is correctly rounded in both
+    // engines, exact integer result), and weight/epochs are each ONE
+    // IEEE division of two exact integers — no accumulation-order float
+    // sums anywhere. Per-doc repeat counts are floor(epochs) plus a
+    // Bernoulli(frac) draw from an md5 bucket of doc_id (the q30b/q106
+    // trick), so any engine draws the identical sample. Scale shape: two
+    // column-pruned corpus scans (source+chars, then source+doc_id), a
+    // #sources-row aggregate, and broadcast-only joins — the corpus
+    // itself never shuffles.
+    Q("q143_temperature_mix",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("source", "doc_id", "n_chars")
+        val bySrc = d.groupBy("source")
+          .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+          .withColumn("sq", floor(sqrt(col("chars").cast("double"))))
+        val tot = bySrc.agg(sum("chars").as("b"), sum("sq").as("sqsum"))
+        val mix = bySrc.crossJoin(broadcast(tot))
+          .withColumn("weight",
+            col("sq").cast("double") / col("sqsum").cast("double"))
+          .withColumn("epochs",
+            (col("b") * col("sq")).cast("double") /
+              (col("sqsum") * col("chars")).cast("double"))
+          .select("source", "docs", "chars", "weight", "epochs")
+        val u = conv(substring(md5(concat(lit("temp#"), col("doc_id"))), 1, 12),
+          16, 10).cast("long").cast("double") / lit(281474976710656.0) // 2^48
+        val sampled = d
+          .join(broadcast(mix.select("source", "epochs")), "source")
+          .withColumn("reps", floor(col("epochs")) +
+            when(u < (col("epochs") - floor(col("epochs"))), 1L).otherwise(0L))
+          .groupBy("source").agg(sum("reps").as("sampled_docs"))
+        mix.join(sampled, "source").orderBy("source")
+      },
+      Some("""
+        WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+        n AS (SELECT source, COUNT(*) AS docs,
+                CAST(SUM(n_chars) AS BIGINT) AS chars,
+                CAST(FLOOR(SQRT(CAST(SUM(n_chars) AS DOUBLE))) AS BIGINT) AS sq
+              FROM d GROUP BY 1),
+        tot AS (SELECT CAST(SUM(chars) AS BIGINT) AS b,
+                       CAST(SUM(sq) AS BIGINT) AS sqsum FROM n),
+        mix AS (SELECT source, docs, chars,
+                  CAST(sq AS DOUBLE) / CAST(sqsum AS DOUBLE) AS weight,
+                  CAST(b * sq AS DOUBLE) / CAST(sqsum * chars AS DOUBLE) AS epochs
+                FROM n, tot),
+        r AS (SELECT d.source,
+                CAST(FLOOR(m.epochs) AS BIGINT) + CASE WHEN
+                  CAST(CAST('0x' || substr(md5('temp#' || CAST(d.doc_id AS VARCHAR)), 1, 12)
+                       AS BIGINT) AS DOUBLE) / 281474976710656.0
+                  < m.epochs - FLOOR(m.epochs) THEN 1 ELSE 0 END AS reps
+              FROM d JOIN mix m ON d.source = m.source)
+        SELECT m.source, m.docs, m.chars, m.weight, m.epochs, s.sampled_docs
+        FROM mix m
+        JOIN (SELECT source, CAST(SUM(reps) AS BIGINT) AS sampled_docs
+              FROM r GROUP BY 1) s ON m.source = s.source
+        ORDER BY m.source"""))
   )
 }

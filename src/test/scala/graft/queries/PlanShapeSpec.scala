@@ -215,6 +215,22 @@ class PlanShapeSpec extends SparkSpec
     assert(!plan.toString.contains("CartesianProduct"))
   }
 
+  test("q143 temperature mix joins the corpus only against broadcast mix rows") {
+    // the #sources-row mix table must broadcast into the doc-level repeat
+    // pass — a shuffle join there would exchange the whole corpus to
+    // co-locate against 20 rows; text must never enter the plan at all
+    val plan = SparkEntry.queries("q143_temperature_mix")(spark, dir)
+      .queryExecution.executedPlan
+    assert(collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty, "expected broadcast joins for the mix/total tables")
+    assert(collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.forall(j => j.output.forall(a => !a.name.toLowerCase.contains("doc_id"))),
+      "doc-level rows must not shuffle into a merge join")
+    assert(!plan.toString.contains("text#"), "text column read by a mix-only query")
+  }
+
   test("q122 incremental dedup broadcasts only narrow pair ids (never text)") {
     val plan = SparkEntry.queries("q122_incremental_neardup")(spark, dir)
       .queryExecution.executedPlan
