@@ -588,6 +588,56 @@ object SimilarityQueries {
         FROM brute b LEFT JOIN ivf i ON b.vec_id = i.vec_id"""))
     ,
 
+    // ---- ADC shortlist + exact re-rank: the two-stage search closer --------
+    // Production PQ search is never ADC-only: compressed distances carry
+    // quantization error, so the standard recipe (FAISS's default) ADC-scans
+    // to a k'=30 SHORTLIST, then re-scores just those rows against the raw
+    // floats and returns the exact top-10. The scale point is the float
+    // fetch: the shortlist is a bounded constant (k'), so its ids are
+    // collected and pushed down as an In() filter — at 100 TB the re-rank
+    // is a 30-row point multi-get against the vector store (row-group
+    // stats prune the scan), never a second corpus pass. Output carries
+    // both ranks, so the row IS the measurement of what re-ranking moved.
+    Q("q144_adc_rerank",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, dir, "embeddings")
+        val clean = e.filter(col("embedding").isNotNull)
+        val cbs = graft.ml.Pq.fit(s, e, m = 4, k = 4, iters = 2)
+        val coded = graft.ml.Pq.encode(clean, cbs)
+        val q = clean.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        // stage 1: code-only ADC scan -> 30-row shortlist (collected once —
+        // bounded by construction — so stage 2 neither recomputes the PQ
+        // lineage nor scans the corpus for 30 rows)
+        val shortRows = graft.ml.Pq
+          .adcTopK(coded.filter(col("vec_id") =!= 0),
+            graft.ml.Pq.adcTable(q, cbs), topK = 30)
+          .select(col("vec_id"), col("adc_dist"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val shortDf = shortRows.toDF("vec_id", "adc_dist")
+          .withColumn("adc_rank", row_number()
+            .over(Window.orderBy(col("adc_dist"), col("vec_id"))).cast("long"))
+        // stage 2: exact cosine over the pushed-down 30-row float fetch
+        val qv = clean.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"),
+            graft.ml.VecOps.norm(col("embedding")).as("q_nrm"))
+        clean.filter(col("vec_id").isInCollection(shortRows.map(_._1)))
+          .crossJoin(broadcast(qv))
+          .join(broadcast(shortDf), "vec_id")
+          .withColumn("sim",
+            dot("embedding", "qv") / (norm("embedding") * col("q_nrm")))
+          .withColumn("exact_rank", row_number()
+            .over(Window.orderBy(desc("sim"), col("vec_id"))).cast("long"))
+          .filter(col("exact_rank") <= 10)
+          .select("vec_id", "adc_rank", "exact_rank", "adc_dist", "sim")
+          .orderBy("exact_rank")
+      },
+      Some(adcRerankOracleSql))
+    ,
+
     // ---- SemDeDup: semantic dedup inside coarse-quantizer cells -----------
     // The published SemDeDup recipe: cluster the corpus embeddings, then
     // inside each cluster drop every vector whose cosine to ANY lower-id
@@ -739,6 +789,37 @@ object SimilarityQueries {
           $codeJoins
         WHERE e.vec_id <> 42
         ORDER BY adc_dist, e.vec_id LIMIT 10"""
+  }
+
+  /** DuckDB replay of the two-stage search: q129's PQ pipeline to a 30-row
+    * ADC shortlist, then the exact cosine (q40's fold arithmetic) over just
+    * those rows, re-ranked to the final 10.
+    */
+  private def adcRerankOracleSql: String = {
+    val (perSubspace, codeJoins, _, adcSum) = pqOracleParts(qVecId = 0)
+    s"""
+        WITH $perSubspace,
+        short AS (
+          SELECT e.vec_id, ($adcSum) AS adc_dist
+          FROM (SELECT vec_id FROM embeddings
+                WHERE embedding IS NOT NULL AND vec_id <> 0) e
+            $codeJoins
+          ORDER BY adc_dist, e.vec_id LIMIT 30),
+        ranked AS (
+          SELECT vec_id, adc_dist,
+            CAST(ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id) AS BIGINT) AS adc_rank
+          FROM short),
+        q AS (SELECT embedding AS qv, ${normSql("embedding")} AS q_nrm
+              FROM embeddings WHERE vec_id = 0),
+        exact AS (
+          SELECT r.vec_id, r.adc_rank, r.adc_dist,
+            $dotSql / (${normSql("embedding")} * q_nrm) AS sim
+          FROM ranked r JOIN embeddings em ON em.vec_id = r.vec_id, q)
+        SELECT vec_id, adc_rank, exact_rank, adc_dist, sim FROM (
+          SELECT vec_id, adc_rank, adc_dist, sim,
+            CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS exact_rank
+          FROM exact)
+        WHERE exact_rank <= 10 ORDER BY exact_rank"""
   }
 
   /** DuckDB replay of [[graft.ml.KMeans.fitCodebook]] (k=16, 2 iterations):

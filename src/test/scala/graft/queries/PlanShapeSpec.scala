@@ -231,6 +231,21 @@ class PlanShapeSpec extends SparkSpec
     assert(!plan.toString.contains("text#"), "text column read by a mix-only query")
   }
 
+  test("q144 exact re-rank fetches floats through a pushed In() point lookup") {
+    // stage 2 must not be a second corpus pass: the 30 shortlist ids are
+    // pushed to the parquet scan, so row-group stats prune the float fetch
+    val plan = SparkEntry.queries("q144_adc_rerank")(spark, dir)
+      .queryExecution.executedPlan
+    val scans = collect(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.exists(_.metadata.get("PushedFilters").exists(_.contains("In(vec_id"))),
+      "shortlist ids were not pushed down to the embeddings scan")
+    assert(collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, "re-rank must join broadcast shortlist rows, not shuffle")
+  }
+
   test("q122 incremental dedup broadcasts only narrow pair ids (never text)") {
     val plan = SparkEntry.queries("q122_incremental_neardup")(spark, dir)
       .queryExecution.executedPlan
