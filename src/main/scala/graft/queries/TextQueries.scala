@@ -507,6 +507,56 @@ object TextQueries {
           (SELECT COUNT(*) FROM dropped) AS dropped_docs,
           (SELECT COUNT(*) FROM corpus) - (SELECT COUNT(*) FROM dropped) AS surviving_docs""")),
 
+    // ---- dup clusters + keep-best: the quality-ranked dedup policy --------
+    // q39's keeplist drops the higher id of every pair — but pairwise
+    // policies mis-handle CHAINS (a~b, b~c with a!~c): the published
+    // cluster recipe builds connected components over the verified pairs
+    // and keeps ONE member per component, ranked by quality (here:
+    // longest text, lowest id on ties — which provably keeps the
+    // original against its planted truncations and copies). Components
+    // come from ops/ConnectedComponents (driver union-find under the
+    // size gate, large-star/small-star above it), so no stage depends on
+    // the dup graph fitting anywhere. The keep choice is a single
+    // struct-max aggregate — no per-cluster sort, constant state.
+    Q("q145_cluster_keep_best",
+      (s, dir) => {
+        val pairs = minhashVerifiedPairs(s, dir).select("doc_a", "doc_b")
+        // run() emits only node != root rows (roots are implicitly
+        // self-rooted) — union the root members back before ranking, or
+        // every cluster would silently lose its smallest id
+        val nonRoot = graft.ops.ConnectedComponents.run(
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        val comp = nonRoot.unionByName(
+          nonRoot.select(col("root").as("node"), col("root")).distinct())
+        val docs = corpus(s, dir)
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        comp.join(docs, col("node") === col("doc_id"))
+          .groupBy(col("root").as("cluster"))
+          .agg(count(lit(1)).as("members"),
+            max(struct(col("n_chars").as("c"), (-col("doc_id")).as("nid"))).as("b"))
+          .select(col("cluster"), col("members"),
+            (-col("b.nid")).as("kept_doc"), col("b.c").as("kept_chars"),
+            (col("members") - 1).as("dropped"))
+          .orderBy("cluster")
+      },
+      Some(minhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ") + """
+        , e0 AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM e0
+                  UNION SELECT doc_b, doc_a FROM e0),
+        reach AS (SELECT a, b FROM edges
+                  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        cluster AS (SELECT a AS node, LEAST(a, MIN(b)) AS root FROM reach GROUP BY a),
+        mem AS (SELECT c.node, c.root, length(d.text) AS n_chars
+                FROM cluster c JOIN corpus d ON d.doc_id = c.node),
+        ranked AS (SELECT node, root, n_chars,
+            ROW_NUMBER() OVER (PARTITION BY root ORDER BY n_chars DESC, node) AS rn
+          FROM mem)
+        SELECT root AS cluster, COUNT(*) AS members,
+          CAST(MAX(CASE WHEN rn = 1 THEN node END) AS BIGINT) AS kept_doc,
+          CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS kept_chars,
+          COUNT(*) - 1 AS dropped
+        FROM ranked GROUP BY root ORDER BY root""")),
+
     // ---- incremental near-dup dedup of a new batch vs history -------------
     // The OPERATIONAL dedup mode: a corpus is never deduplicated once —
     // each ingest batch must be checked against what is already accepted.
