@@ -608,6 +608,82 @@ object TpchQueries {
           JOIN per_order o ON p.l_orderkey = o.l_orderkey
           JOIN supplier ON p.l_suppkey = s_suppkey
         WHERE p.late = 1 AND o.n_supp > 1 AND o.n_late = 1
-        GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10"""))
+        GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10""")),
+
+    // ---- Q9 shape: product-type profit by nation and year -----------------
+    // The widest TPC-H join tree (5 tables here — the testdata has no
+    // partsupp, so supply cost is proxied as 10% of p_retailprice x qty,
+    // keeping Q9's profit-arithmetic shape: revenue minus a cost term
+    // joined in from the part dimension). All dims ride broadcasts; the
+    // only exchanges are lineitem⋈orders on the orderkey and the final
+    // (nation, year) aggregate. Profit stays decimal through the sum
+    // (exact, order-free) and crosses to double once.
+    Q("q146_product_profit",
+      (s, dir) => {
+        val p = broadcast(t(s, dir, "part")
+          .filter(col("p_name").contains("red"))
+          .select("p_partkey", "p_retailprice"))
+        val sup = broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"))
+        val n = broadcast(t(s, dir, "nation").select("n_nationkey", "n_name"))
+        val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+        val l = t(s, dir, "lineitem")
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).as("o_year"))
+          .agg(dbl(sum(
+            d12(col("l_extendedprice")) *
+              (lit(1).cast("decimal(3,2)") - d4(col("l_discount"))) -
+              d12(col("p_retailprice")) * d12(col("l_quantity")) *
+                lit(0.10).cast("decimal(3,2)"))).as("profit"))
+          .orderBy(col("nation"), desc("o_year"))
+      },
+      Some("""
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+          CAST(SUM(
+            CAST(l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+            - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))
+              * CAST(0.10 AS DECIMAL(3,2))) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2 ORDER BY nation, o_year DESC""")),
+
+    // ---- Q16 shape: supplier counts per part attribute --------------------
+    // partsupp is surrogated by DISTINCT (l_partkey, l_suppkey) off
+    // lineitem — the observed supplier relation; "complaint" suppliers
+    // (negative balance) leave via a broadcast LEFT ANTI join, and the
+    // per-attribute distinct-supplier count is the two-level exact
+    // count-distinct Spark plans as partial aggregation on the pair key.
+    Q("q147_parts_supplier_count",
+      (s, dir) => {
+        val ps = t(s, dir, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct()
+        val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))
+        val p = broadcast(t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#2" &&
+            col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+          .select("p_partkey", "p_brand", "p_type", "p_size"))
+        ps.join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+      },
+      Some("""
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#2' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
   )
 }
