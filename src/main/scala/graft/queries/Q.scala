@@ -18,12 +18,20 @@ object Qx {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
-      // read the raw int64 nanos and convert (micro truncation is harmless —
-      // analytics bucket at day/month grain).
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) (Spark reads it
+      // as int64 only under nanosAsLong) and as TIMESTAMP(MICROS) (read as
+      // TIMESTAMP_NTZ) across testdata generations; normalize either to a
+      // session-tz timestamp so every downstream query sees one type.
+      // Micro truncation of the nanos form is harmless — analytics bucket
+      // at day/month grain.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Exact-aggregation casts. The testdata's money/measure doubles carry at
