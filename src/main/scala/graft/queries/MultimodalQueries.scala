@@ -307,48 +307,80 @@ object MultimodalQueries {
             + (CASE WHEN b01 > b11 THEN 8 ELSE 0 END) AS BIGINT) AS dhash
         FROM wide w JOIN p ON p.doc_id = w.doc_id ORDER BY 1""")),
 
-    // ---- visual near-dup: block on dims, verify on thumbnail bands --------
+    // ---- visual near-dup: dHash LSH bands + per-box verify ----------------
     // Image dedup over a corpus with PLANTED visual duplicates: every
     // 40th image is an exact re-render of image 0 (byte-identical — the
     // PNG encoder is deterministic) and every 25th re-renders its
     // neighbor one red level brighter (byte-DIFFERENT payload, same
-    // visual structure — exactly what byte-level dedup can't see). The
-    // standard block+verify shape over real decoded pixels: block on
-    // (width, height), verify per-pair that every 2x2 thumbnail box mean
-    // differs by <= 1 luma level — computed as integer sum differences
-    // against 1000·boxPixels, exact in both engines. 'exact' pairs are
-    // the ones byte-md5 equality also catches (Spark hashes the real
-    // payload; the oracle proves the same verdict from parameter
-    // equality — deterministic encoder makes these equivalent); 'near'
-    // pairs are invisible to md5 and THE reason perceptual features
-    // exist. Payloads never join — only (dims, 4 sums, md5) rows do.
+    // visual structure — exactly what byte-level dedup can't see).
+    //
+    // Blocking key: NOT the image dims (a production corpus standardizes
+    // thumbnails to one size, which would collapse every image into a
+    // single block and make the verify join all-pairs O(n²)) — instead a
+    // 24-bit perceptual dHash over the 4x4 thumbnail's box MEANS
+    // (left-vs-right per adjacent column pair, top-vs-bottom per adjacent
+    // row pair), split LSH-style into 4 bands of 6 bits: a candidate pair
+    // must agree on (dims, band_idx, band_val) for at least one band —
+    // the exact band-then-verify shape of q35's MinHash LSH. Mean (not
+    // sum) comparisons via integer cross-multiplication keep the hash
+    // EXACT and invariant under uniform brightness shifts (a shift moves
+    // every box mean by the same amount, so no comparison can flip even
+    // when adjacent boxes hold unequal pixel counts) — which is precisely
+    // why the planted one-level-brighter near-dups land in ALL the same
+    // bands as their originals. Verify: every 4x4 box mean within 1 luma
+    // level, as integer sum differences against 1000·boxPixels, exact in
+    // both engines. 'exact' pairs are the ones byte-md5 equality also
+    // catches; 'near' pairs are invisible to md5 and THE reason
+    // perceptual features exist. Payloads never join — only
+    // (dims, 16 sums, dhash, md5) rows do.
     Q("q140_visual_neardup",
       (s, dir) => {
-        val bx = (0 until 4).map(i => element_at(col("box_sums"), i + 1))
+        val g = 4
         // byte md5 + box sums in ONE synthesis/decode pass per image
         val feats = Multimodal.decodeThumbWithMd5(
-            Multimodal.imageAssetsWithNearDups(s, dir), grid = 2).toDF()
+            Multimodal.imageAssetsWithNearDups(s, dir), grid = g).toDF()
           .select(col("asset_id"), col("width"), col("height"),
-            col("payload_md5").as("pm"),
-            bx(0).as("b00"), bx(1).as("b01"), bx(2).as("b10"), bx(3).as("b11"))
-          .withColumn("xs", expr("(width + 1) div 2"))
-          .withColumn("ys", expr("(height + 1) div 2"))
+            col("payload_md5").as("pm"), col("box_sums"))
+        // box k along a dim spans [ceil(k*dim/4), ceil((k+1)*dim/4))
+        def bnd(dim: org.apache.spark.sql.Column, k: Int) =
+          floor((lit(k) * dim + lit(g - 1)) / lit(g)).cast("long")
+        def npix(wc: org.apache.spark.sql.Column, hc: org.apache.spark.sql.Column,
+            l: Int, k: Int) =
+          (bnd(wc, k + 1) - bnd(wc, k)) * (bnd(hc, l + 1) - bnd(hc, l))
+        def bs(pfx: String, l: Int, k: Int) =
+          element_at(col(pfx + "box_sums"), l * g + k + 1)
+        // 24-bit dHash: bits 0-11 horizontal (mean(l,k) > mean(l,k+1)),
+        // bits 12-23 vertical (mean(l,k) > mean(l+1,k)); sum_i/np_i
+        // compared exactly as sum_a * np_b > sum_b * np_a
+        val hBits = for { l <- 0 until g; k <- 0 until g - 1 } yield
+          when(bs("", l, k) * npix(col("width"), col("height"), l, k + 1)
+              > bs("", l, k + 1) * npix(col("width"), col("height"), l, k),
+            lit(1L << (l * (g - 1) + k))).otherwise(lit(0L))
+        val vBits = for { l <- 0 until g - 1; k <- 0 until g } yield
+          when(bs("", l, k) * npix(col("width"), col("height"), l + 1, k)
+              > bs("", l + 1, k) * npix(col("width"), col("height"), l, k),
+            lit(1L << (g * (g - 1) + l * g + k))).otherwise(lit(0L))
+        val banded = feats
+          .withColumn("dhash", (hBits ++ vBits).reduce(_ + _))
+          .withColumn("band_idx", explode(sequence(lit(0), lit(3))))
+          .withColumn("band_val", expr("shiftright(dhash, band_idx * 6) & 63"))
         def side(p: String) =
-          feats.columns.foldLeft(feats)((d, c) => d.withColumnRenamed(c, p + c))
+          banded.columns.foldLeft(banded)((d, c) => d.withColumnRenamed(c, p + c))
         val a = side("a_"); val b = side("b_")
-        def band(bn: String, n: org.apache.spark.sql.Column) =
-          abs(col("a_" + bn) - col("b_" + bn)) <= lit(1000L) * n
+        val verify = (for { l <- 0 until g; k <- 0 until g } yield
+          abs(bs("a_", l, k) - bs("b_", l, k)) <=
+            lit(1000L) * npix(col("a_width"), col("a_height"), l, k))
+          .reduce(_ && _)
         a.join(b, col("a_width") === col("b_width") &&
             col("a_height") === col("b_height") &&
+            col("a_band_idx") === col("b_band_idx") &&
+            col("a_band_val") === col("b_band_val") &&
             col("a_asset_id") < col("b_asset_id"))
-          .filter(
-            band("b00", col("a_xs") * col("a_ys")) &&
-            band("b01", (col("a_width") - col("a_xs")) * col("a_ys")) &&
-            band("b10", col("a_xs") * (col("a_height") - col("a_ys"))) &&
-            band("b11", (col("a_width") - col("a_xs")) * (col("a_height") - col("a_ys"))))
+          .filter(verify)
           .select(col("a_asset_id").as("id_a"), col("b_asset_id").as("id_b"),
             col("a_width").cast("long").as("w"), col("a_height").cast("long").as("h"),
             when(col("a_pm") === col("b_pm"), "exact").otherwise("near").as("kind"))
+          .distinct() // a pair agreeing on several bands must report once
           .orderBy("id_a", "id_b")
       },
       Some("""
@@ -363,40 +395,60 @@ object MultimodalQueries {
         p AS (
           SELECT doc_id,
             8 + (base * 5) % 16 AS w, 8 + (base * 7) % 16 AS h,
-            base % 199 + bright AS r, (base * 11) % 256 AS g, (base * 17) % 256 AS b,
-            (8 + (base * 5) % 16 + 1) // 2 AS xs, (8 + (base * 7) % 16 + 1) // 2 AS ys
+            base % 199 + bright AS r, (base * 11) % 256 AS g, (base * 17) % 256 AS b
           FROM p0),
         boxes AS (
-          SELECT doc_id, w, h, r, g, b, xs, ys, gx, gy,
-            CASE gx WHEN 0 THEN 0 ELSE xs END AS x0,
-            CASE gx WHEN 0 THEN xs ELSE w END AS x1,
-            CASE gy WHEN 0 THEN 0 ELSE ys END AS y0,
-            CASE gy WHEN 0 THEN ys ELSE h END AS y1
-          FROM p, (SELECT unnest([0, 1]) AS gx), (SELECT unnest([0, 1]) AS gy)),
+          SELECT doc_id, w, h, r, g, b, gx, gy,
+            (gx * w + 3) // 4 AS x0, ((gx + 1) * w + 3) // 4 AS x1,
+            (gy * h + 3) // 4 AS y0, ((gy + 1) * h + 3) // 4 AS y1
+          FROM p, (SELECT unnest([0, 1, 2, 3]) AS gx),
+               (SELECT unnest([0, 1, 2, 3]) AS gy)),
         sums AS (
-          SELECT doc_id, gx, gy,
+          SELECT doc_id, gx, gy, (x1 - x0) * (y1 - y0) AS np,
             (x1 - x0) * (y1 - y0) * (299 * r + 587 * g + 114 * b)
               + 299 * ((y1 - y0) * (((x0 + x1 - 1) * (x1 - x0)) // 2)
                        + (x1 - x0) * (((y0 + y1 - 1) * (y1 - y0)) // 2)) AS s
           FROM boxes),
-        wide AS (
-          SELECT p.doc_id, p.w, p.h, p.r, p.g, p.b, p.xs, p.ys,
-            MAX(CASE WHEN gy = 0 AND gx = 0 THEN s END) AS b00,
-            MAX(CASE WHEN gy = 0 AND gx = 1 THEN s END) AS b01,
-            MAX(CASE WHEN gy = 1 AND gx = 0 THEN s END) AS b10,
-            MAX(CASE WHEN gy = 1 AND gx = 1 THEN s END) AS b11
-          FROM sums JOIN p ON sums.doc_id = p.doc_id
-          GROUP BY ALL)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          CAST(a.w AS BIGINT) AS w, CAST(a.h AS BIGINT) AS h,
-          CASE WHEN a.r = b.r AND a.g = b.g AND a.b = b.b
+        hb AS (
+          SELECT a.doc_id,
+            SUM(CASE WHEN a.s * b.np > b.s * a.np
+                THEN 1 << (a.gy * 3 + a.gx) ELSE 0 END) AS v
+          FROM sums a JOIN sums b
+            ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+          GROUP BY 1),
+        vb AS (
+          SELECT a.doc_id,
+            SUM(CASE WHEN a.s * b.np > b.s * a.np
+                THEN 1 << (12 + a.gy * 4 + a.gx) ELSE 0 END) AS v
+          FROM sums a JOIN sums b
+            ON b.doc_id = a.doc_id AND b.gx = a.gx AND b.gy = a.gy + 1
+          GROUP BY 1),
+        dh AS (SELECT hb.doc_id, hb.v + vb.v AS dhash FROM hb JOIN vb USING (doc_id)),
+        bands AS (
+          SELECT doc_id, i, (dhash >> (6 * i)) & 63 AS band_val
+          FROM dh, (SELECT unnest([0, 1, 2, 3]) AS i)),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x
+          JOIN bands y ON y.i = x.i AND y.band_val = x.band_val
+            AND x.doc_id < y.doc_id
+          JOIN p pa ON pa.doc_id = x.doc_id
+          JOIN p pb ON pb.doc_id = y.doc_id AND pa.w = pb.w AND pa.h = pb.h),
+        verified AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN sums sa ON sa.doc_id = c.id_a
+          JOIN sums sb ON sb.doc_id = c.id_b AND sb.gx = sa.gx AND sb.gy = sa.gy
+          GROUP BY 1, 2
+          HAVING MAX(CASE WHEN abs(sa.s - sb.s) <= 1000 * sa.np
+                     THEN 0 ELSE 1 END) = 0)
+        SELECT v.id_a, v.id_b,
+          CAST(pa.w AS BIGINT) AS w, CAST(pa.h AS BIGINT) AS h,
+          CASE WHEN pa.r = pb.r AND pa.g = pb.g AND pa.b = pb.b
                THEN 'exact' ELSE 'near' END AS kind
-        FROM wide a JOIN wide b
-          ON a.w = b.w AND a.h = b.h AND a.doc_id < b.doc_id
-        WHERE abs(a.b00 - b.b00) <= 1000 * (a.xs * a.ys)
-          AND abs(a.b01 - b.b01) <= 1000 * ((a.w - a.xs) * a.ys)
-          AND abs(a.b10 - b.b10) <= 1000 * (a.xs * (a.h - a.ys))
-          AND abs(a.b11 - b.b11) <= 1000 * ((a.w - a.xs) * (a.h - a.ys))
+        FROM verified v
+        JOIN p pa ON pa.doc_id = v.id_a
+        JOIN p pb ON pb.doc_id = v.id_b
         ORDER BY 1, 2"""))
   )
 }

@@ -24,13 +24,28 @@ object Qx {
       // session-tz timestamp so every downstream query sees one type.
       // Micro truncation of the nanos form is harmless — analytics bucket
       // at day/month grain.
+      // The two branches agree only under UTC: the Long branch is epoch-UTC
+      // nanos while the NTZ cast reads wall-clock in session tz. All entry
+      // points set UTC; enforce it so a non-UTC caller can't silently shift
+      // instants relative to the DuckDB oracle.
+      require(
+        spark.conf.get("spark.sql.session.timeZone") == "UTC",
+        "graft queries require spark.sql.session.timeZone=UTC (set by GraftSession); " +
+          s"got ${spark.conf.get("spark.sql.session.timeZone")}")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
-        case _ =>
+        case org.apache.spark.sql.types.TimestampType |
+            org.apache.spark.sql.types.TimestampNTZType =>
           raw.withColumn("ts", col("ts").cast("timestamp"))
+        case other =>
+          // A new testdata generation with an unexpected ts physical type must
+          // surface as an error, not silent-cast nulls.
+          throw new IllegalStateException(
+            s"events.ts: unexpected parquet type $other (expected int64-nanos, " +
+              "TIMESTAMP, or TIMESTAMP_NTZ)")
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
 

@@ -215,6 +215,23 @@ class PlanShapeSpec extends SparkSpec
     assert(!plan.toString.contains("CartesianProduct"))
   }
 
+  test("q140 blocks on the dHash band key, not dims alone (fixed-size-corpus safety)") {
+    // a dims-only blocking key degenerates to one all-pairs block on a
+    // standardized-thumbnail corpus; the equi-join keys must include the
+    // perceptual band so candidates stay bounded at any dims distribution
+    val plan = SparkEntry.queries("q140_visual_neardup")(spark, dir)
+      .queryExecution.executedPlan
+    val joinKeys = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.leftKeys
+    }.flatten.map(_.toString.toLowerCase)
+    assert(joinKeys.exists(_.contains("band_val")),
+      s"pair join must key on the dHash band value; keys were: $joinKeys")
+    assert(joinKeys.exists(_.contains("band_idx")),
+      s"pair join must key on the band index; keys were: $joinKeys")
+  }
+
   test("q143 temperature mix joins the corpus only against broadcast mix rows") {
     // the #sources-row mix table must broadcast into the doc-level repeat
     // pass — a shuffle join there would exchange the whole corpus to
