@@ -94,6 +94,28 @@ object SimilarityQueries {
       .select(col("c_id").as("q_cell"), col("q_emb"), col("q_nrm"))
   }
 
+  /** [[probeRows]] for a TRAINED codebook: centroids stay full-precision
+    * `array<double>` (a Lloyd mean is not float-representable — the
+    * heuristic path's float cast is exact only because its "centroids"
+    * ARE original float vectors); [[graft.ml.VecDot]] multiplies the
+    * float query against double centroids exactly as the oracle's
+    * CAST(q[i] AS DOUBLE) * centroid[i].
+    */
+  private def probeRowsTrained(e: DataFrame,
+      codebook: Seq[(Long, Seq[Double], Double)], qid: Int, nprobe: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    val cbDf = codebook.toDF("c_id", "c_emb", "c_nrm")
+    e.filter(col("vec_id") === qid)
+      .select(col("embedding").as("q_emb"),
+        graft.ml.VecOps.norm(col("embedding")).as("q_nrm"))
+      .crossJoin(broadcast(cbDf))
+      .withColumn("c_sim",
+        graft.ml.VecOps.dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
+      .orderBy(desc("c_sim"), col("c_id"))
+      .limit(nprobe)
+      .select(col("c_id").as("q_cell"), col("q_emb"), col("q_nrm"))
+  }
+
   /** The oracle's mirror of the same recipe: nrm / centroids / assigned /
     * qv / probes CTEs, parameterized by query vector and nprobe.
     */
@@ -822,11 +844,14 @@ object SimilarityQueries {
         WHERE exact_rank <= 10 ORDER BY exact_rank"""
   }
 
-  /** DuckDB replay of [[graft.ml.KMeans.fitCodebook]] (k=16, 2 iterations):
-    * same init (first 16 vectors), same row-local argmax order (sim DESC,
-    * c_id), same exact decimal means, same empty-cell keep-old policy.
+  /** CTE chain replaying [[graft.ml.KMeans.fitCodebook]] (k=16, 2 Lloyd
+    * iterations): ends with `cents2` (the TRAINED codebook: c_id, centroid
+    * double-list, c_nrm) and `assignF` (the corpus assignment under it —
+    * vec_id, embedding, v_nrm, cell). Shared by the training report (q92)
+    * and every query that composes the trained codebook (q148/q149), so
+    * the replay can never fork from the oracle copy by copy.
     */
-  private def kmeansOracleSql: String = {
+  private def trainedIvfCtes: String = {
     val S = "17592186044416.0"
     def assign(cents: String, out: String) = s"""
         $out AS (
@@ -853,8 +878,7 @@ object SimilarityQueries {
           SELECT c_id, centroid,
             sqrt(list_reduce(list_transform(centroid, x -> x * x), (x, y) -> x + y)) AS c_nrm
           FROM raw$tag)"""
-    s"""
-        WITH nrm AS (
+    s"""nrm AS (
           SELECT vec_id, embedding, ${normSql("embedding")} AS v_nrm FROM embeddings),
         c0 AS (
           SELECT vec_id AS c_id,
@@ -868,11 +892,136 @@ object SimilarityQueries {
         ${update("assign1", "cents0", "1")},
         ${assign("cents1", "assign2")},
         ${update("assign2", "cents1", "2")},
-        ${assign("cents2", "assignF")},
+        ${assign("cents2", "assignF")}"""
+  }
+
+  /** Probe CTEs over the TRAINED codebook: rank `cents2` against vector
+    * `qVecId`'s cosine, keep `nprobe` — mirrors [[probeRowsTrained]]
+    * (full-double centroids, float query cast per element).
+    */
+  private def trainedProbeCtes(qVecId: Int, nprobe: Int): String = s"""
+        qv AS (SELECT embedding AS q_emb, v_nrm AS q_nrm FROM nrm WHERE vec_id = $qVecId),
+        probes AS (
+          SELECT c_id AS q_cell FROM (
+            SELECT c.c_id,
+              ROW_NUMBER() OVER (ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(q.q_emb[i] AS DOUBLE) * c.centroid[i]), (x, y) -> x + y)
+                  / (q.q_nrm * c.c_nrm) DESC, c.c_id) AS rn
+            FROM qv q CROSS JOIN cents2 c) WHERE rn <= $nprobe)"""
+
+  /** DuckDB replay of [[graft.ml.KMeans.fitCodebook]] (k=16, 2 iterations):
+    * same init (first 16 vectors), same row-local argmax order (sim DESC,
+    * c_id), same exact decimal means, same empty-cell keep-old policy.
+    */
+  private def kmeansOracleSql: String = s"""
+        WITH $trainedIvfCtes,
         counts AS (SELECT cell, COUNT(*) AS members FROM assignF GROUP BY cell)
         SELECT c.c_id AS cell, COALESCE(m.members, 0) AS members,
           list_reduce(list_transform(c.centroid, x -> x * x), (x, y) -> x + y) AS centroid_sq_norm
         FROM cents2 c LEFT JOIN counts m ON m.cell = c.c_id
         ORDER BY c.c_id"""
+
+  /** DuckDB replay of the TRAINED IVF×PQ composition (q148): the k-means
+    * chain to `cents2`/`assignF`, trained-centroid probe selection for
+    * vector 42, then q129's PQ replay ADC-scanning only probed residents.
+    */
+  private def ivfPqTrainedOracleSql: String = {
+    val (perSubspace, codeJoins, codesStr, adcSum) = pqOracleParts(qVecId = 42)
+    s"""
+        WITH $trainedIvfCtes,
+        ${trainedProbeCtes(qVecId = 42, nprobe = 2)},
+        $perSubspace
+        SELECT e.vec_id, CAST(a.cell AS BIGINT) AS cell,
+          $codesStr AS codes, ($adcSum) AS adc_dist
+        FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL) e
+          JOIN assignF a ON a.vec_id = e.vec_id
+          JOIN probes p ON a.cell = p.q_cell
+          $codeJoins
+        WHERE e.vec_id <> 42
+        ORDER BY adc_dist, e.vec_id LIMIT 10"""
+  }
+
+  /** DuckDB replay of recall@10 under the TRAINED codebook (q149): same
+    * one-row reduction as q134, with the IVF arm assigned and probed via
+    * `cents2` instead of the first-16-vectors heuristic.
+    */
+  private def trainedRecallOracleSql: String = s"""
+        WITH $trainedIvfCtes,
+        ${trainedProbeCtes(qVecId = 42, nprobe = 2)},
+        ivf AS (
+          SELECT vec_id, 1 AS hit FROM (
+            SELECT a.vec_id,
+              list_reduce(list_transform(range(1, 65),
+                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)), (x, y) -> x + y)
+                / (a.v_nrm * q.q_nrm) AS sim
+            FROM assignF a JOIN probes p ON a.cell = p.q_cell, qv q
+            WHERE a.vec_id <> 42
+            ORDER BY sim DESC, a.vec_id LIMIT 10)),
+        brute AS (
+          SELECT n.vec_id,
+            list_reduce(list_transform(range(1, 65),
+              i -> CAST(n.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)), (x, y) -> x + y)
+              / (n.v_nrm * q.q_nrm) AS sim
+          FROM nrm n, qv q WHERE n.vec_id <> 42
+          ORDER BY sim DESC, n.vec_id LIMIT 10)
+        SELECT CAST(10 AS BIGINT) AS k,
+          CAST(SUM(COALESCE(i.hit, 0)) AS BIGINT) AS hits,
+          CAST(CAST(SUM(COALESCE(i.hit, 0)) AS DOUBLE) / CAST(10 AS DOUBLE) AS DOUBLE) AS recall,
+          COALESCE(string_agg(CASE WHEN i.hit IS NULL
+            THEN CAST(b.vec_id AS VARCHAR) END, ',' ORDER BY b.vec_id), '') AS missed
+        FROM brute b LEFT JOIN ivf i ON b.vec_id = i.vec_id"""
+
+  /** DuckDB replay of the two-stage-search quality reduction (q150):
+    * q144's shortlist/re-rank pipeline collapsed to ONE row — recall@10 of
+    * the ADC-only top-10 and of the re-ranked top-10 against the exact
+    * brute-force top-10, plus how many ground-truth rows the re-rank
+    * placed at their exact rank.
+    */
+  private def rerankRecallOracleSql: String = {
+    val (perSubspace, codeJoins, _, adcSum) = pqOracleParts(qVecId = 0)
+    s"""
+        WITH $perSubspace,
+        short AS (
+          SELECT e.vec_id, ($adcSum) AS adc_dist
+          FROM (SELECT vec_id FROM embeddings
+                WHERE embedding IS NOT NULL AND vec_id <> 0) e
+            $codeJoins
+          ORDER BY adc_dist, e.vec_id LIMIT 30),
+        ranked AS (
+          SELECT vec_id, adc_dist,
+            CAST(ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id) AS BIGINT) AS adc_pos
+          FROM short),
+        adc10 AS (SELECT vec_id, adc_pos FROM ranked WHERE adc_pos <= 10),
+        q AS (SELECT embedding AS qv, ${normSql("embedding")} AS q_nrm
+              FROM embeddings WHERE vec_id = 0),
+        rr AS (
+          SELECT vec_id,
+            CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rr_rank
+          FROM (SELECT r.vec_id,
+                  $dotSql / (${normSql("embedding")} * q_nrm) AS sim
+                FROM ranked r JOIN embeddings em ON em.vec_id = r.vec_id, q)),
+        rr10 AS (SELECT vec_id, rr_rank FROM rr WHERE rr_rank <= 10),
+        brute AS (
+          SELECT vec_id, sim FROM (
+            SELECT vec_id,
+              $dotSql / (${normSql("embedding")} * ${normSql("qv")}) AS sim
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY sim DESC, vec_id LIMIT 10)),
+        brute10 AS (
+          SELECT vec_id,
+            CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS pos
+          FROM brute)
+        SELECT CAST(10 AS BIGINT) AS k,
+          CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS adc_hits,
+          CAST(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(10 AS DOUBLE) AS DOUBLE) AS adc_recall,
+          CAST(SUM(CASE WHEN rr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS rerank_hits,
+          CAST(CAST(SUM(CASE WHEN rr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(10 AS DOUBLE) AS DOUBLE) AS rerank_recall,
+          CAST(SUM(CASE WHEN rr.rr_rank = b.pos THEN 1 ELSE 0 END) AS BIGINT) AS rank_matches
+        FROM brute10 b
+        LEFT JOIN adc10 a ON a.vec_id = b.vec_id
+        LEFT JOIN rr10 rr ON rr.vec_id = b.vec_id"""
   }
 }
