@@ -709,7 +709,152 @@ object SimilarityQueries {
           CAST(COUNT(*) - SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept
         FROM assigned LEFT JOIN dropped d USING (vec_id)
         GROUP BY 1 ORDER BY 1""")
-    )
+    ),
+
+    // ---- IVF x PQ under the TRAINED codebook: the production layout --------
+    // q132 composes the layout with the first-16-vectors heuristic codebook;
+    // this is the same composition with the coarse quantizer actually
+    // TRAINED ([[graft.ml.KMeans.fitCodebook]], k=16, 2 Lloyd iterations —
+    // the codebook q92 oracles): trained cells -> PQ codes -> trained-
+    // centroid probe selection -> probe-pruned ADC scan. Plan shape is
+    // identical to q132 (training happens index-build time, driver-side
+    // k x dim state; the query path still broadcasts 2 narrow probe rows
+    // and reads code columns only), so the 100-TB story carries over
+    // unchanged — this query exists to prove the trained composition
+    // end-to-end against an oracle that replays BOTH Lloyd loops.
+    Q("q148_ivf_pq_trained",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        val e = t(s, dir, "embeddings")
+        val clean = e.filter(col("embedding").isNotNull)
+        // index build: TRAINED coarse cells + PQ codes per vector
+        val codebook = graft.ml.KMeans.fitCodebook(s, e, k = 16, iters = 2)
+        val cbs = graft.ml.Pq.fit(s, e, m = 4, k = 4, iters = 2)
+        val indexed = assignCells(graft.ml.Pq.encode(clean, cbs), codebook)
+        // per-query work: rank the 16 trained centroids, keep 2 probe cells
+        val probes = probeRowsTrained(e, codebook, qid = 42, nprobe = 2)
+          .select(col("q_cell"))
+        val q = clean.filter(col("vec_id") === 42)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        // probe-cell prune FIRST, then the code-only ADC projection
+        indexed.join(broadcast(probes), col("cell") === col("q_cell"))
+          .filter(col("vec_id") =!= 42)
+          .select(col("vec_id"), col("cell"),
+            concat_ws("|", col("codes")).as("codes"),
+            graft.ml.Pq.adcDist(graft.ml.Pq.adcTable(q, cbs)).as("adc_dist"))
+          .orderBy(col("adc_dist"), col("vec_id"))
+          .limit(10)
+      },
+      Some(ivfPqTrainedOracleSql))
+    ,
+
+    // ---- recall@10 under the TRAINED codebook ------------------------------
+    // q134's one-row quality reduction with the IVF arm assigned and probed
+    // via the trained centroids instead of the first-16-vectors heuristic —
+    // the number an engineer actually reads before shipping the trained
+    // index (training moves Voronoi boundaries, so recall must be
+    // re-measured under the codebook that will serve).
+    Q("q149_trained_recall",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        val e = t(s, dir, "embeddings")
+        val codebook = graft.ml.KMeans.fitCodebook(s, e, k = 16, iters = 2)
+        val assigned = assignCells(
+          e.select(col("vec_id"), col("embedding")), codebook)
+        val probes = probeRowsTrained(e, codebook, qid = 42, nprobe = 2)
+        val ivf = assigned.join(broadcast(probes), col("cell") === col("q_cell"))
+          .filter(col("vec_id") =!= 42)
+          .withColumn("sim",
+            graft.ml.VecOps.dot(col("embedding"), col("q_emb")) / (col("v_nrm") * col("q_nrm")))
+          .orderBy(desc("sim"), col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), lit(1L).as("hit"))
+        val qv = e.filter(col("vec_id") === 42)
+          .select(col("embedding").as("q_emb"),
+            graft.ml.VecOps.norm(col("embedding")).as("q_nrm"))
+        val brute = e.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= 42)
+          .withColumn("sim",
+            graft.ml.VecOps.dot(col("embedding"), col("q_emb")) / (norm("embedding") * col("q_nrm")))
+          .orderBy(desc("sim"), col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"))
+        brute.join(ivf, Seq("vec_id"), "left_outer")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+            concat_ws(",", transform(
+              sort_array(collect_list(when(col("hit").isNull, col("vec_id")))),
+              _.cast("string"))).as("missed"))
+          .select(lit(10L).as("k"), col("hits"),
+            (col("hits").cast("double") / lit(10.0)).as("recall"), col("missed"))
+      },
+      Some(trainedRecallOracleSql))
+    ,
+
+    // ---- two-stage-search quality: what the exact re-rank buys -------------
+    // q144 emits the per-row rank movement; this collapses the same
+    // shortlist/re-rank pipeline to the ONE row a quality dashboard plots:
+    // recall@10 of the ADC-only top-10 vs the re-ranked top-10 against the
+    // brute-force ground truth, plus how many ground-truth rows the re-rank
+    // placed at their exact position. The corpus-side work is exactly
+    // q129's coded scan + q144's 30-row pushed-down float fetch — the
+    // reduction itself joins three <=30-row frames.
+    Q("q150_rerank_recall",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, dir, "embeddings")
+        val clean = e.filter(col("embedding").isNotNull)
+        val cbs = graft.ml.Pq.fit(s, e, m = 4, k = 4, iters = 2)
+        val coded = graft.ml.Pq.encode(clean, cbs)
+        val q = clean.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        // stage 1: ADC shortlist (bounded 30-row collect, as in q144)
+        val shortRows = graft.ml.Pq
+          .adcTopK(coded.filter(col("vec_id") =!= 0),
+            graft.ml.Pq.adcTable(q, cbs), topK = 30)
+          .select(col("vec_id"), col("adc_dist"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val adc10 = shortRows.toDF("vec_id", "adc_dist")
+          .withColumn("adc_pos", row_number()
+            .over(Window.orderBy(col("adc_dist"), col("vec_id"))).cast("long"))
+          .filter(col("adc_pos") <= 10)
+          .select(col("vec_id"), lit(1L).as("adc_hit"))
+        // stage 2: exact cosine over the pushed-down 30-row float fetch
+        val qv = clean.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"),
+            graft.ml.VecOps.norm(col("embedding")).as("q_nrm"))
+        val rr10 = clean.filter(col("vec_id").isInCollection(shortRows.map(_._1)))
+          .crossJoin(broadcast(qv))
+          .withColumn("sim",
+            dot("embedding", "qv") / (norm("embedding") * col("q_nrm")))
+          .withColumn("rr_rank", row_number()
+            .over(Window.orderBy(desc("sim"), col("vec_id"))).cast("long"))
+          .filter(col("rr_rank") <= 10)
+          .select(col("vec_id"), col("rr_rank"))
+        // ground truth: brute cosine top-10 with exact positions
+        val brute10 = e.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= 0)
+          .withColumn("sim", dot("embedding", "qv") / (norm("embedding") * norm("qv")))
+          .orderBy(desc("sim"), col("vec_id"))
+          .limit(10)
+          .withColumn("pos", row_number()
+            .over(Window.orderBy(desc("sim"), col("vec_id"))).cast("long"))
+          .select(col("vec_id"), col("pos"))
+        brute10.join(adc10, Seq("vec_id"), "left_outer")
+          .join(rr10, Seq("vec_id"), "left_outer")
+          .agg(
+            sum(coalesce(col("adc_hit"), lit(0L))).as("adc_hits"),
+            sum(when(col("rr_rank").isNotNull, 1L).otherwise(0L)).as("rerank_hits"),
+            sum(when(col("rr_rank") === col("pos"), 1L).otherwise(0L)).as("rank_matches"))
+          .select(lit(10L).as("k"),
+            col("adc_hits"),
+            (col("adc_hits").cast("double") / lit(10.0)).as("adc_recall"),
+            col("rerank_hits"),
+            (col("rerank_hits").cast("double") / lit(10.0)).as("rerank_recall"),
+            col("rank_matches"))
+      },
+      Some(rerankRecallOracleSql))
   )
 
   /** DuckDB replay of the full [[graft.ml.Pq]] pipeline (M=4 subspaces,

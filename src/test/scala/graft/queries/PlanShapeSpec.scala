@@ -186,6 +186,27 @@ class PlanShapeSpec extends SparkSpec
     assert(!s.contains("Window"), "cell assignment must not go through a window")
   }
 
+  test("q148 trained IVF x PQ keeps q132's plan: probe prune BEFORE the ADC scan") {
+    // training is index-build-time driver work; the QUERY plan must be
+    // identical in shape to the heuristic-codebook composition
+    val plan = SparkEntry.queries("q148_ivf_pq_trained")(spark, dir)
+      .queryExecution.executedPlan
+    val bhj = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.exists(_.leftKeys.exists(_.toString.contains("cell"))),
+      "expected a broadcast probe join on the trained cell id")
+    assert(collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, "indexed corpus must not shuffle into a merge join")
+    val s = plan.toString
+    val adcAt = s.indexOf("element_at")
+    val joinAt = s.indexOf("BroadcastHashJoin")
+    assert(adcAt >= 0 && joinAt >= 0 && adcAt < joinAt,
+      "ADC projection must sit above (after) the probe-cell join")
+    assert(!s.contains("Window"), "trained cell assignment must not go through a window")
+  }
+
   test("q136 subword tokenization is one pass: no explode, no text in exchanges") {
     val plan = SparkEntry.queries("q136_subword_tokenize")(spark, dir)
       .queryExecution.executedPlan
