@@ -307,6 +307,12 @@ object Multimodal {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
+      // the id table often arrives as ONE parquet file -> one partition;
+      // spreading the ids (a shuffle of bare longs — payloads don't exist
+      // yet) parallelizes the synthesis/decode AND everything downstream
+      // that preserves this partitioning (a broadcast-join stream side
+      // would otherwise run single-threaded)
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions(_.map { id =>
         val exactDup = id > 0 && id % 40 == 0
         val nearDup = id > 0 && id % 25 == 0 && !exactDup

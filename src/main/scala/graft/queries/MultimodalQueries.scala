@@ -336,11 +336,16 @@ object MultimodalQueries {
     Q("q140_visual_neardup",
       (s, dir) => {
         val g = 4
-        // byte md5 + box sums in ONE synthesis/decode pass per image
+        // byte md5 + box sums in ONE synthesis/decode pass per image —
+        // persisted because BOTH join sides read it and the a_/b_ renames
+        // defeat exchange reuse (q35's discipline): without the persist the
+        // PNG encode+decode pass runs twice. 5000 narrow rows; the registry
+        // runners clearCache() between queries.
         val feats = Multimodal.decodeThumbWithMd5(
             Multimodal.imageAssetsWithNearDups(s, dir), grid = g).toDF()
           .select(col("asset_id"), col("width"), col("height"),
             col("payload_md5").as("pm"), col("box_sums"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // box k along a dim spans [ceil(k*dim/4), ceil((k+1)*dim/4))
         def bnd(dim: org.apache.spark.sql.Column, k: Int) =
           floor((lit(k) * dim + lit(g - 1)) / lit(g)).cast("long")
@@ -371,16 +376,30 @@ object MultimodalQueries {
           abs(bs("a_", l, k) - bs("b_", l, k)) <=
             lit(1000L) * npix(col("a_width"), col("a_height"), l, k))
           .reduce(_ && _)
+        // LSH first-match-band discipline: a pair agreeing on several bands
+        // must report ONCE, so it is emitted only from its LOWEST matching
+        // band — for every band j below the joined one, the two dhashes
+        // (both sides already carry the full 24 bits) must DISAGREE. This
+        // is a pure integer filter evaluated inside the join, before the
+        // 16-box verify; the alternative (post-verify distinct()) ran the
+        // verify on every duplicate band match and then paid a shuffle to
+        // dedup — measured 4x the candidate rows on a hash-clustered
+        // corpus, the r7 bench regression.
+        val firstMatch = (0 until 3).map(j =>
+          col("a_band_idx") <= lit(j) ||
+            expr(s"shiftright(a_dhash, ${j * 6}) & 63")
+              =!= expr(s"shiftright(b_dhash, ${j * 6}) & 63"))
+          .reduce(_ && _)
         a.join(b, col("a_width") === col("b_width") &&
             col("a_height") === col("b_height") &&
             col("a_band_idx") === col("b_band_idx") &&
             col("a_band_val") === col("b_band_val") &&
-            col("a_asset_id") < col("b_asset_id"))
+            col("a_asset_id") < col("b_asset_id") &&
+            firstMatch)
           .filter(verify)
           .select(col("a_asset_id").as("id_a"), col("b_asset_id").as("id_b"),
             col("a_width").cast("long").as("w"), col("a_height").cast("long").as("h"),
             when(col("a_pm") === col("b_pm"), "exact").otherwise("near").as("kind"))
-          .distinct() // a pair agreeing on several bands must report once
           .orderBy("id_a", "id_b")
       },
       Some("""
