@@ -363,17 +363,35 @@ object Curation {
     * Pass `checkpoint` in production so a restart resumes the source
     * instead of reprocessing history; the sink still receives replayed
     * verdicts on a crash-retry and should be idempotent per id.
+    *
+    * Table maintenance is wired in, not left to an external cron: every
+    * append writes at least one small file per touched bucket, so the
+    * store's file count grows linearly with batch count and the
+    * per-batch verdict join eventually pays more in file opens than in
+    * work. When `compactFileThreshold` > 0 and the post-append file
+    * count exceeds it, the batch ends by rewriting the store to ~one
+    * file per bucket under the SAME bucket spec
+    * ([[graft.io.Compact.compactBucketedTable]] — the no-shuffle
+    * verdict join survives compaction, spec-asserted). Size the
+    * threshold a few multiples of `buckets` so the rewrite (one store
+    * shuffle) amortizes over many batches; 0 disables it, reproducing
+    * the maintain-externally contract.
     */
   def nearDupIngestStream(docs: DataFrame, storeTable: String,
       buckets: Int = 32, idCol: String = "doc_id", textCol: String = "text",
       shingleWidth: Int = 3, estThreshold: Double = 0.5,
-      checkpoint: Option[String] = None)(
+      checkpoint: Option[String] = None, compactFileThreshold: Int = 0)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = docs.writeStream.outputMode("append")
     checkpoint.foreach(writer.option("checkpointLocation", _))
     writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
+        // a crash inside a previous batch's compaction swap can leave the
+        // store under its __compact_old name; recover BEFORE the
+        // tableExists probes below, or this batch would silently restart
+        // the store from empty
+        if (compactFileThreshold > 0) graft.io.Compact.recoverBucketedTable(s, storeTable)
         val bands = bandRows(
           minhashSignatures(batch, idCol, textCol, shingleWidth)).persist()
         val batchIds = batch.select(col(idCol).as("doc_id")).distinct()
@@ -417,6 +435,21 @@ object Curation {
           s.catalog.refreshTable(storeTable)
           org.apache.spark.sql.SparkSession.getDefaultSession
             .filter(_ ne s).foreach(_.catalog.refreshTable(storeTable))
+          // auto-compaction: bound the small-file growth the per-batch
+          // appends cause. After the append (so a compaction crash never
+          // loses this batch's admitted bands — recovery at the top of
+          // the next batch restores the swap) and before the sink (the
+          // verdicts are localCheckpoint-pinned, so the rewrite cannot
+          // change what the sink sees).
+          if (compactFileThreshold > 0 &&
+              graft.io.Compact.dataFileCount(
+                s, graft.io.Compact.tableLocation(s, storeTable)) > compactFileThreshold) {
+            graft.io.Compact.compactBucketedTable(
+              s, storeTable, Seq("band_key"), buckets)
+            s.catalog.refreshTable(storeTable)
+            org.apache.spark.sql.SparkSession.getDefaultSession
+              .filter(_ ne s).foreach(_.catalog.refreshTable(storeTable))
+          }
           sink(verdicts)
           ()
         } finally bands.unpersist()

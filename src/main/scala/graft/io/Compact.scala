@@ -39,6 +39,94 @@ object Compact {
     n
   }
 
+  /** Location of a (managed or external) catalog table's data dir. */
+  def tableLocation(spark: SparkSession, table: String): String =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)).location.toString
+
+  private def stagingOf(table: String) = table + "__compact_staging"
+  private def oldOf(table: String) = table + "__compact_old"
+
+  /** Restore invariants after a crashed [[compactBucketedTable]]: if the
+    * crash fell between the two renames, the data lives under the `_old`
+    * name — put it back; any leftover staging table is dropped. Callers
+    * that auto-create a missing table MUST run this first, or a
+    * mid-swap crash would silently restart the table from empty.
+    */
+  def recoverBucketedTable(spark: SparkSession, table: String): Unit = {
+    if (spark.catalog.tableExists(oldOf(table))) {
+      if (!spark.catalog.tableExists(table))
+        spark.sql(s"ALTER TABLE ${oldOf(table)} RENAME TO $table")
+      else spark.sql(s"DROP TABLE ${oldOf(table)}")
+    }
+    if (spark.catalog.tableExists(stagingOf(table)))
+      spark.sql(s"DROP TABLE ${stagingOf(table)}")
+  }
+
+  /** Rewrite a BUCKETED catalog table (the [[Writers.writeBucketed]] /
+    * [[Writers.appendBucketed]] layout) down to ~one file per bucket,
+    * preserving the bucket spec — so the no-shuffle-join guarantee the
+    * table exists for survives its own maintenance. Per-batch appends
+    * write at least one small file per touched bucket, so a streaming
+    * ingest loop grows the file count linearly with batch count; this
+    * rewrite is the periodic chore that bounds it.
+    *
+    * The repartition on the bucket key puts each bucket's rows in ONE
+    * task (same murmur3 hash family as the bucket spec), so the rewrite
+    * emits ~`buckets` files. One shuffle of the store per compaction —
+    * at very large store sizes, raise the trigger threshold so the
+    * amortized cost per batch stays negligible.
+    *
+    * Swap protocol (all catalog renames, metadata-cheap): write staging
+    * table under the same bucket spec → rename live → `_old` → rename
+    * staging → live → drop `_old`. Every crash window is covered by
+    * [[recoverBucketedTable]], which runs first here and should also run
+    * at loop start by any caller that auto-creates the table.
+    * Returns (filesBefore, filesAfter).
+    */
+  def compactBucketedTable(spark: SparkSession, table: String,
+      key: Seq[String], buckets: Int): (Int, Int) = {
+    recoverBucketedTable(spark, table)
+    val before = dataFileCount(spark, tableLocation(spark, table))
+    val staging = stagingOf(table)
+    val old = oldOf(table)
+    // The rewrite is ZERO-shuffle when the planner cooperates: the scan
+    // of a bucketed table can read one partition per bucket, which
+    // already satisfies the repartition below (the planner removes it as
+    // redundant), and each write task then holds exactly one bucket →
+    // one output file per bucket. Three confs must be pinned for that
+    // plan to materialize: autoBucketedScan would silently DROP the
+    // bucketed layout for a plain scan-write query (it only keeps it
+    // when a join/agg wants it — the planner then removes the
+    // repartition based on the bucket metadata anyway, yielding
+    // file-packed mixed-bucket partitions that re-fragment the output);
+    // planned write would insert its own AQE rebalance for bucketed
+    // saves (packing SEVERAL buckets per task); and AQE could re-plan
+    // the exchange in the fallback path where the repartition survives
+    // (e.g. a store whose catalog entry lost its bucket spec).
+    val pinned = Seq(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false",
+      "spark.sql.optimizer.plannedWrite.enabled" -> "false",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = pinned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pinned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try
+      spark.table(table)
+        .repartition(buckets, key.map(col): _*)
+        .write
+        .bucketBy(buckets, key.head, key.tail: _*)
+        .sortBy(key.head, key.tail: _*)
+        .saveAsTable(staging)
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    spark.sql(s"DROP TABLE $old")
+    (before, dataFileCount(spark, tableLocation(spark, table)))
+  }
+
   /** Rewrite `path` into ~`targetFileBytes` files (default 128 MiB, the
     * usual HDFS-block-aligned choice). Returns (filesBefore, filesAfter).
     * The rewrite stages then lands via [[Writers.swapInto]] — one shared

@@ -297,6 +297,72 @@ class CurationQueriesSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming ingest auto-compaction: file count stays bounded, verdicts unchanged") {
+    import graft.curation.Curation
+    import graft.io.Compact
+    val table = freshTable("sig_store_compact_test")
+    val srcDir = Files.createTempDirectory("neardup_compact").toString + "/src"
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+    val buckets = 4
+
+    // control: same 4 batches, no compaction — measures the unbounded growth
+    val ctlTable = freshTable("sig_store_compact_ctl")
+    def batchRows(b: Int): Seq[(Long, String)] =
+      // each batch: one brand-new doc + one near-dup of batch 1's doc 100
+      Seq((100L + b, words(if (b == 1) "a" else s"n$b", 30)),
+        (200L + b, if (b == 1) words("fresh1", 30) else words("a", 30)))
+
+    // the parquet streaming source requires the dir to exist at start
+    batchRows(1).toDF("doc_id", "text").coalesce(1).write.parquet(srcDir)
+
+    val verdicts = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val ctlVerdicts = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = Curation.nearDupIngestStream(
+      spark.readStream.schema(schema).parquet(srcDir), table,
+      buckets = buckets, compactFileThreshold = buckets) {
+      v => verdicts ++= v.collect().map(r => r.getLong(0) -> r.getString(1))
+    }
+    val ctl = Curation.nearDupIngestStream(
+      spark.readStream.schema(schema).parquet(srcDir), ctlTable,
+      buckets = buckets, compactFileThreshold = 0) {
+      v => ctlVerdicts ++= v.collect().map(r => r.getLong(0) -> r.getString(1))
+    }
+    try {
+      for (b <- 1 to 4) {
+        if (b > 1) batchRows(b).toDF("doc_id", "text")
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+        ctl.processAllAvailable()
+      }
+      // verdicts are IDENTICAL with and without compaction
+      assert(verdicts.toMap === ctlVerdicts.toMap)
+      assert(verdicts.toMap === Map(
+        101L -> "accepted", 201L -> "accepted",
+        102L -> "accepted", 202L -> "dropped_vs_history",
+        103L -> "accepted", 203L -> "dropped_vs_history",
+        104L -> "accepted", 204L -> "dropped_vs_history"))
+      // same store CONTENT either way
+      val rows = spark.table(table).orderBy("doc_id", "band_key")
+        .collect().map(_.toString).toSeq
+      val ctlRows = spark.table(ctlTable).orderBy("doc_id", "band_key")
+        .collect().map(_.toString).toSeq
+      assert(rows === ctlRows)
+      // the point: compaction bounds the file count at ~one per bucket,
+      // while the control grows a file per touched bucket per batch
+      val compacted = Compact.dataFileCount(spark, Compact.tableLocation(spark, table))
+      val unbounded = Compact.dataFileCount(spark, Compact.tableLocation(spark, ctlTable))
+      assert(compacted <= buckets + 2,
+        s"auto-compaction left $compacted files (threshold $buckets)")
+      assert(unbounded > compacted,
+        s"control store should exceed the compacted one ($unbounded vs $compacted)")
+      // the bucket spec survived the rewrite: the verdict join still
+      // reads the store with no store-side exchange
+      assert(spark.sql(s"DESCRIBE EXTENDED $table").collect()
+        .exists(r => r.getString(0).contains("Bucket")),
+        "compacted store lost its bucket spec")
+    } finally { q.stop(); ctl.stop() }
+  }
+
   test("q127: store-backed ledger reconciles and kills planted copies") {
     val out = SparkEntry.queries("q127_sigstore_dedup")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getLong(0) ->
