@@ -8,7 +8,7 @@ import javax.imageio.ImageIO
   * plugins — no native codecs, no AWT display (verified headless in this
   * container: `ImageIO.getReaderFormatNames()` lists png/jpeg/gif/tiff/
   * bmp/wbmp). This closes the gap the old `decodeStub` papered over for
-  * the common image formats; the stub remains only for webp, which the
+  * the common image formats; the stub remains only for opaque blobs ([[WebpCodec]] covers webp), which the
   * JDK ships no plugin for.
   *
   * Feature extraction mirrors [[BmpCodec.Decoded]]: integer milli-luma

@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * `bmp` via the pure-JVM [[BmpCodec]] (headers + padding + bottom-up
   * rows), `wav` via [[WavCodec]] (RIFF chunk walk), and png/jpg/gif/tiff
   * via the JDK's built-in `javax.imageio` plugins ([[ImageIoCodec]], no
-  * native deps). Only formats the JVM genuinely cannot decode (webp and
-  * arbitrary opaque blobs) keep the clearly-marked deterministic STUB.
+  * native deps), and `webp` via the pure-JVM [[WebpCodec]] (VP8L
+  * literal profile). Only genuinely opaque blobs keep the clearly-marked
+  * deterministic STUB.
   * Everything around both tiers — the schema contract, the binary column
   * handling, the typed `mapPartitions` batch shape, and the partitioning
   * story — is identical and tested; swapping [[decodeStub]] for a JNI
@@ -37,11 +38,12 @@ object Multimodal {
       channels: Int,
       mean_luma: Double)
 
-  /** STUB decode for formats with no JVM codec (webp) or genuinely opaque
-    * blobs: deterministic pseudo-features derived from the payload alone
-    * (length + first/last byte), standing in for a codec call. Replace
-    * the body with the real decoder to productionize. png/jpg/gif/tiff do
-    * NOT go through here — they get [[ImageIoCodec]]'s real decode.
+  /** STUB decode for genuinely opaque blobs: deterministic
+    * pseudo-features derived from the payload alone (length + first/last
+    * byte), standing in for a codec call. Replace the body with the real
+    * decoder to productionize. png/jpg/gif/tiff/bmp do NOT go through
+    * here ([[ImageIoCodec]]), and neither does webp ([[WebpCodec]],
+    * q151) — every named format now has a real decode tier.
     */
   def decodeStub(a: Asset): AssetFeatures = {
     val len = a.payload.length
@@ -53,7 +55,7 @@ object Multimodal {
       byte_len = len,
       width = 64 + (len % 512),
       height = 64 + ((len * 7 + first) % 512),
-      channels = if (a.format == "webp") 4 else 3,
+      channels = if (a.format == "opaque") 4 else 3,
       mean_luma = ((first + last + len % 256) % 256) / 255.0)
   }
 
@@ -69,8 +71,8 @@ object Multimodal {
     * through the decoder without materializing the whole partition.
     * Dispatch: png/jpg/gif/tiff/bmp payloads are REALLY decoded via
     * `javax.imageio`; `wav` is rejected loudly (audio features don't fit
-    * this image schema — use [[decodeWav]]); anything else (webp, opaque
-    * blobs) takes the stub.
+    * this image schema — use [[decodeWav]]); genuinely opaque blobs
+    * take the stub (webp has its own typed tier, [[decodeWebp]]).
     */
   def decode(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
@@ -239,6 +241,43 @@ object Multimodal {
       })
   }
 
+  /** REAL decode for `webp` assets via the pure-JVM [[WebpCodec]] (VP8L
+    * literal profile — RIFF walk, prefix-code loading, canonical
+    * bit-level decode). Same typed per-partition batch shape as
+    * [[decodeBmp]]; fails loudly on non-webp input and on bitstream
+    * features outside the literal profile.
+    */
+  def decodeWebp(assets: Dataset[Asset]): Dataset[ImageFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      require(a.format == "webp", s"decodeWebp got format '${a.format}'")
+      val d = WebpCodec.decode(a.payload)
+      ImageFeatures(a.asset_id, a.format, d.width, d.height, d.channels,
+        d.lumaSumMilli, d.topLeftLumaMilli, d.bottomRightLumaMilli)
+    })
+  }
+
+  /** Deterministic REAL-webp asset table: the [[bmpAssetsFromDocuments]]
+    * recipe with distinct parameter multipliers, encoded as literal-only
+    * VP8L — the decoded features have the same closed-form luma oracle
+    * while the decode undoes real prefix-coded entropy bits. Synthesis
+    * is row-local; payloads never shuffle.
+    */
+  def webpAssetsFromDocuments(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + (id * 3) % 16).toInt
+        val h = (8 + (id * 5) % 16).toInt
+        val rBase = (id % 200).toInt
+        val g = ((id * 13) % 256).toInt
+        val b = ((id * 19) % 256).toInt
+        Asset(id, "webp",
+          WebpCodec.encode(w, h)((x, y) => ((rBase + x + y) << 16) | (g << 8) | b))
+      })
+  }
+
   /** Thumbnail features: the image resized by box-pooling into a
     * grid×grid panel of integer milli-luma box sums (row-major). The
     * downsample/feature-extract stage of an image pipeline, kept as exact
@@ -386,7 +425,10 @@ object Multimodal {
     import spark.implicits._
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("asset_id"),
-        element_at(typedLit(Seq("webp", "bin", "raw")),
+        // 'opaque' (formerly mislabeled 'webp'): webp now has the REAL
+        // [[WebpCodec]] tier (q151); the stub fixture keeps only formats
+        // with genuinely no decoder
+        element_at(typedLit(Seq("opaque", "bin", "raw")),
           (col("doc_id") % 3 + 1).cast("int")).as("format"),
         encode(col("text"), "UTF-8").as("payload"))
       .as[Asset]

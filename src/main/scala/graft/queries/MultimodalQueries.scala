@@ -31,7 +31,7 @@ object MultimodalQueries {
       Some("""
         WITH assets AS (
           SELECT doc_id AS asset_id,
-            CASE doc_id % 3 WHEN 0 THEN 'webp' WHEN 1 THEN 'bin' ELSE 'raw' END AS format,
+            CASE doc_id % 3 WHEN 0 THEN 'opaque' WHEN 1 THEN 'bin' ELSE 'raw' END AS format,
             strlen(text) AS byte_len,
             ord(substr(text, 1, 1)) AS first_b,
             ord(substr(text, -1, 1)) AS last_b
@@ -306,6 +306,43 @@ object MultimodalQueries {
             + (CASE WHEN b00 > b10 THEN 4 ELSE 0 END)
             + (CASE WHEN b01 > b11 THEN 8 ELSE 0 END) AS BIGINT) AS dhash
         FROM wide w JOIN p ON p.doc_id = w.doc_id ORDER BY 1""")),
+
+    // ---- REAL webp decode: literal-profile VP8L through the pure-JVM
+    // WebpCodec. Closes the last stub format tier: the payload is a fully
+    // legal lossless-WebP bitstream (RIFF walk, prefix-code loading with
+    // the code-length code and its repeat opcodes, canonical LSB-first
+    // bit decode), and like q126/q130 the oracle predicts every feature
+    // in closed form from the gradient synthesis — any bit-order,
+    // canonical-construction, or channel-order bug breaks the hash.
+    Q("q151_webp_decode",
+      (s, dir) => {
+        val feats = Multimodal.decodeWebp(Multimodal.webpAssetsFromDocuments(s, dir))
+        feats.select(
+          col("asset_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("luma_sum"), col("top_left_luma"), col("bottom_right_luma"))
+          .orderBy("asset_id")
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+            8 + (doc_id * 3) % 16 AS w,
+            8 + (doc_id * 5) % 16 AS h,
+            doc_id % 200 AS r,
+            (doc_id * 13) % 256 AS g,
+            (doc_id * 19) % 256 AS b
+          FROM documents)
+        SELECT doc_id AS asset_id,
+          CAST(w AS BIGINT) AS width,
+          CAST(h AS BIGINT) AS height,
+          CAST(3 AS BIGINT) AS channels,
+          CAST(299 * (w * h * r + h * ((w * (w - 1)) // 2) + w * ((h * (h - 1)) // 2))
+               + w * h * (587 * g + 114 * b) AS BIGINT) AS luma_sum,
+          CAST(299 * r + 587 * g + 114 * b AS BIGINT) AS top_left_luma,
+          CAST(299 * (r + w - 1 + h - 1) + 587 * g + 114 * b AS BIGINT) AS bottom_right_luma
+        FROM p ORDER BY 1""")),
 
     // ---- visual near-dup: dHash LSH bands + per-box verify ----------------
     // Image dedup over a corpus with PLANTED visual duplicates: every

@@ -11,7 +11,7 @@ class MultimodalSpec extends SparkSpec {
     assert(features.length == 500)
     // formats cycle by id
     val byFormat = features.groupBy(_.format).view.mapValues(_.length).toMap
-    assert(byFormat.keySet == Set("webp", "bin", "raw"))
+    assert(byFormat.keySet == Set("opaque", "bin", "raw"))
     // stub decode is deterministic and in-range
     val f = features.find(_.asset_id == 0).get
     assert(f.channels == 4 || f.channels == 3)
@@ -64,7 +64,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("binary payload round-trips through the typed Dataset") {
     import spark.implicits._
-    val a = Seq(Asset(1L, "webp", Array[Byte](1, 2, 3))).toDS()
+    val a = Seq(Asset(1L, "opaque", Array[Byte](1, 2, 3))).toDS()
     val d = decode(a).head()
     assert(d.byte_len == 3)
     assert(d.channels == 4)
