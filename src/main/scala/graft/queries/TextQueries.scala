@@ -81,28 +81,36 @@ object TextQueries {
     * (The previous explode+groupBy shape shuffled one row per shingle —
     * correct, but an exchange proportional to corpus token count.)
     */
-  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  /** LSH band rows (doc_id, band_key) over the perturbed corpus — the
+    * candidate-generation stage shared by the verified pair listing
+    * ([[minhashVerifiedPairs]]) and the recall measurement (q152).
+    * Shingle-able docs gated by a CHEAP token-count predicate, not by
+    * isNotNull(sig): predicate pushdown would duplicate the filter
+    * expression below the projection, and with the sig itself as the
+    * filter that meant one full extra tokenize+md5 pass per row.
+    * The band INDEX explodes first and keys build above the Generate
+    * barrier: band keys built directly over `sig` get the sig expression
+    * inlined into every element_at by CollapseProject — 16 full
+    * re-tokenizations per row (measured 2.5x). Above the barrier they
+    * reference the materialized attribute.
+    */
+  private def minhashBandRows(s: SparkSession, dir: String): DataFrame = {
     graft.text.TextSketch.register(s)
-    // shingle-able docs gated by a CHEAP token-count predicate, not by
-    // isNotNull(sig): predicate pushdown would duplicate the filter
-    // expression below the projection, and with the sig itself as the
-    // filter that meant one full extra tokenize+md5 pass per row
     val sigs = corpus(s, dir)
       .filter(size(split(trim(col("text")), "\\s+")) >= 3)
       .select(col("doc_id"),
         graft.text.TextSketch.minhashSig(col("text"), 3, SEEDS).as("sig"))
-    // explode the band INDEX first, build keys above the Generate barrier:
-    // band keys built directly over `sig` get the sig expression inlined
-    // into every element_at by CollapseProject — 16 full re-tokenizations
-    // per row (measured 2.5x on this query). Above the barrier they
-    // reference the materialized attribute.
-    val bandRows = sigs
+    sigs
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(NUM_HASHES / BAND_ROWS - 1))).as("band"))
       .select(col("doc_id"), concat_ws("|",
         col("band").cast("string") +:
           (0 until BAND_ROWS).map(i =>
             element_at(col("sig"), col("band") * BAND_ROWS + lit(i + 1))): _*).as("band_key"))
+  }
+
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val bandRows = minhashBandRows(s, dir)
     val pairs = bandRows.select(col("band_key"), col("doc_id").as("doc_a"))
       .join(bandRows.select(col("band_key"), col("doc_id").as("doc_b")), Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
@@ -136,10 +144,10 @@ object TextQueries {
       .filter(col("jaccard") >= 0.5)
   }
 
-  /** DuckDB mirror of [[minhashVerifiedPairs]] as a WITH prefix ending at
-    * CTE `verified` (jaccard unfiltered — consumers filter).
+  /** DuckDB mirror of [[minhashBandRows]] as a WITH prefix ending at CTE
+    * `bands` (also exposes `shingled` for exact-Jaccard consumers).
     */
-  private val minhashPairsSql: String = {
+  private val minhashBandsSql: String = {
     val minhashes = (0 until NUM_HASHES).map(i =>
       s"list_aggregate(list_transform(hb, b -> xor(b, ${SEEDS(i)})), 'min') AS h$i").mkString(",\n            ")
     val bandSelects = (0 until NUM_HASHES / BAND_ROWS).map { b =>
@@ -163,7 +171,13 @@ object TextQueries {
             list_transform(sh, s1 -> CAST('0x' || substr(md5(s1), 1, 15) AS BIGINT)) AS hb
             FROM shingled WHERE len(sh) > 0)),
         bands AS (
-          $bandSelects),
+          $bandSelects)"""
+  }
+
+  /** DuckDB mirror of [[minhashVerifiedPairs]] as a WITH prefix ending at
+    * CTE `verified` (jaccard unfiltered — consumers filter).
+    */
+  private val minhashPairsSql: String = minhashBandsSql + """,
         pairs AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
             a.sh AS sh_a, b.sh AS sh_b
@@ -174,7 +188,6 @@ object TextQueries {
               - len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE)
               / len(list_distinct(list_concat(sh_a, sh_b))) AS jaccard
           FROM pairs)"""
-  }
 
   /** Above this many docs, a last-token block is re-blocked by content
     * (MinHash bands) instead of exact all-pairs — the per-block pair count
@@ -483,6 +496,85 @@ object TextQueries {
       Some(minhashPairsSql + """
         SELECT doc_a, doc_b, jaccard FROM verified
         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""")),
+
+    // ---- LSH retrieval quality: planted-pair recall of the band stage -----
+    // The text-dedup sibling of q134's ANN recall: a banding geometry
+    // (16 hashes x 4 bands here) is a RECALL dial, and shipping one
+    // without its measured number is a guess. Ground truth = the planted
+    // pairs the corpus construction KNOWS (every 25th doc's 2-words-
+    // dropped variant, every 40th doc's exact copy), kept when their
+    // EXACT shingle Jaccard >= 0.5 — a planted-pair-bounded linear
+    // check, not an all-pairs sweep, which is how this measurement stays
+    // runnable on the production corpus. Retrieved = the pair shares at
+    // least one LSH band. One row per planted kind: exact copies must
+    // recall at 1.0 (identical signatures band identically); near-dups
+    // measure what the geometry actually catches.
+    Q("q152_lsh_recall",
+      (s, dir) => {
+        graft.text.TextSketch.register(s)
+        val ids = t(s, dir, "documents").select("doc_id")
+        val planted = ids.filter(col("doc_id") % 25 === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 1000000L).as("doc_b"), lit("near").as("kind"))
+          .unionByName(ids.filter(col("doc_id") % 40 === 0)
+            .select(col("doc_id").as("doc_a"),
+              (col("doc_id") + 2000000L).as("doc_b"), lit("exact").as("kind")))
+        val c = corpus(s, dir)
+        // exact-Jaccard truth over the planted pairs only (pair-bounded)
+        val truth = c.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+          .join(c.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+            .join(broadcast(planted), Seq("doc_a")), Seq("doc_b"))
+          .withColumn("sh_a", graft.text.TextSketch.wordShingles(col("text_a"), 3))
+          .withColumn("sh_b", graft.text.TextSketch.wordShingles(col("text_b"), 3))
+          .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
+          .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.5)
+          .select("kind", "doc_a", "doc_b")
+        // candidate retrieval: the pair agrees on >= 1 band
+        val bands = minhashBandRows(s, dir)
+        val retrieved = planted
+          .join(bands.select(col("doc_id").as("doc_a"), col("band_key").as("k_a")),
+            Seq("doc_a"))
+          .join(bands.select(col("doc_id").as("doc_b"), col("band_key").as("k_b")),
+            Seq("doc_b"))
+          .filter(col("k_a") === col("k_b"))
+          .select("doc_a", "doc_b").distinct()
+          .withColumn("hit", lit(1L))
+        truth.join(retrieved, Seq("doc_a", "doc_b"), "left_outer")
+          .groupBy("kind")
+          .agg(count(lit(1)).as("truth_pairs"),
+            sum(coalesce(col("hit"), lit(0L))).as("retrieved"))
+          .select(col("kind"), col("truth_pairs"), col("retrieved"),
+            (col("retrieved").cast("double") / col("truth_pairs").cast("double"))
+              .as("recall"))
+          .orderBy("kind")
+      },
+      Some(minhashBandsSql + """,
+        planted AS (
+          SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b, 'near' AS kind
+          FROM documents WHERE doc_id % 25 = 0
+          UNION ALL
+          SELECT doc_id AS doc_a, doc_id + 2000000 AS doc_b, 'exact' AS kind
+          FROM documents WHERE doc_id % 40 = 0),
+        truth AS (
+          SELECT p.kind, p.doc_a, p.doc_b
+          FROM planted p
+          JOIN shingled a ON a.doc_id = p.doc_a
+          JOIN shingled b ON b.doc_id = p.doc_b
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0
+            AND CAST(len(list_distinct(a.sh)) + len(list_distinct(b.sh))
+              - len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        retrieved AS (
+          SELECT DISTINCT p.doc_a, p.doc_b
+          FROM planted p
+          JOIN bands x ON x.doc_id = p.doc_a
+          JOIN bands y ON y.doc_id = p.doc_b AND y.band_key = x.band_key)
+        SELECT t.kind, COUNT(*) AS truth_pairs,
+          CAST(SUM(CASE WHEN r.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retrieved,
+          CAST(CAST(SUM(CASE WHEN r.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) AS recall
+        FROM truth t LEFT JOIN retrieved r ON r.doc_a = t.doc_a AND r.doc_b = t.doc_b
+        GROUP BY t.kind ORDER BY t.kind""")),
 
     // ---- end-to-end dedup keep-list over the MinHash pairs ----------------
     // Standard near-dup policy: a doc is dropped when it pairs (jaccard >=
