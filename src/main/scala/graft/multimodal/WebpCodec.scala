@@ -3,12 +3,13 @@ package graft.multimodal
 /** Pure-JVM WebP-lossless (VP8L) codec for the multimodal decode path —
   * closing the last [[Multimodal.decodeStub]] format tier with the same
   * from-scratch discipline as [[BmpCodec]] (BI_RGB) and [[WavCodec]]
-  * (RIFF PCM). Scope, stated exactly like BmpCodec's: the LITERAL-ONLY
-  * VP8L profile — no transforms, no color cache, no meta-prefix image,
-  * no LZ77 backward references. That profile is a fully legal VP8L
-  * bitstream (every standard decoder reads it; the optional features are
-  * exactly that — optional), and decoding it still exercises the real
-  * VP8L machinery end to end:
+  * (RIFF PCM). Scope, stated exactly like BmpCodec's: VP8L literals plus
+  * LZ77 backward references with LINEAR distances (plane codes > 120) —
+  * no transforms, no color cache, no meta-prefix image, no 2-D
+  * neighborhood plane codes (the 120-entry offset map). That profile is
+  * a fully legal VP8L bitstream (every standard decoder reads it; the
+  * optional features are exactly that — optional), and decoding it
+  * exercises the real VP8L machinery end to end:
   *
   *  - RIFF container walk (`RIFF`/`WEBP`/`VP8L` chunks, even-size
   *    padding), with loud rejection of lossy `VP8 ` and extended `VP8X`;
@@ -23,7 +24,11 @@ package graft.multimodal
   *    length then symbol, bit-reversed on the wire, read LSB-first) for
   *    all five alphabets (green+length+cache 280, red/blue/alpha 256,
   *    distance 40);
-  *  - the green→red→blue→alpha literal pixel loop.
+  *  - the green→red→blue→alpha literal pixel loop, and the LZ77 path:
+  *    length symbols 256-279 of the green alphabet and distance symbols
+  *    through the shared value-prefix coding (4 no-extra-bit codes, then
+  *    extra bits growing with the code), runs copied pixel by pixel so
+  *    overlapping distance-1 references work (the RLE case).
   *
   * Out-of-profile features fail loudly with the feature name — the same
   * contract as BmpCodec's rejection of RLE/16-bit variants. No byte of
@@ -175,6 +180,37 @@ object WebpCodec {
     if (alphabetSize > 256) cl18(alphabetSize - 256 - 11) // trailing zeros
   }
 
+  /** The green+length alphabet's code: a COMPLETE canonical code over all
+    * 280 symbols (Kraft sum exactly 1: 232 eight-bit + 48 nine-bit
+    * codes), so literal greens AND the 24 LZ77 length codes are
+    * emittable. Canonical assignment: symbols 0-231 get codes 0-231 at
+    * 8 bits; symbols 232-279 get codes 464-511 at 9 bits.
+    */
+  private def writeGreen280Code(bw: BitWriter): Unit = {
+    bw.writeBits(0, 1) // not the simple form
+    // code-length code: {8 -> len 1, 9 -> len 2, 16 -> len 2} at ClOrder
+    // positions 11, 12, 8 -> 13 entries
+    bw.writeBits(13 - 4, 4)
+    val clLen = Array(0, 0, 0, 0, 0, 0, 0, 0, 2, 0, 0, 1, 2)
+    clLen.foreach(bw.writeBits(_, 3))
+    bw.writeBits(0, 1) // no max-symbol short-circuit
+    // canonical cl codes: 8 -> 0 (1 bit); 9 -> 10b; 16 -> 11b
+    def lit(code: Int, len: Int): Unit = bw.writeCode(code, len)
+    def rep(r: Int): Unit = { bw.writeCode(3, 2); bw.writeBits(r - 3, 2) }
+    lit(0, 1) // symbol 0: length 8
+    var emitted = 1
+    while (emitted < 232) { val r = math.min(6, 232 - emitted); rep(r); emitted += r }
+    lit(2, 2) // symbol 232: length 9
+    emitted += 1
+    while (emitted < 280) { val r = math.min(6, 280 - emitted); rep(r); emitted += r }
+  }
+
+  /** Canonical (code, length) of a green-alphabet symbol under
+    * [[writeGreen280Code]]'s lengths.
+    */
+  private def greenCode(symbol: Int): (Int, Int) =
+    if (symbol < 232) (symbol, 8) else (464 + symbol - 232, 9)
+
   /** The 1-2 symbol "simple" code form. */
   private def writeSimpleCode(bw: BitWriter, symbols: Seq[Int]): Unit = {
     require(symbols.nonEmpty && symbols.length <= 2)
@@ -185,11 +221,41 @@ object WebpCodec {
     if (symbols.length == 2) bw.writeBits(symbols(1), 8)
   }
 
+  /** LZ77 prefix coding of a value (length or distance plane code):
+    * (symbol, extraValue, extraBits). Codes 0-3 carry values 1-4 with no
+    * extra bits; code s >= 4 covers [offset+1, offset+2^extra] with
+    * extra = (s-2)>>1, offset = (2+(s&1)) << extra.
+    */
+  private def lz77Encode(value: Int): (Int, Int, Int) = {
+    require(value >= 1, s"vp8l: lz77 value $value")
+    if (value <= 4) return (value - 1, 0, 0)
+    var s = 4
+    while (true) {
+      val extra = (s - 2) >> 1
+      val offset = (2 + (s & 1)) << extra
+      if (value <= offset + (1 << extra)) return (s, value - offset - 1, extra)
+      s += 1
+    }
+    sys.error("unreachable")
+  }
+
+  private def lz77Decode(symbol: Int, br: BitReader): Int =
+    if (symbol < 4) symbol + 1
+    else {
+      val extra = (symbol - 2) >> 1
+      val offset = (2 + (symbol & 1)) << extra
+      offset + 1 + br.readBits(extra)
+    }
+
   // ---- encode -----------------------------------------------------------
 
-  /** Encode an image as literal-only lossless WebP. `rgb(x, y)` returns
-    * packed 0xRRGGBB (alpha is emitted as constant 255 through a
-    * one-symbol alpha code costing zero bits per pixel).
+  /** Encode an image as lossless WebP (no transforms, no color cache).
+    * `rgb(x, y)` returns packed 0xRRGGBB (alpha is emitted as constant
+    * 255 through a one-symbol alpha code costing zero bits per pixel).
+    * Runs of >= 4 identical pixels compress as distance-1 LZ77 backward
+    * references (plane code 121 = linear distance 1, prefix symbol 13 —
+    * a one-symbol distance code, so each backref costs one 9-bit length
+    * symbol + extra bits + 5 distance extra bits).
     */
   def encode(width: Int, height: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 16384 && height <= 16384,
@@ -203,23 +269,39 @@ object WebpCodec {
     bw.writeBits(0, 1) // no transforms
     bw.writeBits(0, 1) // no color cache
     bw.writeBits(0, 1) // no meta-prefix image
-    writeFixed8Code(bw, 256 + 24) // green + length codes (no cache)
+    writeGreen280Code(bw) // green literals + length codes (no cache)
     writeFixed8Code(bw, 256) // red
     writeFixed8Code(bw, 256) // blue
     writeSimpleCode(bw, Seq(255)) // alpha: constant 255, zero bits/pixel
-    writeSimpleCode(bw, Seq(0)) // distance: never read (no backrefs)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        val p = rgb(x, y)
-        // fixed-8 canonical code == symbol; order green, red, blue[, alpha]
-        bw.writeCode((p >> 8) & 0xff, 8)
-        bw.writeCode((p >> 16) & 0xff, 8)
-        bw.writeCode(p & 0xff, 8)
-        x += 1
+    // distance: the run-length emitter only ever uses plane code 121
+    // (linear distance 1), whose prefix symbol is 13 with 5 extra bits —
+    // a one-symbol code makes the symbol itself cost zero bits
+    writeSimpleCode(bw, Seq(13))
+    val n = width * height
+    def px(i: Int): Int = rgb(i % width, i / width)
+    var i = 0
+    while (i < n) {
+      val p = px(i)
+      // literal: green, red, blue (alpha code is zero-bit)
+      val (gc, gl) = greenCode((p >> 8) & 0xff)
+      bw.writeCode(gc, gl)
+      bw.writeCode((p >> 16) & 0xff, 8)
+      bw.writeCode(p & 0xff, 8)
+      i += 1
+      // distance-1 run following this pixel -> one backref (4096 is the
+      // longest length the 24-code prefix alphabet can carry; longer
+      // runs emit several backrefs through the outer loop)
+      var run = 0
+      while (i + run < n && run < 4096 && px(i + run) == p) run += 1
+      if (run >= 4) {
+        val (sym, extraVal, extraBits) = lz77Encode(run)
+        val (lc, ll) = greenCode(256 + sym)
+        bw.writeCode(lc, ll)
+        bw.writeBits(extraVal, extraBits)
+        // distance symbol 13 costs zero bits; extra value 24 -> plane 121
+        bw.writeBits(24, 5)
+        i += run
       }
-      y += 1
     }
     val payload = bw.toBytes
     val padded = payload.length + (payload.length & 1) // RIFF even-size pad
@@ -337,27 +419,45 @@ object WebpCodec {
     val red = readPrefixCode(br, 256)
     val blue = readPrefixCode(br, 256)
     val alpha = readPrefixCode(br, 256)
-    readPrefixCode(br, 40) // distance code: loaded, never consulted
-    var lumaSum = 0L
-    var topLeft = 0L
-    var bottomRight = 0L
+    val dist = readPrefixCode(br, 40)
     val n = width * height
+    val argb = new Array[Int](n)
     var i = 0
     while (i < n) {
       val g = green.read(br)
-      if (g >= 256) throw new IllegalArgumentException(
-        "vp8l: LZ77 backward reference — out of this codec's literal-only profile")
-      val r = red.read(br)
-      val b = blue.read(br)
-      alpha.read(br)
-      val luma = 299L * r + 587L * g + 114L * b
-      lumaSum += luma
-      if (i == 0) topLeft = luma
-      if (i == n - 1) bottomRight = luma
+      if (g < 256) {
+        val r = red.read(br)
+        val b = blue.read(br)
+        val a = alpha.read(br)
+        argb(i) = (a << 24) | (r << 16) | (g << 8) | b
+        i += 1
+      } else {
+        // LZ77 backward reference: length prefix from the green alphabet,
+        // distance prefix mapped through the plane code — linear region
+        // (> 120) only; the 120-entry 2-D neighborhood map is the one
+        // VP8L feature outside this codec's profile
+        val length = lz77Decode(g - 256, br)
+        val planeCode = lz77Decode(dist.read(br), br)
+        if (planeCode <= 120) throw new IllegalArgumentException(
+          "vp8l: 2-D neighborhood distance plane code — out of this codec's profile")
+        val d = planeCode - 120
+        require(d <= i, s"vp8l: backref distance $d at pixel $i reaches before the image")
+        require(i + length <= n, s"vp8l: backref overruns the image at pixel $i")
+        var k = 0
+        while (k < length) { argb(i) = argb(i - d); i += 1; k += 1 }
+      }
+    }
+    var lumaSum = 0L
+    i = 0
+    while (i < n) {
+      val p = argb(i)
+      lumaSum += 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
       i += 1
     }
+    def luma(p: Int): Long =
+      299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
     Decoded(width, height, channels = if (alphaHint == 1) 4 else 3,
-      lumaSumMilli = lumaSum, topLeftLumaMilli = topLeft,
-      bottomRightLumaMilli = bottomRight)
+      lumaSumMilli = lumaSum, topLeftLumaMilli = luma(argb(0)),
+      bottomRightLumaMilli = luma(argb(n - 1)))
   }
 }

@@ -52,6 +52,43 @@ class WebpCodecSpec extends AnyFunSuite {
     assert(d.bottomRightLumaMilli == 299L * 255 + 114L * ((255 * 7) % 256))
   }
 
+  test("LZ77 backrefs: constant and run-heavy images round-trip (dist-1 refs)") {
+    // constant color: one literal + one maximal backref per image
+    for ((w, h) <- Seq((4, 4), (16, 16), (23, 19))) {
+      val d = WebpCodec.decode(WebpCodec.encode(w, h)((_, _) => 0x405060))
+      assert(d.width == w && d.height == h)
+      assert(d.lumaSumMilli == w.toLong * h * (299 * 0x40 + 587 * 0x50 + 114 * 0x60))
+      assert(d.topLeftLumaMilli == d.bottomRightLumaMilli)
+    }
+    // horizontal stripes: each row is one literal + one run (run length
+    // w-1 >= 4), rows differ so refs never cross rows
+    val w = 9; val h = 7
+    val d = WebpCodec.decode(WebpCodec.encode(w, h)((_, y) => (y * 30) << 16))
+    var expected = 0L
+    for (y <- 0 until h) expected += w.toLong * 299 * (y * 30)
+    assert(d.lumaSumMilli == expected)
+    assert(d.topLeftLumaMilli == 0)
+    assert(d.bottomRightLumaMilli == 299L * (6 * 30))
+    // compression sanity: the constant image must be far smaller than its
+    // literal pixel cost (the backref actually fired)
+    val const = WebpCodec.encode(64, 64)((_, _) => 0x123456)
+    assert(const.length < 200, s"constant 64x64 should compress, got ${const.length}B")
+    // runs longer than one backref's 4096-max still round-trip
+    val big = WebpCodec.decode(WebpCodec.encode(128, 40)((_, _) => 0x010203))
+    assert(big.lumaSumMilli == 128L * 40 * (299 * 1 + 587 * 2 + 114 * 3))
+  }
+
+  test("9-bit literal greens (symbols 232-255) round-trip") {
+    // greens above 231 take the 9-bit half of the complete 280-code —
+    // a canonical split off-by-one would desync every following symbol
+    val d = WebpCodec.decode(WebpCodec.encode(8, 3)((x, y) =>
+      ((x * 3) << 16) | ((232 + (x + y * 8) % 24) << 8) | 0x11))
+    var expected = 0L
+    for (y <- 0 until 3; x <- 0 until 8)
+      expected += 299L * (x * 3) + 587L * (232 + (x + y * 8) % 24) + 114L * 0x11
+    assert(d.lumaSumMilli == expected)
+  }
+
   test("subset boundaries fail loudly with the feature name") {
     val good = WebpCodec.encode(2, 2)((_, _) => 0)
     // corrupt container magic
