@@ -649,6 +649,89 @@ object TextQueries {
           COUNT(*) - 1 AS dropped
         FROM ranked GROUP BY root ORDER BY root""")),
 
+    // ---- leakage-safe train/val/test split at near-dup-cluster grain ------
+    // Benchmark contamination through near-duplicates is the quiet failure
+    // of doc-level splits: a doc and its near-copy land in train and test
+    // and the eval leaks. The published fix is to split at DUP-CLUSTER
+    // granularity — connected components over the verified near-dup pairs
+    // (q145's machinery), every member assigned by the content hash of
+    // its cluster REPRESENTATIVE (q30b's md5 bucket formula on the root
+    // id), singletons by their own id. The one-row report carries the
+    // proof AND the counterfactual: leaked_pairs (pairs straddling
+    // splits under cluster-grain assignment — structurally zero) next to
+    // naive_leaked_pairs (what the same md5 split at doc grain would
+    // have leaked — nonzero, the reason this operator exists).
+    Q("q153_leakage_safe_split",
+      (s, dir) => {
+        // the verified pair set feeds THREE consumers (CC edges + both
+        // leak measurements) — persist, or the band join runs three times
+        val pairs = minhashVerifiedPairs(s, dir).select("doc_a", "doc_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nonRoot = graft.ops.ConnectedComponents.run(
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        val comp = nonRoot.unionByName(
+          nonRoot.select(col("root").as("node"), col("root")).distinct())
+        def bucket(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(concat(lit("split#"), c)), 1, 4), 16, 10)
+            .cast("int") % 100
+        def splitOf(b: org.apache.spark.sql.Column) =
+          when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        val assigned = corpus(s, dir).select(col("doc_id"))
+          .join(comp, col("doc_id") === col("node"), "left_outer")
+          .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("root"))
+          .withColumn("split", splitOf(bucket(col("root"))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val counts = assigned.agg(
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("train_docs"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("val_docs"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("test_docs"),
+          countDistinct(col("root")).as("clusters"))
+        val leaks = pairs
+          .join(assigned.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+            Seq("doc_a"))
+          .join(assigned.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+            Seq("doc_b"))
+          .agg(sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+            .as("leaked_pairs"))
+        val naive = pairs
+          .select(splitOf(bucket(col("doc_a"))).as("sa"),
+            splitOf(bucket(col("doc_b"))).as("sb"))
+          .agg(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+            .as("naive_leaked_pairs"))
+        counts.crossJoin(broadcast(leaks)).crossJoin(broadcast(naive))
+      },
+      Some(minhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ") + """
+        , vp AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM vp
+                  UNION SELECT doc_b, doc_a FROM vp),
+        reach AS (SELECT a, b FROM edges
+                  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        cluster AS (SELECT a AS node, LEAST(a, MIN(b)) AS root FROM reach GROUP BY a),
+        assigned AS (
+          SELECT doc_id, root,
+            CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT c.doc_id, COALESCE(cl.root, c.doc_id) AS root,
+            CAST('0x' || substr(md5('split#'
+              || CAST(COALESCE(cl.root, c.doc_id) AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS b
+            FROM corpus c LEFT JOIN cluster cl ON cl.node = c.doc_id)),
+        naive AS (
+          SELECT doc_id,
+            CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT doc_id,
+            CAST('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS b
+            FROM corpus))
+        SELECT
+          CAST((SELECT COUNT(*) FROM assigned WHERE split = 'train') AS BIGINT) AS train_docs,
+          CAST((SELECT COUNT(*) FROM assigned WHERE split = 'val') AS BIGINT) AS val_docs,
+          CAST((SELECT COUNT(*) FROM assigned WHERE split = 'test') AS BIGINT) AS test_docs,
+          CAST((SELECT COUNT(DISTINCT root) FROM assigned) AS BIGINT) AS clusters,
+          CAST((SELECT SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END)
+            FROM vp JOIN assigned a ON a.doc_id = vp.doc_a
+                    JOIN assigned b ON b.doc_id = vp.doc_b) AS BIGINT) AS leaked_pairs,
+          CAST((SELECT SUM(CASE WHEN na.split <> nb.split THEN 1 ELSE 0 END)
+            FROM vp JOIN naive na ON na.doc_id = vp.doc_a
+                    JOIN naive nb ON nb.doc_id = vp.doc_b) AS BIGINT) AS naive_leaked_pairs""")),
+
     // ---- incremental near-dup dedup of a new batch vs history -------------
     // The OPERATIONAL dedup mode: a corpus is never deduplicated once —
     // each ingest batch must be checked against what is already accepted.
