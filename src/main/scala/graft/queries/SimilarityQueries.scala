@@ -748,6 +748,29 @@ object SimilarityQueries {
       Some(ivfPqTrainedOracleSql))
     ,
 
+    // ---- the PERSISTED index: build once, query by partition pruning ------
+    // q148 times train+encode+query as one plan; this is the production
+    // split ([[graft.ml.AnnIndex]]): build writes (vec_id, codes, cell)
+    // partitionBy(cell) — one directory per inverted list — plus sidecar
+    // codebooks; query loads the bounded codebooks, turns the nprobe
+    // probe cells into PARTITION filters, and ADC-scans only those
+    // directories. Identical arithmetic end to end, so the same oracle
+    // that checks q148 checks the round-tripped index — and the spec
+    // asserts the query path never scans the float corpus (two pushed
+    // point lookups only) and prunes partitions by cell.
+    Q("q154_ann_index_query",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        val e = t(s, dir, "embeddings")
+        val dirTag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_$dirTag"
+        graft.ml.AnnIndex.build(s, e, path)
+        graft.ml.AnnIndex.query(s, e, path, qid = 42, nprobe = 2, topK = 10)
+      },
+      Some(ivfPqTrainedOracleSql))
+    ,
+
     // ---- recall@10 under the TRAINED codebook ------------------------------
     // q134's one-row quality reduction with the IVF arm assigned and probed
     // via the trained centroids instead of the first-16-vectors heuristic —
