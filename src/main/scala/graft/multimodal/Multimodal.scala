@@ -257,6 +257,110 @@ object Multimodal {
     })
   }
 
+  /** Store-backed STREAMING visual near-dup ingest — the image sibling of
+    * [[graft.curation.Curation.nearDupIngestStream]], with the identical
+    * operational discipline and the SAME perceptual algebra as the
+    * oracle-checked batch query (q140, [[VisualDedup]]). Each micro-batch
+    * of assets (`asset_id`, `format`, `payload` — any `javax.imageio`
+    * format):
+    *   1. decodes payload md5 + g×g box sums in ONE per-partition pass
+    *      ([[decodeThumbWithMd5]]) and derives the 24-bit dHash band rows
+    *      (narrow: the payload never outlives the decode stage);
+    *   2. verdicts against the bucketed store table — band_key equality
+    *      (dims + band baked into one key, the text-store discipline)
+    *      then the 16-box verify — and against earlier-id batch members;
+    *   3. appends ONLY accepted assets' band rows back to the store
+    *      (same bucket spec), so batch N+1 dedups against everything
+    *      batch N admitted;
+    *   4. hands (asset_id, verdict) rows to `sink`.
+    *
+    * Retry/restart safety is [[graft.curation.Curation.nearDupIngestStream]]'s,
+    * verbatim: the batch's own ids are excluded from the store side of
+    * the verdict join and from the re-append, verdicts are
+    * localCheckpoint-pinned before the append, and when
+    * `compactFileThreshold` > 0 the store auto-compacts through
+    * [[graft.io.Compact.compactBucketedTable]] (recovery runs at loop
+    * start so a mid-swap crash can't restart the store from empty).
+    */
+  def visualNearDupIngestStream(assets: DataFrame, storeTable: String,
+      buckets: Int = 32, grid: Int = 4, checkpoint: Option[String] = None,
+      compactFileThreshold: Int = 0)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = assets.writeStream.outputMode("append")
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        if (compactFileThreshold > 0)
+          graft.io.Compact.recoverBucketedTable(s, storeTable)
+        val feats = decodeThumbWithMd5(
+            batch.select("asset_id", "format", "payload").as[Asset], grid).toDF()
+          .select(col("asset_id"), col("width"), col("height"),
+            col("payload_md5").as("pm"), col("box_sums"))
+        val bands = VisualDedup.explodeBands(
+            feats.withColumn("dhash", VisualDedup.dhash("", grid)))
+          .withColumn("band_key", VisualDedup.bandKey(""))
+          .select("asset_id", "band_key", "width", "height", "box_sums", "pm")
+          .persist()
+        val batchIds = batch.select(col("asset_id")).distinct()
+        def side(df: DataFrame, p: String) =
+          df.columns.foldLeft(df)((d, c) =>
+            if (c == "band_key") d else d.withColumnRenamed(c, p + c))
+        try {
+          val storeBands =
+            (if (s.catalog.tableExists(storeTable)) s.table(storeTable)
+            else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+              bands.schema))
+              .join(broadcast(batchIds), Seq("asset_id"), "left_anti")
+          val vsHist = side(bands, "a_").join(side(storeBands, "b_"), Seq("band_key"))
+            .filter(VisualDedup.verify("a_", "b_", grid))
+            .select(col("a_asset_id").as("aid")).distinct()
+            .withColumn("vs_hist", lit(1L))
+          val vsBatch = side(bands, "a_").join(side(bands, "b_"), Seq("band_key"))
+            .filter(col("b_asset_id") < col("a_asset_id") &&
+              VisualDedup.verify("a_", "b_", grid))
+            .select(col("a_asset_id").as("aid")).distinct()
+            .withColumn("vs_batch", lit(1L))
+          val verdicts = batchIds
+            .join(vsHist, col("asset_id") === vsHist("aid"), "left_outer").drop("aid")
+            .join(vsBatch, col("asset_id") === vsBatch("aid"), "left_outer").drop("aid")
+            .select(col("asset_id"),
+              when(col("vs_hist") === 1L, "dropped_vs_history")
+                .when(col("vs_batch") === 1L, "dropped_in_batch")
+                .otherwise("accepted").as("verdict"))
+            .localCheckpoint(true)
+          val accepted = bands.join(
+            verdicts.filter(col("verdict") === "accepted").select(col("asset_id")),
+            Seq("asset_id"))
+          if (s.catalog.tableExists(storeTable)) {
+            val alreadyStored = s.table(storeTable).select(col("asset_id"))
+              .join(broadcast(batchIds), Seq("asset_id"), "left_semi").distinct()
+            graft.io.Writers.appendBucketed(
+              accepted.join(broadcast(alreadyStored), Seq("asset_id"), "left_anti"),
+              storeTable, Seq("band_key"), buckets)
+          } else
+            graft.io.Writers.writeBucketed(accepted, storeTable,
+              Seq("band_key"), buckets)
+          s.catalog.refreshTable(storeTable)
+          org.apache.spark.sql.SparkSession.getDefaultSession
+            .filter(_ ne s).foreach(_.catalog.refreshTable(storeTable))
+          if (compactFileThreshold > 0 &&
+              graft.io.Compact.dataFileCount(
+                s, graft.io.Compact.tableLocation(s, storeTable)) > compactFileThreshold) {
+            graft.io.Compact.compactBucketedTable(
+              s, storeTable, Seq("band_key"), buckets)
+            s.catalog.refreshTable(storeTable)
+            org.apache.spark.sql.SparkSession.getDefaultSession
+              .filter(_ ne s).foreach(_.catalog.refreshTable(storeTable))
+          }
+          sink(verdicts)
+          ()
+        } finally bands.unpersist()
+      }
+      .start()
+  }
+
   /** Deterministic REAL-webp asset table: the [[bmpAssetsFromDocuments]]
     * recipe with distinct parameter multipliers, encoded as literal-only
     * VP8L — the decoded features have the same closed-form luma oracle

@@ -383,36 +383,18 @@ object MultimodalQueries {
           .select(col("asset_id"), col("width"), col("height"),
             col("payload_md5").as("pm"), col("box_sums"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // box k along a dim spans [ceil(k*dim/4), ceil((k+1)*dim/4))
-        def bnd(dim: org.apache.spark.sql.Column, k: Int) =
-          floor((lit(k) * dim + lit(g - 1)) / lit(g)).cast("long")
-        def npix(wc: org.apache.spark.sql.Column, hc: org.apache.spark.sql.Column,
-            l: Int, k: Int) =
-          (bnd(wc, k + 1) - bnd(wc, k)) * (bnd(hc, l + 1) - bnd(hc, l))
-        def bs(pfx: String, l: Int, k: Int) =
-          element_at(col(pfx + "box_sums"), l * g + k + 1)
-        // 24-bit dHash: bits 0-11 horizontal (mean(l,k) > mean(l,k+1)),
-        // bits 12-23 vertical (mean(l,k) > mean(l+1,k)); sum_i/np_i
-        // compared exactly as sum_a * np_b > sum_b * np_a
-        val hBits = for { l <- 0 until g; k <- 0 until g - 1 } yield
-          when(bs("", l, k) * npix(col("width"), col("height"), l, k + 1)
-              > bs("", l, k + 1) * npix(col("width"), col("height"), l, k),
-            lit(1L << (l * (g - 1) + k))).otherwise(lit(0L))
-        val vBits = for { l <- 0 until g - 1; k <- 0 until g } yield
-          when(bs("", l, k) * npix(col("width"), col("height"), l + 1, k)
-              > bs("", l + 1, k) * npix(col("width"), col("height"), l, k),
-            lit(1L << (g * (g - 1) + l * g + k))).otherwise(lit(0L))
-        val banded = feats
-          .withColumn("dhash", (hBits ++ vBits).reduce(_ + _))
-          .withColumn("band_idx", explode(sequence(lit(0), lit(3))))
-          .withColumn("band_val", expr("shiftright(dhash, band_idx * 6) & 63"))
+        // 24-bit dHash (bits 0-11 horizontal, 12-23 vertical; box means
+        // compared exactly as sum_a * np_b > sum_b * np_a), band explode,
+        // and the 16-box verify all come from the shared VisualDedup
+        // algebra — the streaming ingest loop uses the SAME definitions,
+        // so its verdicts cannot drift from this oracle-checked query
+        import graft.multimodal.VisualDedup
+        val banded = VisualDedup.explodeBands(
+          feats.withColumn("dhash", VisualDedup.dhash("", g)))
         def side(p: String) =
           banded.columns.foldLeft(banded)((d, c) => d.withColumnRenamed(c, p + c))
         val a = side("a_"); val b = side("b_")
-        val verify = (for { l <- 0 until g; k <- 0 until g } yield
-          abs(bs("a_", l, k) - bs("b_", l, k)) <=
-            lit(1000L) * npix(col("a_width"), col("a_height"), l, k))
-          .reduce(_ && _)
+        val verify = VisualDedup.verify("a_", "b_", g)
         // LSH first-match-band discipline: a pair agreeing on several bands
         // must report ONCE, so it is emitted only from its LOWEST matching
         // band — for every band j below the joined one, the two dhashes

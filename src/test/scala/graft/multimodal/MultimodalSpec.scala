@@ -132,4 +132,67 @@ class MultimodalSpec extends SparkSpec {
       u * (0 + 10), u * 20, // row 0: boxes {v=0,10 | v=20}
       u * (30 + 40), u * 50)) // row 1: boxes {v=30,40 | v=50}
   }
+
+  test("streaming visual near-dup ingest: verdicts vs store, store grows per batch") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val table = {
+      spark.sql("DROP TABLE IF EXISTS visual_store_stream_test")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        "visual_store_stream_test")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+      "visual_store_stream_test"
+    }
+    val srcDir = Files.createTempDirectory("visual_stream").toString + "/src"
+    // gradient renders via the same recipe as the q140 fixture: (base)
+    // parameterizes dims + colors; bright=1 shifts red one level (a
+    // byte-DIFFERENT payload with the same visual structure)
+    def render(base: Long, bright: Int): Array[Byte] = {
+      val w = (8 + (base * 5) % 16).toInt
+      val h = (8 + (base * 7) % 16).toInt
+      val r = (base % 199).toInt + bright
+      val g = ((base * 11) % 256).toInt
+      val b = ((base * 17) % 256).toInt
+      ImageIoCodec.encode(w, h, "png")((x, y) => ((r + x + y) << 16) | (g << 8) | b)
+    }
+    val b1 = Seq(
+      (1L, "png", render(1, 0)),
+      (2L, "png", render(2, 0))).toDF("asset_id", "format", "payload")
+    b1.coalesce(1).write.parquet(srcDir)
+
+    val verdictLog = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = Multimodal.visualNearDupIngestStream(
+      spark.readStream.schema(b1.schema).parquet(srcDir), table, buckets = 4) {
+      v => verdictLog ++= v.collect().map(r => r.getLong(0) -> r.getString(1))
+    }
+    try {
+      q.processAllAvailable()
+      assert(verdictLog.toMap === Map(1L -> "accepted", 2L -> "accepted"))
+      assert(spark.table(table).count() === 8L) // 2 assets x 4 band rows
+
+      // batch 2: 10 re-renders asset 1 one red level brighter (perceptual
+      // near-dup, invisible to md5); 11 is asset 2's exact bytes; 12 is
+      // new; 13 duplicates 12 inside the batch
+      Seq(
+        (10L, "png", render(1, 1)),
+        (11L, "png", render(2, 0)),
+        (12L, "png", render(7, 0)),
+        (13L, "png", render(7, 0))).toDF("asset_id", "format", "payload")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      assert(verdictLog.toMap === Map(
+        1L -> "accepted", 2L -> "accepted",
+        10L -> "dropped_vs_history", // brightness-shift-invariant bands + verify
+        11L -> "dropped_vs_history", // byte-identical
+        12L -> "accepted",
+        13L -> "dropped_in_batch"))
+      assert(spark.table(table).count() === 12L) // 1, 2, 12 stored
+      assert(spark.table(table).select("asset_id").distinct().collect()
+        .map(_.getLong(0)).toSet === Set(1L, 2L, 12L))
+    } finally q.stop()
+  }
 }
