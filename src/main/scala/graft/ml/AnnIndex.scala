@@ -60,6 +60,24 @@ object AnnIndex {
     Codebooks(coarse, cbs)
   }
 
+  /** Index maintenance: encode NEW vectors under the SAVED codebooks and
+    * append them to their cell directories — no retraining, no rewrite of
+    * existing lists (dynamic-partition append touches only the arriving
+    * cells' directories). This is the ingest-time operation a live corpus
+    * needs; retrain + [[build]] periodically when drift accumulates
+    * (recall is re-measured by the q149-style check either way).
+    */
+  def append(spark: SparkSession, vecs: DataFrame, path: String): Unit = {
+    VecOps.register(spark)
+    val cb = loadCodebooks(spark, path)
+    val clean = vecs.filter(col("embedding").isNotNull)
+    Pq.encode(clean, cb.pq)
+      .withColumn("v_nrm", VecOps.norm(col("embedding")))
+      .withColumn("cell", VecOps.argmaxCell(col("embedding"), col("v_nrm"), cb.coarse))
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(indexDir(path))
+  }
+
   /** Load the sidecar codebooks (bounded: k coarse rows + m×pqK PQ rows). */
   def loadCodebooks(spark: SparkSession, path: String): Codebooks = {
     val coarse = spark.read.parquet(coarseDir(path))

@@ -44,6 +44,48 @@ class AnnIndexSpec extends SparkSpec {
       "the index scan must read codes, never float vectors")
   }
 
+  test("append encodes under the SAVED codebooks: split build+append == full build") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    // full build on the whole corpus = ground truth layout
+    val fullPath = java.nio.file.Files.createTempDirectory("ann_full").toString
+    AnnIndex.build(spark, e, fullPath)
+    // same codebooks (training sees the full corpus both times), but the
+    // second half of the rows arrives through append()
+    val splitPath = java.nio.file.Files.createTempDirectory("ann_split").toString
+    val built = AnnIndex.build(spark, e.filter(col("vec_id") < 250), splitPath)
+    // overwrite sidecars with the FULL-corpus codebooks so assignment
+    // matches the ground-truth layout (the half-corpus training differs —
+    // this test isolates append's encode-under-saved-codebooks contract)
+    val full = AnnIndex.build(spark, e, splitPath) // retrain + rewrite in place
+    AnnIndex.append(spark, e.filter(col("vec_id") < 0), splitPath) // no-op append
+    assert(built != null && full != null)
+    val a = AnnIndex.query(spark, e, splitPath, qid = 42, nprobe = 2, topK = 10)
+      .collect().map(_.toString).toSeq
+    val b = AnnIndex.query(spark, e, fullPath, qid = 42, nprobe = 2, topK = 10)
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+    // the real append contract: drop half the index rows, append them
+    // back under the saved codebooks, query is unchanged
+    val idx = s"$splitPath/index"
+    val half = spark.read.parquet(idx).filter(col("vec_id") >= 250)
+      .select("vec_id", "codes", "cell")
+    val kept = spark.read.parquet(idx).filter(col("vec_id") < 250)
+      .select("vec_id", "codes", "cell")
+    val rebuiltPath = java.nio.file.Files.createTempDirectory("ann_rebuilt").toString
+    // copy sidecars + the kept half, then append the dropped half's VECTORS
+    kept.write.mode("overwrite").partitionBy("cell").parquet(s"$rebuiltPath/index")
+    spark.read.parquet(s"$splitPath/codebook_coarse").write
+      .mode("overwrite").parquet(s"$rebuiltPath/codebook_coarse")
+    spark.read.parquet(s"$splitPath/codebook_pq").write
+      .mode("overwrite").parquet(s"$rebuiltPath/codebook_pq")
+    AnnIndex.append(spark, e.filter(col("vec_id") >= 250), rebuiltPath)
+    val c = AnnIndex.query(spark, e, rebuiltPath, qid = 42, nprobe = 2, topK = 10)
+      .collect().map(_.toString).toSeq
+    assert(c == b, "append under saved codebooks must reproduce the full index")
+    assert(spark.read.parquet(s"$rebuiltPath/index").count() ==
+      spark.read.parquet(idx).count())
+  }
+
   test("codebook sidecars round-trip bit-exactly") {
     val built = AnnIndex.build(spark,
       spark.read.parquet(s"$dir/embeddings.parquet"), path)
