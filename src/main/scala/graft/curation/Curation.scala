@@ -390,8 +390,10 @@ object Curation {
         // a crash inside a previous batch's compaction swap can leave the
         // store under its __compact_old name; recover BEFORE the
         // tableExists probes below, or this batch would silently restart
-        // the store from empty
-        if (compactFileThreshold > 0) graft.io.Compact.recoverBucketedTable(s, storeTable)
+        // the store from empty. Unconditional (cheap no-op without swap
+        // state): a restart with compaction DISABLED after such a crash
+        // must still heal the store
+        graft.io.Compact.recoverBucketedTable(s, storeTable)
         val bands = bandRows(
           minhashSignatures(batch, idCol, textCol, shingleWidth)).persist()
         val batchIds = batch.select(col(idCol).as("doc_id")).distinct()

@@ -83,6 +83,17 @@ object Compact {
     * [[recoverBucketedTable]], which runs first here and should also run
     * at loop start by any caller that auto-creates the table.
     * Returns (filesBefore, filesAfter).
+    *
+    * CONCURRENCY CONTRACT — single writer, session-scoped confs: the
+    * rewrite pins three session-global SQL confs for its duration, so any
+    * OTHER query running on the SAME SparkSession in that window executes
+    * with AQE/plannedWrite/autoBucketedScan disabled, and two concurrent
+    * compactions on one session would race restoring each other's values.
+    * The streaming ingest loops satisfy the contract for free (each
+    * foreachBatch runs in its own cloned session, whose conf is isolated
+    * from the outer session and from other streams); direct callers that
+    * share a session with concurrent work should run this through
+    * `spark.newSession()`.
     */
   def compactBucketedTable(spark: SparkSession, table: String,
       key: Seq[String], buckets: Int): (Int, Int) = {

@@ -67,8 +67,13 @@ object AnnIndex {
     * needs; retrain + [[build]] periodically when drift accumulates
     * (recall is re-measured by the q149-style check either way).
     */
-  def append(spark: SparkSession, vecs: DataFrame, path: String): Unit = {
+  def append(spark: SparkSession, vecs: DataFrame, path: String,
+      maxFilesPerCell: Int = 0): Unit = {
     VecOps.register(spark)
+    // unconditional (cheap no-op without swap debris): a crash inside a
+    // previous compaction's rename-rename swap must be healed BEFORE new
+    // rows land, regardless of whether THIS caller enables compaction
+    recoverCells(spark, path)
     val cb = loadCodebooks(spark, path)
     val clean = vecs.filter(col("embedding").isNotNull)
     Pq.encode(clean, cb.pq)
@@ -76,6 +81,96 @@ object AnnIndex {
       .withColumn("cell", VecOps.argmaxCell(col("embedding"), col("v_nrm"), cb.coarse))
       .select(col("vec_id"), col("codes"), col("cell"))
       .write.mode(SaveMode.Append).partitionBy("cell").parquet(indexDir(path))
+    if (maxFilesPerCell > 0) { compactCells(spark, path, maxFilesPerCell); () }
+  }
+
+  /** Bound per-cell file counts after repeated [[append]]s — every append
+    * writes at least one new file into each arriving cell's directory, so
+    * a live ingest accretes small files exactly like the streaming
+    * signature stores did before their auto-compaction. Same threshold
+    * discipline ([[graft.io.Compact]]), applied per inverted list: cells
+    * whose file count exceeds `maxFilesPerCell` are rewritten to
+    * ~128 MiB-sized files (usually one at test scale). The driver loop is
+    * over cell DIRECTORIES — bounded by the codebook size k, never by
+    * data — and each rewrite is a distributed read+write of that cell
+    * only. Staging and backup live under DOT-prefixed siblings inside the
+    * index root, which Spark's file listing ignores, so a concurrent
+    * reader never sees a half-compacted cell and partition discovery is
+    * never polluted; the rename-rename swap (live → backup, staging →
+    * live, delete backup) keeps a full copy of the cell on disk at every
+    * instant, with [[recoverCells]] healing any crash window.
+    * Returns (cellsCompacted, filesBefore, filesAfter).
+    */
+  def compactCells(spark: SparkSession, path: String,
+      maxFilesPerCell: Int = 4,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val idx = new Path(indexDir(path))
+    val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCells(spark, path)
+    val stagingRoot = new Path(idx, StagingDir)
+    val bakRoot = new Path(idx, BakDir)
+    def parquetCount(p: Path): Int =
+      fs.listStatus(p).count(f => f.getPath.getName.endsWith(".parquet"))
+    var compacted = 0; var before = 0; var after = 0
+    fs.listStatus(idx)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .foreach { st =>
+        val files = parquetCount(st.getPath)
+        before += files
+        if (files > maxFilesPerCell) {
+          val name = st.getPath.getName
+          val bytes = fs.listStatus(st.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+          val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+          val stg = new Path(stagingRoot, name)
+          spark.read.parquet(st.getPath.toString).coalesce(nOut)
+            .write.mode(SaveMode.Overwrite).parquet(stg.toString)
+          fs.mkdirs(bakRoot)
+          val bak = new Path(bakRoot, name)
+          if (!fs.rename(st.getPath, bak))
+            throw new java.io.IOException(s"backup rename failed: ${st.getPath} -> $bak")
+          if (!fs.rename(stg, st.getPath)) {
+            fs.rename(bak, st.getPath) // restore — the old cell is intact
+            throw new java.io.IOException(s"swap failed: $stg -> ${st.getPath}")
+          }
+          fs.delete(bak, true)
+          compacted += 1
+          after += parquetCount(st.getPath)
+        } else after += files
+      }
+    fs.delete(stagingRoot, true)
+    if (fs.exists(bakRoot) && fs.listStatus(bakRoot).isEmpty) fs.delete(bakRoot, true)
+    (compacted, before, after)
+  }
+
+  private val StagingDir = ".compact_staging"
+  private val BakDir = ".compact_bak"
+
+  /** Crash recovery for [[compactCells]]: a crash between the two renames
+    * leaves a cell's rows ONLY under `.compact_bak/<cell>` — restore it;
+    * staging is never the only copy and is deleted. Runs at the top of
+    * [[compactCells]] AND [[append]] (a cheap existence probe when no
+    * swap debris exists).
+    */
+  def recoverCells(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val idx = new Path(indexDir(path))
+    val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(idx)) return
+    val stagingRoot = new Path(idx, StagingDir)
+    if (fs.exists(stagingRoot)) fs.delete(stagingRoot, true)
+    val bakRoot = new Path(idx, BakDir)
+    if (fs.exists(bakRoot)) {
+      fs.listStatus(bakRoot).foreach { st =>
+        val live = new Path(idx, st.getPath.getName)
+        if (!fs.exists(live)) {
+          if (!fs.rename(st.getPath, live))
+            throw new java.io.IOException(s"backup restore failed: ${st.getPath} -> $live")
+        } else fs.delete(st.getPath, true)
+      }
+      fs.delete(bakRoot, true)
+    }
   }
 
   /** Load the sidecar codebooks (bounded: k coarse rows + m×pqK PQ rows). */
@@ -124,5 +219,68 @@ object AnnIndex {
         Pq.adcDist(Pq.adcTable(q, cb.pq)).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(topK)
+  }
+
+  /** DISTRIBUTED batch ANN over the built index: one plan serves EVERY
+    * query vector — the shape a training-data pipeline needs (dedup
+    * against an index, retrieval mixing: millions of query vectors), where
+    * [[query]]'s per-call driver collects cannot scale. Identical
+    * arithmetic to [[query]] per query id, composed from existing pieces:
+    *
+    *  - probe selection is ROW-LOCAL: the k literal-centroid cosines land
+    *    in an array of (negated sim, c_id) structs, and `array_sort`'s
+    *    lexicographic ascending order IS the (sim DESC, c_id ASC) probe
+    *    ranking — no crossJoin, no window, no shuffle (the q112 argmax
+    *    shape generalized to top-nprobe);
+    *  - the ADC table rides ON the query row ([[Pq.adcTableCol]] — M×K
+    *    doubles each), so scoring needs no driver round-trip;
+    *  - ONE equi-join on `cell` matches queries to their probed inverted
+    *    lists (probe side broadcast: nprobe rows per query, narrow; at
+    *    extreme query counts drop the broadcast hint and let the shuffle
+    *    co-partition both sides on cell);
+    *  - per-query top-k via [[graft.ops.TopKPerGroup]]: a bounded
+    *    k-element buffer combining map-side, so the final shuffle carries
+    *    at most topK rows per query per partition — never a full sort.
+    *
+    * Output: (q_id, vec_id, adc_dist), unordered (callers sort). For any
+    * single q_id the rows are bit-identical to [[query]]'s — the score
+    * negation round-trips exactly (0.0 − (0.0 − d) = d for d ≥ 0) and the
+    * aggregator's (score DESC, id ASC) ordering is (adc_dist ASC, vec_id
+    * ASC).
+    */
+  def batchQuery(spark: SparkSession, queries: DataFrame, path: String,
+      nprobe: Int, topK: Int): DataFrame = {
+    VecOps.register(spark)
+    val cb = loadCodebooks(spark, path)
+    val m = cb.pq.length
+    import spark.implicits._
+    val negSims = array(cb.coarse.map { case (cid, cvec, cnrm) =>
+      struct(
+        (lit(0.0) - VecOps.dot(col("q_emb"), lit(cvec.toArray))
+          / (col("q_nrm") * lit(cnrm))).as("neg"),
+        lit(cid).as("c_id"))
+    }: _*)
+    val probes = queries
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        VecOps.norm(col("embedding")).as("q_nrm"))
+      .withColumn("adc_tab", Pq.adcTableCol(col("q_emb"), cb.pq))
+      .withColumn("q_cell",
+        explode(transform(slice(array_sort(negSims), 1, nprobe),
+          s => s.getField("c_id"))))
+      .select(col("q_id"), col("q_cell"), col("adc_tab"))
+    val scored = spark.read.parquet(indexDir(path))
+      .join(broadcast(probes), col("cell") === col("q_cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"),
+        (lit(0.0) - Pq.adcDistFromTable(col("adc_tab"), m)).as("score"),
+        col("vec_id"))
+    val topk = new graft.ops.TopKPerGroup(topK).toColumn
+    scored.as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(x => (x._2, x._3))
+      .agg(topk.name("top"))
+      .flatMap { case (qId, top) => top.map(x => (qId, x._2, 0.0 - x._1)) }
+      .toDF("q_id", "vec_id", "adc_dist")
   }
 }

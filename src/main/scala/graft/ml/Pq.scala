@@ -146,4 +146,32 @@ object Pq {
     table.zipWithIndex.map { case (t, mi) =>
       element_at(lit(t.toArray), element_at(col("codes"), mi + 1).cast("int") + 1)
     }.reduce(_ + _)
+
+  /** The ADC distance table as an IN-PLAN column over a query-vector
+    * column — [[adcTable]] computed row-locally for EVERY query row
+    * instead of driver-side for one. table[m+1][k+1] = squared L2 from
+    * the row's m-th subvector to centroid k, with the identical fold
+    * order (`aggregate` from 0.0 ↔ the driver loop's `acc += d*d` ↔ the
+    * oracle's `list_reduce`), so a batch of queries is bit-identical to
+    * running [[adcTable]] per query. This is what lets a MILLION-query
+    * batch search stay one distributed plan: the M×K-double table rides
+    * on each query row; no per-query driver round-trip exists.
+    */
+  def adcTableCol(q: Column, codebooks: Seq[SubCodebook], dims: Int = 64): Column = {
+    val m = codebooks.length
+    val subDim = dims / m
+    array(codebooks.zipWithIndex.map { case (cb, mi) =>
+      array(cb.map(c => sqDistTo(subvec(q, mi, subDim), c)): _*)
+    }: _*)
+  }
+
+  /** ADC distance from an [[adcTableCol]]-shaped column riding on the row
+    * (batch-query form of [[adcDist]]): fixed-m-order sum of table
+    * lookups, reading only the `codes` column of the corpus side.
+    */
+  def adcDistFromTable(table: Column, m: Int): Column =
+    (0 until m).map { mi =>
+      element_at(element_at(table, mi + 1),
+        element_at(col("codes"), mi + 1).cast("int") + 1)
+    }.reduce(_ + _)
 }

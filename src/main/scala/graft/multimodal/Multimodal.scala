@@ -292,43 +292,34 @@ object Multimodal {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         import s.implicits._
-        if (compactFileThreshold > 0)
-          graft.io.Compact.recoverBucketedTable(s, storeTable)
+        // unconditional (a cheap no-op without swap debris): a stream
+        // that crashed mid-compaction-swap and was RESTARTED WITH
+        // COMPACTION DISABLED would otherwise find tableExists false and
+        // silently recreate the store from empty — the exact hazard
+        // recoverBucketedTable exists for
+        graft.io.Compact.recoverBucketedTable(s, storeTable)
         val feats = decodeThumbWithMd5(
             batch.select("asset_id", "format", "payload").as[Asset], grid).toDF()
           .select(col("asset_id"), col("width"), col("height"),
             col("payload_md5").as("pm"), col("box_sums"))
         val bands = VisualDedup.explodeBands(
-            feats.withColumn("dhash", VisualDedup.dhash("", grid)))
+            feats.withColumn("dhash", VisualDedup.dhash("", grid)), grid)
           .withColumn("band_key", VisualDedup.bandKey(""))
           .select("asset_id", "band_key", "width", "height", "box_sums", "pm")
           .persist()
         val batchIds = batch.select(col("asset_id")).distinct()
-        def side(df: DataFrame, p: String) =
-          df.columns.foldLeft(df)((d, c) =>
-            if (c == "band_key") d else d.withColumnRenamed(c, p + c))
         try {
           val storeBands =
             (if (s.catalog.tableExists(storeTable)) s.table(storeTable)
             else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
               bands.schema))
               .join(broadcast(batchIds), Seq("asset_id"), "left_anti")
-          val vsHist = side(bands, "a_").join(side(storeBands, "b_"), Seq("band_key"))
-            .filter(VisualDedup.verify("a_", "b_", grid))
-            .select(col("a_asset_id").as("aid")).distinct()
-            .withColumn("vs_hist", lit(1L))
-          val vsBatch = side(bands, "a_").join(side(bands, "b_"), Seq("band_key"))
-            .filter(col("b_asset_id") < col("a_asset_id") &&
-              VisualDedup.verify("a_", "b_", grid))
-            .select(col("a_asset_id").as("aid")).distinct()
-            .withColumn("vs_batch", lit(1L))
-          val verdicts = batchIds
-            .join(vsHist, col("asset_id") === vsHist("aid"), "left_outer").drop("aid")
-            .join(vsBatch, col("asset_id") === vsBatch("aid"), "left_outer").drop("aid")
-            .select(col("asset_id"),
-              when(col("vs_hist") === 1L, "dropped_vs_history")
-                .when(col("vs_batch") === 1L, "dropped_in_batch")
-                .otherwise("accepted").as("verdict"))
+          // shared batch algebra ([[VisualDedup.verdicts]] — LEFT SEMI
+          // existence joins, no per-band re-verify, no post-verify
+          // distinct): the SAME definition the oracle-checked batch
+          // replay (q156) runs, so stream verdicts cannot drift from it
+          val verdicts = VisualDedup
+            .verdicts(batchIds, bands, storeBands, grid)
             .localCheckpoint(true)
           val accepted = bands.join(
             verdicts.filter(col("verdict") === "accepted").select(col("asset_id")),
@@ -467,6 +458,34 @@ object Multimodal {
         val b = ((base * 17) % 256).toInt
         Asset(id, "png",
           ImageIoCodec.encode(w, h, "png")((x, y) => ((rBase + x + y) << 16) | (g << 8) | b))
+      })
+  }
+
+  /** Cross-format image corpus: every doc renders its recipe image as PNG,
+    * and every 30th doc ALSO renders the IDENTICAL pixels as BMP under
+    * id + 1 000 000 — byte-different containers, pixel-identical content.
+    * The fixture for the end-to-end multimodal claim (q157): both codec
+    * paths decode to the same integer milli-luma box sums, so the
+    * perceptual dHash bands catch the cross-format pair while payload md5
+    * (different container bytes) never can. Synthesis is row-local;
+    * payloads never shuffle.
+    */
+  def crossFormatAssets(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.flatMap { id =>
+        val w = (8 + (id * 5) % 16).toInt
+        val h = (8 + (id * 7) % 16).toInt
+        val r = (id % 199).toInt
+        val g = ((id * 11) % 256).toInt
+        val b = ((id * 17) % 256).toInt
+        def px(x: Int, y: Int) = ((r + x + y) << 16) | (g << 8) | b
+        val png = Asset(id, "png", ImageIoCodec.encode(w, h, "png")(px))
+        if (id % 30 == 0)
+          Seq(png, Asset(id + 1000000L, "bmp", ImageIoCodec.encode(w, h, "bmp")(px)))
+        else Seq(png)
       })
   }
 

@@ -41,6 +41,10 @@ object VisualDedup {
     * vertical — mean comparisons as integer cross-multiplication.
     */
   def dhash(pfx: String = "", g: Int = Grid): Column = {
+    // 2·g·(g-1) must fit one long: g = 6 uses bits 0-59; at g ≥ 7 the
+    // 1L << bit shifts would wrap mod 64 and distinct comparisons would
+    // collide through the `+` reduction — fail loudly instead
+    require(g >= 2 && g <= 6, s"dhash grid must be in [2, 6], got $g")
     val w = col(pfx + "width"); val h = col(pfx + "height")
     val hBits = for { l <- 0 until g; k <- 0 until g - 1 } yield
       when(bs(pfx, l, k, g) * npix(w, h, l, k + 1, g)
@@ -53,11 +57,20 @@ object VisualDedup {
     (hBits ++ vBits).reduce(_ + _)
   }
 
-  /** Explode a framed feature row into its LSH band rows, adding
-    * `band_idx` and `band_val` (six-bit slices of `dhash`).
+  /** Band count for a g×g grid: the 2·g·(g-1) dHash bits split into
+    * ceil'd [[BandBits]]-wide slices (g=4 → 24 bits → 4 bands; the last
+    * band of a non-multiple width just carries fewer live bits).
     */
-  def explodeBands(df: DataFrame): DataFrame =
-    df.withColumn("band_idx", explode(sequence(lit(0), lit(Bands - 1))))
+  def bandsFor(g: Int): Int = (2 * g * (g - 1) + BandBits - 1) / BandBits
+
+  /** Explode a framed feature row into its LSH band rows, adding
+    * `band_idx` and `band_val` ([[BandBits]]-wide slices of `dhash`).
+    * The band count derives from the GRID so candidate generation always
+    * covers every hash bit — a hardcoded 4-band split silently ignored
+    * most bits for g ≥ 6 and emitted constant-zero bands for g < 4.
+    */
+  def explodeBands(df: DataFrame, g: Int = Grid): DataFrame =
+    df.withColumn("band_idx", explode(sequence(lit(0), lit(bandsFor(g) - 1))))
       .withColumn("band_val", expr(s"shiftright(dhash, band_idx * $BandBits) & ${(1 << BandBits) - 1}"))
 
   /** One blocking key string per band row — (dims, band) in a single
@@ -78,4 +91,51 @@ object VisualDedup {
       abs(bs(pfxA, l, k, g) - bs(pfxB, l, k, g)) <=
         lit(1000L) * npix(col(pfxA + "width"), col(pfxA + "height"), l, k, g))
       .reduce(_ && _)
+
+  /** Per-asset ingest verdicts — the batch half of the store-backed
+    * streaming loop ([[Multimodal.visualNearDupIngestStream]]), factored
+    * out so the stream and the oracle-checked batch replay (q156) share
+    * ONE definition. `bands` are the batch's band rows, `storeBands` the
+    * accepted-history store's (same schema, `asset_id`/`band_key`/
+    * `width`/`height`/`box_sums` at minimum); `batchIds` one row per
+    * batch asset. Returns (asset_id, verdict) with the stream's priority:
+    * `dropped_vs_history` > `dropped_in_batch` (earlier-id partner) >
+    * `accepted`.
+    *
+    * The verdict needs partner EXISTENCE, not pair enumeration, so each
+    * arm is a LEFT SEMI join: the (band_key equality + g²-box verify)
+    * condition is evaluated per candidate only until the FIRST hit, so
+    * duplicate partners and duplicate matching bands neither multiply
+    * output nor re-run the verify — strictly stronger than the q140
+    * first-match-band discipline (which q140 still needs, because it must
+    * EMIT each verified pair once), and it retires the old
+    * verify-every-band-then-`distinct()` shape entirely. What remains per
+    * matched asset is collapsing its own ≤band-count semi-join survivors:
+    * a single-column aggregate over a frame bounded by the batch's band
+    * rows, independent of store size. Store-side scale shape is
+    * unchanged: the equi-key is `band_key`, so a band_key-bucketed store
+    * joins with zero store-side exchange.
+    */
+  def verdicts(batchIds: DataFrame, bands: DataFrame, storeBands: DataFrame,
+      g: Int = Grid): DataFrame = {
+    def side(df: DataFrame, p: String) =
+      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, p + c))
+    val a = side(bands, "a_")
+    val vsHist = a.join(side(storeBands, "b_"),
+        col("a_band_key") === col("b_band_key") && verify("a_", "b_", g), "left_semi")
+      .groupBy(col("a_asset_id").as("asset_id"))
+      .agg(max(lit(1L)).as("vs_hist"))
+    val vsBatch = a.join(side(bands, "b_"),
+        col("a_band_key") === col("b_band_key") &&
+          col("b_asset_id") < col("a_asset_id") && verify("a_", "b_", g), "left_semi")
+      .groupBy(col("a_asset_id").as("asset_id"))
+      .agg(max(lit(1L)).as("vs_batch"))
+    batchIds
+      .join(vsHist, Seq("asset_id"), "left_outer")
+      .join(vsBatch, Seq("asset_id"), "left_outer")
+      .select(col("asset_id"),
+        when(col("vs_hist") === 1L, "dropped_vs_history")
+          .when(col("vs_batch") === 1L, "dropped_in_batch")
+          .otherwise("accepted").as("verdict"))
+  }
 }

@@ -487,6 +487,266 @@ object MultimodalQueries {
         FROM verified v
         JOIN p pa ON pa.doc_id = v.id_a
         JOIN p pb ON pb.doc_id = v.id_b
+        ORDER BY 1, 2""")),
+
+    // ---- the streaming visual ingest's VERDICT algebra, oracle-checked ----
+    // q140 oracles the pair set; the store-backed streaming loop
+    // (Multimodal.visualNearDupIngestStream) additionally decides a
+    // per-asset VERDICT against an accepted-history store — previously
+    // spec-only. This is the batch replay of a two-batch ingest over the
+    // same planted corpus, running the EXACT function the stream runs
+    // ([[graft.multimodal.VisualDedup.verdicts]] — left-semi existence
+    // joins, verdict priority dropped_vs_history > dropped_in_batch >
+    // accepted): phase 1 ingests the even asset ids against an empty
+    // store (in-batch dedup only), the store becomes phase 1's ACCEPTED
+    // bands (exactly what the stream appends), phase 2 ingests the odd
+    // ids against that store. One row per asset: (asset_id, phase,
+    // verdict). The live-stream spec drives the same corpus through the
+    // real foreachBatch loop in two batches and asserts verdict equality
+    // with this query — closing the q96-style batch/stream symmetry for
+    // the visual path.
+    Q("q156_visual_ingest_verdicts",
+      (s, dir) => {
+        val g = 4
+        import graft.multimodal.VisualDedup
+        val feats = Multimodal.decodeThumbWithMd5(
+            Multimodal.imageAssetsWithNearDups(s, dir), grid = g).toDF()
+          .select(col("asset_id"), col("width"), col("height"), col("box_sums"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val banded = VisualDedup.explodeBands(
+            feats.withColumn("dhash", VisualDedup.dhash("", g)), g)
+          .withColumn("band_key", VisualDedup.bandKey(""))
+          .select("asset_id", "band_key", "width", "height", "box_sums")
+        val b1 = banded.filter(col("asset_id") % 2 === 0)
+        val b2 = banded.filter(col("asset_id") % 2 === 1)
+        val ids1 = feats.select(col("asset_id")).filter(col("asset_id") % 2 === 0)
+        val ids2 = feats.select(col("asset_id")).filter(col("asset_id") % 2 === 1)
+        // phase-1 verdicts feed BOTH the output and the store definition —
+        // persist so the semi-join pass runs once, not once per consumer
+        val v1 = VisualDedup.verdicts(ids1, b1, b1.limit(0), g)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val store = b1.join(
+          v1.filter(col("verdict") === "accepted").select("asset_id"),
+          Seq("asset_id"))
+        val v2 = VisualDedup.verdicts(ids2, b2, store, g)
+        v1.withColumn("phase", lit(1L))
+          .unionByName(v2.withColumn("phase", lit(2L)))
+          .select("asset_id", "phase", "verdict")
+          .orderBy("asset_id")
+      },
+      Some("""
+        WITH p0 AS (
+          SELECT doc_id,
+            CASE WHEN doc_id > 0 AND doc_id % 40 = 0 THEN 0
+                 WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
+                 ELSE doc_id END AS base,
+            CASE WHEN doc_id > 0 AND doc_id % 25 = 0 AND doc_id % 40 <> 0
+                 THEN 1 ELSE 0 END AS bright
+          FROM documents),
+        p AS (
+          SELECT doc_id,
+            8 + (base * 5) % 16 AS w, 8 + (base * 7) % 16 AS h,
+            base % 199 + bright AS r, (base * 11) % 256 AS g, (base * 17) % 256 AS b
+          FROM p0),
+        boxes AS (
+          SELECT doc_id, w, h, r, g, b, gx, gy,
+            (gx * w + 3) // 4 AS x0, ((gx + 1) * w + 3) // 4 AS x1,
+            (gy * h + 3) // 4 AS y0, ((gy + 1) * h + 3) // 4 AS y1
+          FROM p, (SELECT unnest([0, 1, 2, 3]) AS gx),
+               (SELECT unnest([0, 1, 2, 3]) AS gy)),
+        sums AS (
+          SELECT doc_id, gx, gy, (x1 - x0) * (y1 - y0) AS np,
+            (x1 - x0) * (y1 - y0) * (299 * r + 587 * g + 114 * b)
+              + 299 * ((y1 - y0) * (((x0 + x1 - 1) * (x1 - x0)) // 2)
+                       + (x1 - x0) * (((y0 + y1 - 1) * (y1 - y0)) // 2)) AS s
+          FROM boxes),
+        hb AS (
+          SELECT a.doc_id,
+            SUM(CASE WHEN a.s * b.np > b.s * a.np
+                THEN 1 << (a.gy * 3 + a.gx) ELSE 0 END) AS v
+          FROM sums a JOIN sums b
+            ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+          GROUP BY 1),
+        vb AS (
+          SELECT a.doc_id,
+            SUM(CASE WHEN a.s * b.np > b.s * a.np
+                THEN 1 << (12 + a.gy * 4 + a.gx) ELSE 0 END) AS v
+          FROM sums a JOIN sums b
+            ON b.doc_id = a.doc_id AND b.gx = a.gx AND b.gy = a.gy + 1
+          GROUP BY 1),
+        dh AS (SELECT hb.doc_id, hb.v + vb.v AS dhash FROM hb JOIN vb USING (doc_id)),
+        bands AS (
+          SELECT doc_id, i, (dhash >> (6 * i)) & 63 AS band_val
+          FROM dh, (SELECT unnest([0, 1, 2, 3]) AS i)),
+        cand1 AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y ON y.i = x.i AND y.band_val = x.band_val
+          JOIN p pa ON pa.doc_id = x.doc_id
+          JOIN p pb ON pb.doc_id = y.doc_id AND pa.w = pb.w AND pa.h = pb.h
+          WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 0 AND y.doc_id < x.doc_id),
+        ver1 AS (
+          SELECT c.a FROM cand1 c
+          JOIN sums sa ON sa.doc_id = c.a
+          JOIN sums sb ON sb.doc_id = c.b AND sb.gx = sa.gx AND sb.gy = sa.gy
+          GROUP BY c.a, c.b
+          HAVING MAX(CASE WHEN abs(sa.s - sb.s) <= 1000 * sa.np
+                     THEN 0 ELSE 1 END) = 0),
+        drop1 AS (SELECT DISTINCT a AS doc_id FROM ver1),
+        v1 AS (
+          SELECT doc_id, CASE WHEN doc_id IN (SELECT doc_id FROM drop1)
+            THEN 'dropped_in_batch' ELSE 'accepted' END AS verdict
+          FROM p WHERE doc_id % 2 = 0),
+        acc1 AS (SELECT doc_id FROM v1 WHERE verdict = 'accepted'),
+        candh AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y ON y.i = x.i AND y.band_val = x.band_val
+          JOIN acc1 ON acc1.doc_id = y.doc_id
+          JOIN p pa ON pa.doc_id = x.doc_id
+          JOIN p pb ON pb.doc_id = y.doc_id AND pa.w = pb.w AND pa.h = pb.h
+          WHERE x.doc_id % 2 = 1),
+        verh AS (
+          SELECT c.a FROM candh c
+          JOIN sums sa ON sa.doc_id = c.a
+          JOIN sums sb ON sb.doc_id = c.b AND sb.gx = sa.gx AND sb.gy = sa.gy
+          GROUP BY c.a, c.b
+          HAVING MAX(CASE WHEN abs(sa.s - sb.s) <= 1000 * sa.np
+                     THEN 0 ELSE 1 END) = 0),
+        droph AS (SELECT DISTINCT a AS doc_id FROM verh),
+        candb AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bands x JOIN bands y ON y.i = x.i AND y.band_val = x.band_val
+          JOIN p pa ON pa.doc_id = x.doc_id
+          JOIN p pb ON pb.doc_id = y.doc_id AND pa.w = pb.w AND pa.h = pb.h
+          WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 1 AND y.doc_id < x.doc_id),
+        verb AS (
+          SELECT c.a FROM candb c
+          JOIN sums sa ON sa.doc_id = c.a
+          JOIN sums sb ON sb.doc_id = c.b AND sb.gx = sa.gx AND sb.gy = sa.gy
+          GROUP BY c.a, c.b
+          HAVING MAX(CASE WHEN abs(sa.s - sb.s) <= 1000 * sa.np
+                     THEN 0 ELSE 1 END) = 0),
+        dropb AS (SELECT DISTINCT a AS doc_id FROM verb)
+        SELECT doc_id AS asset_id, CAST(1 AS BIGINT) AS phase, verdict FROM v1
+        UNION ALL
+        SELECT doc_id AS asset_id, CAST(2 AS BIGINT) AS phase,
+          CASE WHEN doc_id IN (SELECT doc_id FROM droph) THEN 'dropped_vs_history'
+               WHEN doc_id IN (SELECT doc_id FROM dropb) THEN 'dropped_in_batch'
+               ELSE 'accepted' END AS verdict
+        FROM p WHERE doc_id % 2 = 1
+        ORDER BY asset_id""")),
+
+    // ---- cross-format visual dedup: the multimodal stack end to end -------
+    // The codecs decode to the same integer milli-luma box sums for the
+    // same pixels REGARDLESS of container, so a perceptual pipeline built
+    // on them is container-blind by construction — this query PROVES it:
+    // every 30th doc's image exists twice, once as PNG and once as
+    // byte-different BMP ([[Multimodal.crossFormatAssets]]), and the
+    // dHash band join + box verify catches exactly those pairs while
+    // payload md5 (compared honestly from the real payload bytes on the
+    // Spark side) matches none of them. Same q140 plan discipline:
+    // one persisted decode pass, first-match-band emit, verify once per
+    // pair, payloads never join.
+    Q("q157_cross_format_dedup",
+      (s, dir) => {
+        val g = 4
+        import graft.multimodal.VisualDedup
+        val feats = Multimodal.decodeThumbWithMd5(
+            Multimodal.crossFormatAssets(s, dir), grid = g).toDF()
+          .select(col("asset_id"), col("format"), col("width"), col("height"),
+            col("payload_md5").as("pm"), col("box_sums"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val banded = VisualDedup.explodeBands(
+          feats.withColumn("dhash", VisualDedup.dhash("", g)), g)
+        def side(p: String) =
+          banded.columns.foldLeft(banded)((d, c) => d.withColumnRenamed(c, p + c))
+        val a = side("a_"); val b = side("b_")
+        val firstMatch = (0 until 3).map(j =>
+          col("a_band_idx") <= lit(j) ||
+            expr(s"shiftright(a_dhash, ${j * 6}) & 63")
+              =!= expr(s"shiftright(b_dhash, ${j * 6}) & 63"))
+          .reduce(_ && _)
+        a.join(b, col("a_width") === col("b_width") &&
+            col("a_height") === col("b_height") &&
+            col("a_band_idx") === col("b_band_idx") &&
+            col("a_band_val") === col("b_band_val") &&
+            col("a_asset_id") < col("b_asset_id") &&
+            firstMatch)
+          .filter(VisualDedup.verify("a_", "b_", g))
+          .select(col("a_asset_id").as("id_a"), col("b_asset_id").as("id_b"),
+            col("a_format").as("fmt_a"), col("b_format").as("fmt_b"),
+            when(col("a_pm") === col("b_pm"), 1L).otherwise(0L).as("md5_equal"),
+            when(col("a_format") =!= col("b_format"), "cross_format")
+              .when(col("a_pm") === col("b_pm"), "exact")
+              .otherwise("near").as("kind"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH a0 AS (
+          SELECT doc_id, doc_id AS aid, 'png' AS fmt FROM documents
+          UNION ALL
+          SELECT doc_id, doc_id + 1000000 AS aid, 'bmp' AS fmt
+          FROM documents WHERE doc_id % 30 = 0),
+        p AS (
+          SELECT aid, fmt, doc_id,
+            8 + (doc_id * 5) % 16 AS w, 8 + (doc_id * 7) % 16 AS h,
+            doc_id % 199 AS r, (doc_id * 11) % 256 AS g, (doc_id * 17) % 256 AS b
+          FROM a0),
+        boxes AS (
+          SELECT aid, w, h, r, g, b, gx, gy,
+            (gx * w + 3) // 4 AS x0, ((gx + 1) * w + 3) // 4 AS x1,
+            (gy * h + 3) // 4 AS y0, ((gy + 1) * h + 3) // 4 AS y1
+          FROM p, (SELECT unnest([0, 1, 2, 3]) AS gx),
+               (SELECT unnest([0, 1, 2, 3]) AS gy)),
+        sums AS (
+          SELECT aid, gx, gy, (x1 - x0) * (y1 - y0) AS np,
+            (x1 - x0) * (y1 - y0) * (299 * r + 587 * g + 114 * b)
+              + 299 * ((y1 - y0) * (((x0 + x1 - 1) * (x1 - x0)) // 2)
+                       + (x1 - x0) * (((y0 + y1 - 1) * (y1 - y0)) // 2)) AS s
+          FROM boxes),
+        hb AS (
+          SELECT a.aid,
+            SUM(CASE WHEN a.s * b.np > b.s * a.np
+                THEN 1 << (a.gy * 3 + a.gx) ELSE 0 END) AS v
+          FROM sums a JOIN sums b
+            ON b.aid = a.aid AND b.gy = a.gy AND b.gx = a.gx + 1
+          GROUP BY 1),
+        vb AS (
+          SELECT a.aid,
+            SUM(CASE WHEN a.s * b.np > b.s * a.np
+                THEN 1 << (12 + a.gy * 4 + a.gx) ELSE 0 END) AS v
+          FROM sums a JOIN sums b
+            ON b.aid = a.aid AND b.gx = a.gx AND b.gy = a.gy + 1
+          GROUP BY 1),
+        dh AS (SELECT hb.aid, hb.v + vb.v AS dhash FROM hb JOIN vb USING (aid)),
+        bands AS (
+          SELECT aid, i, (dhash >> (6 * i)) & 63 AS band_val
+          FROM dh, (SELECT unnest([0, 1, 2, 3]) AS i)),
+        cand AS (
+          SELECT DISTINCT x.aid AS id_a, y.aid AS id_b
+          FROM bands x
+          JOIN bands y ON y.i = x.i AND y.band_val = x.band_val
+            AND x.aid < y.aid
+          JOIN p pa ON pa.aid = x.aid
+          JOIN p pb ON pb.aid = y.aid AND pa.w = pb.w AND pa.h = pb.h),
+        verified AS (
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN sums sa ON sa.aid = c.id_a
+          JOIN sums sb ON sb.aid = c.id_b AND sb.gx = sa.gx AND sb.gy = sa.gy
+          GROUP BY 1, 2
+          HAVING MAX(CASE WHEN abs(sa.s - sb.s) <= 1000 * sa.np
+                     THEN 0 ELSE 1 END) = 0)
+        SELECT v.id_a, v.id_b, pa.fmt AS fmt_a, pb.fmt AS fmt_b,
+          CAST(CASE WHEN pa.fmt = pb.fmt AND pa.w = pb.w AND pa.h = pb.h
+                    AND pa.r = pb.r AND pa.g = pb.g AND pa.b = pb.b
+               THEN 1 ELSE 0 END AS BIGINT) AS md5_equal,
+          CASE WHEN pa.fmt <> pb.fmt THEN 'cross_format'
+               WHEN pa.w = pb.w AND pa.h = pb.h AND pa.r = pb.r
+                    AND pa.g = pb.g AND pa.b = pb.b THEN 'exact'
+               ELSE 'near' END AS kind
+        FROM verified v
+        JOIN p pa ON pa.aid = v.id_a
+        JOIN p pb ON pb.aid = v.id_b
         ORDER BY 1, 2"""))
   )
 }

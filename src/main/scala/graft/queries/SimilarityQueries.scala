@@ -762,13 +762,41 @@ object SimilarityQueries {
       (s, dir) => {
         graft.ml.VecOps.register(s)
         val e = t(s, dir, "embeddings")
-        val dirTag = java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_$dirTag"
+        val path = annIndexPath(s, dir)
         graft.ml.AnnIndex.build(s, e, path)
         graft.ml.AnnIndex.query(s, e, path, qid = 42, nprobe = 2, topK = 10)
       },
       Some(ivfPqTrainedOracleSql))
+    ,
+
+    // ---- DISTRIBUTED batch ANN search over the persisted index -------------
+    // q154 serves ONE query vector per invocation with two bounded driver
+    // collects per call; a training-data pipeline searches MILLIONS of
+    // query vectors (dedup against an index, retrieval mixing), where
+    // per-query driver round-trips cannot scale. This is the distributed
+    // composition ([[graft.ml.AnnIndex.batchQuery]]): every vec_id ≡ 42
+    // (mod 100) is a query, probe cells are picked ROW-LOCALLY (the 16
+    // literal-centroid cosines array_sort'ed — q112's argmax shape
+    // generalized to top-nprobe, no crossJoin/window/shuffle), the M×K
+    // ADC table rides on each query row, ONE equi-join on cell matches
+    // queries to their inverted lists, and per-query top-10 comes from the
+    // bounded-buffer TopKPerGroup aggregator (at most k rows per query per
+    // partition cross the shuffle — never a window sort). The spec asserts
+    // ONE join and no per-query jobs, and bit-equality with q154 on query
+    // id 42. Index build is deliberately in the timed region, same
+    // attribution as q154 (COVERAGE).
+    Q("q155_ann_batch_query",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        val e = t(s, dir, "embeddings")
+        val path = annIndexPath(s, dir)
+        graft.ml.AnnIndex.build(s, e, path)
+        graft.ml.AnnIndex
+          .batchQuery(s, e.filter(col("vec_id") % 100 === 42),
+            path, nprobe = 2, topK = 10)
+          .orderBy("q_id", "adc_dist", "vec_id")
+      },
+      Some(annBatchOracleSql))
     ,
 
     // ---- recall@10 under the TRAINED codebook ------------------------------
@@ -960,6 +988,119 @@ object SimilarityQueries {
     val codesStr = (0 until M).map(m => s"c$m.code$m").mkString("concat_ws('|', ", ", ", ")")
     val adcSum = (0 until M).map(m => s"t$m.t").mkString(" + ")
     (perSubspace, codeJoins, codesStr, adcSum)
+  }
+
+  /** Per-run scratch location for the q154/q155 index builds: keyed by the
+    * dataset dir AND the Spark applicationId, so two concurrent runs over
+    * the same dataset can never race each other's Overwrite/scan windows;
+    * within one application the path is stable across invocations (each
+    * build overwrites deterministically, so re-runs are self-consistent).
+    */
+  private def annIndexPath(s: SparkSession, dir: String): String = {
+    val dirTag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_${dirTag}_${s.sparkContext.applicationId}"
+  }
+
+  /** [[pqOracleParts]] generalized to a BATCH of query vectors (q155): the
+    * per-subspace ADC tables (tbl m) carry a q_id column — one table row
+    * per (query, centroid) — and the code joins additionally match the
+    * candidate's q_id, so ONE replay serves every query. This mirrors
+    * [[graft.ml.AnnIndex.batchQuery]]'s table-rides-on-the-query-row
+    * design; the distance folds are character-identical to
+    * [[pqOracleParts]]'s, so single-query results agree bit-for-bit.
+    */
+  private def pqOraclePartsBatch(qWhere: String): (String, String, String) = {
+    val S = "17592186044416.0"
+    val M = 4; val K = 4; val Iters = 2; val SubDim = 16
+    def dist(sv: String, cent: String) =
+      s"""list_reduce(list_transform(range(1, ${SubDim + 1}),
+                  i -> ($sv[i] - $cent[i]) * ($sv[i] - $cent[i])), (x, y) -> x + y)"""
+    def assign(m: Int, cents: String, out: String) = s"""
+        $out AS (
+          SELECT vec_id, sv, c_id AS cell FROM (
+            SELECT s.vec_id, s.sv, c.c_id,
+              ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+                ${dist("s.sv", "c.centroid")} ASC, c.c_id) AS rn
+            FROM sub$m s CROSS JOIN $cents c) WHERE rn = 1)"""
+    def update(m: Int, assigned: String, prev: String, out: String) = s"""
+        sums_$out AS (
+          SELECT cell, i, COUNT(*) AS n,
+            CAST(CAST(SUM(CAST(sv[i] * $S AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sd
+          FROM $assigned, (SELECT unnest(generate_series(1, $SubDim)) AS i)
+          GROUP BY cell, i),
+        $out AS (
+          SELECT p.c_id, CASE WHEN MAX(s.cell) IS NULL THEN p.centroid
+            ELSE list(s.sd / s.n / $S ORDER BY s.i) END AS centroid
+          FROM $prev p LEFT JOIN sums_$out s ON s.cell = p.c_id
+          GROUP BY p.c_id, p.centroid)"""
+    val perSubspace = (0 until M).map { m =>
+      val off = m * SubDim
+      val iterCtes = (1 to Iters).map(t =>
+        assign(m, s"cents${m}_${t - 1}", s"assign${m}_$t") + "," +
+          update(m, s"assign${m}_$t", s"cents${m}_${t - 1}", s"cents${m}_$t"))
+        .mkString(",")
+      s"""
+        sub$m AS (
+          SELECT vec_id,
+            list_transform(range(${off + 1}, ${off + SubDim + 1}),
+              i -> CAST(embedding[i] AS DOUBLE)) AS sv
+          FROM embeddings WHERE embedding IS NOT NULL),
+        cents${m}_0 AS (
+          SELECT vec_id AS c_id, sv AS centroid FROM sub$m WHERE vec_id < $K),
+        $iterCtes,
+        codes$m AS (
+          SELECT vec_id, c_id AS code$m FROM (
+            SELECT s.vec_id, c.c_id,
+              ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+                ${dist("s.sv", "c.centroid")} ASC, c.c_id) AS rn
+            FROM sub$m s CROSS JOIN cents${m}_$Iters c) WHERE rn = 1),
+        tbl$m AS (
+          SELECT qq.vec_id AS q_id, c.c_id, ${dist("qq.sv", "c.centroid")} AS t
+          FROM cents${m}_$Iters c CROSS JOIN
+            (SELECT vec_id, sv FROM sub$m WHERE $qWhere) qq)"""
+    }.mkString(",")
+    val codeJoins = (0 until M).map(m =>
+      s"JOIN codes$m c$m ON c$m.vec_id = e.vec_id " +
+        s"JOIN tbl$m t$m ON t$m.c_id = c$m.code$m AND t$m.q_id = p.q_id")
+      .mkString("\n          ")
+    val adcSum = (0 until M).map(m => s"t$m.t").mkString(" + ")
+    (perSubspace, codeJoins, adcSum)
+  }
+
+  /** DuckDB replay of the distributed batch ANN search (q155): the
+    * trained-coarse chain to `cents2`/`assignF`, PER-QUERY probe selection
+    * (the trainedProbeCtes window partitioned by q_id), the batch PQ
+    * replay with per-query ADC tables, and a per-query top-10 — one SQL
+    * statement mirroring one Spark plan.
+    */
+  private def annBatchOracleSql: String = {
+    val (perSubspace, codeJoins, adcSum) = pqOraclePartsBatch("vec_id % 100 = 42")
+    s"""
+        WITH $trainedIvfCtes,
+        qs AS (SELECT vec_id AS q_id, embedding AS q_emb, v_nrm AS q_nrm
+               FROM nrm WHERE vec_id % 100 = 42 AND embedding IS NOT NULL),
+        probes AS (
+          SELECT q_id, c_id AS q_cell FROM (
+            SELECT q.q_id, c.c_id,
+              ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(q.q_emb[i] AS DOUBLE) * c.centroid[i]), (x, y) -> x + y)
+                  / (q.q_nrm * c.c_nrm) DESC, c.c_id) AS rn
+            FROM qs q CROSS JOIN cents2 c) WHERE rn <= 2),
+        $perSubspace,
+        cand AS (
+          SELECT p.q_id, e.vec_id, ($adcSum) AS adc_dist
+          FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL) e
+            JOIN assignF a ON a.vec_id = e.vec_id
+            JOIN probes p ON a.cell = p.q_cell
+            $codeJoins
+          WHERE e.vec_id <> p.q_id)
+        SELECT q_id, vec_id, adc_dist FROM (
+          SELECT q_id, vec_id, adc_dist,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+          FROM cand) WHERE rn <= 10
+        ORDER BY q_id, adc_dist, vec_id"""
   }
 
   /** DuckDB replay of the composed IVF×PQ layout: q112's coarse cosine

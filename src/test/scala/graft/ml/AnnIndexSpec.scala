@@ -4,11 +4,14 @@ import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.functions._
 
 /** The persisted-index contract: a built index round-trips q148's exact
-  * results, and the QUERY path touches (a) the index with partition
-  * pruning on the probed cells and (b) the embeddings table only through
-  * pushed-down point lookups — never a full float-corpus scan.
+  * results, the QUERY path touches (a) the index with partition pruning
+  * on the probed cells and (b) the embeddings table only through
+  * pushed-down point lookups — never a full float-corpus scan — and the
+  * BATCH query path serves every query vector in ONE distributed plan
+  * whose per-query rows are bit-identical to the single-query path.
   */
-class AnnIndexSpec extends SparkSpec {
+class AnnIndexSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   private val dir = "/root/testdata/sf0.001"
   private lazy val path = {
@@ -44,39 +47,21 @@ class AnnIndexSpec extends SparkSpec {
       "the index scan must read codes, never float vectors")
   }
 
-  test("append encodes under the SAVED codebooks: split build+append == full build") {
+  test("append encodes under the SAVED codebooks: kept half + append == full build") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
-    // full build on the whole corpus = ground truth layout
-    val fullPath = java.nio.file.Files.createTempDirectory("ann_full").toString
-    AnnIndex.build(spark, e, fullPath)
-    // same codebooks (training sees the full corpus both times), but the
-    // second half of the rows arrives through append()
-    val splitPath = java.nio.file.Files.createTempDirectory("ann_split").toString
-    val built = AnnIndex.build(spark, e.filter(col("vec_id") < 250), splitPath)
-    // overwrite sidecars with the FULL-corpus codebooks so assignment
-    // matches the ground-truth layout (the half-corpus training differs —
-    // this test isolates append's encode-under-saved-codebooks contract)
-    val full = AnnIndex.build(spark, e, splitPath) // retrain + rewrite in place
-    AnnIndex.append(spark, e.filter(col("vec_id") < 0), splitPath) // no-op append
-    assert(built != null && full != null)
-    val a = AnnIndex.query(spark, e, splitPath, qid = 42, nprobe = 2, topK = 10)
+    val b = AnnIndex.query(spark, e, path, qid = 42, nprobe = 2, topK = 10)
       .collect().map(_.toString).toSeq
-    val b = AnnIndex.query(spark, e, fullPath, qid = 42, nprobe = 2, topK = 10)
-      .collect().map(_.toString).toSeq
-    assert(a == b)
-    // the real append contract: drop half the index rows, append them
-    // back under the saved codebooks, query is unchanged
-    val idx = s"$splitPath/index"
-    val half = spark.read.parquet(idx).filter(col("vec_id") >= 250)
-      .select("vec_id", "codes", "cell")
+    // drop half the full index's rows, append the dropped vectors back
+    // under the SAVED codebooks: layout and query must be reproduced
+    // exactly (append never retrains, so assignment/codes must match)
+    val idx = s"$path/index"
     val kept = spark.read.parquet(idx).filter(col("vec_id") < 250)
       .select("vec_id", "codes", "cell")
     val rebuiltPath = java.nio.file.Files.createTempDirectory("ann_rebuilt").toString
-    // copy sidecars + the kept half, then append the dropped half's VECTORS
     kept.write.mode("overwrite").partitionBy("cell").parquet(s"$rebuiltPath/index")
-    spark.read.parquet(s"$splitPath/codebook_coarse").write
+    spark.read.parquet(s"$path/codebook_coarse").write
       .mode("overwrite").parquet(s"$rebuiltPath/codebook_coarse")
-    spark.read.parquet(s"$splitPath/codebook_pq").write
+    spark.read.parquet(s"$path/codebook_pq").write
       .mode("overwrite").parquet(s"$rebuiltPath/codebook_pq")
     AnnIndex.append(spark, e.filter(col("vec_id") >= 250), rebuiltPath)
     val c = AnnIndex.query(spark, e, rebuiltPath, qid = 42, nprobe = 2, topK = 10)
@@ -92,5 +77,112 @@ class AnnIndexSpec extends SparkSpec {
     val loaded = AnnIndex.loadCodebooks(spark, path)
     assert(loaded.coarse == built.coarse)
     assert(loaded.pq == built.pq)
+  }
+
+  test("batchQuery is bit-identical to per-query query() for every query id") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val batch = AnnIndex
+      .batchQuery(spark, e.filter(col("vec_id") % 100 === 42), path, nprobe = 2, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (q, rows) =>
+        q -> rows.map(x => (x._2, x._3)).sortBy(x => (x._2, x._1)).toSeq
+      }
+    assert(batch.nonEmpty)
+    batch.foreach { case (qid, rows) =>
+      val single = AnnIndex
+        .query(spark, e, path, qid = qid, nprobe = 2, topK = 10)
+        .select("vec_id", "adc_dist")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rows == single,
+        s"batchQuery rows for q_id=$qid must bit-match query()")
+    }
+  }
+
+  test("batchQuery runs ONE distributed plan: no per-query jobs, one index join") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    // 50 query vectors — a per-query loop would launch O(50) jobs (the
+    // single-query path runs 2+ per call); the batch plan must stay O(1)
+    val queries = e.filter(col("vec_id") % 10 === 2)
+    val df = AnnIndex.batchQuery(spark, queries, path, nprobe = 2, topK = 5)
+    val plan = df.queryExecution.executedPlan
+    val joins = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size == 1, s"expected exactly one join (index × probes), got ${joins.size}")
+    val idxScans = collect(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.schema.fieldNames.contains("codes") => s
+    }
+    assert(idxScans.size == 1, "exactly one scan of the coded index")
+    assert(idxScans.forall(!_.schema.fieldNames.contains("embedding")),
+      "the index side must never read float vectors")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        synchronized { jobs += 1 }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = df.collect().length
+      assert(n > 0)
+    } finally {
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext, 10000L)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(jobs <= 10, s"batch search over 50 queries must not launch per-query jobs (saw $jobs)")
+  }
+
+  test("append compaction bounds per-cell files; results unchanged") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    def buildAndAppend(threshold: Int): String = {
+      val p = java.nio.file.Files.createTempDirectory(s"ann_compact_$threshold").toString
+      AnnIndex.build(spark, e.filter(col("vec_id") < 250), p)
+      for (i <- 0 until 5)
+        AnnIndex.append(spark,
+          e.filter(col("vec_id") >= 250 + i * 50 && col("vec_id") < 300 + i * 50),
+          p, maxFilesPerCell = threshold)
+      p
+    }
+    val compacted = buildAndAppend(threshold = 2)
+    val control = buildAndAppend(threshold = 0)
+    def cellFiles(p: String): Map[String, Int] = {
+      val idx = new java.io.File(s"$p/index")
+      idx.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    }
+    val after = cellFiles(compacted)
+    assert(after.values.forall(_ <= 2),
+      s"every cell must stay within the file threshold after append: $after")
+    assert(cellFiles(control).values.sum > after.values.sum,
+      "the uncompacted control must carry more files than the compacted index")
+    val a = AnnIndex.query(spark, e, compacted, qid = 42, nprobe = 2, topK = 10)
+      .collect().map(_.toString).toSeq
+    val b = AnnIndex.query(spark, e, control, qid = 42, nprobe = 2, topK = 10)
+      .collect().map(_.toString).toSeq
+    assert(a == b, "compaction must never change query results")
+  }
+
+  test("recoverCells restores a cell stranded mid-swap") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = java.nio.file.Files.createTempDirectory("ann_recover").toString
+    AnnIndex.build(spark, e, p)
+    val before = AnnIndex.query(spark, e, p, qid = 42, nprobe = 2, topK = 10)
+      .collect().map(_.toString).toSeq
+    // simulate a crash between the two renames: one cell lives ONLY
+    // under .compact_bak
+    val idx = new java.io.File(s"$p/index")
+    val cell = idx.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell=")).head
+    val bak = new java.io.File(idx, ".compact_bak")
+    assert(bak.mkdirs())
+    val stranded = new java.io.File(bak, cell.getName)
+    assert(cell.renameTo(stranded))
+    AnnIndex.recoverCells(spark, p)
+    assert(new java.io.File(idx, cell.getName).isDirectory, "cell must be restored")
+    assert(!bak.exists(), "backup root must be cleaned up")
+    val after = AnnIndex.query(spark, e, p, qid = 42, nprobe = 2, topK = 10)
+      .collect().map(_.toString).toSeq
+    assert(after == before)
   }
 }

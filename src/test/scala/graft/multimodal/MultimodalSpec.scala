@@ -195,4 +195,77 @@ class MultimodalSpec extends SparkSpec {
         .map(_.getLong(0)).toSet === Set(1L, 2L, 12L))
     } finally q.stop()
   }
+
+  test("verdict algebra plan: LEFT SEMI existence joins, no inner pair join") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val feats = decodeThumbWithMd5(imageAssetsWithNearDups(spark, dir), 4).toDF()
+      .select(col("asset_id"), col("width"), col("height"), col("box_sums"))
+    val banded = VisualDedup.explodeBands(
+        feats.withColumn("dhash", VisualDedup.dhash("", 4)), 4)
+      .withColumn("band_key", VisualDedup.bandKey(""))
+      .select("asset_id", "band_key", "width", "height", "box_sums")
+    // non-empty store side (the even assets) — an EMPTY store would let
+    // PropagateEmptyRelation fold the history arm out of the plan
+    val v = VisualDedup.verdicts(
+      feats.filter(col("asset_id") % 2 === 1).select("asset_id"),
+      banded.filter(col("asset_id") % 2 === 1),
+      banded.filter(col("asset_id") % 2 === 0), 4)
+    val joins = v.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.joinType
+    }
+    // both dedup arms are LEFT SEMI (the verify predicate lives IN the
+    // join condition and is evaluated per candidate only until the first
+    // hit); no inner pair join exists, so there is nothing to distinct —
+    // the old verify-every-band-then-distinct shape is structurally gone
+    assert(joins.count(_ == org.apache.spark.sql.catalyst.plans.LeftSemi) == 2,
+      s"expected 2 left-semi arms, got: $joins")
+    assert(!joins.contains(org.apache.spark.sql.catalyst.plans.Inner),
+      "the verdict path must not materialize inner pair rows")
+  }
+
+  test("two-batch streaming ingest reproduces the q156 batch replay verdicts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    val dir = "/root/testdata/sf0.001"
+    val table = {
+      spark.sql("DROP TABLE IF EXISTS visual_store_q156_test")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        "visual_store_q156_test")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+      "visual_store_q156_test"
+    }
+    val srcDir = Files.createTempDirectory("visual_q156_stream").toString + "/src"
+    val corpus = imageAssetsWithNearDups(spark, dir).toDF()
+    corpus.filter(col("asset_id") % 2 === 0)
+      .coalesce(1).write.parquet(srcDir)
+    val phases = scala.collection.mutable.ArrayBuffer[Map[Long, String]]()
+    val q = Multimodal.visualNearDupIngestStream(
+      spark.readStream.schema(corpus.schema).parquet(srcDir), table, buckets = 4) {
+      v => phases += v.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    try {
+      q.processAllAvailable()
+      corpus.filter(col("asset_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      assert(phases.size == 2)
+      // the oracle-checked batch replay runs the SAME corpus split: its
+      // phase-1/phase-2 verdicts must match the live loop's batches 1/2
+      val expected = graft.SparkEntry
+        .queries("q156_visual_ingest_verdicts")(spark, dir)
+        .collect()
+        .groupBy(_.getLong(1)) // phase
+        .map { case (p, rows) =>
+          p -> rows.map(r => r.getLong(0) -> r.getString(2)).toMap
+        }
+      assert(phases(0) == expected(1L), "batch-1 verdicts must equal phase 1")
+      assert(phases(1) == expected(2L), "batch-2 verdicts must equal phase 2")
+    } finally q.stop()
+  }
 }
