@@ -249,9 +249,24 @@ object AnnIndex {
     * ASC).
     */
   def batchQuery(spark: SparkSession, queries: DataFrame, path: String,
-      nprobe: Int, topK: Int): DataFrame = {
+      nprobe: Int, topK: Int, exclude: Option[DataFrame] = None): DataFrame = {
     VecOps.register(spark)
     val cb = loadCodebooks(spark, path)
+    searchRows(spark, queries, spark.read.parquet(indexDir(path)),
+      cb, nprobe, topK, exclude)
+  }
+
+  /** The distributed search core of [[batchQuery]], over ANY
+    * (vec_id, codes, cell) frame — so an ingest loop can also search a
+    * micro-batch's own freshly-encoded rows (in-batch dedup) without a
+    * persisted layout. `exclude` anti-joins ids out of the searched side
+    * (broadcast — a bounded batch-id frame), which retry-safe ingest
+    * needs: a crashed attempt's already-appended rows must not match
+    * their own re-arrival.
+    */
+  private[graft] def searchRows(spark: SparkSession, queries: DataFrame,
+      indexRows: DataFrame, cb: Codebooks, nprobe: Int, topK: Int,
+      exclude: Option[DataFrame] = None): DataFrame = {
     val m = cb.pq.length
     import spark.implicits._
     val negSims = array(cb.coarse.map { case (cid, cvec, cnrm) =>
@@ -269,7 +284,9 @@ object AnnIndex {
         explode(transform(slice(array_sort(negSims), 1, nprobe),
           s => s.getField("c_id"))))
       .select(col("q_id"), col("q_cell"), col("adc_tab"))
-    val scored = spark.read.parquet(indexDir(path))
+    val searched = exclude.fold(indexRows)(ex =>
+      indexRows.join(broadcast(ex.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
+    val scored = searched
       .join(broadcast(probes), col("cell") === col("q_cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"),

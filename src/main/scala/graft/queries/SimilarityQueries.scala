@@ -799,6 +799,39 @@ object SimilarityQueries {
       Some(annBatchOracleSql))
     ,
 
+    // ---- dedup against the index: the corpus queries itself ----------------
+    // THE pipeline use case batch ANN exists for (BASELINE "similarity
+    // search" at 100 TB): every corpus vector searches the persisted index
+    // and is DROPPED when a lower-id vector sits within eps of it in its
+    // ADC top-10 — keep-first dedup, the embedding sibling of q39's
+    // MinHash keep-list. One distributed plan for all 500/2000 queries
+    // (corpus-as-queries is exactly where q154's per-call driver collects
+    // would have needed one round-trip per corpus row); the dedup window
+    // is the ANN top-10 BY DESIGN — the same approximation a production
+    // SemDeDup/embedding-dedup pass makes, and the oracle replays the
+    // identical rule, so approximate recall never means approximate
+    // correctness. Index build deliberately in the timed region (q154's
+    // attribution).
+    Q("q158_ann_index_dedup",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        val e = t(s, dir, "embeddings")
+        val path = annIndexPath(s, dir)
+        graft.ml.AnnIndex.build(s, e, path)
+        val nn = graft.ml.AnnIndex.batchQuery(s, e, path, nprobe = 2, topK = 10)
+        val dup = nn
+          .filter(col("vec_id") < col("q_id") && col("adc_dist") <= 0.95)
+          .select(col("q_id").as("vec_id")).distinct()
+          .withColumn("is_dup", lit(1L))
+        e.filter(col("embedding").isNotNull).select(col("vec_id"))
+          .join(dup, Seq("vec_id"), "left_outer")
+          .select(col("vec_id"),
+            when(col("is_dup") === 1L, "dropped").otherwise("kept").as("verdict"))
+          .orderBy("vec_id")
+      },
+      Some(annDedupOracleSql))
+    ,
+
     // ---- recall@10 under the TRAINED codebook ------------------------------
     // q134's one-row quality reduction with the IVF arm assigned and probed
     // via the trained centroids instead of the first-16-vectors heuristic —
@@ -1101,6 +1134,46 @@ object SimilarityQueries {
             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
           FROM cand) WHERE rn <= 10
         ORDER BY q_id, adc_dist, vec_id"""
+  }
+
+  /** DuckDB replay of the keep-first index dedup (q158): the q155 batch
+    * machinery with EVERY corpus vector as a query, then the identical
+    * drop rule — a lower-id neighbor within eps inside the ADC top-10.
+    */
+  private def annDedupOracleSql: String = {
+    val (perSubspace, codeJoins, adcSum) = pqOraclePartsBatch("TRUE")
+    s"""
+        WITH $trainedIvfCtes,
+        qs AS (SELECT vec_id AS q_id, embedding AS q_emb, v_nrm AS q_nrm
+               FROM nrm WHERE embedding IS NOT NULL),
+        probes AS (
+          SELECT q_id, c_id AS q_cell FROM (
+            SELECT q.q_id, c.c_id,
+              ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(q.q_emb[i] AS DOUBLE) * c.centroid[i]), (x, y) -> x + y)
+                  / (q.q_nrm * c.c_nrm) DESC, c.c_id) AS rn
+            FROM qs q CROSS JOIN cents2 c) WHERE rn <= 2),
+        $perSubspace,
+        cand AS (
+          SELECT p.q_id, e.vec_id, ($adcSum) AS adc_dist
+          FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL) e
+            JOIN assignF a ON a.vec_id = e.vec_id
+            JOIN probes p ON a.cell = p.q_cell
+            $codeJoins
+          WHERE e.vec_id <> p.q_id),
+        topk AS (
+          SELECT q_id, vec_id, adc_dist,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+          FROM cand),
+        dup AS (
+          SELECT DISTINCT q_id FROM topk
+          WHERE rn <= 10 AND vec_id < q_id AND adc_dist <= 0.95)
+        SELECT e.vec_id,
+          CASE WHEN d.q_id IS NOT NULL THEN 'dropped' ELSE 'kept' END AS verdict
+        FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL) e
+        LEFT JOIN dup d ON d.q_id = e.vec_id
+        ORDER BY e.vec_id"""
   }
 
   /** DuckDB replay of the composed IVF×PQ layout: q112's coarse cosine
