@@ -1093,12 +1093,26 @@ object SimilarityQueries {
           FROM cents${m}_$Iters c CROSS JOIN
             (SELECT vec_id, sv FROM sub$m WHERE $qWhere) qq)"""
     }.mkString(",")
-    val codeJoins = (0 until M).map(m =>
-      s"JOIN codes$m c$m ON c$m.vec_id = e.vec_id " +
-        s"JOIN tbl$m t$m ON t$m.c_id = c$m.code$m AND t$m.q_id = p.q_id")
-      .mkString("\n          ")
-    val adcSum = (0 until M).map(m => s"t$m.t").mkString(" + ")
-    (perSubspace, codeJoins, adcSum)
+    // Joining all four (codes m, tbl m) pairs directly into the candidate
+    // join hands DuckDB an 11-relation join it orders catastrophically
+    // (measured: 2 code joins 0.5 s, 3 code joins 100 s at sf0.01) — so
+    // the codes collapse to ONE row per vector and the per-query tables
+    // to ONE row per (query, code combination) first, leaving the
+    // candidate join five well-keyed relations. MATERIALIZED pins the
+    // collapse against re-inlining. `adc` sums t0+t1+t2+t3 left to right
+    // — the same fixed-m-order association as the in-plan reduce.
+    val codesAll = s"""
+        codesAll AS MATERIALIZED (
+          SELECT ${(0 until M).map(m => s"c$m.code$m").mkString("c0.vec_id, ", ", ", "")}
+          FROM codes0 c0 ${(1 until M).map(m => s"JOIN codes$m c$m USING (vec_id)").mkString(" ")}),
+        tabs AS MATERIALIZED (
+          SELECT t0.q_id, ${(0 until M).map(m => s"t$m.c_id AS k$m").mkString(", ")},
+            ${(0 until M).map(m => s"t$m.t").mkString(" + ")} AS adc
+          FROM tbl0 t0 ${(1 until M).map(m => s"JOIN tbl$m t$m ON t$m.q_id = t0.q_id").mkString(" ")})"""
+    val codeJoins =
+      s"""JOIN codesAll c ON c.vec_id = e.vec_id
+          JOIN tabs tb ON tb.q_id = p.q_id AND ${(0 until M).map(m => s"tb.k$m = c.code$m").mkString(" AND ")}"""
+    (perSubspace + "," + codesAll, codeJoins, "tb.adc")
   }
 
   /** DuckDB replay of the distributed batch ANN search (q155): the
