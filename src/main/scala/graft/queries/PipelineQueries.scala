@@ -386,6 +386,83 @@ object PipelineQueries {
         FROM mix m
         JOIN (SELECT source, CAST(SUM(reps) AS BIGINT) AS sampled_docs
               FROM r GROUP BY 1) s ON m.source = s.source
-        ORDER BY m.source"""))
+        ORDER BY m.source""")),
+
+    // ---- distribution-drift report between two corpus snapshots -----------
+    // The monitoring op a long-lived ingest pipeline runs on every refresh:
+    // per-feature fixed-edge histograms of a reference snapshot vs the new
+    // arrivals, with per-bin L1 and chi-square drift terms (a dashboard
+    // sums l1_term/2 for total variation, chi2_term for the signal). Bins
+    // have FIXED edges (no data-dependent quantiles), so the report is
+    // deterministic and incremental — per-bin counts from two snapshots
+    // merge by addition at any scale. The drift terms stay log-free BY
+    // DESIGN (q118's BM25 discipline): each is one or two IEEE ops over
+    // integer-derived doubles, so Spark and DuckDB produce bit-identical
+    // doubles — PSI's ln() would hash-diverge across libm implementations
+    // while ranking snapshots identically. No chi2 zero-guard needed: a
+    // bin only exists because some row landed in it, so share_ref +
+    // share_new > 0 on every output row.
+    //
+    // 100 TB shape: one narrow 2-rows-per-doc explode, one (feature, bin)
+    // aggregate with ~40 groups of constant state, totals broadcast back.
+    // The text column never shuffles; the payload of the exchange is two
+    // longs per row.
+    Q("q159_drift_report",
+      (s, dir) => {
+        val base = t(s, dir, "documents").select(
+          when(col("doc_id") % 2 === 0, "ref").otherwise("new").as("snap"),
+          length(col("text")).cast("long").as("chars"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), " ", ""))).cast("long").as("spaces"))
+        val longf = base.select(col("snap"), explode(array(
+            struct(lit("chars").as("feature"),
+              least(floor(col("chars") / lit(32)), lit(19L)).cast("long").as("bin")),
+            struct(lit("spaces").as("feature"),
+              least(floor(col("spaces") / lit(8)), lit(19L)).cast("long").as("bin"))))
+            .as("fb"))
+          .select(col("snap"), col("fb.feature"), col("fb.bin"))
+        val counts = longf.groupBy("feature", "bin").agg(
+          sum(when(col("snap") === "ref", 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("snap") === "new", 1L).otherwise(0L)).as("n_new"))
+        val totals = counts.groupBy("feature").agg(
+          sum("n_ref").as("t_ref"), sum("n_new").as("t_new"))
+        val shareRef = col("n_ref").cast("double") / col("t_ref")
+        val shareNew = col("n_new").cast("double") / col("t_new")
+        val d = shareRef - shareNew
+        counts.join(broadcast(totals), Seq("feature"))
+          .select(col("feature"), col("bin"), col("n_ref"), col("n_new"),
+            shareRef.as("share_ref"), shareNew.as("share_new"),
+            abs(d).as("l1_term"),
+            (d * d / (shareRef + shareNew)).as("chi2_term"))
+          .orderBy("feature", "bin")
+      },
+      Some("""
+        WITH base AS (
+          SELECT CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'new' END AS snap,
+            length(text) AS chars,
+            length(text) - length(replace(text, ' ', '')) AS spaces
+          FROM documents),
+        longf AS (
+          SELECT snap, 'chars' AS feature, LEAST(chars // 32, 19) AS bin FROM base
+          UNION ALL
+          SELECT snap, 'spaces' AS feature, LEAST(spaces // 8, 19) AS bin FROM base),
+        counts AS (
+          SELECT feature, bin,
+            CAST(SUM(CASE WHEN snap = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+            CAST(SUM(CASE WHEN snap = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+          FROM longf GROUP BY 1, 2),
+        tot AS (
+          SELECT feature, CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+            CAST(SUM(n_new) AS BIGINT) AS t_new
+          FROM counts GROUP BY 1)
+        SELECT c.feature, c.bin, c.n_ref, c.n_new,
+          CAST(c.n_ref AS DOUBLE) / t_ref AS share_ref,
+          CAST(c.n_new AS DOUBLE) / t_new AS share_new,
+          abs(CAST(c.n_ref AS DOUBLE) / t_ref - CAST(c.n_new AS DOUBLE) / t_new) AS l1_term,
+          (CAST(c.n_ref AS DOUBLE) / t_ref - CAST(c.n_new AS DOUBLE) / t_new)
+            * (CAST(c.n_ref AS DOUBLE) / t_ref - CAST(c.n_new AS DOUBLE) / t_new)
+            / (CAST(c.n_ref AS DOUBLE) / t_ref + CAST(c.n_new AS DOUBLE) / t_new) AS chi2_term
+        FROM counts c JOIN tot USING (feature)
+        ORDER BY 1, 2"""))
   )
 }
