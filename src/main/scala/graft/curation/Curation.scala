@@ -314,20 +314,31 @@ object Curation {
     */
   private def verdictsFromBands(batchIds: DataFrame, batchBands: DataFrame,
       storeBands: DataFrame, idCol: String, estThreshold: Double): DataFrame = {
-    val vsHist = batchBands
-      .select(col("band_key"), col("doc_id").as("doc"), col("sig").as("sig_a"))
-      .join(storeBands.select(col("band_key"), col("sig").as("sig_b")), Seq("band_key"))
-      .filter(sigJaccardEst(col("sig_a"), col("sig_b")) >= estThreshold)
-      .select(col("doc")).distinct()
-      .withColumn("vs_hist", lit(1L))
-    val vsBatch = batchBands
-      .select(col("band_key"), col("doc_id").as("doc"), col("sig").as("sig_a"))
-      .join(batchBands.select(col("band_key"), col("doc_id").as("partner"),
-        col("sig").as("sig_b")), Seq("band_key"))
-      .filter(col("partner") < col("doc") &&
-        sigJaccardEst(col("sig_a"), col("sig_b")) >= estThreshold)
-      .select(col("doc")).distinct()
-      .withColumn("vs_batch", lit(1L))
+    // Partner EXISTENCE, not pair enumeration: each arm is a LEFT SEMI
+    // join with the (band_key equality + signature-similarity) predicate
+    // in the join condition, evaluated per candidate only until the FIRST
+    // hit — duplicate matching bands and duplicate partners neither
+    // re-run the estimate nor multiply output, retiring the old
+    // estimate-every-band-then-distinct() shape (the discipline the
+    // visual path's VisualDedup.verdicts established). What remains per
+    // matched doc is collapsing its own ≤bands semi-join survivors: a
+    // single-column aggregate bounded by the batch's band rows,
+    // independent of store size. The store side still joins on its
+    // bucketed band_key, so the zero-store-exchange plan survives
+    // (spec-asserted in CurationQueriesSpec).
+    val a = batchBands.select(col("band_key").as("a_band_key"),
+      col("doc_id").as("doc"), col("sig").as("sig_a"))
+    val vsHist = a.join(
+        storeBands.select(col("band_key").as("b_band_key"), col("sig").as("sig_b")),
+        col("a_band_key") === col("b_band_key") &&
+          sigJaccardEst(col("sig_a"), col("sig_b")) >= estThreshold, "left_semi")
+      .groupBy(col("doc")).agg(max(lit(1L)).as("vs_hist"))
+    val vsBatch = a.join(
+        batchBands.select(col("band_key").as("b_band_key"),
+          col("doc_id").as("partner"), col("sig").as("sig_b")),
+        col("a_band_key") === col("b_band_key") && col("partner") < col("doc") &&
+          sigJaccardEst(col("sig_a"), col("sig_b")) >= estThreshold, "left_semi")
+      .groupBy(col("doc")).agg(max(lit(1L)).as("vs_batch"))
 
     batchIds
       .join(vsHist, col(idCol) === vsHist("doc"), "left_outer").drop(vsHist("doc"))
