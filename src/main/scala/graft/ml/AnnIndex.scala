@@ -248,12 +248,20 @@ object AnnIndex {
     * aggregator's (score DESC, id ASC) ordering is (adc_dist ASC, vec_id
     * ASC).
     */
+  /** `broadcastProbes = false` drops the broadcast hint on the probe side
+    * — for query batches too large to ship to every executor, Catalyst
+    * then co-partitions both sides on `cell` (a shuffle of narrow probe
+    * rows and the coded index; at that scale the index side should be
+    * bucketed on cell to pay its exchange once). Results are identical
+    * either way (spec-asserted).
+    */
   def batchQuery(spark: SparkSession, queries: DataFrame, path: String,
-      nprobe: Int, topK: Int, exclude: Option[DataFrame] = None): DataFrame = {
+      nprobe: Int, topK: Int, exclude: Option[DataFrame] = None,
+      broadcastProbes: Boolean = true): DataFrame = {
     VecOps.register(spark)
     val cb = loadCodebooks(spark, path)
     searchRows(spark, queries, spark.read.parquet(indexDir(path)),
-      cb, nprobe, topK, exclude)
+      cb, nprobe, topK, exclude, broadcastProbes)
   }
 
   /** The distributed search core of [[batchQuery]], over ANY
@@ -266,7 +274,8 @@ object AnnIndex {
     */
   private[graft] def searchRows(spark: SparkSession, queries: DataFrame,
       indexRows: DataFrame, cb: Codebooks, nprobe: Int, topK: Int,
-      exclude: Option[DataFrame] = None): DataFrame = {
+      exclude: Option[DataFrame] = None,
+      broadcastProbes: Boolean = true): DataFrame = {
     val m = cb.pq.length
     import spark.implicits._
     val negSims = array(cb.coarse.map { case (cid, cvec, cnrm) =>
@@ -286,8 +295,9 @@ object AnnIndex {
       .select(col("q_id"), col("q_cell"), col("adc_tab"))
     val searched = exclude.fold(indexRows)(ex =>
       indexRows.join(broadcast(ex.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
+    val probeSide = if (broadcastProbes) broadcast(probes) else probes
     val scored = searched
-      .join(broadcast(probes), col("cell") === col("q_cell"))
+      .join(probeSide, col("cell") === col("q_cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"),
         (lit(0.0) - Pq.adcDistFromTable(col("adc_tab"), m)).as("score"),

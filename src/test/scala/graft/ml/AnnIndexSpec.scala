@@ -133,6 +133,17 @@ class AnnIndexSpec extends SparkSpec
     assert(jobs <= 10, s"batch search over 50 queries must not launch per-query jobs (saw $jobs)")
   }
 
+  test("batchQuery shuffle path (no probe broadcast) is row-identical") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = e.filter(col("vec_id") % 10 === 2)
+    def rows(bcast: Boolean) = AnnIndex
+      .batchQuery(spark, queries, path, nprobe = 2, topK = 5, broadcastProbes = bcast)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._3, x._2)).toSeq
+    assert(rows(bcast = false) == rows(bcast = true),
+      "the co-partitioned shuffle path must match the broadcast path exactly")
+  }
+
   test("append compaction bounds per-cell files; results unchanged") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     def buildAndAppend(threshold: Int): String = {
