@@ -174,6 +174,250 @@ object Curation {
       .orderBy(strataCol, "shard")
   }
 
+  /** Token-level sequence packing (concat-and-chunk) with document-boundary
+    * attribution: per stratum, documents are concatenated in the
+    * deterministic md5(id) order and cut into fixed `seqTokens`-token
+    * training sequences; a document whose tokens straddle a cut
+    * contributes one SEGMENT per sequence it touches. Output is the
+    * dataloader index — (stratum, seq, id, seg_start, seg_len): where in
+    * each packed sequence every document's tokens land. This is the op
+    * that turns a curated corpus into fixed-length training rows, and the
+    * segment table is exactly what a boundary-resetting attention-mask
+    * loader consumes. [[packShards]] is the doc-grain sibling (a doc
+    * belongs to one shard); this one attributes at TOKEN grain, so no
+    * sequence is left short except each stratum's last.
+    *
+    * 100 TB shape: token counts are one row-local pass; the running
+    * offset is a window cumsum over narrow (stratum, id, n) triples —
+    * text never shuffles. The explode emits only the sequences a doc
+    * touches (n/seqTokens + 1 worst case), so output is O(docs +
+    * sequences). Per-stratum streams stay independent (at real scale the
+    * stratum key gains a hash-bucket component, as in q30b). All boundary
+    * math is exact long division — no float risk against the oracle.
+    */
+  def packSequences(docs: DataFrame, seqTokens: Int = 512,
+      strataCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val L = seqTokens.toLong
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.select(col(strataCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("seq",
+        explode(sequence(expr(s"(cum - n) div $L"), expr(s"(cum - 1) div $L"))))
+      .withColumn("seg_start",
+        greatest(lit(0L), col("cum") - col("n") - col("seq") * L))
+      .withColumn("seg_len",
+        least((col("seq") + 1) * L, col("cum"))
+          - greatest(col("seq") * L, col("cum") - col("n")))
+      .select(col(strataCol), col("seq"), col(idCol),
+        col("seg_start"), col("seg_len"))
+      .orderBy(strataCol, "seq", "seg_start")
+  }
+
+  /** Greedy token-budget sampling: per stratum, documents are taken whole
+    * in the deterministic md5(id) order until the running token count
+    * would exceed `budgetTokens` — the "sample N tokens per source" step
+    * that sizes a training mix before packing. The prefix rule (keep
+    * while cum <= budget) is what makes the draw reproducible across
+    * engines, cluster sizes and retries. Report per stratum: docs_total,
+    * tokens_total, docs_kept, tokens_kept.
+    *
+    * 100 TB shape: one row-local token-count pass, then a window cumsum
+    * over narrow (stratum, id, n) triples — identical layout to
+    * [[packShards]]; text never shuffles and nothing serializes globally.
+    */
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long = 3000,
+      strataCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.select(col(strataCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n"))
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("kept", when(col("cum") <= budgetTokens, 1L).otherwise(0L))
+      .groupBy(strataCol)
+      .agg(count(lit(1)).as("docs_total"),
+        sum("n").as("tokens_total"),
+        sum("kept").as("docs_kept"),
+        sum(when(col("kept") === 1L, col("n")).otherwise(0L)).as("tokens_kept"))
+      .orderBy(strataCol)
+  }
+
+  /** Per-stratum quantile-calibrated quality cut: instead of one global
+    * threshold (which lets a verbose language eat a terse one's budget),
+    * each stratum drops its own bottom `dropNum/dropDen` fraction under
+    * an INTEGER quality score. The threshold is the discrete quantile —
+    * the smallest score whose cumulative count reaches ceil(n * frac) —
+    * and docs strictly below it are dropped. Report per stratum:
+    * (docs, threshold, dropped, kept).
+    *
+    * 100 TB shape: the quantile is computed over the per-(stratum, score)
+    * HISTOGRAM, so the rank window's input is bounded by score
+    * cardinality, not corpus size — one narrow count shuffle; documents
+    * never move. Applying the cut to the corpus is then a broadcast join
+    * of the per-stratum threshold rows (bounded by #strata). The
+    * cross-multiplied rank test (cum * den >= n * num) keeps both engines
+    * exact with no float quantile-definition drift.
+    */
+  def quantileCalibratedFilter(docs: DataFrame, score: Column,
+      strataCol: String = "lang", dropNum: Int = 1,
+      dropDen: Int = 5): DataFrame = {
+    val hist = docs.select(col(strataCol), score.cast("long").as("score"))
+      .groupBy(strataCol, "score").agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy(strataCol).orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wt = Window.partitionBy(strataCol)
+    val h = hist.withColumn("cum", sum("cnt").over(wc))
+      .withColumn("n", sum("cnt").over(wt))
+    val thr = h.filter(col("cum") * dropDen >= col("n") * dropNum)
+      .groupBy(strataCol).agg(min("score").as("threshold"))
+    h.join(thr, Seq(strataCol))
+      .groupBy(strataCol)
+      .agg(max("n").as("docs"), min("threshold").as("threshold"),
+        coalesce(sum(when(col("score") < col("threshold"), col("cnt"))),
+          lit(0L)).as("dropped"))
+      .withColumn("kept", col("docs") - col("dropped"))
+      .select(col(strataCol), col("docs"), col("threshold"),
+        col("dropped"), col("kept"))
+      .orderBy(strataCol)
+  }
+
+  /** Bloom-prefiltered exact decontamination — the scale tier above the
+    * broadcast-exact-set join (q103). When the benchmark n-gram set is too
+    * large to broadcast exactly, broadcast a FIXED-SIZE Bloom bitset of it
+    * (`mBits` bits regardless of benchmark size), test every corpus gram
+    * ROW-LOCALLY against the bits, and run the exact verification join
+    * only over the bloom-positive survivors. Bloom filters have no false
+    * negatives, so the final verdict is EXACT; the report carries the
+    * measured false-positive accounting that prices the prefilter. Per
+    * `groupCol`: docs, bloom_pos_docs, contaminated_docs, bloom_fp_docs.
+    *
+    * The bitset uses k=4 double-hashed probes over the same md5-60-bit
+    * gram hash as the rest of the text stack, so a SQL oracle can replay
+    * membership bit-for-bit. Building it collects the DISTINCT set bit
+    * positions — bounded by `mBits` BY CONSTRUCTION, independent of
+    * benchmark size, so the driver step stays constant-size at any scale
+    * (the bitset IS the broadcast artifact).
+    *
+    * 100 TB shape: the corpus side is one explode + row-local bit tests
+    * against an 8 KiB literal — no corpus-sized exchange; the only join
+    * input on the corpus side is the bloom-POSITIVE gram set (true
+    * matches + the fp-rate-sized remainder), which is what reaches the
+    * exact-verify exchange. Deliberately NOT broadcasting the exact bench
+    * set there — at this tier it no longer fits; survivors shuffle-join
+    * it instead.
+    */
+  def bloomDecontaminate(corpus: DataFrame, bench: DataFrame,
+      gramK: Int = 8, mBits: Int = 1 << 16,
+      textCol: String = "text", idCol: String = "doc_id",
+      groupCol: String = "source", benchTextCol: String = "text"): DataFrame = {
+    require(Integer.bitCount(mBits) == 1 && mBits >= 64,
+      s"mBits must be a power of two >= 64, got $mBits")
+    val mask = (mBits - 1).toLong
+    def hash60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    // k=4 double-hashed probe positions: h1 + i*h2 mod m, h2 forced odd
+    // so the probe stride cycles the full power-of-two table.
+    def positions(h: Column): Column = {
+      val h1 = h.bitwiseAND(lit(mask))
+      val h2 = shiftright(h, 16).bitwiseAND(lit(mask)).bitwiseOR(lit(1L))
+      array((0 until 4).map(i => (h1 + lit(i.toLong) * h2).bitwiseAND(lit(mask))): _*)
+    }
+
+    val benchGrams = bench.select(
+        explode(shingles(tokens(col(benchTextCol)), gramK)).as("gram"))
+      .select(hash60(col("gram")).as("h")).distinct()
+
+    val posRows = benchGrams.select(explode(positions(col("h"))).as("pos"))
+      .distinct().collect().map(_.getLong(0))
+    val bits = new Array[Long](mBits / 64)
+    posRows.foreach(p => bits(p.toInt >> 6) |= (1L << (p.toInt & 63)))
+    val bitsLit = typedLit(bits.toSeq)
+
+    def testBit(pos: Column): Column = {
+      val word = element_at(bitsLit, shiftright(pos, 6).cast("int") + 1)
+      call_function("shiftright", word, pos.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }
+
+    val grams = corpus.select(col(idCol), col(groupCol),
+        explode(shingles(tokens(col(textCol)), gramK)).as("gram"))
+      .select(col(idCol), col(groupCol), hash60(col("gram")).as("h"))
+      .distinct()
+    val flagged = grams.withColumn("ps", positions(col("h")))
+      .withColumn("bloom_hit",
+        (1 to 4).map(i => testBit(element_at(col("ps"), i))).reduce(_ && _))
+
+    val perDoc = flagged.groupBy(idCol, groupCol)
+      .agg(max(when(col("bloom_hit"), 1L).otherwise(0L)).as("bpos"))
+    val exactHits = flagged.filter(col("bloom_hit"))
+      .join(benchGrams, Seq("h"), "left_semi")
+      .select(col(idCol)).distinct().withColumn("cont", lit(1L))
+
+    corpus.groupBy(groupCol).agg(count(lit(1)).as("docs"))
+      .join(perDoc.join(exactHits, Seq(idCol), "left")
+        .groupBy(groupCol)
+        .agg(sum("bpos").as("bp"),
+          sum(coalesce(col("cont"), lit(0L))).as("cd")),
+        Seq(groupCol), "left")
+      .select(col(groupCol), col("docs"),
+        coalesce(col("bp"), lit(0L)).as("bloom_pos_docs"),
+        coalesce(col("cd"), lit(0L)).as("contaminated_docs"),
+        (coalesce(col("bp"), lit(0L)) - coalesce(col("cd"), lit(0L)))
+          .as("bloom_fp_docs"))
+      .orderBy(groupCol)
+  }
+
+  /** Duplicated-SPAN extraction (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022 — the approximate,
+    * window-hash formulation): every OVERLAPPING `windowTokens`-token
+    * window is fingerprinted; a window duplicated anywhere in the corpus
+    * marks its tokens, and maximal runs of consecutive duplicated windows
+    * are the removable spans. Unlike [[chunkDedupReport]] (non-overlapping
+    * chunks, per-doc counts), this localizes WHERE the duplicated text
+    * sits and how long it runs. Report per `groupCol`: docs,
+    * docs_with_dup_span, max_span_tokens, dup_windows.
+    *
+    * 100 TB shape: windowing and hashing are row-local in the scan stage;
+    * what shuffles is (id, group, i, h) — never text. Global multiplicity
+    * is a count window over the md5 partition (the q116 discipline: one
+    * text scan), and the run/island detection is a per-doc window over
+    * only the DUPLICATED window rows.
+    */
+  def dupSpanReport(docs: DataFrame, windowTokens: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id",
+      groupCol: String = "source"): DataFrame = {
+    val winds = docs.select(col(idCol), col(groupCol),
+        posexplode(shingles(tokens(col(textCol)), windowTokens))
+          .as(Seq("i", "wtext")))
+      .select(col(idCol), col(groupCol), col("i"), md5(col("wtext")).as("h"))
+    val dup = winds
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("cnt") > 1)
+    val wrun = Window.partitionBy(idCol).orderBy("i")
+    val runs = dup.withColumn("grp", col("i") - row_number().over(wrun))
+      .groupBy(idCol, groupCol, "grp")
+      .agg(count(lit(1)).as("len"))
+      .withColumn("span", col("len") + (windowTokens - 1))
+    val perDoc = runs.groupBy(idCol, groupCol)
+      .agg(max("span").as("max_span"), sum("len").as("dupw"))
+    docs.groupBy(groupCol).agg(count(lit(1)).as("docs"))
+      .join(perDoc.groupBy(groupCol)
+        .agg(count(lit(1)).as("dd"), max("max_span").as("ms"),
+          sum("dupw").as("dw")),
+        Seq(groupCol), "left")
+      .select(col(groupCol), col("docs"),
+        coalesce(col("dd"), lit(0L)).as("docs_with_dup_span"),
+        coalesce(col("ms"), lit(0L)).as("max_span_tokens"),
+        coalesce(col("dw"), lit(0L)).as("dup_windows"))
+      .orderBy(groupCol)
+  }
+
   /** Exact-dedup for a DOCUMENT STREAM: normalize-fingerprint each doc
     * row-local (md5 of lowercased whitespace-collapsed text) and keep the
     * first arrival per fingerprint. Under Structured Streaming the state

@@ -287,5 +287,143 @@ object CurationQueries {
           CAST(MIN(run_pos) AS BIGINT) AS first_pos,
           CAST(MAX(run_len) AS BIGINT) AS max_run
         FROM per_run GROUP BY 1 ORDER BY 1"""))
+    ,
+
+    // ---- token-level sequence packing (concat-and-chunk) ------------------
+    // q120 packs at DOC grain (a doc belongs to one shard); this packs at
+    // TOKEN grain: per language, docs are concatenated in md5(doc_id)
+    // order and cut into fixed 512-token training sequences, and the
+    // output is the dataloader index — one SEGMENT row per (sequence,
+    // doc) pair a document's tokens touch, with the segment's offset and
+    // length inside its sequence. Boundary-crossing docs produce one row
+    // per sequence crossed; no sequence is short except each stratum's
+    // last. Scale notes on [[graft.curation.Curation.packSequences]]:
+    // narrow cumsum triples, exact long division, O(docs + sequences)
+    // output.
+    Q("q160_seq_pack",
+      (s, dir) => graft.curation.Curation.packSequences(t(s, dir, "documents")),
+      Some(s"""
+        WITH d AS (
+          SELECT lang, doc_id, len($duckTokens) AS n FROM documents),
+        c AS (
+          SELECT lang, doc_id, n,
+            CAST(SUM(n) OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum
+          FROM d WHERE n > 0),
+        seg AS (
+          SELECT lang, doc_id, n, cum,
+            unnest(generate_series((cum - n) // 512, (cum - 1) // 512)) AS seq
+          FROM c)
+        SELECT lang, CAST(seq AS BIGINT) AS seq, doc_id,
+          CAST(GREATEST(0, (cum - n) - seq * 512) AS BIGINT) AS seg_start,
+          CAST(LEAST((seq + 1) * 512, cum)
+            - GREATEST(seq * 512, cum - n) AS BIGINT) AS seg_len
+        FROM seg ORDER BY lang, seq, seg_start"""))
+    ,
+
+    // ---- greedy token-budget sampling -------------------------------------
+    // "Sample N tokens per source": whole docs are taken in md5(doc_id)
+    // order while the running token count stays within a 3000-token
+    // budget per source — the mix-sizing step before packing. The prefix
+    // rule over a monotone cumsum makes the draw reproducible on any
+    // engine or cluster size. Report: per-source totals and kept counts.
+    Q("q161_token_budget",
+      (s, dir) => graft.curation.Curation.tokenBudgetSample(t(s, dir, "documents")),
+      Some(s"""
+        WITH d AS (
+          SELECT source, doc_id, len($duckTokens) AS n FROM documents),
+        c AS (
+          SELECT source, doc_id, n,
+            SUM(n) OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM d)
+        SELECT source, COUNT(*) AS docs_total,
+          CAST(SUM(n) AS BIGINT) AS tokens_total,
+          CAST(SUM(CASE WHEN cum <= 3000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS docs_kept,
+          CAST(SUM(CASE WHEN cum <= 3000 THEN n ELSE 0 END) AS BIGINT)
+            AS tokens_kept
+        FROM c GROUP BY 1 ORDER BY 1"""))
+    ,
+
+    // ---- per-language quantile-calibrated quality cut ---------------------
+    // Each language drops its own bottom 20% under an integer quality
+    // score (milli chars-per-token — a row-local verbosity proxy), so no
+    // language eats another's budget the way one global threshold would.
+    // The threshold is the discrete quantile over the per-(lang, score)
+    // HISTOGRAM: the rank window's input is bounded by score cardinality,
+    // not corpus size, and the cross-multiplied rank test keeps both
+    // engines integer-exact.
+    Q("q162_quality_quantile",
+      (s, dir) => graft.curation.Curation.quantileCalibratedFilter(
+        t(s, dir, "documents"),
+        expr("(length(text) * 1000) div size(split(trim(text), '\\\\s+'))")),
+      Some(s"""
+        WITH sc AS (
+          SELECT lang,
+            (length(text) * 1000) // len($duckTokens) AS score
+          FROM documents),
+        hist AS (
+          SELECT lang, score, COUNT(*) AS cnt FROM sc GROUP BY 1, 2),
+        h AS (
+          SELECT lang, score, cnt,
+            SUM(cnt) OVER (PARTITION BY lang ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(cnt) OVER (PARTITION BY lang) AS n
+          FROM hist),
+        thr AS (
+          SELECT lang, MIN(score) AS threshold
+          FROM h WHERE cum * 5 >= n GROUP BY 1)
+        SELECT h.lang, CAST(MAX(n) AS BIGINT) AS docs,
+          CAST(MIN(threshold) AS BIGINT) AS threshold,
+          CAST(COALESCE(SUM(CASE WHEN score < threshold THEN cnt END), 0)
+            AS BIGINT) AS dropped,
+          CAST(MAX(n) - COALESCE(SUM(CASE WHEN score < threshold THEN cnt END), 0)
+            AS BIGINT) AS kept
+        FROM h JOIN thr ON h.lang = thr.lang
+        GROUP BY 1 ORDER BY 1"""))
+    ,
+
+    // ---- duplicated-span extraction (overlapping-window dedup) ------------
+    // The window-hash formulation of Lee et al. 2022: every overlapping
+    // 10-token window is fingerprinted, a window duplicated anywhere in
+    // the corpus marks its tokens, and maximal runs of consecutive
+    // duplicated windows are the removable spans. q116 counts duplicated
+    // non-overlapping chunks; this localizes WHERE duplicated text sits
+    // and how long it runs (span tokens = run length + window - 1).
+    // One text scan; (id, source, i, h) is all that shuffles.
+    Q("q164_dup_spans",
+      (s, dir) => graft.curation.Curation.dupSpanReport(t(s, dir, "documents")),
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, source, $duckTokens AS w FROM documents),
+        wd AS (
+          SELECT doc_id, source, i,
+            md5(array_to_string(w[i : i + 9], ' ')) AS h
+          FROM tok, UNNEST(generate_series(1, len(w) - 9)) AS t(i)),
+        cn AS (
+          SELECT doc_id, source, i,
+            COUNT(*) OVER (PARTITION BY h) AS cnt FROM wd),
+        dup AS (
+          SELECT doc_id, source, i,
+            i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+          FROM cn WHERE cnt > 1),
+        runs AS (
+          SELECT doc_id, source, grp, COUNT(*) AS len FROM dup GROUP BY 1, 2, 3),
+        per_doc AS (
+          SELECT doc_id, source, MAX(len + 9) AS max_span, SUM(len) AS dupw
+          FROM runs GROUP BY 1, 2),
+        src AS (SELECT source, COUNT(*) AS docs FROM documents GROUP BY 1)
+        SELECT src.source, src.docs,
+          CAST(COALESCE(p.dd, 0) AS BIGINT) AS docs_with_dup_span,
+          CAST(COALESCE(p.ms, 0) AS BIGINT) AS max_span_tokens,
+          CAST(COALESCE(p.dw, 0) AS BIGINT) AS dup_windows
+        FROM src LEFT JOIN (
+          SELECT source, COUNT(*) AS dd, MAX(max_span) AS ms, SUM(dupw) AS dw
+          FROM per_doc GROUP BY 1) p USING (source)
+        ORDER BY source"""))
   )
 }

@@ -139,6 +139,73 @@ object PipelineQueries {
         GROUP BY 1, 2 HAVING COUNT(DISTINCT c.g) >= 5
         ORDER BY 1, 2""")),
 
+    // ---- Bloom-prefiltered exact decontamination (the 100-TB tier) --------
+    // q103 broadcasts the EXACT benchmark gram set — right while it fits.
+    // This is the tier above: broadcast a fixed 8 KiB Bloom BITSET of the
+    // benchmark grams (64 Ki bits, k=4 double-hashed probes over the
+    // stack's md5-60-bit gram hash), test every corpus gram ROW-LOCALLY,
+    // and run the exact verification join only over bloom-positive
+    // survivors. No false negatives, so the verdict is exact; the report
+    // prices the prefilter with the measured per-source false-positive
+    // count. The oracle replays Bloom membership bit-for-bit from the
+    // same md5 probe math. Scale notes on
+    // [[graft.curation.Curation.bloomDecontaminate]].
+    Q("q163_bloom_decontaminate",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val toks = split(trim(col("text")), "\\s+")
+        val bench = d.filter(col("doc_id") % 50 === 0)
+          .select(array_join(
+            slice(toks, lit(3), greatest(size(toks) - 2, lit(0))), " ").as("btext"))
+        graft.curation.Curation.bloomDecontaminate(
+          d, bench, benchTextCol = "btext")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents),
+        bench AS (SELECT w[3:] AS w FROM tok WHERE doc_id % 50 = 0),
+        bg AS (
+          SELECT DISTINCT CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+          FROM bench, UNNEST($duck8gram) AS t(g)),
+        bpos AS (
+          SELECT DISTINCT
+            ((h & 65535) + i * (((h >> 16) & 65535) | 1)) & 65535 AS pos
+          FROM bg, UNNEST([0, 1, 2, 3]) AS t(i)),
+        cg AS (
+          SELECT DISTINCT doc_id, source,
+            CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+          FROM tok, UNNEST($duck8gram) AS t(g)),
+        cpos AS (
+          SELECT doc_id, h,
+            ((h & 65535) + i * (((h >> 16) & 65535) | 1)) & 65535 AS pos
+          FROM cg, UNNEST([0, 1, 2, 3]) AS t(i)),
+        miss AS (
+          SELECT DISTINCT doc_id, h FROM cpos
+          WHERE pos NOT IN (SELECT pos FROM bpos)),
+        chit AS (
+          SELECT c.doc_id, c.source, c.h, (m.h IS NULL) AS bloom_hit
+          FROM cg c LEFT JOIN miss m
+            ON c.doc_id = m.doc_id AND c.h = m.h),
+        perdoc AS (
+          SELECT doc_id, source,
+            MAX(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS bpos
+          FROM chit GROUP BY 1, 2),
+        cont AS (
+          SELECT DISTINCT c.doc_id FROM chit c JOIN bg USING (h)
+          WHERE c.bloom_hit),
+        src AS (SELECT source, COUNT(*) AS docs FROM documents GROUP BY 1)
+        SELECT src.source, src.docs,
+          CAST(COALESCE(p.bp, 0) AS BIGINT) AS bloom_pos_docs,
+          CAST(COALESCE(p.cd, 0) AS BIGINT) AS contaminated_docs,
+          CAST(COALESCE(p.bp, 0) - COALESCE(p.cd, 0) AS BIGINT) AS bloom_fp_docs
+        FROM src LEFT JOIN (
+          SELECT pd.source, SUM(pd.bpos) AS bp,
+            SUM(CASE WHEN ct.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS cd
+          FROM perdoc pd LEFT JOIN cont ct ON pd.doc_id = ct.doc_id
+          GROUP BY 1) p USING (source)
+        ORDER BY source""")),
+
     // ---- repetition filter: top-2-gram token fraction (Gopher-style) ------
     // One explode pass: per-(doc, gram) counts, then per-doc max; n_tokens
     // falls out of the same aggregation (sum of gram counts + 1), so the

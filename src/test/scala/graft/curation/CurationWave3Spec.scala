@@ -1,0 +1,161 @@
+package graft.curation
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the third curation wave (q160-q164):
+  * token-grain sequence packing, token-budget sampling, per-stratum
+  * quantile calibration, Bloom-prefiltered decontamination, and
+  * duplicated-span extraction. The sf0.01 oracle gate proves DuckDB
+  * parity; these pin the SEMANTICS on corpora small enough to verify by
+  * hand (boundary math, prefix rules, discrete-quantile ties, Bloom
+  * no-false-negatives, island runs).
+  */
+class CurationWave3Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  private def docs(rows: Seq[(Long, String, String, String)]) =
+    rows.map { case (id, text, lang, src) => (id, text, lang, src) }
+      .toDF("doc_id", "text", "lang", "source")
+
+  // ---- q160 packSequences -------------------------------------------------
+
+  test("packSequences: one doc spanning sequences gets exact segment math") {
+    // 25 tokens at L=10: segments (seq 0, start 0, len 10),
+    // (seq 1, 0, 10), (seq 2, 0, 5) — order-free because it's one doc.
+    val d = docs(Seq((1L, words("a", 25), "en", "s")))
+    val out = Curation.packSequences(d, seqTokens = 10).collect()
+    assert(out.toSeq === Seq(
+      Row("en", 0L, 1L, 0L, 10L),
+      Row("en", 1L, 1L, 0L, 10L),
+      Row("en", 2L, 1L, 0L, 5L)))
+  }
+
+  test("packSequences: segments tile every sequence exactly") {
+    // Multi-doc, md5 order opaque — assert the tiling invariants instead:
+    // total segment length == total tokens; every sequence except the
+    // stratum's last is exactly full; segments within a sequence are
+    // contiguous from offset 0.
+    val d = docs(Seq(
+      (1L, words("a", 7), "en", "s"), (2L, words("b", 8), "en", "s"),
+      (3L, words("c", 13), "en", "s"), (4L, words("d", 4), "en", "s")))
+    val segs = Curation.packSequences(d, seqTokens = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(segs.map(_._3).sum === 32L) // 7+8+13+4
+    val bySeq = segs.groupBy(_._1)
+    val last = bySeq.keys.max
+    bySeq.foreach { case (seq, ss) =>
+      val fill = ss.map(_._3).sum
+      if (seq < last) assert(fill === 10L, s"seq $seq not full")
+      // contiguity: sorted starts chain start+len -> next start from 0
+      val sorted = ss.sortBy(_._2)
+      sorted.foldLeft(0L) { case (expect, (_, st, ln)) =>
+        assert(st === expect); st + ln
+      }
+    }
+  }
+
+  // ---- q161 tokenBudgetSample --------------------------------------------
+
+  test("tokenBudgetSample: greedy prefix keeps whole docs within budget") {
+    // 5 docs x 100 tokens, budget 250: exactly 2 kept (200 tokens)
+    // whatever the md5 order — equal sizes make the draw order-free.
+    val d = docs((1L to 5L).map(i => (i, words(s"w$i-", 100), "en", "s")))
+    val out = Curation.tokenBudgetSample(d, budgetTokens = 250).collect()
+    assert(out.toSeq === Seq(Row("s", 5L, 500L, 2L, 200L)))
+  }
+
+  test("tokenBudgetSample: budgets are per-stratum, not global") {
+    val d = docs(Seq(
+      (1L, words("a", 100), "en", "s1"), (2L, words("b", 100), "en", "s1"),
+      (3L, words("c", 100), "en", "s2")))
+    val out = Curation.tokenBudgetSample(d, budgetTokens = 100,
+      strataCol = "source").collect()
+    assert(out.toSeq === Seq(
+      Row("s1", 2L, 200L, 1L, 100L), Row("s2", 1L, 100L, 1L, 100L)))
+  }
+
+  // ---- q162 quantileCalibratedFilter -------------------------------------
+
+  test("quantileCalibratedFilter: discrete quantile threshold, drop below") {
+    // scores 1..10, drop 1/5: threshold = smallest score with cum >= 2
+    // -> 2; dropped = |score < 2| = 1.
+    val d = (1L to 10L).map(i => ("en", i)).toDF("lang", "s")
+    val out = Curation.quantileCalibratedFilter(d, col("s")).collect()
+    assert(out.toSeq === Seq(Row("en", 10L, 2L, 1L, 9L)))
+  }
+
+  test("quantileCalibratedFilter: all-tied scores drop nothing") {
+    val d = Seq.fill(5)(("en", 7L)).toDF("lang", "s")
+    val out = Curation.quantileCalibratedFilter(d, col("s")).collect()
+    assert(out.toSeq === Seq(Row("en", 5L, 7L, 0L, 5L)))
+  }
+
+  test("quantileCalibratedFilter: each stratum gets its own threshold") {
+    val d = ((1L to 10L).map(i => ("en", i)) ++ (1L to 10L).map(i => ("fr", i * 100)))
+      .toDF("lang", "s")
+    val out = Curation.quantileCalibratedFilter(d, col("s")).collect()
+    assert(out.toSeq === Seq(
+      Row("en", 10L, 2L, 1L, 9L), Row("fr", 10L, 200L, 1L, 9L)))
+  }
+
+  // ---- q163 bloomDecontaminate -------------------------------------------
+
+  test("bloomDecontaminate: exact verdict, no false negatives, fp >= 0") {
+    // doc 1 shares an exact 8-gram with the bench text; doc 2 does not.
+    val shared = words("s", 8)
+    val corpus = docs(Seq(
+      (1L, s"${words("a", 3)} $shared ${words("z", 2)}", "en", "s1"),
+      (2L, words("b", 12), "en", "s1"),
+      (3L, words("c", 5), "en", "s2"))) // < 8 tokens: no grams at all
+    val bench = Seq(s"${words("q", 2)} $shared").toDF("text")
+    val out = Curation.bloomDecontaminate(corpus, bench).collect()
+    val s1 = out.find(_.getString(0) == "s1").get
+    assert(s1.getLong(1) === 2L)            // docs
+    assert(s1.getLong(3) === 1L)            // contaminated: doc 1 only
+    assert(s1.getLong(2) >= s1.getLong(3))  // bloom has no false negatives
+    assert(s1.getLong(4) === s1.getLong(2) - s1.getLong(3))
+    val s2 = out.find(_.getString(0) == "s2").get
+    assert(s2.toSeq === Seq("s2", 1L, 0L, 0L, 0L))
+  }
+
+  test("bloomDecontaminate: clean corpus reports all zeros") {
+    val corpus = docs(Seq((1L, words("a", 10), "en", "s")))
+    val bench = Seq(words("q", 10)).toDF("text")
+    val out = Curation.bloomDecontaminate(corpus, bench).collect()
+    assert(out.head.getLong(3) === 0L) // nothing exactly contaminated
+  }
+
+  // ---- q164 dupSpanReport -------------------------------------------------
+
+  test("dupSpanReport: consecutive dup windows merge into one span") {
+    // A 12-token phrase shared by two docs yields 3 consecutive
+    // duplicated 10-token windows in each -> one run of 3, span 12.
+    val shared = words("s", 12)
+    val d = docs(Seq(
+      (1L, s"${words("a", 3)} $shared ${words("y", 2)}", "en", "src"),
+      (2L, s"${words("b", 4)} $shared", "en", "src"),
+      (3L, words("u", 15), "en", "src"),  // no duplicated windows
+      (4L, words("v", 5), "en", "src"))) // < 10 tokens: no windows
+    val out = Curation.dupSpanReport(d).collect()
+    assert(out.toSeq === Seq(Row("src", 4L, 2L, 12L, 6L)))
+  }
+
+  test("dupSpanReport: disjoint dup regions stay separate runs") {
+    // Two shared 10-token phrases with unique filler between: two runs of
+    // 1 window each per doc -> span 10, dup_windows 4 across both docs.
+    val p1 = words("p", 10)
+    val p2 = words("q", 10)
+    val d = docs(Seq(
+      (1L, s"$p1 ${words("a", 5)} $p2", "en", "src"),
+      (2L, s"$p1 ${words("b", 7)} $p2", "en", "src")))
+    val out = Curation.dupSpanReport(d).collect()
+    assert(out.toSeq === Seq(Row("src", 2L, 2L, 10L, 4L)))
+  }
+}
