@@ -329,8 +329,13 @@ object Curation {
       array((0 until 4).map(i => (h1 + lit(i.toLong) * h2).bitwiseAND(lit(mask))): _*)
     }
 
+    // the native one-pass shingle expression, not the arrays_zip/transform
+    // HOF chain: at gramK=8 the HOF materializes 8 sliced arrays plus a
+    // zipped struct array per document — measured ~3x the shingle cost
+    graft.text.TextSketch.register(corpus.sparkSession)
     val benchGrams = bench.select(
-        explode(shingles(tokens(col(benchTextCol)), gramK)).as("gram"))
+        explode(graft.text.TextSketch.wordShingles(col(benchTextCol), gramK))
+          .as("gram"))
       .select(hash60(col("gram")).as("h")).distinct()
 
     val posRows = benchGrams.select(explode(positions(col("h"))).as("pos"))
@@ -345,13 +350,20 @@ object Curation {
         .bitwiseAND(lit(1L)) === lit(1L)
     }
 
+    // No distinct: every consumer below is duplicate-insensitive (max /
+    // semi-join / doc-level distinct), so the extra exchange would buy
+    // nothing. The flagged frame feeds BOTH the per-doc report and the
+    // exact-verify branch — persist the narrow (id, group, h, hit) rows
+    // so the shingle+hash+probe pass runs once, not per consumer.
     val grams = corpus.select(col(idCol), col(groupCol),
-        explode(shingles(tokens(col(textCol)), gramK)).as("gram"))
+        explode(graft.text.TextSketch.wordShingles(col(textCol), gramK))
+          .as("gram"))
       .select(col(idCol), col(groupCol), hash60(col("gram")).as("h"))
-      .distinct()
     val flagged = grams.withColumn("ps", positions(col("h")))
       .withColumn("bloom_hit",
         (1 to 4).map(i => testBit(element_at(col("ps"), i))).reduce(_ && _))
+      .drop("ps")
+      .persist()
 
     val perDoc = flagged.groupBy(idCol, groupCol)
       .agg(max(when(col("bloom_hit"), 1L).otherwise(0L)).as("bpos"))
@@ -392,8 +404,9 @@ object Curation {
   def dupSpanReport(docs: DataFrame, windowTokens: Int = 10,
       textCol: String = "text", idCol: String = "doc_id",
       groupCol: String = "source"): DataFrame = {
+    graft.text.TextSketch.register(docs.sparkSession)
     val winds = docs.select(col(idCol), col(groupCol),
-        posexplode(shingles(tokens(col(textCol)), windowTokens))
+        posexplode(graft.text.TextSketch.wordShingles(col(textCol), windowTokens))
           .as(Seq("i", "wtext")))
       .select(col(idCol), col(groupCol), col("i"), md5(col("wtext")).as("h"))
     val dup = winds

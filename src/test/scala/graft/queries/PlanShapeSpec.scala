@@ -295,4 +295,39 @@ class PlanShapeSpec extends SparkSpec
       assert(!a.name.toLowerCase.contains("text"),
         s"document text column '${a.name}' inside a broadcast exchange")
   }
+
+  test("q163 bloom prefilter: grams hash to longs before any exchange") {
+    // The scale contract: corpus grams are md5-hashed to 60-bit longs in
+    // the scan stage and the 8 KiB bitset is a broadcast-able literal, so
+    // no exchange ever carries gram or document text — only ids, hashes,
+    // and counts. (The exact-verify join input is the bloom-positive
+    // survivor set, already narrow.)
+    val plan = SparkEntry.queries("q163_bloom_decontaminate")(spark, dir)
+      .queryExecution.executedPlan
+    val exchanges = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.nonEmpty, "expected dedup/report exchanges")
+    for (e <- exchanges; a <- e.output)
+      assert(!Seq("gram", "text", "btext").contains(a.name.toLowerCase),
+        s"corpus text column '${a.name}' reached an exchange")
+    assert(!plan.toString.contains("CartesianProduct"))
+  }
+
+  test("q160 sequence packing is one narrow cumsum window, no joins") {
+    // Token counts are row-local; the only exchanges are the per-stratum
+    // window partitioning and the final presentation sort. A join or a
+    // second window would mean the text was scanned or shuffled twice.
+    val plan = SparkEntry.queries("q160_seq_pack")(spark, dir)
+      .queryExecution.executedPlan
+    val s = plan.toString
+    assert(!s.contains("Join"), "packing must not join")
+    assert("WindowExec|Window ".r.findAllIn(s).length <= 2,
+      "expected a single cumsum window")
+    for (e <- collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }; a <- e.output)
+      assert(a.name.toLowerCase != "text",
+        s"document text column '${a.name}' reached an exchange")
+  }
 }
