@@ -431,6 +431,33 @@ object Curation {
       .orderBy(groupCol)
   }
 
+  /** Materialize the interleaved training order (q142's layout) the way a
+    * 100-TB run must: no global row_number window (whose single ordered
+    * partition serializes the corpus through one task), but
+    * `repartitionByRange` on the interleave key (rk, source) + an
+    * in-partition sort, written as part files whose key ranges do not
+    * overlap — reading the files in name order IS the global order. This
+    * is the scale path q142's registry query stands in for; the spec
+    * proves file-order concatenation reproduces the window-built order
+    * row for row.
+    *
+    * The interleave key is (rank-within-source by content-addressed md5,
+    * then source): round-robin across sources while they last, each
+    * source's internal order itself a reproducible shuffle. Range
+    * boundaries come from Spark's sampled RangePartitioner — boundary
+    * PLACEMENT may vary with sampling, the total order never does.
+    */
+  def writeTrainingOrder(docs: DataFrame, path: String, numFiles: Int = 8,
+      idCol: String = "doc_id", sourceCol: String = "source"): Unit = {
+    val perSource = Window.partitionBy(sourceCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    docs.select(col(idCol), col(sourceCol))
+      .withColumn("rk", row_number().over(perSource).cast("long"))
+      .repartitionByRange(numFiles, col("rk"), col(sourceCol))
+      .sortWithinPartitions("rk", sourceCol)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Exact-dedup for a DOCUMENT STREAM: normalize-fingerprint each doc
     * row-local (md5 of lowercased whitespace-collapsed text) and keep the
     * first arrival per fingerprint. Under Structured Streaming the state

@@ -229,10 +229,12 @@ object CurationQueries {
     // exhaust.
     //
     // 100 TB shape: ranks and the interleave key are narrow window work
-    // per source; the TOTAL order is materialized the way q120 packs
-    // shards — range-partition on the interleave key, sort within
-    // partitions — a global row_number here is bench-scale shorthand for
-    // that layout (the verdict columns are identical either way).
+    // per source; the TOTAL order is materialized by
+    // Curation.writeTrainingOrder — repartitionByRange on (rk, source) +
+    // in-partition sort, spec-proven to tile the identical global order
+    // with no single-partition window — and the global row_number here is
+    // bench-scale shorthand for that layout (the verdict columns are
+    // identical either way).
     Q("q142_training_order",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window

@@ -832,6 +832,44 @@ object SimilarityQueries {
       Some(annDedupOracleSql))
     ,
 
+    // ---- hard-negative mining over the persisted index --------------------
+    // The contrastive-training op: for each anchor vector, the nearest
+    // neighbors that carry a DIFFERENT label are its hard negatives —
+    // close in embedding space, wrong by supervision, exactly the pairs a
+    // retrieval/embedding trainer wants in the denominator. Formulation:
+    // ADC top-10 from the persisted index (q155's one-join batch plan),
+    // label-joined on both ends (narrow (vec_id, label) exchanges),
+    // same-label candidates excluded, re-ranked per anchor, top-5 kept.
+    // Retrieve-then-filter is the standard approximation (a saturated
+    // same-label top-10 yields fewer than 5 negatives — by design, and
+    // the oracle replays the same rule). Per-anchor candidate sets are
+    // bounded by topK, so the re-rank window never sees more than 10
+    // rows per key at ANY corpus size.
+    Q("q165_hard_negatives",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.ml.VecOps.register(s)
+        val e = t(s, dir, "embeddings")
+        val path = annIndexPath(s, dir)
+        graft.ml.AnnIndex.build(s, e, path)
+        val nn = graft.ml.AnnIndex
+          .batchQuery(s, e.filter(col("vec_id") % 100 === 42),
+            path, nprobe = 2, topK = 10)
+        val lab = e.select(col("vec_id"), col("label"))
+        val w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+        nn.join(lab.select(col("vec_id").as("q_id"), col("label").as("q_label")),
+            Seq("q_id"))
+          .join(lab, Seq("vec_id"))
+          .filter(col("label") =!= col("q_label"))
+          .withColumn("neg_rank", row_number().over(w).cast("long"))
+          .filter(col("neg_rank") <= 5)
+          .select(col("q_id"), col("vec_id").as("neg_id"),
+            col("neg_rank"), col("adc_dist"))
+          .orderBy("q_id", "neg_rank")
+      },
+      Some(hardNegativeOracleSql))
+    ,
+
     // ---- recall@10 under the TRAINED codebook ------------------------------
     // q134's one-row quality reduction with the IVF arm assigned and probed
     // via the trained centroids instead of the first-16-vectors heuristic —
@@ -1148,6 +1186,50 @@ object SimilarityQueries {
             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
           FROM cand) WHERE rn <= 10
         ORDER BY q_id, adc_dist, vec_id"""
+  }
+
+  /** DuckDB replay of hard-negative mining (q165): the q155 batch replay's
+    * ADC top-10, label-joined on both ends, same-label rows excluded, and
+    * the survivors re-ranked per anchor (ties broken by vec_id, identical
+    * to the Spark window) with the top 5 kept.
+    */
+  private def hardNegativeOracleSql: String = {
+    val (perSubspace, codeJoins, adcSum) = pqOraclePartsBatch("vec_id % 100 = 42")
+    s"""
+        WITH $trainedIvfCtes,
+        qs AS (SELECT vec_id AS q_id, embedding AS q_emb, v_nrm AS q_nrm
+               FROM nrm WHERE vec_id % 100 = 42 AND embedding IS NOT NULL),
+        probes AS (
+          SELECT q_id, c_id AS q_cell FROM (
+            SELECT q.q_id, c.c_id,
+              ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(q.q_emb[i] AS DOUBLE) * c.centroid[i]), (x, y) -> x + y)
+                  / (q.q_nrm * c.c_nrm) DESC, c.c_id) AS rn
+            FROM qs q CROSS JOIN cents2 c) WHERE rn <= 2),
+        $perSubspace,
+        cand AS (
+          SELECT p.q_id, e.vec_id, ($adcSum) AS adc_dist
+          FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL) e
+            JOIN assignF a ON a.vec_id = e.vec_id
+            JOIN probes p ON a.cell = p.q_cell
+            $codeJoins
+          WHERE e.vec_id <> p.q_id),
+        topk AS (
+          SELECT q_id, vec_id, adc_dist,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+          FROM cand),
+        lab AS (SELECT vec_id, label FROM embeddings)
+        SELECT q_id, neg_id, neg_rank, adc_dist FROM (
+          SELECT t.q_id, t.vec_id AS neg_id, t.adc_dist,
+            CAST(ROW_NUMBER() OVER (PARTITION BY t.q_id
+              ORDER BY t.adc_dist, t.vec_id) AS BIGINT) AS neg_rank
+          FROM topk t
+            JOIN lab ql ON ql.vec_id = t.q_id
+            JOIN lab cl ON cl.vec_id = t.vec_id
+          WHERE t.rn <= 10 AND cl.label <> ql.label)
+        WHERE neg_rank <= 5
+        ORDER BY q_id, neg_rank"""
   }
 
   /** DuckDB replay of the keep-first index dedup (q158): the q155 batch

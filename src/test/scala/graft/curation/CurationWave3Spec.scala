@@ -147,6 +147,48 @@ class CurationWave3Spec extends SparkSpec {
     assert(out.toSeq === Seq(Row("src", 4L, 2L, 12L, 6L)))
   }
 
+  // ---- writeTrainingOrder -------------------------------------------------
+
+  test("writeTrainingOrder: range files tile the window-built global order") {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs((1L to 60L).map(i =>
+      (i, s"tok$i", "en", s"s${(i % 3) + 1}")))
+    val dir = Files.createTempDirectory("order").toString + "/out"
+    Curation.writeTrainingOrder(d, dir, numFiles = 4)
+
+    val files = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(files.length > 1, "expected a multi-file range layout")
+    val perFile = files.map { f =>
+      spark.read.parquet(f.getPath).collect()
+        .map(r => (r.getAs[Long]("rk"), r.getAs[String]("source"),
+          r.getAs[Long]("doc_id")))
+    }.filter(_.nonEmpty)
+    // each file internally sorted by the interleave key
+    perFile.foreach { rows =>
+      assert(rows.sortBy(r => (r._1, r._2)).toSeq === rows.toSeq)
+    }
+    // file ranges do not overlap in name order
+    perFile.sliding(2).foreach {
+      case Array(a, b) =>
+        val (al, bh) = ((a.last._1, a.last._2), (b.head._1, b.head._2))
+        assert(al._1 < bh._1 || (al._1 == bh._1 && al._2 <= bh._2),
+          "file key ranges overlap")
+      case _ =>
+    }
+    // concatenating files in name order reproduces the global window order
+    val perSource = Window.partitionBy("source")
+      .orderBy(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("doc_id").cast("string")),
+        org.apache.spark.sql.functions.col("doc_id"))
+    val expected = d
+      .withColumn("rk", org.apache.spark.sql.functions.row_number()
+        .over(perSource).cast("long"))
+      .orderBy("rk", "source")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(perFile.flatten.map(_._3).toSeq === expected)
+  }
+
   test("dupSpanReport: disjoint dup regions stay separate runs") {
     // Two shared 10-token phrases with unique filler between: two runs of
     // 1 window each per doc -> span 10, dup_windows 4 across both docs.
