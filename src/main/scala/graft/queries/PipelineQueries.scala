@@ -476,32 +476,17 @@ object PipelineQueries {
     // longs per row.
     Q("q159_drift_report",
       (s, dir) => {
-        val base = t(s, dir, "documents").select(
-          when(col("doc_id") % 2 === 0, "ref").otherwise("new").as("snap"),
-          length(col("text")).cast("long").as("chars"),
-          (length(col("text")) -
-            length(regexp_replace(col("text"), " ", ""))).cast("long").as("spaces"))
-        val longf = base.select(col("snap"), explode(array(
-            struct(lit("chars").as("feature"),
-              least(floor(col("chars") / lit(32)), lit(19L)).cast("long").as("bin")),
-            struct(lit("spaces").as("feature"),
-              least(floor(col("spaces") / lit(8)), lit(19L)).cast("long").as("bin"))))
-            .as("fb"))
+        val longf = t(s, dir, "documents").select(
+            when(col("doc_id") % 2 === 0, "ref").otherwise("new").as("snap"),
+            explode(graft.ops.Drift.binStructs(col("text"))).as("fb"))
           .select(col("snap"), col("fb.feature"), col("fb.bin"))
         val counts = longf.groupBy("feature", "bin").agg(
           sum(when(col("snap") === "ref", 1L).otherwise(0L)).as("n_ref"),
           sum(when(col("snap") === "new", 1L).otherwise(0L)).as("n_new"))
-        val totals = counts.groupBy("feature").agg(
-          sum("n_ref").as("t_ref"), sum("n_new").as("t_new"))
-        val shareRef = col("n_ref").cast("double") / col("t_ref")
-        val shareNew = col("n_new").cast("double") / col("t_new")
-        val d = shareRef - shareNew
-        counts.join(broadcast(totals), Seq("feature"))
-          .select(col("feature"), col("bin"), col("n_ref"), col("n_new"),
-            shareRef.as("share_ref"), shareNew.as("share_new"),
-            abs(d).as("l1_term"),
-            (d * d / (shareRef + shareNew)).as("chi2_term"))
-          .orderBy("feature", "bin")
+        // the shared drift algebra — the STREAMING monitor
+        // (ops/Drift.driftIngestStream) ends in the same function, so the
+        // batch report and the live monitor cannot diverge
+        graft.ops.Drift.report(counts)
       },
       Some("""
         WITH base AS (
