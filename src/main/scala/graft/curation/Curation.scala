@@ -102,6 +102,28 @@ object Curation {
       .orderBy("stage")
   }
 
+  /** The corpus-side counterpart of [[filterFunnel]]'s report: the
+    * documents that pass EVERY cascade rule, original columns intact —
+    * the frame the next pipeline stage consumes (the report tells you
+    * what the cascade did; this hands you the survivors). Same
+    * one-explode feature pass; survivors rejoin as a narrow id left-semi,
+    * so document text stays on the base scan side of a single join.
+    */
+  def funnelSurvivors(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id",
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is"),
+      rules: Seq[FunnelRule] = defaultFunnelRules): DataFrame = {
+    val tokCnt = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("cnt"))
+    val feats = tokCnt.groupBy(idCol).agg(
+      sum("cnt").as("n"),
+      count(lit(1)).as("vocab"),
+      max("cnt").as("max_single"),
+      sum(when(col("tok").isin(stopwords: _*), col("cnt")).otherwise(0L)).as("stop_cnt"))
+    val kept = feats.filter(rules.map(r => !r.fails).reduce(_ && _)).select(col(idCol))
+    docs.join(kept, Seq(idCol), "left_semi")
+  }
+
   /** BM25 top-k ranked retrieval with the log-free idf weight
     * (N - df + 0.5)/(df + 0.5) — a strictly monotone transform of the
     * classic log idf chosen so every operation is an IEEE +|*|/ (exactly

@@ -427,5 +427,108 @@ object CurationQueries {
           SELECT source, COUNT(*) AS dd, MAX(max_span) AS ms, SUM(dupw) AS dw
           FROM per_doc GROUP BY 1) p USING (source)
         ORDER BY source"""))
+    ,
+
+    // ---- the whole curation pipeline, ONE declarative plan ----------------
+    // The end-to-end composition a pipeline user actually runs: quality
+    // cascade (q117's rules) -> keep-first exact dedup at normalized
+    // fingerprint grain (q31's rule) -> per-language token budget (q161's
+    // prefix rule, 4000 tokens) -> 256-token sequence packing (q160).
+    // The report is the per-language survival ledger: docs at each stage,
+    // then sequences produced and tokens packed. Each stage's filter
+    // resolves to a NARROW id set that left-semi-joins the corpus, so
+    // document text stays on the base scan side throughout — no stage
+    // hands text to the next through an exchange. Catalyst plans the
+    // whole chain as one query; nothing materializes between stages.
+    Q("q166_curation_e2e",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = t(s, dir, "documents")
+        val k1 = graft.curation.Curation.funnelSurvivors(d)
+        // keep-first exact dedup: fingerprints shuffle, text does not
+        val keep2 = k1.select(col("doc_id"),
+            graft.text.TextFunctions.fingerprint(col("text")).as("fp"))
+          .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
+          .filter(col("doc_id") === col("keep_id")).select("doc_id")
+        val k2 = k1.join(keep2, Seq("doc_id"), "left_semi")
+        // per-language token budget over narrow (id, lang, n) triples
+        val wb = Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val keep3 = k2.select(col("doc_id"), col("lang"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+          .withColumn("cum", sum("n").over(wb))
+          .filter(col("cum") <= 4000).select("doc_id")
+        val k3 = k2.join(keep3, Seq("doc_id"), "left_semi")
+        val packed = graft.curation.Curation.packSequences(k3, seqTokens = 256)
+        val seqStats = packed.groupBy("lang").agg(
+          countDistinct("seq").as("sequences"),
+          sum("seg_len").as("packed_tokens"))
+        d.groupBy("lang").agg(count(lit(1)).as("docs_total"))
+          .join(k1.groupBy("lang").agg(count(lit(1)).as("after_funnel")),
+            Seq("lang"), "left")
+          .join(k2.groupBy("lang").agg(count(lit(1)).as("after_dedup")),
+            Seq("lang"), "left")
+          .join(k3.groupBy("lang").agg(count(lit(1)).as("after_budget")),
+            Seq("lang"), "left")
+          .join(seqStats, Seq("lang"), "left")
+          .select(col("lang"), col("docs_total"),
+            coalesce(col("after_funnel"), lit(0L)).as("after_funnel"),
+            coalesce(col("after_dedup"), lit(0L)).as("after_dedup"),
+            coalesce(col("after_budget"), lit(0L)).as("after_budget"),
+            coalesce(col("sequences"), lit(0L)).as("sequences"),
+            coalesce(col("packed_tokens"), lit(0L)).as("packed_tokens"))
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest($duckTokens) AS tok FROM documents),
+        tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        feats AS (
+          SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS vocab, MAX(cnt) AS max_single,
+            SUM(CASE WHEN tok IN ('the','a','of','and','in','to','is')
+                THEN cnt ELSE 0 END) AS stop_cnt
+          FROM tc GROUP BY 1),
+        k1 AS (
+          SELECT d.doc_id, d.lang, d.text
+          FROM documents d JOIN feats f USING (doc_id)
+          WHERE NOT (f.n < 15) AND NOT (f.n > 95)
+            AND NOT (f.max_single * 5 > f.n)
+            AND NOT (f.vocab * 5 < f.n * 2)
+            AND NOT (f.stop_cnt * 50 < f.n)),
+        k2 AS (
+          SELECT doc_id, lang, text FROM (
+            SELECT doc_id, lang, text,
+              MIN(doc_id) OVER (PARTITION BY
+                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS keep_id
+            FROM k1) WHERE doc_id = keep_id),
+        n3 AS (
+          SELECT doc_id, lang, len($duckTokens) AS n FROM k2
+          ),
+        c3 AS (
+          SELECT doc_id, lang, n,
+            CAST(SUM(n) OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM n3),
+        k3 AS (SELECT doc_id, lang, n, cum FROM c3 WHERE cum <= 4000),
+        seqs AS (
+          SELECT lang, MAX((cum - 1) // 256) + 1 AS sequences,
+            CAST(SUM(n) AS BIGINT) AS packed_tokens
+          FROM k3 GROUP BY 1),
+        c0 AS (SELECT lang, COUNT(*) AS docs_total FROM documents GROUP BY 1),
+        cc1 AS (SELECT lang, COUNT(*) AS after_funnel FROM k1 GROUP BY 1),
+        cc2 AS (SELECT lang, COUNT(*) AS after_dedup FROM k2 GROUP BY 1),
+        cc3 AS (SELECT lang, COUNT(*) AS after_budget FROM k3 GROUP BY 1)
+        SELECT c0.lang, c0.docs_total,
+          CAST(COALESCE(after_funnel, 0) AS BIGINT) AS after_funnel,
+          CAST(COALESCE(after_dedup, 0) AS BIGINT) AS after_dedup,
+          CAST(COALESCE(after_budget, 0) AS BIGINT) AS after_budget,
+          CAST(COALESCE(sequences, 0) AS BIGINT) AS sequences,
+          CAST(COALESCE(packed_tokens, 0) AS BIGINT) AS packed_tokens
+        FROM c0
+          LEFT JOIN cc1 USING (lang) LEFT JOIN cc2 USING (lang)
+          LEFT JOIN cc3 USING (lang) LEFT JOIN seqs USING (lang)
+        ORDER BY c0.lang"""))
   )
 }

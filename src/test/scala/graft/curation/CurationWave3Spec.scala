@@ -147,6 +147,29 @@ class CurationWave3Spec extends SparkSpec {
     assert(out.toSeq === Seq(Row("src", 4L, 2L, 12L, 6L)))
   }
 
+  // ---- q166 end-to-end composition ---------------------------------------
+
+  test("q166: stages drop the right docs (funnel, then dedup, then pack)") {
+    val passing = words("a", 19) + " the" // 20 toks, vocab 20, stop 1: passes
+    val passing2 = words("b", 19) + " the"
+    val dir = {
+      val d = Files.createTempDirectory("e2e_docs").toString
+      Seq(
+        (1L, passing, "en", "s"),
+        (2L, passing.replace(" ", "  "), "en", "s"), // same fingerprint as 1
+        (3L, words("c", 10), "en", "s"),             // too_short: funnel drop
+        (4L, passing2, "en", "s"))
+        .map { case (id, t2, l, src) => (id, t2, l, src, t2.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$d/documents.parquet")
+      d
+    }
+    val out = graft.SparkEntry.queries("q166_curation_e2e")(spark, dir).collect()
+    // 4 docs -> funnel keeps 1,2,4 -> dedup keeps 1,4 -> budget (4000)
+    // keeps both -> 40 tokens pack into one 256-token sequence
+    assert(out.toSeq === Seq(Row("en", 4L, 3L, 2L, 2L, 1L, 40L)))
+  }
+
   // ---- writeTrainingOrder -------------------------------------------------
 
   test("writeTrainingOrder: range files tile the window-built global order") {
