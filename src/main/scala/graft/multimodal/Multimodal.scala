@@ -537,6 +537,54 @@ object Multimodal {
       })
   }
 
+  final case class AudioFp(
+      asset_id: Long, payload_md5: String, n_frames: Long, tv: Array[Long])
+
+  /** Shift-invariant audio fingerprints ([[WavCodec.segmentTv]]) plus the
+    * payload md5, one row-local pass per asset — the audio sibling of
+    * [[decodeThumbWithMd5]]: md5 catches byte-exact copies, the
+    * total-variation vector catches re-leveled (DC-shifted) copies md5
+    * cannot see. Payloads never shuffle; what leaves the scan stage is
+    * (id, md5, n_frames, 16 longs).
+    */
+  def audioFingerprints(assets: Dataset[Asset],
+      segments: Int = 16): Dataset[AudioFp] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { a =>
+        require(a.format == "wav", s"audioFingerprints got format '${a.format}'")
+        md.reset()
+        val hex = md.digest(a.payload).map("%02x".format(_)).mkString
+        val (n, tv) = WavCodec.segmentTv(a.payload, segments)
+        AudioFp(a.asset_id, hex, n, tv)
+      }
+    }
+  }
+
+  /** Audio corpus with planted DC-SHIFTED twins: every document becomes a
+    * mono 16-bit clip x_i = base + (i*k) % 97 (n = 200 + id%100 frames,
+    * k = 1 + id%7, base = id%100 - 50) and every 25th document gets a
+    * twin (asset_id + 1_000_000) with base + 30 — byte-different,
+    * md5-different, identical total-variation profile. The closed-form
+    * parameters let the oracle recompute every fingerprint per sample
+    * without parsing a byte.
+    */
+  def audioAssetsWithTwins(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+    def clip(id: Long, shift: Int, assetId: Long): Asset = {
+      val n = (200 + id % 100).toInt
+      val k = (1 + id % 7).toInt
+      val base = (id % 100).toInt - 50 + shift
+      Asset(assetId, "wav", WavCodec.encode(n)((f, _) => base + (f * k) % 97))
+    }
+    ids.mapPartitions(_.map(id => clip(id, 0, id)))
+      .union(ids.filter(_ % 25 == 0)
+        .mapPartitions(_.map(id => clip(id, 30, id + 1000000L))))
+  }
+
   /** Derive a deterministic asset table from the documents corpus: text
     * bytes stand in for media payloads, format cycles by id over the
     * STUB-tier formats (webp has no JVM codec; bin/raw model genuinely

@@ -102,6 +102,36 @@ object WavCodec {
     * PCM — a decode stage must fail loudly rather than mis-sum.
     */
   def decode(bytes: Array[Byte]): Decoded = {
+    val l = layout(bytes)
+    val nSamples = l.nSamples
+    var sum = 0L; var sq = 0L
+    var minA = Int.MaxValue; var maxA = Int.MinValue
+    var i = 0
+    while (i < nSamples) {
+      val a = l.sample(bytes, i)
+      sum += a
+      sq += a.toLong * a
+      if (a < minA) minA = a
+      if (a > maxA) maxA = a
+      i += 1
+    }
+    if (nSamples == 0) { minA = 0; maxA = 0 }
+    Decoded(l.channels, l.sampleRate, l.bits, nSamples.toLong / l.channels,
+      sum, sq, minA, maxA)
+  }
+
+  /** The validated PCM geometry of a WAV byte stream — the chunk walk
+    * shared by [[decode]] and [[segmentTv]], with all its loud failures.
+    */
+  private final case class PcmLayout(
+      channels: Int, sampleRate: Int, bits: Int, dataOff: Int, dataLen: Int) {
+    def nSamples: Int = dataLen / (bits / 8)
+    def sample(bytes: Array[Byte], i: Int): Int =
+      if (bits == 16) getShortLE(bytes, dataOff + 2 * i).toShort.toInt
+      else (bytes(dataOff + i) & 0xff) - 128 // 8-bit PCM is unsigned
+  }
+
+  private def layout(bytes: Array[Byte]): PcmLayout = {
     require(bytes.length >= 12, s"truncated RIFF header: ${bytes.length} bytes")
     require(tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
       "not a WAV (missing RIFF/WAVE tags)")
@@ -138,22 +168,33 @@ object WavCodec {
     val bytesPerSample = bits / 8
     require(dataLen % (bytesPerSample * channels) == 0,
       s"data length $dataLen not a whole number of frames")
-    val nSamples = dataLen / bytesPerSample
-    var sum = 0L; var sq = 0L
-    var minA = Int.MaxValue; var maxA = Int.MinValue
+    PcmLayout(channels, sampleRate, bits, dataOff, dataLen)
+  }
+
+  /** Per-segment total variation of a MONO sample stream: the frame axis
+    * is cut into `segments` equal slices and each sums |x_i - x_{i-1}|
+    * for the differences landing in it (difference i goes to segment
+    * i*segments/n). This is the shift-invariant audio fingerprint behind
+    * q167: a DC offset cancels in every difference, so re-leveled copies
+    * of the same waveform produce identical vectors, while the segment
+    * axis keeps enough locality to band-LSH. Integer-exact at any
+    * accumulation order. Returns (nFrames, tv).
+    */
+  def segmentTv(bytes: Array[Byte], segments: Int): (Long, Array[Long]) = {
+    require(segments > 0, s"bad segment count $segments")
+    val l = layout(bytes)
+    require(l.channels == 1,
+      s"segmentTv expects mono (mix down first), got ${l.channels} channels")
+    val n = l.nSamples
+    val out = new Array[Long](segments)
+    var prev = 0
     var i = 0
-    while (i < nSamples) {
-      val a =
-        if (bits == 16) getShortLE(bytes, dataOff + 2 * i).toShort.toInt
-        else (bytes(dataOff + i) & 0xff) - 128 // 8-bit PCM is unsigned
-      sum += a
-      sq += a.toLong * a
-      if (a < minA) minA = a
-      if (a > maxA) maxA = a
+    while (i < n) {
+      val a = l.sample(bytes, i)
+      if (i > 0) out((i.toLong * segments / n).toInt) += math.abs(a - prev)
+      prev = a
       i += 1
     }
-    if (nSamples == 0) { minA = 0; maxA = 0 }
-    Decoded(channels, sampleRate, bits, nSamples.toLong / channels,
-      sum, sq, minA, maxA)
+    (n.toLong, out)
   }
 }

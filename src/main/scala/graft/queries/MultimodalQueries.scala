@@ -748,5 +748,74 @@ object MultimodalQueries {
         JOIN p pa ON pa.aid = v.id_a
         JOIN p pb ON pb.aid = v.id_b
         ORDER BY 1, 2"""))
+    ,
+
+    // ---- AUDIO near-dup: shift-invariant fingerprint + band LSH -----------
+    // The audio sibling of q140/q157: every doc becomes a real PCM clip
+    // and every 25th doc a DC-SHIFTED twin (+30 on every sample —
+    // byte-different, md5-different, same waveform shape). The
+    // fingerprint is WavCodec.segmentTv: per-16th-of-the-clip total
+    // variation, where a DC offset cancels in every |x_i - x_{i-1}| —
+    // exactly how dHash's gradient comparisons null out brightness.
+    // Blocking: 4 bands of 4 segment sums joined on (n_frames, band_idx,
+    // band_val) with q140's first-match-band discipline; verify = full
+    // 16-segment equality; kind from payload md5 (exact = byte-identical
+    // clip, near = re-leveled copy). One row-local decode pass; payloads
+    // never shuffle — only (id, md5, n, 16 longs) do. The oracle
+    // recomputes every fingerprint per sample from the closed-form
+    // synthesis parameters without parsing a byte.
+    Q("q167_audio_neardup",
+      (s, dir) => {
+        val fps = Multimodal.audioFingerprints(
+            Multimodal.audioAssetsWithTwins(s, dir)).toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def bandCol(j: Int) = concat_ws(",",
+          (0 until 4).map(i => element_at(col("tv"), j * 4 + i + 1)): _*)
+        val banded = fps
+          .select(Seq(col("asset_id"), col("payload_md5"), col("n_frames"),
+            col("tv")) ++ (0 until 4).map(j => bandCol(j).as(s"b$j")): _*)
+          .select(col("*"), posexplode(array((0 until 4).map(j => col(s"b$j")): _*))
+            .as(Seq("band_idx", "band_val")))
+        def side(p: String) =
+          banded.columns.foldLeft(banded)((d, c) => d.withColumnRenamed(c, p + c))
+        val a = side("a_"); val b = side("b_")
+        val firstMatch = (0 until 3).map(j =>
+          col("a_band_idx") <= lit(j) || col(s"a_b$j") =!= col(s"b_b$j"))
+          .reduce(_ && _)
+        a.join(b, col("a_n_frames") === col("b_n_frames") &&
+            col("a_band_idx") === col("b_band_idx") &&
+            col("a_band_val") === col("b_band_val") &&
+            col("a_asset_id") < col("b_asset_id") && firstMatch)
+          .filter(col("a_tv") === col("b_tv"))
+          .select(col("a_asset_id").as("id_a"), col("b_asset_id").as("id_b"),
+            when(col("a_payload_md5") === col("b_payload_md5"), "exact")
+              .otherwise("near").as("kind"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id AS aid, 200 + doc_id % 100 AS n, 1 + doc_id % 7 AS k,
+            doc_id % 100 - 50 AS base
+          FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS aid, 200 + doc_id % 100 AS n,
+            1 + doc_id % 7 AS k, doc_id % 100 - 50 + 30 AS base
+          FROM documents WHERE doc_id % 25 = 0),
+        d AS (
+          SELECT aid, n, k, base, (i * 16) // n AS seg,
+            abs((i * k) % 97 - ((i - 1) * k) % 97) AS dv
+          FROM p, UNNEST(generate_series(1, n - 1)) AS t(i)),
+        tv AS (
+          SELECT aid, n, k, base, seg, CAST(SUM(dv) AS BIGINT) AS s
+          FROM d GROUP BY 1, 2, 3, 4, 5),
+        v AS (
+          SELECT aid, n, k, base, list(s ORDER BY seg) AS tvv
+          FROM tv GROUP BY 1, 2, 3, 4)
+        SELECT a.aid AS id_a, b.aid AS id_b,
+          CASE WHEN a.k = b.k AND a.base = b.base THEN 'exact'
+               ELSE 'near' END AS kind
+        FROM v a JOIN v b
+          ON a.n = b.n AND a.tvv = b.tvv AND a.aid < b.aid
+        ORDER BY 1, 2"""))
   )
 }

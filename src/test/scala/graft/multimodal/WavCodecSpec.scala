@@ -95,4 +95,29 @@ class WavCodecSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       WavCodec.decode(hugeLen)).getMessage.contains("overruns"))
   }
+
+  test("segmentTv: hand-computed segment assignment") {
+    // samples [0, 10, 10, 25], 2 segments: diff i=1 (|10|) lands in
+    // segment (1*2)/4 = 0; diffs i=2 (0) and i=3 (15) land in segment 1
+    val clip = WavCodec.encode(4)((f, _) => Seq(0, 10, 10, 25)(f))
+    val (n, tv) = WavCodec.segmentTv(clip, 2)
+    assert(n === 4L)
+    assert(tv.toSeq === Seq(10L, 15L))
+  }
+
+  test("segmentTv: DC shift cancels; waveform change does not") {
+    def clip(base: Int) = WavCodec.encode(300)((f, _) => base + (f * 3) % 97)
+    val (_, a) = WavCodec.segmentTv(clip(-40), 16)
+    val (_, b) = WavCodec.segmentTv(clip(25), 16) // re-leveled copy
+    assert(a.toSeq === b.toSeq, "DC offset must cancel in every difference")
+    val (_, c) = WavCodec.segmentTv(
+      WavCodec.encode(300)((f, _) => -40 + (f * 4) % 97), 16)
+    assert(a.toSeq !== c.toSeq, "different waveform must fingerprint apart")
+  }
+
+  test("segmentTv: rejects multi-channel input loudly") {
+    val stereo = WavCodec.encode(32, channels = 2)((f, c) => f + c)
+    assert(intercept[IllegalArgumentException](
+      WavCodec.segmentTv(stereo, 16)).getMessage.contains("mono"))
+  }
 }
