@@ -309,6 +309,53 @@ object Curation {
       .orderBy(strataCol)
   }
 
+  /** Integer-exact bigram-surprisal quality scoring: the self-perplexity
+    * filter (score a corpus under an n-gram model trained on itself; docs
+    * whose token sequences the model finds improbable are gibberish,
+    * boilerplate mashups, or mis-identified languages) made hash-exact.
+    * Instead of -log2 P(w2|w1) in floats — whose ln/log2 rounding
+    * hash-diverges across libm implementations — each bigram contributes
+    * its INTEGER surprisal floor(log2(C(w1)/C(w1 w2))), computed as
+    * length(bin(cu div cb)) - 1: bit arithmetic, no transcendentals,
+    * bit-identical everywhere while ranking documents the same way.
+    * Report per stratum: docs, total_bigrams, total_bits, and docs whose
+    * mean surprisal exceeds `flagBits` bits/bigram (integer
+    * cross-multiplied).
+    *
+    * 100 TB shape: one shingle explode; grams md5-hash to 60-bit longs in
+    * the scan stage, so the model-count aggregations and the two count
+    * joins exchange longs, never gram text. The model tables are
+    * vocabulary-sized, not corpus-sized. Hash collisions merge counts
+    * identically in both engines (the oracle hashes the same way), so
+    * exactness survives collisions by construction.
+    */
+  def surprisalReport(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", strataCol: String = "lang",
+      flagBits: Int = 3): DataFrame = {
+    graft.text.TextSketch.register(docs.sparkSession)
+    def h60(c: Column) = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val bi = docs.select(col(idCol), col(strataCol),
+        explode(graft.text.TextSketch.wordShingles(col(textCol), 2)).as("g"))
+      .select(col(idCol), col(strataCol), h60(col("g")).as("bh"),
+        h60(substring_index(col("g"), " ", 1)).as("uh"))
+    val bc = bi.groupBy("bh").agg(count(lit(1)).as("cb"))
+    val uc = bi.groupBy("uh").agg(count(lit(1)).as("cu"))
+    val perDoc = bi.join(bc, Seq("bh")).join(uc, Seq("uh"))
+      .withColumn("bits", (length(bin(expr("cu div cb"))) - 1).cast("long"))
+      .groupBy(idCol, strataCol)
+      .agg(count(lit(1)).as("nb"), sum("bits").as("sb"))
+    docs.groupBy(strataCol).agg(count(lit(1)).as("docs"))
+      .join(perDoc.groupBy(strataCol).agg(
+          sum("nb").as("tb"), sum("sb").as("tbits"),
+          sum(when(col("sb") > col("nb") * flagBits, 1L).otherwise(0L)).as("hs")),
+        Seq(strataCol), "left")
+      .select(col(strataCol), col("docs"),
+        coalesce(col("tb"), lit(0L)).as("total_bigrams"),
+        coalesce(col("tbits"), lit(0L)).as("total_bits"),
+        coalesce(col("hs"), lit(0L)).as("high_surprisal_docs"))
+      .orderBy(strataCol)
+  }
+
   /** Bloom-prefiltered exact decontamination — the scale tier above the
     * broadcast-exact-set join (q103). When the benchmark n-gram set is too
     * large to broadcast exactly, broadcast a FIXED-SIZE Bloom bitset of it

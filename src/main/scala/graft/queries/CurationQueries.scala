@@ -429,6 +429,43 @@ object CurationQueries {
         ORDER BY source"""))
     ,
 
+    // ---- bigram-surprisal quality scoring (integer-exact self-LM) --------
+    // The self-perplexity filter without the floats: each bigram scores
+    // floor(log2(C(w1)/C(w1 w2))) bits via length(bin(cu div cb)) - 1 —
+    // bit arithmetic instead of log2(), so the score is hash-identical
+    // across engines while ranking docs exactly like -log2 P(w2|w1)
+    // floored. Model counts aggregate over 60-bit gram hashes (text never
+    // shuffles); report per language with a 3-bits/bigram high-surprisal
+    // flag. Scale notes on [[graft.curation.Curation.surprisalReport]].
+    Q("q168_surprisal",
+      (s, dir) => graft.curation.Curation.surprisalReport(t(s, dir, "documents")),
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, lang, $duckTokens AS w FROM documents),
+        bi AS (
+          SELECT doc_id, lang,
+            CAST('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15) AS BIGINT) AS bh,
+            CAST('0x' || substr(md5(w[i]), 1, 15) AS BIGINT) AS uh
+          FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+        bc AS (SELECT bh, COUNT(*) AS cb FROM bi GROUP BY 1),
+        uc AS (SELECT uh, COUNT(*) AS cu FROM bi GROUP BY 1),
+        per_doc AS (
+          SELECT doc_id, lang, COUNT(*) AS nb,
+            SUM(length(bin(cu // cb)) - 1) AS sb
+          FROM bi JOIN bc USING (bh) JOIN uc USING (uh)
+          GROUP BY 1, 2),
+        lg AS (SELECT lang, COUNT(*) AS docs FROM documents GROUP BY 1)
+        SELECT lg.lang, lg.docs,
+          CAST(COALESCE(p.tb, 0) AS BIGINT) AS total_bigrams,
+          CAST(COALESCE(p.tbits, 0) AS BIGINT) AS total_bits,
+          CAST(COALESCE(p.hs, 0) AS BIGINT) AS high_surprisal_docs
+        FROM lg LEFT JOIN (
+          SELECT lang, SUM(nb) AS tb, SUM(sb) AS tbits,
+            SUM(CASE WHEN sb > 3 * nb THEN 1 ELSE 0 END) AS hs
+          FROM per_doc GROUP BY 1) p USING (lang)
+        ORDER BY lg.lang"""))
+    ,
+
     // ---- the whole curation pipeline, ONE declarative plan ----------------
     // The end-to-end composition a pipeline user actually runs: quality
     // cascade (q117's rules) -> keep-first exact dedup at normalized

@@ -147,6 +147,23 @@ class CurationWave3Spec extends SparkSpec {
     assert(out.toSeq === Seq(Row("src", 4L, 2L, 12L, 6L)))
   }
 
+  // ---- q168 surprisalReport ----------------------------------------------
+
+  test("surprisalReport: integer bits match the hand-built bigram model") {
+    // corpus bigram counts: "a b"=3, "b a"=1, "b c"=1, "x y"=1;
+    // first-token counts: a=3, b=2, x=1. Bits = len(bin(cu div cb)) - 1:
+    // "a b" -> 3/3 -> 0; "b a" -> 2/1 -> 1; "b c" -> 2/1 -> 1; "x y" -> 0.
+    val d = docs(Seq(
+      (1L, "a b a b", "en", "s"),  // nb 3, bits 0+1+0 = 1
+      (2L, "a b c", "en", "s"),    // nb 2, bits 0+1 = 1
+      (3L, "x y", "en", "s")))     // nb 1, bits 0
+    val out = Curation.surprisalReport(d).collect()
+    assert(out.toSeq === Seq(Row("en", 3L, 6L, 2L, 0L)))
+    // flagBits = 0: any doc with a single surprising bigram flags
+    val flagged = Curation.surprisalReport(d, flagBits = 0).collect()
+    assert(flagged.toSeq === Seq(Row("en", 3L, 6L, 2L, 2L)))
+  }
+
   // ---- q166 end-to-end composition ---------------------------------------
 
   test("q166: stages drop the right docs (funnel, then dedup, then pack)") {
