@@ -255,13 +255,21 @@ object AnnIndex {
     * bucketed on cell to pay its exchange once). Results are identical
     * either way (spec-asserted).
     */
+  /** `restrict` PRE-filters the searched side to the given (vec_id) set —
+    * filtered ANN: the top-k is computed WITHIN the restriction (every
+    * query gets up to k allowed results), where post-filtering a
+    * full-corpus top-k can come back short whenever the unrestricted
+    * neighborhood is dominated by excluded vectors. The semi-join runs
+    * before ADC scoring, so excluded rows never pay a distance.
+    */
   def batchQuery(spark: SparkSession, queries: DataFrame, path: String,
       nprobe: Int, topK: Int, exclude: Option[DataFrame] = None,
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Boolean = true,
+      restrict: Option[DataFrame] = None): DataFrame = {
     VecOps.register(spark)
     val cb = loadCodebooks(spark, path)
     searchRows(spark, queries, spark.read.parquet(indexDir(path)),
-      cb, nprobe, topK, exclude, broadcastProbes)
+      cb, nprobe, topK, exclude, broadcastProbes, restrict)
   }
 
   /** The distributed search core of [[batchQuery]], over ANY
@@ -275,7 +283,8 @@ object AnnIndex {
   private[graft] def searchRows(spark: SparkSession, queries: DataFrame,
       indexRows: DataFrame, cb: Codebooks, nprobe: Int, topK: Int,
       exclude: Option[DataFrame] = None,
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Boolean = true,
+      restrict: Option[DataFrame] = None): DataFrame = {
     val m = cb.pq.length
     import spark.implicits._
     val negSims = array(cb.coarse.map { case (cid, cvec, cnrm) =>
@@ -293,8 +302,13 @@ object AnnIndex {
         explode(transform(slice(array_sort(negSims), 1, nprobe),
           s => s.getField("c_id"))))
       .select(col("q_id"), col("q_cell"), col("adc_tab"))
-    val searched = exclude.fold(indexRows)(ex =>
+    val searched0 = exclude.fold(indexRows)(ex =>
       indexRows.join(broadcast(ex.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
+    // no broadcast hint on restrict: unlike `exclude` (a bounded batch-id
+    // frame), the allowed set can be corpus-sized — ids-only, so a shuffle
+    // semi-join is the safe default and AQE may still broadcast small ones
+    val searched = restrict.fold(searched0)(r =>
+      searched0.join(r.select(col("vec_id")), Seq("vec_id"), "left_semi"))
     val probeSide = if (broadcastProbes) broadcast(probes) else probes
     val scored = searched
       .join(probeSide, col("cell") === col("q_cell"))

@@ -870,6 +870,31 @@ object SimilarityQueries {
       Some(hardNegativeOracleSql))
     ,
 
+    // ---- FILTERED batch ANN: the predicate inside the search --------------
+    // "Search only within label 3" — the metadata-filtered retrieval every
+    // vector store grows: the allowed-id set PRE-filters the index rows
+    // (a semi-join before ADC scoring, so excluded vectors never pay a
+    // distance), and the per-query top-10 is computed WITHIN the
+    // restriction. Post-filtering a full-corpus top-k (q165's shape,
+    // right for per-query predicates) comes back short whenever the
+    // unrestricted neighborhood is dominated by excluded vectors; the
+    // pre-filter guarantees k allowed results when the probed cells hold
+    // them. Same one-join batch plan as q155.
+    Q("q169_filtered_ann",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        val e = t(s, dir, "embeddings")
+        val path = annIndexPath(s, dir)
+        graft.ml.AnnIndex.build(s, e, path)
+        val allowed = e.filter(col("label") === 3).select(col("vec_id"))
+        graft.ml.AnnIndex
+          .batchQuery(s, e.filter(col("vec_id") % 100 === 42),
+            path, nprobe = 2, topK = 10, restrict = Some(allowed))
+          .orderBy("q_id", "adc_dist", "vec_id")
+      },
+      Some(filteredAnnOracleSql))
+    ,
+
     // ---- recall@10 under the TRAINED codebook ------------------------------
     // q134's one-row quality reduction with the IVF arm assigned and probed
     // via the trained centroids instead of the first-16-vectors heuristic —
@@ -1177,6 +1202,40 @@ object SimilarityQueries {
         cand AS (
           SELECT p.q_id, e.vec_id, ($adcSum) AS adc_dist
           FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL) e
+            JOIN assignF a ON a.vec_id = e.vec_id
+            JOIN probes p ON a.cell = p.q_cell
+            $codeJoins
+          WHERE e.vec_id <> p.q_id)
+        SELECT q_id, vec_id, adc_dist FROM (
+          SELECT q_id, vec_id, adc_dist,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+          FROM cand) WHERE rn <= 10
+        ORDER BY q_id, adc_dist, vec_id"""
+  }
+
+  /** DuckDB replay of filtered batch ANN (q169): q155's replay with the
+    * candidate side restricted to label 3 BEFORE the per-query top-10 —
+    * the pre-filter semantics, not a post-filter of full-corpus results.
+    */
+  private def filteredAnnOracleSql: String = {
+    val (perSubspace, codeJoins, adcSum) = pqOraclePartsBatch("vec_id % 100 = 42")
+    s"""
+        WITH $trainedIvfCtes,
+        qs AS (SELECT vec_id AS q_id, embedding AS q_emb, v_nrm AS q_nrm
+               FROM nrm WHERE vec_id % 100 = 42 AND embedding IS NOT NULL),
+        probes AS (
+          SELECT q_id, c_id AS q_cell FROM (
+            SELECT q.q_id, c.c_id,
+              ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(q.q_emb[i] AS DOUBLE) * c.centroid[i]), (x, y) -> x + y)
+                  / (q.q_nrm * c.c_nrm) DESC, c.c_id) AS rn
+            FROM qs q CROSS JOIN cents2 c) WHERE rn <= 2),
+        $perSubspace,
+        cand AS (
+          SELECT p.q_id, e.vec_id, ($adcSum) AS adc_dist
+          FROM (SELECT vec_id FROM embeddings
+                WHERE embedding IS NOT NULL AND label = 3) e
             JOIN assignF a ON a.vec_id = e.vec_id
             JOIN probes p ON a.cell = p.q_cell
             $codeJoins

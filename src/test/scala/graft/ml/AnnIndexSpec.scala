@@ -144,6 +144,24 @@ class AnnIndexSpec extends SparkSpec
       "the co-partitioned shuffle path must match the broadcast path exactly")
   }
 
+  test("restrict pre-filters the searched side: identity on all ids, subset otherwise") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = e.filter(col("vec_id") % 20 === 2)
+    val plain = AnnIndex.batchQuery(spark, queries, path, nprobe = 2, topK = 5)
+      .collect().map(_.toString).toSet
+    // restricting to the full id set must change nothing
+    val all = AnnIndex.batchQuery(spark, queries, path, nprobe = 2, topK = 5,
+      restrict = Some(e.select(col("vec_id")))).collect().map(_.toString).toSet
+    assert(all === plain)
+    // restricting to even ids must return only even ids — and the top-k is
+    // WITHIN the restriction (counts can exceed a post-filter of `plain`)
+    val evens = AnnIndex.batchQuery(spark, queries, path, nprobe = 2, topK = 5,
+      restrict = Some(e.filter(col("vec_id") % 2 === 0).select(col("vec_id"))))
+      .collect()
+    assert(evens.nonEmpty)
+    assert(evens.forall(_.getLong(1) % 2 == 0), "excluded ids leaked through")
+  }
+
   test("append compaction bounds per-cell files; results unchanged") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     def buildAndAppend(threshold: Int): String = {
