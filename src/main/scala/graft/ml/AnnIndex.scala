@@ -174,6 +174,13 @@ object AnnIndex {
   }
 
   /** Load the sidecar codebooks (bounded: k coarse rows + m×pqK PQ rows). */
+  /** The persisted (vec_id, codes, cell) rows — the documented index
+    * layout, exposed for read-only health checks (q170's occupancy drift)
+    * without callers hardcoding the directory structure.
+    */
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(indexDir(path))
+
   def loadCodebooks(spark: SparkSession, path: String): Codebooks = {
     val coarse = spark.read.parquet(coarseDir(path))
       .select("c_id", "centroid", "c_nrm").collect()

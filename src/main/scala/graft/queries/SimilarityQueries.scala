@@ -895,6 +895,68 @@ object SimilarityQueries {
       Some(filteredAnnOracleSql))
     ,
 
+    // ---- index HEALTH: cell-occupancy drift of the persisted ANN index ----
+    // The retrain trigger: an IVF index serves well while arriving vectors
+    // distribute over its cells the way the training corpus did; when the
+    // occupancy histogram drifts, probe pruning degrades and the codebook
+    // is stale. Reference = the persisted index's cell occupancy (read
+    // from its partition layout); arrivals = a fresh slice (vec_id % 3)
+    // assigned under the SAVED codebooks — exactly the append path's
+    // assignment; the report is ops/Drift's algebra over (feature='cell',
+    // bin=cell), the same log-free l1/chi2 terms a dashboard already
+    // consumes for q159. Cells are the histogram bins, so the whole check
+    // is one ~k-group aggregate per side — constant state at any corpus
+    // size, no float corpus read on the reference side.
+    Q("q170_index_drift",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        val e = t(s, dir, "embeddings")
+        val path = annIndexPath(s, dir)
+        graft.ml.AnnIndex.build(s, e, path)
+        val cb = graft.ml.AnnIndex.loadCodebooks(s, path)
+        val refCounts = graft.ml.AnnIndex.readIndex(s, path)
+          .groupBy(col("cell").cast("long").as("bin"))
+          .agg(count(lit(1)).as("n")).withColumn("feature", lit("cell"))
+        val arrivals = e
+          .filter(col("vec_id") % 3 === 0 && col("embedding").isNotNull)
+          .withColumn("v_nrm", graft.ml.VecOps.norm(col("embedding")))
+          .withColumn("bin", graft.ml.VecOps
+            .argmaxCell(col("embedding"), col("v_nrm"), cb.coarse).cast("long"))
+          .groupBy("bin").agg(count(lit(1)).as("n"))
+          .withColumn("feature", lit("cell"))
+        graft.ops.Drift.report(graft.ops.Drift.mergeCounts(
+          refCounts.select("feature", "bin", "n"),
+          arrivals.select("feature", "bin", "n")))
+      },
+      Some(s"""
+        WITH $trainedIvfCtes,
+        refc AS (
+          SELECT CAST(cell AS BIGINT) AS bin, COUNT(*) AS n_ref
+          FROM assignF WHERE embedding IS NOT NULL GROUP BY 1),
+        newc AS (
+          SELECT CAST(cell AS BIGINT) AS bin, COUNT(*) AS n_new
+          FROM assignF WHERE embedding IS NOT NULL AND vec_id % 3 = 0
+          GROUP BY 1),
+        counts AS (
+          SELECT COALESCE(r.bin, w.bin) AS bin,
+            CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
+            CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new
+          FROM refc r FULL JOIN newc w ON r.bin = w.bin),
+        tot AS (
+          SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+            CAST(SUM(n_new) AS BIGINT) AS t_new FROM counts)
+        SELECT 'cell' AS feature, bin, n_ref, n_new,
+          CAST(n_ref AS DOUBLE) / t_ref AS share_ref,
+          CAST(n_new AS DOUBLE) / t_new AS share_new,
+          abs(CAST(n_ref AS DOUBLE) / t_ref - CAST(n_new AS DOUBLE) / t_new)
+            AS l1_term,
+          (CAST(n_ref AS DOUBLE) / t_ref - CAST(n_new AS DOUBLE) / t_new)
+            * (CAST(n_ref AS DOUBLE) / t_ref - CAST(n_new AS DOUBLE) / t_new)
+            / (CAST(n_ref AS DOUBLE) / t_ref + CAST(n_new AS DOUBLE) / t_new)
+            AS chi2_term
+        FROM counts, tot ORDER BY feature, bin"""))
+    ,
+
     // ---- recall@10 under the TRAINED codebook ------------------------------
     // q134's one-row quality reduction with the IVF arm assigned and probed
     // via the trained centroids instead of the first-16-vectors heuristic —
