@@ -219,13 +219,23 @@ object Curation {
     */
   def packSequences(docs: DataFrame, seqTokens: Int = 512,
       strataCol: String = "lang", idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    packSegments(docs.select(col(strataCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n")),
+      seqTokens, strataCol, idCol)
+
+  /** [[packSequences]] over an already-counted (strataCol, idCol, n)
+    * frame — the composition entry point (q166) for pipelines that
+    * extracted token counts in the scan stage and dropped text long ago;
+    * packing then never touches a text column at all.
+    */
+  def packSegments(counted: DataFrame, seqTokens: Int = 512,
+      strataCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
     val L = seqTokens.toLong
     val w = Window.partitionBy(strataCol)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    docs.select(col(strataCol), col(idCol),
-        size(tokens(col(textCol))).cast("long").as("n"))
+    counted.select(col(strataCol), col(idCol), col("n").cast("long").as("n"))
       .filter(col("n") > 0)
       .withColumn("cum", sum("n").over(w))
       .withColumn("seq",

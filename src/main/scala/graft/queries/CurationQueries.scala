@@ -472,32 +472,38 @@ object CurationQueries {
     // fingerprint grain (q31's rule) -> per-language token budget (q161's
     // prefix rule, 4000 tokens) -> 256-token sequence packing (q160).
     // The report is the per-language survival ledger: docs at each stage,
-    // then sequences produced and tokens packed. Each stage's filter
-    // resolves to a NARROW id set that left-semi-joins the corpus, so
-    // document text stays on the base scan side throughout — no stage
-    // hands text to the next through an exchange. Catalyst plans the
-    // whole chain as one query; nothing materializes between stages.
+    // then sequences produced and tokens packed. Text leaves the plan in
+    // the SCAN stage: one narrow per-doc feature projection (id, lang,
+    // token count, fingerprint) plus the funnel's token explode; every
+    // later stage — dedup window, budget cumsum, packing, all the stage
+    // counts — runs over those narrow frames, so NO exchange anywhere in
+    // the chained plan carries a text column (plan-asserted), at any
+    // broadcast-vs-shuffle join decision. Catalyst plans the whole chain
+    // as one query; nothing materializes between stages.
     Q("q166_curation_e2e",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val d = t(s, dir, "documents")
-        val k1 = graft.curation.Curation.funnelSurvivors(d)
-        // keep-first exact dedup: fingerprints shuffle, text does not
-        val keep2 = k1.select(col("doc_id"),
-            graft.text.TextFunctions.fingerprint(col("text")).as("fp"))
+        // the only text consumers: this projection + the funnel explode
+        val narrow = d.select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n"),
+          graft.text.TextFunctions.fingerprint(col("text")).as("fp"))
+        val k1 = narrow.join(
+          graft.curation.Curation.funnelSurvivors(d).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        // keep-first exact dedup over (id, fp) pairs
+        val keep2 = k1.select(col("doc_id"), col("fp"))
           .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
           .filter(col("doc_id") === col("keep_id")).select("doc_id")
         val k2 = k1.join(keep2, Seq("doc_id"), "left_semi")
-        // per-language token budget over narrow (id, lang, n) triples
+        // per-language token budget over (id, lang, n) triples
         val wb = Window.partitionBy("lang")
           .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, 0)
-        val keep3 = k2.select(col("doc_id"), col("lang"),
-            size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
-          .withColumn("cum", sum("n").over(wb))
-          .filter(col("cum") <= 4000).select("doc_id")
-        val k3 = k2.join(keep3, Seq("doc_id"), "left_semi")
-        val packed = graft.curation.Curation.packSequences(k3, seqTokens = 256)
+        val k3 = k2.withColumn("cum", sum("n").over(wb))
+          .filter(col("cum") <= 4000)
+        val packed = graft.curation.Curation.packSegments(
+          k3.select("lang", "doc_id", "n"), seqTokens = 256)
         val seqStats = packed.groupBy("lang").agg(
           countDistinct("seq").as("sequences"),
           sum("seg_len").as("packed_tokens"))

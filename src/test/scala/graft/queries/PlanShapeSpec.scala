@@ -314,6 +314,19 @@ class PlanShapeSpec extends SparkSpec
     assert(!plan.toString.contains("CartesianProduct"))
   }
 
+  test("q166 pipeline chains four stages with text on the base scan side only") {
+    // every stage filter is an id left-semi back onto the corpus, so no
+    // exchange anywhere in the chained plan may carry the text column
+    val plan = SparkEntry.queries("q166_curation_e2e")(spark, dir)
+      .queryExecution.executedPlan
+    for (e <- collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }; a <- e.output)
+      assert(!a.name.toLowerCase.contains("text"),
+        s"document text column '${a.name}' reached an exchange")
+    assert(!plan.toString.contains("CartesianProduct"))
+  }
+
   test("q160 sequence packing is one narrow cumsum window, no joins") {
     // Token counts are row-local; the only exchanges are the per-stratum
     // window partitioning and the final presentation sort. A join or a
