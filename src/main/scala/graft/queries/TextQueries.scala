@@ -1016,5 +1016,77 @@ object TextQueries {
           CAST(SUM(CAST(vowel_ratio * 1000 AS DECIMAL(12,2))) AS DOUBLE) AS sum_vowel_ratio_x1000,
           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         FROM f GROUP BY 1 ORDER BY 1"""))
+    ,
+
+    // ---- text similarity SEARCH (query-by-document over LSH bands) --------
+    // The retrieval entry point the near-dup machinery implies but never
+    // exposed: given query documents (every 50th original), return each
+    // one's top-5 most-similar corpus docs by EXACT shingle Jaccard,
+    // with candidates gated by the MinHash band index — the lexical
+    // fuzzy-search sibling of BM25 (q118, term-based) and batch ANN
+    // (q155, vector-based). Candidate generation touches only docs
+    // sharing >= 1 band with a query (the LSH index is doing the same
+    // job as q155's inverted lists), so the verify stage is
+    // candidate-bounded, not corpus-quadratic; the per-query re-rank
+    // window sees only that query's candidates. Planted near/exact
+    // variants surface as the top hits — retrieval finds what dedup
+    // would have dropped.
+    Q("q171_text_search",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.text.TextSketch.register(s)
+        val bandRows = minhashBandRows(s, dir)
+        val qIds = bandRows.select(col("doc_id")).distinct()
+          .filter(col("doc_id") % 50 === 0 && col("doc_id") < 1000000L)
+        val cands = bandRows
+          .join(broadcast(qIds), Seq("doc_id"))
+          .select(col("band_key"), col("doc_id").as("q_id"))
+          .join(bandRows.select(col("band_key"), col("doc_id").as("doc_b")),
+            Seq("band_key"))
+          .filter(col("doc_b") =!= col("q_id"))
+          .select("q_id", "doc_b").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val docs = corpus(s, dir)
+        val withQ = docs.select(col("doc_id").as("q_id"), col("text").as("text_a"))
+          .join(broadcast(cands), Seq("q_id"))
+        val withB = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+          .join(broadcast(cands), Seq("doc_b"))
+        val w = Window.partitionBy("q_id").orderBy(desc("jac"), col("doc_b"))
+        withQ.hint("shuffle_merge").join(withB, Seq("q_id", "doc_b"))
+          .withColumn("sh_a", graft.text.TextSketch.wordShingles(col("text_a"), 3))
+          .withColumn("sh_b", graft.text.TextSketch.wordShingles(col("text_b"), 3))
+          .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
+          .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+          .filter(col("jac") > 0)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("doc_b").as("doc_id"), col("jac"), col("rank"))
+          .orderBy("q_id", "rank")
+      },
+      Some(minhashBandsSql + """,
+        qs AS (
+          SELECT DISTINCT doc_id AS q_id FROM bands
+          WHERE doc_id % 50 = 0 AND doc_id < 1000000),
+        cand AS (
+          SELECT DISTINCT q.q_id, y.doc_id AS doc_b
+          FROM qs q
+          JOIN bands x ON x.doc_id = q.q_id
+          JOIN bands y ON y.band_key = x.band_key AND y.doc_id <> q.q_id),
+        scored AS (
+          SELECT c.q_id, c.doc_b,
+            CAST(len(list_distinct(a.sh)) + len(list_distinct(b.sh))
+              - len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+          FROM cand c
+          JOIN shingled a ON a.doc_id = c.q_id
+          JOIN shingled b ON b.doc_id = c.doc_b
+          WHERE len(a.sh) > 0 AND len(b.sh) > 0),
+        ranked AS (
+          SELECT q_id, doc_b, jac,
+            CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY jac DESC, doc_b) AS BIGINT) AS rank
+          FROM scored WHERE jac > 0)
+        SELECT q_id, doc_b AS doc_id, jac, rank FROM ranked
+        WHERE rank <= 5 ORDER BY q_id, rank"""))
   )
 }
