@@ -319,6 +319,39 @@ object Curation {
       .orderBy(strataCol)
   }
 
+  /** Overlapping passage chunking with offset attribution — the
+    * RAG/embedding-prep chunker: fixed `width`-token windows every
+    * `stride` tokens (overlap = width − stride), each chunk addressed by
+    * (doc, chunk_idx, start_token, n_tokens) and content-addressed by
+    * md5. The final partial window is kept only at `minTokens` or more.
+    * [[chunkDedupReport]] chunks for dedup counting; this emits the
+    * chunk TABLE downstream stages consume (embed it, dedup it at chunk
+    * grain, cite it back to its document offset).
+    *
+    * Row-local end to end: the explode emits ceil(n/stride) narrow rows
+    * per doc — id, two offsets, a hash — and nothing shuffles until the
+    * caller aggregates; text never leaves the scan stage.
+    */
+  def passageChunks(docs: DataFrame, width: Int = 32, stride: Int = 24,
+      minTokens: Int = 8, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(width > 0 && stride > 0 && minTokens > 0,
+      s"bad chunk geometry: width=$width stride=$stride min=$minTokens")
+    docs.select(col(idCol), tokens(col(textCol)).as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("start",
+        explode(sequence(lit(1L), col("n"), lit(stride.toLong))))
+      .withColumn("chunk_idx", expr(s"(start - 1) div $stride"))
+      .withColumn("len", least(lit(width.toLong), col("n") - col("start") + 1))
+      .filter(col("len") >= minTokens)
+      .select(col(idCol), col("chunk_idx"),
+        col("start").as("start_token"), col("len").as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("w"), col("start").cast("int"), col("len").cast("int"))))
+          .as("chunk_md5"))
+      .orderBy(idCol, "chunk_idx")
+  }
+
   /** Integer-exact bigram-surprisal quality scoring: the self-perplexity
     * filter (score a corpus under an n-gram model trained on itself; docs
     * whose token sequences the model finds improbable are gibberish,

@@ -429,6 +429,34 @@ object CurationQueries {
         ORDER BY source"""))
     ,
 
+    // ---- overlapping passage chunking (the RAG chunk table) ---------------
+    // 32-token windows every 24 tokens (8-token overlap), each chunk
+    // addressed by (doc, chunk_idx, start_token, n_tokens) and
+    // content-addressed by md5 — the table an embedding or retrieval
+    // stage consumes, with offsets that cite every chunk back into its
+    // document. Final partial windows survive only at >= 8 tokens.
+    // Row-local end to end; scale notes on
+    // [[graft.curation.Curation.passageChunks]].
+    Q("q172_passage_chunks",
+      (s, dir) => graft.curation.Curation.passageChunks(t(s, dir, "documents")),
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, $duckTokens AS w FROM documents),
+        st AS (
+          SELECT doc_id, w, len(w) AS n,
+            unnest(generate_series(1, len(w), 24)) AS start
+          FROM tok),
+        ch AS (
+          SELECT doc_id, (start - 1) // 24 AS chunk_idx, start,
+            LEAST(32, n - start + 1) AS len, w
+          FROM st)
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+          CAST(start AS BIGINT) AS start_token,
+          CAST(len AS BIGINT) AS n_tokens,
+          md5(array_to_string(w[start : start + len - 1], ' ')) AS chunk_md5
+        FROM ch WHERE len >= 8 ORDER BY doc_id, chunk_idx"""))
+    ,
+
     // ---- bigram-surprisal quality scoring (integer-exact self-LM) --------
     // The self-perplexity filter without the floats: each bigram scores
     // floor(log2(C(w1)/C(w1 w2))) bits via length(bin(cu div cb)) - 1 —

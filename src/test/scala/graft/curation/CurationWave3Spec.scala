@@ -147,6 +147,20 @@ class CurationWave3Spec extends SparkSpec {
     assert(out.toSeq === Seq(Row("src", 4L, 2L, 12L, 6L)))
   }
 
+  // ---- q172 passageChunks -------------------------------------------------
+
+  test("passageChunks: overlap geometry and the partial-tail rule") {
+    val d = docs(Seq(
+      (1L, words("a", 40), "en", "s"), // starts 1, 25 -> lens 32, 16
+      (2L, words("b", 7), "en", "s"))) // one 7-token window: dropped
+    val out = Curation.passageChunks(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 0L, 1L, 32L), (1L, 1L, 25L, 16L)))
+    // overlapping tokens: chunk 1 starts inside chunk 0's window
+    val full = Curation.passageChunks(d).collect()
+    assert(full(0).getString(4) !== full(1).getString(4))
+  }
+
   // ---- q168 surprisalReport ----------------------------------------------
 
   test("surprisalReport: integer bits match the hand-built bigram model") {
