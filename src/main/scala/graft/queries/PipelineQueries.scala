@@ -206,6 +206,81 @@ object PipelineQueries {
           GROUP BY 1) p USING (source)
         ORDER BY source""")),
 
+    // ---- decontamination EFFECTIVENESS: residual overlap, proven zero -----
+    // The check a decontamination run ships with (q153's leaked_pairs
+    // discipline applied to q163): after dropping every doc that shares
+    // an exact 8-gram with the benchmark, the kept corpus's residual
+    // benchmark overlap is zero BY CONSTRUCTION — and this query proves
+    // it by measuring, not asserting, alongside the counterfactual
+    // (overlap had nothing been removed) that prices what the cleanup
+    // prevented. Per source: docs_total, docs_kept, residual_overlap
+    // (measured over the kept set; 0 on every row), counterfactual
+    // contaminated count. Same broadcast-gram plan as q103: only
+    // matching grams reach any exchange.
+    Q("q173_decon_effect",
+      (s, dir) => {
+        graft.text.TextSketch.register(s)
+        val d = t(s, dir, "documents")
+        val toks = split(trim(col("text")), "\\s+")
+        val benchGrams = d.filter(col("doc_id") % 50 === 0)
+          .select(array_join(
+            slice(toks, lit(3), greatest(size(toks) - 2, lit(0))), " ").as("btext"))
+          .select(explode(
+            graft.text.TextSketch.wordShingles(col("btext"), 8)).as("gram"))
+          .distinct()
+        val hits = d.select(col("doc_id"),
+            explode(graft.text.TextSketch.wordShingles(col("text"), 8)).as("gram"))
+          .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+          .select("doc_id").distinct()
+          .withColumn("contaminated", lit(1L))
+        val flagged = d.select("doc_id", "source")
+          .join(hits, Seq("doc_id"), "left")
+        val kept = flagged.filter(col("contaminated").isNull)
+        // residual overlap RE-MEASURED over the kept set only
+        val residual = d.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            explode(graft.text.TextSketch.wordShingles(col("text"), 8)).as("gram"))
+          .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+          .select("doc_id").distinct()
+          .join(d.select("doc_id", "source"), Seq("doc_id"))
+          .groupBy("source").agg(count(lit(1)).as("resid"))
+        flagged.groupBy("source")
+          .agg(count(lit(1)).as("docs_total"),
+            sum(when(col("contaminated").isNull, 1L).otherwise(0L)).as("docs_kept"),
+            sum(coalesce(col("contaminated"), lit(0L))).as("counterfactual_contaminated"))
+          .join(residual, Seq("source"), "left")
+          .select(col("source"), col("docs_total"), col("docs_kept"),
+            coalesce(col("resid"), lit(0L)).as("residual_overlap"),
+            col("counterfactual_contaminated"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents),
+        bench AS (SELECT w[3:] AS w FROM tok WHERE doc_id % 50 = 0),
+        bg AS (SELECT DISTINCT g FROM bench, UNNEST($duck8gram) AS t(g)),
+        cg AS (SELECT doc_id, g FROM tok, UNNEST($duck8gram) AS t(g)),
+        cont AS (
+          SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM bg)),
+        kept AS (
+          SELECT t.doc_id, t.source FROM tok t
+          LEFT JOIN cont c ON c.doc_id = t.doc_id WHERE c.doc_id IS NULL),
+        resid AS (
+          SELECT k.source, COUNT(DISTINCT c.doc_id) AS r
+          FROM cont c JOIN kept k ON k.doc_id = c.doc_id GROUP BY 1)
+        SELECT t.source, COUNT(*) AS docs_total,
+          CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS docs_kept,
+          CAST(COALESCE(MAX(r.r), 0) AS BIGINT) AS residual_overlap,
+          CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS counterfactual_contaminated
+        FROM tok t
+        LEFT JOIN cont c ON c.doc_id = t.doc_id
+        LEFT JOIN resid r ON r.source = t.source
+        GROUP BY t.source ORDER BY t.source"""))
+    ,
+
     // ---- repetition filter: top-2-gram token fraction (Gopher-style) ------
     // One explode pass: per-(doc, gram) counts, then per-doc max; n_tokens
     // falls out of the same aggregation (sum of gram counts + 1), so the
