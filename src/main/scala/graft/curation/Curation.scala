@@ -570,6 +570,33 @@ object Curation {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Materialize [[packSegments]]'s dataloader index as the on-disk
+    * training-corpus layout: segment rows written under
+    * `path/segments/<stratum>=.../`, range-partitioned and sorted by
+    * (seq, seg_start) inside each stratum (the [[writeTrainingOrder]]
+    * discipline — reading a stratum's files in name order streams its
+    * sequences in order, no global sort anywhere), plus a
+    * `path/_manifest` parquet (stratum, sequences, segments, tokens)
+    * written AFTER the data through the crash-safe staged swap — so a
+    * loader that sees a manifest is guaranteed complete data under it,
+    * and sizes its epochs from ~one row per stratum.
+    */
+  def writePackedCorpus(docs: DataFrame, path: String, seqTokens: Int = 512,
+      numFiles: Int = 8, strataCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val segs = packSequences(docs, seqTokens, strataCol, idCol, textCol)
+    segs
+      .repartitionByRange(numFiles, col(strataCol), col("seq"))
+      .sortWithinPartitions(strataCol, "seq", "seg_start")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy(strataCol).parquet(s"$path/segments")
+    val manifest = segs.groupBy(strataCol).agg(
+      countDistinct("seq").as("sequences"),
+      count(lit(1)).as("segments"),
+      sum("seg_len").as("tokens"))
+    graft.io.Writers.overwrite(manifest, s"$path/_manifest")
+  }
+
   /** Exact-dedup for a DOCUMENT STREAM: normalize-fingerprint each doc
     * row-local (md5 of lowercased whitespace-collapsed text) and keep the
     * first arrival per fingerprint. Under Structured Streaming the state

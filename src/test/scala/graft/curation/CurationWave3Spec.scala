@@ -178,6 +178,34 @@ class CurationWave3Spec extends SparkSpec {
     assert(flagged.toSeq === Seq(Row("en", 3L, 6L, 2L, 2L)))
   }
 
+  // ---- writePackedCorpus --------------------------------------------------
+
+  test("writePackedCorpus: layout round-trips the index, manifest is exact") {
+    val d = docs(Seq(
+      (1L, words("a", 25), "en", "s"), (2L, words("b", 7), "en", "s"),
+      (3L, words("c", 13), "fr", "s"), (4L, words("d", 4), "fr", "s")))
+    val base = Files.createTempDirectory("packed_corpus").toString
+    Curation.writePackedCorpus(d, base, seqTokens = 10)
+    // the written segments ARE the dataloader index
+    val back = spark.read.parquet(s"$base/segments")
+      .select("lang", "seq", "doc_id", "seg_start", "seg_len")
+      .collect().map(_.toSeq).toSet
+    val expect = Curation.packSequences(d, seqTokens = 10)
+      .collect().map(_.toSeq).toSet
+    assert(back === expect)
+    // manifest matches the index aggregate and was swapped in LAST
+    val manifest = spark.read.parquet(s"$base/_manifest")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(manifest("en") === ((4L, 5L, 32L))) // 25+7 tokens, 4 seqs, 5 segs
+    assert(manifest("fr") === ((2L, 3L, 17L))) // 13+4 tokens in 2 seqs
+    // overwrite is idempotent (staged swap, no residue)
+    Curation.writePackedCorpus(d, base, seqTokens = 10)
+    assert(spark.read.parquet(s"$base/segments")
+      .select("lang", "seq", "doc_id", "seg_start", "seg_len")
+      .collect().map(_.toSeq).toSet === expect)
+  }
+
   // ---- q166 end-to-end composition ---------------------------------------
 
   test("q166: stages drop the right docs (funnel, then dedup, then pack)") {
