@@ -685,5 +685,55 @@ object TpchQueries {
           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         GROUP BY 1, 2, 3
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
+    ,
+
+    // ---- Q20 shape: suppliers with surplus stock of selected parts --------
+    // Q20's nested semi-join ladder (nation -> supplier -> partsupp with a
+    // correlated lineitem sum), decorrelated the way Spark should plan
+    // it: ONE conditional aggregate per (partkey, suppkey) yields both
+    // the all-time and the 1995 shipped quantity — no per-pair re-scan —
+    // and "stock" is surrogated by all-time shipped volume (no partsupp
+    // table), keeping the shape: a pair qualifies when its surrogate
+    // stock exceeds twice its 1995 movement. Part filter broadcasts into
+    // the lineitem scan; the qualifying pair set collapses to a DISTINCT
+    // suppkey semi-join; the nation dim rides a broadcast and the report
+    // lists qualifying suppliers per nation (the testdata's synthetic
+    // nations are too thin at sf0.001 for Q20's single-nation cut to
+    // return rows). Decimal sums keep the threshold compare exact in
+    // both engines.
+    Q("q174_surplus_suppliers",
+      (s, dir) => {
+        val parts = broadcast(t(s, dir, "part")
+          .filter(col("p_name").contains("red")).select("p_partkey"))
+        val perPair = t(s, dir, "lineitem")
+          .join(parts, col("l_partkey") === col("p_partkey"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(sum(d12(col("l_quantity"))).as("qty_all"),
+            sum(when(year(col("l_shipdate")) === 1996, d12(col("l_quantity"))))
+              .as("qty96"))
+          .filter(col("qty96").isNotNull && col("qty_all") > col("qty96") * 2)
+        t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(perPair.select(col("l_suppkey")).distinct(),
+            col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("n_name", "s_name", "s_acctbal")
+          .orderBy("n_name", "s_name")
+      },
+      Some("""
+        WITH pp AS (
+          SELECT l_partkey, l_suppkey,
+            SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_all,
+            SUM(CASE WHEN year(l_shipdate) = 1996
+              THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS qty96
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE '%red%'
+          GROUP BY 1, 2)
+        SELECT n_name, s_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+            SELECT DISTINCT l_suppkey FROM pp
+            WHERE qty96 IS NOT NULL AND qty_all > qty96 * 2)
+        ORDER BY n_name, s_name"""))
   )
 }
