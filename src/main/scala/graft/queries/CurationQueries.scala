@@ -22,6 +22,12 @@ object CurationQueries {
 
   private val duckTokens = "string_split_regex(trim(text), '\\s+')"
 
+  /** 8-gram list over a token list named `w` (PipelineQueries' mirror). */
+  private val duck8gram: String = {
+    val body = (0 until 8).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"CASE WHEN len(w) < 8 THEN [] ELSE list_transform(generate_series(1, len(w)-7), i -> $body) END"
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- chunk-level exact dedup ------------------------------------------
@@ -492,6 +498,82 @@ object CurationQueries {
             SUM(CASE WHEN sb > 3 * nb THEN 1 ELSE 0 END) AS hs
           FROM per_doc GROUP BY 1) p USING (lang)
         ORDER BY lg.lang"""))
+    ,
+
+    // ---- the dataset card: one release-ready datasheet per source ---------
+    // The summary table a corpus RELEASE ships (the "datasheet for
+    // datasets" habit): per source — documents, whitespace tokens,
+    // distinct languages, exact-duplicate documents (normalized
+    // fingerprint grain, q31's rule: occurrences beyond each
+    // fingerprint's first), and benchmark-contaminated documents (exact
+    // 8-gram overlap, q103's construction). One scan feeds the
+    // doc/token/lang/fingerprint arms; the contamination arm re-reads
+    // only to explode grams into a broadcast bench set. Everything
+    // integer-exact; every column is an existing oracled metric, here
+    // joined into the one table a consumer actually reads.
+    Q("q175_dataset_card",
+      (s, dir) => {
+        graft.text.TextSketch.register(s)
+        val d = t(s, dir, "documents")
+        val toks = split(trim(col("text")), "\\s+")
+        val base = d.select(col("doc_id"), col("source"), col("lang"),
+          size(toks).cast("long").as("n"),
+          graft.text.TextFunctions.fingerprint(col("text")).as("fp"))
+        val dups = base
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("fp").orderBy("doc_id")))
+          .filter(col("rk") > 1)
+          .groupBy("source").agg(count(lit(1)).as("dup"))
+        val bench = d.filter(col("doc_id") % 50 === 0)
+          .select(array_join(
+            slice(toks, lit(3), greatest(size(toks) - 2, lit(0))), " ").as("btext"))
+          .select(explode(
+            graft.text.TextSketch.wordShingles(col("btext"), 8)).as("gram"))
+          .distinct()
+        val cont = d.select(col("doc_id"), col("source"),
+            explode(graft.text.TextSketch.wordShingles(col("text"), 8)).as("gram"))
+          .join(broadcast(bench), Seq("gram"), "left_semi")
+          .select("doc_id", "source").distinct()
+          .groupBy("source").agg(count(lit(1)).as("cont"))
+        base.groupBy("source")
+          .agg(count(lit(1)).as("docs"), sum("n").as("tokens"),
+            countDistinct("lang").as("langs"))
+          .join(dups, Seq("source"), "left")
+          .join(cont, Seq("source"), "left")
+          .select(col("source"), col("docs"), col("tokens"), col("langs"),
+            coalesce(col("dup"), lit(0L)).as("exact_dup_docs"),
+            coalesce(col("cont"), lit(0L)).as("contaminated_docs"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, source, lang, string_split_regex(trim(text), '\\s+') AS w,
+            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+          FROM documents),
+        dups AS (
+          SELECT source, COUNT(*) AS dup FROM (
+            SELECT source,
+              ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+            FROM tok) WHERE rk > 1 GROUP BY 1),
+        bench AS (
+          SELECT w[3:] AS w FROM tok WHERE doc_id % 50 = 0),
+        bg AS (SELECT DISTINCT g FROM bench, UNNEST($duck8gram) AS t(g)),
+        cont AS (
+          SELECT source, COUNT(DISTINCT doc_id) AS cont
+          FROM (SELECT doc_id, source, g FROM tok, UNNEST($duck8gram) AS t(g))
+          WHERE g IN (SELECT g FROM bg) GROUP BY 1),
+        card AS (
+          SELECT source, COUNT(*) AS docs,
+            CAST(SUM(len(w)) AS BIGINT) AS tokens,
+            CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs
+          FROM tok GROUP BY 1)
+        SELECT c.source, c.docs, c.tokens, c.langs,
+          CAST(COALESCE(d.dup, 0) AS BIGINT) AS exact_dup_docs,
+          CAST(COALESCE(n.cont, 0) AS BIGINT) AS contaminated_docs
+        FROM card c
+          LEFT JOIN dups d USING (source) LEFT JOIN cont n USING (source)
+        ORDER BY c.source"""))
     ,
 
     // ---- the whole curation pipeline, ONE declarative plan ----------------
