@@ -576,6 +576,117 @@ object CurationQueries {
         ORDER BY c.source"""))
     ,
 
+    // ---- vocabulary coverage: sizing the tokenizer vocab ------------------
+    // The tokenizer-vocab precursor: top-40 corpus tokens by frequency
+    // with each rank's CUMULATIVE share of all token occurrences — the
+    // curve a vocab-size decision reads (where coverage flattens, stop).
+    // One explode + one count aggregate; the rank window runs over the
+    // top-40 rows only (TakeOrderedAndProject prunes first), and the
+    // share is one exact-integer division crossed to double once.
+    Q("q176_vocab_coverage",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = t(s, dir, "documents")
+        val counts = d.select(
+            explode(graft.text.TextFunctions.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val total = counts.agg(sum("cnt").as("total"))
+        val top = counts.orderBy(desc("cnt"), col("tok")).limit(40)
+        val w = Window.orderBy(desc("cnt"), col("tok"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        top.withColumn("rank", row_number().over(
+            Window.orderBy(desc("cnt"), col("tok"))).cast("long"))
+          .withColumn("cum", sum("cnt").over(w))
+          .crossJoin(broadcast(total))
+          .select(col("rank"), col("tok"), col("cnt"),
+            (col("cum").cast("double") / col("total")).as("coverage"))
+          .orderBy("rank")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT unnest($duckTokens) AS tok FROM documents),
+        counts AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+        top AS (
+          SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT 40),
+        ranked AS (
+          SELECT tok, cnt,
+            CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank,
+            CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM top)
+        SELECT rank, tok, cnt, CAST(cum AS DOUBLE) / total AS coverage
+        FROM ranked, total ORDER BY rank"""))
+    ,
+
+    // ---- snapshot diff: what changed between two corpus releases ----------
+    // The release-delta op: the NEW snapshot is derived from the current
+    // corpus deterministically (every 7th doc removed; every remaining
+    // 5th doc edited by dropping its first token; every 11th doc also
+    // re-issued under a new id — the 'added' arm), and the diff is taken
+    // at (doc_id, fingerprint) grain: added / removed / changed /
+    // unchanged counts per source. Full-outer join of two narrow
+    // (id, source, fp) frames — text reduces to fingerprints in each
+    // snapshot's scan stage, so the diff exchanges 32-char hashes however
+    // large the corpora.
+    Q("q177_snapshot_diff",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val fp = graft.text.TextFunctions.fingerprint(col("text"))
+        val ref = d.select(col("doc_id"), col("source"), fp.as("fp_ref"))
+        val toks = split(trim(col("text")), "\\s+")
+        val edited = d.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text2",
+            when(col("doc_id") % 5 === 0,
+              array_join(slice(toks, lit(2),
+                greatest(size(toks) - 1, lit(0))), " "))
+              .otherwise(col("text")))
+        val nw = edited
+          .select(col("doc_id"), col("source"),
+            graft.text.TextFunctions.fingerprint(col("text2")).as("fp_new"))
+          .unionByName(edited.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+              graft.text.TextFunctions.fingerprint(col("text2")).as("fp_new")))
+        ref.join(nw, Seq("doc_id", "source"), "full_outer")
+          .select(col("source"),
+            when(col("fp_ref").isNull, "added")
+              .when(col("fp_new").isNull, "removed")
+              .when(col("fp_ref") =!= col("fp_new"), "changed")
+              .otherwise("unchanged").as("verdict"))
+          .groupBy("source", "verdict")
+          .agg(count(lit(1)).as("docs"))
+          .orderBy("source", "verdict")
+      },
+      Some(s"""
+        WITH ref AS (
+          SELECT doc_id, source,
+            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_ref
+          FROM documents),
+        edited AS (
+          SELECT doc_id, source,
+            CASE WHEN doc_id % 5 = 0 THEN
+              array_to_string((string_split_regex(trim(text), '\\s+'))[2:], ' ')
+            ELSE text END AS text2
+          FROM documents WHERE doc_id % 7 <> 0),
+        nw AS (
+          SELECT doc_id, source,
+            md5(regexp_replace(lower(trim(text2)), '\\s+', ' ', 'g')) AS fp_new
+          FROM edited
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, source,
+            md5(regexp_replace(lower(trim(text2)), '\\s+', ' ', 'g')) AS fp_new
+          FROM edited WHERE doc_id % 11 = 0)
+        SELECT COALESCE(r.source, n.source) AS source,
+          CASE WHEN r.fp_ref IS NULL THEN 'added'
+               WHEN n.fp_new IS NULL THEN 'removed'
+               WHEN r.fp_ref <> n.fp_new THEN 'changed'
+               ELSE 'unchanged' END AS verdict,
+          COUNT(*) AS docs
+        FROM ref r FULL JOIN nw n
+          ON r.doc_id = n.doc_id AND r.source = n.source
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
+    ,
+
     // ---- the whole curation pipeline, ONE declarative plan ----------------
     // The end-to-end composition a pipeline user actually runs: quality
     // cascade (q117's rules) -> keep-first exact dedup at normalized
