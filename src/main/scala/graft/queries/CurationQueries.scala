@@ -576,6 +576,102 @@ object CurationQueries {
         ORDER BY c.source"""))
     ,
 
+    // ---- chunk-grain decontamination: salvage instead of drop -------------
+    // The finer tier above doc-level decon (q163/q173): a contaminated
+    // 8-gram poisons only the CHUNKS whose token range contains it, so a
+    // span-level pass drops those chunks and SALVAGES the rest of the
+    // document — the difference between losing a whole book and losing a
+    // quoted paragraph. Formulation: benchmark-matched gram POSITIONS per
+    // doc (posexplode keeps the token index through the broadcast
+    // semi-join), q172's chunk table, and a chunk is contaminated when a
+    // matched gram starts inside [start, start + len - 8]. Report per
+    // source: chunks, contaminated_chunks, contaminated_docs, and
+    // tokens_salvaged — the tokens in CLEAN chunks of contaminated docs,
+    // exactly what doc-level dropping would have burned.
+    Q("q178_chunk_decon",
+      (s, dir) => {
+        graft.text.TextSketch.register(s)
+        val d = t(s, dir, "documents")
+        val toks = split(trim(col("text")), "\\s+")
+        val bench = d.filter(col("doc_id") % 50 === 0)
+          .select(array_join(
+            slice(toks, lit(3), greatest(size(toks) - 2, lit(0))), " ").as("btext"))
+          .select(explode(
+            graft.text.TextSketch.wordShingles(col("btext"), 8)).as("gram"))
+          .distinct()
+        val gpos = d.select(col("doc_id"),
+            posexplode(graft.text.TextSketch.wordShingles(col("text"), 8))
+              .as(Seq("gi", "gram")))
+          .join(broadcast(bench), Seq("gram"), "left_semi")
+          // g_doc, not doc_id: the chunk side descends from the SAME scan,
+          // and a same-name dataset self-join condition degenerates to a
+          // trivially-true predicate (cross-doc contamination)
+          .select(col("doc_id").as("g_doc"), (col("gi") + 1).cast("long").as("gpos"))
+          .persist()
+        val contDocs = gpos.select(col("g_doc").as("doc_id")).distinct()
+          .withColumn("cont_doc", lit(1L))
+        val ch = graft.curation.Curation.passageChunks(d)
+          .join(t(s, dir, "documents").select("doc_id", "source"), Seq("doc_id"))
+        val contCh = ch.join(gpos,
+            col("doc_id") === col("g_doc") &&
+              col("gpos") >= col("start_token") &&
+              col("gpos") <= col("start_token") + col("n_tokens") - 8,
+            "left_semi")
+          .select(col("doc_id").as("c_doc"), col("chunk_idx").as("c_idx"))
+          .withColumn("cont_ch", lit(1L))
+        ch.join(contCh,
+            col("doc_id") === col("c_doc") && col("chunk_idx") === col("c_idx"),
+            "left")
+          .join(contDocs, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("chunks"),
+            sum(coalesce(col("cont_ch"), lit(0L))).as("contaminated_chunks"),
+            countDistinct(when(col("cont_doc") === 1L, col("doc_id")))
+              .as("contaminated_docs"),
+            sum(when(col("cont_doc") === 1L && col("cont_ch").isNull,
+              col("n_tokens")).otherwise(0L)).as("tokens_salvaged"))
+          .orderBy("source")
+      },
+      Some {
+        val gramAt = (0 until 8).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+        s"""
+        WITH tok AS (
+          SELECT doc_id, source, $duckTokens AS w FROM documents),
+        bench AS (SELECT w[3:] AS w FROM tok WHERE doc_id % 50 = 0),
+        bg AS (SELECT DISTINCT g FROM bench, UNNEST($duck8gram) AS t(g)),
+        gp AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS gpos
+          FROM tok, UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+          WHERE ($gramAt) IN (SELECT g FROM bg)),
+        cdocs AS (SELECT DISTINCT doc_id FROM gp),
+        st AS (
+          SELECT doc_id, source, len(w) AS n,
+            unnest(generate_series(1, len(w), 24)) AS start
+          FROM tok),
+        ch AS (
+          SELECT doc_id, source, (start - 1) // 24 AS chunk_idx,
+            CAST(start AS BIGINT) AS start_token,
+            CAST(LEAST(32, n - start + 1) AS BIGINT) AS n_tokens
+          FROM st WHERE LEAST(32, n - start + 1) >= 8),
+        cch AS (
+          SELECT DISTINCT c.doc_id, c.chunk_idx
+          FROM ch c JOIN gp g ON g.doc_id = c.doc_id
+            AND g.gpos >= c.start_token
+            AND g.gpos <= c.start_token + c.n_tokens - 8)
+        SELECT c.source, COUNT(*) AS chunks,
+          CAST(SUM(CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS contaminated_chunks,
+          CAST(COUNT(DISTINCT CASE WHEN d.doc_id IS NOT NULL
+            THEN c.doc_id END) AS BIGINT) AS contaminated_docs,
+          CAST(SUM(CASE WHEN d.doc_id IS NOT NULL AND x.doc_id IS NULL
+            THEN c.n_tokens ELSE 0 END) AS BIGINT) AS tokens_salvaged
+        FROM ch c
+          LEFT JOIN cch x ON x.doc_id = c.doc_id AND x.chunk_idx = c.chunk_idx
+          LEFT JOIN cdocs d ON d.doc_id = c.doc_id
+        GROUP BY 1 ORDER BY 1"""
+      })
+    ,
+
     // ---- vocabulary coverage: sizing the tokenizer vocab ------------------
     // The tokenizer-vocab precursor: top-40 corpus tokens by frequency
     // with each rank's CUMULATIVE share of all token occurrences — the
