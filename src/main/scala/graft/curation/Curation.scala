@@ -71,17 +71,28 @@ object Curation {
     * rule features derive from ONE token explode + two-level keyed agg —
     * text never leaves the scan stage.
     */
-  def filterFunnel(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id",
-      stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is"),
-      rules: Seq[FunnelRule] = defaultFunnelRules): DataFrame = {
+  /** The one token explode + two-level keyed agg both funnel surfaces
+    * derive their rule features from — (idCol, n, vocab, max_single,
+    * stop_cnt), one row per doc. Shared so [[filterFunnel]]'s report and
+    * [[funnelSurvivors]]'s corpus cut can never silently disagree on what
+    * a feature means.
+    */
+  private def funnelFeatures(docs: DataFrame, textCol: String,
+      idCol: String, stopwords: Seq[String]): DataFrame = {
     val tokCnt = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(idCol, "tok").agg(count(lit(1)).as("cnt"))
-    val feats = tokCnt.groupBy(idCol).agg(
+    tokCnt.groupBy(idCol).agg(
       sum("cnt").as("n"),
       count(lit(1)).as("vocab"),
       max("cnt").as("max_single"),
       sum(when(col("tok").isin(stopwords: _*), col("cnt")).otherwise(0L)).as("stop_cnt"))
+  }
+
+  def filterFunnel(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id",
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is"),
+      rules: Seq[FunnelRule] = defaultFunnelRules): DataFrame = {
+    val feats = funnelFeatures(docs, textCol, idCol, stopwords)
     def v(stage: Int, rule: String) =
       struct(lit(stage).as("stage"), lit(rule).as("rule"))
     val verdict = rules.zipWithIndex.foldRight(v(rules.size + 1, "kept"): Column) {
@@ -113,13 +124,7 @@ object Curation {
       idCol: String = "doc_id",
       stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is"),
       rules: Seq[FunnelRule] = defaultFunnelRules): DataFrame = {
-    val tokCnt = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-      .groupBy(idCol, "tok").agg(count(lit(1)).as("cnt"))
-    val feats = tokCnt.groupBy(idCol).agg(
-      sum("cnt").as("n"),
-      count(lit(1)).as("vocab"),
-      max("cnt").as("max_single"),
-      sum(when(col("tok").isin(stopwords: _*), col("cnt")).otherwise(0L)).as("stop_cnt"))
+    val feats = funnelFeatures(docs, textCol, idCol, stopwords)
     val kept = feats.filter(rules.map(r => !r.fails).reduce(_ && _)).select(col(idCol))
     docs.join(kept, Seq(idCol), "left_semi")
   }
@@ -158,17 +163,104 @@ object Curation {
       .limit(topK)
   }
 
+  // ---- distributed per-stratum order & running sums -----------------------
+
+  /** Order-preserving fixed bucketing of the md5 order key: the first 8
+    * hex chars as a 32-bit value, scaled to [0, buckets). Lexicographic
+    * order of fixed-width lowercase hex IS numeric order, so bucket id is
+    * monotone in the full (md5, id) sort key — and md5's uniformity makes
+    * the buckets balanced BY CONSTRUCTION, with no RangePartitioner
+    * sampling job and no sampling nondeterminism between passes.
+    */
+  private def orderBucket(ok: Column, buckets: Int): Column =
+    (conv(substring(ok, 1, 8), 16, 10).cast("long") * buckets / lit(1L << 32))
+      .cast("int")
+
+  /** Distributed per-stratum running sum in the content-addressed
+    * (md5(id), id) order — the scale-safe replacement for
+    * `sum(n).over(Window.partitionBy(stratum))`, whose single task per
+    * stratum serializes a 100-TB corpus through 10-30 tasks when strata
+    * are languages or sources (the TopKPerGroup docstring's shape, at the
+    * per-stratum grain). Two passes, both deterministic:
+    *
+    *  1. rows get a bucket id from [[orderBucket]] — a pure row-local
+    *     function of the id, so the two passes can never disagree (no
+    *     cache pinning, no repartitionByRange resample risk); one narrow
+    *     map-side-combining aggregate collects the per-(bucket, stratum)
+    *     sums (≤ buckets × strata rows — driver-bounded by configuration,
+    *     not data);
+    *  2. exclusive prefix offsets per stratum broadcast back, and the
+    *     running sum completes inside a window partitioned by (bucket,
+    *     stratum) — `buckets` tasks per stratum instead of one.
+    *
+    * Output: `counted`'s columns plus `cum`, bit-identical to the
+    * single-window form (bucket boundaries respect the global per-stratum
+    * order, so offset + local sum IS the global running sum; all math is
+    * exact longs). `buckets` defaults to spark.sql.shuffle.partitions.
+    * Constraints: `strataCol` must be non-null (inner offset join);
+    * `_ok`/`_bkt`/`_off`/`cum` are reserved names. Calling this triggers
+    * the pass-1 job immediately.
+    */
+  def cumsumByStratum(counted: DataFrame, strataCol: String = "lang",
+      idCol: String = "doc_id", nCol: String = "n",
+      buckets: Int = 0): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val reserved = Seq("_ok", "_bkt", "_off")
+    require(!reserved.exists(counted.columns.contains),
+      s"cumsumByStratum reserves columns ${reserved.mkString(", ")}")
+    val spark = counted.sparkSession
+    val p = if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val keyed = counted
+      .withColumn("_ok", md5(col(idCol).cast("string")))
+      .withColumn("_bkt", orderBucket(col("_ok"), p))
+    val partials = keyed.groupBy(col("_bkt"), col(strataCol))
+      .agg(coalesce(sum(col(nCol)).cast("long"), lit(0L)).as("_psum"))
+      .collect()
+    val offSchema = StructType(Seq(
+      StructField("_bkt", IntegerType, nullable = false),
+      counted.schema(strataCol),
+      StructField("_off", LongType, nullable = false)))
+    val offRows: Seq[Row] = partials.groupBy(_.get(1)).valuesIterator.flatMap { rs =>
+      var acc = 0L
+      rs.sortBy(_.getInt(0)).map { r =>
+        val row = Row(r.getInt(0), r.get(1), acc)
+        acc += r.getLong(2)
+        row
+      }
+    }.toSeq
+    val offsets = spark.createDataFrame(offRows.asJava, offSchema)
+    val w = Window.partitionBy(col("_bkt"), col(strataCol))
+      .orderBy(col("_ok"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    keyed.join(broadcast(offsets), Seq("_bkt", strataCol))
+      .withColumn("cum", sum(col(nCol)).over(w) + col("_off"))
+      .drop("_bkt", "_ok", "_off")
+  }
+
+  /** Distributed per-stratum RANK in the same content-addressed order —
+    * [[cumsumByStratum]] with a unit weight (row_number without the
+    * single-task-per-stratum window). Output: `df`'s columns plus `rk`.
+    */
+  def rankByStratum(df: DataFrame, strataCol: String,
+      idCol: String = "doc_id", buckets: Int = 0): DataFrame =
+    cumsumByStratum(df.withColumn("_one", lit(1L)), strataCol, idCol, "_one",
+        buckets)
+      .withColumnRenamed("cum", "rk").drop("_one")
+
   /** Deterministic fixed-size per-stratum sample: `n` rows per stratum,
     * selected by ranking on md5 of the id — content-addressed, so the
     * draw is reproducible across engines, runs and cluster sizes. The
-    * projection narrows to (stratum, id, carry) BEFORE the window.
+    * projection narrows to (stratum, id, carry) BEFORE the rank, and the
+    * rank itself is the distributed [[rankByStratum]] — no stratum ever
+    * funnels through one task.
     */
   def stratifiedSample(df: DataFrame, strataCol: String, n: Int,
       idCol: String = "doc_id", carryCols: Seq[String] = Nil): DataFrame = {
-    val w = Window.partitionBy(strataCol)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.select((Seq(strataCol, idCol) ++ carryCols).map(col): _*)
-      .withColumn("rk", row_number().over(w).cast("long"))
+    rankByStratum(df.select((Seq(strataCol, idCol) ++ carryCols).map(col): _*),
+        strataCol, idCol)
       .filter(col("rk") <= n)
       .select((Seq(col(strataCol), col("rk"), col(idCol)) ++ carryCols.map(col)): _*)
       .orderBy(strataCol, "rk")
@@ -178,18 +270,16 @@ object Curation {
     * laid out in md5(id) order and a shard boundary falls every
     * `tokensPerShard` tokens of running offset (a doc belongs to the
     * shard its first token lands in). Output: per-(stratum, shard) docs
-    * and token counts. Only narrow (stratum, id, n) triples shuffle; no
-    * pack stream serializes globally.
+    * and token counts. Only narrow (stratum, id, n) triples shuffle, and
+    * the running offset is the two-pass [[cumsumByStratum]] — no pack
+    * stream serializes globally OR per stratum.
     */
   def packShards(docs: DataFrame, tokensPerShard: Int = 2000,
       strataCol: String = "lang", idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(strataCol)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    docs.select(col(strataCol), col(idCol),
-      size(tokens(col(textCol))).cast("long").as("n"))
-      .withColumn("cum", sum("n").over(w))
+    cumsumByStratum(docs.select(col(strataCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n")),
+        strataCol, idCol, "n")
       .withColumn("shard", expr(s"(cum - n) div $tokensPerShard"))
       .groupBy(strataCol, "shard")
       .agg(count(lit(1)).as("docs"), sum("n").as("tokens"))
@@ -210,12 +300,12 @@ object Curation {
     * sequence is left short except each stratum's last.
     *
     * 100 TB shape: token counts are one row-local pass; the running
-    * offset is a window cumsum over narrow (stratum, id, n) triples —
-    * text never shuffles. The explode emits only the sequences a doc
-    * touches (n/seqTokens + 1 worst case), so output is O(docs +
-    * sequences). Per-stratum streams stay independent (at real scale the
-    * stratum key gains a hash-bucket component, as in q30b). All boundary
-    * math is exact long division — no float risk against the oracle.
+    * offset is the two-pass [[cumsumByStratum]] over narrow (stratum, id,
+    * n) triples — text never shuffles, and no stratum funnels through a
+    * single task. The explode emits only the sequences a doc touches
+    * (n/seqTokens + 1 worst case), so output is O(docs + sequences). All
+    * boundary math is exact long division — no float risk against the
+    * oracle.
     */
   def packSequences(docs: DataFrame, seqTokens: Int = 512,
       strataCol: String = "lang", idCol: String = "doc_id",
@@ -232,12 +322,10 @@ object Curation {
   def packSegments(counted: DataFrame, seqTokens: Int = 512,
       strataCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
     val L = seqTokens.toLong
-    val w = Window.partitionBy(strataCol)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    counted.select(col(strataCol), col(idCol), col("n").cast("long").as("n"))
-      .filter(col("n") > 0)
-      .withColumn("cum", sum("n").over(w))
+    cumsumByStratum(
+        counted.select(col(strataCol), col(idCol), col("n").cast("long").as("n"))
+          .filter(col("n") > 0),
+        strataCol, idCol, "n")
       .withColumn("seq",
         explode(sequence(expr(s"(cum - n) div $L"), expr(s"(cum - 1) div $L"))))
       .withColumn("seg_start",
@@ -258,19 +346,17 @@ object Curation {
     * engines, cluster sizes and retries. Report per stratum: docs_total,
     * tokens_total, docs_kept, tokens_kept.
     *
-    * 100 TB shape: one row-local token-count pass, then a window cumsum
-    * over narrow (stratum, id, n) triples — identical layout to
-    * [[packShards]]; text never shuffles and nothing serializes globally.
+    * 100 TB shape: one row-local token-count pass, then the two-pass
+    * [[cumsumByStratum]] over narrow (stratum, id, n) triples — identical
+    * layout to [[packShards]]; text never shuffles and nothing serializes
+    * globally or per stratum.
     */
   def tokenBudgetSample(docs: DataFrame, budgetTokens: Long = 3000,
       strataCol: String = "source", idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(strataCol)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    docs.select(col(strataCol), col(idCol),
-        size(tokens(col(textCol))).cast("long").as("n"))
-      .withColumn("cum", sum("n").over(w))
+    cumsumByStratum(docs.select(col(strataCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n")),
+        strataCol, idCol, "n")
       .withColumn("kept", when(col("cum") <= budgetTokens, 1L).otherwise(0L))
       .groupBy(strataCol)
       .agg(count(lit(1)).as("docs_total"),
@@ -428,6 +514,26 @@ object Curation {
       gramK: Int = 8, mBits: Int = 1 << 16,
       textCol: String = "text", idCol: String = "doc_id",
       groupCol: String = "source", benchTextCol: String = "text"): DataFrame = {
+    val (report, flagged) = bloomDecontaminateLazy(corpus, bench, gramK, mBits,
+      textCol, idCol, groupCol, benchTextCol)
+    // pin the (tiny, one-row-per-group) report eagerly so the cached
+    // flagged blocks can be released before returning — otherwise every
+    // call leaks a corpus-sized cache into a long-lived session
+    val out = report.localCheckpoint(true)
+    flagged.unpersist()
+    out
+  }
+
+  /** [[bloomDecontaminate]]'s plan, un-materialized: (report, the
+    * persisted flagged frame). For plan-shape inspection — the public
+    * entry point checkpoints the report and releases the cache, which
+    * collapses its executedPlan to a block scan. Callers own the
+    * unpersist.
+    */
+  private[graft] def bloomDecontaminateLazy(corpus: DataFrame, bench: DataFrame,
+      gramK: Int = 8, mBits: Int = 1 << 16,
+      textCol: String = "text", idCol: String = "doc_id",
+      groupCol: String = "source", benchTextCol: String = "text"): (DataFrame, DataFrame) = {
     require(Integer.bitCount(mBits) == 1 && mBits >= 64,
       s"mBits must be a power of two >= 64, got $mBits")
     val mask = (mBits - 1).toLong
@@ -483,7 +589,7 @@ object Curation {
       .join(benchGrams, Seq("h"), "left_semi")
       .select(col(idCol)).distinct().withColumn("cont", lit(1L))
 
-    corpus.groupBy(groupCol).agg(count(lit(1)).as("docs"))
+    val report = corpus.groupBy(groupCol).agg(count(lit(1)).as("docs"))
       .join(perDoc.join(exactHits, Seq(idCol), "left")
         .groupBy(groupCol)
         .agg(sum("bpos").as("bp"),
@@ -495,6 +601,7 @@ object Curation {
         (coalesce(col("bp"), lit(0L)) - coalesce(col("cd"), lit(0L)))
           .as("bloom_fp_docs"))
       .orderBy(groupCol)
+    (report, flagged)
   }
 
   /** Duplicated-SPAN extraction (Lee et al., "Deduplicating Training Data
@@ -555,16 +662,16 @@ object Curation {
     *
     * The interleave key is (rank-within-source by content-addressed md5,
     * then source): round-robin across sources while they last, each
-    * source's internal order itself a reproducible shuffle. Range
-    * boundaries come from Spark's sampled RangePartitioner — boundary
-    * PLACEMENT may vary with sampling, the total order never does.
+    * source's internal order itself a reproducible shuffle. The rank is
+    * the distributed [[rankByStratum]] (the per-source row_number window
+    * this function's doc rails against would itself be one task per
+    * source). Range boundaries come from Spark's sampled RangePartitioner
+    * — boundary PLACEMENT may vary with sampling, the total order never
+    * does.
     */
   def writeTrainingOrder(docs: DataFrame, path: String, numFiles: Int = 8,
       idCol: String = "doc_id", sourceCol: String = "source"): Unit = {
-    val perSource = Window.partitionBy(sourceCol)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    docs.select(col(idCol), col(sourceCol))
-      .withColumn("rk", row_number().over(perSource).cast("long"))
+    rankByStratum(docs.select(col(idCol), col(sourceCol)), sourceCol, idCol)
       .repartitionByRange(numFiles, col("rk"), col(sourceCol))
       .sortWithinPartitions("rk", sourceCol)
       .write.mode("overwrite").parquet(path)

@@ -173,7 +173,6 @@ object AnnIndex {
     }
   }
 
-  /** Load the sidecar codebooks (bounded: k coarse rows + m×pqK PQ rows). */
   /** The persisted (vec_id, codes, cell) rows — the documented index
     * layout, exposed for read-only health checks (q170's occupancy drift)
     * without callers hardcoding the directory structure.
@@ -181,6 +180,7 @@ object AnnIndex {
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(indexDir(path))
 
+  /** Load the sidecar codebooks (bounded: k coarse rows + m×pqK PQ rows). */
   def loadCodebooks(spark: SparkSession, path: String): Codebooks = {
     val coarse = spark.read.parquet(coarseDir(path))
       .select("c_id", "centroid", "c_nrm").collect()
@@ -254,15 +254,15 @@ object AnnIndex {
     * negation round-trips exactly (0.0 − (0.0 − d) = d for d ≥ 0) and the
     * aggregator's (score DESC, id ASC) ordering is (adc_dist ASC, vec_id
     * ASC).
-    */
-  /** `broadcastProbes = false` drops the broadcast hint on the probe side
+    *
+    * `broadcastProbes = false` drops the broadcast hint on the probe side
     * — for query batches too large to ship to every executor, Catalyst
     * then co-partitions both sides on `cell` (a shuffle of narrow probe
     * rows and the coded index; at that scale the index side should be
     * bucketed on cell to pay its exchange once). Results are identical
     * either way (spec-asserted).
-    */
-  /** `restrict` PRE-filters the searched side to the given (vec_id) set —
+    *
+    * `restrict` PRE-filters the searched side to the given (vec_id) set —
     * filtered ANN: the top-k is computed WITHIN the restriction (every
     * query gets up to k allowed results), where post-filtering a
     * full-corpus top-k can come back short whenever the unrestricted

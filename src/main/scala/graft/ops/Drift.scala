@@ -18,34 +18,57 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
-  /** The fixed-edge binning itself, as one array<struct<feature, bin>>
-    * column: chars at width 32 and spaces at width 8, both clamped to bin
-    * 19. Exposed (rather than private to [[featureBins]]) so one-scan
-    * callers — q159 splits ref/new snapshots out of a single documents
-    * scan — bin through the SAME expressions the streaming monitor uses;
-    * an edge change here moves every surface at once.
+  /** One monitored feature: an integer-valued column expression binned at
+    * fixed `width`, clamped to `maxBin`. Fixed edges are the load-bearing
+    * constraint (see object doc) — `width`/`maxBin` are configuration,
+    * never data-derived.
     */
-  def binStructs(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val chars = length(text).cast("long")
-    val spaces = (length(text) - length(regexp_replace(text, " ", ""))).cast("long")
-    array(
-      struct(lit("chars").as("feature"),
-        least(floor(chars / lit(32)), lit(19L)).cast("long").as("bin")),
-      struct(lit("spaces").as("feature"),
-        least(floor(spaces / lit(8)), lit(19L)).cast("long").as("bin")))
+  final case class DriftFeature(name: String,
+      value: org.apache.spark.sql.Column, width: Long, maxBin: Long = 19L)
+
+  /** The default monitored set: chars at width 32 and spaces at width 8,
+    * both clamped to bin 19 — q159's feature set, unchanged.
+    */
+  def defaultFeatures(text: org.apache.spark.sql.Column): Seq[DriftFeature] = Seq(
+    DriftFeature("chars", length(text).cast("long"), 32L),
+    DriftFeature("spaces",
+      (length(text) - length(regexp_replace(text, " ", ""))).cast("long"), 8L))
+
+  /** Fixed-edge binning for an arbitrary feature set, as one
+    * array<struct<feature, bin>> column — every monitored feature derives
+    * from the same row in the same scan stage.
+    */
+  def binStructsFor(features: Seq[DriftFeature]): org.apache.spark.sql.Column = {
+    require(features.nonEmpty, "drift needs at least one feature")
+    array(features.map(f =>
+      struct(lit(f.name).as("feature"),
+        least(floor(f.value / lit(f.width)), lit(f.maxBin)).cast("long").as("bin"))): _*)
   }
 
-  /** Fixed-edge (feature, bin) rows for a document frame. One narrow
-    * 2-rows-per-doc explode; the text column itself never leaves the scan
-    * stage.
+  /** The fixed-edge binning itself under [[defaultFeatures]]. Exposed
+    * (rather than private to [[featureBins]]) so one-scan callers — q159
+    * splits ref/new snapshots out of a single documents scan — bin through
+    * the SAME expressions the streaming monitor uses; an edge change here
+    * moves every surface at once.
     */
-  def featureBins(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(explode(binStructs(col(textCol))).as("fb"))
+  def binStructs(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    binStructsFor(defaultFeatures(text))
+
+  /** Fixed-edge (feature, bin) rows for a document frame. One narrow
+    * features-per-doc explode; the text column itself never leaves the
+    * scan stage. `features` defaults to [[defaultFeatures]] over `textCol`.
+    */
+  def featureBins(docs: DataFrame, textCol: String = "text",
+      features: Seq[DriftFeature] = Nil): DataFrame = {
+    val fs = if (features.nonEmpty) features else defaultFeatures(col(textCol))
+    docs.select(explode(binStructsFor(fs)).as("fb"))
       .select(col("fb.feature"), col("fb.bin"))
+  }
 
   /** Per-(feature, bin) counts — the mergeable monitoring state. */
-  def binCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
-    featureBins(docs, textCol).groupBy("feature", "bin")
+  def binCounts(docs: DataFrame, textCol: String = "text",
+      features: Seq[DriftFeature] = Nil): DataFrame =
+    featureBins(docs, textCol, features).groupBy("feature", "bin")
       .agg(count(lit(1)).as("n"))
 
   /** The drift algebra over a (feature, bin, n_ref, n_new) counts frame:
@@ -112,8 +135,14 @@ object Drift {
         val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         val prior =
           if (fs.exists(hPath)) Some(s.read.parquet(statePath)) else None
+        // coalesce before the read: an all-empty-batch history leaves a
+        // ZERO-ROW state parquet, where bare max() is null and getLong
+        // would NPE every retry, failing the query permanently. -1 is
+        // safe: an empty state can only come from empty batches, whose
+        // re-fold adds nothing.
         val lastFolded = prior
-          .map(_.agg(max("last_batch")).collect()(0).getLong(0))
+          .map(_.agg(coalesce(max("last_batch"), lit(-1L)))
+            .collect()(0).getLong(0))
           .getOrElse(-1L)
         val state =
           if (lastFolded >= batchId) prior.get // replay: report only

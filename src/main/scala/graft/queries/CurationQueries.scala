@@ -813,11 +813,13 @@ object CurationQueries {
           .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
           .filter(col("doc_id") === col("keep_id")).select("doc_id")
         val k2 = k1.join(keep2, Seq("doc_id"), "left_semi")
-        // per-language token budget over (id, lang, n) triples
-        val wb = Window.partitionBy("lang")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val k3 = k2.withColumn("cum", sum("n").over(wb))
+        // per-language token budget over (id, lang, n) triples — the
+        // distributed two-pass cumsum, not a per-stratum window (whose
+        // one-task-per-language shape is the exact straggler this
+        // pipeline's own packing stage was rebuilt to avoid)
+        val k3 = graft.curation.Curation.cumsumByStratum(
+            k2.select(col("doc_id"), col("lang"), col("n")),
+            "lang", "doc_id", "n")
           .filter(col("cum") <= 4000)
         val packed = graft.curation.Curation.packSegments(
           k3.select("lang", "doc_id", "n"), seqTokens = 256)

@@ -1047,10 +1047,16 @@ object TextQueries {
           .select("q_id", "doc_b").distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val docs = corpus(s, dir)
+        // no broadcast hint on cands: the candidate frame is query-count ×
+        // per-band-matches — a dup-heavy corpus or a large query set can
+        // push it past broadcast limits, and a pinned hint would turn that
+        // into a hard failure. AQE sees the persisted frame's runtime size
+        // and still broadcasts it when it is genuinely small (the same
+        // reasoning as AnnIndex.batchQuery's unhinted `restrict` arm).
         val withQ = docs.select(col("doc_id").as("q_id"), col("text").as("text_a"))
-          .join(broadcast(cands), Seq("q_id"))
+          .join(cands, Seq("q_id"))
         val withB = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-          .join(broadcast(cands), Seq("doc_b"))
+          .join(cands, Seq("doc_b"))
         val w = Window.partitionBy("q_id").orderBy(desc("jac"), col("doc_b"))
         withQ.hint("shuffle_merge").join(withB, Seq("q_id", "doc_b"))
           .withColumn("sh_a", graft.text.TextSketch.wordShingles(col("text_a"), 3))

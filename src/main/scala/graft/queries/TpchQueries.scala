@@ -691,10 +691,10 @@ object TpchQueries {
     // Q20's nested semi-join ladder (nation -> supplier -> partsupp with a
     // correlated lineitem sum), decorrelated the way Spark should plan
     // it: ONE conditional aggregate per (partkey, suppkey) yields both
-    // the all-time and the 1995 shipped quantity — no per-pair re-scan —
+    // the all-time and the 1996 shipped quantity — no per-pair re-scan —
     // and "stock" is surrogated by all-time shipped volume (no partsupp
     // table), keeping the shape: a pair qualifies when its surrogate
-    // stock exceeds twice its 1995 movement. Part filter broadcasts into
+    // stock exceeds twice its 1996 movement. Part filter broadcasts into
     // the lineitem scan; the qualifying pair set collapses to a DISTINCT
     // suppkey semi-join; the nation dim rides a broadcast and the report
     // lists qualifying suppliers per nation (the testdata's synthetic

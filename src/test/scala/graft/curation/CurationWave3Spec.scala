@@ -271,6 +271,45 @@ class CurationWave3Spec extends SparkSpec {
     assert(perFile.flatten.map(_._3).toSeq === expected)
   }
 
+  // ---- cumsumByStratum ----------------------------------------------------
+
+  test("cumsumByStratum: bit-identical to the per-stratum window on skew") {
+    import org.apache.spark.sql.expressions.Window
+    // One stratum 50x the others — the shape where a per-stratum window
+    // collapses to a single task. The distributed form must reproduce the
+    // window's running sums exactly, row for row.
+    val d = ((1L to 500L).map(i => ("big", i, i % 7 + 1)) ++
+      (1001L to 1010L).map(i => ("s1", i, i % 5 + 1)) ++
+      (2001L to 2010L).map(i => ("s2", i, 3L)))
+      .toDF("lang", "doc_id", "n")
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val expected = d.withColumn("cum", sum("n").over(w))
+      .select("lang", "doc_id", "n", "cum")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    val got = Curation.cumsumByStratum(d, "lang", "doc_id", "n", buckets = 8)
+      .select("lang", "doc_id", "n", "cum")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got === expected)
+    // and the big stratum's cumsum genuinely spread across >1 bucket —
+    // the same order-preserving bucket function, recomputed here
+    val bkts = d.filter(col("lang") === "big")
+      .select((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") * 8 / lit(1L << 32)).cast("int").as("b"))
+      .distinct().count()
+    assert(bkts > 1, s"skewed stratum used $bkts bucket(s) — not distributed")
+  }
+
+  test("cumsumByStratum: single-row buckets and empty frames stay exact") {
+    val d = Seq(("en", 1L, 5L)).toDF("lang", "doc_id", "n")
+    val one = Curation.cumsumByStratum(d, "lang", "doc_id", "n").collect()
+    assert(one.map(r => (r.getString(0), r.getLong(3))).toSeq === Seq(("en", 5L)))
+    val empty = Curation.cumsumByStratum(d.filter(col("n") < 0),
+      "lang", "doc_id", "n").collect()
+    assert(empty.isEmpty)
+  }
+
   test("dupSpanReport: disjoint dup regions stay separate runs") {
     // Two shared 10-token phrases with unique filler between: two runs of
     // 1 window each per doc -> span 10, dup_windows 4 across both docs.

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
 
 /** Plan-shape regression guards for the scale-sensitive queries: the
   * correctness gate proves the VALUES; these prove the PLAN stays the one
@@ -301,17 +302,27 @@ class PlanShapeSpec extends SparkSpec
     // the scan stage and the 8 KiB bitset is a broadcast-able literal, so
     // no exchange ever carries gram or document text — only ids, hashes,
     // and counts. (The exact-verify join input is the bloom-positive
-    // survivor set, already narrow.)
-    val plan = SparkEntry.queries("q163_bloom_decontaminate")(spark, dir)
-      .queryExecution.executedPlan
-    val exchanges = collect(plan) {
-      case e: org.apache.spark.sql.execution.exchange.Exchange => e
-    }
-    assert(exchanges.nonEmpty, "expected dedup/report exchanges")
-    for (e <- exchanges; a <- e.output)
-      assert(!Seq("gram", "text", "btext").contains(a.name.toLowerCase),
-        s"corpus text column '${a.name}' reached an exchange")
-    assert(!plan.toString.contains("CartesianProduct"))
+    // survivor set, already narrow.) Inspected through the lazy core:
+    // the public entry point checkpoints the tiny report to release its
+    // cache, which collapses the executedPlan to a block scan.
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = split(trim(col("text")), "\\s+")
+    val bench = d.filter(col("doc_id") % 50 === 0)
+      .select(array_join(
+        slice(toks, lit(3), greatest(size(toks) - 2, lit(0))), " ").as("btext"))
+    val (report, flagged) = graft.curation.Curation.bloomDecontaminateLazy(
+      d, bench, benchTextCol = "btext")
+    try {
+      val plan = report.queryExecution.executedPlan
+      val exchanges = collect(plan) {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }
+      assert(exchanges.nonEmpty, "expected dedup/report exchanges")
+      for (e <- exchanges; a <- e.output)
+        assert(!Seq("gram", "text", "btext").contains(a.name.toLowerCase),
+          s"corpus text column '${a.name}' reached an exchange")
+      assert(!plan.toString.contains("CartesianProduct"))
+    } finally flagged.unpersist()
   }
 
   test("q166 pipeline chains four stages with text on the base scan side only") {
@@ -327,16 +338,27 @@ class PlanShapeSpec extends SparkSpec
     assert(!plan.toString.contains("CartesianProduct"))
   }
 
-  test("q160 sequence packing is one narrow cumsum window, no joins") {
-    // Token counts are row-local; the only exchanges are the per-stratum
-    // window partitioning and the final presentation sort. A join or a
-    // second window would mean the text was scanned or shuffled twice.
+  test("q160 sequence packing: distributed cumsum, no per-stratum window") {
+    // Token counts are row-local; the running offset is the two-pass
+    // cumsumByStratum. The contract at 100x: every window in the plan
+    // partitions by (bucket, stratum) — never stratum alone, which would
+    // funnel each language through ONE task — the offset frame arrives by
+    // BROADCAST join only (no shuffle join), and no exchange carries text.
     val plan = SparkEntry.queries("q160_seq_pack")(spark, dir)
       .queryExecution.executedPlan
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the cumsum window")
+    for (w <- windows) {
+      assert(w.partitionSpec.length >= 2 &&
+        w.partitionSpec.exists(_.toString.contains("_bkt")),
+        s"window partitions by ${w.partitionSpec} — a stratum-only window " +
+          "serializes each stratum through one task")
+    }
     val s = plan.toString
-    assert(!s.contains("Join"), "packing must not join")
-    assert("WindowExec|Window ".r.findAllIn(s).length <= 2,
-      "expected a single cumsum window")
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      "the offset join must broadcast, not shuffle")
     for (e <- collect(plan) {
       case e: org.apache.spark.sql.execution.exchange.Exchange => e
     }; a <- e.output)
