@@ -42,6 +42,45 @@ import org.apache.spark.sql.functions._
   */
 object AnnIngest {
 
+  /** One ingest batch's per-vector verdict frame — the EXACT decision
+    * logic the streaming loop runs, factored out so a batch replay
+    * (q179, the q156 symmetry for the embedding modality) and the stream
+    * can never diverge. `batch` must already be null-filtered to
+    * (vec_id, embedding); `indexRows` is the index state the batch
+    * arrives against. Both arms go through [[AnnIndex.searchRows]]:
+    * the index arm excludes the batch's own ids (retry safety), the
+    * in-batch arm searches the batch's freshly-encoded rows. Verdict
+    * priority: dropped_vs_index > dropped_in_batch > accepted.
+    */
+  def verdicts(s: org.apache.spark.sql.SparkSession, batch: DataFrame,
+      indexRows: DataFrame, cb: AnnIndex.Codebooks, eps: Double,
+      nprobe: Int, topK: Int): DataFrame = {
+    val clean = batch.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val batchIds = clean.select(col("vec_id")).distinct()
+    val vsIndex = AnnIndex
+      .searchRows(s, clean, indexRows, cb, nprobe, topK, Some(batchIds))
+      .filter(col("adc_dist") <= eps)
+      .groupBy(col("q_id").as("vec_id")).agg(max(lit(1L)).as("vs_index"))
+    // in-batch arm: the batch's own rows, encoded under the saved
+    // codebooks, are the searched side — same plan shape, tiny frame
+    val encoded = Pq.encode(clean, cb.pq)
+      .withColumn("v_nrm", VecOps.norm(col("embedding")))
+      .withColumn("cell",
+        VecOps.argmaxCell(col("embedding"), col("v_nrm"), cb.coarse))
+      .select(col("vec_id"), col("codes"), col("cell"))
+    val vsBatch = AnnIndex.searchRows(s, clean, encoded, cb, nprobe, topK)
+      .filter(col("vec_id") < col("q_id") && col("adc_dist") <= eps)
+      .groupBy(col("q_id").as("vec_id")).agg(max(lit(1L)).as("vs_batch"))
+    batchIds
+      .join(vsIndex, Seq("vec_id"), "left_outer")
+      .join(vsBatch, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        when(col("vs_index") === 1L, "dropped_vs_index")
+          .when(col("vs_batch") === 1L, "dropped_in_batch")
+          .otherwise("accepted").as("verdict"))
+  }
+
   def annDedupIngestStream(vecs: DataFrame, path: String, eps: Double,
       nprobe: Int = 2, topK: Int = 10, checkpoint: Option[String] = None,
       maxFilesPerCell: Int = 0)(
@@ -59,36 +98,17 @@ object AnnIngest {
           .select(col("vec_id"), col("embedding"))
         val batchIds = clean.select(col("vec_id")).distinct()
         val indexRows = s.read.parquet(s"$path/index")
-        val vsIndex = AnnIndex
-          .searchRows(s, clean, indexRows, cb, nprobe, topK, Some(batchIds))
-          .filter(col("adc_dist") <= eps)
-          .groupBy(col("q_id").as("vec_id")).agg(max(lit(1L)).as("vs_index"))
-        // in-batch arm: the batch's own rows, encoded under the saved
-        // codebooks, are the searched side — same plan shape, tiny frame
-        val encoded = Pq.encode(clean, cb.pq)
-          .withColumn("v_nrm", VecOps.norm(col("embedding")))
-          .withColumn("cell",
-            VecOps.argmaxCell(col("embedding"), col("v_nrm"), cb.coarse))
-          .select(col("vec_id"), col("codes"), col("cell"))
-        val vsBatch = AnnIndex.searchRows(s, clean, encoded, cb, nprobe, topK)
-          .filter(col("vec_id") < col("q_id") && col("adc_dist") <= eps)
-          .groupBy(col("q_id").as("vec_id")).agg(max(lit(1L)).as("vs_batch"))
-        val verdicts = batchIds
-          .join(vsIndex, Seq("vec_id"), "left_outer")
-          .join(vsBatch, Seq("vec_id"), "left_outer")
-          .select(col("vec_id"),
-            when(col("vs_index") === 1L, "dropped_vs_index")
-              .when(col("vs_batch") === 1L, "dropped_in_batch")
-              .otherwise("accepted").as("verdict"))
-          .localCheckpoint(true)
+        val batchVerdicts =
+          verdicts(s, clean, indexRows, cb, eps, nprobe, topK)
+            .localCheckpoint(true)
         val alreadyStored = indexRows.select(col("vec_id"))
           .join(broadcast(batchIds), Seq("vec_id"), "left_semi").distinct()
         val acceptedVecs = clean
-          .join(verdicts.filter(col("verdict") === "accepted")
+          .join(batchVerdicts.filter(col("verdict") === "accepted")
             .select(col("vec_id")), Seq("vec_id"))
           .join(broadcast(alreadyStored), Seq("vec_id"), "left_anti")
         AnnIndex.append(s, acceptedVecs, path, maxFilesPerCell)
-        sink(verdicts)
+        sink(batchVerdicts)
         ()
       }
       .start()

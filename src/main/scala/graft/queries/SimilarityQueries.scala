@@ -957,6 +957,54 @@ object SimilarityQueries {
         FROM counts, tot ORDER BY feature, bin"""))
     ,
 
+    // ---- the streaming EMBEDDING ingest's VERDICT algebra, oracle-checked --
+    // The vector sibling of q156: the store-backed embedding ingest loop
+    // (ml/AnnIngest.annDedupIngestStream) decides per-arrival verdicts
+    // against the persisted ANN index — previously spec-only. This is the
+    // batch replay of a two-batch ingest, running the EXACT function the
+    // stream runs per micro-batch ([[graft.ml.AnnIngest.verdicts]] — both
+    // arms through AnnIndex.searchRows, verdict priority dropped_vs_index
+    // > dropped_in_batch > accepted): phase 1 ingests the even vec_ids
+    // against an EMPTY index (in-batch dedup only), the index becomes
+    // phase 1's ACCEPTED rows (exactly what the stream appends — build's
+    // encode and append's encode are the same arithmetic), phase 2
+    // ingests the odd ids against it. One row per vector: (vec_id,
+    // phase, verdict). The live-stream spec (AnnIngestSpec) drives the
+    // same ingest through the real foreachBatch loop and asserts verdict
+    // equality with this replay — closing the q96/q156 batch/stream
+    // symmetry for the third modality. Codebooks are trained ONCE on the
+    // full corpus (build's timed region, q154's attribution), matching
+    // the operational shape where a trained index serves many batches.
+    Q("q179_ann_ingest_verdicts",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        val e = t(s, dir, "embeddings")
+        val path = annIndexPath(s, dir)
+        graft.ml.AnnIndex.build(s, e, path)
+        val cb = graft.ml.AnnIndex.loadCodebooks(s, path)
+        val allRows = graft.ml.AnnIndex.readIndex(s, path)
+        val clean = e.filter(col("embedding").isNotNull)
+          .select(col("vec_id"), col("embedding"))
+        val b1 = clean.filter(col("vec_id") % 2 === 0)
+        val b2 = clean.filter(col("vec_id") % 2 === 1)
+        // phase-1 verdicts feed BOTH the output and the store definition —
+        // persist so the two-arm search pass runs once, not per consumer
+        val v1 = graft.ml.AnnIngest
+          .verdicts(s, b1, allRows.limit(0), cb, eps = 0.95, nprobe = 2, topK = 10)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val store1 = allRows.join(
+          v1.filter(col("verdict") === "accepted").select("vec_id"),
+          Seq("vec_id"), "left_semi")
+        val v2 = graft.ml.AnnIngest
+          .verdicts(s, b2, store1, cb, eps = 0.95, nprobe = 2, topK = 10)
+        v1.withColumn("phase", lit(1L))
+          .unionByName(v2.withColumn("phase", lit(2L)))
+          .select("vec_id", "phase", "verdict")
+          .orderBy("vec_id")
+      },
+      Some(annIngestOracleSql))
+    ,
+
     // ---- recall@10 under the TRAINED codebook ------------------------------
     // q134's one-row quality reduction with the IVF arm assigned and probed
     // via the trained centroids instead of the first-16-vectors heuristic —
@@ -1390,6 +1438,76 @@ object SimilarityQueries {
           CASE WHEN d.q_id IS NOT NULL THEN 'dropped' ELSE 'kept' END AS verdict
         FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL) e
         LEFT JOIN dup d ON d.q_id = e.vec_id
+        ORDER BY e.vec_id"""
+  }
+
+  /** DuckDB replay of the two-phase embedding-ingest verdicts (q179):
+    * the q158 batch machinery (every vector a query, qWhere TRUE), then
+    * three candidate branches over ONE generic candidate set — phase-1
+    * in-batch (evens vs evens, lower-id rule), phase-2 vs-index (odds vs
+    * phase-1's accepted evens, any-neighbor rule), phase-2 in-batch
+    * (odds vs odds, lower-id rule) — each ranked to its own top-10
+    * WITHIN its branch, exactly as searchRows computes top-k over the
+    * searched side only. Verdict priority mirrors AnnIngest.verdicts.
+    */
+  private def annIngestOracleSql: String = {
+    val (perSubspace, codeJoins, adcSum) = pqOraclePartsBatch("TRUE")
+    s"""
+        WITH $trainedIvfCtes,
+        qs AS (SELECT vec_id AS q_id, embedding AS q_emb, v_nrm AS q_nrm
+               FROM nrm WHERE embedding IS NOT NULL),
+        probes AS (
+          SELECT q_id, c_id AS q_cell FROM (
+            SELECT q.q_id, c.c_id,
+              ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(q.q_emb[i] AS DOUBLE) * c.centroid[i]), (x, y) -> x + y)
+                  / (q.q_nrm * c.c_nrm) DESC, c.c_id) AS rn
+            FROM qs q CROSS JOIN cents2 c) WHERE rn <= 2),
+        $perSubspace,
+        allc AS (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL),
+        cand AS MATERIALIZED (
+          SELECT p.q_id, e.vec_id, ($adcSum) AS adc_dist
+          FROM allc e
+            JOIN assignF a ON a.vec_id = e.vec_id
+            JOIN probes p ON a.cell = p.q_cell
+            $codeJoins
+          WHERE e.vec_id <> p.q_id),
+        t1 AS (
+          SELECT q_id, vec_id, adc_dist,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+          FROM cand WHERE q_id % 2 = 0 AND vec_id % 2 = 0),
+        drop1 AS (
+          SELECT DISTINCT q_id FROM t1
+          WHERE rn <= 10 AND vec_id < q_id AND adc_dist <= 0.95),
+        acc1 AS (
+          SELECT vec_id FROM allc WHERE vec_id % 2 = 0
+            AND vec_id NOT IN (SELECT q_id FROM drop1)),
+        t2i AS (
+          SELECT q_id, adc_dist,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+          FROM cand WHERE q_id % 2 = 1
+            AND vec_id IN (SELECT vec_id FROM acc1)),
+        drop2i AS (SELECT DISTINCT q_id FROM t2i WHERE rn <= 10 AND adc_dist <= 0.95),
+        t2b AS (
+          SELECT q_id, vec_id, adc_dist,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+          FROM cand WHERE q_id % 2 = 1 AND vec_id % 2 = 1),
+        drop2b AS (
+          SELECT DISTINCT q_id FROM t2b
+          WHERE rn <= 10 AND vec_id < q_id AND adc_dist <= 0.95)
+        SELECT e.vec_id, CAST(1 + e.vec_id % 2 AS BIGINT) AS phase,
+          CASE WHEN e.vec_id % 2 = 0 THEN
+                 CASE WHEN d1.q_id IS NOT NULL THEN 'dropped_in_batch'
+                      ELSE 'accepted' END
+               ELSE
+                 CASE WHEN d2i.q_id IS NOT NULL THEN 'dropped_vs_index'
+                      WHEN d2b.q_id IS NOT NULL THEN 'dropped_in_batch'
+                      ELSE 'accepted' END END AS verdict
+        FROM allc e
+        LEFT JOIN drop1 d1 ON d1.q_id = e.vec_id
+        LEFT JOIN drop2i d2i ON d2i.q_id = e.vec_id
+        LEFT JOIN drop2b d2b ON d2b.q_id = e.vec_id
         ORDER BY e.vec_id"""
   }
 

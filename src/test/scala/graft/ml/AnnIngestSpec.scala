@@ -76,6 +76,27 @@ class AnnIngestSpec extends SparkSpec {
     val exp2 = expected(b2, state)
     assert(phases(1) == exp2, s"batch-2 verdicts: got ${phases(1)}, want $exp2")
 
+    // ---- the q179 symmetry: the factored-out batch verdict function
+    // (the EXACT code the loop runs per micro-batch) replays both batches
+    // against reconstructed index states and must agree with the stream.
+    // State reconstruction rides the final index itself: its rows are
+    // initial (vec_id < 250) + accepted arrivals, all encoded under the
+    // same codebooks, so filtering by id range IS the historical state.
+    val cb = AnnIndex.loadCodebooks(spark, p)
+    val idx = AnnIndex.readIndex(spark, p)
+    val replay1 = AnnIngest
+      .verdicts(spark, b1, idx.filter(col("vec_id") < 250), cb,
+        eps, nprobe = 2, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(replay1 == phases(0),
+      s"batch-1 function replay: got $replay1, want ${phases(0)}")
+    val replay2 = AnnIngest
+      .verdicts(spark, b2, idx.filter(col("vec_id") < 260), cb,
+        eps, nprobe = 2, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(replay2 == phases(1),
+      s"batch-2 function replay: got $replay2, want ${phases(1)}")
+
     // index contents: the initial build + accepted arrivals, nothing else
     val accepted = phases.flatMap(_.collect { case (id, "accepted") => id }).toSet
     val initial = e.filter(col("vec_id") < 250 && col("embedding").isNotNull)
