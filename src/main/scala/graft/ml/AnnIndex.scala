@@ -147,16 +147,79 @@ object AnnIndex {
   private val StagingDir = ".compact_staging"
   private val BakDir = ".compact_bak"
 
-  /** Crash recovery for [[compactCells]]: a crash between the two renames
-    * leaves a cell's rows ONLY under `.compact_bak/<cell>` — restore it;
-    * staging is never the only copy and is deleted. Runs at the top of
-    * [[compactCells]] AND [[append]] (a cheap existence probe when no
-    * swap debris exists).
+  // root-swap siblings for [[rebuildAndSwap]]: dot-prefixed paths BESIDE
+  // the index root (the root itself is what swaps), invisible to any
+  // listing of the root's parent that skips hidden entries
+  private def rootStaging(path: String): org.apache.hadoop.fs.Path = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.rebuild_staging")
+  }
+  private def rootBak(path: String): org.apache.hadoop.fs.Path = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    new org.apache.hadoop.fs.Path(p.getParent, s".${p.getName}.rebuild_bak")
+  }
+
+  /** The retrain ACTION the q170 drift trigger asks for: retrain
+    * codebooks + rebuild the whole index from `vecs` BESIDE the live one,
+    * then swap the index ROOT through the [[compactCells]] rename-rename
+    * discipline — live → backup, staging → live, delete backup. The
+    * root-level swap is what keeps codebooks and inverted lists
+    * CONSISTENT: they move as one directory, so no reader can ever pair
+    * new codebooks with old cells (the per-subdir swap a naive rebuild
+    * would do has exactly that mixed window). A full copy of the old
+    * index exists on disk at every instant; a crash in the between-rename
+    * window (live absent, backup intact) is healed by [[recoverCells]],
+    * which every index operation already runs first — the rebuild is
+    * simply lost and re-triggered by the next drift check. `vecs` must
+    * not itself read from `path` (the staged build scans it while the
+    * live index still serves queries).
+    */
+  def rebuildAndSwap(spark: SparkSession, vecs: DataFrame, path: String,
+      k: Int = 16, iters: Int = 2, m: Int = 4, pqK: Int = 4): Codebooks = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCells(spark, path)
+    val stg = rootStaging(path)
+    if (fs.exists(stg)) fs.delete(stg, true)
+    val cb = build(spark, vecs, stg.toString, k, iters, m, pqK)
+    val bak = rootBak(path)
+    if (fs.exists(live)) {
+      if (!fs.rename(live, bak))
+        throw new java.io.IOException(s"backup rename failed: $live -> $bak")
+    }
+    if (!fs.rename(stg, live)) {
+      if (fs.exists(bak)) fs.rename(bak, live) // restore — old index intact
+      throw new java.io.IOException(s"swap failed: $stg -> $live")
+    }
+    fs.delete(bak, true)
+    cb
+  }
+
+  /** Crash recovery for [[compactCells]] and [[rebuildAndSwap]]: first
+    * heal a root swap (a crash between [[rebuildAndSwap]]'s two renames
+    * leaves the index ONLY under the backup sibling — restore it; a
+    * crash after the swap leaves a stale backup — delete it; staging is
+    * never the only copy and is always deleted), then the per-cell form
+    * (a crash between [[compactCells]]'s renames leaves a cell's rows
+    * ONLY under `.compact_bak/<cell>` — restore it). Runs at the top of
+    * [[compactCells]], [[append]] AND [[rebuildAndSwap]] (a cheap
+    * existence probe when no swap debris exists).
     */
   def recoverCells(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootStg = rootStaging(path)
+    if (fs.exists(rootStg)) fs.delete(rootStg, true)
+    val rootBk = rootBak(path)
+    if (fs.exists(rootBk)) {
+      if (!fs.exists(live)) {
+        if (!fs.rename(rootBk, live))
+          throw new java.io.IOException(s"root restore failed: $rootBk -> $live")
+      } else fs.delete(rootBk, true)
+    }
     val idx = new Path(indexDir(path))
-    val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(idx)) return
     val stagingRoot = new Path(idx, StagingDir)
     if (fs.exists(stagingRoot)) fs.delete(stagingRoot, true)
@@ -179,6 +242,25 @@ object AnnIndex {
     */
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(indexDir(path))
+
+  /** Materialize the index rows as a cell-BUCKETED managed table — the
+    * co-location layout for extreme-query-count [[batchQuery]]. The
+    * partitioned-parquet layout serves partition PRUNING (query-time cell
+    * filters) but gives the co-partitioned search no distribution
+    * guarantee, so `broadcastProbes = false` re-shuffled the index side
+    * on every query batch; bucketing by cell pays that exchange ONCE at
+    * write (the [[graft.curation.Curation.writeBandedSignatureStore]]
+    * discipline applied to the index), after which every search joins it
+    * with ZERO index-side exchange — only the narrow probe rows move.
+    * `cell` is cast long at write so the join key matches the codebook's
+    * c_id type with no runtime cast in the bucket-pruned path.
+    */
+  def writeBucketedIndex(spark: SparkSession, path: String, table: String,
+      buckets: Int = 32): Unit =
+    graft.io.Writers.writeBucketed(
+      readIndex(spark, path)
+        .select(col("vec_id"), col("codes"), col("cell").cast("long").as("cell")),
+      table, Seq("cell"), buckets)
 
   /** Load the sidecar codebooks (bounded: k coarse rows + m×pqK PQ rows). */
   def loadCodebooks(spark: SparkSession, path: String): Codebooks = {
@@ -268,14 +350,26 @@ object AnnIndex {
     * full-corpus top-k can come back short whenever the unrestricted
     * neighborhood is dominated by excluded vectors. The semi-join runs
     * before ADC scoring, so excluded rows never pay a distance.
+    *
+    * `bucketedTable` routes the search through a [[writeBucketedIndex]]
+    * layout instead of the partitioned parquet: with
+    * `broadcastProbes = false` the cell equi-join then consumes the
+    * table's bucketing directly — zero index-side exchange, only probe
+    * rows shuffle (plan-asserted in AnnIndexSpec; results bit-equal to
+    * the parquet path). A `restrict` semi-join would re-shuffle the
+    * index side on vec_id and forfeit the guarantee — use the parquet
+    * layout for restricted searches.
     */
   def batchQuery(spark: SparkSession, queries: DataFrame, path: String,
       nprobe: Int, topK: Int, exclude: Option[DataFrame] = None,
       broadcastProbes: Boolean = true,
-      restrict: Option[DataFrame] = None): DataFrame = {
+      restrict: Option[DataFrame] = None,
+      bucketedTable: Option[String] = None): DataFrame = {
     VecOps.register(spark)
     val cb = loadCodebooks(spark, path)
-    searchRows(spark, queries, spark.read.parquet(indexDir(path)),
+    val indexRows = bucketedTable.map(spark.table)
+      .getOrElse(spark.read.parquet(indexDir(path)))
+    searchRows(spark, queries, indexRows,
       cb, nprobe, topK, exclude, broadcastProbes, restrict)
   }
 

@@ -144,6 +144,61 @@ class AnnIndexSpec extends SparkSpec
       "the co-partitioned shuffle path must match the broadcast path exactly")
   }
 
+  test("bucketed index: co-partitioned batchQuery has ZERO index-side exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val table = "ann_bucketed_test"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+    AnnIndex.writeBucketedIndex(spark, path, table, buckets = 4)
+    val queries = e.filter(col("vec_id") % 10 === 2)
+    // force the shuffle join: a broadcast would also skip the index-side
+    // exchange, but only because this fixture is tiny — the claim under
+    // test is the bucketed co-location that holds at extreme query counts
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val res = AnnIndex.batchQuery(spark, queries, path, nprobe = 2, topK = 5,
+        broadcastProbes = false, bucketedTable = Some(table))
+      val got = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(x => (x._1, x._3, x._2)).toSeq
+      val plan = res.queryExecution.executedPlan
+      val scans = collect(plan) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.toString.contains(table) => s
+      }
+      assert(scans.nonEmpty && scans.forall(_.toString.contains("Bucketed: true")),
+        s"index scan not bucketed:\n$plan")
+      // no exchange may sit between the index scan and its cell join;
+      // shuffles above the join (the bounded top-k aggregation) are the
+      // probe-sized ones and are fine
+      def reachesScanPreJoin(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        collect(p) {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.toString.contains(table) => s
+        }.nonEmpty && collect(p) {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+          case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        }.isEmpty
+      val indexSideShuffles = collect(plan) {
+        case ex: ShuffleExchangeExec if reachesScanPreJoin(ex.child) => ex
+      }
+      assert(indexSideShuffles.isEmpty,
+        s"index side shuffled despite bucketing:\n$plan")
+      // bit-equal to the broadcast path over the partitioned parquet
+      val want = AnnIndex.batchQuery(spark, queries, path, nprobe = 2, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(x => (x._1, x._3, x._2)).toSeq
+      assert(got == want,
+        "bucketed-path results must match the parquet broadcast path exactly")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("restrict pre-filters the searched side: identity on all ids, subset otherwise") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val queries = e.filter(col("vec_id") % 20 === 2)
@@ -191,6 +246,59 @@ class AnnIndexSpec extends SparkSpec
     val b = AnnIndex.query(spark, e, control, qid = 42, nprobe = 2, topK = 10)
       .collect().map(_.toString).toSeq
     assert(a == b, "compaction must never change query results")
+  }
+
+  test("rebuildAndSwap retrains atomically; crash windows heal whole") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = java.nio.file.Files.createTempDirectory("ann_rebuild").toString + "/idx"
+    AnnIndex.build(spark, e.filter(col("vec_id") < 250), p)
+    val beforeRows = spark.read.parquet(s"$p/index").count()
+    // the q170 trigger fired -> retrain on the full corpus and swap
+    AnnIndex.rebuildAndSwap(spark, e, p)
+    // post-swap the index must be EXACTLY a fresh full build (build is
+    // bit-reproducible, so query equality proves codebooks and cells
+    // swapped TOGETHER — a mixed state would score different distances)
+    val control = java.nio.file.Files.createTempDirectory("ann_rebuild_ctl").toString
+    AnnIndex.build(spark, e, control)
+    val got = AnnIndex.query(spark, e, p, qid = 42, nprobe = 2, topK = 10)
+      .collect().map(_.toString).toSeq
+    val want = AnnIndex.query(spark, e, control, qid = 42, nprobe = 2, topK = 10)
+      .collect().map(_.toString).toSeq
+    assert(got == want)
+    assert(spark.read.parquet(s"$p/index").count() > beforeRows)
+    // recall re-measured on the rebuilt index (the q149-style check):
+    // ANN top-10 against brute-force exact cosine top-10
+    def recall10(idxPath: String): Int = {
+      VecOps.register(spark)
+      val ann = AnnIndex.query(spark, e, idxPath, qid = 42, nprobe = 2, topK = 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val q = e.filter(col("vec_id") === 42)
+        .select(col("embedding").as("q_emb"),
+          VecOps.norm(col("embedding")).as("q_nrm"))
+      val exact = e.filter(col("embedding").isNotNull && col("vec_id") =!= 42)
+        .crossJoin(q)
+        .withColumn("sim", VecOps.dot(col("embedding"), col("q_emb"))
+          / (VecOps.norm(col("embedding")) * col("q_nrm")))
+        .orderBy(desc("sim"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (ann intersect exact).size
+    }
+    assert(recall10(p) == recall10(control))
+    // crash between the two renames: the live root is ABSENT and the
+    // backup sibling holds the whole old index — recovery restores it
+    val root = new java.io.File(p)
+    val bak = new java.io.File(root.getParentFile, s".${root.getName}.rebuild_bak")
+    assert(root.renameTo(bak))
+    AnnIndex.recoverCells(spark, p)
+    val healed = AnnIndex.query(spark, e, p, qid = 42, nprobe = 2, topK = 10)
+      .collect().map(_.toString).toSeq
+    assert(healed == got, "healed index must be the pre-crash whole index")
+    assert(!bak.exists(), "backup sibling must be cleaned up")
+    // stale staging from an aborted rebuild is swept, never read
+    val stg = new java.io.File(root.getParentFile, s".${root.getName}.rebuild_staging")
+    assert(stg.mkdirs())
+    AnnIndex.recoverCells(spark, p)
+    assert(!stg.exists(), "stale staging must be swept")
   }
 
   test("recoverCells restores a cell stranded mid-swap") {
