@@ -1094,5 +1094,74 @@ object TextQueries {
           FROM scored WHERE jac > 0)
         SELECT q_id, doc_b AS doc_id, jac, rank FROM ranked
         WHERE rank <= 5 ORDER BY q_id, rank"""))
+    ,
+
+    // ---- BPE vocabulary TRAINING (the q136/q176 gap closed) ---------------
+    // q136 APPLIES a given vocab and q176 measures a vocab's coverage —
+    // this LEARNS one: 8 rounds of the classic BPE reduction (Sennrich et
+    // al. 2016) over the distinct-word frequency table. Segmentations ride
+    // as paren-wrapped strings so each round's merge application is a
+    // literal left-to-right non-overlapping replace with identical
+    // semantics in both engines; pair counts are exact integer sums and
+    // the winner tie-breaks lexicographically, so the learned merge TABLE
+    // (step, piece_a, piece_b, merged, pair_count) is deterministic and
+    // the oracle replays all 8 rounds unrolled (the kmeans-oracle
+    // discipline). BpeSpec feeds the trained vocab to q136's tokenizer.
+    Q("q180_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        val model = graft.text.BpeTrainer.fit(s, t(s, dir, "documents"), merges = 8)
+        model.merges.zipWithIndex.map { case ((a, b, c), i) =>
+          (i + 1L, a, b, a + b, c)
+        }.toDF("step", "piece_a", "piece_b", "merged", "pair_count")
+          .orderBy("step")
+      },
+      Some(bpeOracleSql))
   )
+
+  /** DuckDB replay of BPE training (q180): the same word-frequency gate
+    * (`^[a-z]+$`), the same paren-wrapped segmentation strings, and 8
+    * unrolled rounds of pair-count → deterministic top-1 → literal
+    * replace. `replace` is non-overlapping left-to-right in both engines
+    * and the per-symbol parens keep adjacent matches from sharing
+    * boundary characters, so the segmentation states stay bit-identical
+    * round for round.
+    */
+  private def bpeOracleSql: String = {
+    val rounds = 8
+    val roundCtes = (1 to rounds).map { i =>
+      s"""
+        pairs$i AS (
+          SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+            SELECT syms[i] AS a, syms[i + 1] AS b, freq
+            FROM (SELECT string_split(substring(seg, 2, length(seg) - 2),
+                    ')(') AS syms, freq FROM seg${i - 1}),
+                 UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+            WHERE len(syms) >= 2)
+          GROUP BY 1, 2),
+        top$i AS (
+          SELECT a, b, cnt FROM pairs$i ORDER BY cnt DESC, a, b LIMIT 1),
+        seg$i AS (
+          SELECT word, freq,
+            replace(seg, '(' || t.a || ')(' || t.b || ')',
+                    '(' || t.a || t.b || ')') AS seg
+          FROM seg${i - 1}, top$i t)"""
+    }.mkString(",")
+    val out = (1 to rounds).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS step, a AS piece_a, b AS piece_b,
+            a || b AS merged, cnt AS pair_count FROM top$i""")
+      .mkString(" UNION ALL ")
+    s"""
+        WITH w AS (
+          SELECT tok AS word, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents)
+          WHERE regexp_matches(tok, '^[a-z]+$$')
+          GROUP BY 1),
+        seg0 AS (
+          SELECT word, freq,
+            regexp_replace(word, '(.)', '(\\1)', 'g') AS seg FROM w),
+        $roundCtes
+        SELECT * FROM ($out) ORDER BY step"""
+  }
 }
