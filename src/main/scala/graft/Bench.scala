@@ -55,6 +55,22 @@ object Bench {
       return
     }
 
+    // ---- shared ANN index: built ONCE, timed as its own row ----------
+    // The ANN family (q154/q155/q158/q165/q169/q170/q179) searches the
+    // IDENTICAL index; rebuilding it inside each timed region billed
+    // ~5 s x 7 of duplicate build cost to queries that are measuring
+    // search. One explicit build row keeps attribution honest — family
+    // rows below then time pure search against the shared index.
+    val annBuild =
+      try {
+        val t0 = System.nanoTime()
+        graft.queries.SimilarityQueries.ensureIndex(spark, sfDir)
+        Seq("ann_index_build" -> (System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ann index build failed: $e"); Seq.empty
+      }
+
     // min of two runs: the second run reflects steady-state (JIT-warm,
     // file-cache-warm) execution, which is what a long-lived cluster sees.
     // The two samples come from two FULL PASSES over the registry, not
@@ -110,7 +126,7 @@ object Bench {
     // row-group min/max stats (the Delta/Iceberg OPTIMIZE ZORDER effect).
     val zorderResults = benchZOrder(spark)
 
-    val qs = (results ++ bucketResults ++ zorderResults ++ skewResults)
+    val qs = (annBuild ++ results ++ bucketResults ++ zorderResults ++ skewResults)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
