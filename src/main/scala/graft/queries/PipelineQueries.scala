@@ -591,5 +591,61 @@ object PipelineQueries {
             / (CAST(c.n_ref AS DOUBLE) / t_ref + CAST(c.n_new AS DOUBLE) / t_new) AS chi2_term
         FROM counts c JOIN tot USING (feature)
         ORDER BY 1, 2"""))
+    ,
+
+    // ---- drift report under a CUSTOM feature set --------------------------
+    // q159's algebra with the monitored features supplied by the caller
+    // (ops/Drift.DriftFeature — the round-10 parameterization): token
+    // count at width 4 and vowel count at width 8, both integer-derived
+    // in the scan stage. Everything downstream of binning is the SAME
+    // report function q159 and the streaming monitor end in, so adding a
+    // feature can never fork the algebra — this row proves the
+    // parameterized path against the oracle, not just the default set.
+    Q("q183_drift_custom_features",
+      (s, dir) => {
+        import graft.ops.Drift
+        val feats = Seq(
+          Drift.DriftFeature("n_tokens",
+            size(split(trim(col("text")), "\\s+")).cast("long"), 4L),
+          Drift.DriftFeature("vowels",
+            (length(col("text"))
+              - length(regexp_replace(col("text"), "[aeiou]", ""))).cast("long"), 8L))
+        val longf = t(s, dir, "documents").select(
+            when(col("doc_id") % 2 === 0, "ref").otherwise("new").as("snap"),
+            explode(Drift.binStructsFor(feats)).as("fb"))
+          .select(col("snap"), col("fb.feature"), col("fb.bin"))
+        val counts = longf.groupBy("feature", "bin").agg(
+          sum(when(col("snap") === "ref", 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("snap") === "new", 1L).otherwise(0L)).as("n_new"))
+        Drift.report(counts)
+      },
+      Some("""
+        WITH base AS (
+          SELECT CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'new' END AS snap,
+            len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+            length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS vowels
+          FROM documents),
+        longf AS (
+          SELECT snap, 'n_tokens' AS feature, LEAST(n_tokens // 4, 19) AS bin FROM base
+          UNION ALL
+          SELECT snap, 'vowels' AS feature, LEAST(vowels // 8, 19) AS bin FROM base),
+        counts AS (
+          SELECT feature, bin,
+            CAST(SUM(CASE WHEN snap = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+            CAST(SUM(CASE WHEN snap = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+          FROM longf GROUP BY 1, 2),
+        tot AS (
+          SELECT feature, CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+            CAST(SUM(n_new) AS BIGINT) AS t_new
+          FROM counts GROUP BY 1)
+        SELECT c.feature, c.bin, c.n_ref, c.n_new,
+          CAST(c.n_ref AS DOUBLE) / t_ref AS share_ref,
+          CAST(c.n_new AS DOUBLE) / t_new AS share_new,
+          abs(CAST(c.n_ref AS DOUBLE) / t_ref - CAST(c.n_new AS DOUBLE) / t_new) AS l1_term,
+          (CAST(c.n_ref AS DOUBLE) / t_ref - CAST(c.n_new AS DOUBLE) / t_new)
+            * (CAST(c.n_ref AS DOUBLE) / t_ref - CAST(c.n_new AS DOUBLE) / t_new)
+            / (CAST(c.n_ref AS DOUBLE) / t_ref + CAST(c.n_new AS DOUBLE) / t_new) AS chi2_term
+        FROM counts c JOIN tot USING (feature)
+        ORDER BY 1, 2"""))
   )
 }

@@ -998,6 +998,60 @@ object SimilarityQueries {
       Some(annIngestOracleSql))
     ,
 
+    // ---- batch ANN over the cell-BUCKETED index layout ---------------------
+    // The extreme-query-count arm made real: q155's co-partitioned search
+    // (broadcastProbes = false) re-shuffled the partitioned-parquet index
+    // on every query batch; here the index rows are materialized as a
+    // cell-bucketed table (AnnIndex.writeBucketedIndex — the banded
+    // signature store discipline) and the SAME search consumes its
+    // bucketing with ZERO index-side exchange (plan-asserted in
+    // AnnIndexSpec). Results are bit-equal to q155's broadcast path, so
+    // the oracle IS q155's oracle — one replay checks both layouts.
+    Q("q181_ann_bucketed_batch",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        val e = t(s, dir, "embeddings")
+        val path = ensureIndex(s, dir)
+        val table = "graft_ann_bucketed"
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        // a crashed earlier run can leave the warehouse location behind
+        // with no catalog entry (LOCATION_ALREADY_EXISTS on recreate)
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        graft.ml.AnnIndex.writeBucketedIndex(s, path, table, buckets = 8)
+        graft.ml.AnnIndex
+          .batchQuery(s, e.filter(col("vec_id") % 100 === 42),
+            path, nprobe = 2, topK = 10, broadcastProbes = false,
+            bucketedTable = Some(table))
+          .orderBy("q_id", "adc_dist", "vec_id")
+      },
+      Some(annBatchOracleSql))
+    ,
+
+    // ---- retrain-and-swap: the q170 trigger's ACTION, oracle-checked ------
+    // Operational loop closed end to end: a STALE index (trained on the
+    // vec_id % 4 slice) serves until drift accumulates; rebuildAndSwap
+    // retrains codebooks on the full corpus and swaps the index ROOT
+    // through the rename-rename discipline (codebooks + cells move as one
+    // directory — no reader can pair new codebooks with old cells; crash
+    // recovery spec'd in AnnIndexSpec). Because build is bit-reproducible,
+    // the post-swap index IS a fresh full build, so q154's trained-replay
+    // oracle checks the swapped index exactly — a half-swapped or
+    // stale-codebook state would hash-mismatch every distance.
+    Q("q182_index_rebuild_swap",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        val e = t(s, dir, "embeddings")
+        val path = annIndexPath(s, dir) + "_rebuild"
+        graft.ml.AnnIndex.build(s, e.filter(col("vec_id") % 4 === 0), path)
+        graft.ml.AnnIndex.rebuildAndSwap(s, e, path)
+        graft.ml.AnnIndex.query(s, e, path, qid = 42, nprobe = 2, topK = 10)
+      },
+      Some(ivfPqTrainedOracleSql))
+    ,
+
     // ---- recall@10 under the TRAINED codebook ------------------------------
     // q134's one-row quality reduction with the IVF arm assigned and probed
     // via the trained centroids instead of the first-16-vectors heuristic —
