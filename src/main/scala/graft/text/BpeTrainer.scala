@@ -91,6 +91,12 @@ object BpeTrainer {
           learned = (a, b, c) :: learned
           seg = seg.withColumn("seg",
             replace(col("seg"), lit(s"($a)($b)"), lit(s"($a$b)")))
+          // bound the lineage: without a cut, round i's aggregate replays
+          // i chained replaces, making a real (30k-merge) training run
+          // quadratic in plan depth. The table is vocabulary-sized, so an
+          // eager local checkpoint every 16 rounds is cheap and keeps
+          // every round's plan shallow.
+          if (step % 16 == 15) seg = seg.localCheckpoint(true)
         }
         step += 1
       }
