@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.text.TextFunctions._
 import Qx._
@@ -1117,20 +1117,82 @@ object TextQueries {
           .orderBy("step")
       },
       Some(bpeOracleSql))
+    ,
+
+    // ---- WordPiece-style training: the likelihood ranking -----------------
+    // Same loop as q180 with the WordPiece objective: each round fuses
+    // the pair maximizing count(a,b) / (count(a) * count(b)) — what
+    // co-occurs far beyond its parts' popularity (morpheme-like units),
+    // where BPE fuses whatever is commonest. One extra narrow aggregate
+    // per round (weighted symbol counts from the same segmentation
+    // frame); the score is pure IEEE (one convert per operand, one
+    // multiply, one divide — bit-identical across engines), ties break
+    // lexicographically. Pieces are position-free, feeding the SAME
+    // greedy tokenizer (q136) — WordPiece inference IS greedy
+    // longest-match.
+    Q("q184_wordpiece_train",
+      (s, dir) => {
+        import s.implicits._
+        val model = graft.text.BpeTrainer
+          .fitWordPiece(s, t(s, dir, "documents"), merges = 8)
+        model.merges.zipWithIndex.map { case ((a, b, c), i) =>
+          (i + 1L, a, b, a + b, c)
+        }.toDF("step", "piece_a", "piece_b", "merged", "pair_count")
+          .orderBy("step")
+      },
+      Some(wordPieceOracleSql))
+    ,
+
+    // ---- BPE ENCODING under the learned merges ----------------------------
+    // The apply side of q180, closing the train->encode loop: true BPE
+    // inference applies the learned merges IN TRAINING ORDER (not q136's
+    // greedy longest-match — the two disagree exactly where BPE's merge
+    // history matters). Every word is char-wrapped and pushed through
+    // the 8 replaces row-locally; a doc's piece stream is its words'
+    // encodings concatenated (parens delimit pieces). Output per doc:
+    // piece count + md5 of the piece stream — the oracle re-trains AND
+    // re-encodes, so a single drifted merge flips every downstream hash.
+    Q("q185_bpe_encode",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val model = graft.text.BpeTrainer.fit(s, d, merges = 8)
+        def encWord(w: Column): Column =
+          model.merges.foldLeft(regexp_replace(w, "(.)", "($1)")) {
+            case (e, (a, b, _)) => replace(e, lit(s"($a)($b)"), lit(s"($a$b)"))
+          }
+        val doc = concat_ws("",
+          transform(tokens(col("text")), encWord(_)))
+        d.select(col("doc_id"), doc.as("d"))
+          .select(col("doc_id"),
+            (length(col("d")) - length(replace(col("d"), lit("("), lit(""))))
+              .cast("long").as("n_pieces"),
+            md5(col("d")).as("pieces_md5"))
+          .orderBy("doc_id")
+      },
+      Some(bpeEncodeOracleSql))
   )
 
-  /** DuckDB replay of BPE training (q180): the same word-frequency gate
-    * (`^[a-z]+$`), the same paren-wrapped segmentation strings, and 8
-    * unrolled rounds of pair-count → deterministic top-1 → literal
-    * replace. `replace` is non-overlapping left-to-right in both engines
-    * and the per-symbol parens keep adjacent matches from sharing
-    * boundary characters, so the segmentation states stay bit-identical
-    * round for round.
+  /** The shared header of every BPE-family oracle: the `^[a-z]+$`-gated
+    * distinct-word frequency table and the char-wrapped seg0. Every
+    * multiply-referenced CTE in the chain (w, seg_i, top_i) is pinned
+    * MATERIALIZED: DuckDB otherwise re-inlines them, and with seg_i
+    * referenced 2-3 times per round the inlined tree grows 2^rounds to
+    * 3^rounds scans of `documents` — measured as a "too many open files"
+    * failure at 8 rounds (the pqOraclePartsBatch lesson, round 9).
     */
-  private def bpeOracleSql: String = {
-    val rounds = 8
-    val roundCtes = (1 to rounds).map { i =>
-      s"""
+  private def bpeHeaderCtes: String = s"""
+        w AS MATERIALIZED (
+          SELECT tok AS word, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents)
+          WHERE regexp_matches(tok, '^[a-z]+$$')
+          GROUP BY 1),
+        seg0 AS MATERIALIZED (
+          SELECT word, freq,
+            regexp_replace(word, '(.)', '(\\1)', 'g') AS seg FROM w)"""
+
+  /** One training round's pair-count CTE over seg(i-1). */
+  private def bpePairsCte(i: Int): String = s"""
         pairs$i AS (
           SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
             SELECT syms[i] AS a, syms[i + 1] AS b, freq
@@ -1138,30 +1200,121 @@ object TextQueries {
                     ')(') AS syms, freq FROM seg${i - 1}),
                  UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
             WHERE len(syms) >= 2)
-          GROUP BY 1, 2),
-        top$i AS (
-          SELECT a, b, cnt FROM pairs$i ORDER BY cnt DESC, a, b LIMIT 1),
-        seg$i AS (
+          GROUP BY 1, 2)"""
+
+  /** One round's merge application: seg(i) = seg(i-1) under top(i). */
+  private def bpeSegCte(i: Int): String = s"""
+        seg$i AS MATERIALIZED (
           SELECT word, freq,
             replace(seg, '(' || t.a || ')(' || t.b || ')',
                     '(' || t.a || t.b || ')') AS seg
           FROM seg${i - 1}, top$i t)"""
-    }.mkString(",")
+
+  /** The merge-table SELECT over top1..topN. */
+  private def bpeMergeTable(rounds: Int): String = {
     val out = (1 to rounds).map(i =>
       s"""SELECT CAST($i AS BIGINT) AS step, a AS piece_a, b AS piece_b,
             a || b AS merged, cnt AS pair_count FROM top$i""")
       .mkString(" UNION ALL ")
+    s"SELECT * FROM ($out) ORDER BY step"
+  }
+
+  /** DuckDB replay of BPE training (q180): the same word-frequency gate,
+    * the same paren-wrapped segmentation strings, and 8 unrolled rounds
+    * of pair-count → deterministic top-1 (count DESC, lexicographic) →
+    * literal replace. `replace` is non-overlapping left-to-right in both
+    * engines and the per-symbol parens keep adjacent matches from
+    * sharing boundary characters, so the segmentation states stay
+    * bit-identical round for round.
+    */
+  private def bpeOracleSql: String = {
+    val rounds = 8
+    val roundCtes = (1 to rounds).map { i =>
+      s"""${bpePairsCte(i)},
+        top$i AS MATERIALIZED (
+          SELECT a, b, cnt FROM pairs$i ORDER BY cnt DESC, a, b LIMIT 1),
+        ${bpeSegCte(i)}"""
+    }.mkString(",")
     s"""
-        WITH w AS (
-          SELECT tok AS word, COUNT(*) AS freq FROM (
-            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
-            FROM documents)
-          WHERE regexp_matches(tok, '^[a-z]+$$')
-          GROUP BY 1),
-        seg0 AS (
-          SELECT word, freq,
-            regexp_replace(word, '(.)', '(\\1)', 'g') AS seg FROM w),
+        WITH $bpeHeaderCtes,
         $roundCtes
-        SELECT * FROM ($out) ORDER BY step"""
+        ${bpeMergeTable(rounds)}"""
+  }
+
+  /** DuckDB replay of WordPiece-style training (q184): the BPE rounds
+    * with the likelihood ranking — each round additionally counts every
+    * SYMBOL's weighted frequency and the winner maximizes
+    * cnt / (count(a) * count(b)). The score is one long→double per
+    * operand, one multiply, one divide — all IEEE, bit-identical across
+    * engines; ties break on (a, b).
+    */
+  private def wordPieceOracleSql: String = {
+    val rounds = 8
+    val roundCtes = (1 to rounds).map { i =>
+      s"""${bpePairsCte(i)},
+        syms$i AS (
+          SELECT s, CAST(SUM(freq) AS BIGINT) AS sc FROM (
+            SELECT unnest(string_split(substring(seg, 2, length(seg) - 2),
+                ')(')) AS s, freq
+            FROM seg${i - 1})
+          GROUP BY 1),
+        top$i AS MATERIALIZED (
+          SELECT a, b, cnt FROM (
+            SELECT p.a, p.b, p.cnt,
+              CAST(p.cnt AS DOUBLE)
+                / (CAST(ca.sc AS DOUBLE) * CAST(cb.sc AS DOUBLE)) AS score
+            FROM pairs$i p
+            JOIN syms$i ca ON ca.s = p.a
+            JOIN syms$i cb ON cb.s = p.b)
+          ORDER BY score DESC, a, b LIMIT 1),
+        ${bpeSegCte(i)}"""
+    }.mkString(",")
+    s"""
+        WITH $bpeHeaderCtes,
+        $roundCtes
+        ${bpeMergeTable(rounds)}"""
+  }
+
+  /** DuckDB replay of BPE ENCODING under the trained merges (q185):
+    * q180's training rounds produce top1..top8; every corpus word (no
+    * alphabet gate at encode time — merges simply never match outside
+    * their symbols) is char-wrapped and pushed through the 8 replaces in
+    * training order; a document's piece stream is its words' encodings
+    * concatenated in order (parens delimit pieces, so no separator is
+    * needed) and n_pieces is the '(' count.
+    */
+  private def bpeEncodeOracleSql: String = {
+    val rounds = 8
+    val roundCtes = (1 to rounds).map { i =>
+      s"""${bpePairsCte(i)},
+        top$i AS MATERIALIZED (
+          SELECT a, b, cnt FROM pairs$i ORDER BY cnt DESC, a, b LIMIT 1),
+        ${bpeSegCte(i)}"""
+    }.mkString(",")
+    val applied = (1 to rounds).foldLeft("e") { (acc, i) =>
+      s"replace($acc, '(' || t$i.a || ')(' || t$i.b || ')', '(' || t$i.a || t$i.b || ')')"
+    }
+    val tops = (1 to rounds).map(i => s"top$i t$i").mkString(", ")
+    s"""
+        WITH $bpeHeaderCtes,
+        $roundCtes,
+        enc0 AS (
+          SELECT doc_id, widx, regexp_replace(wd, '(.)', '(\\1)', 'g') AS e
+          FROM (
+            SELECT doc_id, i AS widx, ws[i] AS wd
+            FROM (SELECT doc_id,
+                    string_split_regex(trim(text), '\\s+') AS ws
+                  FROM documents),
+                 UNNEST(generate_series(1, len(ws))) AS t(i))),
+        encF AS (
+          SELECT doc_id, widx, $applied AS e
+          FROM enc0, $tops),
+        docenc AS (
+          SELECT doc_id, string_agg(e, '' ORDER BY widx) AS d
+          FROM encF GROUP BY doc_id)
+        SELECT doc_id,
+          CAST(length(d) - length(replace(d, '(', '')) AS BIGINT) AS n_pieces,
+          md5(d) AS pieces_md5
+        FROM docenc ORDER BY doc_id"""
   }
 }

@@ -50,17 +50,36 @@ object BpeTrainer {
       (alphabet ++ merges.map { case (a, b, _) => a + b }).distinct
   }
 
-  /** Learn `merges` BPE merges from `docs(textCol)`. Returns fewer when
-    * the corpus runs out of adjacent pairs first (every word fused to a
-    * single symbol).
+  /** The distinct-word frequency table the rounds iterate over — the one
+    * corpus scan either trainer makes.
     */
-  def fit(spark: SparkSession, docs: DataFrame, merges: Int,
-      textCol: String = "text"): BpeModel = {
-    require(merges >= 0, s"merges must be >= 0, got $merges")
-    val words = docs
+  private def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+
+  /** Adjacent-pair counts over a segmentation frame: (a, b, cnt). */
+  private def pairCounts(seg: DataFrame): DataFrame = {
+    val syms = split(expr("substring(seg, 2, length(seg) - 2)"), "\\)\\(")
+    seg
+      .select(col("freq"), syms.as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(0, size(syms) - 2)," +
+          " i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("freq").as("cnt"))
+  }
+
+  /** The shared training loop: `pickTop` ranks a round's pair counts
+    * (given the round's segmentation frame) and returns the winner.
+    */
+  private def trainLoop(spark: SparkSession, docs: DataFrame, merges: Int,
+      textCol: String)(
+      pickTop: DataFrame => Array[org.apache.spark.sql.Row]): BpeModel = {
+    require(merges >= 0, s"merges must be >= 0, got $merges")
+    val words = wordTable(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val alphabet = words
@@ -73,17 +92,7 @@ object BpeTrainer {
       var step = 0
       var exhausted = false
       while (step < merges && !exhausted) {
-        val syms = split(expr("substring(seg, 2, length(seg) - 2)"), "\\)\\(")
-        val top = seg
-          .select(col("freq"), syms.as("syms"))
-          .filter(size(col("syms")) >= 2)
-          .select(col("freq"), explode(expr(
-            "transform(sequence(0, size(syms) - 2)," +
-              " i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("freq").as("cnt"))
-          .orderBy(desc("cnt"), col("a"), col("b"))
-          .limit(1).collect()
+        val top = pickTop(seg)
         if (top.isEmpty) exhausted = true
         else {
           val (a, b, c) =
@@ -106,4 +115,47 @@ object BpeTrainer {
       ()
     }
   }
+
+  /** Learn `merges` BPE merges from `docs(textCol)`: each round fuses the
+    * most FREQUENT adjacent pair. Returns fewer when the corpus runs out
+    * of adjacent pairs first (every word fused to a single symbol).
+    */
+  def fit(spark: SparkSession, docs: DataFrame, merges: Int,
+      textCol: String = "text"): BpeModel =
+    trainLoop(spark, docs, merges, textCol) { seg =>
+      pairCounts(seg)
+        .orderBy(desc("cnt"), col("a"), col("b"))
+        .limit(1).collect()
+    }
+
+  /** WordPiece-style training: each round fuses the pair maximizing the
+    * LIKELIHOOD score count(a,b) / (count(a) * count(b)) — pairs that
+    * co-occur far more than their parts' popularity predicts, which
+    * favors morpheme-like units over raw frequency (BPE's rule fuses
+    * whatever is commonest; this fuses what is most surprising). Symbol
+    * counts come from the same segmentation frame as the pair counts, so
+    * one round costs two narrow aggregates + two broadcast joins. The
+    * score is one long→double conversion per operand, one multiply, one
+    * divide — all IEEE, bit-identical across engines (the repo's
+    * log-free discipline), with (score DESC, a, b) ordering making ties
+    * deterministic. The merged piece is position-free (no ##
+    * continuation marker), matching what [[SubwordTokenizer]]'s greedy
+    * longest-match inference consumes.
+    */
+  def fitWordPiece(spark: SparkSession, docs: DataFrame, merges: Int,
+      textCol: String = "text"): BpeModel =
+    trainLoop(spark, docs, merges, textCol) { seg =>
+      val syms = split(expr("substring(seg, 2, length(seg) - 2)"), "\\)\\(")
+      val symCnt = seg
+        .select(col("freq"), explode(syms).as("s"))
+        .groupBy("s").agg(sum("freq").as("sc"))
+      pairCounts(seg)
+        .join(broadcast(symCnt.select(col("s").as("a"), col("sc").as("ca"))), Seq("a"))
+        .join(broadcast(symCnt.select(col("s").as("b"), col("sc").as("cb"))), Seq("b"))
+        .withColumn("score",
+          col("cnt").cast("double") / (col("ca").cast("double") * col("cb").cast("double")))
+        .orderBy(desc("score"), col("a"), col("b"))
+        .select(col("a"), col("b"), col("cnt"))
+        .limit(1).collect()
+    }
 }

@@ -49,6 +49,16 @@ class BpeSpec extends SparkSpec {
     assert(m.merges === Seq(("a", "b", 2L))) // after 'ab' fuses, no pairs
   }
 
+  test("wordpiece objective diverges from BPE where likelihood beats count") {
+    // 'aa' x3, 'ab' x1: symbol counts a=7, b=1.
+    // BPE: (a,a) count 3 beats (a,b) count 1.
+    // WordPiece: score(a,b) = 1/(7*1) = 0.143 > score(a,a) = 3/49 = 0.061.
+    val d = Seq("aa aa aa ab").toDF("text")
+    assert(BpeTrainer.fit(spark, d, merges = 1).merges === Seq(("a", "a", 3L)))
+    assert(BpeTrainer.fitWordPiece(spark, d, merges = 1).merges
+      === Seq(("a", "b", 1L)))
+  }
+
   test("trained vocab drives q136's tokenizer and compresses the corpus") {
     SubwordTokenizer.register(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
