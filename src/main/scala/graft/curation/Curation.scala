@@ -650,6 +650,49 @@ object Curation {
       .orderBy(groupCol)
   }
 
+  /** The ACTION for [[dupSpanReport]]'s findings (the same
+    * report-to-action closure as q170→rebuildAndSwap): rewrite each
+    * document with its duplicated spans REMOVED — Lee et al.'s actual
+    * dedup step, where the report only locates the spans. A token is
+    * dropped when ANY corpus-duplicated window covers it (the union of
+    * covered ranges IS the span set — no island merging needed at
+    * removal grain). Output: one row per doc — (idCol, n_tokens,
+    * n_kept, clean_md5, clean_text), with clean_text the kept tokens
+    * re-joined in order.
+    *
+    * 100 TB shape: window hashing is row-local; what shuffles is
+    * (id, i, h) — never text. Per-doc dup-window positions come back as
+    * ONE bounded array (bounded by the doc's own length, not the
+    * corpus), and the rewrite is a row-local HOF filter over the token
+    * array — the text column never leaves its scan-side row.
+    */
+  def removeDupSpans(docs: DataFrame, windowTokens: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    graft.text.TextSketch.register(docs.sparkSession)
+    val winds = docs.select(col(idCol),
+        posexplode(graft.text.TextSketch.wordShingles(col(textCol), windowTokens))
+          .as(Seq("i", "wtext")))
+      .select(col(idCol), col("i"), md5(col("wtext")).as("h"))
+    val dup = winds
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("cnt") > 1)
+      .groupBy(idCol)
+      .agg(sort_array(collect_set(col("i"))).as("dupw"))
+    val toks = tokens(col(textCol))
+    docs.join(dup, Seq(idCol), "left")
+      .withColumn("toks", toks)
+      .withColumn("kept",
+        when(col("dupw").isNull, col("toks"))
+          .otherwise(filter(col("toks"), (_, p) =>
+            !exists(col("dupw"),
+              i => i <= p && p <= i + lit(windowTokens - 1)))))
+      .select(col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(array_join(col("kept"), " ")).as("clean_md5"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
   /** Materialize the interleaved training order (q142's layout) the way a
     * 100-TB run must: no global row_number window (whose single ordered
     * partition serializes the corpus through one task), but

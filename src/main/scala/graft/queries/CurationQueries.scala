@@ -892,5 +892,72 @@ object CurationQueries {
           LEFT JOIN cc1 USING (lang) LEFT JOIN cc2 USING (lang)
           LEFT JOIN cc3 USING (lang) LEFT JOIN seqs USING (lang)
         ORDER BY c0.lang"""))
+    ,
+
+    // ---- dup-span REMOVAL: acting on q164's report ------------------------
+    // q164 locates duplicated spans; this REMOVES them (Lee et al.'s
+    // actual dedup step) over the perturbed corpus (base ∪ near-dups ∪
+    // exact copies — the same derivation as the near-dup queries, so
+    // there are real cross-doc spans to cut). A token drops when ANY
+    // corpus-duplicated 10-token window covers it — the union of covered
+    // ranges IS the span set, no island merge needed at removal grain.
+    // Per-doc output (n_tokens, n_kept, md5 of the rewritten text): the
+    // oracle recomputes window multiplicity, coverage, and the rewritten
+    // string, so one wrongly-kept token flips that doc's hash.
+    Q("q186_dup_span_removal",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "text")
+        val toks = split(trim(col("text")), "\\s+")
+        val nearDups = d.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            array_join(slice(toks, lit(3),
+              greatest(size(toks) - 2, lit(0))), " ").as("text"))
+        val copies = d.filter(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+        val corpus = d.unionByName(nearDups).unionByName(copies)
+        graft.curation.Curation.removeDupSpans(corpus)
+          .select("doc_id", "n_tokens", "n_kept", "clean_md5")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id,
+            array_to_string(string_split_regex(trim(text), '\s+')[3:], ' ') AS text
+          FROM documents WHERE doc_id % 25 = 0
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id, text
+          FROM documents WHERE doc_id % 40 = 0),
+        tok AS MATERIALIZED (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM corpus),
+        winds AS (
+          SELECT doc_id, i - 1 AS i,
+            md5(array_to_string(w[i:i+9], ' ')) AS h
+          FROM tok, UNNEST(generate_series(1, len(w) - 9)) AS t(i)),
+        dups AS MATERIALIZED (
+          SELECT doc_id, i FROM (
+            SELECT doc_id, i, COUNT(*) OVER (PARTITION BY h) AS cnt
+            FROM winds)
+          WHERE cnt > 1),
+        toksl AS (
+          SELECT doc_id, p - 1 AS p, w[p] AS tk
+          FROM tok, UNNEST(generate_series(1, len(w))) AS t(p)),
+        cov AS (
+          SELECT DISTINCT d.doc_id, c.p
+          FROM dups d, UNNEST(generate_series(d.i, d.i + 9)) AS c(p)),
+        keptl AS (
+          SELECT t.doc_id, t.p, t.tk
+          FROM toksl t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+          WHERE c.p IS NULL),
+        clean AS (
+          SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS ct,
+            COUNT(*) AS n_after
+          FROM keptl GROUP BY 1)
+        SELECT t0.doc_id, CAST(len(t0.w) AS BIGINT) AS n_tokens,
+          CAST(COALESCE(c.n_after, 0) AS BIGINT) AS n_kept,
+          md5(COALESCE(c.ct, '')) AS clean_md5
+        FROM tok t0 LEFT JOIN clean c USING (doc_id)
+        ORDER BY t0.doc_id"""))
   )
 }

@@ -271,6 +271,33 @@ class CurationWave3Spec extends SparkSpec {
     assert(perFile.flatten.map(_._3).toSeq === expected)
   }
 
+  // ---- removeDupSpans (q186: acting on q164's report) ---------------------
+
+  test("removeDupSpans: cross-doc and within-doc spans cut exactly") {
+    val p = words("p", 10)
+    val d = docs(Seq(
+      (1L, s"$p ${words("a", 5)}", "en", "s"),   // span at tokens 0-9
+      (2L, s"${words("b", 7)} $p", "en", "s"),   // span at tokens 7-16
+      (3L, s"$p ${words("c", 3)} $p", "en", "s"), // spans 0-9 and 13-22
+      (4L, words("z", 12), "en", "s")))           // untouched
+    val out = Curation.removeDupSpans(d)
+      .select("doc_id", "n_tokens", "n_kept", "clean_text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) === ((15L, 5L, words("a", 5))))
+    assert(out(2L) === ((17L, 7L, words("b", 7))))
+    assert(out(3L) === ((23L, 3L, words("c", 3))))
+    assert(out(4L) === ((12L, 12L, words("z", 12))))
+  }
+
+  test("removeDupSpans: a fully-duplicated doc empties cleanly") {
+    val p = words("q", 10)
+    val d = docs(Seq((1L, p, "en", "s"), (2L, p, "en", "s")))
+    val out = Curation.removeDupSpans(d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(4))).sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 0L, ""), (2L, 0L, "")))
+  }
+
   // ---- cumsumByStratum ----------------------------------------------------
 
   test("cumsumByStratum: bit-identical to the per-stratum window on skew") {
