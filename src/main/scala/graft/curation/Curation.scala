@@ -524,16 +524,33 @@ object Curation {
     out
   }
 
-  /** [[bloomDecontaminate]]'s plan, un-materialized: (report, the
-    * persisted flagged frame). For plan-shape inspection — the public
-    * entry point checkpoints the report and releases the cache, which
-    * collapses its executedPlan to a block scan. Callers own the
-    * unpersist.
+  /** The ACTION for [[bloomDecontaminate]]'s report: the corpus with
+    * exact-contaminated documents REMOVED (doc grain — the chunk-grain
+    * salvage sibling is q178's shape). Same gram/bloom/verify chain;
+    * single-consumer plan, so nothing persists: one shingle pass, the
+    * row-local bloom gate, the exact verify over bloom-positive
+    * survivors, one id anti-join back onto the corpus — text stays on
+    * the base scan side throughout.
     */
-  private[graft] def bloomDecontaminateLazy(corpus: DataFrame, bench: DataFrame,
+  def bloomDecontaminateSurvivors(corpus: DataFrame, bench: DataFrame,
       gramK: Int = 8, mBits: Int = 1 << 16,
       textCol: String = "text", idCol: String = "doc_id",
-      groupCol: String = "source", benchTextCol: String = "text"): (DataFrame, DataFrame) = {
+      benchTextCol: String = "text"): DataFrame = {
+    val (benchGrams, flagged) = bloomFlagged(corpus, bench, gramK, mBits,
+      textCol, idCol, idCol, benchTextCol)
+    val contaminated = flagged.filter(col("bloom_hit"))
+      .join(benchGrams, Seq("h"), "left_semi")
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** The shared gram/bloom core: (benchGrams as 60-bit hashes, the
+    * corpus gram frame with its row-local `bloom_hit` verdict —
+    * UNpersisted; callers that fan out persist it themselves).
+    */
+  private def bloomFlagged(corpus: DataFrame, bench: DataFrame,
+      gramK: Int, mBits: Int, textCol: String, idCol: String,
+      groupCol: String, benchTextCol: String): (DataFrame, DataFrame) = {
     require(Integer.bitCount(mBits) == 1 && mBits >= 64,
       s"mBits must be a power of two >= 64, got $mBits")
     val mask = (mBits - 1).toLong
@@ -568,20 +585,38 @@ object Curation {
         .bitwiseAND(lit(1L)) === lit(1L)
     }
 
-    // No distinct: every consumer below is duplicate-insensitive (max /
+    // No distinct: every consumer is duplicate-insensitive (max /
     // semi-join / doc-level distinct), so the extra exchange would buy
-    // nothing. The flagged frame feeds BOTH the per-doc report and the
-    // exact-verify branch — persist the narrow (id, group, h, hit) rows
-    // so the shingle+hash+probe pass runs once, not per consumer.
-    val grams = corpus.select(col(idCol), col(groupCol),
-        explode(graft.text.TextSketch.wordShingles(col(textCol), gramK))
-          .as("gram"))
-      .select(col(idCol), col(groupCol), hash60(col("gram")).as("h"))
+    // nothing.
+    val grams = corpus.select(
+        (Seq(col(idCol)) ++ (if (groupCol == idCol) Nil else Seq(col(groupCol)))
+          :+ explode(graft.text.TextSketch.wordShingles(col(textCol), gramK))
+            .as("gram")): _*)
+      .select((Seq(col(idCol))
+        ++ (if (groupCol == idCol) Nil else Seq(col(groupCol)))
+        :+ hash60(col("gram")).as("h")): _*)
     val flagged = grams.withColumn("ps", positions(col("h")))
       .withColumn("bloom_hit",
         (1 to 4).map(i => testBit(element_at(col("ps"), i))).reduce(_ && _))
       .drop("ps")
-      .persist()
+    (benchGrams, flagged)
+  }
+
+  /** [[bloomDecontaminate]]'s plan, un-materialized: (report, the
+    * persisted flagged frame). For plan-shape inspection — the public
+    * entry point checkpoints the report and releases the cache, which
+    * collapses its executedPlan to a block scan. Callers own the
+    * unpersist. The flagged frame is persisted here because it feeds
+    * BOTH the per-doc report and the exact-verify branch — one
+    * shingle+hash+probe pass, not one per consumer.
+    */
+  private[graft] def bloomDecontaminateLazy(corpus: DataFrame, bench: DataFrame,
+      gramK: Int = 8, mBits: Int = 1 << 16,
+      textCol: String = "text", idCol: String = "doc_id",
+      groupCol: String = "source", benchTextCol: String = "text"): (DataFrame, DataFrame) = {
+    val (benchGrams, flagged0) = bloomFlagged(corpus, bench, gramK, mBits,
+      textCol, idCol, groupCol, benchTextCol)
+    val flagged = flagged0.persist()
 
     val perDoc = flagged.groupBy(idCol, groupCol)
       .agg(max(when(col("bloom_hit"), 1L).otherwise(0L)).as("bpos"))

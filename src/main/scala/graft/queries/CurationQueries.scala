@@ -795,8 +795,12 @@ object CurationQueries {
     // later stage — dedup window, budget cumsum, packing, all the stage
     // counts — runs over those narrow frames, so NO exchange anywhere in
     // the chained plan carries a text column (plan-asserted), at any
-    // broadcast-vs-shuffle join decision. Catalyst plans the whole chain
-    // as one query; nothing materializes between stages.
+    // broadcast-vs-shuffle join decision. The stages chain as ONE lazy
+    // Catalyst plan — nothing materializes between them — with the
+    // r10 caveat that the budget and packing cumsums each run one
+    // bounded pass-1 job first (cumsumByStratum's per-(bucket, stratum)
+    // partials: rows bounded by configuration, never by corpus), the
+    // price of no stratum ever funneling through a single task.
     Q("q166_curation_e2e",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window

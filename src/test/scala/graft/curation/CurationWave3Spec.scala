@@ -125,6 +125,22 @@ class CurationWave3Spec extends SparkSpec {
     assert(s2.toSeq === Seq("s2", 1L, 0L, 0L, 0L))
   }
 
+  test("bloomDecontaminateSurvivors: the action matches the report") {
+    // same fixture as the report test: doc 1 contaminated, 2 and 3 clean
+    val shared = words("s", 8)
+    val corpus = docs(Seq(
+      (1L, s"${words("a", 3)} $shared ${words("z", 2)}", "en", "s1"),
+      (2L, words("b", 12), "en", "s1"),
+      (3L, words("c", 5), "en", "s2")))
+    val bench = Seq(s"${words("q", 2)} $shared").toDF("text")
+    val kept = Curation.bloomDecontaminateSurvivors(corpus, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
+    // original columns intact on the survivors
+    assert(Curation.bloomDecontaminateSurvivors(corpus, bench).columns.toSeq
+      === corpus.columns.toSeq)
+  }
+
   test("bloomDecontaminate: clean corpus reports all zeros") {
     val corpus = docs(Seq((1L, words("a", 10), "en", "s")))
     val bench = Seq(words("q", 10)).toDF("text")
