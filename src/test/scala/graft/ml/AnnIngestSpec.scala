@@ -114,4 +114,78 @@ class AnnIngestSpec extends SparkSpec {
       assert(n <= 2, s"${c.getName} holds $n files, threshold 2")
     }
   }
+
+  test("operational lifecycle: ingest, drift trigger, rebuildAndSwap, ingest") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = java.nio.file.Files.createTempDirectory("ann_lifecycle").toString + "/idx"
+    // deliberately stale: codebooks trained on a thin slice
+    AnnIndex.build(spark, e.filter(col("vec_id") < 100), p)
+
+    def ingestOnce(batch: org.apache.spark.sql.DataFrame,
+        tag: String): Map[Long, String] = {
+      val srcDir = java.nio.file.Files
+        .createTempDirectory(s"ann_lc_$tag").toString + "/src"
+      batch.coalesce(1).write.parquet(srcDir)
+      var got = Map.empty[Long, String]
+      val q = AnnIngest.annDedupIngestStream(
+        spark.readStream.schema(batch.schema).parquet(srcDir), p, eps) { v =>
+        got = v.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      }
+      try q.processAllAvailable() finally q.stop()
+      got
+    }
+    val v1 = ingestOnce(
+      e.filter(col("vec_id") >= 250 && col("vec_id") < 260)
+        .select("vec_id", "embedding"), "b1")
+    assert(v1.size === 10)
+
+    // the q170 drift check: occupancy of the (stale) index layout vs a
+    // fresh arrival slice assigned under the SAVED codebooks
+    val cbStale = AnnIndex.loadCodebooks(spark, p)
+    val refCounts = AnnIndex.readIndex(spark, p)
+      .groupBy(col("cell").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n")).withColumn("feature", lit("cell"))
+    val arrivals = e.filter(col("vec_id") % 3 === 0 && col("embedding").isNotNull)
+      .withColumn("v_nrm", VecOps.norm(col("embedding")))
+      .withColumn("bin", VecOps
+        .argmaxCell(col("embedding"), col("v_nrm"), cbStale.coarse).cast("long"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .withColumn("feature", lit("cell"))
+    val l1 = graft.ops.Drift.report(graft.ops.Drift.mergeCounts(
+        refCounts.select("feature", "bin", "n"),
+        arrivals.select("feature", "bin", "n")))
+      .agg(sum("l1_term")).collect()(0).getDouble(0)
+    assert(l1 > 0.0, "stale codebooks must show occupancy drift")
+
+    // the ACTION: retrain on what the index holds, swap the root
+    val held = e.join(AnnIndex.readIndex(spark, p).select("vec_id"),
+      Seq("vec_id"), "left_semi")
+    val heldIds = held.select("vec_id").collect().map(_.getLong(0)).toSet
+    AnnIndex.rebuildAndSwap(spark, held, p)
+    assert(spark.read.parquet(s"$p/index").select("vec_id")
+      .collect().map(_.getLong(0)).toSet === heldIds)
+
+    // ingest continues against the swapped index, encoding under the
+    // NEW codebooks
+    val b2 = e.filter(col("vec_id") >= 260 && col("vec_id") < 270)
+      .select("vec_id", "embedding")
+    val v2 = ingestOnce(b2, "b2")
+    assert(v2.size === 10)
+    val accepted2 = v2.collect { case (id, "accepted") => id }.toSet
+    val ids = spark.read.parquet(s"$p/index").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === heldIds ++ accepted2)
+    // a b2-accepted row's codes must be the SWAPPED codebooks' encoding
+    if (accepted2.nonEmpty) {
+      val cbNew = AnnIndex.loadCodebooks(spark, p)
+      val want = Pq.encode(b2.filter(col("vec_id").isInCollection(accepted2)), cbNew.pq)
+        .select("vec_id", "codes").as[(Long, Seq[Long])].collect().toMap
+      val gotCodes = spark.read.parquet(s"$p/index")
+        .filter(col("vec_id").isInCollection(accepted2))
+        .select("vec_id", "codes").as[(Long, Seq[Long])].collect().toMap
+      assert(gotCodes === want,
+        "post-swap appends must encode under the swapped codebooks")
+    }
+  }
 }
