@@ -32,11 +32,26 @@ object Curation {
       (_, i) => i % chunkTokens === 0)
     val ch = docs.select(col(idCol), col(groupCol), explode(chunks).as("chunk"))
       .select(col(idCol), col(groupCol), md5(col("chunk")).as("h"))
-    val perDoc = ch
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+    // Global multiplicity WITHOUT a count window over the h partition: a
+    // boilerplate chunk repeated across billions of docs would funnel
+    // every occurrence through ONE window task (windows cannot split a
+    // hot key — the one shape no amount of cluster parallelizes). Two-
+    // level aggregate instead: the (id, group, h) grain splits the hot
+    // key across documents at the map-side combine, the per-h totals
+    // reduce the already-collapsed frame, and the h-keyed join-back is
+    // AQE-skew-splittable. The totals branch may cost a second text
+    // scan when Catalyst doesn't reuse the grain exchange — a deliberate
+    // trade: an extra scan is embarrassingly parallel, a hot-key window
+    // is not (callers at extreme scale can persist the narrow grain
+    // themselves).
+    val perDocChunk = ch.groupBy(idCol, groupCol, "h")
+      .agg(count(lit(1)).as("k"))
+    val hTot = perDocChunk.groupBy("h").agg(sum("k").as("cnt"))
+      .filter(col("cnt") > 1).select(col("h"), lit(1L).as("isdup"))
+    val perDoc = perDocChunk.join(hTot, Seq("h"), "left")
       .groupBy(idCol, groupCol)
-      .agg(count(lit(1)).as("chunks"),
-        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup"))
+      .agg(sum("k").as("chunks"),
+        sum(when(col("isdup") === 1L, col("k")).otherwise(0L)).as("dup"))
     val byGroup = docs.groupBy(groupCol).agg(count(lit(1)).as("docs"))
     byGroup.join(
       perDoc.groupBy(groupCol).agg(
@@ -196,10 +211,19 @@ object Curation {
     * Output: `counted`'s columns plus `cum`, bit-identical to the
     * single-window form (bucket boundaries respect the global per-stratum
     * order, so offset + local sum IS the global running sum; all math is
-    * exact longs). `buckets` defaults to spark.sql.shuffle.partitions.
-    * Constraints: `strataCol` must be non-null (inner offset join);
-    * `_ok`/`_bkt`/`_off`/`cum` are reserved names. Calling this triggers
-    * the pass-1 job immediately.
+    * exact longs; NULL strata form their own stratum through the
+    * null-safe offset join, exactly as a window partition would).
+    * `buckets` defaults to spark.sql.shuffle.partitions.
+    * `_ok`/`_bkt`/`_off`/`cum` are reserved names (rejected loudly, never
+    * clobbered). Calling this triggers the pass-1 job immediately.
+    *
+    * Cardinality contract: the pass-1 collect is buckets × STRATA rows —
+    * bounded by configuration only while strata are what the name says
+    * (languages, sources: tens to thousands). For a HIGH-cardinality key
+    * this is the wrong tool twice over (the collect grows with data, and
+    * a plain per-key window was never a straggler there — many keys means
+    * many tasks); the guard below fails loudly rather than OOM the
+    * driver.
     */
   def cumsumByStratum(counted: DataFrame, strataCol: String = "lang",
       idCol: String = "doc_id", nCol: String = "n",
@@ -207,7 +231,7 @@ object Curation {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-    val reserved = Seq("_ok", "_bkt", "_off")
+    val reserved = Seq("_ok", "_bkt", "_off", "cum")
     require(!reserved.exists(counted.columns.contains),
       s"cumsumByStratum reserves columns ${reserved.mkString(", ")}")
     val spark = counted.sparkSession
@@ -219,9 +243,13 @@ object Curation {
     val partials = keyed.groupBy(col("_bkt"), col(strataCol))
       .agg(coalesce(sum(col(nCol)).cast("long"), lit(0L)).as("_psum"))
       .collect()
+    require(partials.length <= (1 << 22),
+      s"cumsumByStratum: ${partials.length} (bucket, stratum) groups — " +
+        s"'$strataCol' looks like a high-cardinality key, not a stratum; " +
+        "use a plain per-key window (many keys already means many tasks)")
     val offSchema = StructType(Seq(
-      StructField("_bkt", IntegerType, nullable = false),
-      counted.schema(strataCol),
+      StructField("_obkt", IntegerType, nullable = false),
+      counted.schema(strataCol).copy(name = "_ostr"),
       StructField("_off", LongType, nullable = false)))
     val offRows: Seq[Row] = partials.groupBy(_.get(1)).valuesIterator.flatMap { rs =>
       var acc = 0L
@@ -235,20 +263,28 @@ object Curation {
     val w = Window.partitionBy(col("_bkt"), col(strataCol))
       .orderBy(col("_ok"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    keyed.join(broadcast(offsets), Seq("_bkt", strataCol))
+    // null-safe stratum equality: a NULL stratum is a real stratum (the
+    // window form kept it as its own partition; a plain equi-join would
+    // silently DROP those rows from every rewired caller)
+    keyed.join(broadcast(offsets),
+        col("_bkt") === col("_obkt") && col(strataCol) <=> col("_ostr"))
       .withColumn("cum", sum(col(nCol)).over(w) + col("_off"))
-      .drop("_bkt", "_ok", "_off")
+      .drop("_bkt", "_ok", "_off", "_obkt", "_ostr")
   }
 
   /** Distributed per-stratum RANK in the same content-addressed order —
     * [[cumsumByStratum]] with a unit weight (row_number without the
-    * single-task-per-stratum window). Output: `df`'s columns plus `rk`.
+    * single-task-per-stratum window). Output: `df`'s columns plus `rk`;
+    * `_one` and `rk` join cumsum's reserved names (rejected loudly).
     */
   def rankByStratum(df: DataFrame, strataCol: String,
-      idCol: String = "doc_id", buckets: Int = 0): DataFrame =
+      idCol: String = "doc_id", buckets: Int = 0): DataFrame = {
+    require(!df.columns.contains("_one") && !df.columns.contains("rk"),
+      "rankByStratum reserves columns _one, rk")
     cumsumByStratum(df.withColumn("_one", lit(1L)), strataCol, idCol, "_one",
         buckets)
       .withColumnRenamed("cum", "rk").drop("_one")
+  }
 
   /** Deterministic fixed-size per-stratum sample: `n` rows per stratum,
     * selected by ranking on md5 of the id — content-addressed, so the
@@ -650,10 +686,12 @@ object Curation {
     * docs_with_dup_span, max_span_tokens, dup_windows.
     *
     * 100 TB shape: windowing and hashing are row-local in the scan stage;
-    * what shuffles is (id, group, i, h) — never text. Global multiplicity
-    * is a count window over the md5 partition (the q116 discipline: one
-    * text scan), and the run/island detection is a per-doc window over
-    * only the DUPLICATED window rows.
+    * what shuffles is (id, group, h, positions) — never text. Global
+    * multiplicity is the two-level aggregate (the q116 discipline: one
+    * text scan, hot boilerplate keys split across documents at the
+    * map-side combine, the h-keyed semi-join AQE-splittable), and the
+    * run/island detection is a per-doc window over only the DUPLICATED
+    * window rows.
     */
   def dupSpanReport(docs: DataFrame, windowTokens: Int = 10,
       textCol: String = "text", idCol: String = "doc_id",
@@ -663,9 +701,15 @@ object Curation {
         posexplode(graft.text.TextSketch.wordShingles(col(textCol), windowTokens))
           .as(Seq("i", "wtext")))
       .select(col(idCol), col(groupCol), col("i"), md5(col("wtext")).as("h"))
-    val dup = winds
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("cnt") > 1)
+    // multiplicity via the two-level aggregate — see chunkDedupReport:
+    // windows cannot split a hot boilerplate key; the (id, h) grain
+    // combines map-side and the semi-join is AQE-splittable
+    val perDocWin = winds.groupBy(col(idCol), col(groupCol), col("h"))
+      .agg(collect_list(col("i")).as("iis"), count(lit(1)).as("k"))
+    val hTot = perDocWin.groupBy("h").agg(sum("k").as("cnt"))
+      .filter(col("cnt") > 1).select("h")
+    val dup = perDocWin.join(hTot, Seq("h"), "left_semi")
+      .select(col(idCol), col(groupCol), explode(col("iis")).as("i"))
     val wrun = Window.partitionBy(idCol).orderBy("i")
     val runs = dup.withColumn("grp", col("i") - row_number().over(wrun))
       .groupBy(idCol, groupCol, "grp")
@@ -696,8 +740,10 @@ object Curation {
     * re-joined in order.
     *
     * 100 TB shape: window hashing is row-local; what shuffles is
-    * (id, i, h) — never text. Per-doc dup-window positions come back as
-    * ONE bounded array (bounded by the doc's own length, not the
+    * (id, h, positions) — never text, and multiplicity is the two-level
+    * aggregate (hot boilerplate keys split across documents map-side;
+    * see [[chunkDedupReport]]). Per-doc dup-window positions come back
+    * as ONE bounded array (bounded by the doc's own length, not the
     * corpus), and the rewrite is a row-local HOF filter over the token
     * array — the text column never leaves its scan-side row.
     */
@@ -708,9 +754,17 @@ object Curation {
         posexplode(graft.text.TextSketch.wordShingles(col(textCol), windowTokens))
           .as(Seq("i", "wtext")))
       .select(col(idCol), col("i"), md5(col("wtext")).as("h"))
-    val dup = winds
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
-      .filter(col("cnt") > 1)
+    // multiplicity via the two-level aggregate (the chunkDedupReport
+    // discipline): the (id, h) grain splits a hot boilerplate key across
+    // documents at the map-side combine, the per-h totals reduce the
+    // collapsed frame, and the semi-join is AQE-splittable — no
+    // unsplittable hot-key window (see chunkDedupReport for the trade)
+    val perDocWin = winds.groupBy(col(idCol), col("h"))
+      .agg(collect_list(col("i")).as("iis"), count(lit(1)).as("k"))
+    val hTot = perDocWin.groupBy("h").agg(sum("k").as("cnt"))
+      .filter(col("cnt") > 1).select("h")
+    val dup = perDocWin.join(hTot, Seq("h"), "left_semi")
+      .select(col(idCol), explode(col("iis")).as("i"))
       .groupBy(idCol)
       .agg(sort_array(collect_set(col("i"))).as("dupw"))
     val toks = tokens(col(textCol))

@@ -169,10 +169,17 @@ object AnnIndex {
     * would do has exactly that mixed window). A full copy of the old
     * index exists on disk at every instant; a crash in the between-rename
     * window (live absent, backup intact) is healed by [[recoverCells]],
-    * which every index operation already runs first — the rebuild is
-    * simply lost and re-triggered by the next drift check. `vecs` must
-    * not itself read from `path` (the staged build scans it while the
-    * live index still serves queries).
+    * which every index MAINTENANCE operation (append / compactCells /
+    * rebuildAndSwap) runs first — the rebuild is simply lost and
+    * re-triggered by the next drift check. READ paths stay
+    * side-effect-free by design: between a crash and the next
+    * maintenance op (or an explicit recoverCells at operator startup —
+    * the recommended deployment hook), queries fail FAST with
+    * path-not-found rather than serving a mixed state; the same applies
+    * to the instant between the two renames of a healthy swap, where a
+    * concurrent reader sees a missing root, never a half-built one.
+    * `vecs` must not itself read from `path` (the staged build scans it
+    * while the live index still serves queries).
     */
   def rebuildAndSwap(spark: SparkSession, vecs: DataFrame, path: String,
       k: Int = 16, iters: Int = 2, m: Int = 4, pqK: Int = 4): Codebooks = {

@@ -56,18 +56,21 @@ object Drift {
 
   /** Fixed-edge (feature, bin) rows for a document frame. One narrow
     * features-per-doc explode; the text column itself never leaves the
-    * scan stage. `features` defaults to [[defaultFeatures]] over `textCol`.
+    * scan stage. `features = None` means [[defaultFeatures]] over
+    * `textCol` — Option rather than an empty-Seq sentinel, so an
+    * explicitly-empty dynamically-built feature list fails loudly in
+    * [[binStructsFor]] instead of silently monitoring the default set.
     */
   def featureBins(docs: DataFrame, textCol: String = "text",
-      features: Seq[DriftFeature] = Nil): DataFrame = {
-    val fs = if (features.nonEmpty) features else defaultFeatures(col(textCol))
+      features: Option[Seq[DriftFeature]] = None): DataFrame = {
+    val fs = features.getOrElse(defaultFeatures(col(textCol)))
     docs.select(explode(binStructsFor(fs)).as("fb"))
       .select(col("fb.feature"), col("fb.bin"))
   }
 
   /** Per-(feature, bin) counts — the mergeable monitoring state. */
   def binCounts(docs: DataFrame, textCol: String = "text",
-      features: Seq[DriftFeature] = Nil): DataFrame =
+      features: Option[Seq[DriftFeature]] = None): DataFrame =
     featureBins(docs, textCol, features).groupBy("feature", "bin")
       .agg(count(lit(1)).as("n"))
 

@@ -39,11 +39,16 @@ object CurationQueries {
     // headers/footers that document-fingerprint dedup (q31/q34) misses.
     //
     // 100 TB shape: chunking and hashing are row-local in the scan stage;
-    // what shuffles is (doc_id, source, md5) — never text. The global
-    // multiplicity comes from a count window over the md5 partition, so
-    // the corpus text is scanned + chunked ONCE (a groupBy-count + join
-    // formulation would re-read and re-hash every document for the count
-    // branch — 2x the scan cost at 100 TB for the same one shuffle).
+    // what shuffles is (doc_id, source, md5, count) — never text. Global
+    // multiplicity is a TWO-LEVEL aggregate (r10): the (doc, h) grain
+    // splits a hot boilerplate chunk across documents at the map-side
+    // combine — where the previous count-window over the h partition
+    // funneled every occurrence through one unsplittable task — the
+    // per-h totals reduce the already-collapsed frame, and the h-keyed
+    // join-back is AQE-skew-splittable. The totals branch may re-scan
+    // the text when Catalyst doesn't reuse the grain exchange — the
+    // deliberate trade: an extra scan parallelizes perfectly, the
+    // hot-key window never does.
     // Integer threshold math (dup*2 >= chunks) keeps the oracle exact.
     Q("q116_chunk_dedup",
       (s, dir) => graft.curation.Curation.chunkDedupReport(t(s, dir, "documents")),
@@ -816,7 +821,14 @@ object CurationQueries {
         val keep2 = k1.select(col("doc_id"), col("fp"))
           .withColumn("keep_id", min("doc_id").over(Window.partitionBy("fp")))
           .filter(col("doc_id") === col("keep_id")).select("doc_id")
+        // persist the NARROW post-dedup frame (ids, lang, counts — no
+        // text): the two cumsum stages below each run a bounded pass-1
+        // job, and without this cache every pass-1 would replay the
+        // whole funnel + dedup upstream (3x the corpus scan at scale).
+        // Released by the harness's per-query clearCache, same contract
+        // as q171's candidate frame.
         val k2 = k1.join(keep2, Seq("doc_id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // per-language token budget over (id, lang, n) triples — the
         // distributed two-pass cumsum, not a per-stratum window (whose
         // one-task-per-language shape is the exact straggler this

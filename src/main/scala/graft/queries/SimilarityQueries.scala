@@ -981,7 +981,9 @@ object SimilarityQueries {
         val b1 = clean.filter(col("vec_id") % 2 === 0)
         val b2 = clean.filter(col("vec_id") % 2 === 1)
         // phase-1 verdicts feed BOTH the output and the store definition —
-        // persist so the two-arm search pass runs once, not per consumer
+        // persist so the two-arm search pass runs once, not per consumer.
+        // Released by the harness's per-query clearCache (the q156/q171
+        // contract; the frame is verdict rows — ids and strings, tiny)
         val v1 = graft.ml.AnnIngest
           .verdicts(s, b1, allRows.limit(0), cb, eps = 0.95, nprobe = 2, topK = 10)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -344,6 +344,31 @@ class CurationWave3Spec extends SparkSpec {
     assert(bkts > 1, s"skewed stratum used $bkts bucket(s) — not distributed")
   }
 
+  test("cumsumByStratum: NULL strata form their own stratum, never dropped") {
+    import org.apache.spark.sql.expressions.Window
+    val d = ((1L to 40L).map(i => (if (i % 4 == 0) null else s"s${i % 3}", i, i % 5 + 1)))
+      .toDF("lang", "doc_id", "n")
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val expected = d.withColumn("cum", sum("n").over(w))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    val got = Curation.cumsumByStratum(d, "lang", "doc_id", "n", buckets = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got === expected)
+    assert(got.count(_._1 == null) === 10L, "null-stratum rows must survive")
+  }
+
+  test("cumsumByStratum/rankByStratum: reserved columns rejected loudly") {
+    val d = Seq(("en", 1L, 2L)).toDF("lang", "doc_id", "n")
+    intercept[IllegalArgumentException] {
+      Curation.cumsumByStratum(d.withColumn("cum", lit(0L)), "lang", "doc_id", "n")
+    }
+    intercept[IllegalArgumentException] {
+      Curation.rankByStratum(d.withColumn("rk", lit(0L)), "lang", "doc_id")
+    }
+  }
+
   test("cumsumByStratum: single-row buckets and empty frames stay exact") {
     val d = Seq(("en", 1L, 5L)).toDF("lang", "doc_id", "n")
     val one = Curation.cumsumByStratum(d, "lang", "doc_id", "n").collect()

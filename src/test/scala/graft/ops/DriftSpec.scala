@@ -73,4 +73,19 @@ class DriftSpec extends SparkSpec {
     assert(state2.select("last_batch").distinct().collect()
       .map(_.getLong(0)).toSeq === Seq(1L), "replay must not re-fold counts")
   }
+
+  test("custom feature sets bin through the same algebra; empty fails loudly") {
+    import org.apache.spark.sql.functions._
+    // words at width 2: "a b c" -> 3 tokens -> bin 1; "x" -> 1 token -> bin 0
+    val feats = Seq(Drift.DriftFeature("words",
+      size(split(trim(col("text")), "\\s+")).cast("long"), 2L))
+    val out = Drift.binCounts(df(Seq("a b c", "x")), features = Some(feats))
+      .orderBy("feature", "bin").collect()
+    assert(out.toSeq === Seq(Row("words", 0L, 1L), Row("words", 1L, 1L)))
+    // an explicitly-empty dynamically-built set is a configuration bug,
+    // not a request for the defaults
+    intercept[IllegalArgumentException] {
+      Drift.binCounts(df(Seq("a")), features = Some(Nil)).collect()
+    }
+  }
 }

@@ -109,15 +109,23 @@ class PlanShapeSpec extends SparkSpec
     }
   }
 
-  test("q116 chunk dedup scans document text once; only hashes shuffle") {
+  test("q116 chunk dedup: no hot-key window, only hashes shuffle") {
     val plan = SparkEntry.queries("q116_chunk_dedup")(spark, dir)
       .queryExecution.executedPlan
-    // the window-count formulation reads + chunks the corpus ONCE (the
-    // groupBy+join alternative pays the text scan twice); the second scan
-    // in the plan is the per-source doc count, which must NOT read text
+    // r10 contract: global multiplicity is the two-level aggregate, so
+    // NO window partitions on the chunk hash — a boilerplate chunk
+    // repeated across billions of docs would funnel through one
+    // unsplittable window task. The totals branch may cost a second
+    // text scan when Catalyst doesn't reuse the grain exchange (the
+    // deliberate, embarrassingly-parallel trade) — bounded at two.
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"multiplicity must not go through a window: ${windows.map(_.partitionSpec)}")
     val textScans = plan.toString.linesIterator
       .count(l => l.contains("Scan parquet") && l.contains("text#"))
-    assert(textScans == 1, s"expected one text-reading scan, got $textScans")
+    assert(textScans <= 2, s"expected at most two text-reading scans, got $textScans")
     val shuffles = collect(plan) {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
