@@ -521,6 +521,64 @@ object Curation {
       .orderBy(strataCol)
   }
 
+  /** CROSS-corpus surprisal scoring — [[surprisalReport]]'s production
+    * sibling (the CCNet-style quality filter): the bigram model trains
+    * on a REFERENCE corpus (the curated seed) and scores a TARGET
+    * corpus against it — documents the reference model finds improbable
+    * are the ones to drop or down-weight, and unlike the self-LM the
+    * signal is directional ("unlike the good data", not merely
+    * "internally unusual"). Same integer-exact bits: a known bigram
+    * contributes floor(log2(C_ref(w1)/C_ref(w1 w2))) via bit-length
+    * arithmetic; a bigram UNSEEN in the reference contributes the flat
+    * `oovBits` penalty (the deterministic backoff surrogate — a real
+    * Katz/KN backoff is float-bound and engine-divergent, while a fixed
+    * penalty ranks identically for filtering). Report per target
+    * stratum: docs, total_bigrams, total_bits, oov_bigrams, and docs
+    * whose mean exceeds `flagBits` bits/bigram.
+    *
+    * 100 TB shape: both corpora hash grams to 60-bit longs in their scan
+    * stages; the model tables are reference-vocabulary-sized and the
+    * two count joins exchange longs, never gram text. A bigram seen in
+    * the reference always has its w1 unigram seen (both counts derive
+    * from the same rows), so the OOV rule needs only the bigram null.
+    */
+  def crossSurprisalReport(target: DataFrame, reference: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      strataCol: String = "source", flagBits: Int = 4,
+      oovBits: Int = 20): DataFrame = {
+    graft.text.TextSketch.register(target.sparkSession)
+    def h60(c: Column) = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    def bigrams(df: DataFrame, carry: Seq[Column]): DataFrame =
+      df.select(carry :+
+          explode(graft.text.TextSketch.wordShingles(col(textCol), 2)).as("g"): _*)
+        .withColumn("bh", h60(col("g")))
+        .withColumn("uh", h60(substring_index(col("g"), " ", 1)))
+        .drop("g")
+    val refBi = bigrams(reference, Nil)
+    val bc = refBi.groupBy("bh").agg(count(lit(1)).as("cb"))
+    val uc = refBi.groupBy("uh").agg(count(lit(1)).as("cu"))
+    val scored = bigrams(target, Seq(col(idCol), col(strataCol)))
+      .join(bc, Seq("bh"), "left")
+      .join(uc, Seq("uh"), "left")
+      .withColumn("bits",
+        when(col("cb").isNull, lit(oovBits.toLong))
+          .otherwise((length(bin(expr("cu div cb"))) - 1).cast("long")))
+      .withColumn("oov", when(col("cb").isNull, 1L).otherwise(0L))
+    val perDoc = scored.groupBy(idCol, strataCol)
+      .agg(count(lit(1)).as("nb"), sum("bits").as("sb"), sum("oov").as("ov"))
+    target.groupBy(strataCol).agg(count(lit(1)).as("docs"))
+      .join(perDoc.groupBy(strataCol).agg(
+          sum("nb").as("tb"), sum("sb").as("tbits"), sum("ov").as("tov"),
+          sum(when(col("sb") > col("nb") * flagBits, 1L).otherwise(0L)).as("hs")),
+        Seq(strataCol), "left")
+      .select(col(strataCol), col("docs"),
+        coalesce(col("tb"), lit(0L)).as("total_bigrams"),
+        coalesce(col("tbits"), lit(0L)).as("total_bits"),
+        coalesce(col("tov"), lit(0L)).as("oov_bigrams"),
+        coalesce(col("hs"), lit(0L)).as("high_surprisal_docs"))
+      .orderBy(strataCol)
+  }
+
   /** Bloom-prefiltered exact decontamination — the scale tier above the
     * broadcast-exact-set join (q103). When the benchmark n-gram set is too
     * large to broadcast exactly, broadcast a FIXED-SIZE Bloom bitset of it

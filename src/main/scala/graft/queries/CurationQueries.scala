@@ -975,5 +975,65 @@ object CurationQueries {
           md5(COALESCE(c.ct, '')) AS clean_md5
         FROM tok t0 LEFT JOIN clean c USING (doc_id)
         ORDER BY t0.doc_id"""))
+    ,
+
+    // ---- CROSS-corpus surprisal: the CCNet-style reference-LM filter ------
+    // q168 scores the corpus under a model trained on ITSELF; the
+    // production filter trains on a curated REFERENCE (here the even
+    // doc_ids) and scores the rest against it — "unlike the good data"
+    // rather than "internally unusual". Integer-exact bits as in q168
+    // (bit-length arithmetic, no transcendentals); bigrams unseen in the
+    // reference pay a flat 20-bit OOV penalty (the deterministic backoff
+    // surrogate — Katz/KN backoff is float-bound and engine-divergent,
+    // a fixed penalty ranks identically for filtering). Per-source
+    // report over the target half with OOV accounting. Scale notes on
+    // [[graft.curation.Curation.crossSurprisalReport]].
+    Q("q187_cross_surprisal",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.curation.Curation.crossSurprisalReport(
+          d.filter(col("doc_id") % 2 === 1),
+          d.filter(col("doc_id") % 2 === 0))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, source, $duckTokens AS w FROM documents),
+        rbi AS (
+          SELECT CAST('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15) AS BIGINT) AS bh,
+                 CAST('0x' || substr(md5(w[i]), 1, 15) AS BIGINT) AS uh
+          FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+          WHERE doc_id % 2 = 0),
+        bc AS (SELECT bh, COUNT(*) AS cb FROM rbi GROUP BY 1),
+        uc AS (SELECT uh, COUNT(*) AS cu FROM rbi GROUP BY 1),
+        tbi AS (
+          SELECT doc_id, source,
+            CAST('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15) AS BIGINT) AS bh,
+            CAST('0x' || substr(md5(w[i]), 1, 15) AS BIGINT) AS uh
+          FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+          WHERE doc_id % 2 = 1),
+        sc AS (
+          SELECT tb.doc_id, tb.source,
+            CASE WHEN bc.cb IS NULL THEN 20
+                 ELSE length(bin(uc.cu // bc.cb)) - 1 END AS bits,
+            CASE WHEN bc.cb IS NULL THEN 1 ELSE 0 END AS oov
+          FROM tbi tb
+          LEFT JOIN bc ON bc.bh = tb.bh
+          LEFT JOIN uc ON uc.uh = tb.uh),
+        per_doc AS (
+          SELECT doc_id, source, COUNT(*) AS nb, SUM(bits) AS sb,
+            SUM(oov) AS ov
+          FROM sc GROUP BY 1, 2),
+        tg AS (SELECT source, COUNT(*) AS docs FROM documents
+               WHERE doc_id % 2 = 1 GROUP BY 1)
+        SELECT tg.source, tg.docs,
+          CAST(COALESCE(p.tb, 0) AS BIGINT) AS total_bigrams,
+          CAST(COALESCE(p.tbits, 0) AS BIGINT) AS total_bits,
+          CAST(COALESCE(p.tov, 0) AS BIGINT) AS oov_bigrams,
+          CAST(COALESCE(p.hs, 0) AS BIGINT) AS high_surprisal_docs
+        FROM tg LEFT JOIN (
+          SELECT source, SUM(nb) AS tb, SUM(sb) AS tbits, SUM(ov) AS tov,
+            SUM(CASE WHEN sb > 4 * nb THEN 1 ELSE 0 END) AS hs
+          FROM per_doc GROUP BY 1) p USING (source)
+        ORDER BY tg.source"""))
   )
 }

@@ -287,6 +287,32 @@ class CurationWave3Spec extends SparkSpec {
     assert(perFile.flatten.map(_._3).toSeq === expected)
   }
 
+  // ---- crossSurprisalReport (q187: the reference-LM filter) --------------
+
+  test("crossSurprisalReport: known, zero-bit, and OOV bigrams score exactly") {
+    // reference "x y x z": bigrams (x,y) (y,x)?? no — shingles of width 2
+    // over [x, y, x, z] are (x y), (y x), (x z); unigram-as-w1 counts
+    // x: 2, y: 1. Targets:
+    //   doc 10 "x y"  -> (x y): cb=1, cu(x)=2 -> bits = floor(log2 2) = 1
+    //   doc 11 "y x"  -> (y x): cb=1, cu(y)=1 -> bits = 0
+    //   doc 12 "q r"  -> unseen -> 20 OOV bits, flagged (20 > 4*1)
+    val ref = docs(Seq((1L, "x y x z", "en", "seed")))
+    val tgt = docs(Seq(
+      (10L, "x y", "en", "s1"), (11L, "y x", "en", "s1"),
+      (12L, "q r", "en", "s2")))
+    val out = Curation.crossSurprisalReport(tgt, ref).collect()
+    assert(out.toSeq === Seq(
+      Row("s1", 2L, 2L, 1L, 0L, 0L),
+      Row("s2", 1L, 1L, 20L, 1L, 1L)))
+  }
+
+  test("crossSurprisalReport: bigram-less docs count but contribute nothing") {
+    val ref = docs(Seq((1L, "a b", "en", "seed")))
+    val tgt = docs(Seq((10L, "solo", "en", "s")))
+    val out = Curation.crossSurprisalReport(tgt, ref).collect()
+    assert(out.toSeq === Seq(Row("s", 1L, 0L, 0L, 0L, 0L)))
+  }
+
   // ---- removeDupSpans (q186: acting on q164's report) ---------------------
 
   test("removeDupSpans: cross-doc and within-doc spans cut exactly") {
