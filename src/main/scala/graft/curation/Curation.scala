@@ -542,10 +542,14 @@ object Curation {
     * the reference always has its w1 unigram seen (both counts derive
     * from the same rows), so the OOV rule needs only the bigram null.
     */
-  def crossSurprisalReport(target: DataFrame, reference: DataFrame,
-      textCol: String = "text", idCol: String = "doc_id",
-      strataCol: String = "source", flagBits: Int = 4,
-      oovBits: Int = 20): DataFrame = {
+  /** The per-document scoring core of [[crossSurprisalReport]] and
+    * [[surprisalTerciles]]: one row per target doc that produced at
+    * least one bigram — (idCol, strataCol, nb, sb, ov) = bigram count,
+    * total bits under the reference model, OOV bigram count.
+    */
+  private def crossSurprisalPerDoc(target: DataFrame, reference: DataFrame,
+      textCol: String, idCol: String, strataCol: String,
+      oovBits: Int): DataFrame = {
     graft.text.TextSketch.register(target.sparkSession)
     def h60(c: Column) = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     def bigrams(df: DataFrame, carry: Seq[Column]): DataFrame =
@@ -557,15 +561,23 @@ object Curation {
     val refBi = bigrams(reference, Nil)
     val bc = refBi.groupBy("bh").agg(count(lit(1)).as("cb"))
     val uc = refBi.groupBy("uh").agg(count(lit(1)).as("cu"))
-    val scored = bigrams(target, Seq(col(idCol), col(strataCol)))
+    bigrams(target, Seq(col(idCol), col(strataCol)))
       .join(bc, Seq("bh"), "left")
       .join(uc, Seq("uh"), "left")
       .withColumn("bits",
         when(col("cb").isNull, lit(oovBits.toLong))
           .otherwise((length(bin(expr("cu div cb"))) - 1).cast("long")))
       .withColumn("oov", when(col("cb").isNull, 1L).otherwise(0L))
-    val perDoc = scored.groupBy(idCol, strataCol)
+      .groupBy(idCol, strataCol)
       .agg(count(lit(1)).as("nb"), sum("bits").as("sb"), sum("oov").as("ov"))
+  }
+
+  def crossSurprisalReport(target: DataFrame, reference: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      strataCol: String = "source", flagBits: Int = 4,
+      oovBits: Int = 20): DataFrame = {
+    val perDoc = crossSurprisalPerDoc(target, reference, textCol, idCol,
+      strataCol, oovBits)
     target.groupBy(strataCol).agg(count(lit(1)).as("docs"))
       .join(perDoc.groupBy(strataCol).agg(
           sum("nb").as("tb"), sum("sb").as("tbits"), sum("ov").as("tov"),
@@ -576,6 +588,64 @@ object Curation {
         coalesce(col("tbits"), lit(0L)).as("total_bits"),
         coalesce(col("tov"), lit(0L)).as("oov_bigrams"),
         coalesce(col("hs"), lit(0L)).as("high_surprisal_docs"))
+      .orderBy(strataCol)
+  }
+
+  /** The CCNet head/middle/tail split: per stratum, target documents
+    * partition into surprisal TERCILES under the reference model —
+    * head (closest to the reference: keep), middle (keep or re-filter),
+    * tail (drop or down-weight). Per-doc score = milli-bits per bigram
+    * (sb·1000 div nb — integer-exact, no float perplexity), and the
+    * tercile thresholds are DISCRETE quantiles over the per-(stratum,
+    * score) histogram (the [[quantileCalibratedFilter]] machinery):
+    * t1 = smallest score whose cumulative count reaches n/3, t2 = 2n/3
+    * (cross-multiplied: cum·3 ≥ n, cum·3 ≥ 2n). head: score ≤ t1;
+    * middle: t1 < score ≤ t2; tail: above. Documents too short to form
+    * a bigram are reported in `unscored_docs` and excluded from the
+    * terciles (scoring them would be noise, the CCNet convention).
+    * Output per stratum: (strataCol, scored_docs, unscored_docs,
+    * t1_millibits, t2_millibits, head_docs, middle_docs, tail_docs).
+    *
+    * 100 TB shape: the per-doc scoring is [[crossSurprisalReport]]'s
+    * (long-only exchanges, model tables vocabulary-sized); the quantile
+    * windows run over the per-(stratum, score) HISTOGRAM — bounded by
+    * score cardinality, never corpus size — and the thresholds return
+    * as a broadcast join of #strata rows.
+    */
+  def surprisalTerciles(target: DataFrame, reference: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      strataCol: String = "source", oovBits: Int = 20): DataFrame = {
+    val scores = crossSurprisalPerDoc(target, reference, textCol, idCol,
+        strataCol, oovBits)
+      .withColumn("score", expr("sb * 1000 div nb"))
+    val hist = scores.groupBy(col(strataCol), col("score"))
+      .agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy(strataCol).orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wt = Window.partitionBy(strataCol)
+    val h = hist.withColumn("cum", sum("cnt").over(wc))
+      .withColumn("n", sum("cnt").over(wt))
+    val thr = h.groupBy(strataCol).agg(
+      min(when(col("cum") * 3 >= col("n"), col("score"))).as("t1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("score"))).as("t2"))
+    val buckets = scores.join(broadcast(thr), Seq(strataCol))
+      .groupBy(strataCol)
+      .agg(count(lit(1)).as("scored_docs"),
+        max("t1").as("t1_millibits"), max("t2").as("t2_millibits"),
+        sum(when(col("score") <= col("t1"), 1L).otherwise(0L)).as("head_docs"),
+        sum(when(col("score") > col("t1") && col("score") <= col("t2"), 1L)
+          .otherwise(0L)).as("middle_docs"),
+        sum(when(col("score") > col("t2"), 1L).otherwise(0L)).as("tail_docs"))
+    target.groupBy(strataCol).agg(count(lit(1)).as("docs"))
+      .join(buckets, Seq(strataCol), "left")
+      .select(col(strataCol),
+        coalesce(col("scored_docs"), lit(0L)).as("scored_docs"),
+        (col("docs") - coalesce(col("scored_docs"), lit(0L))).as("unscored_docs"),
+        coalesce(col("t1_millibits"), lit(0L)).as("t1_millibits"),
+        coalesce(col("t2_millibits"), lit(0L)).as("t2_millibits"),
+        coalesce(col("head_docs"), lit(0L)).as("head_docs"),
+        coalesce(col("middle_docs"), lit(0L)).as("middle_docs"),
+        coalesce(col("tail_docs"), lit(0L)).as("tail_docs"))
       .orderBy(strataCol)
   }
 

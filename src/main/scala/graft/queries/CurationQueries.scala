@@ -28,6 +28,40 @@ object CurationQueries {
     s"CASE WHEN len(w) < 8 THEN [] ELSE list_transform(generate_series(1, len(w)-7), i -> $body) END"
   }
 
+  /** The cross-corpus surprisal scoring chain shared by q187 and q188:
+    * reference = even doc_ids, target = odd; ends in `per_doc`
+    * (doc_id, source, nb, sb, ov) — bigrams, total bits under the
+    * reference model (20-bit OOV penalty), OOV count.
+    */
+  private val crossSurprisalCtes: String = s"""
+        tok AS (
+          SELECT doc_id, source, $duckTokens AS w FROM documents),
+        rbi AS (
+          SELECT CAST('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15) AS BIGINT) AS bh,
+                 CAST('0x' || substr(md5(w[i]), 1, 15) AS BIGINT) AS uh
+          FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+          WHERE doc_id % 2 = 0),
+        bc AS (SELECT bh, COUNT(*) AS cb FROM rbi GROUP BY 1),
+        uc AS (SELECT uh, COUNT(*) AS cu FROM rbi GROUP BY 1),
+        tbi AS (
+          SELECT doc_id, source,
+            CAST('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15) AS BIGINT) AS bh,
+            CAST('0x' || substr(md5(w[i]), 1, 15) AS BIGINT) AS uh
+          FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+          WHERE doc_id % 2 = 1),
+        sc AS (
+          SELECT tb.doc_id, tb.source,
+            CASE WHEN bc.cb IS NULL THEN 20
+                 ELSE length(bin(uc.cu // bc.cb)) - 1 END AS bits,
+            CASE WHEN bc.cb IS NULL THEN 1 ELSE 0 END AS oov
+          FROM tbi tb
+          LEFT JOIN bc ON bc.bh = tb.bh
+          LEFT JOIN uc ON uc.uh = tb.uh),
+        per_doc AS (
+          SELECT doc_id, source, COUNT(*) AS nb, SUM(bits) AS sb,
+            SUM(oov) AS ov
+          FROM sc GROUP BY 1, 2)"""
+
   val all: Seq[Q] = Seq(
 
     // ---- chunk-level exact dedup ------------------------------------------
@@ -996,33 +1030,7 @@ object CurationQueries {
           d.filter(col("doc_id") % 2 === 0))
       },
       Some(s"""
-        WITH tok AS (
-          SELECT doc_id, source, $duckTokens AS w FROM documents),
-        rbi AS (
-          SELECT CAST('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15) AS BIGINT) AS bh,
-                 CAST('0x' || substr(md5(w[i]), 1, 15) AS BIGINT) AS uh
-          FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
-          WHERE doc_id % 2 = 0),
-        bc AS (SELECT bh, COUNT(*) AS cb FROM rbi GROUP BY 1),
-        uc AS (SELECT uh, COUNT(*) AS cu FROM rbi GROUP BY 1),
-        tbi AS (
-          SELECT doc_id, source,
-            CAST('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15) AS BIGINT) AS bh,
-            CAST('0x' || substr(md5(w[i]), 1, 15) AS BIGINT) AS uh
-          FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
-          WHERE doc_id % 2 = 1),
-        sc AS (
-          SELECT tb.doc_id, tb.source,
-            CASE WHEN bc.cb IS NULL THEN 20
-                 ELSE length(bin(uc.cu // bc.cb)) - 1 END AS bits,
-            CASE WHEN bc.cb IS NULL THEN 1 ELSE 0 END AS oov
-          FROM tbi tb
-          LEFT JOIN bc ON bc.bh = tb.bh
-          LEFT JOIN uc ON uc.uh = tb.uh),
-        per_doc AS (
-          SELECT doc_id, source, COUNT(*) AS nb, SUM(bits) AS sb,
-            SUM(oov) AS ov
-          FROM sc GROUP BY 1, 2),
+        WITH $crossSurprisalCtes,
         tg AS (SELECT source, COUNT(*) AS docs FROM documents
                WHERE doc_id % 2 = 1 GROUP BY 1)
         SELECT tg.source, tg.docs,
@@ -1034,6 +1042,62 @@ object CurationQueries {
           SELECT source, SUM(nb) AS tb, SUM(sb) AS tbits, SUM(ov) AS tov,
             SUM(CASE WHEN sb > 4 * nb THEN 1 ELSE 0 END) AS hs
           FROM per_doc GROUP BY 1) p USING (source)
+        ORDER BY tg.source"""))
+    ,
+
+    // ---- the CCNet head/middle/tail split ---------------------------------
+    // Acting on q187's scores the way CCNet does: per source, target docs
+    // partition into surprisal TERCILES under the reference model — head
+    // (closest to the reference: keep), middle, tail (drop/down-weight).
+    // Per-doc score = milli-bits per bigram (integer division, no float
+    // perplexity); thresholds are discrete quantiles over the
+    // per-(source, score) HISTOGRAM (q162's machinery — the rank window
+    // sees score cardinality, never corpus size), cross-multiplied
+    // (cum*3 >= n) so both engines agree exactly. Bigram-less docs are
+    // reported unscored, excluded from terciles (the CCNet convention).
+    Q("q188_surprisal_terciles",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.curation.Curation.surprisalTerciles(
+          d.filter(col("doc_id") % 2 === 1),
+          d.filter(col("doc_id") % 2 === 0))
+      },
+      Some(s"""
+        WITH $crossSurprisalCtes,
+        scored AS (
+          SELECT doc_id, source, (sb * 1000) // nb AS score FROM per_doc),
+        hist AS (
+          SELECT source, score, COUNT(*) AS cnt FROM scored GROUP BY 1, 2),
+        hh AS (
+          SELECT source, score, cnt,
+            SUM(cnt) OVER (PARTITION BY source ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(cnt) OVER (PARTITION BY source) AS n
+          FROM hist),
+        thr AS (
+          SELECT source,
+            MIN(CASE WHEN cum * 3 >= n THEN score END) AS t1,
+            MIN(CASE WHEN cum * 3 >= 2 * n THEN score END) AS t2
+          FROM hh GROUP BY 1),
+        bk AS (
+          SELECT s.source, COUNT(*) AS scored_docs,
+            MAX(t.t1) AS t1, MAX(t.t2) AS t2,
+            SUM(CASE WHEN s.score <= t.t1 THEN 1 ELSE 0 END) AS head_docs,
+            SUM(CASE WHEN s.score > t.t1 AND s.score <= t.t2
+                THEN 1 ELSE 0 END) AS middle_docs,
+            SUM(CASE WHEN s.score > t.t2 THEN 1 ELSE 0 END) AS tail_docs
+          FROM scored s JOIN thr t USING (source) GROUP BY 1),
+        tg AS (SELECT source, COUNT(*) AS docs FROM documents
+               WHERE doc_id % 2 = 1 GROUP BY 1)
+        SELECT tg.source,
+          CAST(COALESCE(bk.scored_docs, 0) AS BIGINT) AS scored_docs,
+          CAST(tg.docs - COALESCE(bk.scored_docs, 0) AS BIGINT) AS unscored_docs,
+          CAST(COALESCE(bk.t1, 0) AS BIGINT) AS t1_millibits,
+          CAST(COALESCE(bk.t2, 0) AS BIGINT) AS t2_millibits,
+          CAST(COALESCE(bk.head_docs, 0) AS BIGINT) AS head_docs,
+          CAST(COALESCE(bk.middle_docs, 0) AS BIGINT) AS middle_docs,
+          CAST(COALESCE(bk.tail_docs, 0) AS BIGINT) AS tail_docs
+        FROM tg LEFT JOIN bk USING (source)
         ORDER BY tg.source"""))
   )
 }

@@ -306,6 +306,34 @@ class CurationWave3Spec extends SparkSpec {
       Row("s2", 1L, 1L, 20L, 1L, 1L)))
   }
 
+  test("surprisalTerciles: discrete tercile cut with unscored accounting") {
+    // reference trains "x y" bigrams heavily; targets score:
+    //   "x y x y x y" -> all known bigrams, low millibits (head-ish)
+    //   "x y q r"     -> 1 known + 2 OOV of 3 -> mid
+    //   "q r s t"     -> all OOV -> 20000 millibits (tail)
+    //   "solo"        -> no bigram -> unscored
+    // 3 scored docs, terciles: t1 = lowest score, t2 = middle score;
+    // head/middle/tail = 1/1/1 whatever the exact values.
+    val ref = docs(Seq((1L, "x y x y", "en", "seed")))
+    val tgt = docs(Seq(
+      (10L, "x y x y x y", "en", "s"),
+      (11L, "x y q r", "en", "s"),
+      (12L, "q r s t", "en", "s"),
+      (13L, "solo", "en", "s")))
+    val out = Curation.surprisalTerciles(tgt, ref).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getLong(1) === 3L, "scored_docs")
+    assert(r.getLong(2) === 1L, "unscored_docs")
+    assert((r.getLong(5), r.getLong(6), r.getLong(7)) === ((1L, 1L, 1L)),
+      s"head/middle/tail: $r")
+    // scores: doc10 = 0 (all known, zero-bit), doc11 = 40000/3 = 13333
+    // (one known zero-bit + two 20-bit OOV bigrams), doc12 = 20000
+    // (all OOV). Discrete terciles: t1 = 0, t2 = 13333.
+    assert(r.getLong(3) === 0L, "t1 is the all-known doc's score")
+    assert(r.getLong(4) === 13333L, "t2 is the mixed doc's score")
+  }
+
   test("crossSurprisalReport: bigram-less docs count but contribute nothing") {
     val ref = docs(Seq((1L, "a b", "en", "seed")))
     val tgt = docs(Seq((10L, "solo", "en", "s")))
