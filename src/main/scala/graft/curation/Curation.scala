@@ -964,6 +964,48 @@ object Curation {
     graft.io.Writers.overwrite(manifest, s"$path/_manifest")
   }
 
+  /** The LOADER side of [[writePackedCorpus]]: read the packed layout
+    * back as the dataloader's segment stream, manifest-gated. The
+    * manifest is read FIRST and must exist — it is written through the
+    * crash-safe staged swap strictly after the data, so its presence
+    * guarantees complete segment files under it; a missing manifest
+    * means an unfinished (or crashed) write and the loader must not
+    * serve a partial corpus. Totals are re-counted from the data and
+    * verified against the manifest row for row (a mismatch is corruption
+    * or concurrent mutation — fail loudly, never train on it).
+    * Returns (manifest, segments): the ~one-row-per-stratum sizing frame
+    * and the segment stream, which reads in training order per stratum
+    * when consumed file-by-file (the range-partitioned, sorted layout
+    * the writer produced — no shuffle needed to restore order).
+    */
+  def readPackedCorpus(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame) = {
+    val manifestPath = new org.apache.hadoop.fs.Path(s"$path/_manifest")
+    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(manifestPath),
+      s"no manifest at $path — the packed write did not complete; refusing " +
+        "to serve a possibly-partial corpus")
+    val manifest = spark.read.parquet(s"$path/_manifest")
+    val segs = spark.read.parquet(s"$path/segments")
+    val strataCol = manifest.columns.head
+    val recounted = segs.groupBy(strataCol).agg(
+      countDistinct("seq").as("sequences"),
+      count(lit(1)).as("segments"),
+      sum("seg_len").as("tokens"))
+    val mismatches = manifest
+      .join(recounted.withColumnRenamed("sequences", "r_sequences")
+          .withColumnRenamed("segments", "r_segments")
+          .withColumnRenamed("tokens", "r_tokens"),
+        Seq(strataCol), "full_outer")
+      .filter(!(col("sequences") <=> col("r_sequences")) ||
+        !(col("segments") <=> col("r_segments")) ||
+        !(col("tokens") <=> col("r_tokens")))
+      .collect()
+    require(mismatches.isEmpty,
+      s"manifest/data mismatch at $path: ${mismatches.mkString("; ")}")
+    (manifest, segs)
+  }
+
   /** Exact-dedup for a DOCUMENT STREAM: normalize-fingerprint each doc
     * row-local (md5 of lowercased whitespace-collapsed text) and keep the
     * first arrival per fingerprint. Under Structured Streaming the state

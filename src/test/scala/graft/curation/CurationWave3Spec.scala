@@ -222,6 +222,34 @@ class CurationWave3Spec extends SparkSpec {
       .collect().map(_.toSeq).toSet === expect)
   }
 
+  test("readPackedCorpus: manifest-gated loader verifies and round-trips") {
+    val d = docs(Seq(
+      (1L, words("a", 25), "en", "s"), (2L, words("b", 7), "en", "s"),
+      (3L, words("c", 13), "fr", "s")))
+    val base = Files.createTempDirectory("packed_read").toString
+    Curation.writePackedCorpus(d, base, seqTokens = 10)
+    val (manifest, segs) = Curation.readPackedCorpus(spark, base)
+    assert(manifest.count() === 2L)
+    assert(segs.select("lang", "seq", "doc_id", "seg_start", "seg_len")
+      .collect().map(_.toSeq).toSet ===
+      Curation.packSequences(d, seqTokens = 10).collect().map(_.toSeq).toSet)
+    // a missing manifest is an unfinished write: refuse to serve
+    val bare = Files.createTempDirectory("packed_nomanifest").toString
+    Curation.packSequences(d, seqTokens = 10)
+      .write.partitionBy("lang").parquet(s"$bare/segments")
+    intercept[IllegalArgumentException] {
+      Curation.readPackedCorpus(spark, bare)
+    }
+    // data that disagrees with the manifest is corruption: refuse
+    val broken = Files.createTempDirectory("packed_broken").toString
+    Curation.writePackedCorpus(d, broken, seqTokens = 10)
+    val enDir = new java.io.File(s"$broken/segments/lang=en")
+    enDir.listFiles().filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    intercept[IllegalArgumentException] {
+      Curation.readPackedCorpus(spark, broken)
+    }
+  }
+
   // ---- q166 end-to-end composition ---------------------------------------
 
   test("q166: stages drop the right docs (funnel, then dedup, then pack)") {

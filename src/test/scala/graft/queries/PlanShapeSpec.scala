@@ -346,6 +346,24 @@ class PlanShapeSpec extends SparkSpec
     assert(!plan.toString.contains("CartesianProduct"))
   }
 
+  test("q187/q188 surprisal: gram text never reaches an exchange") {
+    // the reference-LM family's scale contract: both corpora hash grams
+    // to 60-bit longs in their scan stages, so every exchange carries
+    // longs and counts — never gram or document text — and no window
+    // partitions on corpus-sized keys (the tercile windows run over the
+    // per-(source, score) histogram only)
+    for (name <- Seq("q187_cross_surprisal", "q188_surprisal_terciles")) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan
+      for (e <- collect(plan) {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }; a <- e.output)
+        assert(!Seq("text", "g", "w", "gram").contains(a.name.toLowerCase),
+          s"$name: text-bearing column '${a.name}' reached an exchange")
+      assert(!plan.toString.contains("CartesianProduct"), name)
+    }
+  }
+
   test("q160 sequence packing: distributed cumsum, no per-stratum window") {
     // Token counts are row-local; the running offset is the two-pass
     // cumsumByStratum. The contract at 100x: every window in the plan
