@@ -61,14 +61,26 @@ object Bench {
     // ~5 s x 7 of duplicate build cost to queries that are measuring
     // search. One explicit build row keeps attribution honest — family
     // rows below then time pure search against the shared index.
+    // NonFatal only: an OOM/VM error here means every later timing is
+    // suspect — let it kill the run. On a NonFatal failure the family
+    // queries are SKIPPED (reported under "errors"), not retried: each
+    // would otherwise re-attempt the full build inside its own timed
+    // region via ensureIndex, silently re-introducing the per-query
+    // duplicate-build attribution this shared build exists to remove.
+    val annFamily = Seq("q154_ann_index_query", "q155_ann_batch_query",
+      "q158_ann_index_dedup", "q165_hard_negatives", "q169_filtered_ann",
+      "q170_index_drift", "q179_ann_ingest_verdicts", "q181_ann_bucketed_batch")
+    var annBuildFailed = false
     val annBuild =
       try {
         val t0 = System.nanoTime()
         graft.queries.SimilarityQueries.ensureIndex(spark, sfDir)
         Seq("ann_index_build" -> (System.nanoTime() - t0) / 1e9)
       } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] ann index build failed: $e"); Seq.empty
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] ann index build failed: $e")
+          annBuildFailed = true
+          Seq.empty
       }
 
     // min of two runs: the second run reflects steady-state (JIT-warm,
@@ -81,7 +93,13 @@ object Bench {
     // timings (an aborted duration is not a measurement).
     val errors = scala.collection.mutable.ListBuffer[String]()
     val samples = scala.collection.mutable.Map[String, List[Double]]()
-    for (_ <- 1 to 2; name <- headline; fn <- SparkEntry.queries.get(name)) {
+    val timed =
+      if (annBuildFailed) {
+        System.err.println(s"[bench] skipping ANN family (shared build failed): " +
+          annFamily.mkString(", "))
+        headline.filterNot(annFamily.contains)
+      } else headline
+    for (_ <- 1 to 2; name <- timed; fn <- SparkEntry.queries.get(name)) {
       // queries that persist() an intermediate (q35, q113) would
       // otherwise serve run 2 from CacheManager — a cached-read time,
       // not a query time — and pin blocks across the whole registry
@@ -91,7 +109,8 @@ object Bench {
         fn(spark, sfDir).queryExecution.toRdd.count()
         samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(name, Nil)
       } catch {
-        case e: Throwable =>
+        // NonFatal: an OOM here poisons every subsequent timing — die
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name failed: $e")
       }
     }
@@ -224,7 +243,7 @@ object Bench {
         "join_shuffled" -> rounds.map(_._1).min,
         "join_bucketed" -> rounds.map(_._2).min)
     } catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] bucketed demo failed: $e"); Seq.empty
     } finally {
       for (dir <- Seq(repOrdersPath, repLineitemPath)) {
@@ -273,7 +292,7 @@ object Bench {
         "zorder_box_linear" -> rounds.map(_._1).min,
         "zorder_box_zorder" -> rounds.map(_._2).min)
     } catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] zorder demo failed: $e"); Seq.empty
     } finally {
       for (dir <- Seq(linPath, zPath)) {
@@ -365,7 +384,7 @@ object Bench {
         "skew_aqe_max_task" -> rounds.map(_._3._2).min,
         "skew_salt_factor" -> factor.toDouble)
     } catch {
-      case e: Throwable =>
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] skew demo failed: $e"); Seq.empty
     }
   }

@@ -231,7 +231,7 @@ object Curation {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-    val reserved = Seq("_ok", "_bkt", "_off", "cum")
+    val reserved = Seq("_ok", "_bkt", "_off", "cum", "_obkt", "_ostr")
     require(!reserved.exists(counted.columns.contains),
       s"cumsumByStratum reserves columns ${reserved.mkString(", ")}")
     val spark = counted.sparkSession
@@ -240,9 +240,22 @@ object Curation {
     val keyed = counted
       .withColumn("_ok", md5(col(idCol).cast("string")))
       .withColumn("_bkt", orderBucket(col("_ok"), p))
-    val partials = keyed.groupBy(col("_bkt"), col(strataCol))
-      .agg(coalesce(sum(col(nCol)).cast("long"), lit(0L)).as("_psum"))
+    // pass 1 doubles as the NULL-id guard: a null id has no
+    // content-addressed position (md5(null) is null — the old window
+    // form ordered such rows arbitrarily-but-silently; here pass-1's
+    // getInt would NPE), so count them in the aggregate already running
+    // and fail loudly instead of either
+    val partialsRaw = keyed
+      .groupBy(col("_bkt"), col(strataCol))
+      .agg(coalesce(sum(col(nCol)).cast("long"), lit(0L)).as("_psum"),
+        sum(when(col(idCol).isNull, 1L).otherwise(0L)).as("_nulls"))
       .collect()
+    val nullIds = partialsRaw.map(_.getLong(3)).sum
+    require(nullIds == 0L,
+      s"cumsumByStratum: $nullIds rows have a NULL '$idCol' — the order " +
+        "key must be a non-null content address (a null row has no " +
+        "deterministic position in the running sum)")
+    val partials = partialsRaw
     require(partials.length <= (1 << 22),
       s"cumsumByStratum: ${partials.length} (bucket, stratum) groups — " +
         s"'$strataCol' looks like a high-cardinality key, not a stratum; " +
@@ -986,8 +999,20 @@ object Curation {
       s"no manifest at $path — the packed write did not complete; refusing " +
         "to serve a possibly-partial corpus")
     val manifest = spark.read.parquet(s"$path/_manifest")
-    val segs = spark.read.parquet(s"$path/segments")
     val strataCol = manifest.columns.head
+    // the stratum comes back as a PARTITION column, whose type is
+    // re-INFERRED from directory names — numeric-looking language codes
+    // would read back int and make the verification join below report
+    // spurious mismatches (or silently cast); a NULL stratum round-trips
+    // as the hive default-partition directory name. Recover the
+    // manifest's authoritative type: string first (inference-proof), map
+    // the hive sentinel back to NULL, then cast to the written dtype.
+    val strataType = manifest.schema.head.dataType
+    val segs = spark.read.parquet(s"$path/segments")
+      .withColumn(strataCol,
+        when(col(strataCol).cast("string") === "__HIVE_DEFAULT_PARTITION__",
+          lit(null)).otherwise(col(strataCol).cast("string"))
+          .cast(strataType))
     val recounted = segs.groupBy(strataCol).agg(
       countDistinct("seq").as("sequences"),
       count(lit(1)).as("segments"),

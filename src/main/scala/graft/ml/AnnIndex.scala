@@ -37,8 +37,16 @@ object AnnIndex {
   private def indexDir(path: String) = s"$path/index"
   private def coarseDir(path: String) = s"$path/codebook_coarse"
   private def pqDir(path: String) = s"$path/codebook_pq"
+  private val BuildMarker = "_GRAFT_BUILD_COMPLETE"
 
-  /** Train + encode + write the index at `path` (overwrites). */
+  /** Train + encode + write the index at `path` (overwrites). The index,
+    * coarse and PQ sidecars are three separate write jobs, so the LAST
+    * step stamps a [[BuildMarker]] file at the root — the only signal
+    * that all three landed. [[rebuildAndSwap]] refuses to promote a
+    * staging directory without it, so a partially-written build (crash,
+    * or any concurrent interference with the staging path) can never be
+    * renamed over a live index.
+    */
   def build(spark: SparkSession, vecs: DataFrame, path: String,
       k: Int = 16, iters: Int = 2, m: Int = 4, pqK: Int = 4): Codebooks = {
     import spark.implicits._
@@ -57,6 +65,9 @@ object AnnIndex {
       .flatMap { case (cb, mi) => cb.zipWithIndex.map { case (c, ci) => (mi, ci, c) } }
       .toDF("m", "c_id", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(pqDir(path))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(root, BuildMarker), true).close()
     Codebooks(coarse, cbs)
   }
 
@@ -180,6 +191,17 @@ object AnnIndex {
     * concurrent reader sees a missing root, never a half-built one.
     * `vecs` must not itself read from `path` (the staged build scans it
     * while the live index still serves queries).
+    *
+    * Concurrency contract: [[append]] / [[compactCells]] may run while a
+    * rebuild is staging (they never touch the staging sibling — only
+    * rebuildAndSwap sweeps it), but rows they add to the LIVE index after
+    * the staged build's scan are not in the new index (re-append them, or
+    * quiesce ingest across the swap); two concurrent rebuildAndSwaps on
+    * one path are NOT supported (they would share the staging sibling) —
+    * serialize rebuilds externally. Before promoting, the swap requires
+    * [[build]]'s completion marker in staging: a staging directory
+    * missing any of its three write jobs fails loudly here instead of
+    * being renamed over the only live copy.
     */
   def rebuildAndSwap(spark: SparkSession, vecs: DataFrame, path: String,
       k: Int = 16, iters: Int = 2, m: Int = 4, pqK: Int = 4): Codebooks = {
@@ -190,6 +212,10 @@ object AnnIndex {
     val stg = rootStaging(path)
     if (fs.exists(stg)) fs.delete(stg, true)
     val cb = build(spark, vecs, stg.toString, k, iters, m, pqK)
+    if (!fs.exists(new Path(stg, BuildMarker)))
+      throw new java.io.IOException(
+        s"staged rebuild at $stg has no $BuildMarker — incomplete build; " +
+          "refusing to swap it over the live index")
     val bak = rootBak(path)
     if (fs.exists(live)) {
       if (!fs.rename(live, bak))
@@ -206,19 +232,26 @@ object AnnIndex {
   /** Crash recovery for [[compactCells]] and [[rebuildAndSwap]]: first
     * heal a root swap (a crash between [[rebuildAndSwap]]'s two renames
     * leaves the index ONLY under the backup sibling — restore it; a
-    * crash after the swap leaves a stale backup — delete it; staging is
-    * never the only copy and is always deleted), then the per-cell form
-    * (a crash between [[compactCells]]'s renames leaves a cell's rows
-    * ONLY under `.compact_bak/<cell>` — restore it). Runs at the top of
-    * [[compactCells]], [[append]] AND [[rebuildAndSwap]] (a cheap
-    * existence probe when no swap debris exists).
+    * crash after the swap leaves a stale backup — delete it), then the
+    * per-cell form (a crash between [[compactCells]]'s renames leaves a
+    * cell's rows ONLY under `.compact_bak/<cell>` — restore it). Runs at
+    * the top of [[compactCells]], [[append]] AND [[rebuildAndSwap]] (a
+    * cheap existence probe when no swap debris exists).
+    *
+    * Deliberately does NOT sweep the root REBUILD staging sibling: append
+    * and compactCells run this recovery too, and a live ingest loop's
+    * micro-batch append racing an in-flight [[rebuildAndSwap]] would
+    * otherwise delete the staging mid-build — the partially re-written
+    * staging could then be promoted over the only full copy of the
+    * index. Staging is never the only copy of anything (the live root
+    * stays intact until the swap's renames), so a crashed rebuild's
+    * stale staging is harmless debris; only [[rebuildAndSwap]] itself
+    * clears it, immediately before restaging.
     */
   def recoverCells(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rootStg = rootStaging(path)
-    if (fs.exists(rootStg)) fs.delete(rootStg, true)
     val rootBk = rootBak(path)
     if (fs.exists(rootBk)) {
       if (!fs.exists(live)) {
@@ -372,6 +405,13 @@ object AnnIndex {
       broadcastProbes: Boolean = true,
       restrict: Option[DataFrame] = None,
       bucketedTable: Option[String] = None): DataFrame = {
+    // documented-unsupported combination fails loudly: a restrict
+    // semi-join re-shuffles the index side on vec_id, silently forfeiting
+    // the zero-exchange guarantee the bucketed layout exists for
+    require(restrict.isEmpty || bucketedTable.isEmpty,
+      "batchQuery: restrict with bucketedTable would re-shuffle the " +
+        "bucketed index side and forfeit its zero-exchange guarantee — " +
+        "use the partitioned-parquet layout for restricted searches")
     VecOps.register(spark)
     val cb = loadCodebooks(spark, path)
     val indexRows = bucketedTable.map(spark.table)

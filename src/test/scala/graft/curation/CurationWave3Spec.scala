@@ -451,6 +451,33 @@ class CurationWave3Spec extends SparkSpec {
     }
   }
 
+  test("cumsumByStratum: NULL order keys are rejected loudly") {
+    // a null id has no content-addressed position: the old window form
+    // ordered such rows arbitrarily-but-silently, and the two-pass form
+    // would NPE in pass 1 — both wrong answers; the contract is a loud
+    // refusal from the aggregate pass 1 already runs
+    val d = Seq((Some(1L), "en", 2L), (None, "en", 3L))
+      .toDF("doc_id", "lang", "n")
+    val ex = intercept[IllegalArgumentException] {
+      Curation.cumsumByStratum(d, "lang", "doc_id", "n")
+    }
+    assert(ex.getMessage.contains("NULL"))
+  }
+
+  test("readPackedCorpus: numeric-looking strata keep the written type") {
+    // partition-column type inference would read lang=1/lang=2 back as
+    // INT; the loader must recover the manifest's string type or the
+    // verification join reports spurious full-outer mismatches
+    val d = docs(Seq(
+      (1L, words("a", 12), "1", "s"), (2L, words("b", 7), "2", "s")))
+    val base = Files.createTempDirectory("packed_numeric").toString
+    Curation.writePackedCorpus(d, base, seqTokens = 10)
+    val (manifest, segs) = Curation.readPackedCorpus(spark, base)
+    assert(segs.schema("lang").dataType === manifest.schema("lang").dataType)
+    assert(segs.select("lang").distinct().collect().map(_.getString(0)).toSet
+      === Set("1", "2"))
+  }
+
   test("cumsumByStratum: single-row buckets and empty frames stay exact") {
     val d = Seq(("en", 1L, 5L)).toDF("lang", "doc_id", "n")
     val one = Curation.cumsumByStratum(d, "lang", "doc_id", "n").collect()

@@ -294,11 +294,34 @@ class AnnIndexSpec extends SparkSpec
       .collect().map(_.toString).toSeq
     assert(healed == got, "healed index must be the pre-crash whole index")
     assert(!bak.exists(), "backup sibling must be cleaned up")
-    // stale staging from an aborted rebuild is swept, never read
+    // stale staging from an aborted rebuild is harmless debris that
+    // recoverCells must NOT touch: append/compactCells run recovery too,
+    // and sweeping staging there would let a micro-batch append racing an
+    // in-flight rebuild delete the build mid-write (the lost-index race)
     val stg = new java.io.File(root.getParentFile, s".${root.getName}.rebuild_staging")
     assert(stg.mkdirs())
     AnnIndex.recoverCells(spark, p)
-    assert(!stg.exists(), "stale staging must be swept")
+    assert(stg.exists(), "recovery from append/compact must leave rebuild staging alone")
+    AnnIndex.append(spark, e.filter(col("vec_id") === 42), p)
+    assert(stg.exists(), "append must never delete an (apparently in-flight) rebuild staging")
+    // only rebuildAndSwap itself clears the stale sibling, right before
+    // restaging — and a completed build stamps the completion marker the
+    // swap requires before promoting staging over the live root
+    AnnIndex.rebuildAndSwap(spark, e, p)
+    assert(!stg.exists(), "rebuildAndSwap must consume/clear the staging sibling")
+    assert(new java.io.File(root, "_GRAFT_BUILD_COMPLETE").isFile,
+      "a swapped-in index carries build's completion marker")
+  }
+
+  test("batchQuery: restrict + bucketedTable is refused loudly") {
+    // the restrict semi-join re-shuffles the index side, silently
+    // forfeiting the zero-exchange guarantee the bucketed layout exists
+    // for — the documented-unsupported combination must fail, not degrade
+    val dummy = spark.range(1).select(col("id").as("vec_id"))
+    intercept[IllegalArgumentException] {
+      AnnIndex.batchQuery(spark, dummy, "/nonexistent", nprobe = 1, topK = 1,
+        restrict = Some(dummy), bucketedTable = Some("no_such_table"))
+    }
   }
 
   test("recoverCells restores a cell stranded mid-swap") {
