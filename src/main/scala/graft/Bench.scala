@@ -48,7 +48,8 @@ object Bench {
       val micros =
         (if (sel("skew")) benchSkew(spark, sfDir) else Nil) ++
         (if (sel("bucket")) benchBucketed(spark, sfDir) else Nil) ++
-        (if (sel("zorder")) benchZOrder(spark) else Nil)
+        (if (sel("zorder")) benchZOrder(spark) else Nil) ++
+        (if (sel("bpe")) benchBpeRounds(spark, sfDir) else Nil)
       val mq = micros.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
       spark.stop()
       println(s"""{"metric":"micros","queries":$mq}""")
@@ -145,7 +146,11 @@ object Bench {
     // row-group min/max stats (the Delta/Iceberg OPTIMIZE ZORDER effect).
     val zorderResults = benchZOrder(spark)
 
-    val qs = (annBuild ++ results ++ bucketResults ++ zorderResults ++ skewResults)
+    // ---- BPE round-batching demo: same 256 learned merges, driver rounds
+    // (hence scheduling wall time) cut by the provably-commuting batch
+    val bpeResults = benchBpeRounds(spark, sfDir)
+
+    val qs = (annBuild ++ results ++ bucketResults ++ zorderResults ++ skewResults ++ bpeResults)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -301,6 +306,67 @@ object Bench {
         if (fs.exists(p)) fs.delete(p, true)
         ()
       }
+    }
+  }
+
+  /** A 256-merge BPE vocabulary training run, sequential (one merge per
+    * driver round) vs batchedRounds=16 (per round, the longest
+    * provably-commuting prefix of the ranked pair list — see
+    * BpeTrainer.safeBatch for the proof). The learned merge tables are
+    * asserted IDENTICAL (the q189 oracle checks the same at 8 merges);
+    * what changes is the DRIVER ROUND count, i.e. the number of
+    * sequential Spark jobs — the model-scale bottleneck a 32k-merge
+    * production vocabulary hits (~65k sequential aggregates of pure
+    * scheduling latency). Reported: wall seconds per variant plus the
+    * actual round counts, so the artifact shows rounds (and wall time)
+    * dropping ~an-order-of-magnitude at identical output.
+    */
+  private def benchBpeRounds(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    try {
+      // documents.parquet has a 31-word vocabulary — it EXHAUSTS at ~90
+      // merges and its pair rankings degenerate long before that, so it
+      // can't exercise vocabulary-scale training. The micro instead
+      // generates a zipf-distributed corpus (~3k distinct words, 10-char
+      // words over the 16-letter md5 alphabet; frequencies ~1/k from the
+      // floor(M/u) transform of a uniform hash) — like the zorder/skew
+      // micros, the workload is synthetic because the thing measured
+      // (driver rounds vs merge count at realistic vocabulary breadth)
+      // needs a shape the test tables don't have. Deterministic: pure
+      // hash arithmetic, no RNG.
+      val docs = spark.range(0, 1000000L, 1, 32).select(
+        translate(
+          substring(md5(floor(lit(2000000.0)
+            / (pmod(hash(col("id")), lit(2000000)) + 1)).cast("long").cast("string")), 1, 10),
+          "0123456789", "ghijklmnop").as("text"))
+      // every round's aggregates run over the VOCABULARY-sized word
+      // table (~3k rows here) — 32 shuffle partitions would be nearly
+      // empty tasks of pure scheduling; 8 is what a real trainer would
+      // size for this table (restored after)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", 8)
+      def run(batch: Int): (Double, graft.text.BpeTrainer.BpeModel) = {
+        val t0 = System.nanoTime()
+        val m = graft.text.BpeTrainer.fit(spark, docs, merges = 256,
+          batchedRounds = batch)
+        ((System.nanoTime() - t0) / 1e9, m)
+      }
+      val (seqSec, seqModel) = try { run(1) }
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.shuffle.partitions", 8)
+      val (batSec, batModel) = try { run(16) }
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      if (seqModel.merges != batModel.merges) {
+        System.err.println("[bench] bpe round-batching CHANGED the merges — " +
+          "semantics bug, suppressing the micro rows")
+        Seq.empty
+      } else Seq(
+        "bpe256_seq" -> seqSec,
+        "bpe256_batched" -> batSec,
+        "bpe256_seq_rounds" -> seqModel.rounds.toDouble,
+        "bpe256_batched_rounds" -> batModel.rounds.toDouble)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] bpe rounds demo failed: $e"); Seq.empty
     }
   }
 

@@ -1170,6 +1170,31 @@ object TextQueries {
           .orderBy("doc_id")
       },
       Some(bpeEncodeOracleSql))
+    ,
+
+    // ---- BATCHED BPE training: driver rounds, not merges ------------------
+    // q180's trainer runs ONE merge per driver round; a production 32k
+    // vocabulary would be ~32k sequential Spark jobs of pure scheduling
+    // overhead. batchedRounds=4 applies per round the longest PREFIX of
+    // the ranked pair list whose pairs share no symbol, trimmed to
+    // strictly-above-boundary counts (BpeTrainer.safeBatch carries the
+    // three-part commutation proof; skipping conflicts instead would
+    // diverge — BpeSpec pins a corpus where it provably does). The oracle
+    // is the SEQUENTIAL 8-round DuckDB replay — a hash match here IS the
+    // machine-checked statement that batching changed the schedule, not
+    // the result. The model's round count (not oracled: it's schedule,
+    // not semantics) lands in the bench's bpe-rounds micro instead.
+    Q("q189_bpe_train_batched",
+      (s, dir) => {
+        import s.implicits._
+        val model = graft.text.BpeTrainer.fit(s, t(s, dir, "documents"),
+          merges = 8, batchedRounds = 4)
+        model.merges.zipWithIndex.map { case ((a, b, c), i) =>
+          (i + 1L, a, b, a + b, c)
+        }.toDF("step", "piece_a", "piece_b", "merged", "pair_count")
+          .orderBy("step")
+      },
+      Some(bpeOracleSql))
   )
 
   /** The shared header of every BPE-family oracle: the `^[a-z]+$`-gated

@@ -38,10 +38,14 @@ object BpeTrainer {
 
   /** A trained model: the corpus alphabet (sorted single characters) and
     * the learned merges in application order, each with the pair count
-    * that won its round.
+    * that won its round. `rounds` is the number of DRIVER rounds training
+    * actually ran — equal to `merges.length` for sequential training,
+    * smaller when `batchedRounds` fused several provably-commuting merges
+    * per round (the model-scale wall-time lever; the merges themselves
+    * are identical either way).
     */
   final case class BpeModel(alphabet: Seq[String],
-      merges: Seq[(String, String, Long)]) {
+      merges: Seq[(String, String, Long)], rounds: Int = 0) {
     /** Pieces for [[SubwordTokenizer.tokenize]]: alphabet + every merge
       * output (a fused pair is by construction the concatenation of its
       * halves), deduplicated, stable order.
@@ -72,13 +76,74 @@ object BpeTrainer {
       .agg(sum("freq").as("cnt"))
   }
 
-  /** The shared training loop: `pickTop` ranks a round's pair counts
-    * (given the round's segmentation frame) and returns the winner.
+  /** The SAFE merge batch for one BPE round, from the round's ranked
+    * pair list (`ranked` = the top `n + 1` pairs in the training order
+    * (cnt DESC, a, b)): the longest PREFIX of the ranked list, capped at
+    * `n`, whose pairs are mutually non-adjacent (no shared symbol),
+    * trimmed to pairs whose count STRICTLY exceeds the first excluded
+    * pair's; falls back to top-1 when trimming empties the batch (a pure
+    * sequential step is always safe). Applying the batch in one pass is
+    * bit-identical to applying its merges one sequential round at a
+    * time, by three facts:
+    *
+    *  1. batch pairs don't perturb each other: merging (a, b) changes
+    *     only the counts of pairs of the form (*, a), (b, *) and (a, b)
+    *     itself, so a disjoint-symbol pair's count — and its
+    *     segmentation matches — are untouched, and the literal
+    *     `(a)(b)` patterns of disjoint pairs can never overlap in the
+    *     paren representation (application order inside the pass is
+    *     irrelevant);
+    *  2. old pairs outside the batch can't overtake: a prefix means
+    *     every pair ranked above the last accepted one is IN the batch,
+    *     outside counts only ever decrease, and the (cnt DESC, a, b)
+    *     tie-break keeps an equal-count outsider below where the
+    *     original ranking put it;
+    *  3. NEW pairs created mid-batch can't overtake: a pair born of
+    *     merge k has the fused symbol in it, and its count is bounded by
+    *     an old pair adjacent to merge k — which, by mutual
+    *     non-adjacency, is NOT in the batch, hence ranks below the whole
+    *     prefix, hence (after the strict-boundary trim) has count
+    *     strictly below every batch pair's. Strictness is what closes
+    *     the tie window: a new pair with a count merely EQUAL to a batch
+    *     pair's could win on the lexicographic tie-break, so boundary
+    *     ties trim.
+    *
+    * The tempting alternative — SKIP a conflicting pair and keep taking
+    * lower-ranked disjoint ones — is NOT sequential-equivalent: the
+    * skipped pair's count may not actually decrease (only (*, a) /
+    * (b, *) forms do), in which case sequential training would pick it
+    * before every lower-ranked pair the skip rule accepted. Hence
+    * prefix-stop, not skip (BpeSpec pins a corpus where the skip rule
+    * provably diverges).
+    */
+  private[text] def safeBatch(ranked: Seq[(String, String, Long)],
+      n: Int): Seq[(String, String, Long)] = {
+    if (ranked.isEmpty) return Nil
+    val syms = scala.collection.mutable.Set.empty[String]
+    val acc = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    var i = 0
+    var stopped = false
+    while (i < ranked.length && acc.length < n && !stopped) {
+      val (a, b, _) = ranked(i)
+      if (syms.contains(a) || syms.contains(b)) stopped = true
+      else { acc += ranked(i); syms += a; syms += b; i += 1 }
+    }
+    val boundary = if (i < ranked.length) ranked(i)._3 else -1L
+    val trimmed = acc.takeWhile(_._3 > boundary).toSeq
+    if (trimmed.isEmpty) Seq(ranked.head) else trimmed
+  }
+
+  /** The shared training loop: `pickRanked(seg, limit)` ranks a round's
+    * pair counts (given the round's segmentation frame) and returns the
+    * top `limit` rows in training order; [[safeBatch]] then accepts as
+    * many as provably commute (1 when `batchedRounds` is 1 — the
+    * sequential form).
     */
   private def trainLoop(spark: SparkSession, docs: DataFrame, merges: Int,
-      textCol: String)(
-      pickTop: DataFrame => Array[org.apache.spark.sql.Row]): BpeModel = {
+      textCol: String, batchedRounds: Int)(
+      pickRanked: (DataFrame, Int) => Array[org.apache.spark.sql.Row]): BpeModel = {
     require(merges >= 0, s"merges must be >= 0, got $merges")
+    require(batchedRounds >= 1, s"batchedRounds must be >= 1, got $batchedRounds")
     val words = wordTable(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -88,28 +153,37 @@ object BpeTrainer {
         .orderBy("c").collect().map(_.getString(0)).toSeq
       var seg = words.withColumn("seg",
         regexp_replace(col("word"), "(.)", "($1)"))
-      var learned = List.empty[(String, String, Long)]
-      var step = 0
+      val learned = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+      var sinceCheckpoint = 0
+      var rounds = 0
       var exhausted = false
-      while (step < merges && !exhausted) {
-        val top = pickTop(seg)
+      while (learned.length < merges && !exhausted) {
+        rounds += 1
+        val want = math.min(batchedRounds, merges - learned.length)
+        val top = pickRanked(seg, want + 1)
         if (top.isEmpty) exhausted = true
         else {
-          val (a, b, c) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          learned = (a, b, c) :: learned
-          seg = seg.withColumn("seg",
-            replace(col("seg"), lit(s"($a)($b)"), lit(s"($a$b)")))
+          val ranked = top.map(r =>
+            (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+          val batch = safeBatch(ranked, want)
+          learned ++= batch
+          seg = batch.foldLeft(seg) { case (s, (a, b, _)) =>
+            s.withColumn("seg",
+              replace(col("seg"), lit(s"($a)($b)"), lit(s"($a$b)")))
+          }
+          sinceCheckpoint += batch.length
           // bound the lineage: without a cut, round i's aggregate replays
-          // i chained replaces, making a real (30k-merge) training run
+          // every prior replace, making a real (30k-merge) training run
           // quadratic in plan depth. The table is vocabulary-sized, so an
-          // eager local checkpoint every 16 rounds is cheap and keeps
+          // eager local checkpoint every ~16 merges is cheap and keeps
           // every round's plan shallow.
-          if (step % 16 == 15) seg = seg.localCheckpoint(true)
+          if (sinceCheckpoint >= 16) {
+            seg = seg.localCheckpoint(true)
+            sinceCheckpoint = 0
+          }
         }
-        step += 1
       }
-      BpeModel(alphabet, learned.reverse)
+      BpeModel(alphabet, learned.toList, rounds)
     } finally {
       words.unpersist()
       ()
@@ -119,13 +193,26 @@ object BpeTrainer {
   /** Learn `merges` BPE merges from `docs(textCol)`: each round fuses the
     * most FREQUENT adjacent pair. Returns fewer when the corpus runs out
     * of adjacent pairs first (every word fused to a single symbol).
+    *
+    * `batchedRounds` is the driver-round batching the model-scale story
+    * needs: sequential training runs ONE merge per driver round — exact,
+    * but a production 32k-merge vocabulary becomes ~32k sequential Spark
+    * jobs whose scheduling overhead dominates wall time. With
+    * `batchedRounds = N`, each round collects the top N+1 ranked pairs
+    * and applies the [[safeBatch]] prefix — every batched merge is
+    * PROVABLY the merge sequential training would have made (the result
+    * is bit-identical, spec-checked on adversarial fixtures and replayed
+    * by the q189 oracle against a sequential DuckDB derivation), and the
+    * round count drops toward merges/N on natural corpora, where
+    * top-ranked pairs rarely share symbols. Falls back to effectively
+    * sequential rounds exactly where the ranking forces it.
     */
   def fit(spark: SparkSession, docs: DataFrame, merges: Int,
-      textCol: String = "text"): BpeModel =
-    trainLoop(spark, docs, merges, textCol) { seg =>
+      textCol: String = "text", batchedRounds: Int = 1): BpeModel =
+    trainLoop(spark, docs, merges, textCol, batchedRounds) { (seg, limit) =>
       pairCounts(seg)
         .orderBy(desc("cnt"), col("a"), col("b"))
-        .limit(1).collect()
+        .limit(limit).collect()
     }
 
   /** WordPiece-style training: each round fuses the pair maximizing the
@@ -141,10 +228,26 @@ object BpeTrainer {
     * deterministic. The merged piece is position-free (no ##
     * continuation marker), matching what [[SubwordTokenizer]]'s greedy
     * longest-match inference consumes.
+    *
+    * Deliberately NO `batchedRounds` here: [[fit]]'s prefix-batch proof
+    * does not transfer to the likelihood objective, because the score is
+    * NON-LOCAL — merging (a, b) consumes cnt(a,b) occurrences of symbol
+    * a and of symbol b, so every pair sharing a symbol with a batch
+    * merge sees its DENOMINATOR shrink and its score RISE, and a pair
+    * ranked arbitrarily far below the batch can overtake it mid-batch
+    * (under BPE, by contrast, outside counts only ever fall). The rise
+    * is unbounded without that pair's own count, which no fixed-size
+    * collect of the top of the ranking can provide — exact WordPiece
+    * batching would need a full recount per accepted merge, i.e. a
+    * sequential round. Production WordPiece trainers batch anyway and
+    * accept the drift; this trainer's contract is oracle-exactness, so
+    * it keeps the sequential form (at equal `merges` both trainers cost
+    * the same number of rounds; [[fit]] with batching is the
+    * vocabulary-scale path).
     */
   def fitWordPiece(spark: SparkSession, docs: DataFrame, merges: Int,
       textCol: String = "text"): BpeModel =
-    trainLoop(spark, docs, merges, textCol) { seg =>
+    trainLoop(spark, docs, merges, textCol, batchedRounds = 1) { (seg, limit) =>
       val syms = split(expr("substring(seg, 2, length(seg) - 2)"), "\\)\\(")
       val symCnt = seg
         .select(col("freq"), explode(syms).as("s"))
@@ -156,6 +259,6 @@ object BpeTrainer {
           col("cnt").cast("double") / (col("ca").cast("double") * col("cb").cast("double")))
         .orderBy(desc("score"), col("a"), col("b"))
         .select(col("a"), col("b"), col("cnt"))
-        .limit(1).collect()
+        .limit(limit).collect()
     }
 }

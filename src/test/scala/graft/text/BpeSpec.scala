@@ -59,6 +59,76 @@ class BpeSpec extends SparkSpec {
       === Seq(("a", "b", 1L)))
   }
 
+  test("batched fit is bit-identical to sequential on the Sennrich fixture") {
+    // (o,w) cnt 5 shares symbols with both (w,e) and (l,o), so the safe
+    // prefix keeps falling back to ~top-1 here — the point is the
+    // RESULT never drifts even when the ranking forces sequential steps
+    val d = Seq(
+      "low low low newest newest",
+      "lower lower newest newest widest").toDF("text")
+    val seqM = BpeTrainer.fit(spark, d, merges = 4)
+    val batM = BpeTrainer.fit(spark, d, merges = 4, batchedRounds = 4)
+    assert(batM.merges === seqM.merges)
+    assert(batM.alphabet === seqM.alphabet)
+  }
+
+  test("batched fit fuses disjoint top pairs in one driver round") {
+    // (a,b) 5, (c,d) 4, (e,f) 3: pairwise-disjoint symbols and no pair
+    // beyond them, so one round provably commutes all three merges
+    val d = Seq("ab ab ab ab ab cd cd cd cd ef ef ef").toDF("text")
+    val seqM = BpeTrainer.fit(spark, d, merges = 3)
+    val batM = BpeTrainer.fit(spark, d, merges = 3, batchedRounds = 3)
+    assert(batM.merges === seqM.merges)
+    assert(batM.merges === Seq(("a", "b", 5L), ("c", "d", 4L), ("e", "f", 3L)))
+    assert(seqM.rounds === 3)
+    assert(batM.rounds === 1)
+  }
+
+  test("prefix-stop, not skip: a conflicting pair freezes the batch") {
+    // ranked round 1: (a,b) 5, (a,d) 4, (c,a) 4, (d,e) 3. A SKIP rule
+    // would batch [(a,b), (d,e)] — but (a,d)'s count never decreases
+    // (no 'a d' is ever consumed by merging (a,b)), so sequential
+    // training merges (a,d) second and then the NEW pair (c,ad) third;
+    // (d,e) never wins at all within 3 merges. The prefix rule stops at
+    // the (a,d) conflict and trims to [(a,b)], staying exact.
+    val d = Seq("cad cad cad cad ab ab ab ab ab de de de").toDF("text")
+    val seqM = BpeTrainer.fit(spark, d, merges = 3)
+    assert(seqM.merges === Seq(("a", "b", 5L), ("a", "d", 4L), ("c", "ad", 4L)))
+    val batM = BpeTrainer.fit(spark, d, merges = 3, batchedRounds = 3)
+    assert(batM.merges === seqM.merges)
+  }
+
+  test("boundary count ties trim the batch (new-pair overtake window)") {
+    // 'abc' x3: (a,b) 3 ties (b,c) 3; they conflict on 'b', and merging
+    // (a,b) births (ab,c) at the SAME count 3 — an equal-count new pair
+    // could win a lexicographic tie, which is why the trim is strict.
+    val d = Seq("abc abc abc").toDF("text")
+    val seqM = BpeTrainer.fit(spark, d, merges = 2)
+    assert(seqM.merges === Seq(("a", "b", 3L), ("ab", "c", 3L)))
+    val batM = BpeTrainer.fit(spark, d, merges = 2, batchedRounds = 2)
+    assert(batM.merges === seqM.merges)
+  }
+
+  test("batched fit equals sequential on seeded random corpora") {
+    // 12 deterministic corpora over a 5-letter alphabet, heavy repetition
+    // so pair rankings collide in varied ways (ties, conflicts, new-pair
+    // births); every one must train bit-identically at batchedRounds 4
+    val rnd = new scala.util.Random(20260814L)
+    val letters = "abcde"
+    for (trial <- 0 until 12) {
+      val words = (0 until 30).map { _ =>
+        val len = 1 + rnd.nextInt(5)
+        (0 until len).map(_ => letters(rnd.nextInt(letters.length))).mkString
+      }
+      val d = Seq(words.mkString(" ")).toDF("text")
+      val seqM = BpeTrainer.fit(spark, d, merges = 6)
+      val batM = BpeTrainer.fit(spark, d, merges = 6, batchedRounds = 4)
+      assert(batM.merges === seqM.merges, s"trial $trial diverged: " +
+        s"corpus='${words.mkString(" ")}'")
+      assert(batM.rounds <= seqM.rounds)
+    }
+  }
+
   test("trained vocab drives q136's tokenizer and compresses the corpus") {
     SubwordTokenizer.register(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
