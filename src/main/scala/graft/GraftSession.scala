@@ -32,6 +32,7 @@ object GraftSession {
     geo.GeoClip.register(spark)
     geo.ContainsPoint.register(spark)
     ml.VecOps.register(spark)
+    sql.SqlTableFunctions.register(spark)
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

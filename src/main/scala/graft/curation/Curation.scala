@@ -604,6 +604,107 @@ object Curation {
       .orderBy(strataCol)
   }
 
+  /** TRIGRAM cross-corpus surprisal with integer-exact STUPID BACKOFF
+    * (Brants et al., "Large Language Models in Machine Translation",
+    * EMNLP 2007) — the model-order upgrade over the bigram scorer: a
+    * trigram seen in the reference scores by its trigram probability; an
+    * unseen trigram whose (w2, w3) bigram IS seen backs off to the
+    * bigram level at a fixed penalty; only fully-novel continuations pay
+    * the flat OOV bits. Stupid backoff's score is not a normalized
+    * probability, which is exactly why it stays integer-exact here:
+    *
+    *  - trigram level: floor(log2(C(w1 w2)/C(w1 w2 w3))) via bit-length
+    *    arithmetic (`length(bin(ctx div tri)) - 1` — identical in both
+    *    engines, no float ever);
+    *  - backoff level: `backoffBits` + floor(log2(C(w2)/C(w2 w3))) —
+    *    the backoff weight alpha is 2^-backoffBits (default 1/4, near
+    *    Brants' empirical 0.4), so "multiplying by alpha" IS adding a
+    *    constant bit count, division stays exact;
+    *  - OOV: the flat `oovBits` penalty, as in the bigram scorer.
+    *
+    * All counts — trigram, context bigram (w1 w2), backoff bigram
+    * (w2 w3), backoff unigram (w2) — are estimated over the SAME
+    * reference trigram event space (one explode of the reference, three
+    * narrow aggregates). That choice is what makes the bit arithmetic
+    * total: every trigram occurrence contributes to its own context
+    * bigram, so C(ctx) >= C(tri) whenever the trigram is seen, and every
+    * backoff-bigram occurrence contributes to its middle unigram, so
+    * C(w2) >= C(w2 w3) — both divisions are >= 1 and floor(log2) >= 0,
+    * with no seen-but-zero-context edge to special-case.
+    *
+    * 100 TB shape: identical to the bigram scorer — grams hash to 60-bit
+    * longs in the scan stage, the model tables are
+    * reference-vocabulary-sized, and the three count joins exchange
+    * longs, never gram text.
+    */
+  private def trigramCrossSurprisalPerDoc(target: DataFrame,
+      reference: DataFrame, textCol: String, idCol: String,
+      strataCol: String, backoffBits: Int, oovBits: Int): DataFrame = {
+    graft.text.TextSketch.register(target.sparkSession)
+    def h60(c: Column) = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    def trigrams(df: DataFrame, carry: Seq[Column]): DataFrame =
+      df.select(carry :+
+          explode(graft.text.TextSketch.wordShingles(col(textCol), 3)).as("g"): _*)
+        .withColumn("th", h60(col("g")))
+        .withColumn("ch", h60(substring_index(col("g"), " ", 2)))
+        .withColumn("bh2", h60(substring_index(col("g"), " ", -2)))
+        .withColumn("uh2",
+          h60(substring_index(substring_index(col("g"), " ", 2), " ", -1)))
+        .drop("g")
+    val refTri = trigrams(reference, Nil)
+    val tc = refTri.groupBy("th").agg(count(lit(1)).as("ct"))
+    val cc = refTri.groupBy("ch").agg(count(lit(1)).as("cctx"))
+    val bc = refTri.groupBy("bh2").agg(count(lit(1)).as("cbo"))
+    val uc = refTri.groupBy("uh2").agg(count(lit(1)).as("cuni"))
+    trigrams(target, Seq(col(idCol), col(strataCol)))
+      .join(tc, Seq("th"), "left")
+      .join(cc, Seq("ch"), "left")
+      .join(bc, Seq("bh2"), "left")
+      .join(uc, Seq("uh2"), "left")
+      .withColumn("bits",
+        when(col("ct").isNotNull,
+          (length(bin(expr("cctx div ct"))) - 1).cast("long"))
+          .when(col("cbo").isNotNull,
+            lit(backoffBits.toLong)
+              + (length(bin(expr("cuni div cbo"))) - 1).cast("long"))
+          .otherwise(lit(oovBits.toLong)))
+      .withColumn("bo",
+        when(col("ct").isNull && col("cbo").isNotNull, 1L).otherwise(0L))
+      .withColumn("oov",
+        when(col("ct").isNull && col("cbo").isNull, 1L).otherwise(0L))
+      .groupBy(idCol, strataCol)
+      .agg(count(lit(1)).as("nt"), sum("bits").as("sb"),
+        sum("bo").as("bo"), sum("oov").as("ov"))
+  }
+
+  /** Per-stratum report over [[trigramCrossSurprisalPerDoc]]: docs,
+    * total_trigrams, total_bits, backoff_trigrams (scored at the bigram
+    * level), oov_trigrams (fully novel), high_surprisal_docs (mean over
+    * `flagBits` bits/trigram). Documents too short to form a trigram
+    * contribute to `docs` only — the same convention as the bigram
+    * report's.
+    */
+  def trigramCrossSurprisalReport(target: DataFrame, reference: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      strataCol: String = "source", flagBits: Int = 4,
+      backoffBits: Int = 2, oovBits: Int = 20): DataFrame = {
+    val perDoc = trigramCrossSurprisalPerDoc(target, reference, textCol,
+      idCol, strataCol, backoffBits, oovBits)
+    target.groupBy(strataCol).agg(count(lit(1)).as("docs"))
+      .join(perDoc.groupBy(strataCol).agg(
+          sum("nt").as("tt"), sum("sb").as("tbits"), sum("bo").as("tbo"),
+          sum("ov").as("tov"),
+          sum(when(col("sb") > col("nt") * flagBits, 1L).otherwise(0L)).as("hs")),
+        Seq(strataCol), "left")
+      .select(col(strataCol), col("docs"),
+        coalesce(col("tt"), lit(0L)).as("total_trigrams"),
+        coalesce(col("tbits"), lit(0L)).as("total_bits"),
+        coalesce(col("tbo"), lit(0L)).as("backoff_trigrams"),
+        coalesce(col("tov"), lit(0L)).as("oov_trigrams"),
+        coalesce(col("hs"), lit(0L)).as("high_surprisal_docs"))
+      .orderBy(strataCol)
+  }
+
   /** The CCNet head/middle/tail split: per stratum, target documents
     * partition into surprisal TERCILES under the reference model —
     * head (closest to the reference: keep), middle (keep or re-filter),
@@ -627,20 +728,81 @@ object Curation {
     */
   def surprisalTerciles(target: DataFrame, reference: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
-      strataCol: String = "source", oovBits: Int = 20): DataFrame = {
-    val scores = crossSurprisalPerDoc(target, reference, textCol, idCol,
-        strataCol, oovBits)
-      .withColumn("score", expr("sb * 1000 div nb"))
+      strataCol: String = "source", oovBits: Int = 20): DataFrame =
+    tercileSplit(target,
+      crossSurprisalPerDoc(target, reference, textCol, idCol, strataCol,
+        oovBits).withColumn("score", expr("sb * 1000 div nb")),
+      strataCol)
+
+  /** [[surprisalTerciles]] under the TRIGRAM stupid-backoff scores —
+    * the CCNet split at the upgraded model order. Same discrete-quantile
+    * machinery, same output shape; a doc needs >= 3 tokens to be scored
+    * (vs 2 for bigrams), so `unscored_docs` can only grow. The spec
+    * proves the split genuinely MOVES vs the bigram terciles on a corpus
+    * where two-word context is the distinguishing signal.
+    */
+  def trigramSurprisalTerciles(target: DataFrame, reference: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      strataCol: String = "source", backoffBits: Int = 2,
+      oovBits: Int = 20): DataFrame =
+    tercileSplit(target,
+      trigramCrossSurprisalPerDoc(target, reference, textCol, idCol,
+        strataCol, backoffBits, oovBits)
+        .withColumn("score", expr("sb * 1000 div nt")),
+      strataCol)
+
+  /** The per-doc bigram score frame ([[crossSurprisalReport]]'s core,
+    * public): one row per target doc with >= 1 bigram — (idCol,
+    * strataCol, nb, sb, ov, score) with score = milli-bits per bigram.
+    * The composition entry point for pipelines that act on scores
+    * (q191's keep-head-and-middle) rather than consume a report.
+    */
+  def crossSurprisalScores(target: DataFrame, reference: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      strataCol: String = "source", oovBits: Int = 20): DataFrame =
+    crossSurprisalPerDoc(target, reference, textCol, idCol, strataCol,
+      oovBits).withColumn("score", expr("sb * 1000 div nb"))
+
+  /** The CCNet KEEP action over a scored frame: ids of docs in the HEAD
+    * or MIDDLE tercile of their stratum (score <= t2) — the tail is what
+    * a CCNet run drops or down-weights. Thresholds are the same discrete
+    * quantiles as [[surprisalTerciles]] (histogram-grain windows,
+    * broadcast-joined back); docs absent from `scores` (too short to
+    * form a bigram) are absent from the output — the caller's funnel
+    * rules own those.
+    */
+  def tercileKeepIds(scores: DataFrame, strataCol: String,
+      idCol: String = "doc_id"): DataFrame =
+    scores.join(broadcast(tercileThresholds(scores, strataCol)), Seq(strataCol))
+      .filter(col("score") <= col("t2"))
+      .select(col(idCol))
+
+  /** Discrete per-stratum tercile thresholds over a (strataCol, score)
+    * frame: t1 = smallest score whose cumulative count reaches n/3, t2 =
+    * 2n/3 (cross-multiplied — integer-exact). Histogram-grain windows
+    * only.
+    */
+  private def tercileThresholds(scores: DataFrame, strataCol: String): DataFrame = {
     val hist = scores.groupBy(col(strataCol), col("score"))
       .agg(count(lit(1)).as("cnt"))
     val wc = Window.partitionBy(strataCol).orderBy("score")
       .rowsBetween(Window.unboundedPreceding, 0)
     val wt = Window.partitionBy(strataCol)
-    val h = hist.withColumn("cum", sum("cnt").over(wc))
+    hist.withColumn("cum", sum("cnt").over(wc))
       .withColumn("n", sum("cnt").over(wt))
-    val thr = h.groupBy(strataCol).agg(
-      min(when(col("cum") * 3 >= col("n"), col("score"))).as("t1"),
-      min(when(col("cum") * 3 >= col("n") * 2, col("score"))).as("t2"))
+      .groupBy(strataCol).agg(
+        min(when(col("cum") * 3 >= col("n"), col("score"))).as("t1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("score"))).as("t2"))
+  }
+
+  /** The shared tercile cut: per stratum of `target`, discrete-quantile
+    * thresholds (t1 at n/3, t2 at 2n/3, cross-multiplied) over the
+    * per-(stratum, score) histogram of `scores` — bounded by score
+    * cardinality, never corpus size.
+    */
+  private def tercileSplit(target: DataFrame, scores: DataFrame,
+      strataCol: String): DataFrame = {
+    val thr = tercileThresholds(scores, strataCol)
     val buckets = scores.join(broadcast(thr), Seq(strataCol))
       .groupBy(strataCol)
       .agg(count(lit(1)).as("scored_docs"),
@@ -990,9 +1152,27 @@ object Curation {
     * and the segment stream, which reads in training order per stratum
     * when consumed file-by-file (the range-partitioned, sorted layout
     * the writer produced — no shuffle needed to restore order).
+    *
+    * `epoch` is the multi-epoch reshuffle, WITHOUT rewriting a byte:
+    * every epoch's segment stream carries an `epoch_ord` string column —
+    * the per-stratum consumption order at SEQUENCE (shard) grain, with
+    * segments inside a sequence staying in `seg_start` order. Epoch 0 is
+    * the written order (`epoch_ord` = zero-padded `seq`, so ordering by
+    * it IS the on-disk file order); epoch n >= 1 re-ranks sequences by
+    * md5(n ":" stratum ":" seq) — the content-addressed discipline, so
+    * the permutation is a pure function of (epoch, identity): every
+    * engine, run, retry and cluster size deals the same deal, epochs
+    * decorrelate from each other and from the written order, and nothing
+    * is sampled or seeded from session state. The order is a COLUMN, not
+    * a physical sort: the plan stays scan-shaped (spec-asserted
+    * sort-free), and a dataloader consumes (stratum, epoch_ord, seq,
+    *  seg_start) — per-partition ordered reads, never a global sort; ties
+    * are impossible at the md5 level in practice and broken by `seq`
+    * either way.
     */
   def readPackedCorpus(spark: org.apache.spark.sql.SparkSession,
-      path: String): (DataFrame, DataFrame) = {
+      path: String, epoch: Int = 0): (DataFrame, DataFrame) = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
     val manifestPath = new org.apache.hadoop.fs.Path(s"$path/_manifest")
     val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(manifestPath),
@@ -1028,7 +1208,10 @@ object Curation {
       .collect()
     require(mismatches.isEmpty,
       s"manifest/data mismatch at $path: ${mismatches.mkString("; ")}")
-    (manifest, segs)
+    val ordered = segs.withColumn("epoch_ord",
+      if (epoch == 0) format_string("%019d", col("seq"))
+      else md5(concat_ws(":", lit(epoch), col(strataCol), col("seq"))))
+    (manifest, ordered)
   }
 
   /** Exact-dedup for a DOCUMENT STREAM: normalize-fingerprint each doc

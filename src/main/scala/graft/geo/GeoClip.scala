@@ -149,5 +149,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StSimplify].getName, "st_simplify"),
       (exprs: Seq[Expression]) => StSimplify(exprs)))
     ext.injectOptimizerRule(_ => SpatialFilterRule)
+    // the curation library's SQL surface (table-valued entry points)
+    graft.sql.SqlTableFunctions.inject(ext)
   }
 }

@@ -261,6 +261,53 @@ object AnnIndex {
     }
     val idx = new Path(indexDir(path))
     if (!fs.exists(idx)) return
+    // an interrupted SPLIT rolls BACK: while the journal exists, the
+    // original cell is intact (live or under backup) and the original
+    // sidecar is intact (live or under its backup) by construction —
+    // delete whatever child/new-sidecar state went live, restore the
+    // originals, drop the journal. A completed split deleted the journal
+    // first, so its stale debris (sidecar backup, cell backup) falls
+    // through to the journal-absent rules below.
+    val journal = new Path(idx, SplitJournal)
+    if (fs.exists(journal)) {
+      val names = {
+        val in = fs.open(journal)
+        val buf = new java.io.ByteArrayOutputStream()
+        try {
+          val b = new Array[Byte](4096)
+          var n = in.read(b)
+          while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
+        } finally in.close()
+        new String(buf.toByteArray, "UTF-8")
+          .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      }
+      val (oldName, newName) = (names(0), names(1))
+      val liveNew = new Path(idx, newName)
+      if (fs.exists(liveNew)) fs.delete(liveNew, true)
+      val bakOld = new Path(new Path(idx, BakDir), oldName)
+      if (fs.exists(bakOld)) {
+        val liveOld = new Path(idx, oldName)
+        if (fs.exists(liveOld)) fs.delete(liveOld, true)
+        if (!fs.rename(bakOld, liveOld))
+          throw new java.io.IOException(s"split rollback failed: $bakOld -> $liveOld")
+      }
+      val cBak = coarseBakDir(path)
+      if (fs.exists(cBak)) {
+        val cLive = new Path(coarseDir(path))
+        if (fs.exists(cLive)) fs.delete(cLive, true)
+        if (!fs.rename(cBak, cLive))
+          throw new java.io.IOException(s"split sidecar rollback failed: $cBak -> $cLive")
+      }
+      fs.delete(journal, false)
+    }
+    // journal-absent sidecar debris: a crash after the journal delete but
+    // before debris cleanup leaves a stale sidecar backup/staging
+    if (fs.exists(coarseBakDir(path))) {
+      if (fs.exists(new Path(coarseDir(path)))) fs.delete(coarseBakDir(path), true)
+      else if (!fs.rename(coarseBakDir(path), new Path(coarseDir(path))))
+        throw new java.io.IOException("stale sidecar backup restore failed")
+    }
+    if (fs.exists(coarseStagingDir(path))) fs.delete(coarseStagingDir(path), true)
     val stagingRoot = new Path(idx, StagingDir)
     if (fs.exists(stagingRoot)) fs.delete(stagingRoot, true)
     val bakRoot = new Path(idx, BakDir)
@@ -282,6 +329,131 @@ object AnnIndex {
     */
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(indexDir(path))
+
+  /** The most occupied cell (ties: smallest id) — the split candidate the
+    * q170 occupancy-drift check points at. One bounded aggregate over the
+    * code rows (<= k groups).
+    */
+  def hottestCell(spark: SparkSession, path: String): Long =
+    readIndex(spark, path)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("members"))
+      .orderBy(desc("members"), col("cell"))
+      .limit(1).collect()(0).getLong(0)
+
+  final case class SplitReport(parentCell: Long, newCell: Long,
+      parentMembers: Long, keptMembers: Long, movedMembers: Long)
+
+  private val SplitJournal = ".split_journal"
+  private def coarseStagingDir(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/.codebook_coarse.split_staging")
+  private def coarseBakDir(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/.codebook_coarse.split_bak")
+
+  /** The INCREMENTAL action for localized occupancy drift — the middle
+    * tier between [[append]] (no structural change) and
+    * [[rebuildAndSwap]] (full retrain): split ONE hot cell into two.
+    * Two sub-centroids are trained over just that cell's residents (a
+    * partition-pruned read; [[KMeans.fitCodebook]] with k=2, same exact
+    * decimal-mean arithmetic as the full build, init = the two
+    * smallest-id residents), each resident is re-assigned to the nearer
+    * sub-centroid ([[VecOps.argmaxCell]] — same tie-break as everywhere),
+    * and only that cell's directory is rewritten: the child under the
+    * smaller init id KEEPS the parent's cell id, the other gets
+    * max(c_id)+1, so every other inverted list and both PQ sidecars are
+    * untouched (codes don't change — ADC distances are identical, which
+    * is why a full-probe search after a split returns bit-identical
+    * rows).
+    *
+    * Crash safety extends the cell-swap discipline with a JOURNAL,
+    * because a split is the one maintenance op that must move TWO cell
+    * directories and the coarse sidecar together: children and the
+    * updated sidecar are fully staged first (dot-prefixed, invisible),
+    * then `.split_journal` commits the intent, then the renames run
+    * (parent -> backup, children -> live, sidecar staged -> live), then
+    * the journal is deleted, then debris. [[recoverCells]] rolls an
+    * interrupted split BACK whenever the journal exists — the original
+    * cell and sidecar are still on disk by construction at every
+    * journaled instant — and cleans forward debris when it doesn't; the
+    * index is never visible in a mixed state. Like rebuilds, concurrent
+    * maintenance ops must be serialized with a split (they share the
+    * per-cell staging namespace).
+    *
+    * 100 TB shape: cost is proportional to ONE cell (read residents,
+    * 2-means over them, rewrite one directory), not the corpus — the
+    * whole point vs rebuild; the codebook grows by one row.
+    */
+  def splitCell(spark: SparkSession, vecs: DataFrame, path: String,
+      cell: Long, iters: Int = 2): SplitReport = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    VecOps.register(spark)
+    recoverCells(spark, path)
+    val cb = loadCodebooks(spark, path)
+    require(cb.coarse.exists(_._1 == cell),
+      s"splitCell: no cell $cell in the coarse codebook at $path")
+    val newCellId = cb.coarse.map(_._1).max + 1
+    val residents = spark.read.parquet(s"${indexDir(path)}/cell=$cell")
+    val residentVecs = vecs
+      .filter(col("embedding").isNotNull)
+      .join(broadcast(residents.select("vec_id")), Seq("vec_id"), "left_semi")
+    val sub = KMeans.fitCodebook(spark, residentVecs, k = 2, iters = iters)
+    require(sub.length == 2,
+      s"splitCell: cell $cell has fewer than 2 residents — nothing to split")
+    // relabel: smaller-init-id child inherits the parent id (so probe
+    // order ties keep resolving the same way: parent id < new id)
+    val children = Seq((cell, sub(0)._2, sub(0)._3),
+      (newCellId, sub(1)._2, sub(1)._3))
+    val assigned = residentVecs
+      .withColumn("v_nrm", VecOps.norm(col("embedding")))
+      .withColumn("new_cell",
+        VecOps.argmaxCell(col("embedding"), col("v_nrm"), children))
+      .select(col("vec_id"), col("new_cell"))
+    val childRows = residents.join(assigned, Seq("vec_id"))
+    val idx = new Path(indexDir(path))
+    val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagingRoot = new Path(idx, StagingDir)
+    val keptN = childRows.filter(col("new_cell") === cell).count()
+    val movedN = childRows.filter(col("new_cell") === newCellId).count()
+    // stage EVERYTHING before the journal: both children + the sidecar
+    childRows.filter(col("new_cell") === cell).select("vec_id", "codes")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(new Path(stagingRoot, s"cell=$cell").toString)
+    childRows.filter(col("new_cell") === newCellId).select("vec_id", "codes")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(new Path(stagingRoot, s"cell=$newCellId").toString)
+    val newCoarse = cb.coarse.filterNot(_._1 == cell) ++ children
+    newCoarse.sortBy(_._1).toDF("c_id", "centroid", "c_nrm")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(coarseStagingDir(path).toString)
+    // journal commits the intent; from here recovery rolls BACK
+    val journal = new Path(idx, SplitJournal)
+    val out = fs.create(journal, true)
+    out.write(s"cell=$cell\ncell=$newCellId\n".getBytes("UTF-8")); out.close()
+    // renames: parent -> backup, children -> live, sidecar swap
+    val bakRoot = new Path(idx, BakDir)
+    fs.mkdirs(bakRoot)
+    val liveOld = new Path(idx, s"cell=$cell")
+    if (!fs.rename(liveOld, new Path(bakRoot, s"cell=$cell")))
+      throw new java.io.IOException(s"splitCell: backup rename failed for $liveOld")
+    if (!fs.rename(new Path(stagingRoot, s"cell=$cell"), liveOld))
+      throw new java.io.IOException(s"splitCell: swap failed for $liveOld")
+    val liveNew = new Path(idx, s"cell=$newCellId")
+    if (!fs.rename(new Path(stagingRoot, s"cell=$newCellId"), liveNew))
+      throw new java.io.IOException(s"splitCell: swap failed for $liveNew")
+    val coarseLive = new Path(coarseDir(path))
+    if (!fs.rename(coarseLive, coarseBakDir(path)))
+      throw new java.io.IOException("splitCell: sidecar backup rename failed")
+    if (!fs.rename(coarseStagingDir(path), coarseLive))
+      throw new java.io.IOException("splitCell: sidecar swap failed")
+    // the split is complete — journal off, then debris
+    fs.delete(journal, false)
+    fs.delete(coarseBakDir(path), true)
+    fs.delete(new Path(bakRoot, s"cell=$cell"), true)
+    if (fs.exists(bakRoot) && fs.listStatus(bakRoot).isEmpty) fs.delete(bakRoot, true)
+    fs.delete(stagingRoot, true)
+    SplitReport(cell, newCellId, keptN + movedN, keptN, movedN)
+  }
 
   /** Materialize the index rows as a cell-BUCKETED managed table — the
     * co-location layout for extreme-query-count [[batchQuery]]. The

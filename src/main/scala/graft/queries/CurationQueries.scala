@@ -62,6 +62,201 @@ object CurationQueries {
             SUM(oov) AS ov
           FROM sc GROUP BY 1, 2)"""
 
+  /** DuckDB replay of [[graft.curation.Curation.chunkDedupReport]] —
+    * shared by q116 (Scala entry point) and q193 (the same operator
+    * driven through `spark.sql` and the injected table function).
+    */
+  private def chunkDedupOracleSql: String = s"""
+        WITH w AS (
+          SELECT doc_id, source, $duckTokens AS w FROM documents),
+        ch AS (
+          SELECT doc_id, source,
+            unnest(list_transform(generate_series(0, len(w)//20 - 1),
+              i -> md5(array_to_string(w[i*20+1 : i*20+20], ' ')))) AS h
+          FROM w),
+        cn AS (SELECT doc_id, source,
+                 COUNT(*) OVER (PARTITION BY h) AS cnt FROM ch),
+        per_doc AS (
+          SELECT doc_id, source, COUNT(*) AS chunks,
+            SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS dup
+          FROM cn GROUP BY 1, 2),
+        per_src AS (
+          SELECT source, SUM(chunks) AS pc, SUM(dup) AS pd,
+            SUM(CASE WHEN dup * 2 >= chunks THEN 1 ELSE 0 END) AS pf
+          FROM per_doc GROUP BY 1),
+        src AS (SELECT source, COUNT(*) AS docs FROM documents GROUP BY 1)
+        SELECT src.source, src.docs,
+          CAST(COALESCE(pc, 0) AS BIGINT) AS total_chunks,
+          CAST(COALESCE(pd, 0) AS BIGINT) AS dup_chunks,
+          CAST(COALESCE(pf, 0) AS BIGINT) AS flagged_docs
+        FROM src LEFT JOIN per_src USING (source) ORDER BY source"""
+
+  /** DuckDB replay of the full CCNet chain (q191): q186's span-removal
+    * CTEs over the base corpus, q166's funnel rules on the CLEANED text,
+    * q163's bit-exact Bloom membership + exact verify on the cleaned
+    * text, q187/q188's bigram scoring + discrete terciles with
+    * thresholds over the decon-survivor population, then the budget
+    * cumsum and packing arithmetic (q166's). Multiply-referenced CTEs
+    * pinned MATERIALIZED (the bpeHeaderCtes lesson — DuckDB re-inlines
+    * otherwise and the tree goes exponential).
+    */
+  private def ccnetPipelineOracleSql: String = s"""
+        WITH tok0 AS MATERIALIZED (
+          SELECT doc_id, lang, $duckTokens AS w FROM documents),
+        winds AS (
+          SELECT doc_id, i - 1 AS i, md5(array_to_string(w[i:i+9], ' ')) AS h
+          FROM tok0, UNNEST(generate_series(1, len(w) - 9)) AS t(i)),
+        dups AS MATERIALIZED (
+          SELECT doc_id, i FROM (
+            SELECT doc_id, i, COUNT(*) OVER (PARTITION BY h) AS cnt
+            FROM winds)
+          WHERE cnt > 1),
+        toksl AS (
+          SELECT doc_id, p - 1 AS p, w[p] AS tk
+          FROM tok0, UNNEST(generate_series(1, len(w))) AS t(p)),
+        cov AS (
+          SELECT DISTINCT d.doc_id, c.p
+          FROM dups d, UNNEST(generate_series(d.i, d.i + 9)) AS c(p)),
+        keptl AS (
+          SELECT t.doc_id, t.p, t.tk
+          FROM toksl t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+          WHERE c.p IS NULL),
+        clean AS MATERIALIZED (
+          SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS ct,
+            COUNT(*) AS n_after
+          FROM keptl GROUP BY 1),
+        corpusc AS MATERIALIZED (
+          SELECT t.doc_id, t.lang, COALESCE(c.ct, '') AS ctext,
+            CAST(COALESCE(c.n_after, 0) AS BIGINT) AS n_kept
+          FROM tok0 t LEFT JOIN clean c USING (doc_id)),
+        tgtc AS (SELECT * FROM corpusc WHERE doc_id % 2 = 1),
+        refc AS (SELECT * FROM corpusc WHERE doc_id % 2 = 0),
+        ftok AS (
+          SELECT doc_id, unnest(string_split_regex(trim(ctext), '\\s+')) AS tok
+          FROM tgtc),
+        ftc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM ftok GROUP BY 1, 2),
+        feats AS (
+          SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS vocab, MAX(cnt) AS max_single,
+            SUM(CASE WHEN tok IN ('the','a','of','and','in','to','is')
+                THEN cnt ELSE 0 END) AS stop_cnt
+          FROM ftc GROUP BY 1),
+        k1 AS MATERIALIZED (
+          SELECT f.doc_id FROM feats f
+          WHERE NOT (f.n < 15) AND NOT (f.n > 95)
+            AND NOT (f.max_single * 5 > f.n)
+            AND NOT (f.vocab * 5 < f.n * 2)
+            AND NOT (f.stop_cnt * 50 < f.n)),
+        bench AS (SELECT w[3:] AS w FROM tok0 WHERE doc_id % 50 = 0),
+        bg AS MATERIALIZED (
+          SELECT DISTINCT CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+          FROM bench, UNNEST($duck8gram) AS t(g)),
+        bpos AS (
+          SELECT DISTINCT
+            ((h & 65535) + i * (((h >> 16) & 65535) | 1)) & 65535 AS pos
+          FROM bg, UNNEST([0, 1, 2, 3]) AS t(i)),
+        ctok AS (
+          SELECT doc_id, string_split_regex(trim(ctext), '\\s+') AS w FROM tgtc),
+        cg AS MATERIALIZED (
+          SELECT DISTINCT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+          FROM ctok, UNNEST($duck8gram) AS t(g)),
+        cpos AS (
+          SELECT doc_id, h,
+            ((h & 65535) + i * (((h >> 16) & 65535) | 1)) & 65535 AS pos
+          FROM cg, UNNEST([0, 1, 2, 3]) AS t(i)),
+        miss AS (
+          SELECT DISTINCT doc_id, h FROM cpos
+          WHERE pos NOT IN (SELECT pos FROM bpos)),
+        chit AS (
+          SELECT c.doc_id, c.h, (m.h IS NULL) AS bloom_hit
+          FROM cg c LEFT JOIN miss m
+            ON c.doc_id = m.doc_id AND c.h = m.h),
+        cont AS (
+          SELECT DISTINCT c.doc_id FROM chit c JOIN bg USING (h)
+          WHERE c.bloom_hit),
+        k2 AS MATERIALIZED (
+          SELECT doc_id FROM k1
+          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        rbi AS (
+          SELECT CAST('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15) AS BIGINT) AS bh,
+                 CAST('0x' || substr(md5(w[i]), 1, 15) AS BIGINT) AS uh
+          FROM (SELECT string_split_regex(trim(ctext), '\\s+') AS w FROM refc) r,
+               UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+        bc AS (SELECT bh, COUNT(*) AS cb FROM rbi GROUP BY 1),
+        uc AS (SELECT uh, COUNT(*) AS cu FROM rbi GROUP BY 1),
+        tbi AS (
+          SELECT doc_id, lang,
+            CAST('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15) AS BIGINT) AS bh,
+            CAST('0x' || substr(md5(w[i]), 1, 15) AS BIGINT) AS uh
+          FROM ctok c JOIN tgtc USING (doc_id),
+               UNNEST(generate_series(1, len(c.w) - 1)) AS t(i)),
+        per_doc AS (
+          SELECT doc_id, lang, COUNT(*) AS nb,
+            SUM(CASE WHEN bc.cb IS NULL THEN 20
+                ELSE length(bin(uc.cu // bc.cb)) - 1 END) AS sb
+          FROM tbi LEFT JOIN bc USING (bh) LEFT JOIN uc USING (uh)
+          GROUP BY 1, 2),
+        scores12 AS MATERIALIZED (
+          SELECT doc_id, lang, (sb * 1000) // nb AS score FROM per_doc
+          WHERE doc_id IN (SELECT doc_id FROM k2)),
+        hist AS (
+          SELECT lang, score, COUNT(*) AS cnt FROM scores12 GROUP BY 1, 2),
+        hh AS (
+          SELECT lang, score, cnt,
+            SUM(cnt) OVER (PARTITION BY lang ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(cnt) OVER (PARTITION BY lang) AS n
+          FROM hist),
+        thr AS (
+          SELECT lang,
+            MIN(CASE WHEN cum * 3 >= n THEN score END) AS t1,
+            MIN(CASE WHEN cum * 3 >= 2 * n THEN score END) AS t2
+          FROM hh GROUP BY 1),
+        keep AS MATERIALIZED (
+          SELECT s.doc_id FROM scores12 s JOIN thr t USING (lang)
+          WHERE s.score <= t.t2),
+        counted AS (
+          SELECT c.lang, c.doc_id, c.n_kept AS n
+          FROM tgtc c JOIN keep k ON k.doc_id = c.doc_id
+          WHERE c.n_kept > 0),
+        c3 AS (
+          SELECT doc_id, lang, n,
+            CAST(SUM(n) OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM counted),
+        k4 AS MATERIALIZED (SELECT * FROM c3 WHERE cum <= 4000),
+        seqs AS (
+          SELECT lang, MAX((cum - 1) // 256) + 1 AS sequences,
+            CAST(SUM(n) AS BIGINT) AS packed_tokens
+          FROM k4 GROUP BY 1),
+        base AS (
+          SELECT lang, COUNT(*) AS docs_total,
+            CAST(SUM(len(w)) AS BIGINT) AS tokens_total
+          FROM tok0 WHERE doc_id % 2 = 1 GROUP BY 1),
+        tclean AS (
+          SELECT lang, CAST(SUM(n_kept) AS BIGINT) AS tokens_after_clean
+          FROM tgtc GROUP BY 1),
+        cf AS (SELECT c.lang, COUNT(*) AS after_funnel
+               FROM tgtc c JOIN k1 USING (doc_id) GROUP BY 1),
+        cd2 AS (SELECT c.lang, COUNT(*) AS after_decon
+                FROM tgtc c JOIN k2 USING (doc_id) GROUP BY 1),
+        ct3 AS (SELECT c.lang, COUNT(*) AS after_terciles
+                FROM tgtc c JOIN keep USING (doc_id) GROUP BY 1),
+        cb4 AS (SELECT lang, COUNT(*) AS after_budget FROM k4 GROUP BY 1)
+        SELECT base.lang, base.docs_total, base.tokens_total,
+          CAST(COALESCE(tokens_after_clean, 0) AS BIGINT) AS tokens_after_clean,
+          CAST(COALESCE(after_funnel, 0) AS BIGINT) AS after_funnel,
+          CAST(COALESCE(after_decon, 0) AS BIGINT) AS after_decon,
+          CAST(COALESCE(after_terciles, 0) AS BIGINT) AS after_terciles,
+          CAST(COALESCE(after_budget, 0) AS BIGINT) AS after_budget,
+          CAST(COALESCE(sequences, 0) AS BIGINT) AS sequences,
+          CAST(COALESCE(packed_tokens, 0) AS BIGINT) AS packed_tokens
+        FROM base
+          LEFT JOIN tclean USING (lang) LEFT JOIN cf USING (lang)
+          LEFT JOIN cd2 USING (lang) LEFT JOIN ct3 USING (lang)
+          LEFT JOIN cb4 USING (lang) LEFT JOIN seqs USING (lang)
+        ORDER BY base.lang"""
+
   val all: Seq[Q] = Seq(
 
     // ---- chunk-level exact dedup ------------------------------------------
@@ -86,30 +281,24 @@ object CurationQueries {
     // Integer threshold math (dup*2 >= chunks) keeps the oracle exact.
     Q("q116_chunk_dedup",
       (s, dir) => graft.curation.Curation.chunkDedupReport(t(s, dir, "documents")),
-      Some(s"""
-        WITH w AS (
-          SELECT doc_id, source, $duckTokens AS w FROM documents),
-        ch AS (
-          SELECT doc_id, source,
-            unnest(list_transform(generate_series(0, len(w)//20 - 1),
-              i -> md5(array_to_string(w[i*20+1 : i*20+20], ' ')))) AS h
-          FROM w),
-        cn AS (SELECT doc_id, source,
-                 COUNT(*) OVER (PARTITION BY h) AS cnt FROM ch),
-        per_doc AS (
-          SELECT doc_id, source, COUNT(*) AS chunks,
-            SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS dup
-          FROM cn GROUP BY 1, 2),
-        per_src AS (
-          SELECT source, SUM(chunks) AS pc, SUM(dup) AS pd,
-            SUM(CASE WHEN dup * 2 >= chunks THEN 1 ELSE 0 END) AS pf
-          FROM per_doc GROUP BY 1),
-        src AS (SELECT source, COUNT(*) AS docs FROM documents GROUP BY 1)
-        SELECT src.source, src.docs,
-          CAST(COALESCE(pc, 0) AS BIGINT) AS total_chunks,
-          CAST(COALESCE(pd, 0) AS BIGINT) AS dup_chunks,
-          CAST(COALESCE(pf, 0) AS BIGINT) AS flagged_docs
-        FROM src LEFT JOIN per_src USING (source) ORDER BY source"""))
+      Some(chunkDedupOracleSql))
+    ,
+
+    // ---- the SQL surface: headline operators via spark.sql ONLY -----------
+    // The same q116 report driven end-to-end through the injected
+    // table-valued function — `SELECT * FROM graft_chunk_dedup(...)` is
+    // the whole query; no Scala operator call anywhere in the plan's
+    // construction. The TVF builds the IDENTICAL logical plan as the
+    // Scala entry point (one code path), so a hash match against q116's
+    // oracle is the machine-checked statement that the SQL route loses
+    // nothing: same two-level aggregate, same results, bit for bit.
+    Q("q193_sql_surface",
+      (s, dir) => {
+        graft.sql.SqlTableFunctions.register(s)
+        t(s, dir, "documents").createOrReplaceTempView("graft_q193_documents")
+        s.sql("SELECT * FROM graft_chunk_dedup('graft_q193_documents')")
+      },
+      Some(chunkDedupOracleSql))
     ,
 
     // ---- quality-filter cascade with first-fail attribution ---------------
@@ -1098,6 +1287,160 @@ object CurationQueries {
           CAST(COALESCE(bk.middle_docs, 0) AS BIGINT) AS middle_docs,
           CAST(COALESCE(bk.tail_docs, 0) AS BIGINT) AS tail_docs
         FROM tg LEFT JOIN bk USING (source)
+        ORDER BY tg.source"""))
+    ,
+
+    // ---- the FULL Lee/CCNet curation chain, ONE composed plan -------------
+    // q166's funnel pipeline upgraded to the published recipe, chaining
+    // every report→action closure end to end: Lee et al. dup-span
+    // REMOVAL over the whole corpus (q186's action — tokens under any
+    // corpus-duplicated 10-token window cut, text rewritten) → quality
+    // funnel on the CLEANED text (q117's rules) → Bloom-prefiltered
+    // exact decontamination at doc grain on the cleaned text (q163's
+    // verdict, the survivors action) → CCNet surprisal terciles vs the
+    // cleaned even-id reference, keeping HEAD+MIDDLE (q188's action;
+    // thresholds computed over the decon SURVIVOR population, the
+    // pipeline-order semantics) → per-language 4000-token budget (q161)
+    // → 256-token packing (q160). Per-language ledger: target docs,
+    // target tokens, tokens surviving span removal, then the doc funnel
+    // through each stage, then sequences and packed tokens.
+    //
+    // 100 TB discipline, same contract as q166 (plan-asserted): the
+    // cleaned corpus is persisted ONCE (the test-scale stand-in for the
+    // corpus checkpoint a production run would land on storage between
+    // the dedup and model stages — CCNet materializes exactly there);
+    // every stage after it computes features/grams/scores ROW-LOCALLY
+    // from that cache and exchanges only ids, hashes and counts — the
+    // stage algebra is id semi/anti-joins on narrow frames, so no
+    // exchange in the composed plan carries a text column, and every
+    // window runs at (bucket, stratum) or histogram grain.
+    Q("q191_ccnet_pipeline",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val cleaned = graft.curation.Curation.removeDupSpans(d)
+          .join(d.select("doc_id", "lang"), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("n_kept"),
+            col("clean_text").as("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ref = cleaned.filter(col("doc_id") % 2 === 0)
+        val tgt = cleaned.filter(col("doc_id") % 2 === 1)
+        // stage id-sets, each computed scan-side off the cached corpus
+        val funnelIds = graft.curation.Curation.funnelSurvivors(tgt)
+          .select("doc_id")
+        val toks0 = split(trim(col("text")), "\\s+")
+        val bench = d.filter(col("doc_id") % 50 === 0)
+          .select(array_join(
+            slice(toks0, lit(3), greatest(size(toks0) - 2, lit(0))), " ").as("btext"))
+        val deconIds = graft.curation.Curation.bloomDecontaminateSurvivors(
+            tgt.select("doc_id", "text"), bench, benchTextCol = "btext")
+          .select("doc_id")
+        val surv12 = funnelIds.join(deconIds, Seq("doc_id"), "left_semi")
+        // tercile thresholds over the SURVIVOR population (stage order
+        // matters: the kept head+middle is relative to what remains)
+        val scores12 = graft.curation.Curation
+          .crossSurprisalScores(tgt, ref, strataCol = "lang")
+          .join(surv12, Seq("doc_id"), "left_semi")
+        val keepIds = graft.curation.Curation.tercileKeepIds(scores12, "lang")
+        val counted = tgt.select(col("lang"), col("doc_id"),
+            col("n_kept").as("n"))
+          .join(keepIds, Seq("doc_id"), "left_semi")
+          .filter(col("n") > 0)
+        val k4 = graft.curation.Curation.cumsumByStratum(
+            counted, "lang", "doc_id", "n")
+          .filter(col("cum") <= 4000)
+        val packed = graft.curation.Curation.packSegments(
+          k4.select("lang", "doc_id", "n"), seqTokens = 256)
+        val seqStats = packed.groupBy("lang").agg(
+          countDistinct("seq").as("sequences"),
+          sum("seg_len").as("packed_tokens"))
+        def stageCount(ids: org.apache.spark.sql.DataFrame, as: String) =
+          tgt.join(ids, Seq("doc_id"), "left_semi")
+            .groupBy("lang").agg(count(lit(1)).as(as))
+        d.filter(col("doc_id") % 2 === 1).groupBy("lang")
+          .agg(count(lit(1)).as("docs_total"),
+            sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("tokens_total"))
+          .join(tgt.groupBy("lang").agg(sum("n_kept").as("tokens_after_clean")),
+            Seq("lang"), "left")
+          .join(stageCount(funnelIds, "after_funnel"), Seq("lang"), "left")
+          .join(stageCount(surv12, "after_decon"), Seq("lang"), "left")
+          .join(stageCount(keepIds, "after_terciles"), Seq("lang"), "left")
+          .join(k4.groupBy("lang").agg(count(lit(1)).as("after_budget")),
+            Seq("lang"), "left")
+          .join(seqStats, Seq("lang"), "left")
+          .select(col("lang"), col("docs_total"), col("tokens_total"),
+            coalesce(col("tokens_after_clean"), lit(0L)).as("tokens_after_clean"),
+            coalesce(col("after_funnel"), lit(0L)).as("after_funnel"),
+            coalesce(col("after_decon"), lit(0L)).as("after_decon"),
+            coalesce(col("after_terciles"), lit(0L)).as("after_terciles"),
+            coalesce(col("after_budget"), lit(0L)).as("after_budget"),
+            coalesce(col("sequences"), lit(0L)).as("sequences"),
+            coalesce(col("packed_tokens"), lit(0L)).as("packed_tokens"))
+          .orderBy("lang")
+      },
+      Some(ccnetPipelineOracleSql))
+    ,
+
+    // ---- trigram stupid-backoff cross-surprisal ---------------------------
+    // q187 at the upgraded model order (Brants et al. 2007): a trigram
+    // seen in the reference scores floor(log2(C(ctx)/C(tri))) by
+    // bit-length arithmetic; unseen trigrams whose (w2,w3) bigram IS
+    // known back off to the bigram level at a fixed 2-bit penalty
+    // (alpha = 1/4 as a power of two — "multiply by alpha" IS "add 2
+    // bits", so the whole chain stays integer-exact where Katz/KN would
+    // be float-bound); only fully-novel continuations pay the flat
+    // 20-bit OOV. All four model tables (trigram, context bigram,
+    // backoff bigram, middle unigram) count over the SAME reference
+    // trigram event space, which is what makes every division >= 1 and
+    // the bit arithmetic total. Report adds backoff_trigrams — the
+    // fraction served by the backoff level is itself a model-fit signal.
+    Q("q190_trigram_surprisal",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.curation.Curation.trigramCrossSurprisalReport(
+          d.filter(col("doc_id") % 2 === 1),
+          d.filter(col("doc_id") % 2 === 0))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, source, $duckTokens AS w FROM documents),
+        tri AS (
+          SELECT doc_id, source,
+            CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT) AS th,
+            CAST('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15) AS BIGINT) AS ch,
+            CAST('0x' || substr(md5(w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT) AS bh,
+            CAST('0x' || substr(md5(w[i+1]), 1, 15) AS BIGINT) AS uh
+          FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+        tc AS (SELECT th, COUNT(*) AS ct FROM tri WHERE doc_id % 2 = 0 GROUP BY 1),
+        cc AS (SELECT ch, COUNT(*) AS cctx FROM tri WHERE doc_id % 2 = 0 GROUP BY 1),
+        bc AS (SELECT bh, COUNT(*) AS cbo FROM tri WHERE doc_id % 2 = 0 GROUP BY 1),
+        uc AS (SELECT uh, COUNT(*) AS cuni FROM tri WHERE doc_id % 2 = 0 GROUP BY 1),
+        sc AS (
+          SELECT tb.doc_id, tb.source,
+            CASE WHEN tc.ct IS NOT NULL THEN length(bin(cc.cctx // tc.ct)) - 1
+                 WHEN bc.cbo IS NOT NULL THEN 2 + length(bin(uc.cuni // bc.cbo)) - 1
+                 ELSE 20 END AS bits,
+            CASE WHEN tc.ct IS NULL AND bc.cbo IS NOT NULL THEN 1 ELSE 0 END AS bo,
+            CASE WHEN tc.ct IS NULL AND bc.cbo IS NULL THEN 1 ELSE 0 END AS oov
+          FROM (SELECT * FROM tri WHERE doc_id % 2 = 1) tb
+          LEFT JOIN tc USING (th) LEFT JOIN cc USING (ch)
+          LEFT JOIN bc USING (bh) LEFT JOIN uc USING (uh)),
+        per_doc AS (
+          SELECT doc_id, source, COUNT(*) AS nt, SUM(bits) AS sb,
+            SUM(bo) AS bo, SUM(oov) AS ov
+          FROM sc GROUP BY 1, 2),
+        tg AS (SELECT source, COUNT(*) AS docs FROM documents
+               WHERE doc_id % 2 = 1 GROUP BY 1)
+        SELECT tg.source, tg.docs,
+          CAST(COALESCE(p.tt, 0) AS BIGINT) AS total_trigrams,
+          CAST(COALESCE(p.tbits, 0) AS BIGINT) AS total_bits,
+          CAST(COALESCE(p.tbo, 0) AS BIGINT) AS backoff_trigrams,
+          CAST(COALESCE(p.tov, 0) AS BIGINT) AS oov_trigrams,
+          CAST(COALESCE(p.hs, 0) AS BIGINT) AS high_surprisal_docs
+        FROM tg LEFT JOIN (
+          SELECT source, SUM(nt) AS tt, SUM(sb) AS tbits, SUM(bo) AS tbo,
+            SUM(ov) AS tov,
+            SUM(CASE WHEN sb > 4 * nt THEN 1 ELSE 0 END) AS hs
+          FROM per_doc GROUP BY 1) p USING (source)
         ORDER BY tg.source"""))
   )
 }

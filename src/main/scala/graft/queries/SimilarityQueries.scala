@@ -1054,6 +1054,33 @@ object SimilarityQueries {
       Some(ivfPqTrainedOracleSql))
     ,
 
+    // ---- incremental cell split -------------------------------------------
+    // The maintenance tier between append (no structural change) and
+    // q182's full rebuild: ONE hot cell (max occupancy, tie-break
+    // smallest id — the q170 drift check's pointer) splits into two
+    // sub-centroids trained over just its residents (k=2, same Lloyd
+    // arithmetic as the full build), children rewritten through the
+    // journaled staging/swap so a crash at any instant rolls back whole
+    // (AnnIndexSpec). PQ codes never change, so a full-probe search
+    // after the split is bit-identical — the spec asserts that; this
+    // oracle replays the SPLIT ASSIGNMENT itself: full coarse training,
+    // hot-cell choice, 2-means over residents, and the child membership
+    // counts under the parent-keeps-smaller-init relabeling.
+    Q("q192_cell_split",
+      (s, dir) => {
+        import s.implicits._
+        val e = t(s, dir, "embeddings")
+        val path = annIndexPath(s, dir) + "_split"
+        graft.ml.AnnIndex.build(s, e, path)
+        val hot = graft.ml.AnnIndex.hottestCell(s, path)
+        val r = graft.ml.AnnIndex.splitCell(s, e, path, hot)
+        Seq((r.parentCell, r.newCell, r.parentMembers, r.keptMembers,
+          r.movedMembers)).toDF("parent_cell", "new_cell",
+          "parent_members", "kept_members", "moved_members")
+      },
+      Some(splitOracleSql))
+    ,
+
     // ---- recall@10 under the TRAINED codebook ------------------------------
     // q134's one-row quality reduction with the IVF arm assigned and probed
     // via the trained centroids instead of the first-16-vectors heuristic —
@@ -1162,6 +1189,72 @@ object SimilarityQueries {
       },
       Some(rerankRecallOracleSql))
   )
+
+  /** DuckDB replay of the hot-cell SPLIT assignment (q192): the trained
+    * k-means chain to `assignF`, the max-occupancy cell (ties: smallest
+    * id), then a 2-means over ONLY that cell's residents — init = the
+    * two smallest resident vec_ids, two Lloyd iterations with the same
+    * exact decimal means and (sim DESC, c_id) argmax as the full build —
+    * and the child membership counts. The child under the smaller init
+    * id keeps the parent cell id (kept_members); the other becomes cell
+    * 16 = max(c_id)+1 (moved_members).
+    */
+  private def splitOracleSql: String = {
+    val S = "17592186044416.0"
+    def sassign(cents: String, out: String) = s"""
+        $out AS (
+          SELECT vec_id, embedding, v_nrm, c_id AS scell FROM (
+            SELECT r.vec_id, r.embedding, r.v_nrm, c.c_id,
+              ROW_NUMBER() OVER (PARTITION BY r.vec_id ORDER BY
+                list_reduce(list_transform(range(1, 65),
+                  i -> CAST(r.embedding[i] AS DOUBLE) * c.centroid[i]), (x, y) -> x + y)
+                  / (r.v_nrm * c.c_nrm) DESC, c.c_id) AS rn
+            FROM resid r CROSS JOIN $cents c) WHERE rn = 1)"""
+    def supdate(assigned: String, prev: String, tag: String) = s"""
+        ssums$tag AS (
+          SELECT scell, i, COUNT(*) AS n,
+            CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * $S AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS sd
+          FROM $assigned, (SELECT unnest(generate_series(1, 64)) AS i)
+          GROUP BY scell, i),
+        sraw$tag AS (
+          SELECT p.c_id,
+            CASE WHEN COUNT(s.i) = 0 THEN p.centroid
+                 ELSE list(s.sd / s.n / $S ORDER BY s.i) END AS centroid
+          FROM $prev p LEFT JOIN ssums$tag s ON s.scell = p.c_id
+          GROUP BY p.c_id, p.centroid),
+        scents$tag AS (
+          SELECT c_id, centroid,
+            sqrt(list_reduce(list_transform(centroid, x -> x * x), (x, y) -> x + y)) AS c_nrm
+          FROM sraw$tag)"""
+    s"""
+        WITH $trainedIvfCtes,
+        occ AS (SELECT cell, COUNT(*) AS members FROM assignF GROUP BY cell),
+        hot AS (SELECT cell, members FROM occ ORDER BY members DESC, cell LIMIT 1),
+        resid AS (
+          SELECT a.vec_id, a.embedding, a.v_nrm
+          FROM assignF a JOIN hot h ON a.cell = h.cell),
+        sc0 AS (
+          SELECT vec_id AS c_id,
+            list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS centroid
+          FROM (SELECT vec_id, embedding FROM resid ORDER BY vec_id LIMIT 2)),
+        scents0 AS (
+          SELECT c_id, centroid,
+            sqrt(list_reduce(list_transform(centroid, x -> x * x), (x, y) -> x + y)) AS c_nrm
+          FROM sc0),
+        ${sassign("scents0", "sassign1")},
+        ${supdate("sassign1", "scents0", "1")},
+        ${sassign("scents1", "sassign2")},
+        ${supdate("sassign2", "scents1", "2")},
+        ${sassign("scents2", "sassignF")},
+        kids AS (SELECT MIN(c_id) AS small_init FROM sc0)
+        SELECT CAST(h.cell AS BIGINT) AS parent_cell,
+          CAST(16 AS BIGINT) AS new_cell,
+          CAST(h.members AS BIGINT) AS parent_members,
+          CAST(SUM(CASE WHEN f.scell = k.small_init THEN 1 ELSE 0 END) AS BIGINT) AS kept_members,
+          CAST(SUM(CASE WHEN f.scell <> k.small_init THEN 1 ELSE 0 END) AS BIGINT) AS moved_members
+        FROM sassignF f, hot h, kids k
+        GROUP BY h.cell, h.members"""
+  }
 
   /** DuckDB replay of the full [[graft.ml.Pq]] pipeline (M=4 subspaces,
     * K=4, 2 L2 Lloyd iterations, ADC top-10 for vec 0's query): same init

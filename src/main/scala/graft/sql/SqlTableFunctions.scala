@@ -1,0 +1,120 @@
+package graft.sql
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The SQL surface for the curation library's table-valued entry points:
+  * `spark.sql` callers reach the headline operators WITHOUT Scala —
+  *
+  * {{{
+  *   SELECT * FROM graft_chunk_dedup('documents')
+  *   SELECT * FROM graft_bloom_decontaminate('documents', 'bench_docs')
+  *   SELECT * FROM graft_pack_segments('counted', 512, 'lang', 'doc_id')
+  * }}}
+  *
+  * Each function takes TABLE/VIEW NAMES as string literals (resolved
+  * against the active session's catalog at analysis time — Spark's
+  * table-valued functions accept scalar arguments, so the name-literal
+  * is the idiomatic bridge until TABLE() arguments reach the injection
+  * API), plus the operator's tuning knobs, and returns the SAME logical
+  * plan the Scala entry point builds: one code path, so the SQL route
+  * inherits every scale property (two-level aggregates, Bloom bitset
+  * broadcast, two-pass cumsum) and every oracle result, bit for bit —
+  * q193 proves it by driving the q116 report through `spark.sql` alone.
+  *
+  * Registered two ways, mirroring [[graft.geo.GeoClip]]: injected at
+  * session build by [[graft.geo.GraftExtensions]]
+  * (`spark.sql.extensions=graft.geo.GraftExtensions`), or at runtime on
+  * an existing session via [[register]] (idempotent).
+  */
+object SqlTableFunctions {
+
+  private def strArg(exprs: Seq[Expression], i: Int, fn: String,
+      what: String): String = exprs.lift(i) match {
+    case Some(Literal(s: UTF8String, StringType)) => s.toString
+    case Some(other) => throw new IllegalArgumentException(
+      s"$fn: argument ${i + 1} ($what) must be a string literal, got $other")
+    case None => throw new IllegalArgumentException(
+      s"$fn: missing argument ${i + 1} ($what)")
+  }
+
+  private def strArgOr(exprs: Seq[Expression], i: Int, fn: String,
+      what: String, default: String): String =
+    if (exprs.length <= i) default else strArg(exprs, i, fn, what)
+
+  private def intArgOr(exprs: Seq[Expression], i: Int, fn: String,
+      what: String, default: Int): Int = exprs.lift(i) match {
+    case None => default
+    case Some(Literal(v: Integer, IntegerType)) => v.intValue()
+    case Some(Literal(v, t)) if t == IntegerType => v.asInstanceOf[Int]
+    case Some(other) => throw new IllegalArgumentException(
+      s"$fn: argument ${i + 1} ($what) must be an integer literal, got $other")
+  }
+
+  private def table(name: String) = SparkSession.active.table(name)
+
+  /** `graft_chunk_dedup(docsTable[, chunkTokens, textCol, idCol, groupCol])`
+    * — [[graft.curation.Curation.chunkDedupReport]].
+    */
+  private def chunkDedupPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_chunk_dedup"
+    graft.curation.Curation.chunkDedupReport(
+      table(strArg(exprs, 0, fn, "docs table")),
+      textCol = strArgOr(exprs, 2, fn, "text column", "text"),
+      idCol = strArgOr(exprs, 3, fn, "id column", "doc_id"),
+      groupCol = strArgOr(exprs, 4, fn, "group column", "source"),
+      chunkTokens = intArgOr(exprs, 1, fn, "chunk tokens", 20)
+    ).queryExecution.logical
+  }
+
+  /** `graft_bloom_decontaminate(corpusTable, benchTable[, gramK, mBits])`
+    * — [[graft.curation.Curation.bloomDecontaminate]].
+    */
+  private def bloomDeconPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_bloom_decontaminate"
+    graft.curation.Curation.bloomDecontaminate(
+      table(strArg(exprs, 0, fn, "corpus table")),
+      table(strArg(exprs, 1, fn, "benchmark table")),
+      gramK = intArgOr(exprs, 2, fn, "gram width", 8),
+      mBits = intArgOr(exprs, 3, fn, "bloom bits", 1 << 16)
+    ).queryExecution.logical
+  }
+
+  /** `graft_pack_segments(countedTable[, seqTokens, strataCol, idCol])`
+    * — [[graft.curation.Curation.packSegments]] over an already-counted
+    * (strata, id, n) table.
+    */
+  private def packSegmentsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_pack_segments"
+    graft.curation.Curation.packSegments(
+      table(strArg(exprs, 0, fn, "counted table")),
+      seqTokens = intArgOr(exprs, 1, fn, "sequence tokens", 512),
+      strataCol = strArgOr(exprs, 2, fn, "strata column", "lang"),
+      idCol = strArgOr(exprs, 3, fn, "id column", "doc_id")
+    ).queryExecution.logical
+  }
+
+  private def entries: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "graft_chunk_dedup" -> chunkDedupPlan _,
+    "graft_bloom_decontaminate" -> bloomDeconPlan _,
+    "graft_pack_segments" -> packSegmentsPlan _)
+
+  /** Session-build injection — called from [[graft.geo.GraftExtensions]]. */
+  def inject(ext: SparkSessionExtensions): Unit =
+    entries.foreach { case (name, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo(SqlTableFunctions.getClass.getName, name), builder))
+    }
+
+  /** Runtime registration on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    entries.foreach { case (name, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo(SqlTableFunctions.getClass.getName, name), builder)
+    }
+}

@@ -362,6 +362,45 @@ class CurationWave3Spec extends SparkSpec {
     assert(r.getLong(4) === 13333L, "t2 is the mixed doc's score")
   }
 
+  test("trigramCrossSurprisalReport: hand-computed stupid-backoff bits") {
+    // reference: "a b c" x4, "a b d" x4. Model tables over the trigram
+    // event space: tc(abc)=4, tc(abd)=4; cc(a b)=8; bc(b c)=4,
+    // bc(b d)=4; uc(b)=8.
+    //  T1 "a b c": trigram seen -> floor(log2(8/4)) = 1 bit
+    //  T3 "x b c": unseen, backoff (b,c) seen -> 2 + floor(log2(8/4)) = 3
+    //  T5 "x y z": fully novel -> flat 20; the only doc over 4 bits/tri
+    //  T7 "q":     no trigram -> counted in docs, unscored
+    val ref = docs((0 until 8).map(i =>
+      (100L + i, if (i < 4) "a b c" else "a b d", "en", "s")))
+    val tgt = docs(Seq(
+      (1L, "a b c", "en", "s"), (3L, "x b c", "en", "s"),
+      (5L, "x y z", "en", "s"), (7L, "q", "en", "s")))
+    val r = Curation.trigramCrossSurprisalReport(tgt, ref).collect()
+    assert(r.length === 1)
+    assert(r(0).toSeq === Seq("s", 4L, 3L, 24L, 1L, 1L, 1L))
+  }
+
+  test("trigram terciles move where bigram terciles cannot (CCNet fidelity)") {
+    // Two-word context is the distinguishing signal: under the BIGRAM
+    // model all three targets score identically (every bigram equally
+    // probable), so the tercile cut degenerates to head=3. The TRIGRAM
+    // model knows (a,b)->x and (c,b)->y but has never seen (a,b)->y, so
+    // "a b y" pays the backoff and the split genuinely separates:
+    //   bigram scores:  D1=D2=D3=500 mb  -> (head, middle, tail) = (3,0,0)
+    //   trigram scores: D1=D2=0, D3=3000 -> (2,0,1)
+    val ref = docs((0 until 8).map(i =>
+      (100L + i, if (i < 4) "a b x" else "c b y", "en", "s")))
+    val tgt = docs(Seq(
+      (1L, "a b x", "en", "s"), (3L, "c b y", "en", "s"),
+      (5L, "a b y", "en", "s")))
+    def hmt(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val r = df.collect()(0)
+      (r.getLong(r.length - 3), r.getLong(r.length - 2), r.getLong(r.length - 1))
+    }
+    assert(hmt(Curation.surprisalTerciles(tgt, ref)) === ((3L, 0L, 0L)))
+    assert(hmt(Curation.trigramSurprisalTerciles(tgt, ref)) === ((2L, 0L, 1L)))
+  }
+
   test("crossSurprisalReport: bigram-less docs count but contribute nothing") {
     val ref = docs(Seq((1L, "a b", "en", "seed")))
     val tgt = docs(Seq((10L, "solo", "en", "s")))
@@ -462,6 +501,43 @@ class CurationWave3Spec extends SparkSpec {
       Curation.cumsumByStratum(d, "lang", "doc_id", "n")
     }
     assert(ex.getMessage.contains("NULL"))
+  }
+
+  test("readPackedCorpus: epoch reshuffle is a sort-free deterministic permutation") {
+    // enough docs for several sequences per stratum so a permutation is
+    // observable at shard (sequence) grain
+    val d = docs((0 until 12).map(i =>
+      (i.toLong, words(('a' + i).toChar.toString, 7), if (i % 2 == 0) "en" else "fr", "s")))
+    val base = Files.createTempDirectory("packed_epoch").toString
+    Curation.writePackedCorpus(d, base, seqTokens = 10)
+    def stream(epoch: Int): Seq[Seq[Any]] =
+      Curation.readPackedCorpus(spark, base, epoch)._2
+        .orderBy("lang", "epoch_ord", "seq", "seg_start")
+        .select("lang", "seq", "doc_id", "seg_start", "seg_len")
+        .collect().map(_.toSeq).toSeq
+    // epoch 0 IS the written order
+    assert(stream(0) ===
+      Curation.readPackedCorpus(spark, base)._2
+        .orderBy("lang", "seq", "seg_start")
+        .select("lang", "seq", "doc_id", "seg_start", "seg_len")
+        .collect().map(_.toSeq).toSeq)
+    // epochs decorrelate: 1 differs from 0 and from 2; each is exactly a
+    // permutation of the same segment set; and the deal is deterministic
+    val (e0, e1, e2) = (stream(0), stream(1), stream(2))
+    assert(e1 !== e0); assert(e2 !== e0); assert(e1 !== e2)
+    assert(e1.toSet === e0.toSet); assert(e2.toSet === e0.toSet)
+    assert(stream(1) === e1)
+    // segments of one sequence never split apart: epoch_ord is a pure
+    // function of (lang, seq), so the group stays contiguous in any
+    // epoch_ord-ordered consumption — assert the functional dependency
+    val keys = Curation.readPackedCorpus(spark, base, 1)._2
+      .groupBy("lang", "seq").agg(countDistinct("epoch_ord").as("k"))
+      .collect().map(_.getLong(2))
+    assert(keys.forall(_ === 1L))
+    // the reshuffle is a COLUMN, not a sort: the plan stays scan-shaped
+    val plan = Curation.readPackedCorpus(spark, base, 3)._2
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort"), s"epoch reshuffle must not sort:\n$plan")
   }
 
   test("readPackedCorpus: numeric-looking strata keep the written type") {

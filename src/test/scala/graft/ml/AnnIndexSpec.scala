@@ -313,6 +313,85 @@ class AnnIndexSpec extends SparkSpec
       "a swapped-in index carries build's completion marker")
   }
 
+  test("splitCell: exact at full probe, recall holds, crashes roll back") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = java.nio.file.Files.createTempDirectory("ann_split").toString + "/idx"
+    AnnIndex.build(spark, e, p)
+    val pre = AnnIndex.query(spark, e, p, qid = 42, nprobe = 16, topK = 10)
+      .collect().map(_.toString).toSeq
+    val preRows = spark.read.parquet(s"$p/index")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    def recall10(idxPath: String, nprobe: Int): Int = {
+      VecOps.register(spark)
+      val ann = AnnIndex.query(spark, e, idxPath, qid = 42, nprobe = nprobe, topK = 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val q = e.filter(col("vec_id") === 42)
+        .select(col("embedding").as("q_emb"), VecOps.norm(col("embedding")).as("q_nrm"))
+      val exact = e.filter(col("embedding").isNotNull && col("vec_id") =!= 42)
+        .crossJoin(q)
+        .withColumn("sim", VecOps.dot(col("embedding"), col("q_emb"))
+          / (VecOps.norm(col("embedding")) * col("q_nrm")))
+        .orderBy(desc("sim"), col("vec_id")).limit(10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (ann intersect exact).size
+    }
+    val preRecall = recall10(p, nprobe = 2)
+    val hot = AnnIndex.hottestCell(spark, p)
+    val r = AnnIndex.splitCell(spark, e, p, hot)
+    assert(r.parentCell === hot)
+    assert(r.keptMembers > 0 && r.movedMembers > 0,
+      s"a real split must populate both children: $r")
+    assert(r.parentMembers === r.keptMembers + r.movedMembers)
+    // codebook grew by exactly one cell; children partition the parent
+    assert(AnnIndex.loadCodebooks(spark, p).coarse.length === 17)
+    val postRows = spark.read.parquet(s"$p/index")
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(postRows === preRows, "a split must move rows, never lose or duplicate them")
+    // PQ codes are untouched, so the FULL-probe search is bit-identical:
+    // probing all 17 cells scans exactly the rows probing all 16 did,
+    // with identical ADC distances
+    val post = AnnIndex.query(spark, e, p, qid = 42, nprobe = 17, topK = 10)
+      .collect().map(_.toString).toSeq
+    assert(post === pre)
+    // the q149-style check re-measured on the split index: the finer
+    // partition must not LOSE recall at the same probe budget
+    assert(recall10(p, nprobe = 2) >= preRecall)
+
+    // crash window 1: staged + journaled, no renames yet -> rollback
+    val p2 = java.nio.file.Files.createTempDirectory("ann_split_crash").toString + "/idx"
+    AnnIndex.build(spark, e.filter(col("vec_id") < 200), p2)
+    val before = AnnIndex.query(spark, e, p2, qid = 42, nprobe = 16, topK = 10)
+      .collect().map(_.toString).toSeq
+    val idx2 = new java.io.File(s"$p2/index")
+    val hot2 = AnnIndex.hottestCell(spark, p2)
+    val stg = new java.io.File(idx2, ".compact_staging/cell=999")
+    assert(stg.mkdirs())
+    val jf = new java.io.File(idx2, ".split_journal")
+    java.nio.file.Files.write(jf.toPath,
+      s"cell=$hot2\ncell=999\n".getBytes("UTF-8"))
+    AnnIndex.recoverCells(spark, p2)
+    assert(!jf.exists() && !stg.exists())
+    assert(AnnIndex.query(spark, e, p2, qid = 42, nprobe = 16, topK = 10)
+      .collect().map(_.toString).toSeq === before)
+    // crash window 2: parent moved to backup, fake child live, sidecar
+    // swapped out — rollback restores cell AND sidecar together
+    val hotDir = new java.io.File(idx2, s"cell=$hot2")
+    val bakRoot = new java.io.File(idx2, ".compact_bak")
+    assert(bakRoot.mkdirs())
+    assert(hotDir.renameTo(new java.io.File(bakRoot, s"cell=$hot2")))
+    val fakeChild = new java.io.File(idx2, "cell=999")
+    assert(fakeChild.mkdirs())
+    val root2 = new java.io.File(p2)
+    val coarse = new java.io.File(root2, "codebook_coarse")
+    assert(coarse.renameTo(new java.io.File(root2, ".codebook_coarse.split_bak")))
+    java.nio.file.Files.write(jf.toPath,
+      s"cell=$hot2\ncell=999\n".getBytes("UTF-8"))
+    AnnIndex.recoverCells(spark, p2)
+    assert(!jf.exists() && !fakeChild.exists() && hotDir.isDirectory && coarse.isDirectory)
+    assert(AnnIndex.query(spark, e, p2, qid = 42, nprobe = 16, topK = 10)
+      .collect().map(_.toString).toSeq === before)
+  }
+
   test("batchQuery: restrict + bucketedTable is refused loudly") {
     // the restrict semi-join re-shuffles the index side, silently
     // forfeiting the zero-exchange guarantee the bucketed layout exists

@@ -346,6 +346,37 @@ class PlanShapeSpec extends SparkSpec
     assert(!plan.toString.contains("CartesianProduct"))
   }
 
+  test("q191 CCNet chain: text scan-side only, no corpus-sized window") {
+    // the full composed pipeline (span removal -> funnel -> decon ->
+    // terciles -> budget -> pack): every stage is id algebra over narrow
+    // frames computed scan-side from the one cached cleaned corpus, so
+    // no exchange may carry document text, and every window must run at
+    // md5-bucket grain (the cumsum), histogram grain (terciles), or a
+    // narrow hash-multiplicity grain — never partitioned by a
+    // corpus-sized text/id-order key alone
+    val plan = SparkEntry.queries("q191_ccnet_pipeline")(spark, dir)
+      .queryExecution.executedPlan
+    for (e <- collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }; a <- e.output)
+      assert(!Seq("text", "ctext", "clean_text", "btext", "gram", "wtext")
+          .contains(a.name.toLowerCase),
+        s"text-bearing column '${a.name}' reached an exchange")
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    for (w <- windows) {
+      val bucketed = w.partitionSpec.exists(_.toString.contains("_bkt"))
+      // histogram-grain windows (the tercile thresholds) run over
+      // (stratum, score, cnt) rows — bounded by score cardinality; a
+      // per-doc window would carry doc_id through
+      val histogramGrain = !w.output.exists(_.name == "doc_id")
+      assert(bucketed || histogramGrain,
+        s"corpus-sized window: partitions ${w.partitionSpec}, output ${w.output}")
+    }
+    assert(!plan.toString.contains("CartesianProduct"))
+  }
+
   test("q187/q188 surprisal: gram text never reaches an exchange") {
     // the reference-LM family's scale contract: both corpora hash grams
     // to 60-bit longs in their scan stages, so every exchange carries

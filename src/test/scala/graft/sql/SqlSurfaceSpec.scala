@@ -1,0 +1,77 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.curation.Curation
+import org.apache.spark.sql.functions._
+
+/** The SQL surface contract: every injected table-valued function builds
+  * the IDENTICAL plan as its Scala entry point (one code path), argument
+  * defaults and overrides work from SQL, and misuse fails loudly at
+  * analysis time. q193's oracle row proves DuckDB parity of the
+  * SQL-driven report; these pin the equivalence and the error surface.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  SqlTableFunctions.register(spark)
+  SqlTableFunctions.register(spark) // idempotent
+
+  private def words(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("graft_chunk_dedup equals the Scala entry point row for row") {
+    val d = Seq(
+      (1L, words("a", 40), "s1"), (2L, words("a", 40), "s1"),
+      (3L, words("b", 25), "s2"))
+      .toDF("doc_id", "text", "source")
+    d.createOrReplaceTempView("sql_surface_docs")
+    val viaSql = spark.sql("SELECT * FROM graft_chunk_dedup('sql_surface_docs')")
+      .collect().map(_.toSeq).toSeq
+    val viaScala = Curation.chunkDedupReport(d).collect().map(_.toSeq).toSeq
+    assert(viaSql === viaScala)
+    // tuning knob reaches the operator: 10-token chunks see more chunks
+    val fine = spark.sql(
+      "SELECT * FROM graft_chunk_dedup('sql_surface_docs', 10)")
+      .agg(sum("total_chunks")).collect()(0).getLong(0)
+    val coarse = viaScala.map(_(2).asInstanceOf[Long]).sum
+    assert(fine > coarse)
+  }
+
+  test("graft_pack_segments equals the Scala entry point row for row") {
+    val counted = Seq(("en", 1L, 25L), ("en", 2L, 7L), ("fr", 3L, 13L))
+      .toDF("lang", "doc_id", "n")
+    counted.createOrReplaceTempView("sql_surface_counted")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_pack_segments('sql_surface_counted', 10, 'lang', 'doc_id')")
+      .collect().map(_.toSeq).toSeq
+    val viaScala = Curation.packSegments(counted, seqTokens = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql === viaScala)
+  }
+
+  test("graft_bloom_decontaminate equals the Scala entry point row for row") {
+    val corpus = Seq(
+      (1L, words("x", 12), "s"), (2L, words("y", 12), "s"))
+      .toDF("doc_id", "text", "source")
+    val bench = Seq(words("x", 12)).toDF("text")
+    corpus.createOrReplaceTempView("sql_surface_corpus")
+    bench.createOrReplaceTempView("sql_surface_bench")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_bloom_decontaminate('sql_surface_corpus', 'sql_surface_bench')")
+      .collect().map(_.toSeq).toSeq
+    val viaScala = Curation.bloomDecontaminate(corpus, bench)
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql === viaScala)
+  }
+
+  test("misuse fails loudly: non-literal args and missing tables") {
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_chunk_dedup(doc_id)").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("literal")
+      || ex.getMessage.contains("graft_chunk_dedup"))
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft_chunk_dedup('no_such_table_xyz')").collect()
+    }
+  }
+}
