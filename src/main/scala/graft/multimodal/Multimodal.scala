@@ -585,6 +585,216 @@ object Multimodal {
         .mapPartitions(_.map(id => clip(id, 30, id + 1000000L))))
   }
 
+  /** One sampled video frame's narrow features: clip identity, frame
+    * position, container dims, the g×g milli-luma box panel, and the
+    * frame payload's md5 (byte-exact dedup arm). What shuffles in the
+    * video near-dup pipeline — payloads never do.
+    */
+  final case class VideoFrameFeatures(
+      asset_id: Long,
+      frame_idx: Int,
+      n_frames: Int,
+      width: Int,
+      height: Int,
+      box_sums: Seq[Long],
+      frame_md5: String)
+
+  /** Video corpus with planted near-duplicate CLIPS: real single-stream
+    * DIB-flavor AVIs ([[AviCodec]]) synthesized per doc — 3-6 frames of
+    * per-frame-parameterized gradients (the q130/q140 pixel algebra,
+    * frame-varying so a clip's frames differ). Every 40th doc re-renders
+    * clip 0 exactly (byte-identical container); every 25th re-renders
+    * its neighbor one red level brighter in EVERY frame (byte-different,
+    * perceptually near — invisible to md5, caught by the dHash bands'
+    * brightness invariance). All parameters are closed-form in doc_id,
+    * so q194's oracle predicts every frame's box panel without decoding.
+    */
+  def videoAssetsWithNearDups(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val exactDup = id > 0 && id % 40 == 0
+        val nearDup = id > 0 && id % 25 == 0 && !exactDup
+        val base = if (exactDup) 0L else if (nearDup) id - 1 else id
+        val bright = if (nearDup) 1 else 0
+        val w = (8 + (base * 5) % 16).toInt
+        val h = (8 + (base * 7) % 16).toInt
+        val nf = (3 + base % 4).toInt
+        val frames = (0 until nf).map { f =>
+          val r = ((base * 3 + 13 * f) % 199).toInt + bright
+          val g = ((base * 11 + 7 * f) % 256).toInt
+          val b = ((base * 17 + 5 * f) % 256).toInt
+          AviCodec.encodeDibFrame(w, h)((x, y) => ((r + x + y) << 16) | (g << 8) | b)
+        }
+        Asset(id, "avi", AviCodec.encode(w, h, frames))
+      })
+  }
+
+  /** Decode AVI clips and stride-sample their frames to narrow feature
+    * rows — the q101 sampling discipline on a REAL container: the
+    * chunk-stream walk, per-frame box pooling and md5 all run row-local
+    * inside `mapPartitions`; only (ids, dims, 16 sums, md5) rows leave
+    * the scan stage. DIB streams only (closed-form features — the
+    * oracled path); MJPG clips decode per frame via [[ImageIoCodec]]
+    * and are spec-tier (JPEG is lossy — no closed form to oracle).
+    */
+  def videoFrameFeatures(assets: Dataset[Asset], grid: Int = 4,
+      stride: Int = 2): Dataset[VideoFrameFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { a =>
+        val info = AviCodec.info(a.payload)
+        val fs = AviCodec.frames(a.payload)
+        require(fs.length == info.nFrames,
+          s"clip ${a.asset_id}: header says ${info.nFrames} frames, movi has ${fs.length}")
+        fs.zipWithIndex.collect { case (f, i) if i % stride == 0 =>
+          val sums = info.handler match {
+            case "DIB " => AviCodec.dibBoxSums(f, info.width, info.height, grid)
+            case "MJPG" => ImageIoCodec.boxSums(f, grid)._3
+            case other => throw new IllegalArgumentException(
+              s"clip ${a.asset_id}: unsupported stream handler '$other'")
+          }
+          digest.reset()
+          val hex = digest.digest(f).map("%02x".format(_)).mkString
+          VideoFrameFeatures(a.asset_id, i, info.nFrames, info.width,
+            info.height, sums.toSeq, hex)
+        }
+      }
+    }
+  }
+
+  /** The video blocking key: one string per (clip dims, frame count,
+    * frame position, band) — frame ALIGNMENT lives inside the key, so
+    * the clip-verdict join is a single equi-join and a band_key-bucketed
+    * store joins with zero store-side exchange (the visual/text store
+    * discipline at frame grain).
+    */
+  def videoBandKey(pfx: String = ""): org.apache.spark.sql.Column =
+    concat_ws("|", col(pfx + "width"), col(pfx + "height"),
+      col(pfx + "n_frames"), col(pfx + "frame_idx"),
+      col(pfx + "band_idx"), col(pfx + "band_val"))
+
+  /** CLIP-grain ingest verdicts — the video member of the
+    * q156/q179/q122 family, ONE function shared by the streaming loop
+    * and the oracle-checked batch replay (q196) so the two can never
+    * drift. A batch clip drops when some partner clip (in the store, or
+    * earlier-id in the same batch) matches on EVERY sampled frame:
+    * same (dims, frame count, frame position, band) key and the 16-box
+    * verify per frame.
+    *
+    * Unlike [[VisualDedup.verdicts]] (per-asset existence — LEFT SEMI),
+    * the frame CONJUNCTION forces pair grain: a semi-join can prove one
+    * frame matches, not that all of them do. So the shape here is one
+    * equi-join on the frame-aligned band key, a distinct to collapse
+    * multi-band hits of the same (pair, frame), and a bounded aggregate
+    * counting matched frames per candidate pair — input bounded by
+    * band-collision candidates, output one row per candidate pair,
+    * never all-pairs. Frame counts agree by construction (the key pins
+    * n_frames and both sides sample at the same stride), so matched ==
+    * sampled is symmetric.
+    */
+  def videoClipVerdicts(batchIds: DataFrame, frames: DataFrame,
+      storeFrames: DataFrame, g: Int = 4, stride: Int = 2): DataFrame = {
+    def side(df: DataFrame, p: String) =
+      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, p + c))
+    val a = side(frames, "a_")
+    def matchedIds(b: DataFrame, restrict: org.apache.spark.sql.Column): DataFrame =
+      a.join(side(b, "b_"),
+          col("a_band_key") === col("b_band_key") && restrict &&
+            VisualDedup.verify("a_", "b_", g))
+        .select(col("a_asset_id"), col("b_asset_id"), col("a_frame_idx"),
+          col("a_n_frames")).distinct()
+        .groupBy(col("a_asset_id"), col("b_asset_id"), col("a_n_frames"))
+        .agg(count(lit(1)).as("m"))
+        .filter(col("m") === expr(s"(a_n_frames + ${stride - 1}) div $stride"))
+        .select(col("a_asset_id").as("asset_id")).distinct()
+    val vsHist = matchedIds(storeFrames, lit(true)).withColumn("vs_hist", lit(1L))
+    val vsBatch = matchedIds(frames, col("b_asset_id") < col("a_asset_id"))
+      .withColumn("vs_batch", lit(1L))
+    batchIds
+      .join(vsHist, Seq("asset_id"), "left_outer")
+      .join(vsBatch, Seq("asset_id"), "left_outer")
+      .select(col("asset_id"),
+        when(col("vs_hist") === 1L, "dropped_vs_history")
+          .when(col("vs_batch") === 1L, "dropped_in_batch")
+          .otherwise("accepted").as("verdict"))
+  }
+
+  /** Store-backed streaming VIDEO near-dup ingest — the fourth modality
+    * of the ingest-loop family (text q122, visual q156, embedding q179):
+    * per micro-batch, decode arriving AVI clips to sampled-frame band
+    * rows ([[videoFrameFeatures]] — row-local, payloads never shuffle),
+    * take CLIP verdicts against the accepted history and the batch
+    * itself ([[videoClipVerdicts]] — the replay-shared definition), and
+    * append only accepted clips' band rows to the band_key-bucketed
+    * store. Crash recovery, retry-safe re-append protection, catalog
+    * refresh and threshold compaction all follow the visual loop.
+    */
+  def videoNearDupIngestStream(assets: DataFrame, storeTable: String,
+      buckets: Int = 32, grid: Int = 4, stride: Int = 2,
+      checkpoint: Option[String] = None,
+      compactFileThreshold: Int = 0)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = assets.writeStream.outputMode("append")
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        graft.io.Compact.recoverBucketedTable(s, storeTable)
+        val bands = VisualDedup.explodeBands(
+            videoFrameFeatures(
+              batch.select("asset_id", "format", "payload").as[Asset],
+              grid, stride).toDF()
+              .withColumn("dhash", VisualDedup.dhash("", grid)), grid)
+          .withColumn("band_key", videoBandKey(""))
+          .select("asset_id", "frame_idx", "n_frames", "band_key",
+            "width", "height", "box_sums")
+          .persist()
+        val batchIds = batch.select(col("asset_id")).distinct()
+        try {
+          val storeBands =
+            (if (s.catalog.tableExists(storeTable)) s.table(storeTable)
+            else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+              bands.schema))
+              .join(broadcast(batchIds), Seq("asset_id"), "left_anti")
+          val verdicts = videoClipVerdicts(batchIds, bands, storeBands,
+              grid, stride)
+            .localCheckpoint(true)
+          val accepted = bands.join(
+            verdicts.filter(col("verdict") === "accepted").select(col("asset_id")),
+            Seq("asset_id"))
+          if (s.catalog.tableExists(storeTable)) {
+            val alreadyStored = s.table(storeTable).select(col("asset_id"))
+              .join(broadcast(batchIds), Seq("asset_id"), "left_semi").distinct()
+            graft.io.Writers.appendBucketed(
+              accepted.join(broadcast(alreadyStored), Seq("asset_id"), "left_anti"),
+              storeTable, Seq("band_key"), buckets)
+          } else
+            graft.io.Writers.writeBucketed(accepted, storeTable,
+              Seq("band_key"), buckets)
+          s.catalog.refreshTable(storeTable)
+          org.apache.spark.sql.SparkSession.getDefaultSession
+            .filter(_ ne s).foreach(_.catalog.refreshTable(storeTable))
+          if (compactFileThreshold > 0 &&
+              graft.io.Compact.dataFileCount(
+                s, graft.io.Compact.tableLocation(s, storeTable)) > compactFileThreshold) {
+            graft.io.Compact.compactBucketedTable(
+              s, storeTable, Seq("band_key"), buckets)
+            s.catalog.refreshTable(storeTable)
+            org.apache.spark.sql.SparkSession.getDefaultSession
+              .filter(_ ne s).foreach(_.catalog.refreshTable(storeTable))
+          }
+          sink(verdicts)
+          ()
+        } finally bands.unpersist()
+      }
+      .start()
+  }
+
   /** Derive a deterministic asset table from the documents corpus: text
     * bytes stand in for media payloads, format cycles by id over the
     * STUB-tier formats (webp has no JVM codec; bin/raw model genuinely

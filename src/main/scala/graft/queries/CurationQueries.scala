@@ -1442,5 +1442,81 @@ object CurationQueries {
             SUM(CASE WHEN sb > 4 * nt THEN 1 ELSE 0 END) AS hs
           FROM per_doc GROUP BY 1) p USING (source)
         ORDER BY tg.source"""))
+    ,
+
+    // ---- the CCNet split at trigram order ---------------------------------
+    // q188's head/middle/tail cut re-run under q190's trigram
+    // stupid-backoff scores: same discrete-quantile machinery over the
+    // per-(source, score) histogram, score = milli-bits per TRIGRAM. A
+    // doc now needs >= 3 tokens to be scored, so unscored_docs can only
+    // grow vs q188; the spec proves the split genuinely MOVES where
+    // two-word context is the signal bigrams cannot see.
+    Q("q195_trigram_terciles",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.curation.Curation.trigramSurprisalTerciles(
+          d.filter(col("doc_id") % 2 === 1),
+          d.filter(col("doc_id") % 2 === 0))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, source, $duckTokens AS w FROM documents),
+        tri AS (
+          SELECT doc_id, source,
+            CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT) AS th,
+            CAST('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15) AS BIGINT) AS ch,
+            CAST('0x' || substr(md5(w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT) AS bh,
+            CAST('0x' || substr(md5(w[i+1]), 1, 15) AS BIGINT) AS uh
+          FROM tok, UNNEST(generate_series(1, len(w) - 2)) AS t(i)),
+        tc AS (SELECT th, COUNT(*) AS ct FROM tri WHERE doc_id % 2 = 0 GROUP BY 1),
+        cc AS (SELECT ch, COUNT(*) AS cctx FROM tri WHERE doc_id % 2 = 0 GROUP BY 1),
+        bc AS (SELECT bh, COUNT(*) AS cbo FROM tri WHERE doc_id % 2 = 0 GROUP BY 1),
+        uc AS (SELECT uh, COUNT(*) AS cuni FROM tri WHERE doc_id % 2 = 0 GROUP BY 1),
+        sc AS (
+          SELECT tb.doc_id, tb.source,
+            CASE WHEN tc.ct IS NOT NULL THEN length(bin(cc.cctx // tc.ct)) - 1
+                 WHEN bc.cbo IS NOT NULL THEN 2 + length(bin(uc.cuni // bc.cbo)) - 1
+                 ELSE 20 END AS bits
+          FROM (SELECT * FROM tri WHERE doc_id % 2 = 1) tb
+          LEFT JOIN tc USING (th) LEFT JOIN cc USING (ch)
+          LEFT JOIN bc USING (bh) LEFT JOIN uc USING (uh)),
+        per_doc AS (
+          SELECT doc_id, source, COUNT(*) AS nt, SUM(bits) AS sb
+          FROM sc GROUP BY 1, 2),
+        scored AS (
+          SELECT doc_id, source, (sb * 1000) // nt AS score FROM per_doc),
+        hist AS (
+          SELECT source, score, COUNT(*) AS cnt FROM scored GROUP BY 1, 2),
+        hh AS (
+          SELECT source, score, cnt,
+            SUM(cnt) OVER (PARTITION BY source ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(cnt) OVER (PARTITION BY source) AS n
+          FROM hist),
+        thr AS (
+          SELECT source,
+            MIN(CASE WHEN cum * 3 >= n THEN score END) AS t1,
+            MIN(CASE WHEN cum * 3 >= 2 * n THEN score END) AS t2
+          FROM hh GROUP BY 1),
+        bk AS (
+          SELECT s.source, COUNT(*) AS scored_docs,
+            MAX(t.t1) AS t1, MAX(t.t2) AS t2,
+            SUM(CASE WHEN s.score <= t.t1 THEN 1 ELSE 0 END) AS head_docs,
+            SUM(CASE WHEN s.score > t.t1 AND s.score <= t.t2
+                THEN 1 ELSE 0 END) AS middle_docs,
+            SUM(CASE WHEN s.score > t.t2 THEN 1 ELSE 0 END) AS tail_docs
+          FROM scored s JOIN thr t USING (source) GROUP BY 1),
+        tg AS (SELECT source, COUNT(*) AS docs FROM documents
+               WHERE doc_id % 2 = 1 GROUP BY 1)
+        SELECT tg.source,
+          CAST(COALESCE(bk.scored_docs, 0) AS BIGINT) AS scored_docs,
+          CAST(tg.docs - COALESCE(bk.scored_docs, 0) AS BIGINT) AS unscored_docs,
+          CAST(COALESCE(bk.t1, 0) AS BIGINT) AS t1_millibits,
+          CAST(COALESCE(bk.t2, 0) AS BIGINT) AS t2_millibits,
+          CAST(COALESCE(bk.head_docs, 0) AS BIGINT) AS head_docs,
+          CAST(COALESCE(bk.middle_docs, 0) AS BIGINT) AS middle_docs,
+          CAST(COALESCE(bk.tail_docs, 0) AS BIGINT) AS tail_docs
+        FROM tg LEFT JOIN bk USING (source)
+        ORDER BY tg.source"""))
   )
 }

@@ -817,5 +817,293 @@ object MultimodalQueries {
         FROM v a JOIN v b
           ON a.n = b.n AND a.tvv = b.tvv AND a.aid < b.aid
         ORDER BY 1, 2"""))
+    ,
+
+    // ---- VIDEO near-dup over real AVI containers --------------------------
+    // The video tier of the q140/q167 family: per-doc single-stream
+    // DIB-flavor AVIs (AviCodec — a real RIFF chunk walk: LIST nesting,
+    // even-byte padding, JUNK tolerance), frames stride-2 sampled (the
+    // q101 discipline on an actual container), each sampled frame
+    // reduced to the q140 box panel + dHash bands ROW-LOCALLY — payloads
+    // never shuffle; only (ids, dims, 16 sums, md5) rows do. A clip PAIR
+    // is a near-dup when EVERY sampled frame pair band-matches and
+    // passes the 16-box verify (conjunction over frames — one drifted
+    // frame kills the pair), under (dims, frame count) blocking. Planted
+    // plants: every 40th clip re-renders clip 0 byte-exactly; every 25th
+    // re-renders its neighbor +1 red level in all frames (md5-invisible,
+    // band-invariant — the brightness-shift proof from q140 applies per
+    // frame). The oracle predicts every frame's panel in closed form
+    // from the synthesis parameters without parsing a byte.
+    Q("q194_video_neardup",
+      (s, dir) => {
+        import graft.multimodal.VisualDedup
+        val g = 4
+        val feats = Multimodal.videoFrameFeatures(
+            Multimodal.videoAssetsWithNearDups(s, dir), grid = g, stride = 2)
+          .toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val banded = VisualDedup.explodeBands(
+          feats.withColumn("dhash", VisualDedup.dhash("", g)), g)
+        def side(p: String) =
+          banded.columns.foldLeft(banded)((d, c) => d.withColumnRenamed(c, p + c))
+        val a = side("a_"); val b = side("b_")
+        val firstMatch = (0 until 3).map(j =>
+          col("a_band_idx") <= lit(j) ||
+            expr(s"shiftright(a_dhash, ${j * 6}) & 63")
+              =!= expr(s"shiftright(b_dhash, ${j * 6}) & 63"))
+          .reduce(_ && _)
+        val framePairs = a.join(b,
+            col("a_width") === col("b_width") &&
+              col("a_height") === col("b_height") &&
+              col("a_n_frames") === col("b_n_frames") &&
+              col("a_frame_idx") === col("b_frame_idx") &&
+              col("a_band_idx") === col("b_band_idx") &&
+              col("a_band_val") === col("b_band_val") &&
+              col("a_asset_id") < col("b_asset_id") && firstMatch)
+          .filter(VisualDedup.verify("a_", "b_", g))
+          .select(col("a_asset_id").as("id_a"), col("b_asset_id").as("id_b"),
+            col("a_width").cast("long").as("w"),
+            col("a_height").cast("long").as("h"),
+            col("a_n_frames").cast("long").as("n_frames"),
+            col("a_frame_idx").as("fidx"),
+            (col("a_frame_md5") === col("b_frame_md5")).as("fr_exact"))
+        framePairs.groupBy("id_a", "id_b", "w", "h", "n_frames")
+          .agg(countDistinct("fidx").as("matched_frames"),
+            min(when(col("fr_exact"), 1L).otherwise(0L)).as("ae"))
+          .filter(col("matched_frames") === expr("(n_frames + 1) div 2"))
+          .select(col("id_a"), col("id_b"), col("w"), col("h"),
+            col("n_frames"), col("matched_frames").as("sampled_frames"),
+            when(col("ae") === 1L, "exact").otherwise("near").as("kind"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH p0 AS (
+          SELECT doc_id,
+            CASE WHEN doc_id > 0 AND doc_id % 40 = 0 THEN 0
+                 WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
+                 ELSE doc_id END AS base,
+            CASE WHEN doc_id > 0 AND doc_id % 25 = 0 AND doc_id % 40 <> 0
+                 THEN 1 ELSE 0 END AS bright
+          FROM documents),
+        p AS (
+          SELECT doc_id, base, bright,
+            8 + (base * 5) % 16 AS w, 8 + (base * 7) % 16 AS h,
+            3 + base % 4 AS nf
+          FROM p0),
+        fr AS (
+          SELECT doc_id, w, h, nf, f,
+            (base * 3 + 13 * f) % 199 + bright AS r,
+            (base * 11 + 7 * f) % 256 AS g,
+            (base * 17 + 5 * f) % 256 AS b
+          FROM p, UNNEST(generate_series(0, nf - 1)) AS t(f)
+          WHERE f % 2 = 0),
+        boxes AS (
+          SELECT doc_id, f, w, h, r, g, b, gx, gy,
+            (gx * w + 3) // 4 AS x0, ((gx + 1) * w + 3) // 4 AS x1,
+            (gy * h + 3) // 4 AS y0, ((gy + 1) * h + 3) // 4 AS y1
+          FROM fr, (SELECT unnest([0, 1, 2, 3]) AS gx),
+               (SELECT unnest([0, 1, 2, 3]) AS gy)),
+        sums AS MATERIALIZED (
+          SELECT doc_id, f, gx, gy, (x1 - x0) * (y1 - y0) AS np,
+            (x1 - x0) * (y1 - y0) * (299 * r + 587 * g + 114 * b)
+              + 299 * ((y1 - y0) * (((x0 + x1 - 1) * (x1 - x0)) // 2)
+                       + (x1 - x0) * (((y0 + y1 - 1) * (y1 - y0)) // 2)) AS s
+          FROM boxes),
+        hb AS (
+          SELECT a.doc_id, a.f,
+            SUM(CASE WHEN a.s * b.np > b.s * a.np
+                THEN 1 << (a.gy * 3 + a.gx) ELSE 0 END) AS v
+          FROM sums a JOIN sums b
+            ON b.doc_id = a.doc_id AND b.f = a.f
+              AND b.gy = a.gy AND b.gx = a.gx + 1
+          GROUP BY 1, 2),
+        vb AS (
+          SELECT a.doc_id, a.f,
+            SUM(CASE WHEN a.s * b.np > b.s * a.np
+                THEN 1 << (12 + a.gy * 4 + a.gx) ELSE 0 END) AS v
+          FROM sums a JOIN sums b
+            ON b.doc_id = a.doc_id AND b.f = a.f
+              AND b.gx = a.gx AND b.gy = a.gy + 1
+          GROUP BY 1, 2),
+        dh AS (
+          SELECT hb.doc_id, hb.f, hb.v + vb.v AS dhash
+          FROM hb JOIN vb ON vb.doc_id = hb.doc_id AND vb.f = hb.f),
+        bands AS (
+          SELECT doc_id, f, i, (dhash >> (6 * i)) & 63 AS band_val
+          FROM dh, (SELECT unnest([0, 1, 2, 3]) AS i)),
+        candf AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.f
+          FROM bands x
+            JOIN bands y ON y.f = x.f AND y.i = x.i
+              AND y.band_val = x.band_val AND x.doc_id < y.doc_id
+            JOIN p pa ON pa.doc_id = x.doc_id
+            JOIN p pb ON pb.doc_id = y.doc_id
+          WHERE pa.w = pb.w AND pa.h = pb.h AND pa.nf = pb.nf),
+        vf AS (
+          SELECT c.id_a, c.id_b, c.f FROM candf c
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sums sa
+              JOIN sums sb ON sb.doc_id = c.id_b AND sb.f = sa.f
+                AND sb.gx = sa.gx AND sb.gy = sa.gy
+            WHERE sa.doc_id = c.id_a AND sa.f = c.f
+              AND abs(sa.s - sb.s) > 1000 * sa.np)),
+        mt AS (
+          SELECT id_a, id_b, COUNT(DISTINCT f) AS matched
+          FROM vf GROUP BY 1, 2)
+        SELECT m.id_a, m.id_b,
+          CAST(pa.w AS BIGINT) AS w, CAST(pa.h AS BIGINT) AS h,
+          CAST(pa.nf AS BIGINT) AS n_frames,
+          CAST(m.matched AS BIGINT) AS sampled_frames,
+          CASE WHEN pa.base = pb.base AND pa.bright = pb.bright
+               THEN 'exact' ELSE 'near' END AS kind
+        FROM mt m
+          JOIN p pa ON pa.doc_id = m.id_a
+          JOIN p pb ON pb.doc_id = m.id_b
+        WHERE m.matched = (pa.nf + 1) // 2
+        ORDER BY 1, 2"""))
+    ,
+
+    // ---- video ingest verdicts: the q156/q179 replay, clip grain ----------
+    // The fourth modality of the store-backed ingest family: the stream
+    // (Multimodal.videoNearDupIngestStream) and this batch replay share
+    // ONE verdict function (videoClipVerdicts), so the oracle checks the
+    // stream's actual decision logic. Two arrival phases (even clips
+    // first against an empty store, odd clips against the phase-1
+    // accepted history); a clip drops only when EVERY sampled frame of
+    // some partner matches band + 16-box verify — the conjunction forces
+    // pair-grain counting, which is why the video verdict is not the
+    // visual family's semi-join (documented on videoClipVerdicts). The
+    // oracle replays both phases from the closed-form frame panels.
+    Q("q196_video_ingest_verdicts",
+      (s, dir) => {
+        import graft.multimodal.VisualDedup
+        val g = 4
+        val banded = VisualDedup.explodeBands(
+            Multimodal.videoFrameFeatures(
+              Multimodal.videoAssetsWithNearDups(s, dir), grid = g, stride = 2)
+              .toDF()
+              .withColumn("dhash", VisualDedup.dhash("", g)), g)
+          .withColumn("band_key", Multimodal.videoBandKey(""))
+          .select("asset_id", "frame_idx", "n_frames", "band_key",
+            "width", "height", "box_sums")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val b1 = banded.filter(col("asset_id") % 2 === 0)
+        val b2 = banded.filter(col("asset_id") % 2 === 1)
+        val ids1 = banded.select("asset_id").distinct().filter(col("asset_id") % 2 === 0)
+        val ids2 = banded.select("asset_id").distinct().filter(col("asset_id") % 2 === 1)
+        val v1 = Multimodal.videoClipVerdicts(ids1, b1, b1.limit(0), g, 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val store = b1.join(
+          v1.filter(col("verdict") === "accepted").select("asset_id"),
+          Seq("asset_id"))
+        val v2 = Multimodal.videoClipVerdicts(ids2, b2, store, g, 2)
+        v1.withColumn("phase", lit(1L))
+          .unionByName(v2.withColumn("phase", lit(2L)))
+          .select("asset_id", "phase", "verdict")
+          .orderBy("asset_id")
+      },
+      Some("""
+        WITH p0 AS (
+          SELECT doc_id,
+            CASE WHEN doc_id > 0 AND doc_id % 40 = 0 THEN 0
+                 WHEN doc_id > 0 AND doc_id % 25 = 0 THEN doc_id - 1
+                 ELSE doc_id END AS base,
+            CASE WHEN doc_id > 0 AND doc_id % 25 = 0 AND doc_id % 40 <> 0
+                 THEN 1 ELSE 0 END AS bright
+          FROM documents),
+        p AS (
+          SELECT doc_id, base, bright,
+            8 + (base * 5) % 16 AS w, 8 + (base * 7) % 16 AS h,
+            3 + base % 4 AS nf
+          FROM p0),
+        fr AS (
+          SELECT doc_id, w, h, nf, f,
+            (base * 3 + 13 * f) % 199 + bright AS r,
+            (base * 11 + 7 * f) % 256 AS g,
+            (base * 17 + 5 * f) % 256 AS b
+          FROM p, UNNEST(generate_series(0, nf - 1)) AS t(f)
+          WHERE f % 2 = 0),
+        boxes AS (
+          SELECT doc_id, f, w, h, r, g, b, gx, gy,
+            (gx * w + 3) // 4 AS x0, ((gx + 1) * w + 3) // 4 AS x1,
+            (gy * h + 3) // 4 AS y0, ((gy + 1) * h + 3) // 4 AS y1
+          FROM fr, (SELECT unnest([0, 1, 2, 3]) AS gx),
+               (SELECT unnest([0, 1, 2, 3]) AS gy)),
+        sums AS MATERIALIZED (
+          SELECT doc_id, f, gx, gy, (x1 - x0) * (y1 - y0) AS np,
+            (x1 - x0) * (y1 - y0) * (299 * r + 587 * g + 114 * b)
+              + 299 * ((y1 - y0) * (((x0 + x1 - 1) * (x1 - x0)) // 2)
+                       + (x1 - x0) * (((y0 + y1 - 1) * (y1 - y0)) // 2)) AS s
+          FROM boxes),
+        hb AS (
+          SELECT a.doc_id, a.f,
+            SUM(CASE WHEN a.s * b.np > b.s * a.np
+                THEN 1 << (a.gy * 3 + a.gx) ELSE 0 END) AS v
+          FROM sums a JOIN sums b
+            ON b.doc_id = a.doc_id AND b.f = a.f
+              AND b.gy = a.gy AND b.gx = a.gx + 1
+          GROUP BY 1, 2),
+        vb AS (
+          SELECT a.doc_id, a.f,
+            SUM(CASE WHEN a.s * b.np > b.s * a.np
+                THEN 1 << (12 + a.gy * 4 + a.gx) ELSE 0 END) AS v
+          FROM sums a JOIN sums b
+            ON b.doc_id = a.doc_id AND b.f = a.f
+              AND b.gx = a.gx AND b.gy = a.gy + 1
+          GROUP BY 1, 2),
+        dh AS (
+          SELECT hb.doc_id, hb.f, hb.v + vb.v AS dhash
+          FROM hb JOIN vb ON vb.doc_id = hb.doc_id AND vb.f = hb.f),
+        bands AS (
+          SELECT doc_id, f, i, (dhash >> (6 * i)) & 63 AS band_val
+          FROM dh, (SELECT unnest([0, 1, 2, 3]) AS i)),
+        candf AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.f
+          FROM bands x
+            JOIN bands y ON y.f = x.f AND y.i = x.i
+              AND y.band_val = x.band_val AND x.doc_id < y.doc_id
+            JOIN p pa ON pa.doc_id = x.doc_id
+            JOIN p pb ON pb.doc_id = y.doc_id
+          WHERE pa.w = pb.w AND pa.h = pb.h AND pa.nf = pb.nf),
+        vf AS (
+          SELECT c.id_a, c.id_b, c.f FROM candf c
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sums sa
+              JOIN sums sb ON sb.doc_id = c.id_b AND sb.f = sa.f
+                AND sb.gx = sa.gx AND sb.gy = sa.gy
+            WHERE sa.doc_id = c.id_a AND sa.f = c.f
+              AND abs(sa.s - sb.s) > 1000 * sa.np)),
+        pairs AS MATERIALIZED (
+          SELECT m.id_a, m.id_b
+          FROM (SELECT id_a, id_b, COUNT(DISTINCT f) AS matched
+                FROM vf GROUP BY 1, 2) m
+            JOIN p pa ON pa.doc_id = m.id_a
+          WHERE m.matched = (pa.nf + 1) // 2),
+        ph1d AS (SELECT DISTINCT id_b AS doc_id FROM pairs
+                 WHERE id_a % 2 = 0 AND id_b % 2 = 0),
+        ph1a AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+                 AND doc_id NOT IN (SELECT doc_id FROM ph1d)),
+        ph2h AS (
+          SELECT DISTINCT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS doc_id
+          FROM pairs
+          WHERE (id_a % 2 = 1 AND id_b % 2 = 0
+                   AND id_b IN (SELECT doc_id FROM ph1a))
+             OR (id_b % 2 = 1 AND id_a % 2 = 0
+                   AND id_a IN (SELECT doc_id FROM ph1a))),
+        ph2b AS (SELECT DISTINCT id_b AS doc_id FROM pairs
+                 WHERE id_a % 2 = 1 AND id_b % 2 = 1)
+        SELECT doc_id AS asset_id,
+          CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS phase,
+          CASE WHEN doc_id % 2 = 0 THEN
+                 CASE WHEN doc_id IN (SELECT doc_id FROM ph1d)
+                      THEN 'dropped_in_batch' ELSE 'accepted' END
+               ELSE
+                 CASE WHEN doc_id IN (SELECT doc_id FROM ph2h)
+                        THEN 'dropped_vs_history'
+                      WHEN doc_id IN (SELECT doc_id FROM ph2b)
+                        THEN 'dropped_in_batch'
+                      ELSE 'accepted' END
+          END AS verdict
+        FROM documents ORDER BY 1"""))
   )
 }

@@ -133,6 +133,71 @@ class MultimodalSpec extends SparkSpec {
       u * (30 + 40), u * 50)) // row 1: boxes {v=30,40 | v=50}
   }
 
+  test("streaming VIDEO near-dup ingest: clip verdicts, frame conjunction") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val table = {
+      spark.sql("DROP TABLE IF EXISTS video_store_stream_test")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        "video_store_stream_test")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+      "video_store_stream_test"
+    }
+    val srcDir = Files.createTempDirectory("video_stream").toString + "/src"
+    // 4-frame clips, stride 2 -> frames 0 and 2 sampled. `bright` shifts
+    // every frame's red by one level (byte-different, perceptually near);
+    // `lastFrameOff` perturbs ONLY frame 2's green — one drifted SAMPLED
+    // frame must kill the clip match (the conjunction rule)
+    def clip(base: Long, bright: Int, lastFrameOff: Int): Array[Byte] = {
+      val (w, h) = (12, 10)
+      val frames = (0 until 4).map { f =>
+        val r = ((base * 3 + 13 * f) % 180).toInt + bright
+        val g = (((base * 11 + 7 * f) % 200).toInt +
+          (if (f == 2) lastFrameOff else 0)) % 256
+        val b = ((base * 17 + 5 * f) % 256).toInt
+        AviCodec.encodeDibFrame(w, h)((x, y) => ((r + x + y) << 16) | (g << 8) | b)
+      }
+      AviCodec.encode(w, h, frames)
+    }
+    val verdictLog = scala.collection.mutable.Map[Long, String]()
+    val b1 = Seq(
+      (1L, "avi", clip(5, 0, 0)),
+      (2L, "avi", clip(9, 0, 0))).toDF("asset_id", "format", "payload")
+    b1.coalesce(1).write.parquet(srcDir)
+    val q = Multimodal.videoNearDupIngestStream(
+      spark.readStream.schema(b1.schema).parquet(srcDir), table, buckets = 4) {
+      v => verdictLog ++= v.collect().map(r => r.getLong(0) -> r.getString(1))
+    }
+    try {
+      q.processAllAvailable()
+      assert(verdictLog.toMap === Map(1L -> "accepted", 2L -> "accepted"))
+      // batch 2: 10 = clip 1 one red level brighter in EVERY frame (near
+      // dup -> history drop); 11 = clip 2 byte-exact (history drop);
+      // 12 = clip 1 with frame 2's green shifted 50 levels — one sampled
+      // frame disagrees, so the clip must be ACCEPTED despite frame 0
+      // matching; 13 duplicates 12 inside the batch
+      Seq(
+        (10L, "avi", clip(5, 1, 0)),
+        (11L, "avi", clip(9, 0, 0)),
+        (12L, "avi", clip(5, 0, 50)),
+        (13L, "avi", clip(5, 0, 50))).toDF("asset_id", "format", "payload")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      assert(verdictLog.toMap === Map(
+        1L -> "accepted", 2L -> "accepted",
+        10L -> "dropped_vs_history",
+        11L -> "dropped_vs_history",
+        12L -> "accepted",
+        13L -> "dropped_in_batch"))
+      assert(spark.table(table).select("asset_id").distinct().collect()
+        .map(_.getLong(0)).toSet === Set(1L, 2L, 12L))
+    } finally q.stop()
+  }
+
   test("streaming visual near-dup ingest: verdicts vs store, store grows per batch") {
     import spark.implicits._
     import java.nio.file.Files
