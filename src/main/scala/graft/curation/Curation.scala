@@ -777,6 +777,42 @@ object Curation {
       .filter(col("score") <= col("t2"))
       .select(col(idCol))
 
+  /** Deterministic importance DOWNSAMPLING over the tercile buckets —
+    * the down-WEIGHT alternative to [[tercileKeepIds]]' hard drop (both
+    * are published CCNet practice; downsampling keeps tail coverage at
+    * reduced rate instead of zero). Head docs always keep; middle docs
+    * keep with probability 2^-middleBits, tail with 2^-tailBits — the
+    * coin is the doc's own content address (keep iff the TOP `bits` of
+    * the md5-60 order hash are zero), so the rates are EXACT dyadic
+    * fractions in expectation, the draw is reproducible across engines,
+    * runs, retries and cluster sizes, and no RNG ever runs (the
+    * stratifiedSample discipline applied to acceptance testing). Output:
+    * the scored rows plus `bucket` ('head'/'middle'/'tail') and `kept`;
+    * callers filter `kept` for the action or aggregate for the report.
+    * head rows take the same shift path (a 60-bit value shifted by 60 is
+    * 0), so there is no special case to drift.
+    */
+  def tercileDownsample(scores: DataFrame, strataCol: String,
+      idCol: String = "doc_id", middleBits: Int = 1,
+      tailBits: Int = 2): DataFrame = {
+    require(middleBits >= 0 && tailBits >= 0 && middleBits <= 60 && tailBits <= 60,
+      s"keep-bit budgets must be in [0, 60]: $middleBits, $tailBits")
+    scores.join(broadcast(tercileThresholds(scores, strataCol)), Seq(strataCol))
+      .withColumn("bucket",
+        when(col("score") <= col("t1"), "head")
+          .when(col("score") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .withColumn("_kb",
+        when(col("bucket") === "head", lit(0))
+          .when(col("bucket") === "middle", lit(middleBits))
+          .otherwise(lit(tailBits)))
+      .withColumn("_h",
+        conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("kept", expr("shiftright(_h, 60 - _kb) = 0"))
+      .drop("_h", "_kb", "t1", "t2")
+  }
+
   /** Discrete per-stratum tercile thresholds over a (strataCol, score)
     * frame: t1 = smallest score whose cumulative count reaches n/3, t2 =
     * 2n/3 (cross-multiplied — integer-exact). Histogram-grain windows

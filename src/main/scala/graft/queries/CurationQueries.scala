@@ -1324,30 +1324,38 @@ object CurationQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ref = cleaned.filter(col("doc_id") % 2 === 0)
         val tgt = cleaned.filter(col("doc_id") % 2 === 1)
-        // stage id-sets, each computed scan-side off the cached corpus
-        val funnelIds = graft.curation.Curation.funnelSurvivors(tgt)
-          .select("doc_id")
+        // stage id-sets, each computed scan-side off the cached corpus.
+        // Every id frame below feeds TWO consumers (the next stage's
+        // semi-join AND its ledger count), and each is the result of a
+        // full gram/feature pass over the cached text — persist the
+        // narrow ids (the q166 discipline; bytes are trivial, the saved
+        // recompute is the pass itself). Released by the harness's
+        // per-query clearCache.
+        def pin(df: org.apache.spark.sql.DataFrame) =
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val funnelIds = pin(graft.curation.Curation.funnelSurvivors(tgt)
+          .select("doc_id"))
         val toks0 = split(trim(col("text")), "\\s+")
         val bench = d.filter(col("doc_id") % 50 === 0)
           .select(array_join(
             slice(toks0, lit(3), greatest(size(toks0) - 2, lit(0))), " ").as("btext"))
-        val deconIds = graft.curation.Curation.bloomDecontaminateSurvivors(
+        val deconIds = pin(graft.curation.Curation.bloomDecontaminateSurvivors(
             tgt.select("doc_id", "text"), bench, benchTextCol = "btext")
-          .select("doc_id")
+          .select("doc_id"))
         val surv12 = funnelIds.join(deconIds, Seq("doc_id"), "left_semi")
         // tercile thresholds over the SURVIVOR population (stage order
         // matters: the kept head+middle is relative to what remains)
-        val scores12 = graft.curation.Curation
+        val scores12 = pin(graft.curation.Curation
           .crossSurprisalScores(tgt, ref, strataCol = "lang")
-          .join(surv12, Seq("doc_id"), "left_semi")
-        val keepIds = graft.curation.Curation.tercileKeepIds(scores12, "lang")
+          .join(surv12, Seq("doc_id"), "left_semi"))
+        val keepIds = pin(graft.curation.Curation.tercileKeepIds(scores12, "lang"))
         val counted = tgt.select(col("lang"), col("doc_id"),
             col("n_kept").as("n"))
           .join(keepIds, Seq("doc_id"), "left_semi")
           .filter(col("n") > 0)
-        val k4 = graft.curation.Curation.cumsumByStratum(
+        val k4 = pin(graft.curation.Curation.cumsumByStratum(
             counted, "lang", "doc_id", "n")
-          .filter(col("cum") <= 4000)
+          .filter(col("cum") <= 4000))
         val packed = graft.curation.Curation.packSegments(
           k4.select("lang", "doc_id", "n"), seqTokens = 256)
         val seqStats = packed.groupBy("lang").agg(
@@ -1442,6 +1450,68 @@ object CurationQueries {
             SUM(CASE WHEN sb > 4 * nt THEN 1 ELSE 0 END) AS hs
           FROM per_doc GROUP BY 1) p USING (source)
         ORDER BY tg.source"""))
+    ,
+
+    // ---- deterministic importance DOWNSAMPLING ----------------------------
+    // The down-WEIGHT alternative to q188's keep/drop: head keeps
+    // everything, middle keeps 1/2, tail keeps 1/4 — exact dyadic rates
+    // decided by each doc's own content address (top hash bits zero),
+    // so the draw is RNG-free, reproducible across engines/runs/retries,
+    // and the oracle replays every individual coin. The report shows
+    // totals and kept counts per bucket per source.
+    Q("q199_importance_downsample",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val scores = graft.curation.Curation.crossSurprisalScores(
+          d.filter(col("doc_id") % 2 === 1),
+          d.filter(col("doc_id") % 2 === 0))
+        graft.curation.Curation.tercileDownsample(scores, "source")
+          .groupBy("source")
+          .agg(count(lit(1)).as("scored_docs"),
+            sum(when(col("bucket") === "head", 1L).otherwise(0L)).as("head_docs"),
+            sum(when(col("bucket") === "head" && col("kept"), 1L)
+              .otherwise(0L)).as("head_kept"),
+            sum(when(col("bucket") === "middle", 1L).otherwise(0L)).as("middle_docs"),
+            sum(when(col("bucket") === "middle" && col("kept"), 1L)
+              .otherwise(0L)).as("middle_kept"),
+            sum(when(col("bucket") === "tail", 1L).otherwise(0L)).as("tail_docs"),
+            sum(when(col("bucket") === "tail" && col("kept"), 1L)
+              .otherwise(0L)).as("tail_kept"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH $crossSurprisalCtes,
+        scored AS (
+          SELECT doc_id, source, (sb * 1000) // nb AS score FROM per_doc),
+        hist AS (
+          SELECT source, score, COUNT(*) AS cnt FROM scored GROUP BY 1, 2),
+        hh AS (
+          SELECT source, score, cnt,
+            SUM(cnt) OVER (PARTITION BY source ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(cnt) OVER (PARTITION BY source) AS n
+          FROM hist),
+        thr AS (
+          SELECT source,
+            MIN(CASE WHEN cum * 3 >= n THEN score END) AS t1,
+            MIN(CASE WHEN cum * 3 >= 2 * n THEN score END) AS t2
+          FROM hh GROUP BY 1),
+        ds AS (
+          SELECT s.doc_id, s.source,
+            CASE WHEN s.score <= t.t1 THEN 'head'
+                 WHEN s.score <= t.t2 THEN 'middle' ELSE 'tail' END AS bucket,
+            (CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+              >> (60 - CASE WHEN s.score <= t.t1 THEN 0
+                            WHEN s.score <= t.t2 THEN 1 ELSE 2 END)) = 0 AS kept
+          FROM scored s JOIN thr t USING (source))
+        SELECT source, COUNT(*) AS scored_docs,
+          CAST(SUM(CASE WHEN bucket = 'head' THEN 1 ELSE 0 END) AS BIGINT) AS head_docs,
+          CAST(SUM(CASE WHEN bucket = 'head' AND kept THEN 1 ELSE 0 END) AS BIGINT) AS head_kept,
+          CAST(SUM(CASE WHEN bucket = 'middle' THEN 1 ELSE 0 END) AS BIGINT) AS middle_docs,
+          CAST(SUM(CASE WHEN bucket = 'middle' AND kept THEN 1 ELSE 0 END) AS BIGINT) AS middle_kept,
+          CAST(SUM(CASE WHEN bucket = 'tail' THEN 1 ELSE 0 END) AS BIGINT) AS tail_docs,
+          CAST(SUM(CASE WHEN bucket = 'tail' AND kept THEN 1 ELSE 0 END) AS BIGINT) AS tail_kept
+        FROM ds GROUP BY 1 ORDER BY 1"""))
     ,
 
     // ---- the CCNet split at trigram order ---------------------------------

@@ -1081,6 +1081,34 @@ object SimilarityQueries {
       Some(splitOracleSql))
     ,
 
+    // ---- SQ8 scalar-quantized search --------------------------------------
+    // The third compression tier beside PQ (q129) and sign-bit LSH
+    // (q41): every dimension quantizes independently to 8 bits over its
+    // corpus [min, max] (the faiss SQ8 layout) — 4x smaller than
+    // float32, no codebook training at all (two narrow aggregates), far
+    // simpler than PQ at better per-dim fidelity. Training is
+    // arithmetic-FREE (min/max over identical float values — exact in
+    // any engine); encode and the asymmetric distance are short
+    // fixed-order IEEE chains the oracle replays verbatim, so the
+    // compare is hash-exact (the WordPiece-score discipline). Search
+    // moves 64-byte code rows, never 256-byte float vectors.
+    Q("q197_sq8_ann",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val p = graft.ml.Sq8.fit(e)
+        val q = e.filter(col("vec_id") === 42 && col("embedding").isNotNull)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        graft.ml.Sq8.encode(e, p)
+          .filter(col("vec_id") =!= 42)
+          .select(col("vec_id"),
+            md5(concat_ws("|", col("codes"))).as("codes_md5"),
+            graft.ml.Sq8.dist(q, p).as("sq8_dist"))
+          .orderBy(col("sq8_dist"), col("vec_id"))
+          .limit(10)
+      },
+      Some(sq8OracleSql))
+    ,
+
     // ---- recall@10 under the TRAINED codebook ------------------------------
     // q134's one-row quality reduction with the IVF arm assigned and probed
     // via the trained centroids instead of the first-16-vectors heuristic —
@@ -1254,6 +1282,43 @@ object SimilarityQueries {
           CAST(SUM(CASE WHEN f.scell <> k.small_init THEN 1 ELSE 0 END) AS BIGINT) AS moved_members
         FROM sassignF f, hot h, kids k
         GROUP BY h.cell, h.members"""
+  }
+
+  /** DuckDB replay of [[graft.ml.Sq8]] (q197): per-dim min/max (exact —
+    * no arithmetic), the clamped floor encode, and the left-folded
+    * reconstruction distance, each written with the identical IEEE
+    * operation order as the Spark columns.
+    */
+  private def sq8OracleSql: String = {
+    val recon = "(a.mns[i] + CAST(c.codes[i] AS DOUBLE) * (a.mxs[i] - a.mns[i]) / 255.0)"
+    s"""
+        WITH mm AS (
+          SELECT i,
+            MIN(CAST(embedding[i] AS DOUBLE)) AS mn,
+            MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+          FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+          WHERE embedding IS NOT NULL
+          GROUP BY i),
+        mma AS (
+          SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
+        enc AS (
+          SELECT e.vec_id,
+            list_transform(range(1, 65), i ->
+              CASE WHEN a.mxs[i] = a.mns[i] THEN 0
+                   ELSE LEAST(255, GREATEST(0,
+                     CAST(floor((CAST(e.embedding[i] AS DOUBLE) - a.mns[i])
+                       * 255.0 / (a.mxs[i] - a.mns[i])) AS INTEGER))) END) AS codes
+          FROM embeddings e, mma a WHERE e.embedding IS NOT NULL),
+        qv AS (
+          SELECT list_transform(range(1, 65),
+            i -> CAST(embedding[i] AS DOUBLE)) AS q
+          FROM embeddings WHERE vec_id = 42)
+        SELECT c.vec_id,
+          md5(array_to_string(c.codes, '|')) AS codes_md5,
+          list_reduce(list_transform(range(1, 65), i ->
+            (q.q[i] - $recon) * (q.q[i] - $recon)), (x, y) -> x + y) AS sq8_dist
+        FROM enc c, mma a, qv q WHERE c.vec_id <> 42
+        ORDER BY sq8_dist, c.vec_id LIMIT 10"""
   }
 
   /** DuckDB replay of the full [[graft.ml.Pq]] pipeline (M=4 subspaces,

@@ -1195,6 +1195,43 @@ object TextQueries {
           .orderBy("step")
       },
       Some(bpeOracleSql))
+    ,
+
+    // ---- tokenizer FERTILITY: the vocab-quality signal --------------------
+    // The number a tokenizer choice is judged by in practice: how many
+    // pieces per word (fertility) and characters per piece (compression)
+    // a trained vocabulary achieves on each source — a vocab trained on
+    // the wrong mix shows up as high fertility on the underrepresented
+    // source, which is exactly the curation feedback loop (retrain the
+    // vocab or rebalance the mix). Encoding is q185's true-BPE inference
+    // (merges applied in training order, row-local); all ratios are
+    // integer milli-units (x * 1000 div y), so the oracle — which
+    // re-trains AND re-encodes — compares hash-exactly.
+    Q("q198_tokenizer_fertility",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val model = graft.text.BpeTrainer.fit(s, d, merges = 8)
+        def encWord(w: Column): Column =
+          model.merges.foldLeft(regexp_replace(w, "(.)", "($1)")) {
+            case (e, (a, b, _)) => replace(e, lit(s"($a)($b)"), lit(s"($a$b)"))
+          }
+        val toks = tokens(col("text"))
+        val doc = concat_ws("", transform(toks, encWord(_)))
+        d.select(col("source"),
+            size(toks).cast("long").as("w"),
+            length(array_join(toks, "")).cast("long").as("c"),
+            (length(doc) - length(replace(doc, lit("("), lit(""))))
+              .cast("long").as("p"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("docs"), sum("w").as("words"),
+            sum("c").as("chars"), sum("p").as("pieces"))
+          .select(col("source"), col("docs"), col("words"), col("chars"),
+            col("pieces"),
+            expr("chars * 1000 div pieces").as("chars_per_piece_milli"),
+            expr("pieces * 1000 div words").as("pieces_per_word_milli"))
+          .orderBy("source")
+      },
+      Some(fertilityOracleSql))
   )
 
   /** The shared header of every BPE-family oracle: the `^[a-z]+$`-gated
@@ -1298,6 +1335,50 @@ object TextQueries {
         WITH $bpeHeaderCtes,
         $roundCtes
         ${bpeMergeTable(rounds)}"""
+  }
+
+  /** DuckDB replay of tokenizer fertility (q198): q185's train+encode
+    * chain with `source` carried through the word explode, aggregated to
+    * the per-source fertility/compression report in integer milli-units.
+    */
+  private def fertilityOracleSql: String = {
+    val rounds = 8
+    val roundCtes = (1 to rounds).map { i =>
+      s"""${bpePairsCte(i)},
+        top$i AS MATERIALIZED (
+          SELECT a, b, cnt FROM pairs$i ORDER BY cnt DESC, a, b LIMIT 1),
+        ${bpeSegCte(i)}"""
+    }.mkString(",")
+    val applied = (1 to rounds).foldLeft("e") { (acc, i) =>
+      s"replace($acc, '(' || t$i.a || ')(' || t$i.b || ')', '(' || t$i.a || t$i.b || ')')"
+    }
+    val tops = (1 to rounds).map(i => s"top$i t$i").mkString(", ")
+    s"""
+        WITH $bpeHeaderCtes,
+        $roundCtes,
+        enc0 AS (
+          SELECT doc_id, source, widx, length(wd) AS wc,
+            regexp_replace(wd, '(.)', '(\\1)', 'g') AS e
+          FROM (
+            SELECT doc_id, source, i AS widx, ws[i] AS wd
+            FROM (SELECT doc_id, source,
+                    string_split_regex(trim(text), '\\s+') AS ws
+                  FROM documents),
+                 UNNEST(generate_series(1, len(ws))) AS t(i))),
+        encF AS (
+          SELECT doc_id, source, wc, $applied AS e
+          FROM enc0, $tops),
+        per_doc AS (
+          SELECT doc_id, source, COUNT(*) AS w, SUM(wc) AS c,
+            SUM(length(e) - length(replace(e, '(', ''))) AS p
+          FROM encF GROUP BY 1, 2)
+        SELECT source, COUNT(*) AS docs,
+          CAST(SUM(w) AS BIGINT) AS words,
+          CAST(SUM(c) AS BIGINT) AS chars,
+          CAST(SUM(p) AS BIGINT) AS pieces,
+          CAST((SUM(c) * 1000) // SUM(p) AS BIGINT) AS chars_per_piece_milli,
+          CAST((SUM(p) * 1000) // SUM(w) AS BIGINT) AS pieces_per_word_milli
+        FROM per_doc GROUP BY 1 ORDER BY 1"""
   }
 
   /** DuckDB replay of BPE ENCODING under the trained merges (q185):

@@ -401,6 +401,37 @@ class CurationWave3Spec extends SparkSpec {
     assert(hmt(Curation.trigramSurprisalTerciles(tgt, ref)) === ((2L, 0L, 1L)))
   }
 
+  test("tercileDownsample: head always kept; coins are the exact hash bits") {
+    // 30 docs, scores 0..29 in one stratum: head 0-9, middle 10-19,
+    // tail 20-29 (discrete terciles). The keep decision must equal the
+    // independently-computed hash coin, doc for doc.
+    val scores = (0 until 30).map(i => ("s", i.toLong, i.toLong))
+      .toDF("source", "doc_id", "score")
+    val ds = Curation.tercileDownsample(scores, "source")
+      .select("doc_id", "bucket", "kept")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    def h60(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    for (id <- 0L until 30L) {
+      val (bucket, kept) = ds(id)
+      val expectBucket = if (id <= 9) "head" else if (id <= 19) "middle" else "tail"
+      assert(bucket === expectBucket, s"doc $id")
+      val bits = if (bucket == "head") 0 else if (bucket == "middle") 1 else 2
+      assert(kept === ((h60(id) >> (60 - bits)) == 0L),
+        s"doc $id ($bucket): keep decision must be the hash coin")
+    }
+    assert(ds.filter(_._2._1 == "head").values.forall(_._2), "head keeps all")
+    // deterministic: a second draw is identical
+    val again = Curation.tercileDownsample(scores, "source")
+      .select("doc_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(again === ds.map { case (k, v) => k -> v._2 })
+  }
+
   test("crossSurprisalReport: bigram-less docs count but contribute nothing") {
     val ref = docs(Seq((1L, "a b", "en", "seed")))
     val tgt = docs(Seq((10L, "solo", "en", "s")))

@@ -377,6 +377,22 @@ class PlanShapeSpec extends SparkSpec
     assert(!plan.toString.contains("CartesianProduct"))
   }
 
+  test("q194 video near-dup: payload bytes never reach an exchange") {
+    // the codec boundary is row-local mapPartitions: what shuffles is
+    // (ids, dims, 16 box sums, md5) — never AVI payloads or frame bytes
+    val plan = SparkEntry.queries("q194_video_neardup")(spark, dir)
+      .queryExecution.executedPlan
+    for (e <- collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }; a <- e.output) {
+      assert(!Seq("payload", "frame_bytes").contains(a.name.toLowerCase),
+        s"payload column '${a.name}' reached an exchange")
+      assert(!a.dataType.isInstanceOf[org.apache.spark.sql.types.BinaryType],
+        s"binary column '${a.name}' reached an exchange")
+    }
+    assert(!plan.toString.contains("CartesianProduct"))
+  }
+
   test("q187/q188 surprisal: gram text never reaches an exchange") {
     // the reference-LM family's scale contract: both corpora hash grams
     // to 60-bit longs in their scan stages, so every exchange carries
