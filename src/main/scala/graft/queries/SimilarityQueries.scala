@@ -1109,6 +1109,62 @@ object SimilarityQueries {
       Some(sq8OracleSql))
     ,
 
+    // ---- Matryoshka two-stage search ---------------------------------------
+    // The MRL retrieval pattern (Kusupati et al., NeurIPS 2022):
+    // embeddings trained so PREFIXES are themselves usable — stage 1
+    // shortlists 30 candidates on the first 16 dimensions only (4x less
+    // arithmetic and I/O per candidate; with a prefix-truncated column
+    // the scan reads a quarter of the bytes), stage 2 re-ranks the
+    // shortlist exactly on all 64. q144's shortlist/re-rank shape with
+    // dimension truncation instead of PQ compression as the cheap
+    // stage. Both distances are fixed-order IEEE folds replayed
+    // verbatim; output carries both so the artifact shows where the
+    // prefix ordering and the exact ordering disagree.
+    Q("q200_matryoshka_search",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 42 && col("embedding").isNotNull)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        val qL = lit(q.toArray)
+        def l2(dims: Int) = aggregate(
+          sequence(lit(1), lit(dims)), lit(0.0),
+          (acc, i) => {
+            val d = try_element_at(col("embedding"), i.cast("int")).cast("double") -
+              element_at(qL, i.cast("int"))
+            acc + d * d
+          })
+        val short = e.filter(col("embedding").isNotNull && col("vec_id") =!= 42)
+          .select(col("vec_id"), l2(16).as("prefix_dist"), col("embedding"))
+          .orderBy(col("prefix_dist"), col("vec_id")).limit(30)
+        short
+          .select(col("vec_id"), col("prefix_dist"), l2(64).as("full_dist"))
+          .orderBy(col("full_dist"), col("vec_id")).limit(10)
+      },
+      Some("""
+        WITH qv AS (
+          SELECT list_transform(range(1, 65),
+            i -> CAST(embedding[i] AS DOUBLE)) AS q
+          FROM embeddings WHERE vec_id = 42),
+        pre AS (
+          SELECT e.vec_id, e.embedding,
+            list_reduce(list_transform(range(1, 17), i ->
+              (CAST(e.embedding[i] AS DOUBLE) - q.q[i])
+              * (CAST(e.embedding[i] AS DOUBLE) - q.q[i])),
+              (x, y) -> x + y) AS prefix_dist
+          FROM embeddings e, qv q
+          WHERE e.embedding IS NOT NULL AND e.vec_id <> 42),
+        short AS (
+          SELECT vec_id, embedding, prefix_dist FROM pre
+          ORDER BY prefix_dist, vec_id LIMIT 30)
+        SELECT s.vec_id, s.prefix_dist,
+          list_reduce(list_transform(range(1, 65), i ->
+            (CAST(s.embedding[i] AS DOUBLE) - q.q[i])
+            * (CAST(s.embedding[i] AS DOUBLE) - q.q[i])),
+            (x, y) -> x + y) AS full_dist
+        FROM short s, qv q
+        ORDER BY full_dist, s.vec_id LIMIT 10"""))
+    ,
+
     // ---- recall@10 under the TRAINED codebook ------------------------------
     // q134's one-row quality reduction with the IVF arm assigned and probed
     // via the trained centroids instead of the first-16-vectors heuristic —
