@@ -560,17 +560,31 @@ object Curation {
     * least one bigram — (idCol, strataCol, nb, sb, ov) = bigram count,
     * total bits under the reference model, OOV bigram count.
     */
+  /** 60-bit md5-prefix hash — the engine-portable gram key (both engines
+    * compute `md5` identically; 60 bits keeps the value in a signed long).
+    */
+  private def h60(c: Column) = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** One row per word BIGRAM of `textCol` with its 60-bit bigram hash `bh`
+    * and first-word unigram hash `uh`, carrying `carry` through — the scan
+    * stage shared by every bigram LM scorer. Text never leaves this stage;
+    * downstream joins exchange longs only.
+    */
+  private def bigramFrame(df: DataFrame, textCol: String,
+      carry: Seq[Column]): DataFrame = {
+    graft.text.TextSketch.register(df.sparkSession)
+    df.select(carry :+
+        explode(graft.text.TextSketch.wordShingles(col(textCol), 2)).as("g"): _*)
+      .withColumn("bh", h60(col("g")))
+      .withColumn("uh", h60(substring_index(col("g"), " ", 1)))
+      .drop("g")
+  }
+
   private def crossSurprisalPerDoc(target: DataFrame, reference: DataFrame,
       textCol: String, idCol: String, strataCol: String,
       oovBits: Int): DataFrame = {
-    graft.text.TextSketch.register(target.sparkSession)
-    def h60(c: Column) = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     def bigrams(df: DataFrame, carry: Seq[Column]): DataFrame =
-      df.select(carry :+
-          explode(graft.text.TextSketch.wordShingles(col(textCol), 2)).as("g"): _*)
-        .withColumn("bh", h60(col("g")))
-        .withColumn("uh", h60(substring_index(col("g"), " ", 1)))
-        .drop("g")
+      bigramFrame(df, textCol, carry)
     val refBi = bigrams(reference, Nil)
     val bc = refBi.groupBy("bh").agg(count(lit(1)).as("cb"))
     val uc = refBi.groupBy("uh").agg(count(lit(1)).as("cu"))
@@ -776,6 +790,71 @@ object Curation {
     scores.join(broadcast(tercileThresholds(scores, strataCol)), Seq(strataCol))
       .filter(col("score") <= col("t2"))
       .select(col(idCol))
+
+  /** DUAL-reference LM quality classifier — the likelihood-ratio form of
+    * the CCNet/GPT-3 quality filter (Wenzek et al. 2020 §4.3; Brown et
+    * al. 2020 appendix A train a classifier to separate a curated corpus
+    * from raw crawl): a target document is scored under TWO reference
+    * bigram models — `refGood` (the curated seed) and `refBad` (the
+    * rejected pool) — and predicted GOOD when the good model spends no
+    * more bits on it than the bad model. Equivalent to sign(log
+    * P_good(doc) - log P_bad(doc)), i.e. naive-Bayes classification with
+    * LMs as class conditionals, and unlike the single-reference tercile
+    * split the decision is calibration-free: no threshold to pick, the
+    * bad model IS the null hypothesis.
+    *
+    * Same integer-exact bit discipline as [[crossSurprisalReport]]: each
+    * bigram costs floor(log2(C(w1)/C(w1 w2))) bits under a model that
+    * has seen it and the flat `oovBits` penalty under one that hasn't,
+    * so both engines agree bit-for-bit and the margin is an exact long.
+    *
+    * Report per target stratum: docs, scored_docs (>= 1 bigram),
+    * pred_good_docs (tie goes to good — deterministic), margin_bits =
+    * sum over scored docs of (bits_bad - bits_good), positive when the
+    * stratum as a whole sits closer to the good reference.
+    *
+    * 100 TB shape: the target corpus is tokenized ONCE (one explode in
+    * the scan stage) and joined against all four vocabulary-sized count
+    * tables in a single plan — not two separate scoring passes; the
+    * joins exchange 60-bit longs, never gram text, and both models
+    * build from their references' scan stages with narrow aggregates.
+    */
+  def dualSurprisalClassifier(target: DataFrame, refGood: DataFrame,
+      refBad: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      strataCol: String = "source", oovBits: Int = 20): DataFrame = {
+    val gBi = bigramFrame(refGood, textCol, Nil)
+    val bBi = bigramFrame(refBad, textCol, Nil)
+    val gb = gBi.groupBy("bh").agg(count(lit(1)).as("gcb"))
+    val gu = gBi.groupBy("uh").agg(count(lit(1)).as("gcu"))
+    val bb = bBi.groupBy("bh").agg(count(lit(1)).as("bcb"))
+    val bu = bBi.groupBy("uh").agg(count(lit(1)).as("bcu"))
+    val perDoc = bigramFrame(target, textCol, Seq(col(idCol), col(strataCol)))
+      .join(gb, Seq("bh"), "left").join(gu, Seq("uh"), "left")
+      .join(bb, Seq("bh"), "left").join(bu, Seq("uh"), "left")
+      // A bigram seen by a model implies its w1 unigram is seen by the same
+      // model (both counts come from the same reference rows), so each OOV
+      // rule needs only its bigram-count null — the single-model scorer's
+      // invariant, held per model.
+      .withColumn("gbits",
+        when(col("gcb").isNull, lit(oovBits.toLong))
+          .otherwise((length(bin(expr("gcu div gcb"))) - 1).cast("long")))
+      .withColumn("bbits",
+        when(col("bcb").isNull, lit(oovBits.toLong))
+          .otherwise((length(bin(expr("bcu div bcb"))) - 1).cast("long")))
+      .groupBy(idCol, strataCol)
+      .agg(count(lit(1)).as("nb"), sum("gbits").as("sg"), sum("bbits").as("sbad"))
+    target.groupBy(strataCol).agg(count(lit(1)).as("docs"))
+      .join(perDoc.groupBy(strataCol).agg(
+          count(lit(1)).as("sd"),
+          sum(when(col("sg") <= col("sbad"), 1L).otherwise(0L)).as("pg"),
+          sum(col("sbad") - col("sg")).as("mb")),
+        Seq(strataCol), "left")
+      .select(col(strataCol), col("docs"),
+        coalesce(col("sd"), lit(0L)).as("scored_docs"),
+        coalesce(col("pg"), lit(0L)).as("pred_good_docs"),
+        coalesce(col("mb"), lit(0L)).as("margin_bits"))
+      .orderBy(strataCol)
+  }
 
   /** Deterministic importance DOWNSAMPLING over the tercile buckets —
     * the down-WEIGHT alternative to [[tercileKeepIds]]' hard drop (both

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension TYPE 2 derivation (Kimball's effective-dated
+  * dimension) — the missing sibling of the CDC merge sink (io/MergeInto,
+  * q91): where MERGE keeps only each key's LATEST state, SCD2 keeps the
+  * full history as versioned validity intervals, the shape every
+  * warehouse dimension with "as of" queries needs.
+  *
+  * [[fromChangeLog]] turns a raw change log (many observations per key,
+  * possibly repeating the same attribute values) into the SCD2 table:
+  * consecutive no-op observations collapse (an observation only opens a
+  * new version when some tracked attribute actually changed — null-safe
+  * compare, so null->null is "no change" and null->value is a change),
+  * each surviving version carries [valid_from, valid_to) with valid_to =
+  * the next version's valid_from, the latest version has valid_to NULL
+  * and is_current true, and `version` numbers versions 1..n per key.
+  *
+  * 100 TB shape: everything is two windows PARTITIONED BY the dimension
+  * key — per-key work, never a global window; a dimension with billions
+  * of keys and bounded history per key partitions evenly by definition.
+  * The no-op collapse drops rows BETWEEN the two windows, so the second
+  * window (lead/row_number) runs over the already-collapsed frame. Both
+  * windows share the same partitioning key, so Catalyst plans ONE
+  * exchange: sort-within-partitions twice, shuffle once.
+  */
+object Scd2 {
+
+  /** @param log      raw change log, one row per observation
+    * @param keyCols  dimension/business key columns
+    * @param tsCol    observation timestamp (becomes valid_from)
+    * @param attrCols tracked attribute columns (a change in any opens a
+    *                 new version)
+    * @param tieCols  deterministic tiebreak for same-timestamp
+    *                 observations (e.g. a log sequence id) — required
+    *                 non-empty so re-runs produce identical histories
+    */
+  def fromChangeLog(log: DataFrame, keyCols: Seq[String], tsCol: String,
+      attrCols: Seq[String], tieCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty && tieCols.nonEmpty,
+      "keyCols, attrCols and tieCols must be non-empty")
+    val reserved = Seq("_chg", "valid_from", "valid_to", "is_current", "version")
+    require(!log.columns.exists(reserved.contains),
+      s"log must not carry reserved columns ${reserved.mkString(", ")}")
+    val order: Seq[Column] = col(tsCol) +: tieCols.map(col)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    // A version opens when ANY tracked attribute null-safe-differs from
+    // the previous observation's; lag over an all-attrs struct keeps it
+    // one window function regardless of attribute count. The first
+    // observation has a null lag struct, which <=> cannot equal a
+    // non-null struct, so it always opens version 1 — no rn=1 special
+    // case needed.
+    val attrs = struct(attrCols.map(col): _*)
+    val changed = log
+      .withColumn("_chg", !(attrs <=> lag(attrs, 1).over(w)))
+      .filter(col("_chg"))
+      .drop("_chg")
+    changed
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .withColumn("version", row_number().over(w))
+      .select((keyCols.map(col) ++ attrCols.map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current"),
+          col("version"))): _*)
+  }
+}

@@ -1588,5 +1588,76 @@ object CurationQueries {
           CAST(COALESCE(bk.tail_docs, 0) AS BIGINT) AS tail_docs
         FROM tg LEFT JOIN bk USING (source)
         ORDER BY tg.source"""))
+    ,
+
+    // ---- dual-reference LM quality classifier ------------------------------
+    // The likelihood-ratio form of the CCNet/GPT-3 quality filter: score
+    // each target doc under a GOOD-reference bigram model (curated seed =
+    // even-id English docs) and a BAD-reference model (rejected pool =
+    // even-id non-English docs); predict good when the good model spends
+    // no more bits. True label is the doc's lang, so the per-lang report
+    // IS the confusion matrix: pred_good_docs ~ scored_docs on the 'en'
+    // row and ~ 0 elsewhere measures the classifier. Integer-exact bits
+    // (q187's discipline) — the margin replays to the bit in DuckDB.
+    Q("q201_quality_classifier",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val even = d.filter(col("doc_id") % 2 === 0)
+        graft.curation.Curation.dualSurprisalClassifier(
+          d.filter(col("doc_id") % 2 === 1),
+          even.filter(col("lang") === "en"),
+          even.filter(col("lang") =!= "en"),
+          strataCol = "lang")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, lang, $duckTokens AS w FROM documents),
+        gbi AS (
+          SELECT CAST('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15) AS BIGINT) AS bh,
+                 CAST('0x' || substr(md5(w[i]), 1, 15) AS BIGINT) AS uh
+          FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+          WHERE doc_id % 2 = 0 AND lang = 'en'),
+        bbi AS (
+          SELECT CAST('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15) AS BIGINT) AS bh,
+                 CAST('0x' || substr(md5(w[i]), 1, 15) AS BIGINT) AS uh
+          FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+          WHERE doc_id % 2 = 0 AND lang <> 'en'),
+        gb AS (SELECT bh, COUNT(*) AS gcb FROM gbi GROUP BY 1),
+        gu AS (SELECT uh, COUNT(*) AS gcu FROM gbi GROUP BY 1),
+        bb AS (SELECT bh, COUNT(*) AS bcb FROM bbi GROUP BY 1),
+        bu AS (SELECT uh, COUNT(*) AS bcu FROM bbi GROUP BY 1),
+        tbi AS (
+          SELECT doc_id, lang,
+            CAST('0x' || substr(md5(w[i] || ' ' || w[i+1]), 1, 15) AS BIGINT) AS bh,
+            CAST('0x' || substr(md5(w[i]), 1, 15) AS BIGINT) AS uh
+          FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+          WHERE doc_id % 2 = 1),
+        sc AS (
+          SELECT tb.doc_id, tb.lang,
+            CASE WHEN gb.gcb IS NULL THEN 20
+                 ELSE length(bin(gu.gcu // gb.gcb)) - 1 END AS gbits,
+            CASE WHEN bb.bcb IS NULL THEN 20
+                 ELSE length(bin(bu.bcu // bb.bcb)) - 1 END AS bbits
+          FROM tbi tb
+          LEFT JOIN gb ON gb.bh = tb.bh
+          LEFT JOIN gu ON gu.uh = tb.uh
+          LEFT JOIN bb ON bb.bh = tb.bh
+          LEFT JOIN bu ON bu.uh = tb.uh),
+        per_doc AS (
+          SELECT doc_id, lang, SUM(gbits) AS sg, SUM(bbits) AS sbad
+          FROM sc GROUP BY 1, 2),
+        rep AS (
+          SELECT lang, COUNT(*) AS sd,
+            SUM(CASE WHEN sg <= sbad THEN 1 ELSE 0 END) AS pg,
+            SUM(sbad - sg) AS mb
+          FROM per_doc GROUP BY 1),
+        tg AS (SELECT lang, COUNT(*) AS docs FROM documents
+               WHERE doc_id % 2 = 1 GROUP BY 1)
+        SELECT tg.lang, tg.docs,
+          CAST(COALESCE(rep.sd, 0) AS BIGINT) AS scored_docs,
+          CAST(COALESCE(rep.pg, 0) AS BIGINT) AS pred_good_docs,
+          CAST(COALESCE(rep.mb, 0) AS BIGINT) AS margin_bits
+        FROM tg LEFT JOIN rep USING (lang)
+        ORDER BY tg.lang"""))
   )
 }

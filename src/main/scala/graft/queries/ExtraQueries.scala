@@ -817,5 +817,144 @@ object ExtraQueries {
           CAST(active_users AS BIGINT) AS active_users,
           CAST(cohort_size AS BIGINT) AS cohort_size
         FROM r JOIN sz USING (cd) ORDER BY 1, 2"""))
+    ,
+
+    // ---- count-min sketch heavy hitters ------------------------------------
+    // The skew-diagnosis sketch (Cormode & Muthukrishnan 2005): which join
+    // keys are hot enough to salt? Keys are synthesized skewed the way the
+    // bench's skew micros do it — 70% of orders collapse onto 8 hot keys
+    // (~1300 rows each), the rest stay unique — so the 4x1024 sketch (noise
+    // ~e/1024 * 15000 ~ 40) must surface exactly the hot 8 above the
+    // rows/30 threshold. md5-bucket hashing and long counters make the
+    // sketch replay bit-for-bit in DuckDB, including each key's
+    // overestimate (est - exact, the collision mass in its min bucket).
+    Q("q202_cms_heavy_hitters",
+      (s, dir) => {
+        val k = t(s, dir, "orders").select(
+          when(col("o_orderkey") % 10 < 7, col("o_orderkey") % 8)
+            .otherwise(col("o_orderkey")).cast("long").as("hotkey"))
+        // scale-relative threshold (rows/30): each hot key carries ~8.75%
+        // of rows, noise ~rows/1024 — the gap holds at every SF
+        graft.ops.CountMin.heavyHitters(k, "hotkey", threshold = k.count() / 30,
+          depth = 4, width = 1024)
+      },
+      Some("""
+        WITH k AS (
+          SELECT CASE WHEN o_orderkey % 10 < 7 THEN o_orderkey % 8
+                      ELSE o_orderkey END AS hotkey
+          FROM orders),
+        ks AS (SELECT hotkey, CAST(hotkey AS VARCHAR) AS kstr FROM k),
+        sk AS (
+          SELECT s AS seed,
+            CAST('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || kstr), 1, 15)
+              AS BIGINT) % 1024 AS bucket,
+            COUNT(*) AS c
+          FROM ks, UNNEST(generate_series(0, 3)) AS t(s)
+          GROUP BY 1, 2),
+        cand AS (
+          SELECT hotkey, CAST(hotkey AS VARCHAR) AS kstr, COUNT(*) AS exact
+          FROM k GROUP BY 1, 2),
+        cb AS (
+          SELECT c.hotkey, c.exact, s AS seed,
+            CAST('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || c.kstr), 1, 15)
+              AS BIGINT) % 1024 AS bucket
+          FROM cand c, UNNEST(generate_series(0, 3)) AS t(s)),
+        est AS (
+          SELECT cb.hotkey, cb.exact, MIN(sk.c) AS est
+          FROM cb JOIN sk ON sk.seed = cb.seed AND sk.bucket = cb.bucket
+          GROUP BY 1, 2)
+        SELECT hotkey, CAST(est AS BIGINT) AS est,
+          CAST(exact AS BIGINT) AS exact,
+          CAST(est - exact AS BIGINT) AS overestimate
+        FROM est WHERE est >= (SELECT COUNT(*) // 30 FROM orders)
+        ORDER BY est DESC, hotkey"""))
+    ,
+
+    // ---- SCD2 history derivation --------------------------------------------
+    // Kimball effective-dated dimension from a raw change log: orders as a
+    // per-customer observation stream of (status, priority); consecutive
+    // no-op observations collapse, each surviving version carries
+    // [valid_from, valid_to) with the latest open-ended. Both engines run
+    // the same two key-partitioned windows — DuckDB spells Spark's
+    // !(struct <=> lag(struct)) as rn=1 OR any-attr IS DISTINCT FROM its
+    // lag (equivalent on this data: the attrs are never NULL).
+    Q("q203_scd2_history",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderdate"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_orderkey"))
+        graft.ops.Scd2.fromChangeLog(o,
+            keyCols = Seq("o_custkey"), tsCol = "o_orderdate",
+            attrCols = Seq("o_orderstatus", "o_orderpriority"),
+            tieCols = Seq("o_orderkey"))
+          .orderBy("o_custkey", "version")
+      },
+      Some("""
+        WITH obs AS (
+          SELECT o_custkey, o_orderdate, o_orderstatus, o_orderpriority,
+            o_orderkey,
+            lag(o_orderstatus) OVER w AS ps,
+            lag(o_orderpriority) OVER w AS pp,
+            row_number() OVER w AS rn
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        chg AS (
+          SELECT * FROM obs
+          WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM ps
+             OR o_orderpriority IS DISTINCT FROM pp),
+        v AS (
+          SELECT o_custkey, o_orderstatus, o_orderpriority,
+            o_orderdate AS valid_from,
+            lead(o_orderdate) OVER w2 AS valid_to,
+            CAST(row_number() OVER w2 AS INT) AS version
+          FROM chg
+          WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        SELECT o_custkey, o_orderstatus, o_orderpriority, valid_from, valid_to,
+          (valid_to IS NULL) AS is_current, version
+        FROM v ORDER BY o_custkey, version"""))
+    ,
+
+    // ---- Unicode NFC canonicalization ---------------------------------------
+    // The pre-hash cleaning step every published recipe runs (CCNet
+    // normalizes before dedup): three renderings of the same appended
+    // suffix — precomposed U+00E9, decomposed e+U+0301, and a zero-width-
+    // space + doubled-whitespace variant — must collapse to ONE canonical
+    // string. Per lang: 3x docs variants, 3x distinct raw hashes, exactly
+    // docs distinct canonical hashes. Both engines run the same Unicode 15
+    // NFC (java.text.Normalizer vs utf8proc) + the same strip/collapse
+    // regexes, so md5(canon) matches byte-for-byte.
+    Q("q204_nfc_canonicalize",
+      (s, dir) => {
+        graft.text.UnicodeNorm.register(s)
+        val d = t(s, dir, "documents").select(col("lang"), col("text"))
+        val variants = d.select(col("lang"),
+            concat(col("text"), lit(" caf\u00e9")).as("v"))
+          .unionAll(d.select(col("lang"),
+            concat(col("text"), lit(" cafe\u0301")).as("v")))
+          .unionAll(d.select(col("lang"),
+            concat(col("text"), lit("\u200b  cafe\u0301")).as("v")))
+        variants
+          .withColumn("canon", graft.text.UnicodeNorm.canonicalizeText(col("v")))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("variants"),
+            countDistinct(md5(col("v"))).as("raw_distinct"),
+            countDistinct(md5(col("canon"))).as("canon_distinct"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH va AS (
+          SELECT lang, text || ' caf' || chr(233) AS v FROM documents
+          UNION ALL SELECT lang, text || ' cafe' || chr(769) FROM documents
+          UNION ALL SELECT lang, text || chr(8203) || '  cafe' || chr(769) FROM documents),
+        c AS (
+          SELECT lang, v,
+            trim(regexp_replace(regexp_replace(nfc_normalize(v),
+              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}\x{200C}\x{200D}\x{FEFF}]',
+              '', 'g'), '\s+', ' ', 'g')) AS canon
+          FROM va)
+        SELECT lang, COUNT(*) AS variants,
+          CAST(COUNT(DISTINCT md5(v)) AS BIGINT) AS raw_distinct,
+          CAST(COUNT(DISTINCT md5(canon)) AS BIGINT) AS canon_distinct
+        FROM c GROUP BY 1 ORDER BY 1"""))
   )
 }
