@@ -1200,6 +1200,59 @@ object Curation {
         array_join(col("kept"), " ").as("clean_text"))
   }
 
+  /** Keep-FIRST-copy segment dedup with document reassembly — the other
+    * published answer to corpus-level duplication ([[removeDupSpans]]
+    * drops every copy, Lee et al.; RefinedWeb/MassiveText-style exact
+    * dedup keeps ONE canonical copy so the content itself survives
+    * training). Documents are cut into consecutive non-overlapping
+    * `segmentTokens`-token segments (trailing partial included — no text
+    * is exempt from dedup); for each distinct segment hash the keeper is
+    * the corpus-minimal (id, seg) occurrence, every other occurrence is
+    * dropped, and each document is rebuilt from its surviving segments
+    * in order. Output per doc: (idCol, n_segments, n_kept, clean_md5).
+    *
+    * 100 TB shape: the [[removeDupSpans]] discipline — segment text is
+    * hashed in the scan stage and only (id, seg, h) longs shuffle; the
+    * keeper election is a plain groupBy(h) (min of a (id, seg) struct —
+    * no window, AQE-splittable), the drop-list comes back per doc as ONE
+    * bounded array, and the rebuild is a row-local HOF filter over the
+    * doc's own token array. Text never leaves its scan-side row.
+    */
+  def dedupSegmentsKeepFirst(docs: DataFrame, segmentTokens: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(segmentTokens >= 1, s"segmentTokens must be >= 1: $segmentTokens")
+    val segN = segmentTokens
+    val toks = tokens(col(textCol))
+    // segment i = tokens [i*segN, (i+1)*segN), 0-based; slice is 1-based
+    def segsOf(tk: Column): Column = {
+      val n = ceil(size(tk).cast("double") / segN).cast("int")
+      when(size(tk) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), n - 1),
+          i => array_join(slice(tk, i * segN + 1, lit(segN)), " ")))
+    }
+    val segs = docs
+      .select(col(idCol), posexplode(segsOf(toks)).as(Seq("seg", "s")))
+      .select(col(idCol), col("seg"), md5(col("s")).as("h"))
+    val keepers = segs.groupBy("h")
+      .agg(min(struct(col(idCol), col("seg"))).as("kp"))
+    val drops = segs.join(keepers, Seq("h"))
+      .filter(!(struct(col(idCol), col("seg")) === col("kp")))
+      .groupBy(idCol)
+      .agg(sort_array(collect_set(col("seg"))).as("dropw"))
+    docs.join(drops, Seq(idCol), "left")
+      .withColumn("toks", toks)
+      .withColumn("nseg", ceil(size(col("toks")).cast("double") / segN).cast("long"))
+      .withColumn("keptToks",
+        when(col("dropw").isNull, col("toks"))
+          .otherwise(filter(col("toks"), (_, p) =>
+            !exists(col("dropw"), i => p >= i * segN && p < (i + 1) * segN))))
+      .select(col(idCol),
+        col("nseg").as("n_segments"),
+        (col("nseg") - coalesce(size(col("dropw")).cast("long"), lit(0L)))
+          .as("n_kept"),
+        md5(array_join(col("keptToks"), " ")).as("clean_md5"))
+  }
+
   /** Materialize the interleaved training order (q142's layout) the way a
     * 100-TB run must: no global row_number window (whose single ordered
     * partition serializes the corpus through one task), but

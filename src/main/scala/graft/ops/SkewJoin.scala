@@ -78,4 +78,35 @@ object SkewJoin {
     if (factor <= 1) big.join(small, keys)
     else saltedInnerJoin(big, small, keys, factor)
   }
+
+  /** SELECTIVE salting — the production form of the doc comment above
+    * ("apply only to the hot keys"): rows whose key is in `hotKeys` go
+    * through the salted join, everything else through the plain join,
+    * one union. The cold path pays zero replication and the hot path
+    * replicates only the hot slice of `small`, so total replication cost
+    * is `|hot small rows| × saltFactor` instead of `|small| × saltFactor`.
+    *
+    * `hotKeys` is the report→action wire from [[CountMin.heavyHitters]]
+    * (or any bounded hot-key frame): the CMS diagnoses which keys are
+    * hot, this applies the split. The frame is broadcast for the
+    * semi/anti splits — it is hot-key-sized by construction (a CMS list
+    * at threshold T over N rows has at most N/T keys), never collected
+    * to the driver.
+    *
+    * Result is row-identical to `big.join(small, keys)`: the semi/anti
+    * split partitions `big` exactly, and each part joins the `small`
+    * rows it can match.
+    */
+  def selectiveSaltedInnerJoin(big: DataFrame, small: DataFrame,
+      keys: Seq[String], hotKeys: DataFrame, saltFactor: Int = 8): DataFrame = {
+    require(saltFactor > 0)
+    require(keys.forall(hotKeys.columns.contains),
+      s"hotKeys must carry the join keys ${keys.mkString(", ")}")
+    val hot = hotKeys.select(keys.map(col): _*).distinct()
+    val bigHot = big.join(broadcast(hot), keys, "left_semi")
+    val bigCold = big.join(broadcast(hot), keys, "left_anti")
+    val smallHot = small.join(broadcast(hot), keys, "left_semi")
+    bigCold.join(small, keys)
+      .unionByName(saltedInnerJoin(bigHot, smallHot, keys, saltFactor))
+  }
 }

@@ -1659,5 +1659,44 @@ object CurationQueries {
           CAST(COALESCE(rep.mb, 0) AS BIGINT) AS margin_bits
         FROM tg LEFT JOIN rep USING (lang)
         ORDER BY tg.lang"""))
+    ,
+
+    // ---- keep-first segment dedup with reassembly ---------------------------
+    // The keep-ONE-copy counterpart of q186's drop-all dup-span removal
+    // (RefinedWeb/MassiveText practice): 10-token aligned segments,
+    // corpus-wide keeper = minimal (doc_id, seg) occurrence, every doc
+    // rebuilt from its surviving segments. The oracle replays the keeper
+    // election with the encoded doc_id*100000+seg min (identical ordering
+    // to Spark's (id, seg) struct-min for non-negative ids and seg <
+    // 100000) and reassembles via ordered string_agg — md5-compared per
+    // doc, so a single token surviving or dropping wrongly fails the row.
+    Q("q207_keepfirst_segment_dedup",
+      (s, dir) => graft.curation.Curation
+        .dedupSegmentsKeepFirst(t(s, dir, "documents"), segmentTokens = 10)
+        .orderBy("doc_id"),
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, $duckTokens AS w FROM documents),
+        seg AS (
+          SELECT doc_id, i AS seg,
+            array_to_string(w[(i*10+1):(i*10+10)], ' ') AS s
+          FROM tok, UNNEST(generate_series(0,
+            CAST(ceil(len(w) / 10.0) AS INT) - 1)) AS t(i)),
+        hs AS (SELECT doc_id, seg, s, md5(s) AS h FROM seg),
+        kp AS (SELECT h, MIN(doc_id * 100000 + seg) AS kk FROM hs GROUP BY 1),
+        fl AS (
+          SELECT hs.doc_id, hs.seg, hs.s,
+            (hs.doc_id * 100000 + hs.seg = kp.kk) AS kept
+          FROM hs JOIN kp USING (h)),
+        agg AS (
+          SELECT doc_id,
+            COUNT(*) AS n_segments,
+            SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+            md5(COALESCE(string_agg(CASE WHEN kept THEN s END, ' '
+              ORDER BY seg), '')) AS clean_md5
+          FROM fl GROUP BY 1)
+        SELECT doc_id, CAST(n_segments AS BIGINT) AS n_segments,
+          CAST(n_kept AS BIGINT) AS n_kept, clean_md5
+        FROM agg ORDER BY doc_id"""))
   )
 }

@@ -956,5 +956,112 @@ object ExtraQueries {
           CAST(COUNT(DISTINCT md5(v)) AS BIGINT) AS raw_distinct,
           CAST(COUNT(DISTINCT md5(canon)) AS BIGINT) AS canon_distinct
         FROM c GROUP BY 1 ORDER BY 1"""))
+    ,
+
+    // ---- point-in-time join against the SCD2 dimension ---------------------
+    // The query half of q203: each shipment (fact at l_shipdate) picks up
+    // the customer-status version ACTIVE at ship time — valid_from <=
+    // ship < valid_to, open-ended latest matches everything after. The
+    // intervals chain disjointly by construction, so every fact matches
+    // exactly one version; shipments always postdate their customer's
+    // first order, so the join is inner. Plan shape: equi-join on the
+    // dimension key with the interval predicate carried in the join
+    // condition — per-key version counts are bounded, so the range scan
+    // inside each key is, too.
+    Q("q205_scd2_pointintime",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderdate"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_orderkey"))
+        val dim = graft.ops.Scd2.fromChangeLog(o,
+            keyCols = Seq("o_custkey"), tsCol = "o_orderdate",
+            attrCols = Seq("o_orderstatus", "o_orderpriority"),
+            tieCols = Seq("o_orderkey"))
+          .select(col("o_custkey"), col("o_orderstatus").as("dim_status"),
+            col("valid_from"), col("valid_to"), col("version"))
+        val facts = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+          .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey"), col("l_shipdate"))
+        facts.join(dim,
+            facts("o_custkey") === dim("o_custkey") &&
+              col("valid_from") <= col("l_shipdate") &&
+              (col("valid_to").isNull || col("l_shipdate") < col("valid_to")))
+          .groupBy(col("dim_status"), col("version"))
+          .agg(count(lit(1)).as("shipments"),
+            countDistinct(dim("o_custkey")).as("customers"))
+          .orderBy("dim_status", "version")
+      },
+      Some("""
+        WITH obs AS (
+          SELECT o_custkey, o_orderdate, o_orderstatus, o_orderpriority,
+            o_orderkey,
+            lag(o_orderstatus) OVER w AS ps,
+            lag(o_orderpriority) OVER w AS pp,
+            row_number() OVER w AS rn
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        chg AS (
+          SELECT * FROM obs
+          WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM ps
+             OR o_orderpriority IS DISTINCT FROM pp),
+        dim AS (
+          SELECT o_custkey, o_orderstatus AS dim_status,
+            o_orderdate AS valid_from,
+            lead(o_orderdate) OVER w2 AS valid_to,
+            CAST(row_number() OVER w2 AS INT) AS version
+          FROM chg
+          WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        facts AS (
+          SELECT o_custkey, l_shipdate
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        SELECT dim_status, version, COUNT(*) AS shipments,
+          CAST(COUNT(DISTINCT dim.o_custkey) AS BIGINT) AS customers
+        FROM facts JOIN dim ON facts.o_custkey = dim.o_custkey
+          AND valid_from <= l_shipdate
+          AND (valid_to IS NULL OR l_shipdate < valid_to)
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
+    ,
+
+    // ---- CMS-guided selective salted join -----------------------------------
+    // The report->action wire for q202: the sketch diagnoses the hot keys,
+    // selectiveSaltedInnerJoin salts ONLY those (cold keys pay zero
+    // replication). Same skewed-key synthesis as q202; the oracle is the
+    // PLAIN join — proving the hot/cold split + salting is row-identical
+    // to the un-salted join it replaces.
+    Q("q206_selective_salted_join",
+      (s, dir) => {
+        val k = t(s, dir, "orders").select(
+          when(col("o_orderkey") % 10 < 7, col("o_orderkey") % 8)
+            .otherwise(col("o_orderkey")).cast("long").as("hotkey"))
+        val small = k.groupBy("hotkey")
+          .agg(count(lit(1)).as("key_rows"))
+          .withColumn("seg", pmod(col("hotkey"), lit(7L)))
+        val hot = graft.ops.CountMin
+          .heavyHitters(k, "hotkey", threshold = k.count() / 30,
+            depth = 4, width = 1024)
+          .select("hotkey")
+        graft.ops.SkewJoin
+          .selectiveSaltedInnerJoin(k, small, Seq("hotkey"), hot, saltFactor = 8)
+          .groupBy("seg")
+          .agg(count(lit(1)).as("fact_rows"),
+            countDistinct(col("hotkey")).as("keys"),
+            sum("key_rows").as("sum_key_rows"))
+          .orderBy("seg")
+      },
+      Some("""
+        WITH k AS (
+          SELECT CASE WHEN o_orderkey % 10 < 7 THEN o_orderkey % 8
+                      ELSE o_orderkey END AS hotkey
+          FROM orders),
+        small AS (
+          SELECT hotkey, COUNT(*) AS key_rows, hotkey % 7 AS seg
+          FROM k GROUP BY 1)
+        SELECT seg, COUNT(*) AS fact_rows,
+          CAST(COUNT(DISTINCT k.hotkey) AS BIGINT) AS keys,
+          CAST(SUM(key_rows) AS BIGINT) AS sum_key_rows
+        FROM k JOIN small USING (hotkey)
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

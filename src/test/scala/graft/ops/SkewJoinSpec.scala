@@ -61,4 +61,35 @@ class SkewJoinSpec extends SparkSpec {
     assert(SkewJoin.adaptiveSaltFactor(uniform, Seq("k"), sampleFraction = 0.5,
       targetPartitions = Some(4)) == 1)
   }
+
+  test("selective salting is row-identical and replicates only hot small rows") {
+    // 60% of rows on 2 hot keys, the rest over 200 cold keys
+    val big = spark.range(0, 10000)
+      .select(when(col("id") % 5 < 3, col("id") % 2).otherwise(col("id") % 200 + 10)
+        .as("k"), col("id").as("payload"))
+    val small = big.select("k").distinct().withColumn("w", col("k") * 2)
+    val hot = CountMin.heavyHitters(big, "k", threshold = 1000L, depth = 4, width = 2048)
+      .select("k")
+    assert(hot.count() == 2)
+
+    val plain = big.join(small, Seq("k"))
+    val selective = SkewJoin.selectiveSaltedInnerJoin(big, small, Seq("k"), hot, 8)
+    assert(selective.count() == plain.count())
+    assert(selective.exceptAll(plain).isEmpty && plain.exceptAll(selective).isEmpty)
+
+    // the hot side spreads across all 8 salts; cold keys never enter the
+    // salted arm (its big input is exactly the hot rows)
+    val bigHot = big.join(org.apache.spark.sql.functions.broadcast(hot), Seq("k"), "left_semi")
+    assert(bigHot.select("k").distinct().count() == 2)
+    val saltSpread = bigHot.withColumn("__salt", SkewJoin.saltExpr(bigHot, 8))
+      .select("__salt").distinct().count()
+    assert(saltSpread == 8)
+  }
+
+  test("selectiveSaltedInnerJoin requires the join keys on the hot frame") {
+    val df = spark.range(0, 10).select(col("id").as("k"))
+    intercept[IllegalArgumentException](
+      SkewJoin.selectiveSaltedInnerJoin(df, df, Seq("k"),
+        spark.range(1).select(col("id").as("other"))))
+  }
 }
