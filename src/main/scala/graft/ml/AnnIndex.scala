@@ -155,6 +155,64 @@ object AnnIndex {
     (compacted, before, after)
   }
 
+  /** Right-to-be-forgotten propagation into the persisted index — the
+    * compliance operation a production vector store cannot skip (a
+    * deleted user's embeddings must leave the index, not just the source
+    * table). Rewrites ONLY the cells that contain forgotten ids: the
+    * affected-cell discovery is a semi-join on the id frame (partition
+    * pruning keeps it an index-column scan), the per-cell rewrite is an
+    * anti-join of that cell's rows against the id frame, and each cell
+    * swaps through the [[compactCells]] staging/backup rename-rename
+    * discipline — so a full copy of every touched cell exists on disk at
+    * every instant and [[recoverCells]] (run first here, like every
+    * maintenance op) heals any crash window. Cells without forgotten ids
+    * are not read or written. Returns the number of rows removed.
+    *
+    * The driver loop is over affected cell DIRECTORIES — bounded by the
+    * codebook size k, never by data or by the forget-set size; the id
+    * frame itself stays distributed (Spark/AQE picks the join strategy).
+    * Same serialization contract as the other maintenance ops: do not
+    * run concurrently with append/compact/rebuild on one path.
+    */
+  def forget(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String = "vec_id"): Long = {
+    import org.apache.hadoop.fs.Path
+    recoverCells(spark, path)
+    val idx = new Path(indexDir(path))
+    val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idFrame = ids.select(col(idCol).as("vec_id")).distinct()
+    val affected = spark.read.parquet(indexDir(path))
+      .join(idFrame, Seq("vec_id"), "left_semi")
+      .select("cell").distinct().collect().map(_.get(0).toString).sorted
+    if (affected.isEmpty) return 0L
+    val stagingRoot = new Path(idx, StagingDir)
+    val bakRoot = new Path(idx, BakDir)
+    var removed = 0L
+    affected.foreach { c =>
+      val name = s"cell=$c"
+      val cellPath = new Path(idx, name)
+      val cell = spark.read.parquet(cellPath.toString)
+      val kept = cell.join(idFrame, Seq("vec_id"), "left_anti")
+      val beforeN = cell.count()
+      val stg = new Path(stagingRoot, name)
+      kept.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stg.toString)
+      val afterN = spark.read.parquet(stg.toString).count()
+      fs.mkdirs(bakRoot)
+      val bak = new Path(bakRoot, name)
+      if (!fs.rename(cellPath, bak))
+        throw new java.io.IOException(s"backup rename failed: $cellPath -> $bak")
+      if (!fs.rename(stg, cellPath)) {
+        fs.rename(bak, cellPath) // restore — the old cell is intact
+        throw new java.io.IOException(s"swap failed: $stg -> $cellPath")
+      }
+      fs.delete(bak, true)
+      removed += beforeN - afterN
+    }
+    fs.delete(stagingRoot, true)
+    if (fs.exists(bakRoot) && fs.listStatus(bakRoot).isEmpty) fs.delete(bakRoot, true)
+    removed
+  }
+
   private val StagingDir = ".compact_staging"
   private val BakDir = ".compact_bak"
 

@@ -1054,6 +1054,34 @@ object SimilarityQueries {
       Some(ivfPqTrainedOracleSql))
     ,
 
+    // ---- right-to-be-forgotten propagation ---------------------------------
+    // The compliance op a production vector store cannot skip: every
+    // vec_id ≡ 3 (mod 10) is deleted from a freshly built index via
+    // [[graft.ml.AnnIndex.forget]] — per-cell anti-join rewrites through
+    // the staged swap, untouched cells never read. The oracle replays
+    // the trained assignment over the corpus MINUS the forget set and
+    // counts per cell, so a single forgotten row surviving (or an
+    // innocent row lost) fails the count of its cell.
+    Q("q208_ann_index_forget",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        val e = t(s, dir, "embeddings")
+        val path = annIndexPath(s, dir) + "_forget"
+        graft.ml.AnnIndex.build(s, e, path)
+        graft.ml.AnnIndex.forget(s, path,
+          e.filter(col("vec_id") % 10 === 3).select("vec_id"))
+        graft.ml.AnnIndex.readIndex(s, path)
+          .groupBy(col("cell").cast("int").as("cell"))
+          .agg(count(lit(1)).as("n_vectors"))
+          .orderBy("cell")
+      },
+      Some(s"""
+        WITH $trainedIvfCtes
+        SELECT CAST(cell AS INT) AS cell, COUNT(*) AS n_vectors
+        FROM assignF WHERE vec_id % 10 <> 3
+        GROUP BY 1 ORDER BY 1"""))
+    ,
+
     // ---- incremental cell split -------------------------------------------
     // The maintenance tier between append (no structural change) and
     // q182's full rebuild: ONE hot cell (max occupancy, tie-break

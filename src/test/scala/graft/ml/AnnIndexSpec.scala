@@ -424,4 +424,62 @@ class AnnIndexSpec extends SparkSpec
       .collect().map(_.toString).toSeq
     assert(after == before)
   }
+
+  test("forget removes exactly the requested ids and touches only their cells") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = java.nio.file.Files.createTempDirectory("ann_forget").toString
+    AnnIndex.build(spark, e, p)
+    val preIdx = AnnIndex.readIndex(spark, p)
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.get(1).toString))
+    // forget every id in ONE specific cell plus one id elsewhere
+    val targetCell = preIdx.groupBy(_._2).maxBy(_._2.length)._1
+    val inCell = preIdx.filter(_._2 == targetCell).map(_._1).toSeq
+    val other = preIdx.find(_._2 != targetCell).get._1
+    val forgetIds = (inCell :+ other).toDF("vec_id")
+    // record untouched-cell file state before the forget
+    val idxDir = new java.io.File(s"$p/index")
+    def cellFiles(c: String) = Option(new java.io.File(idxDir, s"cell=$c").listFiles())
+      .map(_.filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet)
+      .getOrElse(Set.empty)
+    val untouched = preIdx.map(_._2).distinct
+      .filterNot(c => c == targetCell || preIdx.exists(x => x._1 == other && x._2 == c))
+    val beforeFiles = untouched.map(c => c -> cellFiles(c)).toMap
+
+    val removed = AnnIndex.forget(spark, p, forgetIds)
+    assert(removed == inCell.length + 1L)
+    val post = AnnIndex.readIndex(spark, p).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(inCell.forall(!post.contains(_)) && !post.contains(other))
+    assert(post.size == preIdx.length - inCell.length - 1)
+    // cells without forgotten ids were not rewritten (same files, same mtimes)
+    untouched.foreach(c => assert(cellFiles(c) == beforeFiles(c),
+      s"cell $c was rewritten without containing a forgotten id"))
+    // search still serves, and never returns a forgotten id
+    val hits = AnnIndex.query(spark, e, p, qid = 42, nprobe = 2, topK = 10)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(hits.forall(post.contains))
+    // an empty forget set is a no-op
+    assert(AnnIndex.forget(spark, p, Seq.empty[Long].toDF("vec_id")) == 0L)
+  }
+
+  test("forget heals a crash stranded between its two renames") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = java.nio.file.Files.createTempDirectory("ann_forget_crash").toString
+    AnnIndex.build(spark, e, p)
+    val pre = AnnIndex.readIndex(spark, p).count()
+    // strand one cell under .compact_bak (the forget swap's crash window),
+    // then run forget — recoverCells at its top must restore the cell first
+    val idx = new java.io.File(s"$p/index")
+    val cell = idx.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell=")).head
+    val bak = new java.io.File(idx, ".compact_bak")
+    assert(bak.mkdirs())
+    assert(cell.renameTo(new java.io.File(bak, cell.getName)))
+    val someId = e.filter(col("embedding").isNotNull)
+      .select("vec_id").head().getLong(0)
+    val removed = AnnIndex.forget(spark, p, Seq(someId).toDF("vec_id"))
+    assert(removed == 1L)
+    assert(AnnIndex.readIndex(spark, p).count() == pre - 1)
+  }
 }
