@@ -1382,6 +1382,106 @@ object Curation {
     (manifest, ordered)
   }
 
+  /** Right-to-be-forgotten propagation into the PACKED corpus — the
+    * training-data sibling of [[graft.ml.AnnIndex.forget]]: a deleted
+    * user's documents must leave the corpus a dataloader actually
+    * streams, not just the source table. Rewrites ONLY the stratum
+    * partitions that contain forgotten ids (each re-range-partitioned
+    * and re-sorted by (seq, seg_start), preserving the file-order-is-
+    * training-order layout, swapped through a dot-prefixed staging/
+    * backup rename-rename), then recounts and rewrites the manifest
+    * through [[graft.io.Writers.overwrite]]'s staged swap STRICTLY after
+    * the data — so the manifest-gate invariant holds throughout: a
+    * reader mid-forget (or after a crash) fails the verification loudly
+    * rather than serving rows the manifest no longer vouches for.
+    * Re-running forget heals: stranded backups are restored first and
+    * the manifest recount is idempotent. Sequences that lose a segment
+    * keep their other segments (the loader tolerates short sequences —
+    * the alternative, re-packing, would rewrite the whole corpus for
+    * one deletion). Returns the number of segment rows removed.
+    *
+    * 100 TB shape: the per-stratum loop is bounded by the stratum count
+    * (the partition layout's own grain); each rewrite reads and writes
+    * one stratum's narrow (seq, id, seg_start, seg_len) rows; the id
+    * frame stays distributed in the anti-join.
+    */
+  def forgetFromPackedCorpus(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String = "doc_id"): Long = {
+    import org.apache.hadoop.fs.Path
+    val manifestPath = new Path(s"$path/_manifest")
+    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(manifestPath),
+      s"no manifest at $path — refusing to forget from an unfinished corpus")
+    val manifest = spark.read.parquet(s"$path/_manifest")
+    val strataCol = manifest.columns.head
+    val strataType = manifest.schema.head.dataType
+    val segRoot = new Path(s"$path/segments")
+    val stgRoot = new Path(segRoot, ".forget_staging")
+    val bakRoot = new Path(segRoot, ".forget_bak")
+    // heal a crashed forget: a stratum stranded under backup (live
+    // missing) is restored whole; leftover staging is discarded
+    if (fs.exists(bakRoot)) {
+      fs.listStatus(bakRoot).foreach { st =>
+        val live = new Path(segRoot, st.getPath.getName)
+        if (!fs.exists(live)) {
+          if (!fs.rename(st.getPath, live))
+            throw new java.io.IOException(
+              s"forget recovery failed: ${st.getPath} -> $live")
+        } else fs.delete(st.getPath, true)
+      }
+      fs.delete(bakRoot, true)
+    }
+    if (fs.exists(stgRoot)) fs.delete(stgRoot, true)
+    val idFrame = ids.select(col(idCol)).distinct()
+    var removed = 0L
+    fs.listStatus(segRoot)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .foreach { st =>
+        val dirDf = spark.read.parquet(st.getPath.toString)
+        val hit = !dirDf.join(idFrame, Seq(idCol), "left_semi").isEmpty
+        if (hit) {
+          val name = st.getPath.getName
+          val nFiles = math.max(1, fs.listStatus(st.getPath)
+            .count(_.getPath.getName.endsWith(".parquet")))
+          val kept = dirDf.join(idFrame, Seq(idCol), "left_anti")
+            .repartitionByRange(nFiles, col("seq"))
+            .sortWithinPartitions("seq", "seg_start")
+          val beforeN = dirDf.count()
+          val stg = new Path(stgRoot, name)
+          kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(stg.toString)
+          val afterN = spark.read.parquet(stg.toString).count()
+          fs.mkdirs(bakRoot)
+          val bak = new Path(bakRoot, name)
+          if (!fs.rename(st.getPath, bak))
+            throw new java.io.IOException(s"backup rename failed: ${st.getPath} -> $bak")
+          if (!fs.rename(stg, st.getPath)) {
+            fs.rename(bak, st.getPath) // restore — the old stratum is intact
+            throw new java.io.IOException(s"swap failed: $stg -> ${st.getPath}")
+          }
+          fs.delete(bak, true)
+          removed += beforeN - afterN
+        }
+      }
+    fs.delete(stgRoot, true)
+    if (fs.exists(bakRoot) && fs.listStatus(bakRoot).isEmpty)
+      fs.delete(bakRoot, true)
+    // manifest refresh — the readPackedCorpus type-recovery discipline,
+    // written strictly AFTER every data swap completed
+    val post = spark.read.parquet(s"$path/segments")
+      .withColumn(strataCol,
+        when(col(strataCol).cast("string") === "__HIVE_DEFAULT_PARTITION__",
+          lit(null)).otherwise(col(strataCol).cast("string"))
+          .cast(strataType))
+    graft.io.Writers.overwrite(
+      post.groupBy(strataCol).agg(
+        countDistinct("seq").as("sequences"),
+        count(lit(1)).as("segments"),
+        sum("seg_len").as("tokens")),
+      s"$path/_manifest")
+    removed
+  }
+
   /** Exact-dedup for a DOCUMENT STREAM: normalize-fingerprint each doc
     * row-local (md5 of lowercased whitespace-collapsed text) and keep the
     * first arrival per fingerprint. Under Structured Streaming the state

@@ -1698,5 +1698,49 @@ object CurationQueries {
         SELECT doc_id, CAST(n_segments AS BIGINT) AS n_segments,
           CAST(n_kept AS BIGINT) AS n_kept, clean_md5
         FROM agg ORDER BY doc_id"""))
+    ,
+
+    // ---- right-to-be-forgotten in the packed corpus -------------------------
+    // The training-data half of q208's compliance story: pack the corpus,
+    // forget every doc_id ≡ 3 (mod 10), and serve the post-forget
+    // manifest through the gated loader (so the verification join runs in
+    // the timed region too). Forget removes the docs' SEGMENTS without
+    // repacking — sequences keep their surviving segments — so the oracle
+    // replays q160's full-corpus packing, drops the forgotten docs'
+    // segments, and aggregates per stratum.
+    Q("q209_packed_corpus_forget",
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_packed_forget").toString
+        val d = t(s, dir, "documents")
+        graft.curation.Curation.writePackedCorpus(d, base)
+        graft.curation.Curation.forgetFromPackedCorpus(s, base,
+          d.filter(col("doc_id") % 10 === 3).select("doc_id"))
+        val (manifest, _) = graft.curation.Curation.readPackedCorpus(s, base)
+        manifest.orderBy("lang")
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT lang, doc_id, len($duckTokens) AS n FROM documents),
+        c AS (
+          SELECT lang, doc_id, n,
+            CAST(SUM(n) OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum
+          FROM d WHERE n > 0),
+        seg AS (
+          SELECT lang, doc_id, cum, n,
+            unnest(generate_series((cum - n) // 512, (cum - 1) // 512)) AS seq
+          FROM c),
+        segs AS (
+          SELECT lang, seq, doc_id,
+            LEAST((seq + 1) * 512, cum)
+              - GREATEST(seq * 512, cum - n) AS seg_len
+          FROM seg
+          WHERE doc_id % 10 <> 3)
+        SELECT lang, CAST(COUNT(DISTINCT seq) AS BIGINT) AS sequences,
+          COUNT(*) AS segments, CAST(SUM(seg_len) AS BIGINT) AS tokens
+        FROM segs GROUP BY 1 ORDER BY 1"""))
   )
 }
