@@ -1082,6 +1082,51 @@ object SimilarityQueries {
         GROUP BY 1 ORDER BY 1"""))
     ,
 
+    // ---- per-dimension embedding moments (feature normalization) -----------
+    // The stats pass before z-score standardization / whitening — the
+    // feature-prep step every embedding pipeline runs before training on
+    // vectors. Values are quantized to 22 fractional bits ROW-LOCALLY
+    // (floor(x * 2^22) — float32 inputs cast exactly to double, the
+    // product and floor are IEEE-identical in any engine), so the
+    // per-dim count/sum/sum-of-squares are EXACT longs: at 64 dims the
+    // whole reduction is a 64-group aggregate whose partials collapse
+    // map-side — the explode never reaches the exchange. Derived
+    // mean/E[x^2] milli columns are fixed-order IEEE folds over those
+    // exact sums (both engines evaluate the identical double expression).
+    Q("q210_embedding_dim_stats",
+      (s, dir) => {
+        val S = (1L << 22).toDouble
+        t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+          .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("dim"),
+            floor(col("x").cast("double") * S).cast("long").as("e"))
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n"), sum("e").as("sum_e"),
+            sum(col("e") * col("e")).as("sum_e2"))
+          .select(col("dim"), col("n"), col("sum_e"), col("sum_e2"),
+            floor(col("sum_e").cast("double") * 1000d
+              / (col("n").cast("double") * S)).cast("long").as("mean_milli"),
+            floor(col("sum_e2").cast("double") * 1000d
+              / (col("n").cast("double") * S * S)).cast("long").as("ex2_milli"))
+          .orderBy("dim")
+      },
+      Some("""
+        WITH x AS (
+          SELECT i - 1 AS dim,
+            CAST(floor(CAST(embedding[i] AS DOUBLE) * 4194304.0) AS BIGINT) AS e
+          FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+          WHERE embedding IS NOT NULL)
+        SELECT CAST(dim AS INT) AS dim, COUNT(*) AS n,
+          CAST(SUM(e) AS BIGINT) AS sum_e,
+          CAST(SUM(e * e) AS BIGINT) AS sum_e2,
+          CAST(floor(CAST(CAST(SUM(e) AS BIGINT) AS DOUBLE) * 1000.0
+            / (CAST(COUNT(*) AS DOUBLE) * 4194304.0)) AS BIGINT) AS mean_milli,
+          CAST(floor(CAST(CAST(SUM(e * e) AS BIGINT) AS DOUBLE) * 1000.0
+            / (CAST(COUNT(*) AS DOUBLE) * 4194304.0 * 4194304.0)) AS BIGINT)
+            AS ex2_milli
+        FROM x GROUP BY dim ORDER BY dim"""))
+    ,
+
     // ---- incremental cell split -------------------------------------------
     // The maintenance tier between append (no structural change) and
     // q182's full rebuild: ONE hot cell (max occupancy, tie-break
