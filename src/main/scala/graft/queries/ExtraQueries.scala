@@ -1063,5 +1063,57 @@ object ExtraQueries {
           CAST(SUM(key_rows) AS BIGINT) AS sum_key_rows
         FROM k JOIN small USING (hotkey)
         GROUP BY 1 ORDER BY 1"""))
+    ,
+
+    // ---- INCREMENTAL SCD2 merge ---------------------------------------------
+    // The warehouse nightly: observations before 1997 are the existing
+    // SCD2 table, the 1997+ tail arrives as an increment (a date-split
+    // log is strictly-after per key by construction). The oracle is
+    // q203's FULL recompute over the whole log — the exact equivalence
+    // applyIncrement promises: closed history passes through, each
+    // affected key's tail re-collapses against its current version, the
+    // version sequence continues. Any drift in the incremental path
+    // fails against the from-scratch derivation.
+    Q("q211_scd2_increment",
+      (s, dir) => {
+        def obs(f: org.apache.spark.sql.DataFrame) = f.select(
+          col("o_custkey"), col("o_orderdate"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_orderkey"))
+        val o = t(s, dir, "orders")
+        val existing = graft.ops.Scd2.fromChangeLog(
+          obs(o.filter(col("o_orderdate") < "1997-01-01")),
+          keyCols = Seq("o_custkey"), tsCol = "o_orderdate",
+          attrCols = Seq("o_orderstatus", "o_orderpriority"),
+          tieCols = Seq("o_orderkey"))
+        graft.ops.Scd2.applyIncrement(existing,
+            obs(o.filter(col("o_orderdate") >= "1997-01-01")),
+            keyCols = Seq("o_custkey"), tsCol = "o_orderdate",
+            attrCols = Seq("o_orderstatus", "o_orderpriority"),
+            tieCols = Seq("o_orderkey"))
+          .orderBy("o_custkey", "version")
+      },
+      Some("""
+        WITH obs AS (
+          SELECT o_custkey, o_orderdate, o_orderstatus, o_orderpriority,
+            o_orderkey,
+            lag(o_orderstatus) OVER w AS ps,
+            lag(o_orderpriority) OVER w AS pp,
+            row_number() OVER w AS rn
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        chg AS (
+          SELECT * FROM obs
+          WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM ps
+             OR o_orderpriority IS DISTINCT FROM pp),
+        v AS (
+          SELECT o_custkey, o_orderstatus, o_orderpriority,
+            o_orderdate AS valid_from,
+            lead(o_orderdate) OVER w2 AS valid_to,
+            CAST(row_number() OVER w2 AS INT) AS version
+          FROM chg
+          WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        SELECT o_custkey, o_orderstatus, o_orderpriority, valid_from, valid_to,
+          (valid_to IS NULL) AS is_current, version
+        FROM v ORDER BY o_custkey, version"""))
   )
 }

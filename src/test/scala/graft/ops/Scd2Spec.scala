@@ -3,6 +3,7 @@ package graft.ops
 import java.sql.Date
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class Scd2Spec extends SparkSpec {
   import spark.implicits._
@@ -71,5 +72,59 @@ class Scd2Spec extends SparkSpec {
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected ONE key exchange, got $exchanges:\n$plan")
+  }
+
+  private def history(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("k", "version").collect()
+      .map(r => (r.getAs[Int]("k"), Option(r.getAs[String]("attr")),
+        r.getAs[Date]("valid_from").toString,
+        Option(r.getAs[Date]("valid_to")).map(_.toString),
+        r.getAs[Boolean]("is_current"), r.getAs[Int]("version"))).toSeq
+
+  test("applyIncrement equals the full recompute on a strictly-after batch") {
+    // batch2 extends key 1 (a no-op vs its current A, then a change) and
+    // introduces key 3 — every timestamp after batch1's
+    val batch2 = Seq(
+      (1, d("2024-06-01"), Option("A"), 30L), // no-op vs current: collapses
+      (1, d("2024-07-01"), Option("C"), 31L),
+      (3, d("2024-07-15"), Option("Z"), 32L)
+    ).toDF("k", "ts", "attr", "seq")
+    val optLog = log.select(col("k"), col("ts"),
+      col("attr").cast("string").as("attr"), col("seq"))
+    val existing = Scd2.fromChangeLog(optLog, Seq("k"), "ts", Seq("attr"), Seq("seq"))
+    val inc = Scd2.applyIncrement(existing, batch2,
+      Seq("k"), "ts", Seq("attr"), Seq("seq"))
+    val full = Scd2.fromChangeLog(optLog.unionByName(batch2),
+      Seq("k"), "ts", Seq("attr"), Seq("seq"))
+    assert(history(inc) == history(full))
+    // the no-op collapsed: key 1 gained exactly ONE version (C)
+    assert(history(inc).count(_._1 == 1) ==
+      history(existing).count(_._1 == 1) + 1)
+    // the new key numbered from 1
+    assert(history(inc).filter(_._1 == 3).map(_._6) == Seq(1))
+  }
+
+  test("applyIncrement rejects late observations loudly") {
+    val existing = Scd2.fromChangeLog(log, Seq("k"), "ts", Seq("attr"), Seq("seq"))
+    val late = Seq((1, d("2024-04-15"), "X", 40L)).toDF("k", "ts", "attr", "seq")
+    val e = intercept[IllegalArgumentException](
+      Scd2.applyIncrement(existing, late, Seq("k"), "ts", Seq("attr"), Seq("seq")))
+    assert(e.getMessage.contains("strictly-after"))
+  }
+
+  test("applyIncrement leaves untouched keys and closed history identical") {
+    val existing = Scd2.fromChangeLog(log, Seq("k"), "ts", Seq("attr"), Seq("seq"))
+    val batch2 = Seq((1, d("2024-06-01"), "C", 30L)).toDF("k", "ts", "attr", "seq")
+    val inc = Scd2.applyIncrement(existing, batch2,
+      Seq("k"), "ts", Seq("attr"), Seq("seq"))
+    // key 2 (not in the batch) is byte-identical
+    assert(history(inc.filter(col("k") === 2)) ==
+      history(existing.filter(col("k") === 2)))
+    // key 1's closed versions 1..2 unchanged; old current (3) closed at
+    // the increment's ts; new version 4 appended
+    val k1 = history(inc).filter(_._1 == 1)
+    assert(k1.take(2) == history(existing).filter(_._1 == 1).take(2))
+    assert(k1(2) == ((1, Some("A"), "2024-05-01", Some("2024-06-01"), false, 3)))
+    assert(k1(3) == ((1, Some("C"), "2024-06-01", None, true, 4)))
   }
 }
