@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Slowly-changing-dimension TYPE 2 derivation (Kimball's effective-dated
   * dimension) — the missing sibling of the CDC merge sink (io/MergeInto,
@@ -130,5 +131,73 @@ object Scd2 {
     untouched.select(outCols.map(col): _*)
       .unionByName(affected.filter(!col("is_current")).select(outCols.map(col): _*))
       .unionByName(rebuilt.select(outCols.map(col): _*))
+  }
+
+  final case class ScdObs(k: String, ts: Long, attrs: Seq[String], tie: String)
+  final case class ScdCur(attrs: Seq[String], validFromMs: Long, version: Int)
+  final case class ScdClosed(k: String, attrs: Seq[String],
+    valid_from_ms: Long, valid_to_ms: Long, version: Int)
+
+  /** STREAMING SCD2 — the CDC-feed form: a live change log drives the
+    * dimension continuously, closed versions are emitted as they close
+    * (append semantics — a closed interval never changes, so it is safe
+    * to append), and each key's CURRENT version lives in the state store
+    * (per-key state is one attrs tuple + two scalars — bounded by key
+    * cardinality, the same state discipline as the ingest loops). The
+    * SAME call runs in batch, where it derives each key's closed history
+    * in one pass — the spec pins batch/stream parity against
+    * [[fromChangeLog]]`.filter(!is_current)`.
+    *
+    * Contracts carried over from [[applyIncrement]], adapted to a feed:
+    * observations STRICTLY BEFORE the key's current `valid_from` are
+    * DROPPED (a stream cannot throw usefully; route late data to a
+    * dead-letter with a filter upstream if it must not be lost);
+    * same-instant changes are accepted and close the previous version
+    * with an empty [t, t) interval — exactly [[fromChangeLog]]'s window
+    * semantics, which is what makes the batch replay oracle-equal. Attrs
+    * and ties compare on their STRING casts (the state must be
+    * schema-stable across attr types); numeric ties that can collide at
+    * equal timestamps should be zero-padded by the caller. Within a
+    * micro-batch a key's rows are ordered by (ts, tie) before applying —
+    * cross-batch disorder falls under the late-data rule.
+    */
+  def historyStream(log: DataFrame, keyCol: String, tsCol: String,
+      attrCols: Seq[String], tieCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty && tieCols.nonEmpty,
+      "attrCols and tieCols must be non-empty")
+    val spark = log.sparkSession
+    import spark.implicits._
+    val prepared = log.select(
+        col(keyCol).cast("string").as("k"),
+        unix_millis(col(tsCol).cast("timestamp")).as("ts"),
+        array(attrCols.map(c => col(c).cast("string")): _*).as("attrs"),
+        concat_ws(" ",
+          tieCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*).as("tie"))
+      .as[ScdObs]
+    prepared
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[ScdCur, ScdClosed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (k, rows, state: GroupState[ScdCur]) =>
+          val obs = rows.toSeq.sortBy(o => (o.ts, o.tie))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[ScdClosed]
+          obs.foreach { o =>
+            cur match {
+              case None =>
+                cur = Some(ScdCur(o.attrs, o.ts, 1))
+              case Some(c) if o.ts < c.validFromMs =>
+                () // late observation: dropped (documented contract)
+              case Some(c) if o.attrs == c.attrs =>
+                () // no-op observation: collapses
+              case Some(c) =>
+                out += ScdClosed(k, c.attrs, c.validFromMs, o.ts, c.version)
+                cur = Some(ScdCur(o.attrs, o.ts, c.version + 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+      .toDF()
   }
 }

@@ -1115,5 +1115,54 @@ object ExtraQueries {
         SELECT o_custkey, o_orderstatus, o_orderpriority, valid_from, valid_to,
           (valid_to IS NULL) AS is_current, version
         FROM v ORDER BY o_custkey, version"""))
+    ,
+
+    // ---- STREAMING SCD2 (batch replay of the CDC-feed operator) -------------
+    // historyStream is the live form: closed versions append as they
+    // close, currents live in per-key state (live two-batch behavior,
+    // late-drop and no-op collapse are in Scd2StreamSpec). This row
+    // oracles its batch replay — the identical flatMapGroupsWithState
+    // plan — against the windowed derivation's CLOSED rows, string-cast
+    // attrs and epoch-millis intervals exactly as the stream emits them.
+    Q("q212_scd2_stream_replay",
+      (s, dir) => {
+        // the stream's tie compares on its STRING cast (documented
+        // contract) — zero-pad so it orders like the oracle's numeric key
+        val o = t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderdate"), col("o_orderstatus"),
+          col("o_orderpriority"),
+          lpad(col("o_orderkey").cast("string"), 12, "0").as("tie_pad"))
+        graft.ops.Scd2.historyStream(o, "o_custkey", "o_orderdate",
+            Seq("o_orderstatus", "o_orderpriority"),
+            Seq("tie_pad"))
+          .orderBy(col("k").cast("long"), col("version"))
+      },
+      Some("""
+        WITH obs AS (
+          SELECT o_custkey, o_orderdate, o_orderstatus, o_orderpriority,
+            o_orderkey,
+            lag(o_orderstatus) OVER w AS ps,
+            lag(o_orderpriority) OVER w AS pp,
+            row_number() OVER w AS rn
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        chg AS (
+          SELECT * FROM obs
+          WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM ps
+             OR o_orderpriority IS DISTINCT FROM pp),
+        v AS (
+          SELECT o_custkey, o_orderstatus, o_orderpriority,
+            o_orderdate AS valid_from,
+            lead(o_orderdate) OVER w2 AS valid_to,
+            CAST(row_number() OVER w2 AS INT) AS version
+          FROM chg
+          WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        SELECT CAST(o_custkey AS VARCHAR) AS k,
+          [o_orderstatus, o_orderpriority] AS attrs,
+          epoch_ms(CAST(valid_from AS TIMESTAMP)) AS valid_from_ms,
+          epoch_ms(CAST(valid_to AS TIMESTAMP)) AS valid_to_ms,
+          version
+        FROM v WHERE valid_to IS NOT NULL
+        ORDER BY o_custkey, version"""))
   )
 }
