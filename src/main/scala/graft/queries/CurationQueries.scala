@@ -1742,5 +1742,46 @@ object CurationQueries {
         SELECT lang, CAST(COUNT(DISTINCT seq) AS BIGINT) AS sequences,
           COUNT(*) AS segments, CAST(SUM(seg_len) AS BIGINT) AS tokens
         FROM segs GROUP BY 1 ORDER BY 1"""))
+    ,
+
+    // ---- PERSISTED inverted index: build once, query by bucket pruning -----
+    // q118 recomputes tf/df/stats per call; this is the serving split
+    // (graft.text.InvertedIndex): build materializes term-bucketed
+    // posting lists with df denormalized (immutable snapshot — the
+    // Lucene segment model), query prunes to the terms' buckets (ids
+    // computed driver-side from the same md5 math — no job) and reruns
+    // bm25's exact arithmetic join-free. Bit-identical to the inline
+    // form, so q118's oracle checks the round-tripped index; the spec
+    // asserts the partition pruning and that no text column exists
+    // anywhere in the layout.
+    Q("q214_inverted_index_query",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_inv_idx").toString
+        graft.text.InvertedIndex.build(s, t(s, dir, "documents"), path)
+        graft.text.InvertedIndex.query(s, path, Seq("spark", "window", "hash"))
+      },
+      Some(s"""
+        WITH tk AS (
+          SELECT doc_id, len($duckTokens) AS dl,
+            unnest(list_filter($duckTokens,
+              t -> t IN ('spark', 'window', 'hash'))) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2, 3),
+        stats AS (
+          SELECT COUNT(*) AS n,
+            CAST(SUM(len($duckTokens)) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM documents),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        contrib AS (
+          SELECT doc_id,
+            CAST(((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+              * ((CAST(tf AS DOUBLE) * 2.2)
+                 / (CAST(tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+              AS DECIMAL(24,10)) AS c
+          FROM tf JOIN df USING (term), stats)
+        SELECT doc_id, COUNT(*) AS matched_terms, CAST(SUM(c) AS DOUBLE) AS score
+        FROM contrib GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 15"""))
   )
 }

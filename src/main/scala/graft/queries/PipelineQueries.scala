@@ -647,5 +647,90 @@ object PipelineQueries {
             / (CAST(c.n_ref AS DOUBLE) / t_ref + CAST(c.n_new AS DOUBLE) / t_new) AS chi2_term
         FROM counts c JOIN tot USING (feature)
         ORDER BY 1, 2"""))
+    ,
+
+    // ---- GRADED benchmark-overlap decontamination ---------------------------
+    // q103's verdict is binary (>= 5 shared 8-grams with one bench item);
+    // the published large-model recipe (GPT-3 appendix C / PaLM) GRADES
+    // each doc by the fraction of its distinct 8-grams found anywhere in
+    // the benchmark, then drops above a threshold. Integer milli-
+    // fractions (matched*1000 div total) keep the grade engine-exact.
+    // Report per source: docs, scored (>= 1 gram), clean (0), low
+    // (<= 250 milli), mid (<= 500), dropped (> 500 — the action tier).
+    // Same 100-TB shape as q103: the benchmark gram set is tiny and
+    // BROADCAST; per-doc distinct grams collapse in the grain aggregate
+    // before the fraction — nothing corpus-sized shuffles twice.
+    Q("q213_graded_decontaminate",
+      (s, dir) => {
+        graft.text.TextSketch.register(s)
+        val d = t(s, dir, "documents")
+        val toks = split(trim(col("text")), "\\s+")
+        val benchGrams = d.filter(col("doc_id") % 50 === 0)
+          .select(explode(graft.text.TextSketch.wordShingles(
+            array_join(slice(toks, lit(3), greatest(size(toks) - 2, lit(0))), " "),
+            8)).as("g"))
+          .distinct()
+        val perDoc = d
+          .select(col("doc_id"), col("source"),
+            explode(graft.text.TextSketch.wordShingles(col("text"), 8)).as("g"))
+          .groupBy("doc_id", "source", "g").agg(count(lit(1)).as("_k"))
+          .join(broadcast(benchGrams.withColumn("_hit", lit(1L))), Seq("g"), "left")
+          .groupBy("doc_id", "source")
+          .agg(count(lit(1)).as("total"),
+            sum(when(col("_hit") === 1L, 1L).otherwise(0L)).as("matched"))
+          .withColumn("frac_milli", expr("(matched * 1000) div total"))
+        t(s, dir, "documents").groupBy("source").agg(count(lit(1)).as("docs"))
+          .join(perDoc.groupBy("source").agg(
+              count(lit(1)).as("sc"),
+              sum(when(col("frac_milli") === 0, 1L).otherwise(0L)).as("cl"),
+              sum(when(col("frac_milli") > 0 && col("frac_milli") <= 250, 1L)
+                .otherwise(0L)).as("lo"),
+              sum(when(col("frac_milli") > 250 && col("frac_milli") <= 500, 1L)
+                .otherwise(0L)).as("mid"),
+              sum(when(col("frac_milli") > 500, 1L).otherwise(0L)).as("dr")),
+            Seq("source"), "left")
+          .select(col("source"), col("docs"),
+            coalesce(col("sc"), lit(0L)).as("scored_docs"),
+            coalesce(col("cl"), lit(0L)).as("clean_docs"),
+            coalesce(col("lo"), lit(0L)).as("low_docs"),
+            coalesce(col("mid"), lit(0L)).as("mid_docs"),
+            coalesce(col("dr"), lit(0L)).as("dropped_docs"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents),
+        bg AS (
+          SELECT DISTINCT g
+          FROM (SELECT w[3:] AS w FROM tok WHERE doc_id % 50 = 0),
+            UNNEST($duck8gram) AS t(g)),
+        cg AS (
+          SELECT DISTINCT doc_id, source, g
+          FROM tok, UNNEST($duck8gram) AS t(g)),
+        per_doc AS (
+          SELECT c.doc_id, c.source, COUNT(*) AS total,
+            SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS matched
+          FROM cg c LEFT JOIN bg b ON c.g = b.g
+          GROUP BY 1, 2),
+        graded AS (
+          SELECT doc_id, source, (matched * 1000) // total AS frac_milli
+          FROM per_doc),
+        rep AS (
+          SELECT source, COUNT(*) AS sc,
+            SUM(CASE WHEN frac_milli = 0 THEN 1 ELSE 0 END) AS cl,
+            SUM(CASE WHEN frac_milli > 0 AND frac_milli <= 250 THEN 1 ELSE 0 END) AS lo,
+            SUM(CASE WHEN frac_milli > 250 AND frac_milli <= 500 THEN 1 ELSE 0 END) AS mid,
+            SUM(CASE WHEN frac_milli > 500 THEN 1 ELSE 0 END) AS dr
+          FROM graded GROUP BY 1),
+        tg AS (SELECT source, COUNT(*) AS docs FROM documents GROUP BY 1)
+        SELECT tg.source, tg.docs,
+          CAST(COALESCE(rep.sc, 0) AS BIGINT) AS scored_docs,
+          CAST(COALESCE(rep.cl, 0) AS BIGINT) AS clean_docs,
+          CAST(COALESCE(rep.lo, 0) AS BIGINT) AS low_docs,
+          CAST(COALESCE(rep.mid, 0) AS BIGINT) AS mid_docs,
+          CAST(COALESCE(rep.dr, 0) AS BIGINT) AS dropped_docs
+        FROM tg LEFT JOIN rep USING (source)
+        ORDER BY tg.source"""))
   )
 }

@@ -1,0 +1,67 @@
+package graft.text
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class InvertedIndexSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val path = {
+    val p = Files.createTempDirectory("inv_idx_spec").toString
+    InvertedIndex.build(spark, sf("documents", dir), p)
+    p
+  }
+
+  test("persisted query is bit-identical to the inline bm25") {
+    for (terms <- Seq(Seq("spark", "window", "hash"), Seq("table"),
+        Seq("merge", "scan"))) {
+      val fromIndex = InvertedIndex.query(spark, path, terms)
+        .collect().map(_.toString).toSeq
+      val inline = graft.curation.Curation.bm25(sf("documents", dir), terms)
+        .collect().map(_.toString).toSeq
+      assert(fromIndex == inline, s"terms $terms diverged")
+    }
+  }
+
+  test("driver-side bucket math equals the column expression") {
+    val terms = Seq("spark", "window", "hash", "merge", "café")
+    import spark.implicits._
+    val fromCol = terms.toDF("t")
+      .select(InvertedIndex.termBucket(col("t"))).collect().map(_.getLong(0))
+    assert(fromCol.toSeq == terms.map(InvertedIndex.bucketOf))
+  }
+
+  test("query scans only the terms' buckets and no text column exists") {
+    val terms = Seq("spark", "window")
+    val want = terms.map(InvertedIndex.bucketOf).distinct.toSet
+    val df = InvertedIndex.query(spark, path, terms)
+    val scans = collect(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val postings = scans.find(_.relation.location.rootPaths
+      .exists(_.toString.contains("postings"))).get
+    // partition pruning: the tb filter reaches PartitionFilters
+    assert(postings.partitionFilters.nonEmpty,
+      s"expected partition filters on tb, got none:\n$postings")
+    val scanned = postings.relation.location
+      .listFiles(postings.partitionFilters, postings.dataFilters)
+      .flatMap(_.files).map(_.getPath.toString)
+      .flatMap("tb=(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toLong)).toSet
+    assert(scanned == want, s"scanned buckets $scanned, wanted $want")
+    // the layout carries no document text anywhere
+    val cols = spark.read.parquet(s"$path/postings").columns.toSet
+    assert(cols == Set("term", "doc_id", "dl", "tf", "df", "tb"))
+  }
+
+  test("a partial build (no marker) is refused") {
+    val p = Files.createTempDirectory("inv_idx_partial").toString
+    sf("documents", dir).limit(5)
+      .select(col("doc_id"), col("text"))
+      .write.parquet(s"$p/postings")
+    intercept[IllegalArgumentException](
+      InvertedIndex.query(spark, p, Seq("spark")))
+  }
+}
