@@ -1783,5 +1783,98 @@ object CurationQueries {
           FROM tf JOIN df USING (term), stats)
         SELECT doc_id, COUNT(*) AS matched_terms, CAST(SUM(c) AS DOUBLE) AS score
         FROM contrib GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 15"""))
+    ,
+
+    // ---- inverted-index SEGMENT MERGE ---------------------------------------
+    // Incremental ingest for the immutable snapshot (the Lucene segment
+    // model): the corpus halves are indexed as independent segments, the
+    // merge adds per-term dfs and the integer (n, total_tokens) stats —
+    // exact by construction for disjoint doc sets — and the merged
+    // index must answer bit-identically to a full build, which is what
+    // the full-corpus bm25 oracle checks here.
+    Q("q215_inverted_index_merge",
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_inv_merge").toString
+        val d = t(s, dir, "documents")
+        graft.text.InvertedIndex.build(s,
+          d.filter(col("doc_id") % 2 === 0), s"$base/a")
+        graft.text.InvertedIndex.build(s,
+          d.filter(col("doc_id") % 2 === 1), s"$base/b")
+        graft.text.InvertedIndex.merge(s, s"$base/a", s"$base/b", s"$base/m")
+        graft.text.InvertedIndex.query(s, s"$base/m",
+          Seq("spark", "window", "hash"))
+      },
+      Some(s"""
+        WITH tk AS (
+          SELECT doc_id, len($duckTokens) AS dl,
+            unnest(list_filter($duckTokens,
+              t -> t IN ('spark', 'window', 'hash'))) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2, 3),
+        stats AS (
+          SELECT COUNT(*) AS n,
+            CAST(SUM(len($duckTokens)) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM documents),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        contrib AS (
+          SELECT doc_id,
+            CAST(((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+              * ((CAST(tf AS DOUBLE) * 2.2)
+                 / (CAST(tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+              AS DECIMAL(24,10)) AS c
+          FROM tf JOIN df USING (term), stats)
+        SELECT doc_id, COUNT(*) AS matched_terms, CAST(SUM(c) AS DOUBLE) AS score
+        FROM contrib GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 15"""))
+    ,
+
+    // ---- inverted-index FORGET: tombstones + exact compaction --------------
+    // The third artifact of the right-to-be-forgotten story (q208 ANN
+    // index, q209 packed corpus): tombstone every doc_id ≡ 3 (mod 10)
+    // — queries hide them immediately via a broadcast anti-join while
+    // df/stats stay stale (the Lucene trade) — then COMPACT: postings
+    // dropped, df recounted over survivors, integer stats decremented
+    // from the deleted docs' own posting rows (the source corpus is
+    // never consulted), tombstones cleared, swapped through the
+    // staged rename-rename. The oracle is a clean bm25 over the corpus
+    // MINUS the forget set: compaction must equal the from-scratch
+    // build bit-for-bit.
+    Q("q216_inverted_index_forget",
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_inv_forget").toString
+        val d = t(s, dir, "documents")
+        graft.text.InvertedIndex.build(s, d, s"$base/idx")
+        graft.text.InvertedIndex.delete(s, s"$base/idx",
+          d.filter(col("doc_id") % 10 === 3).select("doc_id"))
+        graft.text.InvertedIndex.compact(s, s"$base/idx")
+        graft.text.InvertedIndex.query(s, s"$base/idx",
+          Seq("spark", "window", "hash"))
+      },
+      Some(s"""
+        WITH live AS (
+          SELECT * FROM documents WHERE doc_id % 10 <> 3),
+        tk AS (
+          SELECT doc_id, len($duckTokens) AS dl,
+            unnest(list_filter($duckTokens,
+              t -> t IN ('spark', 'window', 'hash'))) AS term
+          FROM live),
+        tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2, 3),
+        stats AS (
+          SELECT COUNT(*) AS n,
+            CAST(SUM(len($duckTokens)) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM live),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        contrib AS (
+          SELECT doc_id,
+            CAST(((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+              * ((CAST(tf AS DOUBLE) * 2.2)
+                 / (CAST(tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+              AS DECIMAL(24,10)) AS c
+          FROM tf JOIN df USING (term), stats)
+        SELECT doc_id, COUNT(*) AS matched_terms, CAST(SUM(c) AS DOUBLE) AS score
+        FROM contrib GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 15"""))
   )
 }

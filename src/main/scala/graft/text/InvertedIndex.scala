@@ -33,6 +33,7 @@ object InvertedIndex {
   private val BuildMarker = "_GRAFT_BUILD_COMPLETE"
   private def postingsDir(path: String) = s"$path/postings"
   private def statsDir(path: String) = s"$path/stats"
+  private def deletesDir(path: String) = s"$path/deletes"
 
   /** The term's bucket: top-60-bit md5 prefix mod [[Buckets]] — the
     * repo's content-address discipline, replayed driver-side in
@@ -55,16 +56,145 @@ object InvertedIndex {
       explode(toks).as("term"))
     val tf = base.groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(df, "term")
+    writeLayout(spark, path,
+      tf.join(df, "term"),
+      docs.agg(count(lit(1)).as("n"),
+        sum(size(toks)).cast("long").as("total_tokens")))
+  }
+
+  /** Write postings + stats + marker. Stats persist (n, total_tokens)
+    * — integer corpus totals, so [[merge]] and [[compact]] can
+    * recombine them EXACTLY; avgdl is derived at query time as
+    * total_tokens.toDouble / n, the same IEEE division the inline bm25
+    * performs.
+    */
+  private def writeLayout(spark: SparkSession, path: String,
+      postings: DataFrame, stats: DataFrame): Unit = {
+    postings
       .withColumn("tb", termBucket(col("term")))
       .write.mode(SaveMode.Overwrite).partitionBy("tb")
       .parquet(postingsDir(path))
-    docs.agg(count(lit(1)).as("n"),
-        (sum(size(toks)).cast("double") / count(lit(1))).as("avgdl"))
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsDir(path))
+    stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(statsDir(path))
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(new org.apache.hadoop.fs.Path(root, BuildMarker), true).close()
+  }
+
+  /** Lucene-style SEGMENT MERGE — the incremental-ingest answer for an
+    * immutable snapshot: index new documents as their own segment (a
+    * plain [[build]] over just the new docs), then merge segments into
+    * one. Exact by construction for disjoint doc sets: per-term df adds,
+    * (n, total_tokens) add as longs, and each posting row's tf/dl are
+    * untouched — so `merge(build(a), build(b)) == build(a union b)`
+    * BIT-identically (the invariant the spec pins). Cost is one
+    * term-keyed join over the two posting sets — segment-sized, never
+    * corpus-rescanning.
+    */
+  def merge(spark: SparkSession, segA: String, segB: String,
+      out: String): Unit = {
+    Seq(segA, segB).foreach(requireComplete(spark, _))
+    val pa = spark.read.parquet(postingsDir(segA))
+    val pb = spark.read.parquet(postingsDir(segB))
+    val all = pa.unionByName(pb).drop("df", "tb")
+    val df = all.groupBy("term").agg(count(lit(1)).as("df"))
+    val sa = spark.read.parquet(statsDir(segA)).head()
+    val sb = spark.read.parquet(statsDir(segB)).head()
+    import spark.implicits._
+    val stats = Seq((sa.getLong(0) + sb.getLong(0),
+      sa.getLong(1) + sb.getLong(1))).toDF("n", "total_tokens")
+    writeLayout(spark, out, all.join(df, "term"), stats)
+  }
+
+  /** Tombstone DELETE — the Lucene answer to "an immutable snapshot
+    * cannot forget": append the doc ids to a tiny `deletes/` list; the
+    * QUERY path anti-joins it (broadcast — tombstones are forget-sized),
+    * so deleted docs never appear in results immediately. df and corpus
+    * stats stay STALE until [[compact]] — the standard trade (scores of
+    * surviving docs shift slightly until compaction, results never
+    * contain a deleted doc). Returns the total tombstone count.
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String = "doc_id"): Long = {
+    recover(spark, path)
+    requireComplete(spark, path)
+    ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .coalesce(1).write.mode(SaveMode.Append).parquet(deletesDir(path))
+    spark.read.parquet(deletesDir(path)).distinct().count()
+  }
+
+  /** Apply tombstones FOR REAL: drop their postings, recount df exactly
+    * over the survivors, subtract the deleted docs' (count, tokens) from
+    * the integer stats, clear the tombstone list. Invariant (spec-
+    * pinned): `compact(delete(build(docs), ids)) == build(docs minus
+    * ids)` bit-identically. The rewrite is postings-sized; the deleted
+    * docs' dl is read from their OWN posting rows (max per doc — dl is
+    * denormalized per row), so the source corpus is never consulted.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    recover(spark, path)
+    requireComplete(spark, path)
+    val delPath = new org.apache.hadoop.fs.Path(deletesDir(path))
+    val fs = delPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(delPath)) return
+    val dels = spark.read.parquet(deletesDir(path)).distinct()
+    val p = spark.read.parquet(postingsDir(path))
+    val removedDocs = p.groupBy("doc_id").agg(max("dl").as("dl"))
+      .join(broadcast(dels), Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("rn"), coalesce(sum("dl"), lit(0L)).as("rt"))
+      .head()
+    val kept = p.join(broadcast(dels), Seq("doc_id"), "left_anti")
+      .drop("df", "tb")
+    val df = kept.groupBy("term").agg(count(lit(1)).as("df"))
+    val st = spark.read.parquet(statsDir(path)).head()
+    import spark.implicits._
+    val stats = Seq((st.getLong(0) - removedDocs.getLong(0),
+      st.getLong(1) - removedDocs.getLong(1))).toDF("n", "total_tokens")
+    // rewrite BESIDE the root (a dot-prefixed sibling — staging inside
+    // the root would travel with it through the first rename), then the
+    // rename-rename swap: readers never see a half state, [[recover]]
+    // heals the between-renames window. The new root has no deletes/
+    // directory — compaction clears the tombstones by construction.
+    val root = new org.apache.hadoop.fs.Path(path)
+    val staged = stagingPath(root)
+    writeLayout(spark, staged.toString, kept.join(df, "term"), stats)
+    val bak = bakPath(root)
+    if (!fs.rename(root, bak))
+      throw new java.io.IOException(s"compact backup rename failed: $root")
+    if (!fs.rename(staged, root)) {
+      fs.rename(bak, root)
+      throw new java.io.IOException(s"compact swap failed: $staged")
+    }
+    fs.delete(bak, true)
+  }
+
+  private def stagingPath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root.getParent, s".${root.getName}.compact_staging")
+  private def bakPath(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root.getParent, s".${root.getName}.compact_bak")
+
+  /** Heal a crashed [[compact]]: root missing with backup present is the
+    * between-renames window — restore the backup whole; stale staging is
+    * discarded. Run from every entry point (the AnnIndex discipline).
+    */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = bakPath(root)
+    if (fs.exists(bak)) {
+      if (!fs.exists(root)) {
+        if (!fs.rename(bak, root))
+          throw new java.io.IOException(s"compact recovery failed: $bak -> $root")
+      } else fs.delete(bak, true)
+    }
+    val stg = stagingPath(root)
+    if (fs.exists(stg)) fs.delete(stg, true)
+  }
+
+  private def requireComplete(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, BuildMarker)),
+      s"no build marker at $path — refusing to touch a partial index")
   }
 
   /** BM25 top-k over the persisted postings — [[Curation.bm25]]'s exact
@@ -75,16 +205,23 @@ object InvertedIndex {
   def query(spark: SparkSession, path: String, terms: Seq[String],
       topK: Int = 15, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new org.apache.hadoop.fs.Path(root, BuildMarker)),
-      s"no build marker at $path — refusing to query a partial index")
+    recover(spark, path)
+    requireComplete(spark, path)
     val st = spark.read.parquet(statsDir(path)).head()
     val n = st.getLong(0)
-    val avgdl = st.getDouble(1)
+    val avgdl = st.getLong(1).toDouble / n
     val buckets = terms.map(bucketOf).distinct
-    val p = spark.read.parquet(postingsDir(path))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scanned = spark.read.parquet(postingsDir(path))
       .filter(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+    // tombstoned docs never surface, even before compaction
+    val p =
+      if (fs.exists(new org.apache.hadoop.fs.Path(deletesDir(path))))
+        scanned.join(
+          broadcast(spark.read.parquet(deletesDir(path)).distinct()),
+          Seq("doc_id"), "left_anti")
+      else scanned
     val tfD = col("tf").cast("double")
     val idf = ((lit(n) - col("df")).cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5))

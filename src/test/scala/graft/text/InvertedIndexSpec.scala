@@ -64,4 +64,55 @@ class InvertedIndexSpec extends SparkSpec
     intercept[IllegalArgumentException](
       InvertedIndex.query(spark, p, Seq("spark")))
   }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toString).toSeq
+
+  test("segment merge equals the full build bit-for-bit") {
+    val d = sf("documents", dir)
+    val base = Files.createTempDirectory("inv_idx_merge").toString
+    InvertedIndex.build(spark, d.filter(col("doc_id") % 2 === 0), s"$base/a")
+    InvertedIndex.build(spark, d.filter(col("doc_id") % 2 === 1), s"$base/b")
+    InvertedIndex.merge(spark, s"$base/a", s"$base/b", s"$base/m")
+    InvertedIndex.build(spark, d, s"$base/full")
+    for (terms <- Seq(Seq("spark", "window", "hash"), Seq("table", "merge")))
+      assert(rows(InvertedIndex.query(spark, s"$base/m", terms)) ==
+        rows(InvertedIndex.query(spark, s"$base/full", terms)))
+  }
+
+  test("tombstone delete hides docs immediately; compact equals a clean build") {
+    import spark.implicits._
+    val d = sf("documents", dir)
+    val base = Files.createTempDirectory("inv_idx_del").toString
+    InvertedIndex.build(spark, d, s"$base/idx")
+    val victims = InvertedIndex.query(spark, s"$base/idx", Seq("spark"))
+      .limit(3).select("doc_id").collect().map(_.getLong(0)).toSeq
+    InvertedIndex.delete(spark, s"$base/idx", victims.toDF("doc_id"))
+    // deleted docs never surface, even though df/stats are still stale
+    val afterDelete = InvertedIndex.query(spark, s"$base/idx", Seq("spark"))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(afterDelete.forall(!victims.contains(_)))
+
+    InvertedIndex.compact(spark, s"$base/idx")
+    InvertedIndex.build(spark,
+      d.filter(!col("doc_id").isin(victims: _*)), s"$base/clean")
+    for (terms <- Seq(Seq("spark", "window", "hash"), Seq("table")))
+      assert(rows(InvertedIndex.query(spark, s"$base/idx", terms)) ==
+        rows(InvertedIndex.query(spark, s"$base/clean", terms)),
+        s"compacted index diverged from the clean build on $terms")
+    // tombstones cleared by compaction
+    assert(!new java.io.File(s"$base/idx/deletes").exists())
+  }
+
+  test("a compact stranded between its two renames is healed") {
+    val d = sf("documents", dir)
+    val base = Files.createTempDirectory("inv_idx_crash").toString
+    InvertedIndex.build(spark, d, s"$base/idx")
+    val before = rows(InvertedIndex.query(spark, s"$base/idx", Seq("spark")))
+    // simulate the window: root renamed away to the backup sibling
+    val root = new java.io.File(s"$base/idx")
+    assert(root.renameTo(new java.io.File(s"$base/.idx.compact_bak")))
+    val after = rows(InvertedIndex.query(spark, s"$base/idx", Seq("spark")))
+    assert(after == before)
+  }
 }
