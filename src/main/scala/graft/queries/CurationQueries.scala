@@ -1876,5 +1876,32 @@ object CurationQueries {
           FROM tf JOIN df USING (term), stats)
         SELECT doc_id, COUNT(*) AS matched_terms, CAST(SUM(c) AS DOUBLE) AS score
         FROM contrib GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 15"""))
+    ,
+
+    // ---- exact PHRASE search over positional postings -----------------------
+    // The positions column earns its bytes: a doc matches "big table"
+    // only at consecutive token offsets. Slots join on doc_id (the
+    // candidate set after the first join is docs containing ALL terms),
+    // the occurrence count is a row-local HOF over the first slot's
+    // positions, and bucket pruning is the same as ranked queries'. The
+    // oracle walks every adjacent token pair in DuckDB.
+    Q("q217_phrase_search",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_inv_phrase").toString
+        graft.text.InvertedIndex.build(s, t(s, dir, "documents"), path)
+        graft.text.InvertedIndex.phraseQuery(s, path, Seq("big", "table"))
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, $duckTokens AS w FROM documents),
+        hits AS (
+          SELECT doc_id, COUNT(*) AS hits
+          FROM tok, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+          WHERE w[i] = 'big' AND w[i+1] = 'table'
+          GROUP BY 1)
+        SELECT doc_id, CAST(hits AS BIGINT) AS hits
+        FROM hits WHERE hits > 0
+        ORDER BY hits DESC, doc_id LIMIT 20"""))
   )
 }

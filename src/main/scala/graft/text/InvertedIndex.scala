@@ -52,9 +52,14 @@ object InvertedIndex {
   def build(spark: SparkSession, docs: DataFrame, path: String,
       textCol: String = "text", idCol: String = "doc_id"): Unit = {
     val toks = TextFunctions.tokens(col(textCol))
+    // positions are POSITIONAL postings (sorted token offsets per doc)
+    // — what phrase search intersects; bm25 prunes the column away at
+    // the parquet scan, so ranked queries never pay for it
     val base = docs.select(col(idCol).as("doc_id"), size(toks).as("dl"),
-      explode(toks).as("term"))
-    val tf = base.groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      posexplode(toks).as(Seq("pos", "term")))
+    val tf = base.groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     writeLayout(spark, path,
       tf.join(df, "term"),
@@ -188,6 +193,46 @@ object InvertedIndex {
     }
     val stg = stagingPath(root)
     if (fs.exists(stg)) fs.delete(stg, true)
+  }
+
+  /** Exact PHRASE search over the positional postings: a doc matches
+    * when the terms occur at consecutive positions. Each phrase slot
+    * reads its term's bucket (same pruning as [[query]]); slots join on
+    * doc_id — the candidate set after the first join is docs containing
+    * ALL terms, tiny relative to the corpus — and the occurrence count
+    * is a row-local HOF over the first slot's positions (every p where
+    * p+i sits in slot i's positions). Tombstoned docs are hidden the
+    * same way as in [[query]]. Returns (doc_id, hits) for hits > 0.
+    */
+  def phraseQuery(spark: SparkSession, path: String, phrase: Seq[String],
+      topK: Int = 20): DataFrame = {
+    require(phrase.length >= 2, "a phrase needs at least 2 terms")
+    recover(spark, path)
+    requireComplete(spark, path)
+    val buckets = phrase.map(bucketOf).distinct
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scanned = spark.read.parquet(postingsDir(path))
+      .filter(col("tb").isin(buckets: _*) && col("term").isin(phrase.distinct: _*))
+    val p =
+      if (fs.exists(new org.apache.hadoop.fs.Path(deletesDir(path))))
+        scanned.join(
+          broadcast(spark.read.parquet(deletesDir(path)).distinct()),
+          Seq("doc_id"), "left_anti")
+      else scanned
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      p.filter(col("term") === t)
+        .select(col("doc_id"), col("positions").as(s"pos$i"))
+    }
+    val joined = slots.reduce((a, b) => a.join(b, "doc_id"))
+    val matches = filter(col("pos0"), p0 =>
+      (1 until phrase.length)
+        .map(i => array_contains(col(s"pos$i"), p0 + i))
+        .reduce(_ && _))
+    joined.select(col("doc_id"), size(matches).cast("long").as("hits"))
+      .filter(col("hits") > 0)
+      .orderBy(desc("hits"), col("doc_id"))
+      .limit(topK)
   }
 
   private def requireComplete(spark: SparkSession, path: String): Unit = {

@@ -53,7 +53,10 @@ class InvertedIndexSpec extends SparkSpec
     assert(scanned == want, s"scanned buckets $scanned, wanted $want")
     // the layout carries no document text anywhere
     val cols = spark.read.parquet(s"$path/postings").columns.toSet
-    assert(cols == Set("term", "doc_id", "dl", "tf", "df", "tb"))
+    assert(cols == Set("term", "doc_id", "dl", "tf", "df", "tb", "positions"))
+    // ...and the ranked-query scan prunes the positions column away
+    assert(!postings.schema.fieldNames.contains("positions"),
+      s"bm25 must not read positions: ${postings.schema.fieldNames.toSeq}")
   }
 
   test("a partial build (no marker) is refused") {
@@ -102,6 +105,29 @@ class InvertedIndexSpec extends SparkSpec
         s"compacted index diverged from the clean build on $terms")
     // tombstones cleared by compaction
     assert(!new java.io.File(s"$base/idx/deletes").exists())
+  }
+
+  test("phrase search finds exactly the consecutive occurrences") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big table scan is slow but big table wins"),
+      (2L, "table big no phrase here"),
+      (3L, "big big table"), // one occurrence, overlapping prefix
+      (4L, "nothing relevant")
+    ).toDF("doc_id", "text")
+    val p = Files.createTempDirectory("inv_idx_phrase").toString
+    InvertedIndex.build(spark, docs, p)
+    val got = InvertedIndex.phraseQuery(spark, p, Seq("big", "table"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+    // three-term phrase
+    val got3 = InvertedIndex.phraseQuery(spark, p, Seq("big", "table", "scan"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got3 == Seq((1L, 1L)))
+    // tombstoned docs disappear from phrase results too
+    InvertedIndex.delete(spark, p, Seq(1L).toDF("doc_id"))
+    assert(InvertedIndex.phraseQuery(spark, p, Seq("big", "table"))
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
   test("a compact stranded between its two renames is healed") {
