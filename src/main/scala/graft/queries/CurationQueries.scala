@@ -1903,5 +1903,44 @@ object CurationQueries {
         SELECT doc_id, CAST(hits AS BIGINT) AS hits
         FROM hits WHERE hits > 0
         ORDER BY hits DESC, doc_id LIMIT 20"""))
+    ,
+
+    // ---- SQL surface, wave 2: SCD2 through spark.sql alone ------------------
+    // q193 proves the TVF mechanism on the curation trio; this drives the
+    // warehouse tier's headline operator — the same fromChangeLog logical
+    // plan q203 oracles, reached with zero Scala. Same oracle, so the SQL
+    // route is held to the identical hash gate.
+    Q("q218_sql_scd2",
+      (s, dir) => {
+        graft.sql.SqlTableFunctions.register(s)
+        t(s, dir, "orders").createOrReplaceTempView("graft_q218_orders")
+        s.sql("""
+          SELECT * FROM graft_scd2('graft_q218_orders', 'o_custkey',
+            'o_orderdate', 'o_orderstatus,o_orderpriority', 'o_orderkey')
+          ORDER BY o_custkey, version""")
+      },
+      Some("""
+        WITH obs AS (
+          SELECT o_custkey, o_orderdate, o_orderstatus, o_orderpriority,
+            o_orderkey,
+            lag(o_orderstatus) OVER w AS ps,
+            lag(o_orderpriority) OVER w AS pp,
+            row_number() OVER w AS rn
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        chg AS (
+          SELECT * FROM obs
+          WHERE rn = 1 OR o_orderstatus IS DISTINCT FROM ps
+             OR o_orderpriority IS DISTINCT FROM pp),
+        v AS (
+          SELECT o_custkey, o_orderstatus, o_orderpriority,
+            o_orderdate AS valid_from,
+            lead(o_orderdate) OVER w2 AS valid_to,
+            CAST(row_number() OVER w2 AS INT) AS version
+          FROM chg
+          WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        SELECT o_custkey, o_orderstatus, o_orderpriority, valid_from, valid_to,
+          (valid_to IS NULL) AS is_current, version
+        FROM v ORDER BY o_custkey, version"""))
   )
 }

@@ -14,6 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graft_chunk_dedup('documents')
   *   SELECT * FROM graft_bloom_decontaminate('documents', 'bench_docs')
   *   SELECT * FROM graft_pack_segments('counted', 512, 'lang', 'doc_id')
+  *   SELECT * FROM graft_bm25('documents', 'spark window hash')
+  *   SELECT * FROM graft_scd2('change_log', 'k', 'ts', 'status,tier', 'seq')
+  *   SELECT * FROM graft_heavy_hitters('orders', 'o_custkey', 100)
   * }}}
   *
   * Each function takes TABLE/VIEW NAMES as string literals (resolved
@@ -98,10 +101,57 @@ object SqlTableFunctions {
     ).queryExecution.logical
   }
 
+  /** `graft_bm25(docsTable, 'term1 term2 ...'[, topK])` —
+    * [[graft.curation.Curation.bm25]] ranked retrieval; terms are a
+    * space-separated literal.
+    */
+  private def bm25Plan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_bm25"
+    graft.curation.Curation.bm25(
+      table(strArg(exprs, 0, fn, "docs table")),
+      strArg(exprs, 1, fn, "terms").split("\\s+").toSeq.filter(_.nonEmpty),
+      topK = intArgOr(exprs, 2, fn, "top k", 15)
+    ).queryExecution.logical
+  }
+
+  /** `graft_scd2(logTable, keyCol, tsCol, 'attr1,attr2', 'tie1[,tie2]')`
+    * — [[graft.ops.Scd2.fromChangeLog]]; attr and tie column lists are
+    * comma-separated literals.
+    */
+  private def scd2Plan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_scd2"
+    def cols(i: Int, what: String) =
+      strArg(exprs, i, fn, what).split(",").map(_.trim).toSeq.filter(_.nonEmpty)
+    graft.ops.Scd2.fromChangeLog(
+      table(strArg(exprs, 0, fn, "change-log table")),
+      keyCols = cols(1, "key columns"),
+      tsCol = strArg(exprs, 2, fn, "timestamp column"),
+      attrCols = cols(3, "attribute columns"),
+      tieCols = cols(4, "tie-break columns")
+    ).queryExecution.logical
+  }
+
+  /** `graft_heavy_hitters(table, keyCol, threshold[, depth, width])` —
+    * [[graft.ops.CountMin.heavyHitters]], the skew-diagnosis audit.
+    */
+  private def heavyHittersPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_heavy_hitters"
+    graft.ops.CountMin.heavyHitters(
+      table(strArg(exprs, 0, fn, "input table")),
+      strArg(exprs, 1, fn, "key column"),
+      threshold = intArgOr(exprs, 2, fn, "threshold", 100).toLong,
+      depth = intArgOr(exprs, 3, fn, "depth", 4),
+      width = intArgOr(exprs, 4, fn, "width", 1024)
+    ).queryExecution.logical
+  }
+
   private def entries: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_chunk_dedup" -> chunkDedupPlan _,
     "graft_bloom_decontaminate" -> bloomDeconPlan _,
-    "graft_pack_segments" -> packSegmentsPlan _)
+    "graft_pack_segments" -> packSegmentsPlan _,
+    "graft_bm25" -> bm25Plan _,
+    "graft_scd2" -> scd2Plan _,
+    "graft_heavy_hitters" -> heavyHittersPlan _)
 
   /** Session-build injection — called from [[graft.geo.GraftExtensions]]. */
   def inject(ext: SparkSessionExtensions): Unit =

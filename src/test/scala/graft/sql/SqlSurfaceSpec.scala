@@ -64,6 +64,50 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql === viaScala)
   }
 
+  test("graft_bm25 equals the Scala entry point row for row") {
+    val d = Seq(
+      (1L, "spark window " + words("x", 20)),
+      (2L, "spark spark window hash " + words("y", 10)),
+      (3L, words("z", 30)))
+      .toDF("doc_id", "text")
+    d.createOrReplaceTempView("sql_surface_bm25")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_bm25('sql_surface_bm25', 'spark window hash')")
+      .collect().map(_.toSeq).toSeq
+    val viaScala = Curation.bm25(d, Seq("spark", "window", "hash"))
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql === viaScala)
+  }
+
+  test("graft_scd2 equals the Scala entry point row for row") {
+    val log = Seq(
+      (1, "2024-01-01", "A", 1L), (1, "2024-02-01", "A", 2L),
+      (1, "2024-03-01", "B", 3L), (2, "2024-01-15", "X", 4L))
+      .toDF("k", "ts0", "attr", "seq")
+      .withColumn("ts", to_date(col("ts0"))).drop("ts0")
+    log.createOrReplaceTempView("sql_surface_scd2")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_scd2('sql_surface_scd2', 'k', 'ts', 'attr', 'seq')")
+      .orderBy("k", "version").collect().map(_.toSeq).toSeq
+    val viaScala = graft.ops.Scd2
+      .fromChangeLog(log, Seq("k"), "ts", Seq("attr"), Seq("seq"))
+      .orderBy("k", "version").collect().map(_.toSeq).toSeq
+    assert(viaSql === viaScala)
+  }
+
+  test("graft_heavy_hitters equals the Scala entry point row for row") {
+    val df = (Seq.fill(300)("hot") ++ (0 until 100).map(i => s"c$i")).toDF("key")
+    df.createOrReplaceTempView("sql_surface_hh")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_heavy_hitters('sql_surface_hh', 'key', 100)")
+      .collect().map(_.toSeq).toSeq
+    val viaScala = graft.ops.CountMin
+      .heavyHitters(df, "key", threshold = 100L, depth = 4, width = 1024)
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql === viaScala)
+    assert(viaSql.map(_.head) == Seq("hot"))
+  }
+
   test("misuse fails loudly: non-literal args and missing tables") {
     val ex = intercept[Exception] {
       spark.sql("SELECT * FROM graft_chunk_dedup(doc_id)").collect()
