@@ -1164,5 +1164,136 @@ object ExtraQueries {
           version
         FROM v WHERE valid_to IS NOT NULL
         ORDER BY o_custkey, version"""))
+    ,
+
+    // ---- NEAREST as-of join with tolerance ----------------------------------
+    // q62 is the classic backward as-of (latest preceding signup); the
+    // time-series sibling is pandas' merge_asof(direction='nearest',
+    // tolerance=...): each purchase matches its nearest signup in EITHER
+    // direction, within a 6-hour gap, ties to the earlier (backward)
+    // side. Same union + window composition — a running last_value
+    // backward and a first_value over the reversed frame forward, then a
+    // row-local pick — so there is never a per-pair join: the plan is
+    // one user-partitioned sort shared by both windows.
+    Q("q219_nearest_asof",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tol = 6L * 3600 * 1000
+        val e = t(s, dir, "events")
+          .filter(col("event_type").isin("signup", "purchase"))
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        val wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val sigTs = when(col("event_type") === "signup", col("ts"))
+        val marked = e
+          .withColumn("back_ts", last(sigTs, ignoreNulls = true).over(wb))
+          .withColumn("fwd_ts", first(sigTs, ignoreNulls = true).over(wf))
+        val p = marked.filter(col("event_type") === "purchase")
+          .withColumn("back_gap",
+            unix_millis(col("ts")) - unix_millis(col("back_ts")))
+          .withColumn("fwd_gap",
+            unix_millis(col("fwd_ts")) - unix_millis(col("ts")))
+          .withColumn("pick",
+            when(col("back_gap").isNotNull && col("back_gap") <= tol &&
+                (col("fwd_gap").isNull || col("fwd_gap") > tol ||
+                  col("back_gap") <= col("fwd_gap")), "backward")
+              .when(col("fwd_gap").isNotNull && col("fwd_gap") <= tol, "forward")
+              .otherwise("unmatched"))
+        p.groupBy("user_id")
+          .agg(count(lit(1)).as("purchases"),
+            sum(when(col("pick") === "backward", 1L).otherwise(0L)).as("backward"),
+            sum(when(col("pick") === "forward", 1L).otherwise(0L)).as("forward"),
+            sum(when(col("pick") === "unmatched", 1L).otherwise(0L)).as("unmatched"),
+            max(when(col("pick") === "backward", col("back_gap"))
+              .when(col("pick") === "forward", col("fwd_gap"))).as("max_gap_ms"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH relevant AS (
+          SELECT user_id, event_type, ts, event_id FROM events
+          WHERE event_type IN ('signup', 'purchase')),
+        marked AS (
+          SELECT user_id, event_type, ts,
+            last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+            first_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_ts
+          FROM relevant),
+        p AS (
+          SELECT user_id,
+            epoch_ms(ts) - epoch_ms(back_ts) AS back_gap,
+            epoch_ms(fwd_ts) - epoch_ms(ts) AS fwd_gap
+          FROM marked WHERE event_type = 'purchase'),
+        picked AS (
+          SELECT user_id, back_gap, fwd_gap,
+            CASE
+              WHEN back_gap IS NOT NULL AND back_gap <= 21600000 AND
+                (fwd_gap IS NULL OR fwd_gap > 21600000 OR back_gap <= fwd_gap)
+                THEN 'backward'
+              WHEN fwd_gap IS NOT NULL AND fwd_gap <= 21600000 THEN 'forward'
+              ELSE 'unmatched' END AS pick
+          FROM p)
+        SELECT user_id, COUNT(*) AS purchases,
+          CAST(SUM(CASE WHEN pick = 'backward' THEN 1 ELSE 0 END) AS BIGINT)
+            AS backward,
+          CAST(SUM(CASE WHEN pick = 'forward' THEN 1 ELSE 0 END) AS BIGINT)
+            AS forward,
+          CAST(SUM(CASE WHEN pick = 'unmatched' THEN 1 ELSE 0 END) AS BIGINT)
+            AS unmatched,
+          CAST(MAX(CASE WHEN pick = 'backward' THEN back_gap
+                        WHEN pick = 'forward' THEN fwd_gap END) AS BIGINT)
+            AS max_gap_ms
+        FROM picked GROUP BY 1 ORDER BY 1"""))
+    ,
+
+    // ---- time-weighted average (TWAP) over irregular observations -----------
+    // The step-function mean every metering/pricing pipeline needs: per
+    // user, each click's value holds until the next click, and the
+    // average weighs each value by how long it held — NOT the row mean,
+    // which a burst of short-lived readings would dominate. Weighted
+    // sums accumulate as DECIMAL (order-independent, engine-exact) and
+    // the mean reports at MICRO precision via integral division — fully
+    // integer-exact, because decimal->double casts round differently
+    // across engines at the last ulp (measured: Spark's correctly-
+    // rounded BigDecimal vs a scaled double divide, 1e-14 apart). One
+    // user-partitioned lead window.
+    Q("q220_time_weighted_avg",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, dir, "events").filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("next_ts", lead(col("ts"), 1).over(w))
+          .filter(col("next_ts").isNotNull)
+          .withColumn("dt_ms",
+            unix_millis(col("next_ts")) - unix_millis(col("ts")))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("intervals"),
+            sum("dt_ms").as("span_ms"),
+            sum(col("value").cast("decimal(24,6)") * col("dt_ms"))
+              .as("vms"))
+          .withColumn("twap_micro",
+            expr("CAST(vms * 1000000 AS DECIMAL(38,0)) div span_ms"))
+          .drop("vms")
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH c AS (
+          SELECT user_id, ts, event_id, value,
+            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+          FROM events WHERE event_type = 'click'),
+        iv AS (
+          SELECT user_id, value,
+            epoch_ms(next_ts) - epoch_ms(ts) AS dt_ms
+          FROM c WHERE next_ts IS NOT NULL)
+        SELECT user_id, COUNT(*) AS intervals,
+          CAST(SUM(dt_ms) AS BIGINT) AS span_ms,
+          CAST(CAST(SUM(CAST(value AS DECIMAL(24,6)) * dt_ms) * 1000000
+            AS HUGEINT) // SUM(dt_ms) AS BIGINT) AS twap_micro
+        FROM iv GROUP BY 1 ORDER BY 1"""))
   )
 }
