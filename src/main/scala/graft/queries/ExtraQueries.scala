@@ -1295,5 +1295,80 @@ object ExtraQueries {
           CAST(CAST(SUM(CAST(value AS DECIMAL(24,6)) * dt_ms) * 1000000
             AS HUGEINT) // SUM(dt_ms) AS BIGINT) AS twap_micro
         FROM iv GROUP BY 1 ORDER BY 1"""))
+    ,
+
+    // ---- resample + forward-fill to a regular grid --------------------------
+    // The gap-fill sibling of q220: irregular click readings resampled to
+    // DAY boundaries with last-observation-carried-forward — the regular
+    // series a downstream model or dashboard consumes. Grid rows are
+    // generated PER USER between their first and last observation (a
+    // row-local sequence — no cross join against a calendar table),
+    // unioned with the readings, and one running last_value window fills
+    // each grid point from the latest reading at-or-before it; value
+    // carried at micro precision (floor(value*1e6), IEEE-identical) so
+    // the fill is hash-exact. Report per user: grid points, filled
+    // points, distinct carried values, checksum of the filled series.
+    Q("q221_resample_ffill",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val clicks = t(s, dir, "events").filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") * 1000000).cast("long").as("v_micro"))
+        val grid = clicks.groupBy("user_id")
+          .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"))).as("grid_date"))
+          .select(col("user_id"),
+            col("grid_date").cast("timestamp").as("ts"),
+            lit(null).cast("long").as("event_id"),
+            lit(null).cast("long").as("v_micro"),
+            lit(1).as("is_grid"))
+        // readings sort BEFORE a same-instant grid point (grid event_id
+        // null-first would win otherwise) — order by (ts, is_grid, event_id):
+        // a reading at exactly midnight fills that day's point
+        val unioned = clicks.withColumn("is_grid", lit(0)).unionByName(grid)
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("is_grid"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned
+          .withColumn("filled", last(col("v_micro"), ignoreNulls = true).over(w))
+          .filter(col("is_grid") === 1)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("grid_points"),
+            sum(when(col("filled").isNotNull, 1L).otherwise(0L)).as("filled_points"),
+            countDistinct(col("filled")).as("distinct_values"),
+            sum(col("filled")).as("series_checksum"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH clicks AS (
+          SELECT user_id, ts, event_id,
+            CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+          FROM events WHERE event_type = 'click'),
+        bounds AS (
+          SELECT user_id, MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+          FROM clicks GROUP BY 1),
+        grid AS (
+          SELECT user_id, CAST(g AS TIMESTAMP) AS ts,
+            CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS v_micro,
+            1 AS is_grid
+          FROM bounds, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS t(g)),
+        unioned AS (
+          SELECT user_id, ts, event_id, v_micro, 0 AS is_grid FROM clicks
+          UNION ALL SELECT * FROM grid),
+        filled AS (
+          SELECT user_id, is_grid,
+            last_value(v_micro IGNORE NULLS) OVER (
+              PARTITION BY user_id
+              ORDER BY ts, is_grid, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+          FROM unioned)
+        SELECT user_id, COUNT(*) AS grid_points,
+          CAST(SUM(CASE WHEN filled IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS filled_points,
+          CAST(COUNT(DISTINCT filled) AS BIGINT) AS distinct_values,
+          CAST(SUM(filled) AS BIGINT) AS series_checksum
+        FROM filled WHERE is_grid = 1
+        GROUP BY 1 ORDER BY 1"""))
   )
 }
