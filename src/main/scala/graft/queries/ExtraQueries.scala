@@ -1369,6 +1369,104 @@ object ExtraQueries {
           CAST(COUNT(DISTINCT filled) AS BIGINT) AS distinct_values,
           CAST(SUM(filled) AS BIGINT) AS series_checksum
         FROM filled WHERE is_grid = 1
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- robust outlier report: median absolute deviation -----------------
+    // Per event type: exact median, exact MAD, and the count of values more
+    // than 3 MADs from the median — the robust z-score gate a curation
+    // pipeline uses where mean/stddev would be dragged by the very outliers
+    // it's hunting. All arithmetic is INTEGER-exact: values are scaled to
+    // micros (the q221 convention), the median is carried DOUBLED (sum of
+    // the two middle order statistics, so even-count medians stay integral),
+    // and the MAD is carried 4× (doubled median of doubled deviations); the
+    // 3-MAD test |x-m| > 3*MAD becomes 2*dev > 3*mad4/... precisely
+    // 2*dev_i > 3*mad2 with dev_i = |2x_i - m2|. Scale: both medians run
+    // over the per-(type, value) HISTOGRAM, never the raw rows — with
+    // 2-decimal measures the histogram is bounded by the value domain, so
+    // the order-statistic windows are tiny regardless of row count.
+    Q("q223_mad_outliers",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") * 1000000L).cast("long").as("v"))
+        def medianDoubled(hist: org.apache.spark.sql.DataFrame,
+            valCol: String): org.apache.spark.sql.DataFrame = {
+          // hist: (event_type, <valCol>, c) → (event_type, m2 = x_(k1)+x_(k2))
+          val cnts = hist.groupBy("event_type").agg(sum("c").as("cnt"))
+          val w = Window.partitionBy("event_type").orderBy(valCol)
+          hist
+            .withColumn("cum_end", sum("c").over(w))
+            .withColumn("cum_start", col("cum_end") - col("c") + 1)
+            .join(cnts, "event_type")
+            .withColumn("k1", expr("(cnt + 1) div 2"))
+            .withColumn("k2", expr("(cnt + 2) div 2"))
+            .withColumn("hits",
+              when(col("cum_start") <= col("k1") && col("k1") <= col("cum_end"), 1L).otherwise(0L) +
+                when(col("cum_start") <= col("k2") && col("k2") <= col("cum_end"), 1L).otherwise(0L))
+            .filter(col("hits") > 0)
+            .groupBy("event_type")
+            .agg(sum(col(valCol) * col("hits")).as("m2"))
+        }
+        val hist = ev.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+        val m2 = medianDoubled(hist, "v")
+        val devHist = hist.join(m2, "event_type")
+          .withColumn("dev", abs(col("v") * 2 - col("m2")))
+          .groupBy("event_type", "dev").agg(sum("c").as("c"))
+        val mad2 = medianDoubled(devHist, "dev").withColumnRenamed("m2", "mad2")
+        hist.join(m2, "event_type").join(mad2, "event_type")
+          .groupBy(col("event_type"), col("m2").as("median_x2"), col("mad2").as("mad_x2"))
+          .agg(sum("c").as("n"),
+            sum(when(abs(col("v") * 2 - col("m2")) * 2 > col("mad2") * 3, col("c"))
+              .otherwise(0L)).as("n_outliers"))
+          .select("event_type", "n", "median_x2", "mad_x2", "n_outliers")
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v
+          FROM events),
+        med AS (
+          SELECT event_type, SUM(v * hits) AS m2 FROM (
+            SELECT event_type, v,
+              (CASE WHEN cum_start <= k1 AND k1 <= cum_end THEN 1 ELSE 0 END)
+              + (CASE WHEN cum_start <= k2 AND k2 <= cum_end THEN 1 ELSE 0 END)
+                AS hits
+            FROM (
+              SELECT event_type, v, c,
+                SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum_end,
+                SUM(c) OVER (PARTITION BY event_type ORDER BY v) - c + 1
+                  AS cum_start,
+                (SUM(c) OVER (PARTITION BY event_type) + 1) // 2 AS k1,
+                (SUM(c) OVER (PARTITION BY event_type) + 2) // 2 AS k2
+              FROM (SELECT event_type, v, COUNT(*) AS c FROM ev GROUP BY 1, 2)))
+          WHERE hits > 0 GROUP BY 1),
+        devh AS (
+          SELECT ev.event_type, ABS(ev.v * 2 - med.m2) AS dev, COUNT(*) AS c
+          FROM ev JOIN med ON ev.event_type = med.event_type
+          GROUP BY 1, 2),
+        mad AS (
+          SELECT event_type, SUM(dev * hits) AS mad2 FROM (
+            SELECT event_type, dev,
+              (CASE WHEN cum_start <= k1 AND k1 <= cum_end THEN 1 ELSE 0 END)
+              + (CASE WHEN cum_start <= k2 AND k2 <= cum_end THEN 1 ELSE 0 END)
+                AS hits
+            FROM (
+              SELECT event_type, dev, c,
+                SUM(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum_end,
+                SUM(c) OVER (PARTITION BY event_type ORDER BY dev) - c + 1
+                  AS cum_start,
+                (SUM(c) OVER (PARTITION BY event_type) + 1) // 2 AS k1,
+                (SUM(c) OVER (PARTITION BY event_type) + 2) // 2 AS k2
+              FROM devh))
+          WHERE hits > 0 GROUP BY 1)
+        SELECT ev.event_type, COUNT(*) AS n,
+          CAST(ANY_VALUE(med.m2) AS BIGINT) AS median_x2,
+          CAST(ANY_VALUE(mad.mad2) AS BIGINT) AS mad_x2,
+          CAST(SUM(CASE WHEN ABS(ev.v * 2 - med.m2) * 2 > mad.mad2 * 3
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM ev JOIN med ON ev.event_type = med.event_type
+                JOIN mad ON ev.event_type = mad.event_type
         GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.graph.LinkGraph
+import Qx._
+
+/** Link-graph document weighting — the CommonCrawl-style quality prior
+  * (PageRank over the hyperlink graph; incoming anchor text as a signal
+  * column). The synthetic corpus has no real hyperlinks, so both engines
+  * derive the SAME deterministic graph from the data itself:
+  *
+  *   - a CHAIN edge from each doc to the next doc_id within its language
+  *     (a reading-order / sitemap-like link), and
+  *   - a HUB edge from each doc to the lowest doc_id of its source (every
+  *     site links to its front page) — giving per-source hubs whose
+  *     in-degree scales with site size, exactly the structure PageRank is
+  *     meant to separate.
+  *
+  * The derivation is plain SQL (window lead + group-min), so the DuckDB
+  * oracle reconstructs it verbatim and the integer-exact PageRank in
+  * [[graft.graph.LinkGraph]] matches hash-for-hash.
+  */
+object GraphQueries {
+
+  /** (src, dst, anchor) — anchor is the first 24 chars of the SOURCE
+    * doc's text (what a crawler would see as the link's context).
+    */
+  private def docLinks(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        substring(col("text"), 1, 24).as("anchor"))
+    val chain = d
+      .withColumn("dst",
+        lead(col("doc_id"), 1).over(
+          Window.partitionBy("lang").orderBy("doc_id")))
+      .filter(col("dst").isNotNull)
+      .select(col("doc_id").as("src"), col("dst"), col("anchor"))
+    val hubs = d.groupBy("source").agg(min("doc_id").as("hub_id"))
+    val hub = d.join(hubs, "source")
+      .filter(col("doc_id") =!= col("hub_id"))
+      .select(col("doc_id").as("src"), col("hub_id").as("dst"), col("anchor"))
+    chain.unionByName(hub)
+  }
+
+  private val edgeSql =
+    """edges AS (
+      |  SELECT src, dst, anchor FROM (
+      |    SELECT doc_id AS src,
+      |      LEAD(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS dst,
+      |      substr(text, 1, 24) AS anchor
+      |    FROM documents) WHERE dst IS NOT NULL
+      |  UNION ALL
+      |  SELECT d.doc_id AS src, h.hub_id AS dst,
+      |    substr(d.text, 1, 24) AS anchor
+      |  FROM documents d
+      |  JOIN (SELECT source, MIN(doc_id) AS hub_id
+      |        FROM documents GROUP BY 1) h ON d.source = h.source
+      |  WHERE d.doc_id <> h.hub_id)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ---- PageRank document weighting (integer-exact, 3 rounds) ------------
+    Q("q224_pagerank",
+      (s, dir) => {
+        val pr = LinkGraph.pagerank(
+          docLinks(s, dir).select("src", "dst"), iters = 3, scale = 1000000L)
+        pr.orderBy("node_id").select(col("node_id").as("doc_id"), col("pr"))
+      },
+      Some(s"""
+        WITH $edgeSql,
+        e AS (SELECT src, dst FROM edges),
+        nodes AS (SELECT DISTINCT src AS node_id FROM e
+                  UNION SELECT dst FROM e),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        r1 AS (SELECT n.node_id,
+                 150000 + (85 * COALESCE(x.in_sum, 0)) // 100 AS pr
+               FROM nodes n LEFT JOIN (
+                 SELECT e.dst, SUM(r.pr // d.outdeg) AS in_sum
+                 FROM e JOIN deg d ON e.src = d.src
+                        JOIN r0 r ON e.src = r.node_id
+                 GROUP BY 1) x ON n.node_id = x.dst),
+        r2 AS (SELECT n.node_id,
+                 150000 + (85 * COALESCE(x.in_sum, 0)) // 100 AS pr
+               FROM nodes n LEFT JOIN (
+                 SELECT e.dst, SUM(r.pr // d.outdeg) AS in_sum
+                 FROM e JOIN deg d ON e.src = d.src
+                        JOIN r1 r ON e.src = r.node_id
+                 GROUP BY 1) x ON n.node_id = x.dst),
+        r3 AS (SELECT n.node_id,
+                 150000 + (85 * COALESCE(x.in_sum, 0)) // 100 AS pr
+               FROM nodes n LEFT JOIN (
+                 SELECT e.dst, SUM(r.pr // d.outdeg) AS in_sum
+                 FROM e JOIN deg d ON e.src = d.src
+                        JOIN r2 r ON e.src = r.node_id
+                 GROUP BY 1) x ON n.node_id = x.dst)
+        SELECT node_id AS doc_id, CAST(pr AS BIGINT) AS pr
+        FROM r3 ORDER BY 1""")),
+
+    // ---- incoming anchor-text aggregation ---------------------------------
+    Q("q225_anchor_text",
+      (s, dir) =>
+        LinkGraph.anchorsByTarget(docLinks(s, dir), cap = 16)
+          .orderBy("doc_id"),
+      Some(s"""
+        WITH $edgeSql,
+        inl AS (SELECT dst, COUNT(*) AS n_inlinks FROM edges GROUP BY 1),
+        capped AS (
+          SELECT dst, string_agg(anchor, '|' ORDER BY anchor) AS anchors
+          FROM (
+            SELECT dst, anchor,
+              ROW_NUMBER() OVER (PARTITION BY dst ORDER BY anchor) AS rn
+            FROM (SELECT DISTINCT dst, anchor FROM edges))
+          WHERE rn <= 16 GROUP BY 1)
+        SELECT inl.dst AS doc_id, inl.n_inlinks, capped.anchors
+        FROM inl JOIN capped ON inl.dst = capped.dst
+        ORDER BY 1"""))
+  )
+}

@@ -734,6 +734,43 @@ object TpchQueries {
         WHERE s_suppkey IN (
             SELECT DISTINCT l_suppkey FROM pp
             WHERE qty96 IS NOT NULL AND qty_all > qty96 * 2)
-        ORDER BY n_name, s_name"""))
+        ORDER BY n_name, s_name""")),
+
+    // ---- Q12 shape: shipping-mode priority split --------------------------
+    // TPC-H Q12 counts urgent vs non-urgent orders per ship mode under date
+    // predicates. The synthetic lineitem has no l_shipmode/commitdate, so the
+    // shape keeps Q12's essence — a fact→dim join rolled up into TWO
+    // conditional counts per category under a scan-side date window — with
+    // l_linestatus standing in for the mode. Scale: the orders side is
+    // joined on its key, both conditional sums fold into ONE map-side
+    // aggregate after the join (no second pass), and the date predicate
+    // lands in PushedFilters on the lineitem scan.
+    Q("q222_priority_split",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01") &&
+            col("l_shipdate") < lit("1998-01-01"))
+        val o = t(s, dir, "orders")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_linestatus")
+          .agg(
+            sum(when(col("o_orderpriority") === "1-URGENT" ||
+              col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+              .as("high_line_count"),
+            sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+              col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+              .as("low_line_count"))
+          .orderBy("l_linestatus")
+      },
+      Some("""
+        SELECT l_linestatus,
+          CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+              THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1 ORDER BY 1"""))
   )
 }
