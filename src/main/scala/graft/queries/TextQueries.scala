@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.text.TextFunctions._
+import graft.text.SetSimJoin
 import Qx._
 
 /** Training-data-pipeline text operators over the `documents` table:
@@ -334,6 +335,8 @@ object TextQueries {
   }
 
   val all: Seq[Q] = Seq(
+
+    q226,
 
     // ---- exact dedup: hash-groupBy over normalized text -------------------
     Q("q31_dedup_exact",
@@ -1423,4 +1426,50 @@ object TextQueries {
           md5(d) AS pieces_md5
         FROM docenc ORDER BY doc_id"""
   }
+
+  // ---- prefix-filtered set-similarity join (PPJoin family) ----------------
+  // Exact all-pairs Jaccard ≥ 3/5 over distinct 4-word-shingle sets WITHOUT
+  // the quadratic pair enumeration: each doc is reduced to its p rarest
+  // shingles (p = n − ceil(θn) + 1) and only prefix-sharing pairs are
+  // verified. The set element is a SHINGLE, not a unigram, deliberately:
+  // the synthetic corpus draws from a ~30-word vocabulary, so unigram sets
+  // overlap almost totally (θ=3/5 matches ~80k of 142k pairs — a useless
+  // join and a useless filter), while 4-gram shingles separate the planted
+  // near-dups/copies from chance overlap. The oracle IS the quadratic form
+  // (ground truth at verify scale), so a green row proves the filter's
+  // zero-false-negative property on real data, not just on a fixture.
+  // lazy: referenced from `all` above its declaration point — a plain val
+  // would still be null during the object's initializer.
+  private lazy val q226: Q = Q("q226_ssjoin_jaccard",
+    (s, dir) => {
+      val d = corpus(s, dir)
+        .withColumn("w", tokens(col("text")))
+        .select(col("doc_id").as("id"),
+          array_distinct(when(size(col("w")) < 4,
+            array().cast("array<string>"))
+            .otherwise(expr(
+              "transform(sequence(0, size(w) - 4), " +
+                "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))")))
+            .as("tokens"))
+      SetSimJoin.jaccardJoin(d, num = 3, den = 5).orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH $corpusSql,
+      toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM corpus),
+      sh AS (
+        SELECT doc_id, list_distinct(
+          CASE WHEN len(w) < 4 THEN []
+            ELSE list_transform(generate_series(1, len(w) - 3),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) END)
+          AS ts
+        FROM toks),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+          CAST(len(a.ts) AS BIGINT) AS na, CAST(len(b.ts) AS BIGINT) AS nb
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(a.ts) > 0 AND len(b.ts) > 0)
+      SELECT doc_a, doc_b, inter, na, nb FROM pairs
+      WHERE 8 * inter >= 3 * (na + nb) ORDER BY 1, 2"""))
 }
