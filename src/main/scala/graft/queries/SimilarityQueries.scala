@@ -145,6 +145,65 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(
 
+    // ---- dominant principal axis: integer-exact power iteration -----------
+    // The oracle-checkable face of the PCA module (graft.ml.Pca): inputs
+    // quantize to floor(e·2^20) — ×2^k is IEEE-exact, so both engines see
+    // identical longs — the n²-scaled covariance n·Σwwᵀ − (Σw)(Σw)ᵀ is pure
+    // integer, and four power-iteration rounds run the documented floordiv
+    // recurrence (driver BigInt ↔ oracle HUGEINT). The float Jacobi path
+    // (fit/project/whiten) is spec-verified against this axis in PcaSpec.
+    // Scale: one constant-size distributed moment pass (count + 64 sums +
+    // 2080 product sums per partition); everything after is O(d²) driver
+    // work, the KMeans-codebook discipline.
+    Q("q227_power_iteration",
+      (s, dir) => {
+        val axis = graft.ml.Pca.dominantAxisFixedPoint(
+          t(s, dir, "embeddings"), "embedding", dims = 64, iters = 4)
+        import s.implicits._
+        axis.toDF("dim", "v").withColumn("dim", col("dim").cast("int"))
+          .orderBy("dim")
+      },
+      Some("""
+        WITH w AS (
+          SELECT vec_id, i, CAST(floor(e * 1048576) AS BIGINT) AS w
+          FROM (SELECT vec_id, unnest(embedding) AS e,
+                  generate_subscripts(embedding, 1) AS i
+                FROM embeddings)),
+        nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS HUGEINT) AS n FROM w),
+        sums AS (SELECT i, CAST(SUM(w) AS HUGEINT) AS s FROM w GROUP BY 1),
+        prods AS (
+          SELECT a.i AS i, b.i AS j, CAST(SUM(a.w * b.w) AS HUGEINT) AS p
+          FROM w a JOIN w b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        c AS (
+          SELECT p.i, p.j, nn.n * p.p - sa.s * sb.s AS c
+          FROM prods p
+          JOIN sums sa ON sa.i = p.i
+          JOIN sums sb ON sb.i = p.j
+          CROSS JOIN nn),
+        v0 AS (SELECT i, CAST(1024 AS HUGEINT) AS v FROM sums),
+        u1 AS (SELECT c.i, SUM(c.c * v0.v) AS u FROM c
+               JOIN v0 ON v0.i = c.j GROUP BY 1),
+        v1 AS (SELECT i, (u * 1024 - (((u * 1024) % m + m) % m)) // m AS v
+               FROM (SELECT i, u,
+                 GREATEST(MAX(ABS(u)) OVER (), 1) AS m FROM u1)),
+        u2 AS (SELECT c.i, SUM(c.c * v1.v) AS u FROM c
+               JOIN v1 ON v1.i = c.j GROUP BY 1),
+        v2 AS (SELECT i, (u * 1024 - (((u * 1024) % m + m) % m)) // m AS v
+               FROM (SELECT i, u,
+                 GREATEST(MAX(ABS(u)) OVER (), 1) AS m FROM u2)),
+        u3 AS (SELECT c.i, SUM(c.c * v2.v) AS u FROM c
+               JOIN v2 ON v2.i = c.j GROUP BY 1),
+        v3 AS (SELECT i, (u * 1024 - (((u * 1024) % m + m) % m)) // m AS v
+               FROM (SELECT i, u,
+                 GREATEST(MAX(ABS(u)) OVER (), 1) AS m FROM u3)),
+        u4 AS (SELECT c.i, SUM(c.c * v3.v) AS u FROM c
+               JOIN v3 ON v3.i = c.j GROUP BY 1),
+        v4 AS (SELECT i, (u * 1024 - (((u * 1024) % m + m) % m)) // m AS v
+               FROM (SELECT i, u,
+                 GREATEST(MAX(ABS(u)) OVER (), 1) AS m FROM u4))
+        SELECT CAST(i AS INTEGER) AS dim, CAST(v AS BIGINT) AS v
+        FROM v4 ORDER BY 1""")),
+
     // ---- brute-force cosine top-k (the exactness baseline) ----------------
     Q("q40_cosine_topk",
       (s, dir) => {
