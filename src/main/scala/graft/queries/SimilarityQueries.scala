@@ -204,6 +204,80 @@ object SimilarityQueries {
         SELECT CAST(i AS INTEGER) AS dim, CAST(v AS BIGINT) AS v
         FROM v4 ORDER BY 1""")),
 
+    // ---- MMR diversification over a bounded candidate pool ----------------
+    // Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    // top-50 brute-force candidates for query vec 0, then the greedy
+    // λ·rel − (1−λ)·max-sim-to-selected pick of 5, run through the BATCH
+    // path (one shuffle on query_id, greedy row-local in mapGroups). The
+    // oracle unrolls the five greedy steps as CTEs with the same left-fold
+    // dots and the same `1.0 − 0.7` penalty expression, so scores match
+    // bit-for-bit — the greedy's argmax order is thereby hash-verified,
+    // not just its final membership.
+    Q("q228_mmr_diversify",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        val e = t(s, dir, "embeddings")
+        val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val cand = e.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= 0)
+          .withColumn("rel",
+            dot("embedding", "qv") / (norm("embedding") * norm("qv")))
+          .orderBy(desc("rel"), col("vec_id")).limit(50)
+          .select(lit(0L).as("query_id"), col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"), col("rel"))
+        graft.ml.Mmr.diversifyBatch(cand, k = 5, lam = 0.7)
+          .orderBy("rank")
+      },
+      Some {
+        def sim(c: String, sa: String) =
+          s"(list_reduce(list_transform(range(1, 65), i -> " +
+            s"CAST($c.embedding[i] AS DOUBLE) * CAST($sa.embedding[i] AS DOUBLE)), " +
+            s"(x, y) -> x + y) / ($c.nrm * $sa.nrm))"
+        s"""
+        WITH q AS (
+          SELECT embedding AS qv, ${normSql("embedding")} AS q_nrm
+          FROM embeddings WHERE vec_id = 0),
+        cand AS (
+          SELECT vec_id, embedding, nrm, rel FROM (
+            SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+              $dotSql / (${normSql("embedding")} * q_nrm) AS rel
+            FROM embeddings, q WHERE vec_id <> 0)
+          ORDER BY rel DESC, vec_id LIMIT 50),
+        s1 AS (SELECT vec_id, embedding, nrm, rel, rel AS score
+               FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+        s2 AS (SELECT c.vec_id, c.embedding, c.nrm, c.rel,
+                 CAST(0.7 AS DOUBLE) * c.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * ${sim("c", "s1")} AS score
+               FROM cand c, s1 WHERE c.vec_id <> s1.vec_id
+               ORDER BY score DESC, c.vec_id LIMIT 1),
+        s3 AS (SELECT c.vec_id, c.embedding, c.nrm, c.rel,
+                 CAST(0.7 AS DOUBLE) * c.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) *
+                   GREATEST(${sim("c", "s1")}, ${sim("c", "s2")}) AS score
+               FROM cand c, s1, s2
+               WHERE c.vec_id NOT IN (s1.vec_id, s2.vec_id)
+               ORDER BY score DESC, c.vec_id LIMIT 1),
+        s4 AS (SELECT c.vec_id, c.embedding, c.nrm, c.rel,
+                 CAST(0.7 AS DOUBLE) * c.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) *
+                   GREATEST(${sim("c", "s1")}, ${sim("c", "s2")},
+                     ${sim("c", "s3")}) AS score
+               FROM cand c, s1, s2, s3
+               WHERE c.vec_id NOT IN (s1.vec_id, s2.vec_id, s3.vec_id)
+               ORDER BY score DESC, c.vec_id LIMIT 1),
+        s5 AS (SELECT c.vec_id, c.embedding, c.nrm, c.rel,
+                 CAST(0.7 AS DOUBLE) * c.rel - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) *
+                   GREATEST(${sim("c", "s1")}, ${sim("c", "s2")},
+                     ${sim("c", "s3")}, ${sim("c", "s4")}) AS score
+               FROM cand c, s1, s2, s3, s4
+               WHERE c.vec_id NOT IN (s1.vec_id, s2.vec_id, s3.vec_id, s4.vec_id)
+               ORDER BY score DESC, c.vec_id LIMIT 1)
+        SELECT * FROM (
+          SELECT CAST(0 AS BIGINT) AS query_id, 1 AS "rank", vec_id, score FROM s1
+          UNION ALL SELECT 0, 2, vec_id, score FROM s2
+          UNION ALL SELECT 0, 3, vec_id, score FROM s3
+          UNION ALL SELECT 0, 4, vec_id, score FROM s4
+          UNION ALL SELECT 0, 5, vec_id, score FROM s5)
+        ORDER BY "rank""""
+      }),
+
     // ---- brute-force cosine top-k (the exactness baseline) ----------------
     Q("q40_cosine_topk",
       (s, dir) => {
