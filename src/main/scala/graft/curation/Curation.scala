@@ -387,6 +387,62 @@ object Curation {
       .orderBy(strataCol, "seq", "seg_start")
   }
 
+  /** Best-fit-decreasing bin packing — the "Fewer Truncations Improve
+    * Language Modeling" discipline (Ding et al., 2024): pack documents
+    * WHOLE into fixed-capacity training bins, so sequences aren't
+    * truncated mid-document the way greedy chain-packing truncates them.
+    * BFD sorts items by length descending and places each into the
+    * fullest bin that still fits (guaranteed ≤ 11/9·OPT + 1 bins).
+    *
+    * Distributed form: BFD is sequential, so the corpus first splits into
+    * `buckets` INDEPENDENT md5-hash buckets and each bucket runs its own
+    * row-local BFD inside `flatMapGroups` — bins never span buckets (the
+    * documented approximation; with iid length distributions per bucket
+    * the efficiency loss is marginal, and bucket count scales with the
+    * cluster, not the corpus). Only (id, n) longs shuffle; text stays on
+    * the scan side. Docs longer than `capacity` are dropped here — chunk
+    * them upstream (packSegments) first.
+    *
+    * Determinism contract (what the DuckDB oracle replays step by step
+    * with a recursive CTE): items in (n DESC, id ASC) order; the chosen
+    * bin is the FIRST bin index holding the smallest residual ≥ n; a new
+    * bin opens at index (#bins + 1) when none fits.
+    */
+  def packBinsBfd(docs: DataFrame, capacity: Long = 128L, buckets: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(capacity >= 1, s"capacity must be positive: $capacity")
+    require(buckets >= 1, s"buckets must be positive: $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(
+        (conv(substring(md5(concat(lit("bfd#"), col(idCol))), 1, 2), 16, 10)
+          .cast("int") % buckets).as("bucket"),
+        col(idCol).cast("long").as("id"),
+        size(tokens(col(textCol))).cast("long").as("n"))
+      .filter(col("n") > 0 && col("n") <= capacity)
+      .as[(Int, Long, Long)]
+    base.groupByKey(_._1)
+      .flatMapGroups { (bucket, it) =>
+        val items = it.map(r => (r._2, r._3)).toArray
+        // n DESC, id ASC — the canonical FFD/BFD order, and the oracle's
+        java.util.Arrays.sort(items, Ordering.by((p: (Long, Long)) => (-p._2, p._1)))
+        val resid = scala.collection.mutable.ArrayBuffer.empty[Long]
+        items.iterator.map { case (id, n) =>
+          var best = -1
+          var i = 0
+          while (i < resid.length) {
+            // strict < keeps the FIRST index among equal residuals
+            if (resid(i) >= n && (best < 0 || resid(i) < resid(best))) best = i
+            i += 1
+          }
+          if (best < 0) { resid += (capacity - n); best = resid.length - 1 }
+          else resid(best) -= n
+          (bucket, id, (best + 1).toLong)
+        }
+      }
+      .toDF("bucket", "doc_id", "bin")
+  }
+
   /** Greedy token-budget sampling: per stratum, documents are taken whole
     * in the deterministic md5(id) order until the running token count
     * would exceed `budgetTokens` — the "sample N tokens per source" step

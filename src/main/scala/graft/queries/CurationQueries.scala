@@ -1941,6 +1941,56 @@ object CurationQueries {
           WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
         SELECT o_custkey, o_orderstatus, o_orderpriority, valid_from, valid_to,
           (valid_to IS NULL) AS is_current, version
-        FROM v ORDER BY o_custkey, version"""))
+        FROM v ORDER BY o_custkey, version""")),
+
+    // ---- best-fit-decreasing bin packing (Fewer Truncations, Ding 2024) ---
+    // Documents pack WHOLE into capacity-128 bins, BFD order, inside 4
+    // independent md5 buckets (the distributed approximation — bins never
+    // span buckets). The oracle replays the greedy EXACTLY with a recursive
+    // CTE that carries each bucket's bin-residual list through the
+    // (n DESC, id ASC) item sequence — so the full per-doc bin ASSIGNMENT
+    // is hash-verified, not just bin counts. Chain-packing (q120/q160)
+    // splits documents across sequence boundaries; this is the
+    // no-truncation alternative, trading a little fill for intact docs.
+    Q("q229_bfd_pack",
+      (s, dir) => graft.curation.Curation
+        .packBinsBfd(t(s, dir, "documents"), capacity = 128L, buckets = 4)
+        .orderBy("bucket", "bin", "doc_id"),
+      Some(s"""
+        WITH RECURSIVE base AS (
+          SELECT CAST('0x' || substr(md5('bfd#' || CAST(doc_id AS VARCHAR)), 1, 2)
+                   AS INTEGER) % 4 AS bucket,
+                 doc_id, CAST(len($duckTokens) AS BIGINT) AS n
+          FROM documents),
+        d AS (
+          SELECT bucket, doc_id, n,
+            ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n DESC, doc_id) AS rk
+          FROM base WHERE n > 0 AND n <= 128),
+        steps AS (
+          SELECT bucket, CAST(0 AS BIGINT) AS rk, CAST([] AS BIGINT[]) AS resid,
+                 CAST([] AS BIGINT[]) AS bins, CAST([] AS BIGINT[]) AS ids
+          FROM (SELECT DISTINCT bucket FROM d)
+          UNION ALL
+          SELECT s.bucket, d.rk,
+            CASE WHEN list_min(list_filter(s.resid, r -> r >= d.n)) IS NULL
+                 THEN list_append(s.resid, 128 - d.n)
+                 ELSE list_transform(generate_series(1, len(s.resid)),
+                   i -> CASE WHEN i = list_position(s.resid,
+                          list_min(list_filter(s.resid, r -> r >= d.n)))
+                        THEN s.resid[i] - d.n ELSE s.resid[i] END)
+            END AS resid,
+            list_append(s.bins,
+              CASE WHEN list_min(list_filter(s.resid, r -> r >= d.n)) IS NULL
+                   THEN len(s.resid) + 1
+                   ELSE CAST(list_position(s.resid,
+                     list_min(list_filter(s.resid, r -> r >= d.n))) AS BIGINT)
+              END) AS bins,
+            list_append(s.ids, d.doc_id) AS ids
+          FROM steps s JOIN d ON d.bucket = s.bucket AND d.rk = s.rk + 1)
+        SELECT s.bucket, unnest(s.ids) AS doc_id, unnest(s.bins) AS bin
+        FROM steps s
+        JOIN (SELECT bucket, MAX(rk) AS mr FROM steps GROUP BY 1) m
+          ON s.bucket = m.bucket AND s.rk = m.mr
+        ORDER BY 1, 3, 2"""))
   )
 }
