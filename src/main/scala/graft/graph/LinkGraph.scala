@@ -69,6 +69,60 @@ object LinkGraph {
     ranks
   }
 
+  /** Integer-exact HITS (Kleinberg 1999): mutually-recursive hub and
+    * authority scores over the same edge frame as [[pagerank]].
+    *
+    * Recurrence per round (both engines implement it verbatim):
+    *   auth(v) = Σ_{u→v} hub(u),  rescaled to max |auth| = `scale`
+    *   hub(u)  = Σ_{u→v} auth(v), rescaled to max |hub|  = `scale`
+    * with rescale(x) = floordiv(scale·x, max(1, max|x|)) — floor division
+    * keeps every value integral, so results are bit-stable across
+    * partitionings. Nodes with no in-links (resp. out-links) hold score 0
+    * after the first round.
+    *
+    * Scale: per round exactly TWO narrow aggregates (sum of longs keyed by
+    * dst, then by src) over the once-partitioned edge frame; the score
+    * frame is two long columns. The rescale max is a scalar aggregate —
+    * collected, it is ONE long (not a data-sized pull).
+    */
+  def hits(edges: DataFrame, iters: Int, scale: Long): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    require(scale >= 2L, s"scale too small: $scale")
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node_id"))
+      .union(e.select(col("dst").as("node_id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var hub = nodes.withColumn("h", lit(scale))
+    var auth = nodes.withColumn("a", lit(0L))
+    for (i <- 1 to iters) {
+      val aSums = e.join(hub, e("src") === hub("node_id"))
+        .groupBy("dst").agg(sum("h").as("a_raw"))
+      auth = rescaled(nodes, aSums, "dst", "a_raw", "a", scale)
+      if (i < iters) auth = auth.localCheckpoint(eager = true)
+      val hSums = e.join(auth, e("dst") === auth("node_id"))
+        .groupBy("src").agg(sum("a").as("h_raw"))
+      hub = rescaled(nodes, hSums, "src", "h_raw", "h", scale)
+      if (i < iters) hub = hub.localCheckpoint(eager = true)
+    }
+    nodes.join(hub, "node_id").join(auth, "node_id")
+      .select(col("node_id"), col("h").as("hub"), col("a").as("auth"))
+  }
+
+  /** floordiv(scale·x, max(1, max|x|)) over a sparse sum frame, densified
+    * to every node (missing = 0). All values non-negative here, so `div`
+    * (truncating) IS floor.
+    */
+  private def rescaled(nodes: DataFrame, sums: DataFrame, keyCol: String,
+      rawCol: String, outCol: String, scale: Long): DataFrame = {
+    val m = sums.agg(greatest(max(abs(col(rawCol))), lit(1L)))
+      .collect()(0).getLong(0)
+    nodes.join(sums, nodes("node_id") === sums(keyCol), "left")
+      .select(nodes("node_id"),
+        expr(s"($scale * coalesce($rawCol, 0L)) div $m").as(outCol))
+  }
+
   /** Incoming anchor-text aggregation: for each link target, the in-link
     * count and the `cap` lexicographically-smallest DISTINCT anchors.
     *

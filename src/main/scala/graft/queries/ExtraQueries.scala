@@ -1467,6 +1467,68 @@ object ExtraQueries {
               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM ev JOIN med ON ev.event_type = med.event_type
                 JOIN mad ON ev.event_type = mad.event_type
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- per-group OLS trend line (exact normal equations) -----------------
+    // slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) per event type, x = epoch
+    // day, y = micros. The moments accumulate as DECIMAL(38,0)/HUGEINT —
+    // integer-exact and order-independent, so one distributed aggregate is
+    // all the data movement — and only the FINAL ratio drops to double,
+    // through the string round-trip both engines parse correctly-rounded
+    // (the Qx.d2d discipline; a direct wide-decimal→double cast rounds
+    // twice in DuckDB). r² derives from the same exact moments.
+    Q("q231_ols_trend",
+      (s, dir) => {
+        val d38 = "decimal(38,0)"
+        val ev = t(s, dir, "events").select(
+          col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("x"),
+          floor(col("value") * 1000000L).cast("long").as("y"))
+        ev.groupBy("event_type")
+          .agg(
+            count(lit(1)).cast(d38).as("n"),
+            sum(col("x").cast(d38)).as("sx"),
+            sum(col("y").cast(d38)).as("sy"),
+            sum((col("x") * col("y")).cast(d38)).as("sxy"),
+            sum((col("x") * col("x")).cast(d38)).as("sxx"),
+            sum((col("y").cast(d38) * col("y").cast(d38))).as("syy"))
+          .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+          .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+          .withColumn("deny", col("n") * col("syy") - col("sy") * col("sy"))
+          .filter(col("den") =!= 0)
+          .select(col("event_type"), col("n").cast("long").as("n"),
+            (d2d(col("num")) / d2d(col("den"))).as("slope"),
+            (d2d(col("num")) * d2d(col("num")) /
+              (d2d(col("den")) * d2d(col("deny")))).as("r2"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type,
+            CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+            CAST(floor(value * 1000000) AS BIGINT) AS y
+          FROM events),
+        m AS (
+          SELECT event_type,
+            CAST(COUNT(*) AS HUGEINT) AS n,
+            CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+            CAST(SUM(x * y) AS HUGEINT) AS sxy,
+            CAST(SUM(x * x) AS HUGEINT) AS sxx,
+            SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+          FROM ev GROUP BY 1),
+        t2 AS (
+          SELECT event_type, n,
+            n * sxy - sx * sy AS num,
+            n * sxx - sx * sx AS den,
+            n * syy - sy * sy AS deny
+          FROM m)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+          CAST(CAST(num AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS slope,
+          CAST(CAST(num AS VARCHAR) AS DOUBLE) * CAST(CAST(num AS VARCHAR) AS DOUBLE)
+            / (CAST(CAST(den AS VARCHAR) AS DOUBLE)
+               * CAST(CAST(deny AS VARCHAR) AS DOUBLE)) AS r2
+        FROM t2 WHERE den <> 0 ORDER BY 1"""))
   )
 }

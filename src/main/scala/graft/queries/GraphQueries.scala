@@ -99,6 +99,46 @@ object GraphQueries {
         SELECT node_id AS doc_id, CAST(pr AS BIGINT) AS pr
         FROM r3 ORDER BY 1""")),
 
+    // ---- HITS hub/authority (integer-exact, 2 rounds) ----------------------
+    // Kleinberg's mutual recursion over the same derived graph: per-source
+    // hubs accumulate authority from the chain structure; the floordiv
+    // rescale (max → 1024) keeps every score integral so both engines
+    // match hash-exact. Two narrow long-keyed aggregates per round.
+    Q("q230_hits",
+      (s, dir) => LinkGraph.hits(
+        docLinks(s, dir).select("src", "dst"), iters = 2, scale = 1024L)
+        .orderBy("node_id"),
+      Some(s"""
+        WITH $edgeSql,
+        e AS (SELECT src, dst FROM edges),
+        nodes AS (SELECT DISTINCT src AS node_id FROM e
+                  UNION SELECT dst FROM e),
+        h0 AS (SELECT node_id, CAST(1024 AS BIGINT) AS h FROM nodes),
+        a1r AS (SELECT e.dst, SUM(h0.h) AS r FROM e
+                JOIN h0 ON h0.node_id = e.src GROUP BY 1),
+        a1 AS (SELECT n.node_id, (1024 * COALESCE(x.r, 0)) // m.m AS a
+               FROM nodes n LEFT JOIN a1r x ON n.node_id = x.dst
+               CROSS JOIN (SELECT GREATEST(MAX(ABS(r)), 1) AS m FROM a1r) m),
+        h1r AS (SELECT e.src, SUM(a1.a) AS r FROM e
+                JOIN a1 ON a1.node_id = e.dst GROUP BY 1),
+        h1 AS (SELECT n.node_id, (1024 * COALESCE(x.r, 0)) // m.m AS h
+               FROM nodes n LEFT JOIN h1r x ON n.node_id = x.src
+               CROSS JOIN (SELECT GREATEST(MAX(ABS(r)), 1) AS m FROM h1r) m),
+        a2r AS (SELECT e.dst, SUM(h1.h) AS r FROM e
+                JOIN h1 ON h1.node_id = e.src GROUP BY 1),
+        a2 AS (SELECT n.node_id, (1024 * COALESCE(x.r, 0)) // m.m AS a
+               FROM nodes n LEFT JOIN a2r x ON n.node_id = x.dst
+               CROSS JOIN (SELECT GREATEST(MAX(ABS(r)), 1) AS m FROM a2r) m),
+        h2r AS (SELECT e.src, SUM(a2.a) AS r FROM e
+                JOIN a2 ON a2.node_id = e.dst GROUP BY 1),
+        h2 AS (SELECT n.node_id, (1024 * COALESCE(x.r, 0)) // m.m AS h
+               FROM nodes n LEFT JOIN h2r x ON n.node_id = x.src
+               CROSS JOIN (SELECT GREATEST(MAX(ABS(r)), 1) AS m FROM h2r) m)
+        SELECT h2.node_id, CAST(h2.h AS BIGINT) AS hub,
+               CAST(a2.a AS BIGINT) AS auth
+        FROM h2 JOIN a2 ON h2.node_id = a2.node_id
+        ORDER BY 1""")),
+
     // ---- incoming anchor-text aggregation ---------------------------------
     Q("q225_anchor_text",
       (s, dir) =>

@@ -204,6 +204,36 @@ object SimilarityQueries {
         SELECT CAST(i AS INTEGER) AS dim, CAST(v AS BIGINT) AS v
         FROM v4 ORDER BY 1""")),
 
+    // ---- Johnson-Lindenstrauss sign-projection sketch ----------------------
+    // 64-dim embeddings compress to 16 integer sketch dims via the
+    // content-addressed ±1 matrix (md5 parity — both engines derive it
+    // independently, nothing is stored or shipped). Inputs quantize to
+    // floor(e·2^20) so the sketch is integer-exact and hash-verified.
+    // Long output format (vec_id, j, y) keeps the oracle a plain
+    // join-aggregate instead of a 16-way pivot.
+    Q("q232_jl_sketch",
+      (s, dir) => graft.ml.RandomProjection
+        .sketch(t(s, dir, "embeddings"), "embedding", dims = 64, outDims = 16)
+        .select(col("vec_id"), posexplode(col("jl")).as(Seq("j", "y")))
+        .withColumn("j", col("j").cast("int"))
+        .orderBy("vec_id", "j"),
+      Some("""
+        WITH w AS (
+          SELECT vec_id, i, CAST(floor(e * 1048576) AS BIGINT) AS w
+          FROM (SELECT vec_id, unnest(embedding) AS e,
+                  generate_subscripts(embedding, 1) AS i
+                FROM embeddings)),
+        signs AS (
+          SELECT i.i, j.j,
+            CASE WHEN CAST('0x' || substr(md5('jl#' || CAST(i.i - 1 AS VARCHAR)
+                   || '#' || CAST(j.j AS VARCHAR)), 1, 1) AS INTEGER) % 2 = 0
+                 THEN 1 ELSE -1 END AS s
+          FROM generate_series(1, 64) i(i), generate_series(0, 15) j(j))
+        SELECT w.vec_id, CAST(signs.j AS INTEGER) AS j,
+          CAST(SUM(w.w * signs.s) AS BIGINT) AS y
+        FROM w JOIN signs ON signs.i = w.i
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- MMR diversification over a bounded candidate pool ----------------
     // Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
     // top-50 brute-force candidates for query vec 0, then the greedy

@@ -34,6 +34,19 @@ class LinkGraphSpec extends SparkSpec {
     assert(r(2L) === 277L)
   }
 
+  test("hits separates hubs from authorities on the hand graph") {
+    val out = LinkGraph.hits(Seq((1L, 3L), (2L, 3L)).toDF("src", "dst"),
+      iters = 2, scale = 1024L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 1 and 2 are pure hubs, 3 is the pure authority
+    assert(out === Set((1L, 1024L, 0L), (2L, 1024L, 0L), (3L, 0L, 1024L)))
+    val chain = LinkGraph.hits(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"),
+      iters = 2, scale = 1024L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // middle node is both hub and authority at full weight
+    assert(chain === Set((1L, 1024L, 0L), (2L, 1024L, 1024L), (3L, 0L, 1024L)))
+  }
+
   test("anchorsByTarget caps at the lexicographically smallest distinct") {
     val e = Seq(
       (1L, 9L, "zeta"), (2L, 9L, "alpha"), (3L, 9L, "midway"),
