@@ -315,6 +315,47 @@ object Curation {
       .orderBy(strataCol, "rk")
   }
 
+  /** Deterministic probability-proportional-to-size sampling (systematic
+    * PPS — Madow 1949): per stratum, draw `k` grid points evenly spaced
+    * through the cumulative-weight line (offset half a step, the
+    * midpoint rule) over items laid out in content-addressed md5(id)
+    * order; an item is drawn once per grid point inside its weight
+    * interval, so inclusion probability is EXACTLY k·w/Σw for items
+    * with w ≤ Σw/k (heavier items can be drawn multiple times — `hits`
+    * reports the multiplicity honestly instead of silently truncating).
+    *
+    * Everything is integer: with T = Σw per stratum, the number of grid
+    * points strictly below cumulative position x is
+    * count(x) = (2k·x + T − 1) div (2T), and hits = count(cum) −
+    * count(cum − w) — floor division on non-negative operands, so
+    * Spark's `div` and DuckDB's `//` agree and the draw is bit-stable
+    * across engines, partitionings and retries.
+    *
+    * 100 TB shape: the layout is [[cumsumByStratum]]'s two-pass
+    * distributed cumsum over narrow (stratum, id, w) triples; the totals
+    * frame is one row per stratum (broadcast join); no stratum ever
+    * funnels through a single task and nothing but longs shuffles.
+    */
+  def systematicPpsSample(counted: DataFrame, k: Int,
+      strataCol: String = "lang", idCol: String = "doc_id",
+      wCol: String = "w"): DataFrame = {
+    require(k >= 1, s"sample size must be positive: $k")
+    val c = cumsumByStratum(
+      counted.select(col(strataCol), col(idCol), col(wCol).cast("long").as(wCol))
+        .filter(col(wCol) > 0),
+      strataCol, idCol, wCol)
+    val totals = c.groupBy(strataCol)
+      .agg(sum(col(wCol)).cast("long").as("_tot"))
+    c.join(broadcast(totals), Seq(strataCol))
+      .withColumn("_hi", expr(s"(2 * $k * cum + _tot - 1) div (2 * _tot)"))
+      .withColumn("_lo",
+        expr(s"(2 * $k * (cum - $wCol) + _tot - 1) div (2 * _tot)"))
+      .withColumn("hits", col("_hi") - col("_lo"))
+      .filter(col("hits") > 0)
+      .select(col(strataCol), col(idCol), col(wCol).as("w"),
+        col("hits").cast("long").as("hits"))
+  }
+
   /** Deterministic training-shard packing: per stratum, documents are
     * laid out in md5(id) order and a shard boundary falls every
     * `tokensPerShard` tokens of running offset (a doc belongs to the

@@ -1991,6 +1991,37 @@ object CurationQueries {
         FROM steps s
         JOIN (SELECT bucket, MAX(rk) AS mr FROM steps GROUP BY 1) m
           ON s.bucket = m.bucket AND s.rk = m.mr
-        ORDER BY 1, 3, 2"""))
+        ORDER BY 1, 3, 2""")),
+
+    // ---- systematic PPS sampling (Madow): k=20 per lang, weight = chars ----
+    // Exact probability-proportional-to-size draw with zero randomness
+    // state: items lie on the cumulative-weight line in md5(id) order and
+    // k midpoint grid points select them — inclusion probability exactly
+    // k·w/Σw, multiplicity reported as `hits`. Pure integer grid counting
+    // ((2k·x + T−1) div 2T), so both engines agree bit-for-bit.
+    Q("q234_pps_sample",
+      (s, dir) => graft.curation.Curation.systematicPpsSample(
+        t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"), col("n_chars").as("w")),
+        k = 20, strataCol = "lang", idCol = "doc_id", wCol = "w")
+        .orderBy("lang", "doc_id"),
+      Some("""
+        WITH d AS (
+          SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w
+          FROM documents WHERE n_chars > 0),
+        c AS (
+          SELECT lang, doc_id, w,
+            SUM(w) OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM d),
+        tt AS (SELECT lang, CAST(SUM(w) AS HUGEINT) AS tot FROM d GROUP BY 1),
+        h AS (
+          SELECT c.lang, c.doc_id, c.w,
+            (2 * 20 * c.cum + tt.tot - 1) // (2 * tt.tot)
+              - (2 * 20 * (c.cum - c.w) + tt.tot - 1) // (2 * tt.tot) AS hits
+          FROM c JOIN tt ON c.lang = tt.lang)
+        SELECT lang, doc_id, w, CAST(hits AS BIGINT) AS hits
+        FROM h WHERE hits > 0 ORDER BY lang, doc_id"""))
   )
 }
