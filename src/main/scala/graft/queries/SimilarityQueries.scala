@@ -355,6 +355,89 @@ object SimilarityQueries {
         FROM b, q WHERE bucket = qbucket AND vec_id <> 0
         ORDER BY sim DESC, vec_id LIMIT 5""")),
 
+    // ---- NDCG@10: graded retrieval quality of the LSH path ----------------
+    // Recall (q134/q149) counts hits; NDCG grades WHERE they land. Ideal =
+    // brute-force top-10 with gain 11−rank; system = the q41 sign-LSH
+    // ranking; NDCG = Σ gain_sys(r)·D_r / Σ gain_ideal(r)·D_r. The log2
+    // discounts are pre-scaled integer literals D_r = round(2^32/log2(r+1))
+    // baked into BOTH engines — summing exact longs sidesteps libm log2
+    // ulp drift and float accumulation order; only the final ratio is a
+    // double (one division, deterministic).
+    Q("q233_ndcg",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        import org.apache.spark.sql.expressions.Window
+        val discount = typedLit(Seq(4294967296L, 2709822658L, 2147483648L,
+          1849741732L, 1661520155L, 1529898219L, 1431655765L, 1354911329L,
+          1292913986L, 1241523975L))
+        val e = t(s, dir, "embeddings")
+          .withColumn("bucket", bucket("embedding"))
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+        val w = Window.orderBy(desc("sim"), col("vec_id"))
+        val ideal = e.crossJoin(broadcast(qv)).filter(col("vec_id") =!= 0)
+          .withColumn("sim",
+            dot("embedding", "qv") / (norm("embedding") * norm("qv")))
+          .orderBy(desc("sim"), col("vec_id")).limit(10)
+          .withColumn("rnk", row_number().over(w))
+          .select(col("vec_id"), (lit(11L) - col("rnk")).as("gain"),
+            col("rnk").as("ideal_rnk"))
+        val sys = e.join(broadcast(qv), col("bucket") === col("qbucket"))
+          .filter(col("vec_id") =!= 0)
+          .withColumn("sim",
+            dot("embedding", "qv") / (norm("embedding") * norm("qv")))
+          .orderBy(desc("sim"), col("vec_id")).limit(10)
+          .withColumn("rnk", row_number().over(w))
+          .select(col("vec_id"), col("rnk"))
+        val dcgSys = sys.join(ideal.select("vec_id", "gain"), Seq("vec_id"), "left")
+          .select(sum(coalesce(col("gain"), lit(0L)) *
+            element_at(discount, col("rnk"))).as("dcg_sys"))
+        val dcgIdeal = ideal
+          .select(sum(col("gain") * element_at(discount, col("ideal_rnk")))
+            .as("dcg_ideal"))
+        dcgSys.crossJoin(dcgIdeal)
+          .select(lit(10).as("k"), col("dcg_sys"), col("dcg_ideal"),
+            (col("dcg_sys").cast("double") / col("dcg_ideal").cast("double"))
+              .as("ndcg"))
+      },
+      Some(s"""
+        WITH disc AS (
+          SELECT * FROM (VALUES (1, 4294967296), (2, 2709822658),
+            (3, 2147483648), (4, 1849741732), (5, 1661520155),
+            (6, 1529898219), (7, 1431655765), (8, 1354911329),
+            (9, 1292913986), (10, 1241523975)) AS t(rnk, d)),
+        b AS (
+          SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+          FROM embeddings),
+        q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
+        ideal AS (
+          SELECT vec_id, 11 - CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id)
+              AS BIGINT) AS gain,
+            CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS INT) AS ideal_rnk
+          FROM (
+            SELECT vec_id,
+              $dotSql / (${normSql("embedding")} * ${normSql("qv")}) AS sim
+            FROM b, q WHERE vec_id <> 0
+            ORDER BY sim DESC, vec_id LIMIT 10)),
+        sys AS (
+          SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id)
+              AS INT) AS rnk
+          FROM (
+            SELECT vec_id,
+              $dotSql / (${normSql("embedding")} * ${normSql("qv")}) AS sim
+            FROM b, q WHERE bucket = qbucket AND vec_id <> 0
+            ORDER BY sim DESC, vec_id LIMIT 10)),
+        ds AS (
+          SELECT CAST(SUM(COALESCE(i.gain, 0) * d.d) AS BIGINT) AS dcg_sys
+          FROM sys LEFT JOIN ideal i ON sys.vec_id = i.vec_id
+          JOIN disc d ON d.rnk = sys.rnk),
+        di AS (
+          SELECT CAST(SUM(gain * d.d) AS BIGINT) AS dcg_ideal
+          FROM ideal JOIN disc d ON d.rnk = ideal.ideal_rnk)
+        SELECT 10 AS k, dcg_sys, dcg_ideal,
+          CAST(dcg_sys AS DOUBLE) / CAST(dcg_ideal AS DOUBLE) AS ndcg
+        FROM ds, di""")),
+
     // ---- embedding near-dup: exact copies planted, found via buckets ------
     // Corpus ∪ copies of every 50th vector; pairs from the same sign bucket
     // with cosine >= 0.999 are reported (the planted copies give sim = 1).

@@ -337,6 +337,7 @@ object TextQueries {
   val all: Seq[Q] = Seq(
 
     q226,
+    q235,
 
     // ---- exact dedup: hash-groupBy over normalized text -------------------
     Q("q31_dedup_exact",
@@ -1438,6 +1439,61 @@ object TextQueries {
   // near-dups/copies from chance overlap. The oracle IS the quadratic form
   // (ground truth at verify scale), so a green row proves the filter's
   // zero-false-negative property on real data, not just on a fixture.
+  // ---- cross-source fingerprint-overlap matrix ---------------------------
+  // Corpus-prep diagnostic: for every source pair, how many DISTINCT
+  // 3-gram shingle fingerprints they share, plus the containment
+  // coefficient shared/min(|a|,|b|) — the "is source X just a mirror of
+  // source Y" report that decides dedup scope before the expensive
+  // near-dup passes run. Scale: the join is keyed by fingerprint over
+  // DISTINCT (source, h) pairs, so a boilerplate shingle contributes at
+  // most #sources rows — pair fan-out is bounded by sources², never by
+  // corpus size; text never leaves its scan stage (the 60-bit hash does).
+  private lazy val q235: Q = Q("q235_source_overlap",
+    (s, dir) => {
+      graft.text.TextSketch.register(s)
+      val sh = t(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.text.TextSketch.shingleHashSet(col("text"), 3)).as("h"))
+        .distinct()
+      val counts = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val pairs = sh.toDF("source_a", "h")
+        .join(sh.toDF("source_b", "h"), "h")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("shared"))
+      pairs
+        .join(counts.toDF("source_a", "na"), "source_a")
+        .join(counts.toDF("source_b", "nb"), "source_b")
+        .select(col("source_a"), col("source_b"), col("shared"),
+          col("na"), col("nb"),
+          (col("shared").cast("double") /
+            least(col("na"), col("nb")).cast("double")).as("containment"))
+        .orderBy("source_a", "source_b")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source, string_split_regex(trim(text), '\s+') AS w
+        FROM documents),
+      sh0 AS (
+        SELECT source, unnest(CASE WHEN len(w) < 3 THEN []
+          ELSE list_transform(generate_series(1, len(w) - 2),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS sgram
+        FROM toks),
+      sh AS (
+        SELECT DISTINCT source,
+          CAST('0x' || substr(md5(sgram), 1, 15) AS BIGINT) AS h
+        FROM sh0),
+      c AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+      p AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT p.source_a, p.source_b, p.shared, ca.n AS na, cb.n AS nb,
+        CAST(p.shared AS DOUBLE) / CAST(LEAST(ca.n, cb.n) AS DOUBLE)
+          AS containment
+      FROM p JOIN c ca ON ca.source = p.source_a
+             JOIN c cb ON cb.source = p.source_b
+      ORDER BY 1, 2"""))
+
   // lazy: referenced from `all` above its declaration point — a plain val
   // would still be null during the object's initializer.
   private lazy val q226: Q = Q("q226_ssjoin_jaccard",
