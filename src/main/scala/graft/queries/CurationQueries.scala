@@ -2022,6 +2022,38 @@ object CurationQueries {
               - (2 * 20 * (c.cum - c.w) + tt.tot - 1) // (2 * tt.tot) AS hits
           FROM c JOIN tt ON c.lang = tt.lang)
         SELECT lang, doc_id, w, CAST(hits AS BIGINT) AS hits
+        FROM h WHERE hits > 0 ORDER BY lang, doc_id""")),
+
+    // ---- the new operators through spark.sql ONLY (q193's discipline) -----
+    // graft_pps_sample is a registered table-valued function, so the SQL
+    // route shares ONE code path (and therefore q234's oracle) with the
+    // Scala entry point — same plan, same hash, zero duplication.
+    Q("q236_sql_pps_sample",
+      (s, dir) => {
+        graft.sql.SqlTableFunctions.register(s)
+        t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"), col("n_chars").as("w"))
+          .createOrReplaceTempView("graft_q236_counted")
+        s.sql("""SELECT * FROM graft_pps_sample('graft_q236_counted', 20)
+                 ORDER BY lang, doc_id""")
+      },
+      Some("""
+        WITH d AS (
+          SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w
+          FROM documents WHERE n_chars > 0),
+        c AS (
+          SELECT lang, doc_id, w,
+            SUM(w) OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM d),
+        tt AS (SELECT lang, CAST(SUM(w) AS HUGEINT) AS tot FROM d GROUP BY 1),
+        h AS (
+          SELECT c.lang, c.doc_id, c.w,
+            (2 * 20 * c.cum + tt.tot - 1) // (2 * tt.tot)
+              - (2 * 20 * (c.cum - c.w) + tt.tot - 1) // (2 * tt.tot) AS hits
+          FROM c JOIN tt ON c.lang = tt.lang)
+        SELECT lang, doc_id, w, CAST(hits AS BIGINT) AS hits
         FROM h WHERE hits > 0 ORDER BY lang, doc_id"""))
   )
 }

@@ -145,13 +145,64 @@ object SqlTableFunctions {
     ).queryExecution.logical
   }
 
+  /** `graft_pagerank(edgesTable[, iters, scale])` — integer-exact
+    * [[graft.graph.LinkGraph.pagerank]] over a (src, dst) table.
+    */
+  private def pagerankPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_pagerank"
+    graft.graph.LinkGraph.pagerank(
+      table(strArg(exprs, 0, fn, "edges table")),
+      iters = intArgOr(exprs, 1, fn, "iterations", 3),
+      scale = intArgOr(exprs, 2, fn, "fixed-point scale", 1000000).toLong
+    ).queryExecution.logical
+  }
+
+  /** `graft_jaccard_join(docsTable[, num, den, textCol, idCol])` — the
+    * prefix-filtered set-similarity join
+    * ([[graft.text.SetSimJoin.jaccardJoin]]) over distinct word sets of
+    * a text column; threshold is the exact rational num/den.
+    */
+  private def jaccardJoinPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_jaccard_join"
+    val docs = table(strArg(exprs, 0, fn, "docs table"))
+    val textCol = strArgOr(exprs, 3, fn, "text column", "text")
+    val idCol = strArgOr(exprs, 4, fn, "id column", "doc_id")
+    graft.text.SetSimJoin.jaccardJoin(
+      docs.select(
+        org.apache.spark.sql.functions.col(idCol).as("id"),
+        org.apache.spark.sql.functions.array_distinct(
+          graft.text.TextFunctions.tokens(
+            org.apache.spark.sql.functions.col(textCol))).as("tokens")),
+      num = intArgOr(exprs, 1, fn, "threshold numerator", 3),
+      den = intArgOr(exprs, 2, fn, "threshold denominator", 5)
+    ).queryExecution.logical
+  }
+
+  /** `graft_pps_sample(countedTable, k[, strataCol, idCol, wCol])` —
+    * [[graft.curation.Curation.systematicPpsSample]] over an
+    * already-counted (strata, id, w) table.
+    */
+  private def ppsSamplePlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_pps_sample"
+    graft.curation.Curation.systematicPpsSample(
+      table(strArg(exprs, 0, fn, "counted table")),
+      k = intArgOr(exprs, 1, fn, "sample size", 20),
+      strataCol = strArgOr(exprs, 2, fn, "strata column", "lang"),
+      idCol = strArgOr(exprs, 3, fn, "id column", "doc_id"),
+      wCol = strArgOr(exprs, 4, fn, "weight column", "w")
+    ).queryExecution.logical
+  }
+
   private def entries: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_chunk_dedup" -> chunkDedupPlan _,
     "graft_bloom_decontaminate" -> bloomDeconPlan _,
     "graft_pack_segments" -> packSegmentsPlan _,
     "graft_bm25" -> bm25Plan _,
     "graft_scd2" -> scd2Plan _,
-    "graft_heavy_hitters" -> heavyHittersPlan _)
+    "graft_heavy_hitters" -> heavyHittersPlan _,
+    "graft_pagerank" -> pagerankPlan _,
+    "graft_jaccard_join" -> jaccardJoinPlan _,
+    "graft_pps_sample" -> ppsSamplePlan _)
 
   /** Session-build injection — called from [[graft.geo.GraftExtensions]]. */
   def inject(ext: SparkSessionExtensions): Unit =

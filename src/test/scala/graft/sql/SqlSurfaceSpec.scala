@@ -108,6 +108,36 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql.map(_.head) == Seq("hot"))
   }
 
+  test("graft_pagerank equals the Scala entry point row for row") {
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    e.createOrReplaceTempView("sql_surface_edges")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_pagerank('sql_surface_edges', 2, 1000) ORDER BY node_id")
+      .collect().map(_.toSeq).toSeq
+    val viaScala = graft.graph.LinkGraph.pagerank(e, 2, 1000L)
+      .orderBy("node_id").collect().map(_.toSeq).toSeq
+    assert(viaSql === viaScala)
+    assert(viaSql.nonEmpty)
+  }
+
+  test("graft_jaccard_join and graft_pps_sample reach their operators") {
+    val d = Seq(
+      (1L, "w x y z"), (2L, "w x y q"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    d.createOrReplaceTempView("sql_surface_jj")
+    val pairs = spark.sql(
+      "SELECT * FROM graft_jaccard_join('sql_surface_jj', 3, 5)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L))) // J = 3/5 exactly at the boundary
+    val counted = Seq(("en", 1L, 5L), ("en", 2L, 5L), ("en", 3L, 5L))
+      .toDF("lang", "doc_id", "w")
+    counted.createOrReplaceTempView("sql_surface_pps")
+    val hits = spark.sql(
+      "SELECT SUM(hits) FROM graft_pps_sample('sql_surface_pps', 2)")
+      .collect()(0).getLong(0)
+    assert(hits === 2L)
+  }
+
   test("misuse fails loudly: non-literal args and missing tables") {
     val ex = intercept[Exception] {
       spark.sql("SELECT * FROM graft_chunk_dedup(doc_id)").collect()
