@@ -32,14 +32,21 @@ object RandomProjection {
     }
   }
 
-  /** Adds column `jl`: array<long> of length `outDims`. */
+  /** Adds column `jl`: array<long> of length `outDims`. The quantized
+    * inputs materialize as an `array(...)` of `dims` FLAT expressions —
+    * deliberately not a `transform(...)` HOF, whose interpreted lambda
+    * would sit in the hot path; everything here stays inside whole-stage
+    * codegen.
+    */
   def sketch(vecs: DataFrame, colName: String, dims: Int,
       outDims: Int): DataFrame = {
     require(dims >= 1 && outDims >= 1 && outDims <= dims,
       s"bad dims: $dims -> $outDims")
     val s = signMatrix(dims, outDims)
-    val w: Column = transform(col(colName).cast("array<double>"),
-      x => floor(x * lit(1048576.0)).cast("long"))
+    val w: Column = array((0 until dims).map { i =>
+      floor(try_element_at(col(colName), lit(i + 1)).cast("double")
+        * lit(1048576.0)).cast("long")
+    }: _*)
     val ys = (0 until outDims).map { j =>
       (0 until dims).map { i =>
         if (s(i)(j) > 0) element_at(col("_jl_w"), i + 1)

@@ -438,4 +438,45 @@ class PlanShapeSpec extends SparkSpec
       assert(a.name.toLowerCase != "text",
         s"document text column '${a.name}' reached an exchange")
   }
+
+  test("q226 set-similarity join: equi-joins only, no window, no cartesian") {
+    val plan = physicalPlan("q226_ssjoin_jaccard")
+    assert(!plan.contains("CartesianProduct"),
+      "prefix filtering must drive equi-joins — a cartesian IS the " +
+        "quadratic enumeration the operator exists to avoid")
+    assert(!plan.contains("Window"), "no global-rank window in the " +
+      "rarity ordering (per-doc struct sort instead)")
+  }
+
+  test("q229 BFD packing shuffles only narrow (bucket, id, n) longs") {
+    val plan = SparkEntry.queries("q229_bfd_pack")(spark, dir)
+      .queryExecution.executedPlan
+    for (e <- collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }; a <- e.output)
+      assert(a.name.toLowerCase != "text",
+        s"document text column '${a.name}' reached the packing exchange")
+  }
+
+  test("q232 JL sketch stays codegen'd: no interpreted HOF lambda") {
+    val plan = physicalPlan("q232_jl_sketch")
+    assert(!plan.contains("lambdafunction"),
+      "the quantize/project path must be flat expressions, not transform()")
+    assert(!plan.contains("Exchange") || plan.contains("rangepartitioning"),
+      "the sketch is projection-only — the only exchange allowed is the " +
+        "final presentation sort")
+  }
+
+  test("q224/q230 graph rounds exchange only long ids and scores") {
+    for (q <- Seq("q224_pagerank", "q230_hits")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan
+      for (e <- collect(plan) {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }; a <- e.output)
+        assert(!a.dataType.typeName.contains("string") || a.name == "anchor",
+          s"$q: string column '${a.name}' reached an exchange — graph " +
+            "rounds must move only longs")
+    }
+  }
 }
