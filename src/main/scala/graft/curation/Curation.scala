@@ -874,6 +874,53 @@ object Curation {
     crossSurprisalPerDoc(target, reference, textCol, idCol, strataCol,
       oovBits).withColumn("score", expr("sb * 1000 div nb"))
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023), the exact-integer
+    * discretization: domains whose mean reference-LM surprisal exceeds
+    * the corpus mean get their mixture weight multiplied UP (they're
+    * under-modeled — the data the next round should see more of), easy
+    * domains get shifted down. One multiplicative-weights round:
+    *
+    *   excess_d = mean_milli(d) − mean_milli(corpus)      (integer milli-bits)
+    *   e_d      = clamp(floor(excess_d / stepMilli), ±maxExp)
+    *   weight_d = 2^(e_d + maxExp)                        (exact shift)
+    *   ppm_d    = floor(10^6 · weight_d / Σ weight)
+    *
+    * The exponent is BUCKETED (multiples of stepMilli milli-bits) so the
+    * update factor stays an exact power of two — no exp()/libm in the
+    * result, which is what lets the DuckDB oracle match hash-for-hash
+    * and makes reweighting runs reproducible across engines. Floor
+    * division on a possibly-negative excess is realized through a
+    * non-negative offset (Spark `div` truncates where DuckDB `//`
+    * floors; on non-negative operands they agree).
+    *
+    * 100 TB shape: input is the per-doc score frame (already narrow);
+    * one groupBy(stratum) aggregate, a one-row global frame and a
+    * one-row weight-total frame broadcast back — nothing here scales
+    * with the corpus, only with #domains.
+    */
+  def domainReweight(scores: DataFrame, strataCol: String = "source",
+      stepMilli: Int = 256, maxExp: Int = 8): DataFrame = {
+    require(stepMilli >= 1, s"stepMilli must be positive: $stepMilli")
+    require(maxExp >= 1 && maxExp <= 20, s"maxExp out of range: $maxExp")
+    val offB = 1048576L // floor-div offset buckets; excess is ≪ step·2^20
+    val per = scores.groupBy(strataCol)
+      .agg(count(lit(1)).as("docs"), sum("score").as("ssum"))
+    val tot = per.agg(sum("docs").as("tdocs"), sum("ssum").as("tsum"))
+    val withExcess = per.crossJoin(broadcast(tot))
+      .withColumn("mean_milli", expr("ssum div docs"))
+      .withColumn("excess_milli", col("mean_milli") - expr("tsum div tdocs"))
+      .withColumn("exp2",
+        greatest(lit(-maxExp.toLong), least(lit(maxExp.toLong),
+          expr(s"(excess_milli + ${stepMilli * offB}L) div $stepMilli") - offB)))
+      .withColumn("weight",
+        expr(s"shiftleft(1L, CAST(exp2 + $maxExp AS INT))"))
+    val wTot = withExcess.agg(sum("weight").as("wsum"))
+    withExcess.crossJoin(broadcast(wTot))
+      .select(col(strataCol), col("docs"), col("mean_milli"),
+        col("excess_milli"), col("exp2"),
+        expr("(1000000 * weight) div wsum").as("weight_ppm"))
+  }
+
   /** The CCNet KEEP action over a scored frame: ids of docs in the HEAD
     * or MIDDLE tercile of their stratum (score <= t2) — the tail is what
     * a CCNet run drops or down-weights. Thresholds are the same discrete

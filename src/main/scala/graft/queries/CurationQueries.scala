@@ -2054,6 +2054,53 @@ object CurationQueries {
               - (2 * 20 * (c.cum - c.w) + tt.tot - 1) // (2 * tt.tot) AS hits
           FROM c JOIN tt ON c.lang = tt.lang)
         SELECT lang, doc_id, w, CAST(hits AS BIGINT) AS hits
-        FROM h WHERE hits > 0 ORDER BY lang, doc_id"""))
+        FROM h WHERE hits > 0 ORDER BY lang, doc_id""")),
+
+    // ---- DoReMi-style domain reweighting (one exact MW round) -------------
+    // Sources whose mean cross-surprisal exceeds the corpus mean are
+    // under-modeled → their mixture weight doubles per stepMilli bucket of
+    // excess (exact powers of two — no exp(), no libm), normalized to ppm
+    // by floor division. The whole update is integer arithmetic over the
+    // q187 score frame, so the oracle replays it to the bit.
+    Q("q237_domain_reweight",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        graft.curation.Curation.domainReweight(
+          graft.curation.Curation.crossSurprisalScores(
+            d.filter(col("doc_id") % 2 === 1),
+            d.filter(col("doc_id") % 2 === 0)),
+          strataCol = "source", stepMilli = 256, maxExp = 8)
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH $crossSurprisalCtes,
+        scored AS (
+          SELECT doc_id, source, (sb * 1000) // nb AS score FROM per_doc),
+        per AS (
+          SELECT source, CAST(COUNT(*) AS HUGEINT) AS docs,
+            CAST(SUM(score) AS HUGEINT) AS ssum
+          FROM scored GROUP BY 1),
+        tot AS (SELECT SUM(docs) AS tdocs, SUM(ssum) AS tsum FROM per),
+        ex AS (
+          SELECT source, docs, ssum // docs AS mean_milli,
+            (ssum // docs) - (tot.tsum // tot.tdocs) AS excess_milli
+          FROM per, tot),
+        e2 AS (
+          SELECT source, docs, mean_milli, excess_milli,
+            GREATEST(-8, LEAST(8,
+              ((excess_milli + 256 * 1048576) // 256) - 1048576)) AS exp2
+          FROM ex),
+        w AS (
+          SELECT source, docs, mean_milli, excess_milli, exp2,
+            CAST((CAST(1 AS BIGINT) << CAST(exp2 + 8 AS INTEGER)) AS HUGEINT)
+              AS weight
+          FROM e2),
+        wt AS (SELECT SUM(weight) AS wsum FROM w)
+        SELECT source, CAST(docs AS BIGINT) AS docs,
+          CAST(mean_milli AS BIGINT) AS mean_milli,
+          CAST(excess_milli AS BIGINT) AS excess_milli,
+          CAST(exp2 AS BIGINT) AS exp2,
+          CAST((1000000 * weight) // wt.wsum AS BIGINT) AS weight_ppm
+        FROM w, wt ORDER BY source"""))
   )
 }

@@ -26,6 +26,14 @@ object GraphQueries {
 
   /** (src, dst, anchor) — anchor is the first 24 chars of the SOURCE
     * doc's text (what a crawler would see as the link's context).
+    *
+    * Scale note: the lead-within-lang window here is DERIVATION-ONLY —
+    * it manufactures a link graph from a corpus that has none, so the
+    * oracle can reconstruct it; its per-lang partitioning would serialize
+    * at 100 TB. The operators under test (pagerank/hits/anchorsByTarget)
+    * take an EDGE TABLE as input — in production the edges arrive
+    * extracted (one row-local pass over documents), and no window exists
+    * anywhere in the operators themselves (plan-asserted).
     */
   private def docLinks(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
