@@ -338,6 +338,7 @@ object TextQueries {
 
     q226,
     q235,
+    q238,
 
     // ---- exact dedup: hash-groupBy over normalized text -------------------
     Q("q31_dedup_exact",
@@ -1493,6 +1494,91 @@ object TextQueries {
       FROM p JOIN c ca ON ca.source = p.source_a
              JOIN c cb ON cb.source = p.source_b
       ORDER BY 1, 2"""))
+
+  // ---- code-switching report: per-SEGMENT language identification --------
+  // Document-level lang-ID (q38/q48) hides mixed-language documents — the
+  // training-data failure mode where a "en" doc carries embedded passages
+  // of something else. Each doc splits into consecutive 10-word segments,
+  // each segment is language-identified independently (the q48 profile
+  // heuristic behind a Generate barrier so every regexp evaluates once),
+  // and the per-true-lang report counts mixed docs and switched segments
+  // (segments disagreeing with the doc's dominant prediction — dominant =
+  // max (count, lang) struct, the deterministic mode). Row-local
+  // featurize/score; only (doc_id, lang, predicted) triples shuffle.
+  private lazy val q238: Q = Q("q238_code_switching",
+    (s, dir) => {
+      val segs = t(s, dir, "documents")
+        .withColumn("w", tokens(col("text")))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(
+            "transform(sequence(0, (size(w) - 1) div 10), " +
+              "i -> array_join(slice(w, i * 10 + 1, 10), ' '))")).as("seg"))
+      val predicted = segs
+        .select(col("doc_id"), col("lang"),
+          graft.text.LanguageId.scoresArray(col("seg")).as("ss0"))
+        .select(col("doc_id"), col("lang"), explode(array(col("ss0"))).as("ss"))
+        .select(col("doc_id"), col("lang"),
+          graft.text.LanguageId.pickFromScores(col("ss")).as("predicted"))
+      val cnts = predicted.groupBy("doc_id", "lang", "predicted")
+        .agg(count(lit(1)).as("c"))
+      val perDoc = cnts.groupBy("doc_id", "lang")
+        .agg(sum("c").as("segments"),
+          count(lit(1)).as("distinct_langs"),
+          max(struct(col("c"), col("predicted"))).as("dom"))
+        .select(col("doc_id"), col("lang"), col("segments"),
+          col("distinct_langs"),
+          (col("segments") - col("dom.c")).as("switched"))
+      perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("distinct_langs") > 1, 1L).otherwise(0L)).as("mixed_docs"),
+          sum("segments").as("segments"),
+          sum("switched").as("switched_segments"))
+        .orderBy("lang")
+    },
+    Some {
+      val scoreExprs = graft.text.LanguageId.profiles.map { case (lang, grams) =>
+        grams.map(g => s"len(regexp_extract_all(lower(seg), '$g'))")
+          .mkString(" + ") + s" AS s_$lang"
+      }.mkString(",\n            ")
+      val langs = graft.text.LanguageId.profiles.map(_._1)
+      val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val pick = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+      s"""
+        WITH toks AS (
+          SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents),
+        segs AS (
+          SELECT doc_id, lang,
+            unnest(list_transform(generate_series(0, (len(w) - 1) // 10),
+              i -> array_to_string(w[i*10+1 : i*10+10], ' '))) AS seg
+          FROM toks WHERE len(w) > 0),
+        scored AS (
+          SELECT doc_id, lang,
+            $scoreExprs
+          FROM segs),
+        best AS (SELECT doc_id, lang, $m AS m, * FROM scored),
+        segp AS (SELECT doc_id, lang, CASE $pick END AS predicted FROM best),
+        cnts AS (SELECT doc_id, lang, predicted, COUNT(*) AS c
+                 FROM segp GROUP BY 1, 2, 3),
+        dom AS (
+          SELECT doc_id, lang, c AS dom_c FROM (
+            SELECT doc_id, lang, c,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY c DESC, predicted DESC) AS rn
+            FROM cnts) WHERE rn = 1),
+        per_doc AS (
+          SELECT cnts.doc_id, cnts.lang, SUM(c) AS segments,
+            COUNT(*) AS distinct_langs, ANY_VALUE(dom.dom_c) AS dom_c
+          FROM cnts JOIN dom ON cnts.doc_id = dom.doc_id
+          GROUP BY 1, 2)
+        SELECT lang, COUNT(*) AS docs,
+          CAST(SUM(CASE WHEN distinct_langs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS mixed_docs,
+          CAST(SUM(segments) AS BIGINT) AS segments,
+          CAST(SUM(segments - dom_c) AS BIGINT) AS switched_segments
+        FROM per_doc GROUP BY 1 ORDER BY 1"""
+    })
 
   // lazy: referenced from `all` above its declaration point — a plain val
   // would still be null during the object's initializer.
