@@ -921,6 +921,44 @@ object Curation {
         expr("(1000000 * weight) div wsum").as("weight_ppm"))
   }
 
+  /** The ACTION for [[domainReweight]]'s report: realize a mixture. Each
+    * domain gets a token budget b_d = floor(totalTokens · ppm_d / 10^6)
+    * and fills it with whole documents in content-addressed md5(id)
+    * order under the prefix rule (keep while cum ≤ b_d — the same
+    * reproducible-draw discipline as [[tokenBudgetSample]], with
+    * per-domain budgets instead of one constant). Domains absent from
+    * `weightsPpm` don't participate — the reweighting run owns the
+    * domain list. Report per domain: weight_ppm, budget_tokens,
+    * docs_total, tokens_total, docs_kept, tokens_kept.
+    *
+    * 100 TB shape: one row-local token count, the two-pass distributed
+    * cumsum over narrow triples, and a broadcast join of the (tiny)
+    * per-domain budget frame. Text never shuffles.
+    */
+  def realizeMixture(docs: DataFrame, weightsPpm: DataFrame,
+      totalTokens: Long, strataCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(totalTokens >= 1, s"totalTokens must be positive: $totalTokens")
+    val counted = docs.select(col(strataCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val budgets = weightsPpm
+      .select(col(strataCol), col("weight_ppm").cast("long").as("weight_ppm"))
+      .withColumn("budget_tokens",
+        expr(s"($totalTokens * weight_ppm) div 1000000"))
+    cumsumByStratum(counted, strataCol, idCol, "n")
+      .join(broadcast(budgets), strataCol)
+      .withColumn("kept", when(col("cum") <= col("budget_tokens"), 1L).otherwise(0L))
+      .groupBy(strataCol)
+      .agg(first("weight_ppm").as("weight_ppm"),
+        first("budget_tokens").as("budget_tokens"),
+        count(lit(1)).as("docs_total"),
+        sum("n").as("tokens_total"),
+        sum("kept").as("docs_kept"),
+        sum(when(col("kept") === 1L, col("n")).otherwise(0L)).as("tokens_kept"))
+      .orderBy(strataCol)
+  }
+
   /** The CCNet KEEP action over a scored frame: ids of docs in the HEAD
     * or MIDDLE tercile of their stratum (score <= t2) — the tail is what
     * a CCNet run drops or down-weights. Thresholds are the same discrete

@@ -37,6 +37,13 @@ object RandomProjection {
     * deliberately not a `transform(...)` HOF, whose interpreted lambda
     * would sit in the hot path; everything here stays inside whole-stage
     * codegen.
+    *
+    * The quantized array sits behind a Generate barrier (the q48/scoresArray
+    * discipline): without it CollapseProject inlines the 64-expression
+    * array construction into every one of the outDims×dims element_at
+    * references — ~65k expression nodes, a janino source explosion that
+    * OOMs the driver at bench scale. With the barrier each quantize
+    * expression evaluates exactly once per row.
     */
   def sketch(vecs: DataFrame, colName: String, dims: Int,
       outDims: Int): DataFrame = {
@@ -53,7 +60,7 @@ object RandomProjection {
         else -element_at(col("_jl_w"), i + 1)
       }.reduce(_ + _)
     }
-    vecs.withColumn("_jl_w", w)
+    vecs.select(col("*"), explode(array(w)).as("_jl_w"))
       .withColumn("jl", array(ys: _*))
       .drop("_jl_w")
   }

@@ -2101,6 +2101,74 @@ object CurationQueries {
           CAST(excess_milli AS BIGINT) AS excess_milli,
           CAST(exp2 AS BIGINT) AS exp2,
           CAST((1000000 * weight) // wt.wsum AS BIGINT) AS weight_ppm
-        FROM w, wt ORDER BY source"""))
+        FROM w, wt ORDER BY source""")),
+
+    // ---- mixture REALIZATION: act on q237's weights ------------------------
+    // The report→action closure: each reweighted domain gets budget
+    // floor(total·ppm/10^6) tokens and fills it with whole documents in
+    // md5(id) order under the prefix rule (cum ≤ budget). End to end ONE
+    // integer pipeline — surprisal scores → MW weights → budgets → the
+    // cumsum draw — so the oracle replays the entire chain to the bit.
+    Q("q239_mixture_realization",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val weights = graft.curation.Curation.domainReweight(
+          graft.curation.Curation.crossSurprisalScores(
+            d.filter(col("doc_id") % 2 === 1),
+            d.filter(col("doc_id") % 2 === 0)),
+          strataCol = "source", stepMilli = 256, maxExp = 8)
+        graft.curation.Curation.realizeMixture(d, weights,
+          totalTokens = 20000L).orderBy("source")
+      },
+      Some(s"""
+        WITH $crossSurprisalCtes,
+        scored AS (
+          SELECT doc_id, source, (sb * 1000) // nb AS score FROM per_doc),
+        per AS (
+          SELECT source, CAST(COUNT(*) AS HUGEINT) AS docs,
+            CAST(SUM(score) AS HUGEINT) AS ssum
+          FROM scored GROUP BY 1),
+        tot AS (SELECT SUM(docs) AS tdocs, SUM(ssum) AS tsum FROM per),
+        ex AS (
+          SELECT source, (ssum // docs) - (tot.tsum // tot.tdocs)
+            AS excess_milli
+          FROM per, tot),
+        e2 AS (
+          SELECT source, GREATEST(-8, LEAST(8,
+              ((excess_milli + 256 * 1048576) // 256) - 1048576)) AS exp2
+          FROM ex),
+        w AS (
+          SELECT source,
+            CAST((CAST(1 AS BIGINT) << CAST(exp2 + 8 AS INTEGER)) AS HUGEINT)
+              AS weight
+          FROM e2),
+        wt AS (SELECT SUM(weight) AS wsum FROM w),
+        ppm AS (
+          SELECT source,
+            CAST((1000000 * weight) // wt.wsum AS BIGINT) AS weight_ppm
+          FROM w, wt),
+        budgets AS (
+          SELECT source, weight_ppm,
+            (20000 * weight_ppm) // 1000000 AS budget_tokens
+          FROM ppm),
+        counted AS (
+          SELECT source, doc_id, CAST(len($duckTokens) AS BIGINT) AS n
+          FROM documents),
+        cum AS (
+          SELECT source, doc_id, n,
+            SUM(n) OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM counted WHERE n > 0)
+        SELECT c.source, ANY_VALUE(b.weight_ppm) AS weight_ppm,
+          CAST(ANY_VALUE(b.budget_tokens) AS BIGINT) AS budget_tokens,
+          COUNT(*) AS docs_total,
+          CAST(SUM(c.n) AS BIGINT) AS tokens_total,
+          CAST(SUM(CASE WHEN c.cum <= b.budget_tokens THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_kept,
+          CAST(SUM(CASE WHEN c.cum <= b.budget_tokens THEN c.n ELSE 0 END)
+            AS BIGINT) AS tokens_kept
+        FROM cum c JOIN budgets b ON c.source = b.source
+        GROUP BY 1 ORDER BY 1"""))
   )
 }
