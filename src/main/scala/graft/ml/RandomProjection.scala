@@ -1,7 +1,13 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Johnson-Lindenstrauss sign-projection sketch for embedding columns:
   * y_j = Σ_i w_i · s(i,j) with s ∈ {±1} drawn from md5("jl#i#j") — the
@@ -11,12 +17,13 @@ import org.apache.spark.sql.functions._
   * sketch is INTEGER-exact: sums of longs commute, results are
   * bit-stable across partitionings and hash-oracle-able.
   *
-  * Scale shape: the sign matrix is a d×r literal baked into a codegen'd
-  * arithmetic expression (no UDF, no join against a matrix table, no
-  * broadcast needed — it's part of the plan); the sketch is one
-  * projection-only scan. Distances in sketch space approximate original
-  * distances within the JL bound, at r/d the storage and compare cost —
-  * the cheap pre-filter in front of exact reranking.
+  * Execution shape: ONE native Expression call per row (the VecDot
+  * discipline — a tight JVM loop over columnar ArrayData). The naive
+  * alternative — dims×outDims flat element_at expressions — blows
+  * janino's 64 KB method limit and drops the whole stage to interpreted
+  * mode; a transform() HOF puts an interpreted lambda per element in the
+  * hot path. The expression sidesteps both: d·r multiply-adds per row,
+  * no codegen source growth, no lambda.
   */
 object RandomProjection {
 
@@ -32,36 +39,73 @@ object RandomProjection {
     }
   }
 
-  /** Adds column `jl`: array<long> of length `outDims`. The quantized
-    * inputs materialize as an `array(...)` of `dims` FLAT expressions —
-    * deliberately not a `transform(...)` HOF, whose interpreted lambda
-    * would sit in the hot path; everything here stays inside whole-stage
-    * codegen.
-    *
-    * The quantized array sits behind a Generate barrier (the q48/scoresArray
-    * discipline): without it CollapseProject inlines the 64-expression
-    * array construction into every one of the outDims×dims element_at
-    * references — ~65k expression nodes, a janino source explosion that
-    * OOMs the driver at bench scale. With the barrier each quantize
-    * expression evaluates exactly once per row.
-    */
+  private val fnName = "graft_jl_sketch"
+
+  /** Runtime registration (idempotent), the VecOps discipline. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(fnName),
+      new ExpressionInfo(classOf[JlSketch].getName, fnName),
+      (children: Seq[Expression]) => JlSketch(children))
+
+  /** Adds column `jl`: array<long> of length `outDims`. */
   def sketch(vecs: DataFrame, colName: String, dims: Int,
       outDims: Int): DataFrame = {
     require(dims >= 1 && outDims >= 1 && outDims <= dims,
       s"bad dims: $dims -> $outDims")
-    val s = signMatrix(dims, outDims)
-    val w: Column = array((0 until dims).map { i =>
-      floor(try_element_at(col(colName), lit(i + 1)).cast("double")
-        * lit(1048576.0)).cast("long")
-    }: _*)
-    val ys = (0 until outDims).map { j =>
-      (0 until dims).map { i =>
-        if (s(i)(j) > 0) element_at(col("_jl_w"), i + 1)
-        else -element_at(col("_jl_w"), i + 1)
-      }.reduce(_ + _)
-    }
-    vecs.select(col("*"), explode(array(w)).as("_jl_w"))
-      .withColumn("jl", array(ys: _*))
-      .drop("_jl_w")
+    register(vecs.sparkSession)
+    val flat = signMatrix(dims, outDims).flatten.toSeq
+    vecs.withColumn("jl",
+      call_function(fnName, col(colName), typedLit(flat), lit(outDims)))
   }
+}
+
+/** `graft_jl_sketch(vec, flatSigns, outDims)` — the row-local JL kernel:
+  * w_i = floor(elem_i · 2^20) as long; y_j = Σ_i w_i · signs[i·outDims+j].
+  * Null vector → null sketch; a vector shorter than signs.length/outDims
+  * contributes only its present dims (missing dims add nothing).
+  */
+case class JlSketch(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private lazy val elemType =
+    children.head.dataType.asInstanceOf[ArrayType].elementType
+  private lazy val signs: Array[Int] = {
+    val arr = children(1).eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements())(arr.getInt)
+  }
+  private lazy val outDims: Int =
+    children(2).eval(null).asInstanceOf[Int]
+
+  override def eval(input: InternalRow): Any = {
+    val v = children.head.eval(input)
+    if (v == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    val r = outDims
+    val dims = signs.length / r
+    val n = math.min(arr.numElements(), dims)
+    val y = new Array[Long](r)
+    var i = 0
+    while (i < n) {
+      val e = elemType match {
+        case FloatType => arr.getFloat(i).toDouble
+        case _ => arr.getDouble(i)
+      }
+      val w = math.floor(e * 1048576.0).toLong
+      var j = 0
+      val base = i * r
+      while (j < r) {
+        if (signs(base + j) > 0) y(j) += w else y(j) -= w
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(y)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }

@@ -339,6 +339,7 @@ object TextQueries {
     q226,
     q235,
     q238,
+    q240,
 
     // ---- exact dedup: hash-groupBy over normalized text -------------------
     Q("q31_dedup_exact",
@@ -1494,6 +1495,67 @@ object TextQueries {
       FROM p JOIN c ca ON ca.source = p.source_a
              JOIN c cb ON cb.source = p.source_b
       ORDER BY 1, 2"""))
+
+  // ---- PMI-ranked collocations (integer-exact ordering) -------------------
+  // Top word pairs by pointwise mutual information — the collocation mine
+  // behind tokenizer-vocabulary and phrase-detection passes. PMI's log is
+  // monotone, so the RANKING needs only the exact rational argument:
+  // pmi_key = floor(n·c_xy·10^6 / (c_x·c_y)), computed in DECIMAL(38,0)/
+  // HUGEINT so both engines order identically with no libm anywhere.
+  // Count floor c_xy ≥ 5 applies the standard sparse-pair guard. One
+  // bigram histogram + two unigram joins; only (word, count) pairs
+  // shuffle.
+  private lazy val q240: Q = Q("q240_collocations",
+    (s, dir) => {
+      val d38 = "decimal(38,0)"
+      val toks = t(s, dir, "documents")
+        .withColumn("w", tokens(col("text")))
+        .filter(size(col("w")) >= 2)
+      val bi = toks.select(explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+          .as("b"))
+        .select(col("b.w1"), col("b.w2"))
+      val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      val cx = bi.groupBy(col("w1").as("w")).agg(count(lit(1)).as("c_x"))
+      val cy = bi.groupBy(col("w2").as("w")).agg(count(lit(1)).as("c_y"))
+      val n = bi.count() // one bounded driver count, the codebook discipline
+      bc.filter(col("c_xy") >= 5)
+        .join(cx, col("w1") === cx("w")).drop("w")
+        .join(cy, col("w2") === cy("w")).drop("w")
+        // FLOOR division in decimals: Spark's decimal divide rounds
+        // HALF_UP where DuckDB's // floors — subtract the remainder first
+        // so the quotient is exact in both.
+        .withColumn("num",
+          (lit(n).cast(d38) * col("c_xy").cast(d38)
+            * lit(1000000L).cast(d38)).cast(d38))
+        .withColumn("den",
+          (col("c_x").cast(d38) * col("c_y").cast(d38)).cast(d38))
+        .withColumn("pmi_key",
+          ((col("num") - col("num") % col("den")) / col("den")).cast("long"))
+        .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+          col("pmi_key"))
+        .orderBy(desc("pmi_key"), col("w1"), col("w2"))
+        .limit(30)
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS w FROM documents
+        ), tw AS (SELECT w FROM toks WHERE len(w) >= 2),
+      bi AS (
+        SELECT w[i] AS w1, w[i+1] AS w2
+        FROM tw, UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+      bc AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2),
+      cx AS (SELECT w1 AS w, CAST(COUNT(*) AS HUGEINT) AS c_x FROM bi GROUP BY 1),
+      cy AS (SELECT w2 AS w, CAST(COUNT(*) AS HUGEINT) AS c_y FROM bi GROUP BY 1),
+      nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM bi)
+      SELECT w1, w2, c_xy, CAST(c_x AS BIGINT) AS c_x,
+        CAST(c_y AS BIGINT) AS c_y,
+        CAST((nn.n * c_xy * 1000000) // (c_x * c_y) AS BIGINT) AS pmi_key
+      FROM bc JOIN cx ON bc.w1 = cx.w
+              JOIN cy ON bc.w2 = cy.w
+              CROSS JOIN nn
+      WHERE c_xy >= 5
+      ORDER BY pmi_key DESC, w1, w2 LIMIT 30"""))
 
   // ---- code-switching report: per-SEGMENT language identification --------
   // Document-level lang-ID (q38/q48) hides mixed-language documents — the
