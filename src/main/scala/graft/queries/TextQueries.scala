@@ -1646,15 +1646,14 @@ object TextQueries {
   // would still be null during the object's initializer.
   private lazy val q226: Q = Q("q226_ssjoin_jaccard",
     (s, dir) => {
+      graft.text.TextSketch.register(s)
+      // 60-bit md5 shingle hashes, NOT shingle strings: the set elements
+      // shuffle through the freq aggregate and the candidate join, and a
+      // long moves ~4× less than a 4-word string (q37's discipline; the
+      // oracle hashes identically, so even a collision would be shared).
       val d = corpus(s, dir)
-        .withColumn("w", tokens(col("text")))
         .select(col("doc_id").as("id"),
-          array_distinct(when(size(col("w")) < 4,
-            array().cast("array<string>"))
-            .otherwise(expr(
-              "transform(sequence(0, size(w) - 4), " +
-                "i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3]))")))
-            .as("tokens"))
+          graft.text.TextSketch.shingleHashSet(col("text"), 4).as("tokens"))
       SetSimJoin.jaccardJoin(d, num = 3, den = 5).orderBy("doc_a", "doc_b")
     },
     Some(s"""
@@ -1662,11 +1661,11 @@ object TextQueries {
       toks AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM corpus),
       sh AS (
-        SELECT doc_id, list_distinct(
+        SELECT doc_id, list_distinct(list_transform(
           CASE WHEN len(w) < 4 THEN []
             ELSE list_transform(generate_series(1, len(w) - 3),
-              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) END)
-          AS ts
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) END,
+          s1 -> CAST('0x' || substr(md5(s1), 1, 15) AS BIGINT))) AS ts
         FROM toks),
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

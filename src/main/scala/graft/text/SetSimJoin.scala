@@ -34,8 +34,12 @@ object SetSimJoin {
     */
   def jaccardJoin(docs: DataFrame, num: Int, den: Int): DataFrame = {
     require(num > 0 && num <= den, s"threshold must be in (0,1]: $num/$den")
+    // persist: this frame feeds the freq aggregate, the prefix build and
+    // BOTH verify arms — unpersisted, the token derivation (often a
+    // shingle transform) re-runs four times.
     val d = docs.select(col("id"), col("tokens"), size(col("tokens")).as("n"))
       .filter(col("n") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = d.select(explode(col("tokens")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
     // per-doc rarity order: one join token→freq, then a ROW-LOCAL struct
@@ -52,6 +56,7 @@ object SetSimJoin {
       .select(col("id"), col("n"),
         explode(expr("transform(slice(ordered, 1, p), x -> x.token)"))
           .as("ptoken"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidates: prefix-token equi-join, id order + length filter
     // (den·min ≥ num·max is necessary for J ≥ num/den).
     val a = prefixes.toDF("id_a", "na", "ptoken")
