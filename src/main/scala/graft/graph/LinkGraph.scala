@@ -123,6 +123,52 @@ object LinkGraph {
         expr(s"($scale * coalesce($rawCol, 0L)) div $m").as(outCol))
   }
 
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002, the
+    * hard-label variant): a sparse seed set (e.g. hand-audited quality or
+    * domain labels) spreads through the link structure — per round, an
+    * unlabeled node adopts the MODE of its labeled in-neighbors; seeds
+    * are clamped. Deterministic by construction: the mode breaks count
+    * ties toward the LARGEST label string (max over (count, label)
+    * structs — the engines' shared ORDER BY cnt DESC, label DESC), so
+    * rounds are bit-stable and oracle-checkable with no randomness.
+    *
+    * Scale: per round one vote aggregate keyed by (dst, label) over the
+    * once-partitioned edge frame and one mode aggregate keyed by dst —
+    * both narrow (long + short string); the label frame is
+    * per-round localCheckpoint'ed to cut lineage. No driver state.
+    */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    val e = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node_id"))
+      .union(e.select(col("dst").as("node_id")))
+      .distinct()
+    val seeded = nodes.join(
+      seeds.select(col("node_id"), col("label").as("seed_label")),
+      Seq("node_id"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = seeded.select(col("node_id"), col("seed_label").as("label"))
+    for (i <- 1 to iters) {
+      val votes = e
+        .join(labels.filter(col("label").isNotNull),
+          e("src") === labels("node_id"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      val mode = votes.groupBy("dst")
+        .agg(max(struct(col("cnt"), col("label"))).as("m"))
+        .select(col("dst"), col("m.label").as("new_label"))
+      labels = seeded
+        .join(labels.select(col("node_id"), col("label").as("prev")), "node_id")
+        .join(mode, seeded("node_id") === mode("dst"), "left")
+        .select(seeded("node_id"),
+          coalesce(col("seed_label"), col("new_label"), col("prev"))
+            .as("label"))
+      if (i < iters) labels = labels.localCheckpoint(eager = true)
+    }
+    labels.filter(col("label").isNotNull)
+  }
+
   /** Incoming anchor-text aggregation: for each link target, the in-link
     * count and the `cap` lexicographically-smallest DISTINCT anchors.
     *

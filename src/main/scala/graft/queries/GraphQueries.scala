@@ -147,6 +147,65 @@ object GraphQueries {
         FROM h2 JOIN a2 ON h2.node_id = a2.node_id
         ORDER BY 1""")),
 
+    // ---- label propagation: hub langs spread through the link graph -------
+    // Seeds = each source's hub doc labeled with its lang (the sparse
+    // hand-audit stand-in); two rounds of clamped mode-voting spread the
+    // labels along chain+hub edges. Mode ties break toward the larger
+    // label (max (count, label) struct == ORDER BY cnt DESC, label DESC),
+    // so both engines agree exactly.
+    Q("q241_label_propagation",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val seeds = docs
+          .join(docs.groupBy("source").agg(min("doc_id").as("node_id")),
+            col("doc_id") === col("node_id"), "left_semi")
+          .select(col("doc_id").as("node_id"), col("lang").as("label"))
+        LinkGraph.labelPropagation(
+          docLinks(s, dir).select("src", "dst"), seeds, iters = 2)
+          .orderBy("node_id")
+      },
+      Some(s"""
+        WITH $edgeSql,
+        e AS (SELECT src, dst FROM edges),
+        nodes AS (SELECT DISTINCT src AS node_id FROM e
+                  UNION SELECT dst FROM e),
+        seeds AS (
+          SELECT d.doc_id AS node_id, d.lang AS label
+          FROM documents d
+          JOIN (SELECT source, MIN(doc_id) AS hub_id
+                FROM documents GROUP BY 1) h
+            ON d.doc_id = h.hub_id),
+        l0 AS (SELECT n.node_id, s.label
+               FROM nodes n LEFT JOIN seeds s ON n.node_id = s.node_id),
+        v1 AS (SELECT e.dst, l.label, COUNT(*) AS cnt
+               FROM e JOIN l0 l ON l.node_id = e.src
+               WHERE l.label IS NOT NULL GROUP BY 1, 2),
+        m1 AS (SELECT dst, label AS new_label FROM (
+                 SELECT dst, label, ROW_NUMBER() OVER (PARTITION BY dst
+                   ORDER BY cnt DESC, label DESC) AS rn FROM v1)
+               WHERE rn = 1),
+        l1 AS (SELECT n.node_id,
+                 COALESCE(s.label, m.new_label, l.label) AS label
+               FROM nodes n
+               LEFT JOIN seeds s ON n.node_id = s.node_id
+               LEFT JOIN l0 l ON n.node_id = l.node_id
+               LEFT JOIN m1 m ON n.node_id = m.dst),
+        v2 AS (SELECT e.dst, l.label, COUNT(*) AS cnt
+               FROM e JOIN l1 l ON l.node_id = e.src
+               WHERE l.label IS NOT NULL GROUP BY 1, 2),
+        m2 AS (SELECT dst, label AS new_label FROM (
+                 SELECT dst, label, ROW_NUMBER() OVER (PARTITION BY dst
+                   ORDER BY cnt DESC, label DESC) AS rn FROM v2)
+               WHERE rn = 1),
+        l2 AS (SELECT n.node_id,
+                 COALESCE(s.label, m.new_label, l.label) AS label
+               FROM nodes n
+               LEFT JOIN seeds s ON n.node_id = s.node_id
+               LEFT JOIN l1 l ON n.node_id = l.node_id
+               LEFT JOIN m2 m ON n.node_id = m.dst)
+        SELECT node_id, label FROM l2 WHERE label IS NOT NULL
+        ORDER BY 1""")),
+
     // ---- incoming anchor-text aggregation ---------------------------------
     Q("q225_anchor_text",
       (s, dir) =>

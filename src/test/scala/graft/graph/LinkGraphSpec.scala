@@ -47,6 +47,23 @@ class LinkGraphSpec extends SparkSpec {
     assert(chain === Set((1L, 1024L, 0L), (2L, 1024L, 1024L), (3L, 0L, 1024L)))
   }
 
+  test("label propagation: clamped seeds, tie-break, 2-hop spread") {
+    def lp(edges: Seq[(Long, Long)], seeds: Seq[(Long, String)], iters: Int) =
+      LinkGraph.labelPropagation(
+        edges.toDF("src", "dst"), seeds.toDF("node_id", "label"), iters)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // tie between a and b breaks toward the LARGER label
+    assert(lp(Seq((1L, 2L), (3L, 2L)), Seq(1L -> "a", 3L -> "b"), 1) ===
+      Map(1L -> "a", 3L -> "b", 2L -> "b"))
+    // a seed never changes, whatever its in-neighbors say
+    assert(lp(Seq((1L, 3L)), Seq(1L -> "a", 3L -> "b"), 3)(3L) === "b")
+    // two rounds reach two hops down a chain
+    assert(lp(Seq((1L, 2L), (2L, 3L)), Seq(1L -> "a"), 2) ===
+      Map(1L -> "a", 2L -> "a", 3L -> "a"))
+    // one round reaches only one hop — node 3 stays unlabeled (absent)
+    assert(!lp(Seq((1L, 2L), (2L, 3L)), Seq(1L -> "a"), 1).contains(3L))
+  }
+
   test("anchorsByTarget caps at the lexicographically smallest distinct") {
     val e = Seq(
       (1L, 9L, "zeta"), (2L, 9L, "alpha"), (3L, 9L, "midway"),
