@@ -123,6 +123,52 @@ object LinkGraph {
         expr(s"($scale * coalesce($rawCol, 0L)) div $m").as(outCol))
   }
 
+  /** PERSONALIZED PageRank: teleport mass flows only to a trusted seed
+    * set — the WebText/GPT-2 quality discipline ("score pages by how
+    * reachable they are from links the curators trust") made integer-
+    * exact. Same recurrence as [[pagerank]] except the additive base
+    * lands ONLY on seeds:
+    *
+    *   rank_0(v)    = scale if v ∈ seeds else 0
+    *   rank_{t+1}(v)= [v ∈ seeds]·(scale·15) div 100
+    *                + (85 · Σ_{u→v} rank_t(u) div outdeg(u)) div 100
+    *
+    * Non-seed nodes unreachable from the seed set hold rank 0 — exactly
+    * the "spam mass" reading: rank IS trusted reachability. Same
+    * per-round data movement as [[pagerank]] (one narrow aggregate; the
+    * seed frame joins broadcast).
+    */
+  def pagerankPersonalized(edges: DataFrame, seeds: DataFrame, iters: Int,
+      scale: Long): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    require(scale >= 100L, s"scale too small for 15/100 damping: $scale")
+    val nodes = edges.select(col("src").as("node_id"))
+      .union(edges.select(col("dst").as("node_id")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges
+      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seeded = nodes.join(
+      broadcast(seeds.select(col("node_id"), lit(1L).as("_is_seed"))),
+      Seq("node_id"), "left")
+      .select(col("node_id"), coalesce(col("_is_seed"), lit(0L)).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = scale * 15L / 100L
+    var ranks = seeded.select(col("node_id"), (col("s") * scale).as("pr"))
+    for (i <- 1 to iters) {
+      val contrib = e.join(ranks, e("src") === ranks("node_id"))
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+        .groupBy("dst").agg(sum("c").as("in_sum"))
+      ranks = seeded.join(contrib, seeded("node_id") === contrib("dst"), "left")
+        .select(seeded("node_id"),
+          (col("s") * base + expr("(85 * coalesce(in_sum, 0L)) div 100"))
+            .as("pr"))
+      if (i < iters) ranks = ranks.localCheckpoint(eager = true)
+    }
+    ranks
+  }
+
   /** Semi-supervised label propagation (Zhu & Ghahramani 2002, the
     * hard-label variant): a sparse seed set (e.g. hand-audited quality or
     * domain labels) spreads through the link structure — per round, an

@@ -1529,6 +1529,58 @@ object ExtraQueries {
           CAST(CAST(num AS VARCHAR) AS DOUBLE) * CAST(CAST(num AS VARCHAR) AS DOUBLE)
             / (CAST(CAST(den AS VARCHAR) AS DOUBLE)
                * CAST(CAST(deny AS VARCHAR) AS DOUBLE)) AS r2
-        FROM t2 WHERE den <> 0 ORDER BY 1"""))
+        FROM t2 WHERE den <> 0 ORDER BY 1""")),
+
+    // ---- winsorized mean: clamp at exact per-group percentiles -------------
+    // The robust mean that tames tails without dropping rows: values clamp
+    // at the discrete p5/p95 order statistics (smallest v whose cumulative
+    // count reaches ceil(q·n) — the cross-multiplied integer rank test, no
+    // float quantile-definition drift) and the mean is integral micros.
+    // Scale: both thresholds come from the per-(type, value) HISTOGRAM
+    // cumulative window (bounded by the value domain), the clamp is one
+    // broadcast join back — raw rows never sort.
+    Q("q244_winsorized_mean",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, dir, "events").select(col("event_type"),
+          floor(col("value") * 1000000L).cast("long").as("v"))
+        val hist = ev.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("event_type").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.withColumn("cum", sum("c").over(w))
+          .join(hist.groupBy("event_type").agg(sum("c").as("n")), "event_type")
+        val thresholds = cum.groupBy("event_type")
+          .agg(first("n").as("n"),
+            min(when(col("cum") * 100 >= col("n") * 5, col("v"))).as("lo"),
+            min(when(col("cum") * 100 >= col("n") * 95, col("v"))).as("hi"))
+        hist.join(broadcast(thresholds), "event_type")
+          .groupBy(col("event_type"), col("n"), col("lo"), col("hi"))
+          .agg(sum(col("c") *
+            greatest(col("lo"), least(col("hi"), col("v")))).as("wsum"))
+          .select(col("event_type"), col("n"), col("lo"), col("hi"),
+            expr("wsum div n").as("wmean_micro"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v
+          FROM events),
+        hist AS (SELECT event_type, v, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        cum AS (
+          SELECT event_type, v, c,
+            SUM(c) OVER (PARTITION BY event_type ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            SUM(c) OVER (PARTITION BY event_type) AS n
+          FROM hist),
+        th AS (
+          SELECT event_type, ANY_VALUE(n) AS n,
+            MIN(CASE WHEN cum * 100 >= n * 5 THEN v END) AS lo,
+            MIN(CASE WHEN cum * 100 >= n * 95 THEN v END) AS hi
+          FROM cum GROUP BY 1)
+        SELECT h.event_type, CAST(th.n AS BIGINT) AS n, th.lo, th.hi,
+          CAST(SUM(h.c * GREATEST(th.lo, LEAST(th.hi, h.v)))
+            // ANY_VALUE(th.n) AS BIGINT) AS wmean_micro
+        FROM hist h JOIN th ON h.event_type = th.event_type
+        GROUP BY 1, 2, 3, 4 ORDER BY 1"""))
   )
 }

@@ -147,6 +147,56 @@ object GraphQueries {
         FROM h2 JOIN a2 ON h2.node_id = a2.node_id
         ORDER BY 1""")),
 
+    // ---- personalized PageRank: trusted-seed quality prior ----------------
+    // Teleport mass lands only on the per-source hub docs (the trusted
+    // set); a doc's rank IS its reachability from trust — the WebText
+    // quality-filter discipline, integer-exact. Unreachable docs hold 0.
+    Q("q242_personalized_pagerank",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val seeds = docs.groupBy("source").agg(min("doc_id").as("node_id"))
+          .select("node_id")
+        LinkGraph.pagerankPersonalized(
+          docLinks(s, dir).select("src", "dst"), seeds,
+          iters = 3, scale = 1000000L)
+          .filter(col("pr") > 0).orderBy("node_id")
+          .select(col("node_id").as("doc_id"), col("pr"))
+      },
+      Some(s"""
+        WITH $edgeSql,
+        e AS (SELECT src, dst FROM edges),
+        nodes AS (SELECT DISTINCT src AS node_id FROM e
+                  UNION SELECT dst FROM e),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        seeds AS (SELECT MIN(doc_id) AS node_id FROM documents GROUP BY source),
+        sn AS (SELECT n.node_id,
+                 CASE WHEN s.node_id IS NULL THEN 0 ELSE 1 END AS s
+               FROM nodes n LEFT JOIN seeds s ON n.node_id = s.node_id),
+        r0 AS (SELECT node_id, CAST(s * 1000000 AS BIGINT) AS pr FROM sn),
+        r1 AS (SELECT sn.node_id,
+                 sn.s * 150000 + (85 * COALESCE(x.in_sum, 0)) // 100 AS pr
+               FROM sn LEFT JOIN (
+                 SELECT e.dst, SUM(r.pr // d.outdeg) AS in_sum
+                 FROM e JOIN deg d ON e.src = d.src
+                        JOIN r0 r ON e.src = r.node_id
+                 GROUP BY 1) x ON sn.node_id = x.dst),
+        r2 AS (SELECT sn.node_id,
+                 sn.s * 150000 + (85 * COALESCE(x.in_sum, 0)) // 100 AS pr
+               FROM sn LEFT JOIN (
+                 SELECT e.dst, SUM(r.pr // d.outdeg) AS in_sum
+                 FROM e JOIN deg d ON e.src = d.src
+                        JOIN r1 r ON e.src = r.node_id
+                 GROUP BY 1) x ON sn.node_id = x.dst),
+        r3 AS (SELECT sn.node_id,
+                 sn.s * 150000 + (85 * COALESCE(x.in_sum, 0)) // 100 AS pr
+               FROM sn LEFT JOIN (
+                 SELECT e.dst, SUM(r.pr // d.outdeg) AS in_sum
+                 FROM e JOIN deg d ON e.src = d.src
+                        JOIN r2 r ON e.src = r.node_id
+                 GROUP BY 1) x ON sn.node_id = x.dst)
+        SELECT node_id AS doc_id, CAST(pr AS BIGINT) AS pr
+        FROM r3 WHERE pr > 0 ORDER BY 1""")),
+
     // ---- label propagation: hub langs spread through the link graph -------
     // Seeds = each source's hub doc labeled with its lang (the sparse
     // hand-audit stand-in); two rounds of clamped mode-voting spread the

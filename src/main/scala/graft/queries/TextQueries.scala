@@ -340,6 +340,7 @@ object TextQueries {
     q235,
     q238,
     q240,
+    q243,
 
     // ---- exact dedup: hash-groupBy over normalized text -------------------
     Q("q31_dedup_exact",
@@ -1556,6 +1557,57 @@ object TextQueries {
               CROSS JOIN nn
       WHERE c_xy >= 5
       ORDER BY pmi_key DESC, w1, w2 LIMIT 30"""))
+
+  // ---- Heaps'-law vocabulary growth curve ---------------------------------
+  // How fast does the vocabulary grow as the corpus grows? — the
+  // tokenizer-capacity planning curve (plot vocab vs tokens, fit V=K·n^β
+  // offline). Corpus prefixes are doc_id deciles; a token's contribution
+  // lands at its FIRST-appearance prefix (min bucket per token — one
+  // narrow aggregate), so the cumulative sum over the 10-row first-bucket
+  // histogram IS the distinct-vocabulary size at each prefix. Never a
+  // distinct-count per prefix (which would rescan the corpus 10×).
+  private lazy val q243: Q = Q("q243_heaps_curve",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val maxId = toks.agg(max("doc_id")).collect()(0).getLong(0)
+      val bucketed = toks
+        .withColumn("bucket", expr(s"(doc_id * 10) div (${maxId + 1}L)"))
+      val tokensPerBucket = bucketed.groupBy("bucket")
+        .agg(count(lit(1)).as("toks"))
+      val firstSeen = bucketed.groupBy("tok")
+        .agg(min("bucket").as("first_bucket"))
+        .groupBy(col("first_bucket").as("bucket"))
+        .agg(count(lit(1)).as("new_types"))
+      val w = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokensPerBucket
+        .join(firstSeen, Seq("bucket"), "left")
+        .select(col("bucket"),
+          sum("toks").over(w).as("tokens_cum"),
+          sum(coalesce(col("new_types"), lit(0L))).over(w).as("vocab_cum"))
+        .orderBy("bucket")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents),
+      mx AS (SELECT MAX(doc_id) + 1 AS m FROM toks),
+      b AS (SELECT (doc_id * 10) // mx.m AS bucket, tok FROM toks, mx),
+      tpb AS (SELECT bucket, COUNT(*) AS toks FROM b GROUP BY 1),
+      fs AS (SELECT first_bucket AS bucket, COUNT(*) AS new_types FROM (
+               SELECT tok, MIN(bucket) AS first_bucket FROM b GROUP BY 1)
+             GROUP BY 1)
+      SELECT tpb.bucket,
+        CAST(SUM(tpb.toks) OVER (ORDER BY tpb.bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS tokens_cum,
+        CAST(SUM(COALESCE(fs.new_types, 0)) OVER (ORDER BY tpb.bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS vocab_cum
+      FROM tpb LEFT JOIN fs ON tpb.bucket = fs.bucket
+      ORDER BY 1"""))
 
   // ---- code-switching report: per-SEGMENT language identification --------
   // Document-level lang-ID (q38/q48) hides mixed-language documents — the

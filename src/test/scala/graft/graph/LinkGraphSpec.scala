@@ -47,6 +47,21 @@ class LinkGraphSpec extends SparkSpec {
     assert(chain === Set((1L, 1024L, 0L), (2L, 1024L, 1024L), (3L, 0L, 1024L)))
   }
 
+  test("personalized pagerank: mass flows only from the seed set") {
+    def ppr(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int) =
+      LinkGraph.pagerankPersonalized(edges.toDF("src", "dst"),
+        seeds.toDF("node_id"), iters, 1000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = Seq((1L, 2L), (2L, 3L), (9L, 1L))
+    // one round: seed keeps base 150, its target gets 850, rest 0
+    assert(ppr(e, Seq(1L), 1) ===
+      Map(1L -> 150L, 2L -> 850L, 3L -> 0L, 9L -> 0L))
+    // two rounds: 3 becomes reachable (85*850 div 100 = 722);
+    // 2 decays to 85*150 div 100 = 127; 9 stays at 0 forever
+    assert(ppr(e, Seq(1L), 2) ===
+      Map(1L -> 150L, 2L -> 127L, 3L -> 722L, 9L -> 0L))
+  }
+
   test("label propagation: clamped seeds, tie-break, 2-hop spread") {
     def lp(edges: Seq[(Long, Long)], seeds: Seq[(Long, String)], iters: Int) =
       LinkGraph.labelPropagation(
