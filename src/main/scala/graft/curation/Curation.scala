@@ -453,6 +453,15 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(capacity >= 1, s"capacity must be positive: $capacity")
     require(buckets >= 1, s"buckets must be positive: $buckets")
+    // fail FAST on non-integral ids: the cast('long') below would turn a
+    // string id into null and crash the typed encoder mid-job instead.
+    require({
+      import org.apache.spark.sql.types._
+      Seq(LongType, IntegerType, ShortType, ByteType)
+        .contains(docs.schema(idCol).dataType)
+    }, s"packBinsBfd needs an integral '$idCol' (got " +
+      s"${docs.schema(idCol).dataType.simpleString}); map string ids to " +
+      "longs upstream")
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(
@@ -942,10 +951,16 @@ object Curation {
     val counted = docs.select(col(strataCol), col(idCol),
         size(tokens(col(textCol))).cast("long").as("n"))
       .filter(col("n") > 0)
+    // split multiplication: floor(T·ppm/10^6) = (T div 10^6)·ppm +
+    // floor((T mod 10^6)·ppm/10^6) — exact, and neither factor can
+    // overflow a long even at T = tens of trillions of tokens (the naive
+    // T·ppm product wraps negative past ~9.2e18 and would silently zero
+    // every heavy domain's budget).
     val budgets = weightsPpm
       .select(col(strataCol), col("weight_ppm").cast("long").as("weight_ppm"))
       .withColumn("budget_tokens",
-        expr(s"($totalTokens * weight_ppm) div 1000000"))
+        expr(s"(${totalTokens / 1000000L}L * weight_ppm) + " +
+          s"((${totalTokens % 1000000L}L * weight_ppm) div 1000000)"))
     cumsumByStratum(counted, strataCol, idCol, "n")
       .join(broadcast(budgets), strataCol)
       .withColumn("kept", when(col("cum") <= col("budget_tokens"), 1L).otherwise(0L))

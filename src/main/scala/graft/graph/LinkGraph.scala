@@ -66,7 +66,7 @@ object LinkGraph {
       // replay rounds 1..k.
       if (i < iters) ranks = ranks.localCheckpoint(eager = true)
     }
-    ranks
+    detach(ranks, e, nodes)
   }
 
   /** Integer-exact HITS (Kleinberg 1999): mutually-recursive hub and
@@ -106,8 +106,10 @@ object LinkGraph {
       hub = rescaled(nodes, hSums, "src", "h_raw", "h", scale)
       if (i < iters) hub = hub.localCheckpoint(eager = true)
     }
-    nodes.join(hub, "node_id").join(auth, "node_id")
-      .select(col("node_id"), col("h").as("hub"), col("a").as("auth"))
+    detach(
+      nodes.join(hub, "node_id").join(auth, "node_id")
+        .select(col("node_id"), col("h").as("hub"), col("a").as("auth")),
+      e, nodes)
   }
 
   /** floordiv(scale·x, max(1, max|x|)) over a sparse sum frame, densified
@@ -149,8 +151,11 @@ object LinkGraph {
     val e = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // distinct: a duplicated seed row would duplicate every rank row and
+    // double that node's out-contribution each round.
     val seeded = nodes.join(
-      broadcast(seeds.select(col("node_id"), lit(1L).as("_is_seed"))),
+      broadcast(seeds.select(col("node_id")).distinct()
+        .withColumn("_is_seed", lit(1L))),
       Seq("node_id"), "left")
       .select(col("node_id"), coalesce(col("_is_seed"), lit(0L)).as("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -166,7 +171,18 @@ object LinkGraph {
             .as("pr"))
       if (i < iters) ranks = ranks.localCheckpoint(eager = true)
     }
-    ranks
+    detach(ranks, e, nodes, seeded)
+  }
+
+  /** Materialize `result` (narrow frames only — node ids plus a score or
+    * label) and release the per-call persisted inputs: without this every
+    * operator invocation — including via the SQL TVFs — would leak cached
+    * RDDs for the session lifetime.
+    */
+  private def detach(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    cached.foreach(_.unpersist())
+    out
   }
 
   /** Semi-supervised label propagation (Zhu & Ghahramani 2002, the
@@ -191,8 +207,11 @@ object LinkGraph {
     val nodes = e.select(col("src").as("node_id"))
       .union(e.select(col("dst").as("node_id")))
       .distinct()
+    // deterministic seed dedup: conflicting labels for one node resolve
+    // to the max label (any duplicate row would otherwise duplicate the
+    // node through every round and double its votes).
     val seeded = nodes.join(
-      seeds.select(col("node_id"), col("label").as("seed_label")),
+      seeds.groupBy("node_id").agg(max(col("label")).as("seed_label")),
       Seq("node_id"), "left")
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = seeded.select(col("node_id"), col("seed_label").as("label"))
@@ -212,7 +231,7 @@ object LinkGraph {
             .as("label"))
       if (i < iters) labels = labels.localCheckpoint(eager = true)
     }
-    labels.filter(col("label").isNotNull)
+    detach(labels.filter(col("label").isNotNull), e, seeded)
   }
 
   /** Incoming anchor-text aggregation: for each link target, the in-link
@@ -227,13 +246,13 @@ object LinkGraph {
     */
   def anchorsByTarget(edges: DataFrame, cap: Int): DataFrame = {
     require(cap >= 1, s"cap must be positive: $cap")
-    val inl = edges.groupBy(col("dst")).agg(count(lit(1)).as("n_inlinks"))
-    val capped = edges.select(col("dst"), col("anchor"))
-      .groupBy("dst")
-      .agg(array_join(
-        slice(sort_array(collect_set(col("anchor"))), 1, cap), "|")
-        .as("anchors"))
-    inl.join(capped, "dst")
+    // ONE aggregate computes both outputs — a separate count + join would
+    // scan and shuffle the (unpersisted) edge derivation twice.
+    edges.groupBy(col("dst"))
+      .agg(count(lit(1)).as("n_inlinks"),
+        array_join(
+          slice(sort_array(collect_set(col("anchor"))), 1, cap), "|")
+          .as("anchors"))
       .select(col("dst").as("doc_id"), col("n_inlinks"), col("anchors"))
   }
 }

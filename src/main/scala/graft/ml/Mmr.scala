@@ -41,10 +41,14 @@ object Mmr {
     * ties on score break toward the smaller id (the engines' shared
     * ORDER BY score DESC, id convention).
     */
-  def select(cands: Seq[Cand], k: Int, lam: Double): Seq[Pick] = {
+  def select(cands0: Seq[Cand], k: Int, lam: Double): Seq[Pick] = {
     require(k >= 1, s"k must be positive: $k")
     require(lam >= 0.0 && lam <= 1.0, s"lambda out of [0,1]: $lam")
     val pen = 1.0 - lam
+    // zero-norm vectors have no cosine to anything: their 0/0 = NaN
+    // similarities would leak a -Infinity maxSim (scoring the degenerate
+    // candidate +Infinity) — drop them up front instead.
+    val cands = cands0.filter(c => dot(c.vec, c.vec) > 0.0)
     val norms = cands.map(c => math.sqrt(dot(c.vec, c.vec)))
     val n = cands.length
     val picked = Array.fill(n)(false)

@@ -31,6 +31,7 @@ object Pca {
 
   final case class Model(
       n: Long,
+      dropped: Long, // null / wrong-length input rows excluded from the fit
       mean: Array[Double],
       eigenvalues: Array[Double], // descending, length r
       components: Array[Array[Double]], // r × d, unit-norm rows
@@ -40,8 +41,9 @@ object Pca {
   }
 
   /** One-pass moment accumulation + driver-side eigensolve.
-    * `vecs` must expose `col` as array<float|double> of length `dims`
-    * (nulls and wrong-length rows are dropped, loudly counted).
+    * `vecs` must expose `col` as array<float|double> of length `dims`;
+    * null and wrong-length rows are excluded and COUNTED (Model.dropped)
+    * — a fit over a mostly-invalid corpus is visible, not silent.
     */
   def fit(vecs: DataFrame, colName: String, dims: Int, r: Int): Model = {
     require(r >= 1 && r <= dims, s"rank out of range: $r of $dims")
@@ -49,37 +51,41 @@ object Pca {
     import spark.implicits._
     val tri = dims * (dims + 1) / 2
     val ds = vecs.select(col(colName).cast("array<double>"))
-      .filter(col(colName).isNotNull && size(col(colName)) === dims)
       .as[Seq[Double]]
-    val zero = (0L, new Array[Double](dims), new Array[Double](tri))
     val partials = ds.mapPartitions { it =>
       var n = 0L
+      var bad = 0L
       val s = new Array[Double](dims)
       val p = new Array[Double](tri)
       it.foreach { v =>
-        n += 1
-        var i = 0
-        var k = 0
-        while (i < dims) {
-          val vi = v(i)
-          s(i) += vi
-          var j = i
-          while (j < dims) { p(k) += vi * v(j); j += 1; k += 1 }
-          i += 1
+        if (v == null || v.length != dims) bad += 1
+        else {
+          n += 1
+          var i = 0
+          var k = 0
+          while (i < dims) {
+            val vi = v(i)
+            s(i) += vi
+            var j = i
+            while (j < dims) { p(k) += vi * v(j); j += 1; k += 1 }
+            i += 1
+          }
         }
       }
-      Iterator.single((n, s, p))
+      Iterator.single((n, bad, s, p))
     }
-    val (n, s, p) = partials.reduce { (a, b) =>
+    val (n, dropped, s, p) = partials.reduce { (a, b) =>
       val s = new Array[Double](dims)
       val p = new Array[Double](tri)
       var i = 0
-      while (i < dims) { s(i) = a._2(i) + b._2(i); i += 1 }
+      while (i < dims) { s(i) = a._3(i) + b._3(i); i += 1 }
       var k = 0
-      while (k < tri) { p(k) = a._3(k) + b._3(k); k += 1 }
-      (a._1 + b._1, s, p)
+      while (k < tri) { p(k) = a._4(k) + b._4(k); k += 1 }
+      (a._1 + b._1, a._2 + b._2, s, p)
     }
-    require(n >= 2, s"PCA needs at least 2 rows, got $n")
+    require(n >= 2,
+      s"PCA needs at least 2 valid rows, got $n ($dropped dropped as " +
+        "null/wrong-length)")
     val mean = s.map(_ / n)
     val cov = Array.ofDim[Double](dims, dims)
     var k = 0
@@ -102,7 +108,7 @@ object Pca {
       val m = v.indices.maxBy(d => math.abs(v(d)))
       if (v(m) < 0) v.map(x => -x) else v
     }.toArray
-    Model(n, mean, order.map(evals(_)).toArray, comps,
+    Model(n, dropped, mean, order.map(evals(_)).toArray, comps,
       totalVariance = (0 until dims).map(d => cov(d)(d)).sum)
   }
 

@@ -1557,8 +1557,12 @@ object ExtraQueries {
           .groupBy(col("event_type"), col("n"), col("lo"), col("hi"))
           .agg(sum(col("c") *
             greatest(col("lo"), least(col("hi"), col("v")))).as("wsum"))
+          // FLOOR division: wsum can be negative (micros quantize negative
+          // values), and Spark's div truncates where DuckDB's // floors —
+          // subtracting the (always non-negative) pmod first makes the
+          // quotient exact in both.
           .select(col("event_type"), col("n"), col("lo"), col("hi"),
-            expr("wsum div n").as("wmean_micro"))
+            expr("(wsum - pmod(wsum, n)) div n").as("wmean_micro"))
           .orderBy("event_type")
       },
       Some("""

@@ -70,7 +70,7 @@ object SetSimJoin {
     // intersect ROW-LOCALLY; exact integer acceptance.
     val ta = d.select(col("id").as("id_a"), col("tokens").as("toks_a"))
     val tb = d.select(col("id").as("id_b"), col("tokens").as("toks_b"))
-    cand.join(ta, "id_a").join(tb, "id_b")
+    val out = cand.join(ta, "id_a").join(tb, "id_b")
       .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("na", size(col("toks_a")))
       .withColumn("nb", size(col("toks_b")))
@@ -78,5 +78,12 @@ object SetSimJoin {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         col("inter").cast("long").as("inter"),
         col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
+      // materialize (bounded by the accepted pair set) and release the
+      // per-call persists — repeated invocations (e.g. via the
+      // graft_jaccard_join TVF) must not leak cached RDDs.
+      .localCheckpoint(eager = true)
+    d.unpersist()
+    prefixes.unpersist()
+    out
   }
 }

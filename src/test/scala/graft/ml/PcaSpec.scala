@@ -86,6 +86,7 @@ class PcaSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val m = Pca.fit(messy, "embedding", dims = 2, r = 1)
     assert(m.n === 2)
+    assert(m.dropped === 2) // the null row and the 3-dim row, counted
     intercept[IllegalArgumentException] {
       Pca.fit(Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding"),
         "embedding", dims = 2, r = 1)
