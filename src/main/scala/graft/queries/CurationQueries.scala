@@ -2169,6 +2169,75 @@ object CurationQueries {
           CAST(SUM(CASE WHEN c.cum <= b.budget_tokens THEN c.n ELSE 0 END)
             AS BIGINT) AS tokens_kept
         FROM cum c JOIN budgets b ON c.source = b.source
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ---- streaming mixture-conformance MONITOR (batch replay) -------------
+    // The DoReMi chain's third leg: report (q237) → action (q239) →
+    // MONITOR. Per-domain cumulative token totals live in keyed stream
+    // state (one long per domain); conformance compares each snapshot's
+    // integer floor-share against the target ppm and alerts past a
+    // tolerance. This row replays the SAME flatMapGroupsWithState body in
+    // batch mode (q212's one-function discipline — the live two-batch
+    // accumulation is spec-verified); all arithmetic is integer, so the
+    // replay is hash-exact.
+    Q("q245_mixture_monitor",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val weights = graft.curation.Curation.domainReweight(
+          graft.curation.Curation.crossSurprisalScores(
+            d.filter(col("doc_id") % 2 === 1),
+            d.filter(col("doc_id") % 2 === 0)),
+          strataCol = "source", stepMilli = 256, maxExp = 8)
+        val totals = graft.streaming.MixtureMonitor.tokenTotals(
+          d.select(col("source"),
+            size(graft.text.TextFunctions.tokens(col("text")))
+              .cast("long").as("n")))
+        graft.streaming.MixtureMonitor.conformance(totals, weights,
+          tolPpm = 20000L).orderBy("source")
+      },
+      Some(s"""
+        WITH $crossSurprisalCtes,
+        scored AS (
+          SELECT doc_id, source, (sb * 1000) // nb AS score FROM per_doc),
+        per AS (
+          SELECT source, CAST(COUNT(*) AS HUGEINT) AS docs,
+            CAST(SUM(score) AS HUGEINT) AS ssum
+          FROM scored GROUP BY 1),
+        tot AS (SELECT SUM(docs) AS tdocs, SUM(ssum) AS tsum FROM per),
+        ex AS (
+          SELECT source, (ssum // docs) - (tot.tsum // tot.tdocs)
+            AS excess_milli
+          FROM per, tot),
+        e2 AS (
+          SELECT source, GREATEST(-8, LEAST(8,
+              ((excess_milli + 256 * 1048576) // 256) - 1048576)) AS exp2
+          FROM ex),
+        w AS (
+          SELECT source,
+            CAST((CAST(1 AS BIGINT) << CAST(exp2 + 8 AS INTEGER)) AS HUGEINT)
+              AS weight
+          FROM e2),
+        wt AS (SELECT SUM(weight) AS wsum FROM w),
+        ppm AS (
+          SELECT source,
+            CAST((1000000 * weight) // wt.wsum AS BIGINT) AS target_ppm
+          FROM w, wt),
+        totals AS (
+          SELECT source,
+            CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS HUGEINT)
+              AS tokens_cum
+          FROM documents GROUP BY 1),
+        snap AS (SELECT SUM(tokens_cum) AS tot FROM totals)
+        SELECT t.source, CAST(t.tokens_cum AS BIGINT) AS tokens_cum,
+          CAST((1000000 * t.tokens_cum) // GREATEST(snap.tot, 1)
+            AS BIGINT) AS realized_ppm,
+          p.target_ppm,
+          CAST((1000000 * t.tokens_cum) // GREATEST(snap.tot, 1)
+            AS BIGINT) - p.target_ppm AS delta_ppm,
+          ABS(CAST((1000000 * t.tokens_cum) // GREATEST(snap.tot, 1)
+            AS BIGINT) - p.target_ppm) > 20000 AS alert
+        FROM totals t JOIN ppm p ON t.source = p.source
+        CROSS JOIN snap
+        ORDER BY 1"""))
   )
 }
