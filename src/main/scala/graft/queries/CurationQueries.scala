@@ -2171,6 +2171,42 @@ object CurationQueries {
         FROM cum c JOIN budgets b ON c.source = b.source
         GROUP BY 1 ORDER BY 1""")),
 
+    // ---- EXACT-proportion stratified split ---------------------------------
+    // q30b's md5-Bernoulli split has binomial size jitter; this is the
+    // exact-count form: per stratum, docs rank in content-addressed
+    // md5(id) order (the distributed rankByStratum — no per-stratum
+    // window) and the first floor(0.8n) are train, the next floor(0.9n)−
+    // floor(0.8n) val, the rest test — cross-multiplied integer rank
+    // tests, so split sizes are EXACT per stratum and the assignment is
+    // reproducible across engines, runs and partitionings.
+    Q("q246_exact_split",
+      (s, dir) => {
+        val ranked = graft.curation.Curation.rankByStratum(
+          t(s, dir, "documents").select("lang", "doc_id"), "lang")
+        val n = ranked.groupBy("lang").agg(count(lit(1)).as("n"))
+        ranked.join(broadcast(n), "lang")
+          .withColumn("split",
+            when(col("rk") * 10 <= col("n") * 8, "train")
+              .when(col("rk") * 10 <= col("n") * 9, "val")
+              .otherwise("test"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("docs"), min("doc_id").as("first_id"))
+          .orderBy("lang", "split")
+      },
+      Some("""
+        WITH r AS (
+          SELECT lang, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+            COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM documents)
+        SELECT lang,
+          CASE WHEN rk * 10 <= n * 8 THEN 'train'
+               WHEN rk * 10 <= n * 9 THEN 'val'
+               ELSE 'test' END AS split,
+          COUNT(*) AS docs, MIN(doc_id) AS first_id
+        FROM r GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ---- streaming mixture-conformance MONITOR (batch replay) -------------
     // The DoReMi chain's third leg: report (q237) → action (q239) →
     // MONITOR. Per-domain cumulative token totals live in keyed stream

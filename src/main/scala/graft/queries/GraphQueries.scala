@@ -256,6 +256,109 @@ object GraphQueries {
         SELECT node_id, label FROM l2 WHERE label IS NOT NULL
         ORDER BY 1""")),
 
+    // ---- community quality: conductance of the LP partition ----------------
+    // The evaluation leg for q241: for each propagated label, internal
+    // edges (both ends in the community), cut edges (exactly one end in),
+    // and conductance ≈ cut/(2·internal+cut) as an exact integer
+    // milli-fraction — low conductance = a real community, high = labels
+    // bleeding across structure. One edge pass joined twice against the
+    // (narrow) label frame; unlabeled endpoints count toward the cut.
+    Q("q247_lp_conductance",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val seeds = docs
+          .join(docs.groupBy("source").agg(min("doc_id").as("node_id")),
+            col("doc_id") === col("node_id"), "left_semi")
+          .select(col("doc_id").as("node_id"), col("lang").as("label"))
+        val labels = LinkGraph.labelPropagation(
+          docLinks(s, dir).select("src", "dst"), seeds, iters = 2)
+        val e = docLinks(s, dir).select("src", "dst")
+          .join(labels.toDF("src", "l_src"), Seq("src"), "left")
+          .join(labels.toDF("dst", "l_dst"), Seq("dst"), "left")
+        val perLabel = e
+          .select(explode(array(
+            struct(col("l_src").as("label"),
+              when(col("l_src") <=> col("l_dst"), 1L).otherwise(0L).as("internal"),
+              when(col("l_src") <=> col("l_dst"), 0L).otherwise(1L).as("cut")),
+            struct(col("l_dst").as("label"),
+              lit(0L).as("internal"), // internal edges counted once, on src side
+              when(col("l_src") <=> col("l_dst"), 0L).otherwise(1L).as("cut"))))
+            .as("x"))
+          .select(col("x.label"), col("x.internal"), col("x.cut"))
+          .filter(col("label").isNotNull)
+        perLabel.groupBy("label")
+          .agg(sum("internal").as("internal_edges"),
+            sum("cut").as("cut_edges"))
+          .withColumn("conductance_milli",
+            expr("(1000 * cut_edges) div " +
+              "greatest(2 * internal_edges + cut_edges, 1L)"))
+          .orderBy("label")
+      },
+      Some(s"""
+        WITH $edgeSql,
+        e0 AS (SELECT src, dst FROM edges),
+        nodes AS (SELECT DISTINCT src AS node_id FROM e0
+                  UNION SELECT dst FROM e0),
+        seeds AS (
+          SELECT d.doc_id AS node_id, d.lang AS label
+          FROM documents d
+          JOIN (SELECT source, MIN(doc_id) AS hub_id
+                FROM documents GROUP BY 1) h
+            ON d.doc_id = h.hub_id),
+        l0 AS (SELECT n.node_id, s.label
+               FROM nodes n LEFT JOIN seeds s ON n.node_id = s.node_id),
+        v1 AS (SELECT e0.dst, l.label, COUNT(*) AS cnt
+               FROM e0 JOIN l0 l ON l.node_id = e0.src
+               WHERE l.label IS NOT NULL GROUP BY 1, 2),
+        m1 AS (SELECT dst, label AS new_label FROM (
+                 SELECT dst, label, ROW_NUMBER() OVER (PARTITION BY dst
+                   ORDER BY cnt DESC, label DESC) AS rn FROM v1)
+               WHERE rn = 1),
+        l1 AS (SELECT n.node_id,
+                 COALESCE(s.label, m.new_label, l.label) AS label
+               FROM nodes n
+               LEFT JOIN seeds s ON n.node_id = s.node_id
+               LEFT JOIN l0 l ON n.node_id = l.node_id
+               LEFT JOIN m1 m ON n.node_id = m.dst),
+        v2 AS (SELECT e0.dst, l.label, COUNT(*) AS cnt
+               FROM e0 JOIN l1 l ON l.node_id = e0.src
+               WHERE l.label IS NOT NULL GROUP BY 1, 2),
+        m2 AS (SELECT dst, label AS new_label FROM (
+                 SELECT dst, label, ROW_NUMBER() OVER (PARTITION BY dst
+                   ORDER BY cnt DESC, label DESC) AS rn FROM v2)
+               WHERE rn = 1),
+        l2 AS (SELECT n.node_id,
+                 COALESCE(s.label, m.new_label, l.label) AS label
+               FROM nodes n
+               LEFT JOIN seeds s ON n.node_id = s.node_id
+               LEFT JOIN l1 l ON n.node_id = l.node_id
+               LEFT JOIN m2 m ON n.node_id = m.dst),
+        le AS (
+          SELECT e0.src, e0.dst, ls.label AS l_src, ld.label AS l_dst
+          FROM e0
+          LEFT JOIN l2 ls ON e0.src = ls.node_id
+          LEFT JOIN l2 ld ON e0.dst = ld.node_id),
+        contrib AS (
+          SELECT l_src AS label,
+            CASE WHEN l_src IS NOT DISTINCT FROM l_dst THEN 1 ELSE 0 END
+              AS internal,
+            CASE WHEN l_src IS NOT DISTINCT FROM l_dst THEN 0 ELSE 1 END
+              AS cut
+          FROM le
+          UNION ALL
+          SELECT l_dst AS label, 0 AS internal,
+            CASE WHEN l_src IS NOT DISTINCT FROM l_dst THEN 0 ELSE 1 END
+              AS cut
+          FROM le)
+        SELECT label,
+          CAST(SUM(internal) AS BIGINT) AS internal_edges,
+          CAST(SUM(cut) AS BIGINT) AS cut_edges,
+          CAST((1000 * SUM(cut))
+            // GREATEST(2 * SUM(internal) + SUM(cut), 1) AS BIGINT)
+            AS conductance_milli
+        FROM contrib WHERE label IS NOT NULL
+        GROUP BY 1 ORDER BY 1""")),
+
     // ---- incoming anchor-text aggregation ---------------------------------
     Q("q225_anchor_text",
       (s, dir) =>
