@@ -438,6 +438,70 @@ object SimilarityQueries {
           CAST(dcg_sys AS DOUBLE) / CAST(dcg_ideal AS DOUBLE) AS ndcg
         FROM ds, di""")),
 
+    // ---- MRR + hit@k: the rank-position eval beside NDCG (q233) ------------
+    // Mean reciprocal rank of the true nearest neighbor in the LSH ranking,
+    // exact-rational (numerator/denominator integers; rr_milli = floor
+    // form), plus hit@1/@5/@10 — the retrieval dashboard triple. Same
+    // brute-vs-LSH frames as q233, one join.
+    Q("q248_mrr_hits",
+      (s, dir) => {
+        graft.ml.VecOps.register(s)
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, dir, "embeddings")
+          .withColumn("bucket", bucket("embedding"))
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+        val w = Window.orderBy(desc("sim"), col("vec_id"))
+        val truth = e.crossJoin(broadcast(qv)).filter(col("vec_id") =!= 0)
+          .withColumn("sim",
+            dot("embedding", "qv") / (norm("embedding") * norm("qv")))
+          .orderBy(desc("sim"), col("vec_id")).limit(1)
+          .select(col("vec_id"))
+        val sys = e.join(broadcast(qv), col("bucket") === col("qbucket"))
+          .filter(col("vec_id") =!= 0)
+          .withColumn("sim",
+            dot("embedding", "qv") / (norm("embedding") * norm("qv")))
+          .orderBy(desc("sim"), col("vec_id")).limit(10)
+          .withColumn("rnk", row_number().over(w))
+          .select(col("vec_id"), col("rnk"))
+        truth.join(sys, Seq("vec_id"), "left")
+          .select(
+            col("vec_id").as("true_nn"),
+            coalesce(col("rnk"), lit(0)).as("found_at"),
+            when(col("rnk").isNotNull, expr("1000 div rnk")).otherwise(lit(0L))
+              .as("rr_milli"),
+            when(col("rnk") <= 1, 1L).otherwise(0L).as("hit_at_1"),
+            when(col("rnk") <= 5, 1L).otherwise(0L).as("hit_at_5"),
+            when(col("rnk") <= 10, 1L).otherwise(0L).as("hit_at_10"))
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+          FROM embeddings),
+        q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
+        truth AS (
+          SELECT vec_id FROM (
+            SELECT vec_id,
+              $dotSql / (${normSql("embedding")} * ${normSql("qv")}) AS sim
+            FROM b, q WHERE vec_id <> 0
+            ORDER BY sim DESC, vec_id LIMIT 1)),
+        sys AS (
+          SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id)
+              AS INT) AS rnk
+          FROM (
+            SELECT vec_id,
+              $dotSql / (${normSql("embedding")} * ${normSql("qv")}) AS sim
+            FROM b, q WHERE bucket = qbucket AND vec_id <> 0
+            ORDER BY sim DESC, vec_id LIMIT 10))
+        SELECT t.vec_id AS true_nn,
+          COALESCE(s.rnk, 0) AS found_at,
+          CAST(CASE WHEN s.rnk IS NOT NULL THEN 1000 // s.rnk ELSE 0 END
+            AS BIGINT) AS rr_milli,
+          CAST(CASE WHEN s.rnk <= 1 THEN 1 ELSE 0 END AS BIGINT) AS hit_at_1,
+          CAST(CASE WHEN s.rnk <= 5 THEN 1 ELSE 0 END AS BIGINT) AS hit_at_5,
+          CAST(CASE WHEN s.rnk <= 10 THEN 1 ELSE 0 END AS BIGINT) AS hit_at_10
+        FROM truth t LEFT JOIN sys s ON t.vec_id = s.vec_id""")),
+
     // ---- embedding near-dup: exact copies planted, found via buckets ------
     // Corpus ∪ copies of every 50th vector; pairs from the same sign bucket
     // with cosine >= 0.999 are reported (the planted copies give sim = 1).
