@@ -171,7 +171,7 @@ object Scd2 {
         col(keyCol).cast("string").as("k"),
         unix_millis(col(tsCol).cast("timestamp")).as("ts"),
         array(attrCols.map(c => col(c).cast("string")): _*).as("attrs"),
-        concat_ws(" ",
+        concat_ws("\u0000",
           tieCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*).as("tie"))
       .as[ScdObs]
     prepared

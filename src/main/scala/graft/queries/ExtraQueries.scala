@@ -1124,6 +1124,8 @@ object ExtraQueries {
     // oracles its batch replay — the identical flatMapGroupsWithState
     // plan — against the windowed derivation's CLOSED rows, string-cast
     // attrs and epoch-millis intervals exactly as the stream emits them.
+    // attrs crosses the oracle boundary as canonical JSON text (the q79
+    // convention) — raw LIST columns are unsortable in the compare harness.
     Q("q212_scd2_stream_replay",
       (s, dir) => {
         // the stream's tie compares on its STRING cast (documented
@@ -1135,6 +1137,7 @@ object ExtraQueries {
         graft.ops.Scd2.historyStream(o, "o_custkey", "o_orderdate",
             Seq("o_orderstatus", "o_orderpriority"),
             Seq("tie_pad"))
+          .withColumn("attrs", to_json(col("attrs")))
           .orderBy(col("k").cast("long"), col("version"))
       },
       Some("""
@@ -1158,7 +1161,7 @@ object ExtraQueries {
           FROM chg
           WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
         SELECT CAST(o_custkey AS VARCHAR) AS k,
-          [o_orderstatus, o_orderpriority] AS attrs,
+          to_json([o_orderstatus, o_orderpriority]) AS attrs,
           epoch_ms(CAST(valid_from AS TIMESTAMP)) AS valid_from_ms,
           epoch_ms(CAST(valid_to AS TIMESTAMP)) AS valid_to_ms,
           version
