@@ -359,11 +359,27 @@ object Bench {
         System.err.println("[bench] bpe round-batching CHANGED the merges — " +
           "semantics bug, suppressing the micro rows")
         Seq.empty
-      } else Seq(
-        "bpe256_seq" -> seqSec,
-        "bpe256_batched" -> batSec,
-        "bpe256_seq_rounds" -> seqModel.rounds.toDouble,
-        "bpe256_batched_rounds" -> batModel.rounds.toDouble)
+      } else {
+        // ENCODE at vocabulary scale: the native BpeEncode expression
+        // applies all 256 learned merges over the 1M-doc corpus as ONE
+        // expression node (per-word cost independent of merge count).
+        // The foldLeft-of-replaces this replaced is structurally absent
+        // here on purpose: at 256 merges it is a 256-deep expression
+        // tree — the exact wide-codegen OOM shape the native path
+        // exists to avoid.
+        graft.text.BpeEncoder.register(spark)
+        val encT0 = System.nanoTime()
+        docs.select(md5(graft.text.BpeEncoder.encode(col("text"),
+            seqModel.merges.map { case (a, b, _) => (a, b) })).as("h"))
+          .queryExecution.toRdd.count()
+        val encSec = (System.nanoTime() - encT0) / 1e9
+        Seq(
+          "bpe256_seq" -> seqSec,
+          "bpe256_batched" -> batSec,
+          "bpe256_seq_rounds" -> seqModel.rounds.toDouble,
+          "bpe256_batched_rounds" -> batModel.rounds.toDouble,
+          "bpe256_encode" -> encSec)
+      }
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] bpe rounds demo failed: $e"); Seq.empty

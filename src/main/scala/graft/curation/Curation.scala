@@ -346,8 +346,20 @@ object Curation {
       strataCol, idCol, wCol)
     val totals = c.groupBy(strataCol)
       .agg(sum(col(wCol)).cast("long").as("_tot"))
+    // the grid-count expression computes 2*k*cum in longs with cum <= _tot;
+    // a per-stratum weight total above Long.Max/(2k) would wrap negative
+    // and silently drop/duplicate draws — fail loudly IN the plan (the
+    // dominantAxisFixedPoint budget-guard discipline, kept lazy so the
+    // builder stays a pure plan: an eager check would force the cumsum
+    // twice). The guard rides the _hi expression, so it cannot be pruned.
+    val bound = Long.MaxValue / (2L * k)
     c.join(broadcast(totals), Seq(strataCol))
-      .withColumn("_hi", expr(s"(2 * $k * cum + _tot - 1) div (2 * _tot)"))
+      .withColumn("_hi", expr(
+        s"if(_tot > ${bound}L, raise_error(concat(" +
+          s"'systematicPpsSample: stratum weight total ', _tot, " +
+          s"' overflows the 2*k*cum long budget for k=$k (max ${bound}L) — " +
+          s"rescale the weights before sampling')), " +
+          s"(2 * $k * cum + _tot - 1) div (2 * _tot))"))
       .withColumn("_lo",
         expr(s"(2 * $k * (cum - $wCol) + _tot - 1) div (2 * _tot)"))
       .withColumn("hits", col("_hi") - col("_lo"))

@@ -158,21 +158,34 @@ object AnnIndex {
   /** Right-to-be-forgotten propagation into the persisted index — the
     * compliance operation a production vector store cannot skip (a
     * deleted user's embeddings must leave the index, not just the source
-    * table). Rewrites ONLY the cells that contain forgotten ids: the
-    * affected-cell discovery is a semi-join on the id frame (partition
-    * pruning keeps it an index-column scan), the per-cell rewrite is an
-    * anti-join of that cell's rows against the id frame, and each cell
-    * swaps through the [[compactCells]] staging/backup rename-rename
-    * discipline — so a full copy of every touched cell exists on disk at
-    * every instant and [[recoverCells]] (run first here, like every
-    * maintenance op) heals any crash window. Cells without forgotten ids
-    * are not read or written. Returns the number of rows removed.
+    * table). Rewrites ONLY the cells that contain forgotten ids, in a
+    * FIXED number of Spark jobs regardless of how many cells are touched
+    * (a GDPR-sized forget set lands in arbitrary cells — at a production
+    * codebook the per-cell-job shape this replaced was tens of thousands
+    * of sequential jobs):
     *
-    * The driver loop is over affected cell DIRECTORIES — bounded by the
-    * codebook size k, never by data or by the forget-set size; the id
-    * frame itself stays distributed (Spark/AQE picks the join strategy).
-    * Same serialization contract as the other maintenance ops: do not
-    * run concurrently with append/compact/rebuild on one path.
+    *  1. ONE aggregate — semi-join the index against the id frame,
+    *     count hits per cell (bounded collect: <= k rows). This is both
+    *     the affected-cell discovery and the removed-row count.
+    *  2. ONE distributed anti-join over just the affected cells (the
+    *     `cell` IN (...) filter prunes partitions at the scan), written
+    *     with `partitionBy("cell")` into the staging sibling — every
+    *     surviving row of every touched cell in a single write job.
+    *  3. One RENAME PASS (filesystem RPCs, zero jobs): per affected cell,
+    *     live -> backup, staging -> live, drop backup — the
+    *     [[compactCells]] rename-rename discipline, so a full copy of
+    *     each touched cell exists on disk at every instant and
+    *     [[recoverCells]] (run first here, like every maintenance op)
+    *     heals any crash window. A cell whose every row is forgotten has
+    *     no staging child and ends ABSENT — an absent partition reads as
+    *     empty everywhere (queries filter on cell values; the next
+    *     append recreates the directory on arrival).
+    *
+    * Cells without forgotten ids are not read or written. Returns the
+    * number of rows removed. The id frame stays distributed (Spark/AQE
+    * picks the join strategy). Same serialization contract as the other
+    * maintenance ops: do not run concurrently with append/compact/rebuild
+    * on one path; on a crash, re-run (the staged rewrite is redone).
     */
   def forget(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String = "vec_id"): Long = {
@@ -181,32 +194,35 @@ object AnnIndex {
     val idx = new Path(indexDir(path))
     val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val idFrame = ids.select(col(idCol).as("vec_id")).distinct()
-    val affected = spark.read.parquet(indexDir(path))
+    val hits = spark.read.parquet(indexDir(path))
       .join(idFrame, Seq("vec_id"), "left_semi")
-      .select("cell").distinct().collect().map(_.get(0).toString).sorted
-    if (affected.isEmpty) return 0L
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect()
+    if (hits.isEmpty) return 0L
+    val affectedVals = hits.map(_.get(0))
+    val removed = hits.map(_.getLong(1)).sum
     val stagingRoot = new Path(idx, StagingDir)
     val bakRoot = new Path(idx, BakDir)
-    var removed = 0L
-    affected.foreach { c =>
+    spark.read.parquet(indexDir(path))
+      .filter(col("cell").isin(affectedVals.toIndexedSeq: _*))
+      .join(idFrame, Seq("vec_id"), "left_anti")
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(stagingRoot.toString)
+    affectedVals.map(_.toString).sorted.foreach { c =>
       val name = s"cell=$c"
       val cellPath = new Path(idx, name)
-      val cell = spark.read.parquet(cellPath.toString)
-      val kept = cell.join(idFrame, Seq("vec_id"), "left_anti")
-      val beforeN = cell.count()
       val stg = new Path(stagingRoot, name)
-      kept.coalesce(1).write.mode(SaveMode.Overwrite).parquet(stg.toString)
-      val afterN = spark.read.parquet(stg.toString).count()
       fs.mkdirs(bakRoot)
       val bak = new Path(bakRoot, name)
       if (!fs.rename(cellPath, bak))
         throw new java.io.IOException(s"backup rename failed: $cellPath -> $bak")
-      if (!fs.rename(stg, cellPath)) {
-        fs.rename(bak, cellPath) // restore — the old cell is intact
-        throw new java.io.IOException(s"swap failed: $stg -> $cellPath")
-      }
+      if (fs.exists(stg)) {
+        if (!fs.rename(stg, cellPath)) {
+          fs.rename(bak, cellPath) // restore — the old cell is intact
+          throw new java.io.IOException(s"swap failed: $stg -> $cellPath")
+        }
+      } // else: every row of this cell was forgotten — it ends absent
       fs.delete(bak, true)
-      removed += beforeN - afterN
     }
     fs.delete(stagingRoot, true)
     if (fs.exists(bakRoot) && fs.listStatus(bakRoot).isEmpty) fs.delete(bakRoot, true)

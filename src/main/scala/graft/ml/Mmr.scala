@@ -81,6 +81,10 @@ object Mmr {
         }
         i += 1
       }
+      // every remaining candidate scored NaN (e.g. rel=NaN from upstream):
+      // both comparisons are false for NaN, so no best was chosen — stop
+      // with the picks made so far instead of indexing picked(-1)
+      if (best < 0) return out.toSeq
       picked(best) = true
       out += Pick(rank, cands(best).id, bestScore)
       rank += 1

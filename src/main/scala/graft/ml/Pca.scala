@@ -227,7 +227,17 @@ object Pca {
       it.foreach { v =>
         n += 1
         var i = 0
-        while (i < dims) { w(i) = math.floor(v(i) * 1048576.0).toLong; i += 1 }
+        while (i < dims) {
+          w(i) = math.floor(v(i) * 1048576.0).toLong
+          // the 2^42-per-product long budget below assumes |w| < 2^21,
+          // i.e. elements in [-2, 2) — fail loudly (like the row-count
+          // guard) instead of silently wrapping the partial sums
+          if (w(i) >= (1L << 21) || w(i) < -(1L << 21))
+            throw new IllegalArgumentException(
+              s"fixed-point moment pass requires elements in [-2, 2): " +
+                s"got ${v(i)} (quantized ${w(i)}) at dim $i")
+          i += 1
+        }
         i = 0
         var k = 0
         while (i < dims) {

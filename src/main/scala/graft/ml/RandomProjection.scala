@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Johnson-Lindenstrauss sign-projection sketch for embedding columns:
   * y_j = Σ_i w_i · s(i,j) with s ∈ {±1} drawn from md5("jl#i#j") — the
@@ -70,6 +70,33 @@ case class JlSketch(children: Seq[Expression])
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
+
+  // registered in the session function registry, so raw-SQL callers can
+  // hand it anything — fail at ANALYSIS with a readable message, not at
+  // runtime with a ClassCastException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (children.length != 3)
+      return TypeCheckResult.TypeCheckFailure(
+        s"graft_jl_sketch expects 3 arguments (vec, flatSigns, outDims), got ${children.length}")
+    children.head.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => ()
+      case t => return TypeCheckResult.TypeCheckFailure(
+        s"graft_jl_sketch: vec must be array<float> or array<double>, got ${t.simpleString}")
+    }
+    children(1).dataType match {
+      case ArrayType(IntegerType, _) if children(1).foldable => ()
+      case t => return TypeCheckResult.TypeCheckFailure(
+        s"graft_jl_sketch: flatSigns must be a foldable array<int> literal, got ${t.simpleString}" +
+          (if (children(1).foldable) "" else " (non-foldable)"))
+    }
+    children(2).dataType match {
+      case IntegerType if children(2).foldable => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_jl_sketch: outDims must be a foldable int literal, got ${t.simpleString}" +
+          (if (children(2).foldable) "" else " (non-foldable)"))
+    }
+  }
 
   private lazy val elemType =
     children.head.dataType.asInstanceOf[ArrayType].elementType

@@ -632,13 +632,14 @@ object Multimodal {
       })
   }
 
-  /** Decode AVI clips and stride-sample their frames to narrow feature
-    * rows — the q101 sampling discipline on a REAL container: the
-    * chunk-stream walk, per-frame box pooling and md5 all run row-local
-    * inside `mapPartitions`; only (ids, dims, 16 sums, md5) rows leave
-    * the scan stage. DIB streams only (closed-form features — the
-    * oracled path); MJPG clips decode per frame via [[ImageIoCodec]]
-    * and are spec-tier (JPEG is lossy — no closed form to oracle).
+  /** Decode video clips (AVI or MP4, dispatched on `Asset.format`) and
+    * stride-sample their frames to narrow feature rows — the q101
+    * sampling discipline on a REAL container: the container walk,
+    * per-frame box pooling and md5 all run row-local inside
+    * `mapPartitions`; only (ids, dims, 16 sums, md5) rows leave the
+    * scan stage. Closed-form flavors (AVI/DIB, MP4/'raw ') are the
+    * oracled paths; the lossy-decode flavors (MJPG, 'jpeg') go through
+    * [[ImageIoCodec]] and are spec-tier (JPEG has no closed form).
     */
   def videoFrameFeatures(assets: Dataset[Asset], grid: Int = 4,
       stride: Int = 2): Dataset[VideoFrameFeatures] = {
@@ -646,24 +647,75 @@ object Multimodal {
     assets.mapPartitions { it =>
       val digest = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { a =>
-        val info = AviCodec.info(a.payload)
-        val fs = AviCodec.frames(a.payload)
-        require(fs.length == info.nFrames,
-          s"clip ${a.asset_id}: header says ${info.nFrames} frames, movi has ${fs.length}")
+        val (w, h, nFrames, fs, sumsOf) = a.format match {
+          case "avi" =>
+            val info = AviCodec.info(a.payload)
+            val fs = AviCodec.frames(a.payload)
+            require(fs.length == info.nFrames,
+              s"clip ${a.asset_id}: header says ${info.nFrames} frames, movi has ${fs.length}")
+            val f: Array[Byte] => Array[Long] = info.handler match {
+              case "DIB " => AviCodec.dibBoxSums(_, info.width, info.height, grid)
+              case "MJPG" => ImageIoCodec.boxSums(_, grid)._3
+              case other => throw new IllegalArgumentException(
+                s"clip ${a.asset_id}: unsupported stream handler '$other'")
+            }
+            (info.width, info.height, info.nFrames, fs, f)
+          case "mp4" =>
+            val info = Mp4Codec.info(a.payload)
+            val fs = Mp4Codec.frames(a.payload)
+            require(fs.length == info.nFrames,
+              s"clip ${a.asset_id}: stsz says ${info.nFrames} samples, chunks yield ${fs.length}")
+            val f: Array[Byte] => Array[Long] = info.handler match {
+              case "raw " => Mp4Codec.rawBoxSums(_, info.width, info.height, grid)
+              case "jpeg" => ImageIoCodec.boxSums(_, grid)._3
+              case other => throw new IllegalArgumentException(
+                s"clip ${a.asset_id}: unsupported sample entry '$other'")
+            }
+            (info.width, info.height, info.nFrames, fs, f)
+          case other => throw new IllegalArgumentException(
+            s"clip ${a.asset_id}: unsupported video container '$other'")
+        }
         fs.zipWithIndex.collect { case (f, i) if i % stride == 0 =>
-          val sums = info.handler match {
-            case "DIB " => AviCodec.dibBoxSums(f, info.width, info.height, grid)
-            case "MJPG" => ImageIoCodec.boxSums(f, grid)._3
-            case other => throw new IllegalArgumentException(
-              s"clip ${a.asset_id}: unsupported stream handler '$other'")
-          }
           digest.reset()
           val hex = digest.digest(f).map("%02x".format(_)).mkString
-          VideoFrameFeatures(a.asset_id, i, info.nFrames, info.width,
-            info.height, sums.toSeq, hex)
+          VideoFrameFeatures(a.asset_id, i, nFrames, w, h, sumsOf(f).toSeq, hex)
         }
       }
     }
+  }
+
+  /** MP4 corpus with planted near-duplicate CLIPS — the
+    * [[videoAssetsWithNearDups]] discipline on the ISO-BMFF container:
+    * real single-track 'raw '-flavor MP4s ([[Mp4Codec]]) synthesized per
+    * doc, 3-7 frames of per-frame-parameterized gradients. Every 32nd
+    * doc re-renders clip 0 exactly (byte-identical container); every
+    * 21st re-renders its neighbor one red level brighter in EVERY frame
+    * (byte-different, perceptually near). Distinct plant periods and
+    * dimension algebra from the AVI corpus so the two rows cannot mask
+    * each other. All parameters are closed-form in doc_id, so the
+    * near-dup oracle predicts every frame's box panel without decoding.
+    */
+  def mp4AssetsWithNearDups(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map { id =>
+        val exactDup = id > 0 && id % 32 == 0
+        val nearDup = id > 0 && id % 21 == 0 && !exactDup
+        val base = if (exactDup) 0L else if (nearDup) id - 1 else id
+        val bright = if (nearDup) 1 else 0
+        val w = (8 + (base * 3) % 16).toInt
+        val h = (8 + (base * 5) % 16).toInt
+        val nf = (3 + base % 5).toInt
+        val frames = (0 until nf).map { f =>
+          val r = ((base * 7 + 11 * f) % 199).toInt + bright
+          val g = ((base * 13 + 3 * f) % 256).toInt
+          val b = ((base * 19 + 9 * f) % 256).toInt
+          Mp4Codec.encodeRawFrame(w, h)((x, y) => ((r + x + y) << 16) | (g << 8) | b)
+        }
+        Asset(id, "mp4", Mp4Codec.encode(w, h, frames))
+      })
   }
 
   /** The video blocking key: one string per (clip dims, frame count,

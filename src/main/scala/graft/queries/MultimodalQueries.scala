@@ -1105,5 +1105,145 @@ object MultimodalQueries {
                       ELSE 'accepted' END
           END AS verdict
         FROM documents ORDER BY 1"""))
+    ,
+
+    // ---- VIDEO near-dup over real MP4 (ISO-BMFF) containers ----------------
+    // q194's frame algebra on the container production corpora actually
+    // ship: per-doc single-track 'raw '-flavor MP4s (Mp4Codec — a real
+    // box walk: big-endian sizes, largesize/size-0 forms, and sample
+    // extraction as the stsz x stsc x stco TABLE JOIN, not a linear
+    // scan). Same row-local decode -> box panel -> dHash band -> frame
+    // conjunction pipeline; payloads never shuffle. Plants use DISTINCT
+    // periods (32/21) and dimension algebra from the AVI row so neither
+    // can mask a regression in the other. The oracle predicts every
+    // frame's panel in closed form from the synthesis parameters
+    // without parsing a byte.
+    Q("q249_mp4_neardup",
+      (s, dir) => {
+        import graft.multimodal.VisualDedup
+        val g = 4
+        val feats = Multimodal.videoFrameFeatures(
+            Multimodal.mp4AssetsWithNearDups(s, dir), grid = g, stride = 2)
+          .toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val banded = VisualDedup.explodeBands(
+          feats.withColumn("dhash", VisualDedup.dhash("", g)), g)
+        def side(p: String) =
+          banded.columns.foldLeft(banded)((d, c) => d.withColumnRenamed(c, p + c))
+        val a = side("a_"); val b = side("b_")
+        val firstMatch = (0 until 3).map(j =>
+          col("a_band_idx") <= lit(j) ||
+            expr(s"shiftright(a_dhash, ${j * 6}) & 63")
+              =!= expr(s"shiftright(b_dhash, ${j * 6}) & 63"))
+          .reduce(_ && _)
+        val framePairs = a.join(b,
+            col("a_width") === col("b_width") &&
+              col("a_height") === col("b_height") &&
+              col("a_n_frames") === col("b_n_frames") &&
+              col("a_frame_idx") === col("b_frame_idx") &&
+              col("a_band_idx") === col("b_band_idx") &&
+              col("a_band_val") === col("b_band_val") &&
+              col("a_asset_id") < col("b_asset_id") && firstMatch)
+          .filter(VisualDedup.verify("a_", "b_", g))
+          .select(col("a_asset_id").as("id_a"), col("b_asset_id").as("id_b"),
+            col("a_width").cast("long").as("w"),
+            col("a_height").cast("long").as("h"),
+            col("a_n_frames").cast("long").as("n_frames"),
+            col("a_frame_idx").as("fidx"),
+            (col("a_frame_md5") === col("b_frame_md5")).as("fr_exact"))
+        framePairs.groupBy("id_a", "id_b", "w", "h", "n_frames")
+          .agg(countDistinct("fidx").as("matched_frames"),
+            min(when(col("fr_exact"), 1L).otherwise(0L)).as("ae"))
+          .filter(col("matched_frames") === expr("(n_frames + 1) div 2"))
+          .select(col("id_a"), col("id_b"), col("w"), col("h"),
+            col("n_frames"), col("matched_frames").as("sampled_frames"),
+            when(col("ae") === 1L, "exact").otherwise("near").as("kind"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH p0 AS (
+          SELECT doc_id,
+            CASE WHEN doc_id > 0 AND doc_id % 32 = 0 THEN 0
+                 WHEN doc_id > 0 AND doc_id % 21 = 0 THEN doc_id - 1
+                 ELSE doc_id END AS base,
+            CASE WHEN doc_id > 0 AND doc_id % 21 = 0 AND doc_id % 32 <> 0
+                 THEN 1 ELSE 0 END AS bright
+          FROM documents),
+        p AS (
+          SELECT doc_id, base, bright,
+            8 + (base * 3) % 16 AS w, 8 + (base * 5) % 16 AS h,
+            3 + base % 5 AS nf
+          FROM p0),
+        fr AS (
+          SELECT doc_id, w, h, nf, f,
+            (base * 7 + 11 * f) % 199 + bright AS r,
+            (base * 13 + 3 * f) % 256 AS g,
+            (base * 19 + 9 * f) % 256 AS b
+          FROM p, UNNEST(generate_series(0, nf - 1)) AS t(f)
+          WHERE f % 2 = 0),
+        boxes AS (
+          SELECT doc_id, f, w, h, r, g, b, gx, gy,
+            (gx * w + 3) // 4 AS x0, ((gx + 1) * w + 3) // 4 AS x1,
+            (gy * h + 3) // 4 AS y0, ((gy + 1) * h + 3) // 4 AS y1
+          FROM fr, (SELECT unnest([0, 1, 2, 3]) AS gx),
+               (SELECT unnest([0, 1, 2, 3]) AS gy)),
+        sums AS MATERIALIZED (
+          SELECT doc_id, f, gx, gy, (x1 - x0) * (y1 - y0) AS np,
+            (x1 - x0) * (y1 - y0) * (299 * r + 587 * g + 114 * b)
+              + 299 * ((y1 - y0) * (((x0 + x1 - 1) * (x1 - x0)) // 2)
+                       + (x1 - x0) * (((y0 + y1 - 1) * (y1 - y0)) // 2)) AS s
+          FROM boxes),
+        hb AS (
+          SELECT a.doc_id, a.f,
+            SUM(CASE WHEN a.s * b.np > b.s * a.np
+                THEN 1 << (a.gy * 3 + a.gx) ELSE 0 END) AS v
+          FROM sums a JOIN sums b
+            ON b.doc_id = a.doc_id AND b.f = a.f
+              AND b.gy = a.gy AND b.gx = a.gx + 1
+          GROUP BY 1, 2),
+        vb AS (
+          SELECT a.doc_id, a.f,
+            SUM(CASE WHEN a.s * b.np > b.s * a.np
+                THEN 1 << (12 + a.gy * 4 + a.gx) ELSE 0 END) AS v
+          FROM sums a JOIN sums b
+            ON b.doc_id = a.doc_id AND b.f = a.f
+              AND b.gx = a.gx AND b.gy = a.gy + 1
+          GROUP BY 1, 2),
+        dh AS (
+          SELECT hb.doc_id, hb.f, hb.v + vb.v AS dhash
+          FROM hb JOIN vb ON vb.doc_id = hb.doc_id AND vb.f = hb.f),
+        bands AS (
+          SELECT doc_id, f, i, (dhash >> (6 * i)) & 63 AS band_val
+          FROM dh, (SELECT unnest([0, 1, 2, 3]) AS i)),
+        candf AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.f
+          FROM bands x
+            JOIN bands y ON y.f = x.f AND y.i = x.i
+              AND y.band_val = x.band_val AND x.doc_id < y.doc_id
+            JOIN p pa ON pa.doc_id = x.doc_id
+            JOIN p pb ON pb.doc_id = y.doc_id
+          WHERE pa.w = pb.w AND pa.h = pb.h AND pa.nf = pb.nf),
+        vf AS (
+          SELECT c.id_a, c.id_b, c.f FROM candf c
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sums sa
+              JOIN sums sb ON sb.doc_id = c.id_b AND sb.f = sa.f
+                AND sb.gx = sa.gx AND sb.gy = sa.gy
+            WHERE sa.doc_id = c.id_a AND sa.f = c.f
+              AND abs(sa.s - sb.s) > 1000 * sa.np)),
+        mt AS (
+          SELECT id_a, id_b, COUNT(DISTINCT f) AS matched
+          FROM vf GROUP BY 1, 2)
+        SELECT m.id_a, m.id_b,
+          CAST(pa.w AS BIGINT) AS w, CAST(pa.h AS BIGINT) AS h,
+          CAST(pa.nf AS BIGINT) AS n_frames,
+          CAST(m.matched AS BIGINT) AS sampled_frames,
+          CASE WHEN pa.base = pb.base AND pa.bright = pb.bright
+               THEN 'exact' ELSE 'near' END AS kind
+        FROM mt m
+          JOIN p pa ON pa.doc_id = m.id_a
+          JOIN p pb ON pb.doc_id = m.id_b
+        WHERE m.matched = (pa.nf + 1) // 2
+        ORDER BY 1, 2"""))
   )
 }

@@ -1154,21 +1154,21 @@ object TextQueries {
     // The apply side of q180, closing the train->encode loop: true BPE
     // inference applies the learned merges IN TRAINING ORDER (not q136's
     // greedy longest-match — the two disagree exactly where BPE's merge
-    // history matters). Every word is char-wrapped and pushed through
-    // the 8 replaces row-locally; a doc's piece stream is its words'
-    // encodings concatenated (parens delimit pieces). Output per doc:
-    // piece count + md5 of the piece stream — the oracle re-trains AND
-    // re-encodes, so a single drifted merge flips every downstream hash.
+    // history matters). Encoding is the native BpeEncode expression —
+    // ONE expression node whose merge table rides as an array literal,
+    // replacing the foldLeft-of-replaces whose expression depth grew
+    // linearly in merge count (structurally impossible at a 32k vocab:
+    // codegen OOM). Semantics pinned bit-identical to the fold
+    // (BpeEncodeSpec proves it against the fold itself, including
+    // adversarial duplicate-output merge tables); the oracle re-trains
+    // AND re-encodes, so a single drifted merge flips every hash.
     Q("q185_bpe_encode",
       (s, dir) => {
+        graft.text.BpeEncoder.register(s)
         val d = t(s, dir, "documents")
         val model = graft.text.BpeTrainer.fit(s, d, merges = 8)
-        def encWord(w: Column): Column =
-          model.merges.foldLeft(regexp_replace(w, "(.)", "($1)")) {
-            case (e, (a, b, _)) => replace(e, lit(s"($a)($b)"), lit(s"($a$b)"))
-          }
-        val doc = concat_ws("",
-          transform(tokens(col("text")), encWord(_)))
+        val doc = graft.text.BpeEncoder.encode(col("text"),
+          model.merges.map { case (a, b, _) => (a, b) })
         d.select(col("doc_id"), doc.as("d"))
           .select(col("doc_id"),
             (length(col("d")) - length(replace(col("d"), lit("("), lit(""))))
@@ -1216,14 +1216,12 @@ object TextQueries {
     // re-trains AND re-encodes — compares hash-exactly.
     Q("q198_tokenizer_fertility",
       (s, dir) => {
+        graft.text.BpeEncoder.register(s)
         val d = t(s, dir, "documents")
         val model = graft.text.BpeTrainer.fit(s, d, merges = 8)
-        def encWord(w: Column): Column =
-          model.merges.foldLeft(regexp_replace(w, "(.)", "($1)")) {
-            case (e, (a, b, _)) => replace(e, lit(s"($a)($b)"), lit(s"($a$b)"))
-          }
         val toks = tokens(col("text"))
-        val doc = concat_ws("", transform(toks, encWord(_)))
+        val doc = graft.text.BpeEncoder.encode(col("text"),
+          model.merges.map { case (a, b, _) => (a, b) })
         d.select(col("source"),
             size(toks).cast("long").as("w"),
             length(array_join(toks, "")).cast("long").as("c"),

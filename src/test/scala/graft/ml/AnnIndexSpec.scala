@@ -463,6 +463,49 @@ class AnnIndexSpec extends SparkSpec
     assert(AnnIndex.forget(spark, p, Seq.empty[Long].toDF("vec_id")) == 0L)
   }
 
+  test("forget job count is independent of the affected-cell count (k=64)") {
+    import spark.implicits._
+    // GDPR shape: a forget set whose vectors land in MANY cells. The old
+    // per-cell driver loop cost ~3 jobs x affected cells; the set-based
+    // rewrite is a fixed number of jobs (discovery aggregate + one staged
+    // anti-join write) plus rename RPCs — asserted here with a 64-cell
+    // codebook and a forget set spanning dozens of cells.
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = java.nio.file.Files.createTempDirectory("ann_forget_k64").toString
+    AnnIndex.build(spark, e, p, k = 64)
+    val pre = AnnIndex.readIndex(spark, p)
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.get(1).toString))
+    val forgetIds = pre.map(_._1).filter(_ % 2 == 0).toSeq
+    val affectedCells = pre.filter(t => t._1 % 2 == 0).map(_._2).distinct.length
+    assert(affectedCells >= 32, s"fixture too narrow: $affectedCells cells")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val removed =
+      try {
+        val r = AnnIndex.forget(spark, p, forgetIds.toDF("vec_id"))
+        // listener delivery is async — poll until the count stabilizes
+        var last = -1
+        var waited = 0
+        while (jobs.get() != last && waited < 10000) {
+          last = jobs.get(); Thread.sleep(200); waited += 200
+        }
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(removed == forgetIds.length.toLong)
+    // fixed-job budget: discovery + staged write (each may split into a
+    // couple of AQE sub-jobs) — NOT O(cells); the old shape would be 96+
+    assert(jobs.get() <= 12,
+      s"forget ran ${jobs.get()} jobs for $affectedCells affected cells")
+    val post = AnnIndex.readIndex(spark, p).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(forgetIds.forall(!post.contains(_)))
+    assert(post.size == pre.length - forgetIds.length)
+  }
+
   test("forget heals a crash stranded between its two renames") {
     import spark.implicits._
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
