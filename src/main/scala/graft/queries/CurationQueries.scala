@@ -2056,6 +2056,46 @@ object CurationQueries {
         SELECT lang, doc_id, w, CAST(hits AS BIGINT) AS hits
         FROM h WHERE hits > 0 ORDER BY lang, doc_id""")),
 
+    // ---- text search through spark.sql ONLY (q193's discipline) -----------
+    // graft_text_search is a registered table-valued function building
+    // the EXACT InvertedIndex.query plan (bucket-pruned postings scan,
+    // tombstone anti-join, bm25's order-independent decimal reduction),
+    // so the SQL route shares one code path — and therefore q214's
+    // full-corpus bm25 oracle — with the Scala entry point. Together
+    // with q250 this makes both persisted serving artifacts reachable
+    // without a line of Scala.
+    Q("q251_sql_text_search",
+      (s, dir) => {
+        graft.sql.SqlTableFunctions.register(s)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_inv_sql").toString
+        graft.text.InvertedIndex.build(s, t(s, dir, "documents"), path)
+        s.sql(s"""SELECT * FROM graft_text_search('$path', 'spark window hash', 15)
+                  ORDER BY score DESC, doc_id""")
+      },
+      Some(s"""
+        WITH tk AS (
+          SELECT doc_id, len($duckTokens) AS dl,
+            unnest(list_filter($duckTokens,
+              t -> t IN ('spark', 'window', 'hash'))) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2, 3),
+        stats AS (
+          SELECT COUNT(*) AS n,
+            CAST(SUM(len($duckTokens)) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM documents),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        contrib AS (
+          SELECT doc_id,
+            CAST(((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+              * ((CAST(tf AS DOUBLE) * 2.2)
+                 / (CAST(tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+              AS DECIMAL(24,10)) AS c
+          FROM tf JOIN df USING (term), stats)
+        SELECT doc_id, COUNT(*) AS matched_terms, CAST(SUM(c) AS DOUBLE) AS score
+        FROM contrib GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 15""")),
+
     // ---- DoReMi-style domain reweighting (one exact MW round) -------------
     // Sources whose mean cross-surprisal exceeds the corpus mean are
     // under-modeled → their mixture weight doubles per stepMilli bucket of

@@ -1655,6 +1655,26 @@ object SimilarityQueries {
             col("rank_matches"))
       },
       Some(rerankRecallOracleSql))
+    ,
+
+    // ---- batch ANN through spark.sql ONLY (q193's discipline) --------------
+    // graft_ann_query is a registered table-valued function building the
+    // EXACT AnnIndex.batchQuery plan (row-local probe ranking, ADC table
+    // on the query row, one cell equi-join, bounded per-query top-k), so
+    // the SQL route shares one code path — and therefore q155's oracle —
+    // with the Scala entry point: same plan, same hash. This closes the
+    // served-artifact gap: both persisted indexes (ANN here, inverted
+    // index in q251) are now reachable without a line of Scala.
+    Q("q250_sql_ann_query",
+      (s, dir) => {
+        graft.sql.SqlTableFunctions.register(s)
+        val path = ensureIndex(s, dir)
+        t(s, dir, "embeddings").filter(col("vec_id") % 100 === 42)
+          .createOrReplaceTempView("graft_q250_queries")
+        s.sql(s"""SELECT * FROM graft_ann_query('graft_q250_queries', '$path', 2, 10)
+                  ORDER BY q_id, adc_dist, vec_id""")
+      },
+      Some(annBatchOracleSql))
   )
 
   /** DuckDB replay of the hot-cell SPLIT assignment (q192): the trained

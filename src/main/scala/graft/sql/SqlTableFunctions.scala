@@ -193,6 +193,40 @@ object SqlTableFunctions {
     ).queryExecution.logical
   }
 
+  /** `graft_ann_query(queriesTable, indexPath[, nprobe, topK])` —
+    * distributed batch ANN ([[graft.ml.AnnIndex.batchQuery]]) of every
+    * vector in `queriesTable` (vec_id, embedding) against a persisted
+    * index; the exact plan the Scala entry point builds (row-local probe
+    * ranking, ADC table on the query row, one cell equi-join, bounded
+    * per-query top-k). Output (q_id, vec_id, adc_dist), unordered.
+    */
+  private def annQueryPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ann_query"
+    val spark = SparkSession.active
+    graft.ml.VecOps.register(spark)
+    graft.ml.AnnIndex.batchQuery(spark,
+      table(strArg(exprs, 0, fn, "queries table")),
+      strArg(exprs, 1, fn, "index path"),
+      nprobe = intArgOr(exprs, 2, fn, "probe cells", 2),
+      topK = intArgOr(exprs, 3, fn, "top k", 10)
+    ).queryExecution.logical
+  }
+
+  /** `graft_text_search(indexPath, 'term1 term2 ...'[, topK])` — BM25
+    * top-k over a persisted [[graft.text.InvertedIndex]], reading only
+    * the query terms' posting buckets; terms are a space-separated
+    * literal (the graft_bm25 convention, served from the index instead
+    * of recomputed).
+    */
+  private def textSearchPlan(exprs: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_text_search"
+    graft.text.InvertedIndex.query(SparkSession.active,
+      strArg(exprs, 0, fn, "index path"),
+      strArg(exprs, 1, fn, "terms").split("\\s+").toSeq.filter(_.nonEmpty),
+      topK = intArgOr(exprs, 2, fn, "top k", 15)
+    ).queryExecution.logical
+  }
+
   private def entries: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_chunk_dedup" -> chunkDedupPlan _,
     "graft_bloom_decontaminate" -> bloomDeconPlan _,
@@ -202,7 +236,9 @@ object SqlTableFunctions {
     "graft_heavy_hitters" -> heavyHittersPlan _,
     "graft_pagerank" -> pagerankPlan _,
     "graft_jaccard_join" -> jaccardJoinPlan _,
-    "graft_pps_sample" -> ppsSamplePlan _)
+    "graft_pps_sample" -> ppsSamplePlan _,
+    "graft_ann_query" -> annQueryPlan _,
+    "graft_text_search" -> textSearchPlan _)
 
   /** Session-build injection — called from [[graft.geo.GraftExtensions]]. */
   def inject(ext: SparkSessionExtensions): Unit =

@@ -138,6 +138,38 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(hits === 2L)
   }
 
+  test("graft_ann_query equals the Scala batchQuery row for row") {
+    val e = sf("embeddings")
+    val p = java.nio.file.Files.createTempDirectory("sql_ann_tvf").toString
+    graft.ml.AnnIndex.build(spark, e, p)
+    e.filter(col("vec_id") % 50 === 7).createOrReplaceTempView("sql_surface_annq")
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_ann_query('sql_surface_annq', '$p', 2, 5) " +
+        "ORDER BY q_id, adc_dist, vec_id")
+      .collect().map(_.toSeq).toSeq
+    val viaScala = graft.ml.AnnIndex
+      .batchQuery(spark, e.filter(col("vec_id") % 50 === 7), p, nprobe = 2, topK = 5)
+      .orderBy("q_id", "adc_dist", "vec_id")
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql === viaScala)
+    assert(viaSql.nonEmpty)
+  }
+
+  test("graft_text_search equals the Scala index query row for row") {
+    val d = sf("documents")
+    val p = java.nio.file.Files.createTempDirectory("sql_text_tvf").toString
+    graft.text.InvertedIndex.build(spark, d, p)
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_text_search('$p', 'spark window hash', 10) " +
+        "ORDER BY score DESC, doc_id")
+      .collect().map(_.toSeq).toSeq
+    val viaScala = graft.text.InvertedIndex
+      .query(spark, p, Seq("spark", "window", "hash"), topK = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(viaSql === viaScala)
+    assert(viaSql.nonEmpty)
+  }
+
   test("misuse fails loudly: non-literal args and missing tables") {
     val ex = intercept[Exception] {
       spark.sql("SELECT * FROM graft_chunk_dedup(doc_id)").collect()
