@@ -13,7 +13,7 @@ object SparkEntry {
     CoreQueries.all ++ TextQueries.all ++ SimilarityQueries.all ++
       MultimodalQueries.all ++ GeoQueries.all ++ HealthQueries.all ++
       ExtraQueries.all ++ TpchQueries.all ++ PipelineQueries.all ++
-      CurationQueries.all ++ GraphQueries.all
+      CurationQueries.all ++ GraphQueries.all ++ WebQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,75 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Web-curation scalar surface: HTML boilerplate extraction and URL
+  * canonicalization — the two normalizations every crawl-derived LLM
+  * corpus runs before any dedup or quality pass (CCNet and its
+  * descendants start from HTML, and URL-level dedup needs canonical
+  * keys). Both are COMPOSED FROM BUILT-INS (regexp_replace /
+  * regexp_extract / array ops — codegen'd, no UDF, no custom
+  * expression), and every rule is chosen to have an exact DuckDB
+  * replay so the oracle can recompute the result from the same source
+  * string: the engines must agree regex-for-regex.
+  *
+  * Regex notes (cross-engine exactness): whitespace classes are the
+  * EXPLICIT `[ \t\n\r\f]` (Java's `\s` includes \x0B, RE2's does not);
+  * script/style stripping uses `(?is)` + non-greedy `.*?`, identical
+  * semantics in both engines; entity decoding covers the named set
+  * amp/lt/gt/quot/apos/nbsp (documented subset — numeric references
+  * pass through untouched, identically on both sides).
+  */
+object WebText {
+
+  private val Space = "[ \\t\\n\\r\\f]"
+
+  /** Visible text of an HTML document: drop script/style subtrees, turn
+    * every remaining tag into a space (word-boundary preserving), decode
+    * the named entities, collapse whitespace runs, trim. `&amp;` decodes
+    * LAST so `&amp;lt;` yields the literal `&lt;` (the HTML double-escape
+    * rule), never a spurious `<`.
+    */
+  def htmlText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(ent, s"$Space+", " "))
+  }
+
+  /** Canonical form of an absolute http(s) URL — the dedup key:
+    *  - scheme and host lowercase;
+    *  - default port dropped (http:80, https:443), explicit others kept;
+    *  - empty path becomes "/";
+    *  - query params: drop `utm_*` trackers, sort the rest bytewise,
+    *    rejoin with '&' (no '?' survives an emptied query);
+    *  - fragment dropped.
+    * Non-URL input (no scheme://host) canonicalizes to NULL — a loud
+    * sentinel for the caller's quality gate, not a silent passthrough.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val re = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$"
+    val scheme = lower(regexp_extract(url, re, 1))
+    val hostPort = lower(regexp_extract(url, re, 2))
+    val path = regexp_extract(url, re, 3)
+    val query = regexp_extract(url, re, 4)
+    val host = element_at(split(hostPort, ":", 2), 1)
+    val port = when(size(split(hostPort, ":", 2)) === 2,
+      element_at(split(hostPort, ":", 2), 2)).otherwise(lit(""))
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val params = filter(split(query, "&"),
+      p => p =!= "" && !p.startsWith("utm_"))
+    val sortedQ = array_join(array_sort(params), "&")
+    val canon = concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      when(path === "", lit("/")).otherwise(path),
+      when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+    when(scheme === "" || host === "", lit(null).cast("string")).otherwise(canon)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The web-curation scalar rules, pinned by hand: extraction's subtree
+  * drops, tag-to-space word preservation, the entity double-escape rule
+  * (amp decodes LAST), and canonicalization's scheme-conditional port
+  * drop, tracker filtering, param sorting and null sentinel. The
+  * cross-engine equality of both chains is q253/q254's oracle job;
+  * these pin the intended semantics so a refactor can't silently trade
+  * them away.
+  */
+class WebTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h").select(WebText.htmlText(col("h"))).head().getString(0)
+
+  private def canon(url: String): Option[String] =
+    Option(Seq(url).toDF("u").select(WebText.canonicalUrl(col("u")))
+      .head().getString(0))
+
+  test("script/style subtrees drop wholesale, including embedded '<'") {
+    assert(extract("<p>a</p><script>if (1 < 2) { x(); }</script><p>b</p>")
+      === "a b")
+    assert(extract("<style>p > em { color: red }</style>hello") === "hello")
+    assert(extract("<SCRIPT a=b>x</SCRIPT>keep") === "keep") // case-insensitive
+  }
+
+  test("tags become spaces: adjacent words never fuse") {
+    assert(extract("<b>one</b><i>two</i>") === "one two")
+    assert(extract("a<br/>b") === "a b")
+  }
+
+  test("entities: named set decodes, amp decodes last (double-escape rule)") {
+    assert(extract("x &amp; y") === "x & y")
+    assert(extract("&lt;tag&gt;") === "<tag>")
+    // &amp;lt; is an ESCAPED '&lt;' — must yield the literal text '&lt;',
+    // never a '<' (decoding amp first would create one)
+    assert(extract("&amp;lt;") === "&lt;")
+    assert(extract("a&nbsp;b") === "a b")
+    assert(extract("&copy;") === "&copy;") // outside the documented subset
+  }
+
+  test("whitespace collapses and trims") {
+    assert(extract("  a \t\n b \r\n ") === "a b")
+  }
+
+  test("canonical: scheme-conditional default ports") {
+    assert(canon("HTTP://EX.COM:80/p") === Some("http://ex.com/p"))
+    assert(canon("https://ex.com:443/p") === Some("https://ex.com/p"))
+    // mismatched pairs KEEP the port
+    assert(canon("https://ex.com:80/p") === Some("https://ex.com:80/p"))
+    assert(canon("http://ex.com:443/p") === Some("http://ex.com:443/p"))
+    assert(canon("http://ex.com:8080/p") === Some("http://ex.com:8080/p"))
+  }
+
+  test("canonical: trackers drop, params sort, fragment drops, path case kept") {
+    assert(canon("https://Ex.com/A/B?z=1&utm_source=f&a=2#frag")
+      === Some("https://ex.com/A/B?a=2&z=1"))
+    assert(canon("https://ex.com/p?utm_a=1&utm_b=2") === Some("https://ex.com/p"))
+    assert(canon("https://ex.com?a=1") === Some("https://ex.com/?a=1"))
+    assert(canon("https://ex.com#only-frag") === Some("https://ex.com/"))
+  }
+
+  test("canonical: non-URLs yield the null sentinel") {
+    assert(canon("not a url") === None)
+    assert(canon("://missing-scheme.com/") === None)
+    assert(canon("http://") === None)
+  }
+}
