@@ -254,5 +254,152 @@ object WebQueries {
           CAST(SUM(len(string_split(x, ' '))) AS BIGINT) AS tokens,
           CAST(SUM(length(x)) AS BIGINT) AS chars
         FROM x GROUP BY 1 ORDER BY 1"""))
+    ,
+
+    // ---- robots.txt gate ----------------------------------------------------
+    // The crawl-compliance operator (RFC 9309 subset): real robots.txt
+    // TEXT is parsed row-local (group selection by User-agent, '*'
+    // groups only here; empty Disallow = the RFC allow-all no-op;
+    // comments and unknown directives skipped), then every corpus URL is
+    // gated by its LONGEST matching rule prefix, Allow winning length
+    // ties — a broadcast prefix-join + one max-struct aggregate, never a
+    // window. The synthesized robots bodies plant a decoy GoodBot group
+    // (must be ignored), a Crawl-delay line mid-group (must not close
+    // it), and per-host rule differences; the oracle predicts every
+    // verdict in closed form from the planted rules.
+    Q("q256_robots_gate",
+      (s, dir) => {
+        import s.implicits._
+        val robots = s.range(0, 7).as[Long].map { n =>
+          val evenRule = if (n % 2 == 0) "Disallow: /p/\n" else ""
+          (s"www.example$n.com",
+            "# synthetic robots\n" +
+              "User-agent: GoodBot\nDisallow: /never\n\n" +
+              "User-agent: *\nCrawl-delay: 5\n" +
+              "Disallow: /private\nAllow: /private/ok\nDisallow:\n" +
+              evenRule + "Allow: /p/special\n")
+        }
+        val rules = graft.text.Robots.parseAll(robots)
+        val id = col("doc_id")
+        val urls = t(s, dir, "documents").select(
+          id.as("id"),
+          concat(lit("www.example"), (id % 7).cast("string"), lit(".com")).as("host"),
+          when(id % 5 === 0, concat(lit("/p/"), id.cast("string")))
+            .when(id % 5 === 1, concat(lit("/private/doc"), id.cast("string")))
+            .when(id % 5 === 2, concat(lit("/private/ok/doc"), id.cast("string")))
+            .when(id % 5 === 3, lit("/"))
+            .otherwise(concat(lit("/p/special/"), id.cast("string"))).as("path"))
+        graft.text.Robots.gate(urls, rules)
+          .select(col("id").as("doc_id"), col("host"), col("path"),
+            col("matched_len"), col("verdict"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+          'www.example' || (doc_id % 7) || '.com' AS host,
+          CASE doc_id % 5
+            WHEN 0 THEN '/p/' || doc_id
+            WHEN 1 THEN '/private/doc' || doc_id
+            WHEN 2 THEN '/private/ok/doc' || doc_id
+            WHEN 3 THEN '/'
+            ELSE '/p/special/' || doc_id END AS path,
+          CAST(CASE doc_id % 5
+            WHEN 0 THEN (CASE WHEN (doc_id % 7) % 2 = 0 THEN 3 ELSE 0 END)
+            WHEN 1 THEN 8
+            WHEN 2 THEN 11
+            WHEN 3 THEN 0
+            ELSE 10 END AS BIGINT) AS matched_len,
+          CASE WHEN doc_id % 5 = 0 AND (doc_id % 7) % 2 = 0
+               THEN 'disallowed'
+               WHEN doc_id % 5 = 1 THEN 'disallowed'
+               ELSE 'allowed' END AS verdict
+        FROM documents ORDER BY doc_id"""))
+    ,
+
+    // ---- crawl ingest verdicts: the web member of the store family ---------
+    // The q156/q179/q196/q122 replay at PAGE grain, two dedup axes:
+    // URL-exact (canonical URL already admitted — a re-crawl) and
+    // content mirror (extracted-text md5 admitted under a DIFFERENT
+    // canonical URL — a mirror site). Two arrival phases (even pages
+    // first against an empty store); the stream and this batch replay
+    // share ONE verdict function (CrawlIngest.crawlVerdicts), so the
+    // oracle checks the stream's actual decision logic. Plants: every
+    // 30th page re-crawls page-2's URL (same-phase url dup), every
+    // (30k+15)th re-crawls page-1's URL (cross-phase, odd→even),
+    // every 17th serves page-3's CONTENT under its own URL (a mirror —
+    // odd ones land cross-phase, even ones point at a phase-2 id whose
+    // content is not yet admitted and stay accepted, both faces agree).
+    // The page→key maps are INJECTIVE (the uid rides in the canonical
+    // path, the cid in the page template), so the oracle predicts every
+    // verdict from (phase, uid, cid) without hashing a byte.
+    Q("q257_crawl_ingest_verdicts",
+      (s, dir) => {
+        import graft.curation.CrawlIngest
+        val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val id = col("doc_id")
+        val m = d.select(id.as("page_id"),
+          when(id > 1 && id % 30 === 0, id - 2)
+            .when(id % 30 === 15, id - 1).otherwise(id).as("uid"),
+          when(id > 3 && id % 17 === 0, id - 3).otherwise(id).as("cid"))
+        val pages = m.join(
+            d.select(col("doc_id").as("cid"), col("text").as("ctext")), "cid")
+          .select(col("page_id"),
+            concat(lit("HTTPS://WWW.Example"), (col("uid") % 7).cast("string"),
+              lit(".COM:443/p/"), col("uid").cast("string"),
+              lit("?utm_source=feed&v="), (col("uid") % 5).cast("string")).as("url"),
+            concat(lit(PreA), col("cid").cast("string"), lit(PreB),
+              col("cid").cast("string"), lit(PreC), col("ctext"), lit(Post)).as("html"))
+        val keys = CrawlIngest.pageKeys(pages)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val k1 = keys.filter(col("page_id") % 2 === 0)
+        val k2 = keys.filter(col("page_id") % 2 === 1)
+        val v1 = CrawlIngest.crawlVerdicts(k1, keys.limit(0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val store = v1.filter(col("verdict") === "accepted")
+          .select("page_id", "canon_url", "text_md5")
+        val v2 = CrawlIngest.crawlVerdicts(k2, store)
+        v1.withColumn("phase", lit(1L))
+          .unionByName(v2.withColumn("phase", lit(2L)))
+          .select("page_id", "phase", "verdict")
+          .orderBy("page_id")
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id AS page_id,
+            CASE WHEN doc_id > 1 AND doc_id % 30 = 0 THEN doc_id - 2
+                 WHEN doc_id % 30 = 15 THEN doc_id - 1
+                 ELSE doc_id END AS uid,
+            CASE WHEN doc_id > 3 AND doc_id % 17 = 0 THEN doc_id - 3
+                 ELSE doc_id END AS cid
+          FROM documents),
+        p1 AS (
+          SELECT page_id, uid, cid,
+            MIN(page_id) OVER (PARTITION BY uid) AS umin,
+            MIN(page_id) OVER (PARTITION BY cid) AS cmin
+          FROM m WHERE page_id % 2 = 0),
+        v1 AS (
+          SELECT page_id, uid, cid,
+            CASE WHEN page_id > umin THEN 'url_dup_in_batch'
+                 WHEN page_id > cmin THEN 'mirror_in_batch'
+                 ELSE 'accepted' END AS verdict
+          FROM p1),
+        acc1 AS (SELECT uid, cid FROM v1 WHERE verdict = 'accepted'),
+        p2 AS (
+          SELECT page_id, uid, cid,
+            MIN(page_id) OVER (PARTITION BY uid) AS umin,
+            MIN(page_id) OVER (PARTITION BY cid) AS cmin
+          FROM m WHERE page_id % 2 = 1),
+        v2 AS (
+          SELECT page_id,
+            CASE WHEN uid IN (SELECT uid FROM acc1) THEN 'url_dup_vs_history'
+                 WHEN page_id > umin THEN 'url_dup_in_batch'
+                 WHEN cid IN (SELECT cid FROM acc1) THEN 'mirror_vs_history'
+                 WHEN page_id > cmin THEN 'mirror_in_batch'
+                 ELSE 'accepted' END AS verdict
+          FROM p2)
+        SELECT page_id, CAST(1 AS BIGINT) AS phase, verdict FROM v1
+        UNION ALL
+        SELECT page_id, CAST(2 AS BIGINT) AS phase, verdict FROM v2
+        ORDER BY page_id"""))
   )
 }
