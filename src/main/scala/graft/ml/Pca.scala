@@ -221,6 +221,7 @@ object Pca {
       .as[Seq[Double]]
     val partials = ds.mapPartitions { it =>
       var n = 0L
+      var maxW = 0L
       val s = new Array[Long](dims)
       val p = new Array[Long](tri)
       val w = new Array[Long](dims)
@@ -229,13 +230,11 @@ object Pca {
         var i = 0
         while (i < dims) {
           w(i) = math.floor(v(i) * 1048576.0).toLong
-          // the 2^42-per-product long budget below assumes |w| < 2^21,
-          // i.e. elements in [-2, 2) — fail loudly (like the row-count
-          // guard) instead of silently wrapping the partial sums
-          if (w(i) >= (1L << 21) || w(i) < -(1L << 21))
-            throw new IllegalArgumentException(
-              s"fixed-point moment pass requires elements in [-2, 2): " +
-                s"got ${v(i)} (quantized ${w(i)}) at dim $i")
+          // track the largest quantized magnitude so the driver can check
+          // the REAL overflow budget (n * maxW^2) instead of silently
+          // wrapping the partial sums on out-of-range embeddings
+          val a = math.abs(w(i))
+          if (a > maxW) maxW = a
           i += 1
         }
         i = 0
@@ -247,22 +246,29 @@ object Pca {
           i += 1
         }
       }
-      Iterator.single((n, s, p))
+      Iterator.single((n, s, p, maxW))
     }
-    val (n, s, p) = partials.reduce { (a, b) =>
+    val (n, s, p, maxW) = partials.reduce { (a, b) =>
       val s = new Array[Long](dims); val p = new Array[Long](tri)
       var i = 0
       while (i < dims) { s(i) = a._2(i) + b._2(i); i += 1 }
       var k = 0
       while (k < tri) { p(k) = a._3(k) + b._3(k); k += 1 }
-      (a._1 + b._1, s, p)
+      (a._1 + b._1, s, p, math.max(a._4, b._4))
     }
     require(n >= 2, s"power iteration needs at least 2 rows, got $n")
-    // long budget for the partial product sums: |w| < 2^21 → each product
-    // < 2^42; 2^20 rows of headroom before a partial could overflow.
+    // long budget for the partial product sums: every |w_i w_j| <= maxW^2
+    // and n rows sum, so n * maxW^2 < 2^62 keeps every partial (and the
+    // driver-side reduce) inside a long with 2x headroom. Input-adaptive:
+    // unit-norm embeddings (maxW <= 2^20) allow ~2^22 rows; the loud
+    // failure names the actual magnitudes instead of silently wrapping.
     require(n < (1L << 20),
       s"fixed-point moment pass sized for <2^20 rows, got $n — widen the " +
         "partials to BigInt (or shard the pass) before raising this")
+    require(maxW < (1L << 31) && (maxW == 0L || n <= (1L << 62) / (maxW * maxW)),
+      s"fixed-point moment pass overflow budget exceeded: $n rows with " +
+        s"max quantized magnitude $maxW (n * maxW^2 must stay below 2^62) " +
+        "— rescale the embeddings or shard the pass")
     def fdiv(a: BigInt, b: BigInt): BigInt = { // floor division, b > 0
       val m = ((a % b) + b) % b
       (a - m) / b

@@ -1237,6 +1237,75 @@ object TextQueries {
           .orderBy("source")
       },
       Some(fertilityOracleSql))
+    ,
+
+    // ---- BLEU sufficient statistics (corpus-level eval) --------------------
+    // The generation-eval family's entry: per-lang EXACT clipped n-gram
+    // matches/totals (n = 1..4) and length sums for (candidate = doc,
+    // reference = its id-1 neighbor) pairs — BLEU's sufficient
+    // statistics as pure integers (geometric mean and brevity exp() are
+    // the caller's one libm call; the statistics themselves are
+    // order-independent and hash-exact, the repo's integer discipline).
+    // Milli-scaled modified precisions ride along. One narrow
+    // (pair, n, gram) exchange; no window; documents never shuffle.
+    Q("q258_bleu_stats",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+        val pairs = d.join(
+            d.select((col("doc_id") + 1).as("doc_id"), col("text").as("ref_text")),
+            Seq("doc_id"))
+          .select(col("doc_id").as("pair_id"), col("lang"),
+            col("text").as("cand_text"), col("ref_text"))
+        graft.text.Eval.bleuStats(pairs).orderBy("lang")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+          FROM documents),
+        p AS (
+          SELECT c.doc_id AS pair, c.lang, c.t AS tc, r.t AS tr
+          FROM d c JOIN d r ON r.doc_id = c.doc_id - 1),
+        cg AS (
+          SELECT pair, lang, n, gram, COUNT(*) AS c_cnt FROM (
+            SELECT pair, lang, ns.n AS n,
+              array_to_string(tc[i:i + ns.n - 1], ' ') AS gram
+            FROM p, (SELECT unnest([1, 2, 3, 4]) AS n) ns,
+              UNNEST(generate_series(1, len(tc) - ns.n + 1)) AS s(i))
+          GROUP BY 1, 2, 3, 4),
+        rg AS (
+          SELECT pair, n, gram, COUNT(*) AS r_cnt FROM (
+            SELECT pair, ns.n AS n,
+              array_to_string(tr[i:i + ns.n - 1], ' ') AS gram
+            FROM p, (SELECT unnest([1, 2, 3, 4]) AS n) ns,
+              UNNEST(generate_series(1, len(tr) - ns.n + 1)) AS s(i))
+          GROUP BY 1, 2, 3),
+        mt AS (
+          SELECT lang, n, CAST(SUM(LEAST(c_cnt, r_cnt)) AS BIGINT) AS matched
+          FROM cg JOIN rg USING (pair, n, gram) GROUP BY 1, 2),
+        tot AS (
+          SELECT lang, COUNT(*) AS pairs,
+            CAST(SUM(len(tc)) AS BIGINT) AS cand_tokens,
+            CAST(SUM(len(tr)) AS BIGINT) AS ref_tokens,
+            CAST(SUM(GREATEST(len(tc), 0)) AS BIGINT) AS t1,
+            CAST(SUM(GREATEST(len(tc) - 1, 0)) AS BIGINT) AS t2,
+            CAST(SUM(GREATEST(len(tc) - 2, 0)) AS BIGINT) AS t3,
+            CAST(SUM(GREATEST(len(tc) - 3, 0)) AS BIGINT) AS t4
+          FROM p GROUP BY 1)
+        SELECT t.lang, t.pairs, t.cand_tokens, t.ref_tokens,
+          COALESCE(m1.matched, 0) AS match_1, t.t1 AS total_1,
+          CASE WHEN t.t1 > 0 THEN 1000 * COALESCE(m1.matched, 0) // t.t1 END AS p1_milli,
+          COALESCE(m2.matched, 0) AS match_2, t.t2 AS total_2,
+          CASE WHEN t.t2 > 0 THEN 1000 * COALESCE(m2.matched, 0) // t.t2 END AS p2_milli,
+          COALESCE(m3.matched, 0) AS match_3, t.t3 AS total_3,
+          CASE WHEN t.t3 > 0 THEN 1000 * COALESCE(m3.matched, 0) // t.t3 END AS p3_milli,
+          COALESCE(m4.matched, 0) AS match_4, t.t4 AS total_4,
+          CASE WHEN t.t4 > 0 THEN 1000 * COALESCE(m4.matched, 0) // t.t4 END AS p4_milli
+        FROM tot t
+          LEFT JOIN mt m1 ON m1.lang = t.lang AND m1.n = 1
+          LEFT JOIN mt m2 ON m2.lang = t.lang AND m2.n = 2
+          LEFT JOIN mt m3 ON m3.lang = t.lang AND m3.n = 3
+          LEFT JOIN mt m4 ON m4.lang = t.lang AND m4.n = 4
+        ORDER BY t.lang"""))
   )
 
   /** The shared header of every BPE-family oracle: the `^[a-z]+$`-gated

@@ -401,5 +401,73 @@ object WebQueries {
         UNION ALL
         SELECT page_id, CAST(2 AS BIGINT) AS phase, verdict FROM v2
         ORDER BY page_id"""))
+    ,
+
+    // ---- politeness fetch schedule ------------------------------------------
+    // The crawl-frontier operator: per-host fetch slots under per-host
+    // crawl delays (the robots Crawl-delay contract, scheduled). Rank
+    // within host is the DISTRIBUTED content-addressed rank
+    // (Curation.rankByStratum — the two-pass cumsum, no per-host
+    // window, so one hot host never funnels through a single task);
+    // fetch_at_ms = (rank-1) x the host's delay. Deterministic across
+    // engines, runs and cluster sizes by the md5-order contract.
+    Q("q259_crawl_schedule",
+      (s, dir) => {
+        val id = col("doc_id")
+        val urls = t(s, dir, "documents").select(id,
+          concat(lit("www.example"), (id % 7).cast("string"), lit(".com")).as("host"),
+          ((id % 7 % 3 + 1) * 1000).cast("long").as("delay_ms"))
+        graft.curation.Curation.rankByStratum(urls, strataCol = "host")
+          .select(col("doc_id"), col("host"), col("rk").cast("long").as("slot"),
+            ((col("rk") - 1) * col("delay_ms")).cast("long").as("fetch_at_ms"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id, 'www.example' || (doc_id % 7) || '.com' AS host,
+            ((doc_id % 7) % 3 + 1) * 1000 AS delay_ms
+          FROM documents),
+        r AS (
+          SELECT doc_id, host, delay_ms,
+            ROW_NUMBER() OVER (PARTITION BY host
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS slot
+          FROM u)
+        SELECT doc_id, host, CAST(slot AS BIGINT) AS slot,
+          CAST((slot - 1) * delay_ms AS BIGINT) AS fetch_at_ms
+        FROM r ORDER BY doc_id"""))
+    ,
+
+    // ---- redirect-chain resolution (pointer jumping) ------------------------
+    // Every fetched URL maps to its final target through 3xx chains. The
+    // plan is POINTER JUMPING: each round's self-join doubles the
+    // resolved distance, so THREE rounds resolve the planted chains of
+    // up to SEVEN hops (a per-hop loop would take seven) — the only
+    // join-count shape that survives production chain lengths. A planted
+    // 2-cycle (beyond the doc-id range) must terminate with
+    // resolved = false, never loop. The oracle predicts final/hops in
+    // closed form from the chain arithmetic.
+    Q("q260_redirect_resolution",
+      (s, dir) => {
+        import s.implicits._
+        val id = col("doc_id")
+        val edges = t(s, dir, "documents")
+          .filter(id % 8 =!= 0)
+          .select(id.as("src"), (id - 1).as("dst"))
+          .unionByName(Seq((1000001L, 1000002L), (1000002L, 1000001L))
+            .toDF("src", "dst"))
+        graft.graph.Redirects.resolve(edges, rounds = 3)
+          .orderBy("src")
+      },
+      Some("""
+        SELECT doc_id AS src, doc_id - doc_id % 8 AS final,
+          CAST(doc_id % 8 AS BIGINT) AS hops, TRUE AS resolved
+        FROM documents WHERE doc_id % 8 <> 0
+        UNION ALL
+        SELECT 1000001 AS src, 1000001 AS final, CAST(8 AS BIGINT) AS hops,
+          FALSE AS resolved
+        UNION ALL
+        SELECT 1000002 AS src, 1000002 AS final, CAST(8 AS BIGINT) AS hops,
+          FALSE AS resolved
+        ORDER BY src"""))
   )
 }
