@@ -1306,6 +1306,131 @@ object TextQueries {
           LEFT JOIN mt m3 ON m3.lang = t.lang AND m3.n = 3
           LEFT JOIN mt m4 ON m4.lang = t.lang AND m4.n = 4
         ORDER BY t.lang"""))
+    ,
+
+    // ---- content-defined chunking: shift-resistant dedup ------------------
+    // The storage-dedup technique (FastCDC's idea at word grain): a word
+    // closes its chunk when md5(word) starts with '0' (p = 1/16, ~16-word
+    // expected chunks) — boundaries depend on CONTENT, not position, so
+    // an insertion perturbs only the chunk it lands in. Each doc is
+    // compared against its prefix-shifted twin under BOTH chunkings:
+    // CDC shares nearly every chunk; fixed 8-word windows share almost
+    // none (every boundary moved). Everything is ROW-LOCAL — chunking is
+    // one aggregate() HOF pass, the multiset chunk intersection is
+    // computed on the row (both chunk lists live there) — the plan's
+    // only exchange is the final per-source rollup. The oracle replays
+    // the chunking via unnest + window and the same min-count algebra.
+    Q("q261_cdc_dedup",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val twin = concat(array(lit("zz"), lit("inserted"), lit("prefix")), toks)
+        def boundary(w: Column): Column = substring(md5(w), 1, 1) === "0"
+        def cdcChunks(ts: Column): Column = {
+          val zero = struct(
+            typedLit(Seq.empty[String]).as("chunks"), lit("").as("cur"))
+          aggregate(ts, zero,
+            (acc, w) => {
+              val cur2 = when(acc.getField("cur") === "", w)
+                .otherwise(concat(acc.getField("cur"), lit(" "), w))
+              when(boundary(w),
+                struct(array_append(acc.getField("chunks"), cur2).as("chunks"),
+                  lit("").as("cur")))
+                .otherwise(struct(acc.getField("chunks").as("chunks"),
+                  cur2.as("cur")))
+            },
+            acc => transform(
+              when(acc.getField("cur") === "", acc.getField("chunks"))
+                .otherwise(array_append(acc.getField("chunks"), acc.getField("cur"))),
+              md5(_)))
+        }
+        def fixedChunks(ts: Column): Column =
+          transform(sequence(lit(0),
+              when(size(ts) > 0, ((size(ts) - 1) / 8).cast("int"))
+                .otherwise(lit(-1))),
+            k => md5(concat_ws(" ", slice(ts, k * 8 + 1, lit(8)))))
+        def shared(a: Column, b: Column): Column =
+          aggregate(array_distinct(a), lit(0L),
+            (acc, h) => acc + least(
+              size(filter(a, x => x === h)),
+              size(filter(b, x => x === h))).cast("long"))
+        val d = t(s, dir, "documents").select(col("source"),
+          cdcChunks(toks).as("ca"), cdcChunks(twin).as("cb"),
+          fixedChunks(toks).as("fa"), fixedChunks(twin).as("fb"))
+        d.select(col("source"),
+            size(col("ca")).cast("long").as("cdc_a"),
+            shared(col("ca"), col("cb")).as("cdc_sh"),
+            size(col("fa")).cast("long").as("fix_a"),
+            shared(col("fa"), col("fb")).as("fix_sh"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("docs"),
+            sum("cdc_a").as("cdc_chunks"), sum("cdc_sh").as("cdc_shared"),
+            sum("fix_a").as("fixed_chunks"), sum("fix_sh").as("fixed_shared"))
+          .select(col("source"), col("docs"), col("cdc_chunks"), col("cdc_shared"),
+            expr("cdc_shared * 1000 div cdc_chunks").as("cdc_shared_milli"),
+            col("fixed_chunks"), col("fixed_shared"),
+            expr("fixed_shared * 1000 div fixed_chunks").as("fixed_shared_milli"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+          FROM documents),
+        both_sides AS (
+          SELECT doc_id, source, 0 AS side, t FROM w
+          UNION ALL
+          SELECT doc_id, source, 1 AS side,
+            list_concat(['zz', 'inserted', 'prefix'], t) AS t FROM w),
+        wa AS (
+          SELECT doc_id, source, side, i, t[i] AS word,
+            CASE WHEN substr(md5(t[i]), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+          FROM both_sides, UNNEST(generate_series(1, len(t))) s(i)),
+        sa AS (
+          SELECT doc_id, source, side, i, word,
+            COALESCE(SUM(b) OVER (PARTITION BY doc_id, side ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg,
+            (i - 1) // 8 AS fseg
+          FROM wa),
+        cdc AS (
+          SELECT doc_id, source, side, seg,
+            md5(string_agg(word, ' ' ORDER BY i)) AS h
+          FROM sa GROUP BY 1, 2, 3, 4),
+        fixed AS (
+          SELECT doc_id, source, side, fseg,
+            md5(string_agg(word, ' ' ORDER BY i)) AS h
+          FROM sa GROUP BY 1, 2, 3, 4),
+        cdc_sh AS (
+          SELECT a.doc_id, CAST(SUM(LEAST(a.n, b.n)) AS BIGINT) AS sh
+          FROM (SELECT doc_id, h, COUNT(*) AS n FROM cdc WHERE side = 0 GROUP BY 1, 2) a
+          JOIN (SELECT doc_id, h, COUNT(*) AS n FROM cdc WHERE side = 1 GROUP BY 1, 2) b
+            USING (doc_id, h)
+          GROUP BY 1),
+        fix_sh AS (
+          SELECT a.doc_id, CAST(SUM(LEAST(a.n, b.n)) AS BIGINT) AS sh
+          FROM (SELECT doc_id, h, COUNT(*) AS n FROM fixed WHERE side = 0 GROUP BY 1, 2) a
+          JOIN (SELECT doc_id, h, COUNT(*) AS n FROM fixed WHERE side = 1 GROUP BY 1, 2) b
+            USING (doc_id, h)
+          GROUP BY 1),
+        per_doc AS (
+          SELECT w.doc_id, w.source,
+            (SELECT COUNT(*) FROM cdc c WHERE c.doc_id = w.doc_id AND c.side = 0)
+              AS cdc_a,
+            COALESCE(cs.sh, 0) AS cdc_sh,
+            (SELECT COUNT(*) FROM fixed f WHERE f.doc_id = w.doc_id AND f.side = 0)
+              AS fix_a,
+            COALESCE(fs.sh, 0) AS fix_sh
+          FROM w
+            LEFT JOIN cdc_sh cs ON cs.doc_id = w.doc_id
+            LEFT JOIN fix_sh fs ON fs.doc_id = w.doc_id)
+        SELECT source, COUNT(*) AS docs,
+          CAST(SUM(cdc_a) AS BIGINT) AS cdc_chunks,
+          CAST(SUM(cdc_sh) AS BIGINT) AS cdc_shared,
+          CAST(SUM(cdc_sh) AS BIGINT) * 1000 // CAST(SUM(cdc_a) AS BIGINT)
+            AS cdc_shared_milli,
+          CAST(SUM(fix_a) AS BIGINT) AS fixed_chunks,
+          CAST(SUM(fix_sh) AS BIGINT) AS fixed_shared,
+          CAST(SUM(fix_sh) AS BIGINT) * 1000 // CAST(SUM(fix_a) AS BIGINT)
+            AS fixed_shared_milli
+        FROM per_doc GROUP BY 1 ORDER BY 1"""))
   )
 
   /** The shared header of every BPE-family oracle: the `^[a-z]+$`-gated
