@@ -469,5 +469,92 @@ object WebQueries {
         SELECT 1000002 AS src, 1000002 AS final, CAST(8 AS BIGINT) AS hops,
           FALSE AS resolved
         ORDER BY src"""))
+    ,
+
+    // ---- HTML table extraction ----------------------------------------------
+    // Structured data out of markup — the curation feed for table-QA /
+    // tabular pretraining corpora: every <table> parses to rows of
+    // visible-text cells (header th and data td alike, entity-decoded
+    // through the q253 chain). One regexp_extract_all + transform chain,
+    // row-local; posexplode flattens to (doc, table, row, col, cell)
+    // rows. The planted per-doc table makes every cell closed-form in
+    // doc_id, so the oracle writes the expected cells down directly —
+    // end-to-end, no regex replay.
+    Q("q262_html_tables",
+      (s, dir) => {
+        val id = col("doc_id")
+        val html = concat(lit(PreA), id.cast("string"), lit(PreB),
+          id.cast("string"), lit(PreC), col("text"),
+          lit("</p><table class=\"t\"><tr><th>key</th><th>value</th></tr>" +
+            "<tr><td>a</td><td>"), (id % 10).cast("string"),
+          lit("</td></tr><tr><td>b &amp; c</td><td>"), (id % 7).cast("string"),
+          lit("</td></tr></table><p>"), lit(Post))
+        t(s, dir, "documents")
+          .select(id, posexplode(graft.text.WebText.htmlTables(html))
+            .as(Seq("tbl", "rows")))
+          .select(id, col("tbl"), posexplode(col("rows")).as(Seq("row", "cells")))
+          .select(id, col("tbl"), col("row"),
+            posexplode(col("cells")).as(Seq("col", "cell")))
+          .select(id, col("tbl").cast("long").as("tbl"),
+            col("row").cast("long").as("row"),
+            col("col").cast("long").as("col"), col("cell"))
+          .orderBy("doc_id", "tbl", "row", "col")
+      },
+      Some("""
+        SELECT doc_id, CAST(0 AS BIGINT) AS tbl,
+          CAST(rc.r AS BIGINT) AS row, CAST(rc.c AS BIGINT) AS col,
+          CASE WHEN rc.r = 0 AND rc.c = 0 THEN 'key'
+               WHEN rc.r = 0 AND rc.c = 1 THEN 'value'
+               WHEN rc.r = 1 AND rc.c = 0 THEN 'a'
+               WHEN rc.r = 1 AND rc.c = 1 THEN CAST(doc_id % 10 AS VARCHAR)
+               WHEN rc.r = 2 AND rc.c = 0 THEN 'b & c'
+               ELSE CAST(doc_id % 7 AS VARCHAR) END AS cell
+        FROM documents,
+          (VALUES (0, 0), (0, 1), (1, 0), (1, 1), (2, 0), (2, 1)) rc(r, c)
+        ORDER BY doc_id, tbl, row, col"""))
+    ,
+
+    // ---- link + anchor extraction -------------------------------------------
+    // The link-graph feed: (href, anchor-text) pairs out of raw HTML —
+    // one regex, two aligned capture groups zipped positionally, anchors
+    // entity-decoded — then each href CANONICALIZED (q254's operator) and
+    // its host derived, the exact rows LinkGraph's pagerank/anchor
+    // operators consume. Three planted anchors per doc (messy scheme/
+    // host case, default port, utm tracker) make every output column
+    // closed-form in (doc_id, k).
+    Q("q263_link_extract",
+      (s, dir) => {
+        import graft.text.WebText
+        val id = col("doc_id")
+        def anchor(k: Int) = concat(
+          lit("<a class=\"l\" href=\"HTTPS://WWW.Example"),
+          ((id + k) % 7).cast("string"),
+          lit(".COM:443/p/"), ((id * 3 + k) % 1000).cast("string"),
+          lit(s"""?utm_x=1&z=$k">go &amp; see $k</a> """))
+        val html = concat(lit(PreA), id.cast("string"), lit(PreB),
+          id.cast("string"), lit(PreC), col("text"), lit("</p>"),
+          anchor(0), anchor(1), anchor(2), lit("<p>"), lit(Post))
+        // the template's own nav anchors (/home, /about) are RELATIVE —
+        // canonicalUrl's null sentinel gates them out, the exact quality
+        // gate a link-graph feed applies (absolute out-links only);
+        // their positions (0, 1) stay burned into the surviving pos
+        t(s, dir, "documents")
+          .select(id, posexplode(WebText.htmlLinks(html)).as(Seq("pos", "lk")))
+          .select(id, col("pos").cast("long").as("pos"),
+            WebText.canonicalUrl(col("lk.href")).as("canon"),
+            regexp_extract(WebText.canonicalUrl(col("lk.href")),
+              "^[a-z.+-]+://([^/:?#]+)", 1).as("host"),
+            col("lk.anchor").as("anchor"))
+          .filter(col("canon").isNotNull)
+          .orderBy("doc_id", "pos")
+      },
+      Some("""
+        SELECT doc_id, CAST(k + 2 AS BIGINT) AS pos,
+          'https://www.example' || ((doc_id + k) % 7) || '.com/p/'
+            || ((doc_id * 3 + k) % 1000) || '?z=' || k AS canon,
+          'www.example' || ((doc_id + k) % 7) || '.com' AS host,
+          'go & see ' || k AS anchor
+        FROM documents, (SELECT unnest([0, 1, 2]) AS k)
+        ORDER BY doc_id, pos"""))
   )
 }

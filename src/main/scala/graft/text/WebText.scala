@@ -40,6 +40,38 @@ object WebText {
     trim(regexp_replace(ent, s"$Space+", " "))
   }
 
+  /** Rows-of-cells of every <table> in an HTML document, as
+    * array<array<array<string>>> (tables -> rows -> cells), each cell
+    * reduced to visible text via [[htmlText]]. Pure built-in
+    * regexp_extract_all + transform chain — same cross-engine regex
+    * discipline as [[htmlText]] ((?is) + non-greedy), so the oracle
+    * replays it verbatim. Scope: non-nested tables (a nested table's
+    * cells parse into the OUTER table's cell text — documented, both
+    * engines identical).
+    */
+  def htmlTables(html: Column): Column =
+    transform(
+      regexp_extract_all(html, lit("(?is)<table[^>]*>(.*?)</table>"), lit(1)),
+      tbl => transform(
+        regexp_extract_all(tbl, lit("(?is)<tr[^>]*>(.*?)</tr>"), lit(1)),
+        row => transform(
+          regexp_extract_all(row, lit("(?is)<t[dh][^>]*>(.*?)</t[dh]>"), lit(1)),
+          cell => htmlText(cell))))
+
+  /** (href, anchor-text) pairs of every <a> tag, in document order —
+    * the link-graph feed ([[graft.graph.LinkGraph]] anchors start here).
+    * Two aligned extract_all passes over the same tag pattern zipped
+    * positionally (one regex, two groups — the counts cannot differ);
+    * anchor text is [[htmlText]]-reduced.
+    */
+  def htmlLinks(html: Column): Column = {
+    val tag = "(?is)<a\\s[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>"
+    zip_with(
+      regexp_extract_all(html, lit(tag), lit(1)),
+      transform(regexp_extract_all(html, lit(tag), lit(2)), htmlText(_)),
+      (h, t) => struct(h.as("href"), t.as("anchor")))
+  }
+
   /** Canonical form of an absolute http(s) URL — the dedup key:
     *  - scheme and host lowercase;
     *  - default port dropped (http:80, https:443), explicit others kept;

@@ -69,4 +69,31 @@ class WebTextSpec extends SparkSpec {
     assert(canon("://missing-scheme.com/") === None)
     assert(canon("http://") === None)
   }
+
+  private def tables(html: String): Seq[Seq[Seq[String]]] =
+    Seq(html).toDF("h").select(WebText.htmlTables(col("h")))
+      .head().getSeq[Seq[Seq[String]]](0)
+
+  test("tables: th/td cells, multiple tables, entity-decoded cell text") {
+    val html = "<p>x</p><table><tr><th>A</th><th>B &amp; C</th></tr>" +
+      "<tr><td> 1 </td><td><b>2</b></td></tr></table>" +
+      "<table class=\"z\"><tr><td>only</td></tr></table>"
+    assert(tables(html) === Seq(
+      Seq(Seq("A", "B & C"), Seq("1", "2")),
+      Seq(Seq("only"))))
+    assert(tables("<p>no tables here</p>") === Seq.empty)
+  }
+
+  private def links(html: String): Seq[(String, String)] =
+    Seq(html).toDF("h").select(WebText.htmlLinks(col("h")))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getString(1)))
+
+  test("links: href/anchor pairs stay aligned, anchors entity-decode") {
+    val html = "<a href=\"https://a.example/\">one &amp; only</a> text " +
+      "<a class=\"x\" href=\"/rel\"><b>two</b></a>"
+    assert(links(html) === Seq(
+      ("https://a.example/", "one & only"), ("/rel", "two")))
+    assert(links("<p>no links</p>") === Seq.empty)
+  }
 }
