@@ -556,5 +556,68 @@ object WebQueries {
           'go & see ' || k AS anchor
         FROM documents, (SELECT unnest([0, 1, 2]) AS k)
         ORDER BY doc_id, pos"""))
+    ,
+
+    // ---- raw HTML to PageRank: the web-graph capstone ----------------------
+    // The full front-to-rank composition in ONE plan: pages synthesize
+    // with q263's planted anchors, htmlLinks extracts, canonicalUrl
+    // gates and normalizes, the target page number lifts out of the
+    // canonical path, and LinkGraph.pagerank (q224's integer-exact
+    // fixed point) ranks the EXTRACTED graph — nothing but narrow
+    // (src, dst) longs leaves the extraction stage. The oracle derives
+    // the same closed-form edge set and unrolls the identical three
+    // scaled-long rounds (the q224 replay pattern).
+    Q("q264_web_pagerank",
+      (s, dir) => {
+        import graft.text.WebText
+        val id = col("doc_id")
+        def anchor(k: Int) = concat(
+          lit("<a class=\"l\" href=\"HTTPS://WWW.Example"),
+          ((id + k) % 7).cast("string"),
+          lit(".COM:443/p/"), ((id * 3 + k) % 1000).cast("string"),
+          lit(s"""?utm_x=1&z=$k">go &amp; see $k</a> """))
+        val html = concat(lit(PreA), id.cast("string"), lit(PreB),
+          id.cast("string"), lit(PreC), col("text"), lit("</p>"),
+          anchor(0), anchor(1), anchor(2), lit("<p>"), lit(Post))
+        val edges = t(s, dir, "documents")
+          .select(id.as("src"), explode(WebText.htmlLinks(html)).as("lk"))
+          .select(col("src"), WebText.canonicalUrl(col("lk.href")).as("canon"))
+          .filter(col("canon").isNotNull)
+          .select(col("src"),
+            regexp_extract(col("canon"), "/p/([0-9]+)", 1).cast("long").as("dst"))
+        graft.graph.LinkGraph.pagerank(edges, iters = 3, scale = 1000000L)
+          .orderBy("node_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT doc_id AS src, (doc_id * 3 + k) % 1000 AS dst
+          FROM documents, (SELECT unnest([0, 1, 2]) AS k)),
+        nodes AS (SELECT DISTINCT src AS node_id FROM e
+                  UNION SELECT dst FROM e),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        r0 AS (SELECT node_id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        r1 AS (SELECT n.node_id,
+                 150000 + (85 * COALESCE(x.in_sum, 0)) // 100 AS pr
+               FROM nodes n LEFT JOIN (
+                 SELECT e.dst, SUM(r.pr // d.outdeg) AS in_sum
+                 FROM e JOIN deg d ON e.src = d.src
+                        JOIN r0 r ON e.src = r.node_id
+                 GROUP BY 1) x ON n.node_id = x.dst),
+        r2 AS (SELECT n.node_id,
+                 150000 + (85 * COALESCE(x.in_sum, 0)) // 100 AS pr
+               FROM nodes n LEFT JOIN (
+                 SELECT e.dst, SUM(r.pr // d.outdeg) AS in_sum
+                 FROM e JOIN deg d ON e.src = d.src
+                        JOIN r1 r ON e.src = r.node_id
+                 GROUP BY 1) x ON n.node_id = x.dst),
+        r3 AS (SELECT n.node_id,
+                 150000 + (85 * COALESCE(x.in_sum, 0)) // 100 AS pr
+               FROM nodes n LEFT JOIN (
+                 SELECT e.dst, SUM(r.pr // d.outdeg) AS in_sum
+                 FROM e JOIN deg d ON e.src = d.src
+                        JOIN r2 r ON e.src = r.node_id
+                 GROUP BY 1) x ON n.node_id = x.dst)
+        SELECT node_id, CAST(pr AS BIGINT) AS pr
+        FROM r3 ORDER BY 1"""))
   )
 }
