@@ -1431,6 +1431,137 @@ object TextQueries {
           CAST(SUM(fix_sh) AS BIGINT) * 1000 // CAST(SUM(fix_a) AS BIGINT)
             AS fixed_shared_milli
         FROM per_doc GROUP BY 1 ORDER BY 1"""))
+    ,
+
+    // ---- fill-in-the-middle transform (PSM reorder) ------------------------
+    // The code-model pretraining transform (Bavarian et al. 2022): split
+    // each doc into prefix/middle/suffix at deterministic CONTENT-
+    // ADDRESSED cut points (the two md5-derived token offsets — no RNG,
+    // bit-stable across engines and runs), emit the PSM reordering
+    // <fim_pre> prefix <fim_suf> suffix <fim_mid> middle. Docs under 4
+    // tokens pass through unchanged (the standard small-doc guard).
+    // Everything is row-local array algebra; the oracle replays the cut
+    // arithmetic and the reassembly hash-exactly.
+    Q("q265_fim_transform",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val n = size(toks)
+        // cut1 in [1, n-2], cut2 in (cut1, n-1]: both from md5 of the id
+        // (content-addressed), so every engine derives the same split
+        val h1 = conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("#fim1"))), 1, 8), 16, 10).cast("long")
+        val h2 = conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("#fim2"))), 1, 8), 16, 10).cast("long")
+        val cut1 = (pmod(h1, (n - 2).cast("long")) + 1).cast("int")
+        val cut2 = (cut1 + 1 + pmod(h2, (n - 1).cast("long") - cut1)).cast("int")
+        val pre = slice(toks, lit(1), cut1)
+        val mid = slice(toks, cut1 + 1, cut2 - cut1)
+        val suf = slice(toks, cut2 + 1, n - cut2)
+        val fim = concat_ws(" ",
+          concat(array(lit("<fim_pre>")), pre,
+            array(lit("<fim_suf>")), suf,
+            array(lit("<fim_mid>")), mid))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            when(n >= 4, fim).otherwise(concat_ws(" ", toks)).as("out"),
+            when(n >= 4, cut1).otherwise(lit(null)).cast("long").as("cut1"),
+            when(n >= 4, cut2).otherwise(lit(null)).cast("long").as("cut2"))
+          .select(col("doc_id"), col("cut1"), col("cut2"),
+            length(col("out")).cast("long").as("n_chars"),
+            md5(col("out")).as("fim_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+            len(string_split_regex(trim(text), '\s+')) AS n
+          FROM documents),
+        c AS (
+          SELECT doc_id, t, n,
+            1 + CAST('0x' || substr(md5(doc_id || '#fim1'), 1, 8) AS BIGINT)
+              % (n - 2) AS cut1
+          FROM d WHERE n >= 4),
+        c2 AS (
+          SELECT doc_id, t, n, cut1,
+            cut1 + 1 + CAST('0x' || substr(md5(doc_id || '#fim2'), 1, 8) AS BIGINT)
+              % (n - 1 - cut1) AS cut2
+          FROM c),
+        fim AS (
+          SELECT doc_id, cut1, cut2,
+            array_to_string(
+              list_concat(list_concat(list_concat(list_concat(list_concat(
+                ['<fim_pre>'], t[1:cut1]),
+                ['<fim_suf>']), t[cut2+1:n]),
+                ['<fim_mid>']), t[cut1+1:cut2]), ' ') AS out
+          FROM c2),
+        small AS (
+          SELECT doc_id, NULL AS cut1, NULL AS cut2,
+            array_to_string(t, ' ') AS out
+          FROM d WHERE n < 4)
+        SELECT doc_id, CAST(cut1 AS BIGINT) AS cut1, CAST(cut2 AS BIGINT) AS cut2,
+          CAST(length(out) AS BIGINT) AS n_chars, md5(out) AS fim_md5
+        FROM (SELECT * FROM fim UNION ALL SELECT * FROM small)
+        ORDER BY doc_id"""))
+    ,
+
+    // ---- chat-template rendering + loss-mask accounting --------------------
+    // The SFT data-prep operator: deterministic multi-turn conversations
+    // render through a ChatML-shaped template, and the LOSS MASK — which
+    // tokens train (assistant spans) vs which only condition (system/
+    // user/markup) — is accounted exactly. Two turns per doc: the user
+    // text is the doc's first 8 tokens, the assistant reply its next 12
+    // (closed-form in the corpus), so mask ratios are integers both
+    // engines derive independently. Row-local string assembly; the only
+    // exchange is the final per-lang rollup.
+    Q("q266_chat_template",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val user = concat_ws(" ", slice(toks, lit(1), lit(8)))
+        val asst = concat_ws(" ", slice(toks, lit(9), lit(12)))
+        val rendered = concat(
+          lit("<|im_start|>system\nYou are helpful.<|im_end|>\n"),
+          lit("<|im_start|>user\n"), user, lit("<|im_end|>\n"),
+          lit("<|im_start|>assistant\n"), asst, lit("<|im_end|>"))
+        val maskTokens = size(split(asst, " ")).cast("long")
+        val totalTokens = size(split(rendered, "[ \\n]+")).cast("long")
+        t(s, dir, "documents")
+          .filter(size(toks) >= 20)
+          .select(col("lang"), md5(rendered).as("h"),
+            maskTokens.as("mask"), totalTokens.as("total"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("convos"),
+            sum("mask").as("assistant_tokens"),
+            sum("total").as("total_tokens"),
+            expr("sum(mask) * 1000 div sum(total)").as("mask_ratio_milli"),
+            md5(concat_ws("", sort_array(collect_list(col("h")))))
+              .as("corpus_md5"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH d AS (
+          SELECT lang, string_split_regex(trim(text), '\s+') AS t
+          FROM documents
+          WHERE len(string_split_regex(trim(text), '\s+')) >= 20),
+        r AS (
+          SELECT lang,
+            '<|im_start|>system' || chr(10) || 'You are helpful.<|im_end|>'
+              || chr(10) || '<|im_start|>user' || chr(10)
+              || array_to_string(t[1:8], ' ') || '<|im_end|>' || chr(10)
+              || '<|im_start|>assistant' || chr(10)
+              || array_to_string(t[9:20], ' ') || '<|im_end|>' AS rendered,
+            len(string_split(array_to_string(t[9:20], ' '), ' ')) AS mask
+          FROM d),
+        m AS (
+          SELECT lang, md5(rendered) AS h, mask,
+            len(string_split_regex(rendered, '[ \n]+')) AS total
+          FROM r)
+        SELECT lang, COUNT(*) AS convos,
+          CAST(SUM(mask) AS BIGINT) AS assistant_tokens,
+          CAST(SUM(total) AS BIGINT) AS total_tokens,
+          CAST(SUM(mask) AS BIGINT) * 1000 // CAST(SUM(total) AS BIGINT)
+            AS mask_ratio_milli,
+          md5(string_agg(h, '' ORDER BY h)) AS corpus_md5
+        FROM m GROUP BY 1 ORDER BY 1"""))
   )
 
   /** The shared header of every BPE-family oracle: the `^[a-z]+$`-gated
