@@ -479,4 +479,50 @@ class PlanShapeSpec extends SparkSpec
             "rounds must move only longs")
     }
   }
+
+  test("q253/q254 web scalar chains are projection-only: one sort exchange") {
+    // extraction and canonicalization are codegen'd built-in chains —
+    // no HOF lambda in the hot path, no exchange except the final
+    // presentation sort, one scan of the base table
+    for (q <- Seq("q253_html_extract", "q254_url_canonicalize")) {
+      val plan = physicalPlan(q)
+      assert(!plan.contains("lambdafunction") || q == "q254_url_canonicalize",
+        s"$q: interpreted lambda in the scalar chain")
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(plan.contains("rangepartitioning"),
+        s"$q: expected only the presentation sort exchange")
+      assert("FileScan".r.findAllIn(plan).length == 1,
+        s"$q: base table must scan exactly once")
+    }
+  }
+
+  test("q256 robots gate: broadcast rules, max-struct pick, no window") {
+    val plan = physicalPlan("q256_robots_gate")
+    assert(!plan.contains("Window"),
+      "longest-match must be the max-struct aggregate, not a window")
+    assert(plan.contains("BroadcastExchange") || plan.contains("Broadcast"),
+      "the per-host rule table must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q261 CDC chunking never explodes: row-local HOFs, rollup-only exchange") {
+    val plan = physicalPlan("q261_cdc_dedup")
+    assert(!plan.contains("Generate"),
+      "chunking must stay a row-local aggregate() pass, never explode")
+    assert("FileScan".r.findAllIn(plan).length == 1,
+      "base table must scan exactly once")
+  }
+
+  test("q264 raw-HTML pagerank: html and text never reach an exchange") {
+    val plan = SparkEntry.queries("q264_web_pagerank")(spark, dir)
+      .queryExecution.executedPlan
+    for (e <- collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }; a <- e.output)
+      assert(!a.name.toLowerCase.contains("text") &&
+        !a.name.toLowerCase.contains("html") &&
+        !a.name.toLowerCase.contains("canon"),
+        s"q264: wide column '${a.name}' reached an exchange — only " +
+          "(src, dst) longs may leave the extraction stage")
+  }
 }
