@@ -1562,6 +1562,60 @@ object TextQueries {
             AS mask_ratio_milli,
           md5(string_agg(h, '' ORDER BY h)) AS corpus_md5
         FROM m GROUP BY 1 ORDER BY 1"""))
+    ,
+
+    // ---- hashed-feature linear quality classifier ---------------------------
+    // fastText-shaped INFERENCE at corpus scale: word-bigram features
+    // hash into 64 buckets (first 8 md5 hex digits mod B — the hashing
+    // trick), a content-addressed integer weight vector (md5-derived, in
+    // [-1000, 1000] — no stored model artifact, every engine derives the
+    // same weights) dots against the feature multiset, sign gates the
+    // doc. The whole forward pass is a row-local transform + aggregate
+    // HOF chain — no explode, no weight-table join, nothing but the
+    // final (doc_id, score) rows in any exchange. The oracle rederives
+    // weights and replays the dot product exactly.
+    Q("q267_quality_classifier",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val bigrams = when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", slice(toks, i, lit(2)))))
+          .otherwise(array().cast("array<string>"))
+        def bucket(g: Column): Column =
+          pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"), lit(64L))
+        def weight(b: Column): Column =
+          pmod(conv(substring(md5(concat(lit("w#"), b.cast("string"))), 1, 4),
+            16, 10).cast("long"), lit(2001L)) - 1000L
+        val score = aggregate(bigrams, lit(0L),
+          (acc, g) => acc + weight(bucket(g)))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), score.as("score"))
+          .select(col("doc_id"), col("lang"), col("score"),
+            when(col("score") >= 0, "keep").otherwise("drop").as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+          FROM documents),
+        g AS (
+          SELECT doc_id, lang,
+            CAST('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 8) AS BIGINT)
+              % 64 AS b
+          FROM d, UNNEST(generate_series(1, len(t) - 1)) s(i)),
+        w AS (
+          SELECT doc_id, lang,
+            CAST('0x' || substr(md5('w#' || b), 1, 4) AS BIGINT) % 2001 - 1000
+              AS wt
+          FROM g),
+        sc AS (
+          SELECT d.doc_id, d.lang,
+            COALESCE((SELECT CAST(SUM(wt) AS BIGINT) FROM w
+                      WHERE w.doc_id = d.doc_id), 0) AS score
+          FROM d)
+        SELECT doc_id, lang, score,
+          CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS verdict
+        FROM sc ORDER BY doc_id"""))
   )
 
   /** The shared header of every BPE-family oracle: the `^[a-z]+$`-gated
