@@ -684,6 +684,42 @@ object Multimodal {
     }
   }
 
+  /** CROSS-CONTAINER video corpus: every doc renders the SAME frame
+    * pixel algebra twice — once as an AVI/DIB clip (bottom-up padded
+    * BGR) under its own id, once as an MP4/'raw ' clip (top-down
+    * unpadded RGB) under id + 2,000,000. The two payloads share not one
+    * byte of layout, but their image-orientation box panels are
+    * IDENTICAL by construction — the corpus that proves the two
+    * container walkers agree pixel-exactly (the q157 cross-format
+    * discipline lifted to video).
+    */
+  def crossContainerVideoAssets(spark: SparkSession, dir: String): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.flatMap { id =>
+        val w = (8 + (id * 5) % 16).toInt
+        val h = (8 + (id * 7) % 16).toInt
+        val nf = (3 + id % 4).toInt
+        def rgb(f: Int): (Int, Int, Int) = (
+          ((id * 3 + 13 * f) % 199).toInt,
+          ((id * 11 + 7 * f) % 256).toInt,
+          ((id * 17 + 5 * f) % 256).toInt)
+        val aviFrames = (0 until nf).map { f =>
+          val (r, g, b) = rgb(f)
+          AviCodec.encodeDibFrame(w, h)((x, y) => ((r + x + y) << 16) | (g << 8) | b)
+        }
+        val mp4Frames = (0 until nf).map { f =>
+          val (r, g, b) = rgb(f)
+          Mp4Codec.encodeRawFrame(w, h)((x, y) => ((r + x + y) << 16) | (g << 8) | b)
+        }
+        Seq(
+          Asset(id, "avi", AviCodec.encode(w, h, aviFrames)),
+          Asset(id + 2000000L, "mp4", Mp4Codec.encode(w, h, mp4Frames)))
+      })
+  }
+
   /** MP4 corpus with planted near-duplicate CLIPS — the
     * [[videoAssetsWithNearDups]] discipline on the ISO-BMFF container:
     * real single-track 'raw '-flavor MP4s ([[Mp4Codec]]) synthesized per

@@ -1245,5 +1245,67 @@ object MultimodalQueries {
           JOIN p pb ON pb.doc_id = m.id_b
         WHERE m.matched = (pa.nf + 1) // 2
         ORDER BY 1, 2"""))
+    ,
+
+    // ---- CROSS-CONTAINER video agreement: AVI and MP4 of the same clip -----
+    // The q157 cross-format proof at video grain: every doc renders the
+    // SAME frame algebra as an AVI/DIB clip (id) and an MP4/'raw ' clip
+    // (id + 2e6) — zero shared bytes (bottom-up padded BGR vs top-down
+    // unpadded RGB, RIFF vs ISO-BMFF), but image-orientation box panels
+    // identical by construction. The band + 16-box frame conjunction is
+    // evaluated on each TWIN pair (open dedup across the corpus is
+    // q194/q249's job — the tolerance verify legitimately pairs
+    // close-parameter docs too; here the join pins the twin so the row
+    // is a pure walker-agreement certificate): frame md5s differ, the
+    // byte arm is blind across containers, only the perceptual arm can
+    // connect them. One drifted walker — an orientation flip, a stride
+    // bug, a sample-table misread — kills every pair; the closed-form
+    // oracle expects every doc.
+    Q("q268_cross_container_video",
+      (s, dir) => {
+        import graft.multimodal.VisualDedup
+        val g = 4
+        val feats = Multimodal.videoFrameFeatures(
+            Multimodal.crossContainerVideoAssets(s, dir), grid = g, stride = 2)
+          .toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val banded = VisualDedup.explodeBands(
+          feats.withColumn("dhash", VisualDedup.dhash("", g)), g)
+        def side(p: String) =
+          banded.columns.foldLeft(banded)((d, c) => d.withColumnRenamed(c, p + c))
+        val a = side("a_"); val b = side("b_")
+        val firstMatch = (0 until 3).map(j =>
+          col("a_band_idx") <= lit(j) ||
+            expr(s"shiftright(a_dhash, ${j * 6}) & 63")
+              =!= expr(s"shiftright(b_dhash, ${j * 6}) & 63"))
+          .reduce(_ && _)
+        val framePairs = a.join(b,
+            col("b_asset_id") === col("a_asset_id") + 2000000L &&
+              col("a_width") === col("b_width") &&
+              col("a_height") === col("b_height") &&
+              col("a_n_frames") === col("b_n_frames") &&
+              col("a_frame_idx") === col("b_frame_idx") &&
+              col("a_band_idx") === col("b_band_idx") &&
+              col("a_band_val") === col("b_band_val") && firstMatch)
+          .filter(VisualDedup.verify("a_", "b_", g))
+          .select(col("a_asset_id").as("id_a"), col("b_asset_id").as("id_b"),
+            col("a_n_frames").cast("long").as("n_frames"),
+            col("a_frame_idx").as("fidx"),
+            (col("a_frame_md5") === col("b_frame_md5")).as("fr_exact"))
+        framePairs.groupBy("id_a", "id_b", "n_frames")
+          .agg(countDistinct("fidx").as("matched_frames"),
+            max(when(col("fr_exact"), 1L).otherwise(0L)).as("any_byte_equal"))
+          .filter(col("matched_frames") === expr("(n_frames + 1) div 2"))
+          .select(col("id_a"), col("id_b"),
+            col("matched_frames").as("sampled_frames"),
+            col("any_byte_equal"), lit("cross_container").as("kind"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        SELECT doc_id AS id_a, doc_id + 2000000 AS id_b,
+          CAST((3 + doc_id % 4 + 1) // 2 AS BIGINT) AS sampled_frames,
+          CAST(0 AS BIGINT) AS any_byte_equal,
+          'cross_container' AS kind
+        FROM documents ORDER BY 1, 2"""))
   )
 }
