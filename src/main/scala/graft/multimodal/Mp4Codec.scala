@@ -290,8 +290,12 @@ object Mp4Codec {
     r
   }
 
-  /** Descend moov -> (first trak whose hdlr is 'vide') -> stbl. */
-  private def videoStbl(bytes: Array[Byte]): (Long, Long) = {
+  /** Descend moov -> (first trak whose hdlr is 'vide') -> mdia bounds.
+    * Timing (mdhd) and sample tables (stbl) must both come from THIS
+    * trak — an MP4 whose first track is audio has a different mdhd
+    * timescale there.
+    */
+  private def videoMdia(bytes: Array[Byte]): (Long, Long) = {
     require(bytes.length >= 8, s"truncated MP4: ${bytes.length} bytes")
     val (ftypS, _) = findBox(bytes, 0, bytes.length, "ftyp")
     require(ftypS >= 0, "not an MP4 (missing ftyp)")
@@ -303,21 +307,26 @@ object Mp4Codec {
         throw new IllegalArgumentException("no video ('vide' hdlr) track")
       val (mdiaS, mdiaE) = requireBox(bytes, trakS, trakE, "mdia")
       val (hdlrS, _) = requireBox(bytes, mdiaS, mdiaE, "hdlr")
-      if (tag(bytes, hdlrS.toInt + 8) == "vide") {
-        val (minfS, minfE) = requireBox(bytes, mdiaS, mdiaE, "minf")
-        return requireBox(bytes, minfS, minfE, "stbl")
-      }
+      if (tag(bytes, hdlrS.toInt + 8) == "vide") return (mdiaS, mdiaE)
       o = trakE
     }
     throw new IllegalArgumentException("no video ('vide' hdlr) track")
+  }
+
+  /** Descend to the vide trak's stbl (sample tables). */
+  private def videoStbl(bytes: Array[Byte]): (Long, Long) = {
+    val (mdiaS, mdiaE) = videoMdia(bytes)
+    val (minfS, minfE) = requireBox(bytes, mdiaS, mdiaE, "minf")
+    requireBox(bytes, minfS, minfE, "stbl")
   }
 
   /** Walk the box tree to the container facts. Fails loudly on anything
     * outside the supported profile.
     */
   def info(bytes: Array[Byte]): Mp4Info = {
-    val (moovS, moovE) = requireBox(bytes, 0, bytes.length, "moov")
-    val (stblS, stblE) = videoStbl(bytes)
+    val (mdiaS, mdiaE) = videoMdia(bytes)
+    val (minfS, minfE) = requireBox(bytes, mdiaS, mdiaE, "minf")
+    val (stblS, stblE) = requireBox(bytes, minfS, minfE, "stbl")
     val (stsdS, _) = requireBox(bytes, stblS, stblE, "stsd")
     require(getIntBE(bytes, stsdS.toInt + 4) >= 1, "empty stsd")
     val entry = stsdS.toInt + 8
@@ -326,9 +335,8 @@ object Mp4Codec {
     val height = getShortBE(bytes, entry + 34)
     val (stszS, _) = requireBox(bytes, stblS, stblE, "stsz")
     val nFrames = getIntBE(bytes, stszS.toInt + 8)
-    // timescale from mdhd (same version-0 layout offset either track)
-    val (trakS, trakE) = requireBox(bytes, moovS, moovE, "trak")
-    val (mdiaS, mdiaE) = requireBox(bytes, trakS, trakE, "mdia")
+    // timescale/delta from the SAME vide trak's mdhd/stts — an MP4 whose
+    // first track is audio must not donate its timing to the video dims
     val (mdhdS, _) = requireBox(bytes, mdiaS, mdiaE, "mdhd")
     val timescale = getIntBE(bytes, mdhdS.toInt + 12)
     val (sttsS, _) = requireBox(bytes, stblS, stblE, "stts")

@@ -92,7 +92,7 @@ object WarcCodec {
       val out = new java.io.ByteArrayOutputStream()
       records.foreach { r =>
         val gz = new java.util.zip.GZIPOutputStream(out)
-        gz.write(r); gz.finish()
+        try { gz.write(r); gz.finish() } finally gz.close()
       }
       out.toByteArray
     }

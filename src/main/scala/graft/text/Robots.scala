@@ -52,7 +52,11 @@ object Robots {
             // empty Disallow = "allow everything", the RFC no-op
             if (applies && value.nonEmpty)
               out += Rule(host, name == "allow", value)
-          case _ => groupOpen = false
+          // RFC 9309: unrecognized lines are skipped outright — they
+          // neither close agent collection nor split a group, so
+          // `User-agent: a / Crawl-delay: 5 / User-agent: b / Disallow: /x`
+          // attributes the rule to BOTH a and b.
+          case _ => ()
         }
       }
     }

@@ -169,6 +169,50 @@ class Mp4CodecSpec extends AnyFunSuite {
     assert(dw === w && dh === h)
   }
 
+  test("info() times from the vide trak when an audio trak comes first") {
+    val (w, h) = (6, 4)
+    val frames = Seq(gradFrame(w, h, 9, 9, 9), gradFrame(w, h, 1, 2, 3))
+    val mp4 = Mp4Codec.encode(w, h, frames, timescale = 25, sampleDelta = 1)
+    // splice a minimal 'soun' trak (mdhd timescale 8000) as the FIRST
+    // child of moov — mdat precedes moov in the encoder's layout, so the
+    // stco offsets survive the insertion untouched
+    def i32(buf: Array[Byte], o: Int, v: Int): Unit = {
+      buf(o) = (v >>> 24).toByte; buf(o + 1) = (v >>> 16).toByte
+      buf(o + 2) = (v >>> 8).toByte; buf(o + 3) = v.toByte
+    }
+    def tag4(buf: Array[Byte], o: Int, t: String): Unit =
+      t.getBytes("US-ASCII").copyToArray(buf, o)
+    val mdhdSize = 32; val hdlrSize = 33
+    val mdiaSize = 8 + mdhdSize + hdlrSize; val trakSize = 8 + mdiaSize
+    val audio = new Array[Byte](trakSize)
+    i32(audio, 0, trakSize); tag4(audio, 4, "trak")
+    i32(audio, 8, mdiaSize); tag4(audio, 12, "mdia")
+    var o = 16
+    i32(audio, o, mdhdSize); tag4(audio, o + 4, "mdhd")
+    i32(audio, o + 8 + 12, 8000) // timescale: NOT the video's 25
+    i32(audio, o + 8 + 16, 4000)
+    o += mdhdSize
+    i32(audio, o, hdlrSize); tag4(audio, o + 4, "hdlr")
+    tag4(audio, o + 16, "soun")
+    // locate moov among the top-level boxes (ftyp, mdat, moov)
+    var moovS = 0
+    while (!(mp4(moovS + 4) == 'm' && mp4(moovS + 5) == 'o' &&
+             mp4(moovS + 6) == 'o' && mp4(moovS + 7) == 'v')) {
+      moovS += java.nio.ByteBuffer.wrap(mp4, moovS, 4).getInt
+    }
+    val spliced = new Array[Byte](mp4.length + trakSize)
+    System.arraycopy(mp4, 0, spliced, 0, moovS + 8)
+    System.arraycopy(audio, 0, spliced, moovS + 8, trakSize)
+    System.arraycopy(mp4, moovS + 8, spliced, moovS + 8 + trakSize,
+      mp4.length - moovS - 8)
+    i32(spliced, moovS, java.nio.ByteBuffer.wrap(mp4, moovS, 4).getInt + trakSize)
+    val info = Mp4Codec.info(spliced)
+    assert(info.timescale === 25, "timescale must come from the vide trak's mdhd")
+    assert(info.width === w && info.height === h && info.nFrames === 2)
+    assert(info.sampleDelta === 1)
+    assert(Mp4Codec.frames(spliced).head.toSeq == frames.head.toSeq)
+  }
+
   test("failure paths are loud") {
     val frames = Seq(gradFrame(4, 4, 1, 2, 3))
     val mp4 = Mp4Codec.encode(4, 4, frames)

@@ -108,6 +108,35 @@ class BpeEncodeSpec extends SparkSpec {
     assertParity(Seq("abc", ""), Seq.empty)
   }
 
+  test("raw-SQL misuse fails at analysis, not with a runtime CCE") {
+    BpeEncoder.register(spark)
+    Seq("ab").toDF("text").createOrReplaceTempView("bpe_chk")
+    def analysisError(sql: String): String =
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).collect()
+      }.getMessage
+    // wrong arity
+    assert(analysisError("SELECT graft_bpe_encode(text) FROM bpe_chk")
+      .contains("3 arguments"))
+    // wrong text type
+    assert(analysisError(
+      "SELECT graft_bpe_encode(1, array('a'), array('b')) FROM bpe_chk")
+      .contains("text must be string"))
+    // wrong element type for the piece arrays
+    assert(analysisError(
+      "SELECT graft_bpe_encode(text, array(1), array(2)) FROM bpe_chk")
+      .contains("array<string>"))
+    // non-foldable piece arrays (column reference, not a literal)
+    assert(analysisError(
+      "SELECT graft_bpe_encode(text, array(text), array(text)) FROM bpe_chk")
+      .contains("non-foldable"))
+    // and the happy path through raw SQL still encodes
+    val ok = spark.sql(
+      "SELECT graft_bpe_encode(text, array('a'), array('b')) AS e FROM bpe_chk")
+      .as[String].head()
+    assert(ok === "(ab)")
+  }
+
   test("null text yields empty string, as concat_ws does") {
     BpeEncoder.register(spark)
     val out = Seq[Option[String]](None).toDF("text")

@@ -36,6 +36,23 @@ class RobotsSpec extends SparkSpec {
     assert(Robots.parse("h", txt) === Seq(Robots.Rule("h", false, "/q")))
   }
 
+  test("unknown directives neither close agent collection nor split a group") {
+    // RFC 9309: consecutive User-agent lines merge even across an
+    // unrecognized line — the rule below applies to BOTH a and b
+    val txt = "User-agent: a\nCrawl-delay: 5\nUser-agent: b\nDisallow: /x\n"
+    assert(Robots.parse("h", txt, agent = "a") ===
+      Seq(Robots.Rule("h", false, "/x")))
+    assert(Robots.parse("h", txt, agent = "b") ===
+      Seq(Robots.Rule("h", false, "/x")))
+    // and an unknown line after rules began does NOT reopen the group:
+    // the later User-agent still starts a fresh group
+    val after = "User-agent: *\nDisallow: /x\nCrawl-delay: 9\n" +
+      "User-agent: c\nDisallow: /y\n"
+    assert(Robots.parse("h", after) === Seq(Robots.Rule("h", false, "/x")))
+    assert(Robots.parse("h", after, agent = "c").toSet ===
+      Set(Robots.Rule("h", false, "/x"), Robots.Rule("h", false, "/y")))
+  }
+
   test("gate: longest match wins, Allow wins ties, default is allow") {
     val rules = Seq(
       ("h", false, "/p"), ("h", true, "/p/ok"),
