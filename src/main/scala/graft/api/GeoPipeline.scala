@@ -97,13 +97,22 @@ object GeoPipeline {
     * WGS84 with the column-level [[StReproject]] expression. `sourceEpsg`
     * overrides detection — near-boundary data can mis-detect (SURVEY.md
     * §7.4), so the escape hatch survives in the API like the reference's.
+    * `prjWkt` carries the shapefile's `.prj` sidecar text when present:
+    * it resolves via [[CrsDetect.fromPrjWkt]] BEFORE the probe (the
+    * reference's `_detect_shapefile_crs` order), so data legitimately
+    * outside the Rwanda probe window still reprojects correctly.
     *
     * Scale: detection is one `limit(1)` probe job (a few rows from one
     * partition); the reprojection itself is row-local with zero shuffle.
     */
-  def reprojectFeatures(features: DataFrame, sourceEpsg: Option[Int] = None): DataFrame = {
+  def reprojectFeatures(features: DataFrame, sourceEpsg: Option[Int] = None,
+      prjWkt: Option[String] = None): DataFrame = {
     StReproject.register(features.sparkSession)
-    val epsg = sourceEpsg.getOrElse {
+    // resolution ladder mirrors the reference: explicit sourceEpsg
+    // override, then the .prj sidecar's WKT (CRS.from_wkt,
+    // SlopeGeoJsonUploadView.py:157-162), then the coordinate probe —
+    // a garbage/unrecognized .prj falls through rather than failing
+    val epsg = sourceEpsg.orElse(prjWkt.flatMap(CrsDetect.fromPrjWkt)).getOrElse {
       val sample = features.filter(col("geom").isNotNull)
         .select(
           // try_element_at: empty geometries/rings probe as null (then

@@ -110,4 +110,70 @@ object CrsDetect {
       } => u.epsg
     }
   }
+
+  private val AuthorityRe =
+    "AUTHORITY\\s*\\[\\s*\"EPSG\"\\s*,\\s*\"?(\\d+)\"?\\s*\\]".r
+  private val CentralMeridianRe =
+    "PARAMETER\\s*\\[\\s*\"CENTRAL_MERIDIAN\"\\s*,\\s*(-?\\d+(?:\\.\\d+)?)\\s*\\]".r
+  private val UtmZoneNameRe = "UTM\\s*[_ ]?ZONE[_ ]?(3[56])\\s*S".r
+
+  /** `.prj` sidecar WKT → EPSG, the reference's
+    * `_detect_shapefile_crs` step (SlopeGeoJsonUploadView.py:157-162:
+    * `CRS.from_wkt` BEFORE any probing). Recognizes exactly the
+    * reference's candidate space — WGS84 geographic plus the six
+    * southern-UTM candidates — and returns None on anything else or on
+    * garbage, so callers fall back to the probe ladder / `sourceEpsg`.
+    *
+    * Resolution order: (1) the OUTERMOST `AUTHORITY["EPSG",n]` node
+    * (outermost = only `]`/`,`/whitespace follow it in well-formed WKT1)
+    * wins verbatim; (2) otherwise the datum + central-meridian (or
+    * UTM-zone name) pair selects a candidate — WGS84→327xx,
+    * Arc 1950→209xx, Arc 1960→263xx, zone 35S↔27°E / 36S↔33°E; bare
+    * GEOGCS with a WGS84 datum → 4326. Northern-zone or unrecognized
+    * datums return None rather than guess.
+    */
+  def fromPrjWkt(wkt0: String): Option[Int] = {
+    val wkt = Option(wkt0).getOrElse("").trim
+    if (wkt.isEmpty) return None
+    val up = wkt.toUpperCase
+    val isProj = up.startsWith("PROJCS")
+    val isGeog = up.startsWith("GEOGCS") || up.startsWith("GEOGCRS")
+    if (!isProj && !isGeog) return None
+
+    // (1) an explicit outermost authority node
+    val outermost = AuthorityRe.findAllMatchIn(up).toSeq.lastOption.filter { m =>
+      up.substring(m.end).forall(c => c == ']' || c == ',' || c.isWhitespace)
+    }
+    outermost match {
+      case Some(m) =>
+        val code = m.group(1).toInt
+        if (code == 4326 || candidates.exists(_.epsg == code)) Some(code)
+        else None
+      case None if isGeog =>
+        if (up.contains("WGS")) Some(4326) else None
+      case None =>
+        // (2) datum + zone from the parameters / the PROJCS name
+        val zone: Option[Int] =
+          CentralMeridianRe.findFirstMatchIn(up).map(_.group(1).toDouble) match {
+            case Some(27.0) => Some(35)
+            case Some(33.0) => Some(36)
+            case Some(_) => None
+            case None => UtmZoneNameRe.findFirstMatchIn(up).map(_.group(1).toInt)
+          }
+        // southern hemisphere required (all candidates are ...S)
+        val southern = up.contains("10000000") ||
+          UtmZoneNameRe.findFirstMatchIn(up).isDefined
+        val datumBase: Option[Int] =
+          if (up.contains("ARC_1950") || up.contains("ARC 1950")) Some(20900)
+          else if (up.contains("ARC_1960") || up.contains("ARC 1960")) Some(26300)
+          else if (up.contains("WGS")) Some(32700)
+          else None
+        for {
+          z <- zone if southern
+          base <- datumBase
+          epsg = base + z
+          u <- candidates.find(_.epsg == epsg)
+        } yield u.epsg
+    }
+  }
 }

@@ -35,8 +35,13 @@ object WebQueries {
     "<body><nav><a href=\"/home\">Home</a> | <a href=\"/about\">About</a>" +
     "</nav><h1>Doc "
   private val PreC = "</h1><p>"
+  // the footer plants one of each numeric-reference case: decimal
+  // (&#233; = e-acute), hex 2-byte (&#x2014; em dash), hex 4-byte UTF-8
+  // (&#x1F600; emoji), double-escaped (&amp;#65; stays literal &#65;),
+  // out-of-range (&#1114112;) and surrogate (&#xD800;) pass-throughs
   private val Post = "</p><footer>&copy; 2026 Example &amp; Sons " +
-    "&lt;contact&gt;</footer></body></html>"
+    "&lt;contact&gt; r&#233;sum&#xE9; &#x2014; &#x1F600; &amp;#65; " +
+    "&#1114112; &#xD800;</footer></body></html>"
 
   private def htmlOf(id: Long, text: String): String =
     PreA + id + PreB + id + PreC + text + Post
@@ -47,15 +52,35 @@ object WebQueries {
 
   /** The q253 extraction chain, replayed in DuckDB on expression `x` —
     * regex-for-regex identical to [[WebText.htmlText]] (explicit
-    * whitespace class; amp decodes last).
+    * whitespace class; numeric references decode FIRST via the same
+    * tokenize-transform-join and validity guard, amp decodes last).
     */
   private def duckExtract(x: String): String = {
     val noScript = s"regexp_replace($x, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
     val noStyle = s"regexp_replace($noScript, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
     val noTags = s"regexp_replace($noStyle, '<[^>]*>', ' ', 'g')"
+    // numeric character references: identical tokenization (shared
+    // pattern constant), identical validity window, chr() where Spark
+    // spells out the UTF-8 arithmetic — same decoded string either way
+    val numDecoded =
+      s"""array_to_string(list_transform(
+        regexp_extract_all($noTags, '${graft.text.WebText.NumericEntityToken}', 0),
+        t -> CASE WHEN coalesce(CASE
+               WHEN regexp_matches(t, '^&#[0-9]{1,7};$$') THEN CAST(t[3:-2] AS BIGINT)
+               WHEN regexp_matches(t, '^&#[xX][0-9a-fA-F]{1,6};$$') THEN CAST('0x' || t[4:-2] AS BIGINT)
+               END, 0) BETWEEN 1 AND 1114111
+             AND coalesce(CASE
+               WHEN regexp_matches(t, '^&#[0-9]{1,7};$$') THEN CAST(t[3:-2] AS BIGINT)
+               WHEN regexp_matches(t, '^&#[xX][0-9a-fA-F]{1,6};$$') THEN CAST('0x' || t[4:-2] AS BIGINT)
+               END, 0) NOT BETWEEN 55296 AND 57343
+             THEN chr(CAST(CASE
+               WHEN regexp_matches(t, '^&#[0-9]{1,7};$$') THEN CAST(t[3:-2] AS BIGINT)
+               WHEN regexp_matches(t, '^&#[xX][0-9a-fA-F]{1,6};$$') THEN CAST('0x' || t[4:-2] AS BIGINT)
+               END AS INTEGER))
+             ELSE t END), '')"""
     val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&apos;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (f, r)) => s"replace($c, '$f', '$r')" }
+      .foldLeft(numDecoded) { case (c, (f, r)) => s"replace($c, '$f', '$r')" }
     s"trim(regexp_replace($ent, '[ \\t\\n\\r\\f]+', ' ', 'g'))"
   }
 

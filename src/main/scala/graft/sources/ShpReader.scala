@@ -18,10 +18,10 @@ import scala.collection.mutable.ArrayBuffer
   * reference's admin-boundary and slope uploads contain. Output rows match
   * [[GeoJson.explodeFeatures]]'s feature frame (feature_index,
   * geometry_type, geom, properties) so the downstream geo layer
-  * (reproject, centroid, contains) runs unchanged. Attribute columns live
-  * in the sibling .dbf — out of scope here; the reference's selection
-  * heuristic ([[ShapefilePicker]]) only needs names/counts, and properties
-  * join back at the ingest boundary when needed.
+  * (reproject, centroid, contains) runs unchanged. Attribute columns come
+  * from the sibling .dbf via [[DbfReader]] ([[readWithAttributes]]) —
+  * the full `gpd.read_file` contract (geometry + properties) from the
+  * shapefile alone, no GeoJSON sidecar required.
   *
   * Driver-side parse, like [[CsvSource]]'s probe and [[XlsxSource]]:
   * upload-payload files, not bulk scans.
@@ -78,6 +78,9 @@ object ShpReader {
     out.toSeq
   }
 
+  /** The GeoJson feature-frame schema, shared with [[ShapefileZip]]. */
+  private[sources] def frameSchema: StructType = schema
+
   private val schema = StructType(Seq(
     StructField("feature_index", IntegerType, nullable = false),
     StructField("geometry_type", StringType, nullable = false),
@@ -89,6 +92,35 @@ object ShpReader {
     val rows = parse(path).map { f =>
       Row(f.featureIndex, f.geometryType,
         f.rings.map(_.map(p => Seq(p._1, p._2))), Map.empty[String, String])
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 1), schema)
+  }
+
+  /** Features WITH attributes — the `gpd.read_file` contract: geometry
+    * from the .shp, properties from the sibling .dbf ([[DbfReader]]),
+    * paired POSITIONALLY (the shapefile contract: .dbf physical record i
+    * describes .shp record i — both references index this way,
+    * village_admin_boundaries_etl_view.py:418-485). Record counts must
+    * agree; a .dbf row flagged deleted keeps its geometry with EMPTY
+    * properties (spec-conformant shapefiles have none). `dbfPath`
+    * defaults to the .shp's sibling; a MISSING sidecar degrades to
+    * [[read]]'s empty-properties frame rather than failing — matching
+    * the reference's behavior on bare .shp uploads.
+    */
+  def readWithAttributes(spark: SparkSession, shpPath: String,
+      dbfPath: Option[String] = None): DataFrame = {
+    val sidecar = dbfPath.getOrElse(shpPath.replaceAll("\\.[Ss][Hh][Pp]$", "") + ".dbf")
+    if (!Files.exists(Paths.get(sidecar))) return read(spark, shpPath)
+    val feats = parse(shpPath)
+    val dbf = DbfReader.parse(sidecar)
+    require(dbf.records.length == feats.length,
+      s".dbf has ${dbf.records.length} records but .shp has ${feats.length} " +
+        "features — not a matching sidecar")
+    val rows = feats.zip(dbf.records).map { case (f, r) =>
+      Row(f.featureIndex, f.geometryType,
+        f.rings.map(_.map(p => Seq(p._1, p._2))),
+        if (r.deleted) Map.empty[String, String] else r.toMap(dbf.fields))
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toList, 1), schema)

@@ -13,8 +13,14 @@ import java.nio.file.{Files, Paths}
   * sample data, with the GeoTIFF affine carried by ModelPixelScaleTag
   * (33550) + ModelTiepointTag (33922) and nodata by GDAL_NODATA (42113).
   *
-  * Scope: single-band, uncompressed, strip-organized rasters (uint8/16/32,
-  * int8/16/32, float32/64) — the shape of the reference's slope uploads.
+  * Scope: single-band rasters (uint8/16/32, int8/16/32, float32/64),
+  * strip- OR tile-organized (TileWidth/TileLength/TileOffsets, edge
+  * tiles padded per spec), uncompressed, LZW (TIFF variant: MSB-first,
+  * early code-width change) or Deflate (tags 8/32946) compressed, with
+  * the horizontal-differencing predictor (tag 317 = 2) for integer
+  * samples — the envelope `rasterio.open` accepts for real-world slope
+  * uploads, which are almost always LZW/Deflate and often tiled
+  * (SlopeGeoJsonUploadView.py:205 reads via rasterio/GDAL).
   * Output is the per-pixel grid frame the geo layer consumes
   * (`GeoPipeline.zonalSlopeStats` samples): (px, py, x, y, value) with x/y
   * the pixel-CENTER map coordinates, nodata rows dropped. Connected-region
@@ -95,12 +101,16 @@ object TiffReader {
     val bits = scalar(258).getOrElse(8.0).toInt
     val sampleFormat = scalar(339).getOrElse(1.0).toInt // 1 uint, 2 int, 3 float
     val compression = scalar(259).getOrElse(1.0).toInt
-    require(compression == 1, s"only uncompressed TIFF supported (compression=$compression)")
+    require(compression == 1 || compression == 5 ||
+        compression == 8 || compression == 32946,
+      s"unsupported TIFF compression $compression (none/LZW/Deflate only)")
+    val predictor = scalar(317).getOrElse(1.0).toInt
+    require(predictor == 1 || predictor == 2,
+      s"unsupported TIFF predictor $predictor (none/horizontal only)")
+    require(predictor == 1 || sampleFormat != 3,
+      "horizontal predictor (2) is integer-only; floating-point rasters must use predictor 1")
     val samplesPerPixel = scalar(277).getOrElse(1.0).toInt
     require(samplesPerPixel == 1, s"only single-band rasters supported (spp=$samplesPerPixel)")
-
-    val stripOffsets = values(tags(273)).map(_.toLong)
-    val rowsPerStrip = scalar(278).getOrElse(height.toDouble).toInt
 
     val pixScale = tags.get(33550).map(values).getOrElse(Seq(1.0, 1.0, 0.0))
     val tiepoint = tags.get(33922).map(values).getOrElse(Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
@@ -108,28 +118,103 @@ object TiffReader {
 
     val bytesPerSample = bits / 8
     val out = new Array[Double](width * height)
-    var row = 0
-    while (row < height) {
-      val strip = row / rowsPerStrip
-      val rowInStrip = row % rowsPerStrip
-      val base = stripOffsets(strip).toInt + rowInStrip * width * bytesPerSample
-      var cx = 0
-      while (cx < width) {
-        val p = base + cx * bytesPerSample
-        out(row * width + cx) = (sampleFormat, bits) match {
-          case (3, 32) => buf.getFloat(p).toDouble
-          case (3, 64) => buf.getDouble(p)
-          case (2, 8) => buf.get(p).toDouble
-          case (2, 16) => buf.getShort(p).toDouble
-          case (2, 32) => buf.getInt(p).toDouble
-          case (1, 8) => (buf.get(p) & 0xFF).toDouble
-          case (1, 16) => (buf.getShort(p) & 0xFFFF).toDouble
-          case (1, 32) => (buf.getInt(p) & 0xFFFFFFFFL).toDouble
-          case (f, b) => throw new IllegalArgumentException(s"unsupported sample format $f/$b-bit")
-        }
-        cx += 1
+
+    /** One decompressed segment (strip or tile), exact expected size. */
+    def decodeSegment(off: Long, byteCount: Option[Long], expected: Int): Array[Byte] =
+      compression match {
+        case 1 =>
+          val n = byteCount.map(_.toInt).getOrElse(expected)
+          require(n >= expected, s"segment at $off: $n bytes < expected $expected")
+          java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + expected)
+        case 5 =>
+          LzwCodec.decode(bytes, off.toInt,
+            byteCount.getOrElse((bytes.length - off).toLong).toInt, expected)
+        case _ =>
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(bytes, off.toInt,
+            byteCount.getOrElse((bytes.length - off).toLong).toInt)
+          val seg = new Array[Byte](expected)
+          var at = 0
+          try {
+            while (at < expected && !inf.finished()) {
+              val n = inf.inflate(seg, at, expected - at)
+              require(n > 0 || !inf.needsInput(), "truncated deflate segment")
+              at += n
+            }
+          } finally inf.end()
+          require(at == expected, s"deflate segment yielded $at of $expected bytes")
+          seg
       }
-      row += 1
+
+    /** Copy a decoded segment into the grid: `segW` samples per segment
+      * row, `segRows` rows, destination corner (dx0, dy0); edge tiles
+      * clip. Horizontal differencing accumulates per row in the sample's
+      * integer domain (mod 2^bits), per spec.
+      */
+    def fillRegion(seg: Array[Byte], segW: Int, segRows: Int, dx0: Int, dy0: Int): Unit = {
+      val sb = ByteBuffer.wrap(seg).order(order)
+      val mask = if (bits == 32) 0xFFFFFFFFL else (1L << bits) - 1
+      var ry = 0
+      while (ry < segRows) {
+        var acc = 0L
+        var rx = 0
+        while (rx < segW) {
+          val p = (ry * segW + rx) * bytesPerSample
+          val v: Double = (sampleFormat, bits) match {
+            case (3, 32) => sb.getFloat(p).toDouble
+            case (3, 64) => sb.getDouble(p)
+            case (f @ (1 | 2), 8 | 16 | 32) =>
+              val raw: Long = bits match {
+                case 8 => sb.get(p) & 0xFFL
+                case 16 => sb.getShort(p) & 0xFFFFL
+                case _ => sb.getInt(p) & 0xFFFFFFFFL
+              }
+              acc = if (predictor == 2 && rx > 0) (acc + raw) & mask else raw
+              if (f == 1) acc.toDouble
+              else { // sign-extend
+                val signBit = 1L << (bits - 1)
+                (if ((acc & signBit) != 0) acc - (1L << bits) else acc).toDouble
+              }
+            case (f, b) => throw new IllegalArgumentException(s"unsupported sample format $f/$b-bit")
+          }
+          val x = dx0 + rx; val y = dy0 + ry
+          if (x < width && y < height) out(y * width + x) = v
+          rx += 1
+        }
+        ry += 1
+      }
+    }
+
+    if (tags.contains(322)) { // tile-organized
+      val tileW = scalar(322).get.toInt
+      val tileH = scalar(323).getOrElse(
+        throw new IllegalArgumentException("TileWidth without TileLength")).toInt
+      val tileOffsets = values(tags.getOrElse(324,
+        throw new IllegalArgumentException("tiled TIFF without TileOffsets"))).map(_.toLong)
+      val tileCounts = tags.get(325).map(t => values(t).map(_.toLong))
+      val across = (width + tileW - 1) / tileW
+      val down = (height + tileH - 1) / tileH
+      require(tileOffsets.length >= across * down,
+        s"tiled TIFF declares ${tileOffsets.length} tiles, grid needs ${across * down}")
+      var ti = 0
+      while (ti < across * down) {
+        val seg = decodeSegment(tileOffsets(ti), tileCounts.map(_(ti)),
+          tileW * tileH * bytesPerSample)
+        fillRegion(seg, tileW, tileH, (ti % across) * tileW, (ti / across) * tileH)
+        ti += 1
+      }
+    } else { // strip-organized
+      val stripOffsets = values(tags(273)).map(_.toLong)
+      val rowsPerStrip = scalar(278).getOrElse(height.toDouble).toInt
+      val stripCounts = tags.get(279).map(t => values(t).map(_.toLong))
+      var s = 0
+      while (s * rowsPerStrip < height) {
+        val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
+        val seg = decodeSegment(stripOffsets(s), stripCounts.map(_(s)),
+          rows * width * bytesPerSample)
+        fillRegion(seg, width, rows, 0, s * rowsPerStrip)
+        s += 1
+      }
     }
     // tiepoint maps raster (i,j,k) -> model (x,y,z): origin = model point of
     // raster (0,0) shifted back by the tied raster coordinate

@@ -1,0 +1,192 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable.ArrayBuffer
+
+/** Single-band GeoTIFF ENCODER — the synthesis side of [[TiffReader]]:
+  * byte-level fixtures for the compressed/tiled ingest paths and the
+  * closed-form raster queries build their inputs here (the
+  * WarcCodec/Mp4Codec discipline: the engine carries both directions so
+  * oracles can predict every fact without parsing a byte). Little-endian
+  * baseline TIFF; strip- or tile-organized; compression none (1),
+  * TIFF-LZW (5, [[LzwCodec]]) or Deflate (8); horizontal-differencing
+  * predictor (317=2) for integer samples; GeoTIFF affine
+  * (ModelPixelScale + ModelTiepoint) and GDAL_NODATA.
+  */
+object TiffWriter {
+
+  final case class Layout(
+      compression: Int = 1, // 1 none, 5 LZW, 8 deflate
+      predictor: Int = 1, // 1 none, 2 horizontal (integer only)
+      tile: Option[(Int, Int)] = None, // (tileW, tileH); None = strips
+      rowsPerStrip: Int = Int.MaxValue,
+      sampleFormat: Int = 3, // 1 uint, 2 int, 3 float
+      bits: Int = 32)
+
+  /** Encode `values` (row-major, width*height) under `layout` with the
+    * GeoTIFF affine (pixel sizes + origin at the outer corner of pixel
+    * (0,0), y running north-down) and optional nodata.
+    */
+  def encode(width: Int, height: Int, values: Array[Double],
+      layout: Layout = Layout(),
+      pixelScaleX: Double = 1.0, pixelScaleY: Double = 1.0,
+      originX: Double = 0.0, originY: Double = 0.0,
+      nodata: Option[Double] = None): Array[Byte] = {
+    require(values.length == width * height,
+      s"values ${values.length} != $width x $height")
+    require(Seq(1, 5, 8).contains(layout.compression), s"compression ${layout.compression}")
+    require(layout.predictor == 1 || layout.predictor == 2, s"predictor ${layout.predictor}")
+    require(layout.predictor == 1 || layout.sampleFormat != 3,
+      "horizontal predictor is integer-only")
+    val bps = layout.bits / 8
+
+    /** One segment's samples (row-major segW x rows), differenced and
+      * packed little-endian, then compressed.
+      */
+    def segment(segW: Int, rows: Int, sample: (Int, Int) => Double): Array[Byte] = {
+      val raw = ByteBuffer.allocate(segW * rows * bps).order(ByteOrder.LITTLE_ENDIAN)
+      val mask = if (layout.bits == 32) 0xFFFFFFFFL else (1L << layout.bits) - 1
+      var ry = 0
+      while (ry < rows) {
+        var prev = 0L
+        var rx = 0
+        while (rx < segW) {
+          val v = sample(rx, ry)
+          (layout.sampleFormat, layout.bits) match {
+            case (3, 32) => raw.putFloat(v.toFloat)
+            case (3, 64) => raw.putDouble(v)
+            case (_, b) =>
+              val iv = v.toLong & mask
+              val stored = if (layout.predictor == 2 && rx > 0) (iv - prev) & mask else iv
+              prev = iv
+              b match {
+                case 8 => raw.put(stored.toByte)
+                case 16 => raw.putShort(stored.toShort)
+                case 32 => raw.putInt(stored.toInt)
+                case bad => throw new IllegalArgumentException(s"bits $bad")
+              }
+          }
+          rx += 1
+        }
+        ry += 1
+      }
+      layout.compression match {
+        case 1 => raw.array()
+        case 5 => LzwCodec.encode(raw.array())
+        case 8 =>
+          val d = new java.util.zip.Deflater()
+          d.setInput(raw.array()); d.finish()
+          val buf = new Array[Byte](raw.array().length + 64)
+          val out = new ArrayBuffer[Byte]()
+          while (!d.finished()) {
+            val n = d.deflate(buf)
+            out ++= buf.take(n)
+          }
+          d.end()
+          out.toArray
+      }
+    }
+
+    // build all segments
+    val (segments, segTags): (Seq[Array[Byte]], Seq[(Int, Seq[Long])]) =
+      layout.tile match {
+        case Some((tw, th)) =>
+          val across = (width + tw - 1) / tw
+          val down = (height + th - 1) / th
+          val segs = for {
+            ty <- 0 until down
+            tx <- 0 until across
+          } yield segment(tw, th, (rx, ry) => {
+            val x = tx * tw + rx; val y = ty * th + ry
+            if (x < width && y < height) values(y * width + x) else 0.0
+          })
+          (segs, Seq(322 -> Seq(tw.toLong), 323 -> Seq(th.toLong)))
+        case None =>
+          val rps = math.min(layout.rowsPerStrip, height)
+          val nStrips = (height + rps - 1) / rps
+          val segs = (0 until nStrips).map { s =>
+            val rows = math.min(rps, height - s * rps)
+            segment(width, rows, (rx, ry) => values((s * rps + ry) * width + rx))
+          }
+          (segs, Seq(278 -> Seq(rps.toLong)))
+      }
+
+    // assemble: header + IFD + overflow values + segment data
+    final case class T(id: Int, ttype: Int, vals: Seq[Long], dbls: Seq[Double] = Nil,
+        asciiz: Option[String] = None)
+    val nodataStr = nodata.map(v =>
+      (if (v == v.floor && math.abs(v) < 1e15) v.toLong.toString else v.toString) + "\u0000")
+    val tiled = layout.tile.isDefined
+    val offsetsId = if (tiled) 324 else 273
+    val countsId = if (tiled) 325 else 279
+
+    var tags = ArrayBuffer[T](
+      T(256, 3, Seq(width.toLong)), T(257, 3, Seq(height.toLong)),
+      T(258, 3, Seq(layout.bits.toLong)), T(259, 3, Seq(layout.compression.toLong)),
+      T(262, 3, Seq(1L)),
+      T(offsetsId, 4, Seq.fill(segments.size)(0L)), // patched below
+      T(277, 3, Seq(1L)))
+    segTags.foreach { case (id, vs) => tags += T(id, if (id == 278) 4 else 3, vs) }
+    tags += T(countsId, 4, segments.map(_.length.toLong))
+    if (layout.predictor != 1) tags += T(317, 3, Seq(layout.predictor.toLong))
+    tags += T(339, 3, Seq(layout.sampleFormat.toLong))
+    tags += T(33550, 12, Nil, Seq(pixelScaleX, pixelScaleY, 0.0))
+    tags += T(33922, 12, Nil, Seq(0.0, 0.0, 0.0, originX, originY, 0.0))
+    nodataStr.foreach(s => tags += T(42113, 2, Nil, Nil, Some(s)))
+    val sorted = tags.sortBy(_.id)
+
+    val ifdOff = 8
+    val ifdSize = 2 + sorted.size * 12 + 4
+    var overflowOff = ifdOff + ifdSize
+    // lay out overflow areas
+    def valueBytes(t: T): Int = t.ttype match {
+      case 2 => t.asciiz.get.length
+      case 3 => 2 * t.vals.size
+      case 4 => 4 * t.vals.size
+      case 12 => 8 * t.dbls.size
+      case tt => throw new IllegalArgumentException(s"writer tag type $tt")
+    }
+    val overflowAt = sorted.map { t =>
+      val n = valueBytes(t)
+      if (n <= 4) -1
+      else { val at = overflowOff; overflowOff = at + n; at }
+    }
+    // segment data after all overflow
+    var segOff = overflowOff
+    val segAt = segments.map { s => val at = segOff; segOff = at + s.length; at }
+    val total = segOff
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(0, 0x49.toByte); buf.put(1, 0x49.toByte); buf.putShort(2, 42)
+    buf.putInt(4, ifdOff)
+    buf.putShort(ifdOff, sorted.size.toShort)
+    sorted.zipWithIndex.foreach { case (t, i) =>
+      val p = ifdOff + 2 + i * 12
+      val realVals: Seq[Long] =
+        if (t.id == offsetsId) segAt.map(_.toLong) else t.vals
+      buf.putShort(p, t.id.toShort); buf.putShort(p + 2, t.ttype.toShort)
+      val count = t.ttype match {
+        case 2 => t.asciiz.get.length
+        case 12 => t.dbls.size
+        case _ => realVals.size
+      }
+      buf.putInt(p + 4, count)
+      val n = valueBytes(t)
+      val at = if (n <= 4) p + 8 else { buf.putInt(p + 8, overflowAt(i)); overflowAt(i) }
+      t.ttype match {
+        case 2 => t.asciiz.get.getBytes("US-ASCII").zipWithIndex.foreach {
+          case (b, j) => buf.put(at + j, b) }
+        case 3 => realVals.zipWithIndex.foreach { case (v, j) =>
+          buf.putShort(at + 2 * j, v.toShort) }
+        case 4 => realVals.zipWithIndex.foreach { case (v, j) =>
+          buf.putInt(at + 4 * j, v.toInt) }
+        case 12 => t.dbls.zipWithIndex.foreach { case (v, j) =>
+          buf.putDouble(at + 8 * j, v) }
+      }
+    }
+    buf.putInt(ifdOff + 2 + sorted.size * 12, 0) // next IFD
+    segments.zip(segAt).foreach { case (s, at) =>
+      System.arraycopy(s, 0, buf.array(), at, s.length)
+    }
+    buf.array()
+  }
+}

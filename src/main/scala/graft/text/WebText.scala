@@ -17,26 +17,82 @@ import org.apache.spark.sql.functions._
   * EXPLICIT `[ \t\n\r\f]` (Java's `\s` includes \x0B, RE2's does not);
   * script/style stripping uses `(?is)` + non-greedy `.*?`, identical
   * semantics in both engines; entity decoding covers the named set
-  * amp/lt/gt/quot/apos/nbsp (documented subset — numeric references
-  * pass through untouched, identically on both sides).
+  * amp/lt/gt/quot/apos/nbsp plus NUMERIC character references
+  * (`&#NNNN;` decimal, `&#xHH;` hex — see [[decodeNumericEntities]]).
   */
 object WebText {
 
   private val Space = "[ \\t\\n\\r\\f]"
 
+  /** Lossless entity-or-text tokenization: a position either starts a
+    * bounded numeric reference, a maximal `&`-free run, or a bare `&`.
+    * Digit-count bounds (7 dec / 6 hex) keep the codepoint inside int
+    * range; longer digit strings simply fail the entity alternatives
+    * and pass through as text. Shared verbatim with the DuckDB oracle
+    * replay (WebQueries.duckExtract).
+    */
+  val NumericEntityToken: String =
+    "&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};|[^&]+|&"
+
+  /** UTF-8 bytes of a codepoint, as built-in arithmetic (shift/mask →
+    * hex pairs → unhex → decode). Spark's `chr` wraps at 256, so the
+    * encoder is spelled out; stays inside whole-stage codegen.
+    */
+  private def cpUtf8(cp: Column): Column = {
+    def h(b: Column): Column = lpad(hex(b), 2, "0")
+    val hexStr =
+      when(cp < 0x80, h(cp))
+        .when(cp < 0x800, concat(
+          h(shiftright(cp, 6) + 0xC0),
+          h(cp.bitwiseAND(0x3F) + 0x80)))
+        .when(cp < 0x10000, concat(
+          h(shiftright(cp, 12) + 0xE0),
+          h(shiftright(cp, 6).bitwiseAND(0x3F) + 0x80),
+          h(cp.bitwiseAND(0x3F) + 0x80)))
+        .otherwise(concat(
+          h(shiftright(cp, 18) + 0xF0),
+          h(shiftright(cp, 12).bitwiseAND(0x3F) + 0x80),
+          h(shiftright(cp, 6).bitwiseAND(0x3F) + 0x80),
+          h(cp.bitwiseAND(0x3F) + 0x80)))
+    decode(unhex(hexStr), "UTF-8")
+  }
+
+  /** Decode numeric character references — `&#8212;` and `&#x2014;`
+    * alike — for valid codepoints (1..U+10FFFF, surrogates excluded);
+    * invalid or out-of-range references pass through UNdecoded on both
+    * engines (the oracle guards with the same validity CASE). Runs
+    * BEFORE the named-entity fold, so `&amp;#65;` stays the literal
+    * `&#65;` (the double-escape rule: `&#` never materializes out of a
+    * decoded `&amp;`). Tokenize-transform-join over built-ins only.
+    */
+  def decodeNumericEntities(c: Column): Column = {
+    val tokens = regexp_extract_all(c, lit(NumericEntityToken), lit(0))
+    array_join(transform(tokens, { tok =>
+      val dec = regexp_extract(tok, "^&#([0-9]{1,7});$", 1)
+      val hx = regexp_extract(tok, "^&#[xX]([0-9a-fA-F]{1,6});$", 1)
+      val cp = when(dec =!= "", dec.cast("int"))
+        .when(hx =!= "", conv(hx, 16, 10).cast("int"))
+      val valid = cp.isNotNull && cp >= 1 && cp <= 0x10FFFF &&
+        !(cp >= 0xD800 && cp <= 0xDFFF)
+      when(valid, cpUtf8(cp)).otherwise(tok)
+    }), "")
+  }
+
   /** Visible text of an HTML document: drop script/style subtrees, turn
     * every remaining tag into a space (word-boundary preserving), decode
-    * the named entities, collapse whitespace runs, trim. `&amp;` decodes
-    * LAST so `&amp;lt;` yields the literal `&lt;` (the HTML double-escape
-    * rule), never a spurious `<`.
+    * numeric character references then the named entities, collapse
+    * whitespace runs, trim. `&amp;` decodes LAST so `&amp;lt;` yields the
+    * literal `&lt;` (the HTML double-escape rule), never a spurious `<`;
+    * numeric decode runs FIRST so `&amp;#65;` stays literal `&#65;`.
     */
   def htmlText(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val numDecoded = decodeNumericEntities(noTags)
     val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+      .foldLeft(numDecoded) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
     trim(regexp_replace(ent, s"$Space+", " "))
   }
 

@@ -46,4 +46,77 @@ class CrsDetectSpec extends AnyFunSuite {
     // degrees but far outside Rwanda: not 4326, and no UTM candidate lands
     assert(detect(2.35, 48.85).isEmpty) // Paris lon/lat
   }
+
+  // ---- .prj WKT parsing (the reference's CRS.from_wkt-first order) ----
+
+  private val Wgs84GeogWkt =
+    """GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",
+      |SPHEROID["WGS_1984",6378137.0,298.257223563]],
+      |PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]"""
+      .stripMargin.replace("\n", "")
+
+  private val Utm35SWkt =
+    """PROJCS["WGS_1984_UTM_Zone_35S",GEOGCS["GCS_WGS_1984",
+      |DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],
+      |PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],
+      |PROJECTION["Transverse_Mercator"],
+      |PARAMETER["False_Easting",500000.0],
+      |PARAMETER["False_Northing",10000000.0],
+      |PARAMETER["Central_Meridian",27.0],
+      |PARAMETER["Scale_Factor",0.9996],
+      |PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]"""
+      .stripMargin.replace("\n", "")
+
+  test("fromPrjWkt: outermost AUTHORITY wins verbatim") {
+    val wkt = """PROJCS["WGS 84 / UTM zone 36S",GEOGCS["WGS 84",
+      |DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563,
+      |AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],
+      |PRIMEM["Greenwich",0],UNIT["degree",0.01745329251994328],
+      |AUTHORITY["EPSG","4326"]],PROJECTION["Transverse_Mercator"],
+      |PARAMETER["central_meridian",33],PARAMETER["false_northing",10000000],
+      |UNIT["metre",1],AUTHORITY["EPSG","32736"]]"""
+      .stripMargin.replace("\n", "")
+    assert(fromPrjWkt(wkt).contains(32736))
+    // the INNER GEOGCS authority (4326) must NOT be mistaken for the root:
+    // strip the outer authority and the parameters still resolve 32736
+    val inner = wkt.replace(",AUTHORITY[\"EPSG\",\"32736\"]", "")
+    assert(fromPrjWkt(inner).contains(32736))
+  }
+
+  test("fromPrjWkt: ESRI-style WKT without authorities, both zones + WGS84") {
+    assert(fromPrjWkt(Utm35SWkt).contains(32735))
+    assert(fromPrjWkt(Utm35SWkt.replace("35S", "36S").replace("27.0]", "33.0]"))
+      .contains(32736))
+    assert(fromPrjWkt(Wgs84GeogWkt).contains(4326))
+  }
+
+  test("fromPrjWkt: Arc datums select the 209xx/263xx candidates") {
+    val arc50 = Utm35SWkt
+      .replace("WGS_1984_UTM_Zone_35S", "Arc_1950_UTM_Zone_35S")
+      .replace("GCS_WGS_1984", "GCS_Arc_1950")
+      .replace("D_WGS_1984", "D_Arc_1950")
+      .replace("SPHEROID[\"WGS_1984\",6378137.0,298.257223563]",
+        "SPHEROID[\"Clarke_1880_Arc\",6378249.145,293.466307656]")
+    assert(fromPrjWkt(arc50).contains(20935))
+    val arc60z36 = arc50.replace("1950", "1960")
+      .replace("Central_Meridian\",27.0", "Central_Meridian\",33.0")
+    assert(fromPrjWkt(arc60z36).contains(26336))
+  }
+
+  test("fromPrjWkt: garbage, unknown CRSes and northern zones -> None (probe fallback)") {
+    assert(fromPrjWkt(null).isEmpty)
+    assert(fromPrjWkt("").isEmpty)
+    assert(fromPrjWkt("this is not wkt at all").isEmpty)
+    // recognizable structure, unrecognized datum: no guess
+    assert(fromPrjWkt(Utm35SWkt.replace("WGS_1984", "Unknown_Datum")
+      .replace("GCS_WGS_1984", "GCS_X").replace("D_WGS_1984", "D_X")).isEmpty)
+    // a NORTHERN UTM zone (false_northing 0) is outside the candidate set
+    assert(fromPrjWkt(Utm35SWkt.replace("_35S", "_35N")
+      .replace("PARAMETER[\"False_Northing\",10000000.0]",
+        "PARAMETER[\"False_Northing\",0.0]")).isEmpty)
+    // an out-of-candidate outermost authority: None, never a blind pass
+    assert(fromPrjWkt(
+      "PROJCS[\"UTM 12N\",PROJECTION[\"Transverse_Mercator\"],AUTHORITY[\"EPSG\",\"32612\"]]")
+      .isEmpty)
+  }
 }

@@ -80,4 +80,80 @@ class ShpReaderSpec extends SparkSpec {
       ShpReader.parseBytes(Array.fill[Byte](128)(7))
     }
   }
+
+  /** A matching 2-record .dbf for [[fixtureBytes]] (polygon + point). */
+  private def dbfSidecar(deleteSecond: Boolean = false): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val fields = Seq(("VILLAGE", 'C', 10), ("POP", 'N', 6))
+    val rows = Seq(
+      (false, Seq("Kigarama  ", "  1250")),
+      (deleteSecond, Seq("Remera    ", "   980")))
+    val headerSize = 32 + 32 * fields.size + 1
+    val recordSize = 1 + fields.map(_._3).sum
+    val buf = ByteBuffer.allocate(headerSize + recordSize * rows.size + 1)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(0x03.toByte); buf.put(126.toByte).put(1.toByte).put(1.toByte)
+    buf.putInt(rows.size)
+    buf.putShort(headerSize.toShort); buf.putShort(recordSize.toShort)
+    buf.position(32)
+    fields.foreach { case (name, t, len) =>
+      val start = buf.position()
+      buf.put(name.getBytes("ISO-8859-1"))
+      buf.position(start + 11); buf.put(t.toByte)
+      buf.position(start + 16); buf.put(len.toByte).put(0.toByte)
+      buf.position(start + 32)
+    }
+    buf.put(0x0D.toByte)
+    rows.foreach { case (del, cells) =>
+      buf.put(if (del) '*'.toByte else 0x20.toByte)
+      cells.foreach(c => buf.put(c.getBytes("ISO-8859-1")))
+    }
+    buf.put(0x1A.toByte)
+    buf.array()
+  }
+
+  test("readWithAttributes pairs .dbf properties positionally (gpd.read_file contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("shpattr")
+    val shp = dir.resolve("villages.shp"); val dbf = dir.resolve("villages.dbf")
+    java.nio.file.Files.write(shp, fixtureBytes)
+    java.nio.file.Files.write(dbf, dbfSidecar())
+    val df = ShpReader.readWithAttributes(spark, shp.toString)
+    assert(df.columns.toSeq == Seq("feature_index", "geometry_type", "geom", "properties"))
+    val rows = df.orderBy("feature_index")
+      .select(col("geometry_type"), col("properties")).collect()
+    assert(rows(0).getString(0) === "Polygon")
+    assert(rows(0).getMap[String, String](1).toMap ===
+      Map("VILLAGE" -> "Kigarama", "POP" -> "1250"))
+    assert(rows(1).getMap[String, String](1).toMap ===
+      Map("VILLAGE" -> "Remera", "POP" -> "980"))
+  }
+
+  test("readWithAttributes: deleted .dbf row keeps geometry with empty properties") {
+    val dir = java.nio.file.Files.createTempDirectory("shpdel")
+    java.nio.file.Files.write(dir.resolve("v.shp"), fixtureBytes)
+    java.nio.file.Files.write(dir.resolve("v.dbf"), dbfSidecar(deleteSecond = true))
+    val rows = ShpReader.readWithAttributes(spark, dir.resolve("v.shp").toString)
+      .orderBy("feature_index").select(col("properties")).collect()
+    assert(rows.length === 2)
+    assert(rows(0).getMap[String, String](0).nonEmpty)
+    assert(rows(1).getMap[String, String](0).isEmpty)
+  }
+
+  test("readWithAttributes: missing sidecar degrades to the bare frame; count mismatch is loud") {
+    val dir = java.nio.file.Files.createTempDirectory("shpbare")
+    java.nio.file.Files.write(dir.resolve("bare.shp"), fixtureBytes)
+    val df = ShpReader.readWithAttributes(spark, dir.resolve("bare.shp").toString)
+    assert(df.count() === 2)
+    assert(df.select(col("properties")).collect().forall(_.getMap[String, String](0).isEmpty))
+    // a .dbf with the wrong record count must not pair silently
+    val bad = dbfSidecar()
+    val patched = bad.clone()
+    java.nio.ByteBuffer.wrap(patched).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(4, 1)
+    // shrink to one record so the parse itself succeeds
+    val oneRec = java.util.Arrays.copyOf(patched, patched.length - 18)
+    java.nio.file.Files.write(dir.resolve("bare.dbf"), oneRec)
+    intercept[IllegalArgumentException] {
+      ShpReader.readWithAttributes(spark, dir.resolve("bare.shp").toString)
+    }
+  }
 }

@@ -47,6 +47,30 @@ class WebTextSpec extends SparkSpec {
     assert(extract("  a \t\n b \r\n ") === "a b")
   }
 
+  test("numeric references: decimal, hex, astral; invalid pass through") {
+    assert(extract("r&#233;sum&#xE9;") === "résumé")
+    assert(extract("a&#x2014;b") === "a—b") // em dash, 3-byte UTF-8
+    assert(extract("&#X2014;") === "—") // capital X form
+    assert(extract("&#65;&#66;") === "AB") // adjacent refs both decode
+    // astral plane: 4-byte UTF-8 (emoji)
+    assert(extract("&#x1F600;") === new String(Character.toChars(0x1F600)))
+    assert(extract("&#128512;") === new String(Character.toChars(0x1F600)))
+    // double-escape: &amp;#65; is an ESCAPED '&#65;' — numeric decode
+    // runs FIRST so the later amp decode cannot manufacture a reference
+    assert(extract("&amp;#65;") === "&#65;")
+    // invalid references pass through undecoded: out of range, surrogate,
+    // zero, unterminated, over-long digits, bare &#
+    assert(extract("&#1114112;") === "&#1114112;")
+    assert(extract("&#xD800;") === "&#xD800;")
+    assert(extract("&#0;") === "&#0;")
+    assert(extract("&#65") === "&#65")
+    assert(extract("&#12345678;") === "&#12345678;")
+    assert(extract("&#;") === "&#;")
+    // boundary: last valid codepoint decodes
+    assert(extract("&#x10FFFF;") === new String(Character.toChars(0x10FFFF)))
+    assert(extract("&#1114111;") === new String(Character.toChars(0x10FFFF)))
+  }
+
   test("canonical: scheme-conditional default ports") {
     assert(canon("HTTP://EX.COM:80/p") === Some("http://ex.com/p"))
     assert(canon("https://ex.com:443/p") === Some("https://ex.com/p"))
