@@ -233,7 +233,79 @@ object GeoQueries {
             round(element_at(col("col"), 2), 7).as("lat"))
           .orderBy("n_nationkey", "pt_idx")
       },
-      Some(reprojectOracleSql))
+      Some(reprojectOracleSql)),
+
+    // ---- S5 parity: compressed + tiled GeoTIFF ingest ----------------------
+    // One 61x47 slope raster per nation key, PAINTED closed-form
+    // (v = ((x*31 + y*17 + b) % 97) / 4.0, nodata holes at
+    // (x*7 + y*11) % 23 == 0), encoded into a REAL GeoTIFF whose layout
+    // rotates through the rasterio envelope — compression none/LZW/
+    // Deflate (b%3), strips vs 16x16 tiles ((b/3)%2), and a
+    // predictor-2 uint16 variant (b%5==4, values stored x4) — then
+    // decoded back and aggregated. The oracle predicts the zonal facts
+    // from the painting function alone, so any byte-level defect in any
+    // layout (LZW width schedule, tile clipping, differencing, nodata)
+    // flips the hash. Scale: encode+decode run INSIDE the flatMap
+    // (partition-local, the q252 WARC discipline); only (b, numerics)
+    // reach the exchange.
+    Q("q269_geotiff_compressed",
+      (s, dir) => {
+        import s.implicits._
+        import graft.sources.{TiffReader, TiffWriter}
+        val W = 61; val H = 47
+        val decoded = t(s, dir, "nation")
+          .select(col("n_nationkey").cast("long").as("b")).as[Long]
+          .flatMap { b =>
+            val intVariant = b % 5 == 4
+            val vals = Array.tabulate(W * H) { i =>
+              val x = i % W; val y = i / W
+              if ((x * 7 + y * 11) % 23 == 0) { if (intVariant) 65535.0 else -9999.0 }
+              else {
+                val paint = ((x * 31 + y * 17 + b) % 97).toDouble
+                if (intVariant) paint else paint / 4.0
+              }
+            }
+            val layout = TiffWriter.Layout(
+              compression = Seq(1, 5, 8)((b % 3).toInt),
+              predictor = if (intVariant) 2 else 1,
+              tile = if ((b / 3) % 2 == 1) Some((16, 16)) else None,
+              rowsPerStrip = 9,
+              sampleFormat = if (intVariant) 1 else 3,
+              bits = if (intVariant) 16 else 32)
+            val tiff = TiffWriter.encode(W, H, vals, layout,
+              0.5, 0.25, 30.0, -1.0,
+              nodata = Some(if (intVariant) 65535.0 else -9999.0))
+            val g = TiffReader.parseBytes(tiff)
+            for {
+              py <- 0 until g.height
+              px <- 0 until g.width
+              raw = g.value(px, py)
+              if !g.nodata.contains(raw)
+            } yield (b, if (intVariant) raw / 4.0 else raw,
+              g.centerX(px), g.centerY(py))
+          }
+          .toDF("b", "v", "x", "y")
+        decoded.groupBy("b")
+          .agg(count(lit(1)).as("valid_px"),
+            dbl(sum(col("v").cast("decimal(12,2)"))).as("sum_v"),
+            min("v").as("min_v"),
+            max("v").as("max_v"),
+            dbl(sum(col("x").cast("decimal(12,2)"))).as("sum_x"))
+          .orderBy("b")
+      },
+      Some("""
+        WITH px AS (
+          SELECT CAST(n.n_nationkey AS BIGINT) AS b, x.x, y.y,
+            CASE WHEN (x.x*7 + y.y*11) % 23 = 0 THEN NULL
+                 ELSE ((x.x*31 + y.y*17 + n.n_nationkey) % 97) / 4.0 END AS v
+          FROM nation n, range(61) x(x), range(47) y(y))
+        SELECT b, COUNT(v) AS valid_px,
+          CAST(SUM(CAST(v AS DECIMAL(12,2))) AS DOUBLE) AS sum_v,
+          MIN(v) AS min_v, MAX(v) AS max_v,
+          CAST(SUM(CAST(CASE WHEN v IS NOT NULL
+            THEN 30.0 + (x.x + 0.5) * 0.5 END AS DECIMAL(12,2))) AS DOUBLE) AS sum_x
+        FROM px x
+        GROUP BY b ORDER BY b"""))
   )
 
   /** The q115 test ring: a 25-vertex closed square (side 6, corner at

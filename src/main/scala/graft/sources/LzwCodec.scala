@@ -84,11 +84,11 @@ object LzwCodec {
           writeString(nextCode)
         }
         nextCode += 1
-        // decoder-side early change: the decoder's table lags the wire
-        // by ONE entry (it learns entry k while reading code k+1), so it
-        // widens at 510/1022/2046 where the encoder widens at
-        // 511/1023/2047 — the classic TIFF-spec erratum
-        if (nextCode >= (1 << bits) - 2 && bits < 12) bits += 1
+        // TIFF early change, decoder side: widen when the next free code
+        // reaches 511/1023/2047 — one code EARLIER than a GIF decoder
+        // (which waits for 512/1024/2048). Calibrated against the JDK
+        // ImageIO TIFF writer's streams (TiffReaderSpec cross-check).
+        if (nextCode >= (1 << bits) - 1 && bits < 12) bits += 1
         oldCode = code
       }
       if (outAt < expected) code = nextSym()
@@ -131,7 +131,11 @@ object LzwCodec {
           put(omega)
           table.put(key, Integer.valueOf(nextCode))
           nextCode += 1
-          if (nextCode == (1 << bits) - 1 && bits < 12) bits += 1 // early change
+          // encoder side pairs with the decoder rule above: the decoder's
+          // table trails the wire by one entry, so the encoder widens at
+          // 512/1024/2048 — exactly when the decoder (at 511/1023/2047 of
+          // its own counter) starts reading wider codes
+          if (nextCode >= (1 << bits) && bits < 12) bits += 1
           if (nextCode >= MaxTable) { put(ClearCode); reset() }
           omega = c
         }

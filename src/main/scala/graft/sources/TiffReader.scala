@@ -120,19 +120,20 @@ object TiffReader {
     val out = new Array[Double](width * height)
 
     /** One decompressed segment (strip or tile), exact expected size. */
-    def decodeSegment(off: Long, byteCount: Option[Long], expected: Int): Array[Byte] =
+    def decodeSegment(off: Long, byteCount: Option[Long], expected: Int): Array[Byte] = {
+      // a declared count overrunning the file means truncation: clamp,
+      // and let the per-codec exactness requires report it loudly
+      val avail = math.max(0L, bytes.length - off)
+      val count = math.min(byteCount.getOrElse(avail), avail).toInt
       compression match {
         case 1 =>
-          val n = byteCount.map(_.toInt).getOrElse(expected)
-          require(n >= expected, s"segment at $off: $n bytes < expected $expected")
+          require(count >= expected, s"segment at $off: $count bytes < expected $expected (truncated?)")
           java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + expected)
         case 5 =>
-          LzwCodec.decode(bytes, off.toInt,
-            byteCount.getOrElse((bytes.length - off).toLong).toInt, expected)
+          LzwCodec.decode(bytes, off.toInt, count, expected)
         case _ =>
           val inf = new java.util.zip.Inflater()
-          inf.setInput(bytes, off.toInt,
-            byteCount.getOrElse((bytes.length - off).toLong).toInt)
+          inf.setInput(bytes, off.toInt, count)
           val seg = new Array[Byte](expected)
           var at = 0
           try {
@@ -145,6 +146,7 @@ object TiffReader {
           require(at == expected, s"deflate segment yielded $at of $expected bytes")
           seg
       }
+    }
 
     /** Copy a decoded segment into the grid: `segW` samples per segment
       * row, `segRows` rows, destination corner (dx0, dy0); edge tiles

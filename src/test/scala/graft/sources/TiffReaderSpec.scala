@@ -121,4 +121,134 @@ class TiffReaderSpec extends SparkSpec {
   test("rejects non-TIFF bytes") {
     intercept[IllegalArgumentException] { TiffReader.parseBytes(Array.fill[Byte](64)(1)) }
   }
+
+  // ---- compressed + tiled ingest (the rasterio.open envelope) ----------
+
+  /** A 61x47 float slope raster with nodata holes — prime-ish dims so
+    * strips and 16x16 tiles both clip at the edges.
+    */
+  private val CW = 61; private val CH = 47
+  private def slopeVals: Array[Double] = Array.tabulate(CW * CH) { i =>
+    val x = i % CW; val y = i / CW
+    if ((x * 7 + y * 11) % 23 == 0) -9999.0
+    else ((x * 31 + y * 17) % 97) / 4.0
+  }
+
+  private def assertGrid(bytes: Array[Byte]): Unit = {
+    val g = TiffReader.parseBytes(bytes)
+    assert(g.width == CW && g.height == CH)
+    assert(g.nodata.contains(-9999.0))
+    val want = slopeVals
+    var i = 0
+    while (i < want.length) {
+      assert(g.values(i) == want(i), s"pixel $i (${i % CW},${i / CW})")
+      i += 1
+    }
+    assert(g.originX == 30.0 && g.originY == -1.0)
+  }
+
+  test("LZW strips round-trip (multi-strip, early code-width changes)") {
+    assertGrid(TiffWriter.encode(CW, CH, slopeVals,
+      TiffWriter.Layout(compression = 5, rowsPerStrip = 6),
+      0.5, 0.25, 30.0, -1.0, Some(-9999.0)))
+  }
+
+  test("Deflate strips round-trip") {
+    assertGrid(TiffWriter.encode(CW, CH, slopeVals,
+      TiffWriter.Layout(compression = 8, rowsPerStrip = 11),
+      0.5, 0.25, 30.0, -1.0, Some(-9999.0)))
+  }
+
+  test("tiled layouts round-trip: edge tiles clip, all compressions") {
+    for (comp <- Seq(1, 5, 8))
+      assertGrid(TiffWriter.encode(CW, CH, slopeVals,
+        TiffWriter.Layout(compression = comp, tile = Some((16, 16))),
+        0.5, 0.25, 30.0, -1.0, Some(-9999.0)))
+  }
+
+  test("horizontal predictor (2) round-trips for u8/u16/s16/u32, strips and tiles") {
+    val ints = Array.tabulate(CW * CH)(i => ((i * 37) % 251).toDouble)
+    val signed = Array.tabulate(CW * CH)(i => (((i * 37) % 251) - 125).toDouble)
+    for {
+      comp <- Seq(5, 8)
+      (sf, bits, vals) <- Seq((1, 8, ints), (1, 16, ints), (2, 16, signed), (1, 32, ints))
+      tile <- Seq(None, Some((16, 16)))
+    } {
+      val enc = TiffWriter.encode(CW, CH, vals,
+        TiffWriter.Layout(compression = comp, predictor = 2, tile = tile,
+          rowsPerStrip = 9, sampleFormat = sf, bits = bits))
+      val g = TiffReader.parseBytes(enc)
+      assert(g.values.toSeq == vals.toSeq, s"comp=$comp sf=$sf bits=$bits tile=$tile")
+    }
+  }
+
+  test("LZW decode agrees with the JDK ImageIO TIFF writer (independent implementation)") {
+    // big enough to cross the 9->10->11->12-bit widths AND a table reset
+    val (w, h) = (200, 150)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 7 + y * 13 + (x * y) % 31) % 256)
+    def imageioTiff(compression: String, tiled: Boolean): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType(compression)
+      if (tiled) {
+        p.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setTiling(48, 32, 0, 0)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    for {
+      compression <- Seq("LZW", "ZLib", "Deflate")
+      tiled <- Seq(false, true)
+    } {
+      val g = TiffReader.parseBytes(imageioTiff(compression, tiled))
+      assert(g.width == w && g.height == h, s"$compression tiled=$tiled")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(g.value(x, y) == img.getRaster.getSample(x, y, 0).toDouble,
+          s"$compression tiled=$tiled pixel ($x,$y)")
+    }
+  }
+
+  test("LZW encode is readable by the JDK ImageIO TIFF reader (both directions)") {
+    val vals = Array.tabulate(CW * CH)(i => ((i * 29 + (i * i) % 41) % 256).toDouble)
+    val enc = TiffWriter.encode(CW, CH, vals,
+      TiffWriter.Layout(compression = 5, rowsPerStrip = 10, sampleFormat = 1, bits = 8))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+    assert(img != null, "ImageIO could not read the LZW tiff")
+    assert(img.getWidth == CW && img.getHeight == CH)
+    for (y <- 0 until CH; x <- 0 until CW)
+      assert(img.getRaster.getSample(x, y, 0).toDouble == vals(y * CW + x), s"($x,$y)")
+  }
+
+  test("compressed failure paths are loud") {
+    val vals = slopeVals
+    // unsupported predictor on floats
+    intercept[IllegalArgumentException] {
+      TiffWriter.encode(CW, CH, vals, TiffWriter.Layout(compression = 5, predictor = 2))
+    }
+    // truncated deflate segment
+    val enc = TiffWriter.encode(CW, CH, vals, TiffWriter.Layout(compression = 8))
+    intercept[IllegalArgumentException] {
+      TiffReader.parseBytes(java.util.Arrays.copyOf(enc, enc.length - 40))
+    }
+    // unknown compression tag still rejects loudly
+    val packbits = TiffWriter.encode(4, 3, new Array[Double](12))
+    val idx = { // find the compression tag and flip it to PackBits (32773)
+      val b = java.nio.ByteBuffer.wrap(packbits).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ifd = b.getInt(4); val n = b.getShort(ifd) & 0xFFFF
+      (0 until n).map(i => ifd + 2 + i * 12).find(p => (b.getShort(p) & 0xFFFF) == 259).get
+    }
+    java.nio.ByteBuffer.wrap(packbits).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(idx + 8, 32773.toShort)
+    val ex = intercept[IllegalArgumentException] { TiffReader.parseBytes(packbits) }
+    assert(ex.getMessage.contains("compression"))
+  }
 }
