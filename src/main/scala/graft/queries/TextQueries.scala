@@ -1239,6 +1239,74 @@ object TextQueries {
       Some(fertilityOracleSql))
     ,
 
+    // ---- BYTE-level BPE training (the GPT-2/tiktoken production shape) ----
+    // q180 trains at word grain over `^[a-z]+$` words — the classroom
+    // setting; production LLM tokenizers operate on UTF-8 BYTES behind a
+    // pretokenizer, so case, digits, punctuation and non-ASCII all train.
+    // Pretokens come from the GPT-2-style split (ASCII classes, so Java
+    // and RE2 agree exactly); each pretoken is re-expressed one shifted
+    // char per byte (byte b -> U+0100+b, keeping '(' unreachable so the
+    // paren algebra needs no escaping where GPT-2's printable-byte table
+    // would collide); then the SAME objective, segmentation algebra, and
+    // safeBatch commutation machinery run unchanged. batchedRounds=4
+    // against a SEQUENTIAL 8-round DuckDB replay — the hash match is the
+    // machine-checked statement that batching commutes at byte grain
+    // too. Output pieces render as dash-joined byte values.
+    Q("q270_byte_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        val model = graft.text.BpeTrainer.fitBytes(s, t(s, dir, "documents"),
+          merges = 8, batchedRounds = 4)
+        model.merges.zipWithIndex.map { case ((a, b, c), i) =>
+          (i + 1L, graft.text.BpeTrainer.byteString(a),
+            graft.text.BpeTrainer.byteString(b),
+            graft.text.BpeTrainer.byteString(a + b), c)
+        }.toDF("step", "bytes_a", "bytes_b", "merged", "pair_count")
+          .orderBy("step")
+      },
+      Some(byteBpeOracleSql))
+    ,
+
+    // ---- tokenizer fertility under the BYTE-level vocab --------------------
+    // q198 re-run at byte grain (the round-12 directive's second half):
+    // fertility/compression per source under the trained byte vocab.
+    // Encoding routes through the NATIVE BpeEncode expression — a
+    // shifted pretoken contains no whitespace, so each exploded pretoken
+    // is exactly one BPE "word" and the expression's training-order pass
+    // machinery applies unchanged, merge table riding as shifted-char
+    // array literals. Ratios are integer milli-units; the oracle
+    // re-trains sequentially and re-encodes with the literal fold.
+    Q("q271_byte_fertility",
+      (s, dir) => {
+        graft.text.BpeEncoder.register(s)
+        val d = t(s, dir, "documents")
+        val model = graft.text.BpeTrainer.fitBytes(s, d, merges = 8,
+          batchedRounds = 4)
+        val toks = regexp_extract_all(col("text"),
+          lit(graft.text.BpeTrainer.BytePretokenPattern), lit(0))
+        val enc = graft.text.BpeEncoder.encode(col("w"),
+          model.merges.map { case (a, b, _) => (a, b) })
+        d.select(col("doc_id"), col("source"), explode(toks).as("tok"))
+          .select(col("doc_id"), col("source"),
+            graft.text.BpeTrainer.shiftedBytes(col("tok")).as("w"))
+          .select(col("doc_id"), col("source"),
+            length(col("w")).cast("long").as("nbytes"),
+            (length(enc) - length(replace(enc, lit("("), lit(""))))
+              .cast("long").as("p"))
+          .groupBy("source")
+          .agg(countDistinct(col("doc_id")).as("docs"),
+            count(lit(1)).as("pretokens"),
+            sum("nbytes").as("bytes"),
+            sum("p").as("pieces"))
+          .select(col("source"), col("docs"), col("pretokens"), col("bytes"),
+            col("pieces"),
+            expr("bytes * 1000 div pieces").as("bytes_per_piece_milli"),
+            expr("pieces * 1000 div pretokens").as("pieces_per_pretoken_milli"))
+          .orderBy("source")
+      },
+      Some(byteFertilityOracleSql))
+    ,
+
     // ---- BLEU sufficient statistics (corpus-level eval) --------------------
     // The generation-eval family's entry: per-lang EXACT clipped n-gram
     // matches/totals (n = 1..4) and length sums for (candidate = doc,
@@ -1663,6 +1731,110 @@ object TextQueries {
             a || b AS merged, cnt AS pair_count FROM top$i""")
       .mkString(" UNION ALL ")
     s"SELECT * FROM ($out) ORDER BY step"
+  }
+
+  /** Header CTEs for the BYTE-level replay (q270/q271): the same
+    * pretokenizer regex as [[graft.text.BpeTrainer.BytePretokenPattern]]
+    * (interpolated from the one constant so the engines cannot drift),
+    * each pretoken re-expressed one shifted char per UTF-8 byte
+    * (chr(256 + b) — DuckDB's chr is full-Unicode, Spark spells out the
+    * two-byte UTF-8 arithmetic; same string either way).
+    */
+  private def byteBpeHeaderCtes: String = s"""
+        w AS MATERIALIZED (
+          SELECT word, COUNT(*) AS freq FROM (
+            SELECT array_to_string(list_transform(
+                range(1, length(hx) // 2 + 1),
+                i -> chr(256 + CAST('0x' || substring(hx, CAST(2*i - 1 AS INT), 2) AS INT))),
+              '') AS word
+            FROM (
+              SELECT hex(encode(tok)) AS hx FROM (
+                SELECT unnest(regexp_extract_all(text,
+                  '${graft.text.BpeTrainer.BytePretokenPattern}', 0)) AS tok
+                FROM documents)))
+          GROUP BY 1),
+        seg0 AS MATERIALIZED (
+          SELECT word, freq,
+            regexp_replace(word, '(.)', '(\\1)', 'g') AS seg FROM w)"""
+
+  /** A shifted-char piece rendered as dash-joined byte values — the same
+    * rendering [[graft.text.BpeTrainer.byteString]] applies Scala-side.
+    */
+  private def duckByteString(p: String): String = s"""
+        array_to_string(list_transform(range(1, length($p) + 1),
+          i -> CAST(ord(substring($p, CAST(i AS INT), 1)) - 256 AS VARCHAR)), '-')"""
+
+  /** DuckDB replay of BYTE-level BPE training (q270): byte header CTEs,
+    * then the IDENTICAL 8 sequential rounds as the word-level replay —
+    * the pair/seg CTEs are representation-agnostic. Output pieces render
+    * as dash-joined byte values.
+    */
+  private def byteBpeOracleSql: String = {
+    val rounds = 8
+    val roundCtes = (1 to rounds).map { i =>
+      s"""${bpePairsCte(i)},
+        top$i AS MATERIALIZED (
+          SELECT a, b, cnt FROM pairs$i ORDER BY cnt DESC, a, b LIMIT 1),
+        ${bpeSegCte(i)}"""
+    }.mkString(",")
+    val out = (1 to rounds).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS step,
+            ${duckByteString("a")} AS bytes_a,
+            ${duckByteString("b")} AS bytes_b,
+            ${duckByteString("(a || b)")} AS merged,
+            cnt AS pair_count FROM top$i""")
+      .mkString(" UNION ALL ")
+    s"""
+        WITH $byteBpeHeaderCtes,
+        $roundCtes
+        SELECT * FROM ($out) ORDER BY step"""
+  }
+
+  /** DuckDB replay of byte-level fertility (q271): re-train sequentially,
+    * re-encode every pretoken with the literal fold, aggregate per
+    * source in integer milli-units.
+    */
+  private def byteFertilityOracleSql: String = {
+    val rounds = 8
+    val roundCtes = (1 to rounds).map { i =>
+      s"""${bpePairsCte(i)},
+        top$i AS MATERIALIZED (
+          SELECT a, b, cnt FROM pairs$i ORDER BY cnt DESC, a, b LIMIT 1),
+        ${bpeSegCte(i)}"""
+    }.mkString(",")
+    val applied = (1 to rounds).foldLeft("e") { (acc, i) =>
+      s"replace($acc, '(' || t$i.a || ')(' || t$i.b || ')', '(' || t$i.a || t$i.b || ')')"
+    }
+    val tops = (1 to rounds).map(i => s"top$i t$i").mkString(", ")
+    s"""
+        WITH $byteBpeHeaderCtes,
+        $roundCtes,
+        enc0 AS (
+          SELECT doc_id, source, length(wd) AS nb,
+            regexp_replace(wd, '(.)', '(\\1)', 'g') AS e
+          FROM (
+            SELECT doc_id, source,
+              array_to_string(list_transform(
+                range(1, length(hx) // 2 + 1),
+                i -> chr(256 + CAST('0x' || substring(hx, CAST(2*i - 1 AS INT), 2) AS INT))),
+              '') AS wd
+            FROM (
+              SELECT doc_id, source, hex(encode(tok)) AS hx FROM (
+                SELECT doc_id, source, unnest(regexp_extract_all(text,
+                  '${graft.text.BpeTrainer.BytePretokenPattern}', 0)) AS tok
+                FROM documents)))),
+        encF AS (
+          SELECT doc_id, source, nb, $applied AS e
+          FROM enc0, $tops),
+        agg AS (
+          SELECT source, COUNT(DISTINCT doc_id) AS docs, COUNT(*) AS pretokens,
+            CAST(SUM(nb) AS BIGINT) AS bytes,
+            CAST(SUM(length(e) - length(replace(e, '(', ''))) AS BIGINT) AS pieces
+          FROM encF GROUP BY 1)
+        SELECT source, docs, pretokens, bytes, pieces,
+          bytes * 1000 // pieces AS bytes_per_piece_milli,
+          pieces * 1000 // pretokens AS pieces_per_pretoken_milli
+        FROM agg ORDER BY source"""
   }
 
   /** DuckDB replay of BPE training (q180): the same word-frequency gate,

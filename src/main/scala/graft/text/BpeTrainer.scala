@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-driven BPE vocabulary TRAINING — the learning step the subword
@@ -61,6 +61,47 @@ object BpeTrainer {
     docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+
+  /** GPT-2-style pretokenizer, ASCII form: a token is an optionally
+    * space-prefixed letter run, digit run, or punctuation run, or a bare
+    * space run — the split production byte-level tokenizers apply before
+    * BPE (GPT-2's regex, with `\p{L}/\p{N}` narrowed to ASCII classes so
+    * Java and RE2 agree character-for-character). Matches cover the
+    * whole string; nothing is dropped.
+    */
+  val BytePretokenPattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+  /** A pretoken's UTF-8 bytes, one SHIFTED char per byte: byte b becomes
+    * codepoint 256+b (U+0100..U+01FF). The shift keeps the training
+    * representation collision-free by construction — no byte can render
+    * as '(' or ')' — where GPT-2's printable-byte table maps '(' to
+    * itself and would collide with the paren algebra. Both engines
+    * compute it from the hex of the UTF-8 encoding with the same
+    * arithmetic, so segmentations stay bit-identical.
+    */
+  def shiftedBytes(tok: Column): Column = {
+    val hx = hex(encode(tok, "UTF-8"))
+    def h2(b: Column): Column = lpad(hex(b), 2, "0")
+    array_join(
+      transform(sequence(lit(1), (length(hx) / 2).cast("int")), i => {
+        val cp = conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("int") + 256
+        // codepoints 0x100..0x1FF are two UTF-8 bytes: C4..C7 then 80|low6
+        decode(unhex(concat(h2(shiftright(cp, 6) + 192),
+          h2(cp.bitwiseAND(63) + 128))), "UTF-8")
+      }), "")
+  }
+
+  /** The distinct-PRETOKEN frequency table for byte-level training: raw
+    * text (no case/alphabet gate — byte-level handles anything) split by
+    * [[BytePretokenPattern]], each pretoken re-expressed as its shifted
+    * byte string.
+    */
+  private def byteWordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(BytePretokenPattern), lit(0))).as("tok"))
+      .select(shiftedBytes(col("tok")).as("word"))
       .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
 
   /** Adjacent-pair counts over a segmentation frame: (a, b, cnt). */
@@ -139,12 +180,12 @@ object BpeTrainer {
     * many as provably commute (1 when `batchedRounds` is 1 — the
     * sequential form).
     */
-  private def trainLoop(spark: SparkSession, docs: DataFrame, merges: Int,
-      textCol: String, batchedRounds: Int)(
+  private def trainLoop(spark: SparkSession, wordFreq: DataFrame, merges: Int,
+      batchedRounds: Int)(
       pickRanked: (DataFrame, Int) => Array[org.apache.spark.sql.Row]): BpeModel = {
     require(merges >= 0, s"merges must be >= 0, got $merges")
     require(batchedRounds >= 1, s"batchedRounds must be >= 1, got $batchedRounds")
-    val words = wordTable(docs, textCol)
+    val words = wordFreq
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val alphabet = words
@@ -209,11 +250,35 @@ object BpeTrainer {
     */
   def fit(spark: SparkSession, docs: DataFrame, merges: Int,
       textCol: String = "text", batchedRounds: Int = 1): BpeModel =
-    trainLoop(spark, docs, merges, textCol, batchedRounds) { (seg, limit) =>
+    trainLoop(spark, wordTable(docs, textCol), merges, batchedRounds) { (seg, limit) =>
       pairCounts(seg)
         .orderBy(desc("cnt"), col("a"), col("b"))
         .limit(limit).collect()
     }
+
+  /** BYTE-level BPE (the GPT-2/tiktoken production shape): pretokenize
+    * with [[BytePretokenPattern]], re-express each pretoken as shifted
+    * UTF-8 bytes ([[shiftedBytes]] — one char per byte, so ANY input
+    * trains: case, digits, punctuation, non-ASCII), then run the exact
+    * same frequency objective, paren algebra, and `batchedRounds`
+    * commutation machinery as [[fit]]. Merges/alphabet in the returned
+    * model are shifted-char strings; [[byteString]] renders them as
+    * dash-joined byte values for reports.
+    */
+  def fitBytes(spark: SparkSession, docs: DataFrame, merges: Int,
+      textCol: String = "text", batchedRounds: Int = 1): BpeModel =
+    trainLoop(spark, byteWordTable(docs, textCol), merges, batchedRounds) { (seg, limit) =>
+      pairCounts(seg)
+        .orderBy(desc("cnt"), col("a"), col("b"))
+        .limit(limit).collect()
+    }
+
+  /** A shifted-char piece as its underlying bytes, dash-joined decimal
+    * ("104-101" = the bytes of "he") — the report rendering both the
+    * Spark rows and the DuckDB oracle derive with plain arithmetic.
+    */
+  def byteString(piece: String): String =
+    piece.map(c => (c.toInt - 256).toString).mkString("-")
 
   /** WordPiece-style training: each round fuses the pair maximizing the
     * LIKELIHOOD score count(a,b) / (count(a) * count(b)) — pairs that
@@ -247,7 +312,7 @@ object BpeTrainer {
     */
   def fitWordPiece(spark: SparkSession, docs: DataFrame, merges: Int,
       textCol: String = "text"): BpeModel =
-    trainLoop(spark, docs, merges, textCol, batchedRounds = 1) { (seg, limit) =>
+    trainLoop(spark, wordTable(docs, textCol), merges, batchedRounds = 1) { (seg, limit) =>
       val syms = split(expr("substring(seg, 2, length(seg) - 2)"), "\\)\\(")
       val symCnt = seg
         .select(col("freq"), explode(syms).as("s"))

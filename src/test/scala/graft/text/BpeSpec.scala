@@ -158,4 +158,62 @@ class BpeSpec extends SparkSpec {
       .filter(col("seg.joined").contains(topPiece)).count()
     assert(hits > 0, s"piece '$topPiece' never used")
   }
+
+  // ---- byte-level (GPT-2 shape) -------------------------------------------
+
+  test("shiftedBytes: one U+01xx char per UTF-8 byte, any input") {
+    def shift(s: String): String =
+      Seq(s).toDF("t").select(BpeTrainer.shiftedBytes(col("t"))).head().getString(0)
+    assert(shift("he") === "Ũť") // 0x68, 0x65 shifted
+    assert(shift("hé") === // é = C3 A9 in UTF-8: TWO shifted chars
+      new String(Array(0x168, 0x1C3, 0x1A9).flatMap(Character.toChars)))
+    assert(shift("(x)") === // parens shift to U+0128/U+0129 — never '('
+      new String(Array(0x128, 0x178, 0x129).flatMap(Character.toChars)))
+    assert(BpeTrainer.byteString(shift("AB1 ")) === "65-66-49-32")
+  }
+
+  test("byte pretokenizer: GPT-2-style space attachment, runs by class") {
+    val toks = Seq("Hello, wörld 42  x").toDF("t")
+      .select(regexp_extract_all(col("t"),
+        lit(BpeTrainer.BytePretokenPattern), lit(0)))
+      .head().getSeq[String](0)
+    assert(toks === Seq("Hello", ",", " w", "ö", "rld", " 42", "  ", "x"))
+  }
+
+  test("fitBytes learns byte merges on mixed-case/punct input the word gate drops") {
+    // 'The' appears 4x (once leading, thrice space-prefixed), so the
+    // dominant adjacent byte pair is (T=340, h=360) inside ' The'/'The'
+    val d = Seq("The The The The.").toDF("text")
+    val m = BpeTrainer.fitBytes(spark, d, merges = 2)
+    assert(m.merges.nonEmpty)
+    // word-level fit learns NOTHING here (no ^[a-z]+$ word repeats)
+    assert(BpeTrainer.fit(spark, d, merges = 2).merges.isEmpty)
+    // top merge fuses bytes of "Th" (T=84, h=104) — present in all 4
+    val (a, b, c) = m.merges.head
+    assert(BpeTrainer.byteString(a + b) === "84-104" && c === 4L)
+  }
+
+  test("batched fitBytes is bit-identical to sequential (byte grain)") {
+    val d = Seq("Data pipelines move data; data pipelines scale.",
+      "Byte pairs: 12, 12, 12 — byte pairs!").toDF("text")
+    val seqM = BpeTrainer.fitBytes(spark, d, merges = 8)
+    val batM = BpeTrainer.fitBytes(spark, d, merges = 8, batchedRounds = 4)
+    assert(batM.merges === seqM.merges)
+    assert(batM.rounds <= seqM.rounds)
+  }
+
+  test("native BpeEncode applies byte merges per pretoken (no-whitespace invariant)") {
+    BpeEncoder.register(spark)
+    val d = Seq("aaaa aaaa bb").toDF("text")
+    val m = BpeTrainer.fitBytes(spark, d, merges = 2)
+    val shifted = Seq("aaaa").toDF("t")
+      .select(BpeTrainer.shiftedBytes(col("t")).as("w"))
+    val enc = shifted.select(BpeEncoder.encode(col("w"),
+      m.merges.map { case (a, b, _) => (a, b) })).head().getString(0)
+    // merges learned: (a,a) then (aa,aa) or (aa,a) depending on counts;
+    // the encode must be a paren piece stream over shifted chars
+    val pieces = enc.count(_ == '(')
+    assert(pieces >= 1 && pieces <= 2, s"got '$enc'")
+    assert(!enc.exists(c => c.isWhitespace))
+  }
 }
