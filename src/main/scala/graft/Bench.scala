@@ -431,9 +431,15 @@ object Bench {
     // (round 3 taught the same lesson on the bucketed micro — too-small
     // workloads let host noise flip the ordering). A cheap codegen'd map
     // side keeps the measurement on the REDUCER, where skew actually hurts.
+    // The payload is xxhash64-derived — INCOMPRESSIBLE on purpose: AQE's
+    // skew detection reads COMPRESSED map-output sizes, and the previous
+    // `id % 100` payload made the hot partition (constant key, cycling
+    // value) compress ~10x better than the mixed partitions, hiding a
+    // 32x row skew below the default 5x-median byte test. Real fact rows
+    // don't compress their skew away; neither should the fixture.
     val skewed = spark.range(0, 60000000L, 1, 32).select(
       when(col("id") % 2 === 0, 0L).otherwise(col("id") % 997).as("k"),
-      (col("id") % 100).cast("double").as("v"))
+      (xxhash64(col("id")) % 1000000).cast("double").as("v"))
     val dim = spark.range(0, 997).select(col("id").as("k"), (col("id") * 2).as("w"))
 
     def once(aqe: Boolean, salted: Boolean, saltFactor: Int): (Double, Double) = {
