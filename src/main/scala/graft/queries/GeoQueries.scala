@@ -240,7 +240,7 @@ object GeoQueries {
     // (v = ((x*31 + y*17 + b) % 97) / 4.0, nodata holes at
     // (x*7 + y*11) % 23 == 0), encoded into a REAL GeoTIFF whose layout
     // rotates through the rasterio envelope — compression none/LZW/
-    // Deflate (b%3), strips vs 16x16 tiles ((b/3)%2), and a
+    // Deflate/PackBits (b%4), strips vs 16x16 tiles ((b/3)%2), and a
     // predictor-2 uint16 variant (b%5==4, values stored x4) — then
     // decoded back and aggregated. The oracle predicts the zonal facts
     // from the painting function alone, so any byte-level defect in any
@@ -266,7 +266,7 @@ object GeoQueries {
               }
             }
             val layout = TiffWriter.Layout(
-              compression = Seq(1, 5, 8)((b % 3).toInt),
+              compression = Seq(1, 5, 8, 32773)((b % 4).toInt),
               predictor = if (intVariant) 2 else 1,
               tile = if ((b / 3) % 2 == 1) Some((16, 16)) else None,
               rowsPerStrip = 9,

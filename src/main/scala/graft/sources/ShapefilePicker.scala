@@ -47,4 +47,38 @@ object ShapefilePicker {
     */
   def pick(candidates: Seq[Candidate]): Option[Candidate] =
     if (candidates.isEmpty) None else Some(candidates.maxBy(score))
+
+  private val villageNameKeywords = Seq(
+    "village", "village_name", "villagename", "vill_name",
+    "settlement", "settlement_name", "locality", "locality_name",
+    "community", "community_name", "ward", "ward_name",
+    "name", "nom", "nome", "nazwa",
+    "cell", "cell_name", "sector", "sector_name",
+    "commune", "commune_name", "parish", "parish_name")
+
+  private val technicalColumns =
+    Set("geometry", "geom", "shape", "objectid", "fid", "id")
+
+  /** The reference's `identify_village_name_column`
+    * (country_adm_boundaries_upload_views.py:115-171), quirks preserved:
+    * exact keyword match +100, ONE partial keyword match +50, 'name'
+    * +20 and 'nom' +20 are INDEPENDENT adds (so a literal `name` column
+    * scores 170), technical columns zero out AFTER the adds, first
+    * maximal column wins (Python `max` over insertion order), and a
+    * zero-score board falls back to the first column containing 'name'.
+    */
+  def villageNameColumn(columns: Seq[String]): Option[String] = {
+    val scored = columns.map { c =>
+      val lc = c.toLowerCase
+      var p = 0
+      if (villageNameKeywords.contains(lc)) p += 100
+      if (villageNameKeywords.exists(lc.contains)) p += 50
+      if (lc.contains("name")) p += 20
+      if (lc.contains("nom")) p += 20
+      if (technicalColumns(lc)) p = 0
+      c -> p
+    }
+    scored.collectFirst { case (c, p) if p == scored.map(_._2).max && p > 0 => c }
+      .orElse(columns.find(_.toLowerCase.contains("name")))
+  }
 }

@@ -16,7 +16,8 @@ import java.nio.file.{Files, Paths}
   * Scope: single-band rasters (uint8/16/32, int8/16/32, float32/64),
   * strip- OR tile-organized (TileWidth/TileLength/TileOffsets, edge
   * tiles padded per spec), uncompressed, LZW (TIFF variant: MSB-first,
-  * early code-width change) or Deflate (tags 8/32946) compressed, with
+  * early code-width change), Deflate (tags 8/32946) or PackBits (32773)
+  * compressed, with
   * the horizontal-differencing predictor (tag 317 = 2) for integer
   * samples — the envelope `rasterio.open` accepts for real-world slope
   * uploads, which are almost always LZW/Deflate and often tiled
@@ -101,9 +102,9 @@ object TiffReader {
     val bits = scalar(258).getOrElse(8.0).toInt
     val sampleFormat = scalar(339).getOrElse(1.0).toInt // 1 uint, 2 int, 3 float
     val compression = scalar(259).getOrElse(1.0).toInt
-    require(compression == 1 || compression == 5 ||
-        compression == 8 || compression == 32946,
-      s"unsupported TIFF compression $compression (none/LZW/Deflate only)")
+    require(compression == 1 || compression == 5 || compression == 8 ||
+        compression == 32946 || compression == 32773,
+      s"unsupported TIFF compression $compression (none/LZW/Deflate/PackBits only)")
     val predictor = scalar(317).getOrElse(1.0).toInt
     require(predictor == 1 || predictor == 2,
       s"unsupported TIFF predictor $predictor (none/horizontal only)")
@@ -131,6 +132,28 @@ object TiffReader {
           java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + expected)
         case 5 =>
           LzwCodec.decode(bytes, off.toInt, count, expected)
+        case 32773 => // PackBits (TIFF 6.0 §9): literal/replicate runs
+          val seg = new Array[Byte](expected)
+          var in = off.toInt; val end = off.toInt + count
+          var at = 0
+          while (at < expected && in < end) {
+            val n = bytes(in); in += 1
+            if (n >= 0) { // n+1 literal bytes
+              val take = n + 1
+              require(in + take <= end && at + take <= expected,
+                "PackBits literal run overruns the segment")
+              System.arraycopy(bytes, in, seg, at, take)
+              in += take; at += take
+            } else if (n != -128) { // repeat next byte 1-n times
+              val rep = 1 - n
+              require(in < end && at + rep <= expected,
+                "PackBits replicate run overruns the segment")
+              java.util.Arrays.fill(seg, at, at + rep, bytes(in))
+              in += 1; at += rep
+            } // -128: no-op per spec
+          }
+          require(at == expected, s"PackBits segment yielded $at of $expected bytes")
+          seg
         case _ =>
           val inf = new java.util.zip.Inflater()
           inf.setInput(bytes, off.toInt, count)

@@ -9,14 +9,40 @@ import scala.collection.mutable.ArrayBuffer
   * WarcCodec/Mp4Codec discipline: the engine carries both directions so
   * oracles can predict every fact without parsing a byte). Little-endian
   * baseline TIFF; strip- or tile-organized; compression none (1),
-  * TIFF-LZW (5, [[LzwCodec]]) or Deflate (8); horizontal-differencing
+  * TIFF-LZW (5, [[LzwCodec]]), Deflate (8) or PackBits (32773);
+  * horizontal-differencing
   * predictor (317=2) for integer samples; GeoTIFF affine
   * (ModelPixelScale + ModelTiepoint) and GDAL_NODATA.
   */
 object TiffWriter {
 
+  /** PackBits (TIFF 6.0 §9): greedy — byte runs of >= 2 become replicate
+    * records, everything else literal records of up to 128 bytes.
+    */
+  private def packBits(data: Array[Byte]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte](data.length + data.length / 128 + 1)
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && run < 128 && data(i + run) == data(i)) run += 1
+      if (run >= 2) {
+        out += (1 - run).toByte; out += data(i)
+        i += run
+      } else {
+        var lit = 1
+        while (i + lit < data.length && lit < 128 &&
+            !(i + lit + 1 < data.length && data(i + lit) == data(i + lit + 1))) lit += 1
+        out += (lit - 1).toByte
+        var j = 0
+        while (j < lit) { out += data(i + j); j += 1 }
+        i += lit
+      }
+    }
+    out.toArray
+  }
+
   final case class Layout(
-      compression: Int = 1, // 1 none, 5 LZW, 8 deflate
+      compression: Int = 1, // 1 none, 5 LZW, 8 deflate, 32773 PackBits
       predictor: Int = 1, // 1 none, 2 horizontal (integer only)
       tile: Option[(Int, Int)] = None, // (tileW, tileH); None = strips
       rowsPerStrip: Int = Int.MaxValue,
@@ -34,7 +60,8 @@ object TiffWriter {
       nodata: Option[Double] = None): Array[Byte] = {
     require(values.length == width * height,
       s"values ${values.length} != $width x $height")
-    require(Seq(1, 5, 8).contains(layout.compression), s"compression ${layout.compression}")
+    require(Seq(1, 5, 8, 32773).contains(layout.compression),
+      s"compression ${layout.compression}")
     require(layout.predictor == 1 || layout.predictor == 2, s"predictor ${layout.predictor}")
     require(layout.predictor == 1 || layout.sampleFormat != 3,
       "horizontal predictor is integer-only")
@@ -73,6 +100,7 @@ object TiffWriter {
       layout.compression match {
         case 1 => raw.array()
         case 5 => LzwCodec.encode(raw.array())
+        case 32773 => packBits(raw.array())
         case 8 =>
           val d = new java.util.zip.Deflater()
           d.setInput(raw.array()); d.finish()

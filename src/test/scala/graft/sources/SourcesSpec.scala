@@ -62,4 +62,24 @@ class SourcesSpec extends SparkSpec {
     assert(pick(Seq(adm1, sectors, villages)).get == villages)
     assert(pick(Nil).isEmpty)
   }
+
+  test("villageNameColumn: reference scoring quirks, technical zero-out, fallbacks") {
+    import ShapefilePicker._
+    // exact 'village' (100) + partial (50) = 150 beats VILL_NAME's
+    // partial 'vill_name' exact (100+50+20=170)? no: vill_name exact=100,
+    // partial=50, 'name' +20 -> 170 wins
+    assert(villageNameColumn(Seq("Village", "VILL_NAME")) === Some("VILL_NAME"))
+    // a literal 'name' column: exact 100 + partial 50 + 'name' 20 = 170
+    assert(villageNameColumn(Seq("name", "Village")) === Some("name"))
+    // technical columns zero out AFTER the adds: 'geometry'/'id' never win
+    assert(villageNameColumn(Seq("id", "geometry", "sector_id")) === Some("sector_id"))
+    // first maximal wins on ties (Python max over insertion order)
+    assert(villageNameColumn(Seq("cell_code", "sector_code")) === Some("cell_code"))
+    // 'name' buried mid-word still scores via the main loop (+50 partial
+    // +20 'name' — the reference's trailing fallback is unreachable for
+    // any real column set, a quirk preserved as-is)
+    assert(villageNameColumn(Seq("objectid", "RENAMED_X")) === Some("RENAMED_X"))
+    assert(villageNameColumn(Seq("objectid", "shape")) === None)
+    assert(villageNameColumn(Nil) === None)
+  }
 }

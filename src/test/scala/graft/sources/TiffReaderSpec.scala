@@ -160,7 +160,7 @@ class TiffReaderSpec extends SparkSpec {
   }
 
   test("tiled layouts round-trip: edge tiles clip, all compressions") {
-    for (comp <- Seq(1, 5, 8))
+    for (comp <- Seq(1, 5, 8, 32773))
       assertGrid(TiffWriter.encode(CW, CH, slopeVals,
         TiffWriter.Layout(compression = comp, tile = Some((16, 16))),
         0.5, 0.25, 30.0, -1.0, Some(-9999.0)))
@@ -170,7 +170,7 @@ class TiffReaderSpec extends SparkSpec {
     val ints = Array.tabulate(CW * CH)(i => ((i * 37) % 251).toDouble)
     val signed = Array.tabulate(CW * CH)(i => (((i * 37) % 251) - 125).toDouble)
     for {
-      comp <- Seq(5, 8)
+      comp <- Seq(5, 8, 32773)
       (sf, bits, vals) <- Seq((1, 8, ints), (1, 16, ints), (2, 16, signed), (1, 32, ints))
       tile <- Seq(None, Some((16, 16)))
     } {
@@ -206,7 +206,7 @@ class TiffReaderSpec extends SparkSpec {
       bos.toByteArray
     }
     for {
-      compression <- Seq("LZW", "ZLib", "Deflate")
+      compression <- Seq("LZW", "ZLib", "Deflate", "PackBits")
       tiled <- Seq(false, true)
     } {
       val g = TiffReader.parseBytes(imageioTiff(compression, tiled))
@@ -239,16 +239,16 @@ class TiffReaderSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TiffReader.parseBytes(java.util.Arrays.copyOf(enc, enc.length - 40))
     }
-    // unknown compression tag still rejects loudly
-    val packbits = TiffWriter.encode(4, 3, new Array[Double](12))
-    val idx = { // find the compression tag and flip it to PackBits (32773)
-      val b = java.nio.ByteBuffer.wrap(packbits).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // unknown compression tag still rejects loudly (7 = old-style JPEG)
+    val jpegTag = TiffWriter.encode(4, 3, new Array[Double](12))
+    val idx = { // find the compression tag and flip it
+      val b = java.nio.ByteBuffer.wrap(jpegTag).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val ifd = b.getInt(4); val n = b.getShort(ifd) & 0xFFFF
       (0 until n).map(i => ifd + 2 + i * 12).find(p => (b.getShort(p) & 0xFFFF) == 259).get
     }
-    java.nio.ByteBuffer.wrap(packbits).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      .putShort(idx + 8, 32773.toShort)
-    val ex = intercept[IllegalArgumentException] { TiffReader.parseBytes(packbits) }
+    java.nio.ByteBuffer.wrap(jpegTag).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(idx + 8, 7.toShort)
+    val ex = intercept[IllegalArgumentException] { TiffReader.parseBytes(jpegTag) }
     assert(ex.getMessage.contains("compression"))
   }
 }
