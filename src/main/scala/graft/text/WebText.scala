@@ -34,49 +34,20 @@ object WebText {
   val NumericEntityToken: String =
     "&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};|[^&]+|&"
 
-  /** UTF-8 bytes of a codepoint, as built-in arithmetic (shift/mask →
-    * hex pairs → unhex → decode). Spark's `chr` wraps at 256, so the
-    * encoder is spelled out; stays inside whole-stage codegen.
-    */
-  private def cpUtf8(cp: Column): Column = {
-    def h(b: Column): Column = lpad(hex(b), 2, "0")
-    val hexStr =
-      when(cp < 0x80, h(cp))
-        .when(cp < 0x800, concat(
-          h(shiftright(cp, 6) + 0xC0),
-          h(cp.bitwiseAND(0x3F) + 0x80)))
-        .when(cp < 0x10000, concat(
-          h(shiftright(cp, 12) + 0xE0),
-          h(shiftright(cp, 6).bitwiseAND(0x3F) + 0x80),
-          h(cp.bitwiseAND(0x3F) + 0x80)))
-        .otherwise(concat(
-          h(shiftright(cp, 18) + 0xF0),
-          h(shiftright(cp, 12).bitwiseAND(0x3F) + 0x80),
-          h(shiftright(cp, 6).bitwiseAND(0x3F) + 0x80),
-          h(cp.bitwiseAND(0x3F) + 0x80)))
-    decode(unhex(hexStr), "UTF-8")
-  }
-
   /** Decode numeric character references — `&#8212;` and `&#x2014;`
     * alike — for valid codepoints (1..U+10FFFF, surrogates excluded);
     * invalid or out-of-range references pass through UNdecoded on both
-    * engines (the oracle guards with the same validity CASE). Runs
-    * BEFORE the named-entity fold, so `&amp;#65;` stays the literal
-    * `&#65;` (the double-escape rule: `&#` never materializes out of a
-    * decoded `&amp;`). Tokenize-transform-join over built-ins only.
+    * engines (the oracle guards with the same validity CASE over the
+    * same [[NumericEntityToken]] tokenization). Runs BEFORE the
+    * named-entity fold, so `&amp;#65;` stays the literal `&#65;` (the
+    * double-escape rule: `&#` never materializes out of a decoded
+    * `&amp;`). A fully-codegen native expression
+    * ([[DecodeNumEntities]]) — a `transform` HOF here would drop the
+    * whole extraction projection to interpreted evaluation.
     */
-  def decodeNumericEntities(c: Column): Column = {
-    val tokens = regexp_extract_all(c, lit(NumericEntityToken), lit(0))
-    array_join(transform(tokens, { tok =>
-      val dec = regexp_extract(tok, "^&#([0-9]{1,7});$", 1)
-      val hx = regexp_extract(tok, "^&#[xX]([0-9a-fA-F]{1,6});$", 1)
-      val cp = when(dec =!= "", dec.cast("int"))
-        .when(hx =!= "", conv(hx, 16, 10).cast("int"))
-      val valid = cp.isNotNull && cp >= 1 && cp <= 0x10FFFF &&
-        !(cp >= 0xD800 && cp <= 0xDFFF)
-      when(valid, cpUtf8(cp)).otherwise(tok)
-    }), "")
-  }
+  def decodeNumericEntities(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      DecodeNumEntities(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
   /** Visible text of an HTML document: drop script/style subtrees, turn
     * every remaining tag into a space (word-boundary preserving), decode

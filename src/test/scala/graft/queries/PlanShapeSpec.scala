@@ -525,4 +525,31 @@ class PlanShapeSpec extends SparkSpec
         s"q264: wide column '${a.name}' reached an exchange — only " +
           "(src, dst) longs may leave the extraction stage")
   }
+
+  test("q269 geotiff ingest: encode/decode stay partition-local, exchanges narrow") {
+    val plan = SparkEntry.queries("q269_geotiff_compressed")(spark, dir)
+      .queryExecution.executedPlan
+    // the only exchange is the groupBy(b) aggregate over partial rows —
+    // TIFF bytes must never cross it (decode runs inside the flatMap)
+    val exchanges = collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.nonEmpty)
+    for (e <- exchanges; a <- e.output)
+      assert(!a.dataType.typeName.contains("binary"),
+        s"q269: binary column '${a.name}' reached an exchange")
+    assert(plan.toString.contains("HashAggregate"),
+      "expected partial+final aggregation around the exchange")
+  }
+
+  test("q271 byte fertility: shifted text never crosses an exchange") {
+    val plan = SparkEntry.queries("q271_byte_fertility")(spark, dir)
+      .queryExecution.executedPlan
+    for (e <- collect(plan) {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }; a <- e.output)
+      assert(!Set("text", "tok", "w").contains(a.name.toLowerCase),
+        s"q271: text-bearing column '${a.name}' reached an exchange — " +
+          "encode and counting are row-local; only narrow aggregates shuffle")
+  }
 }
