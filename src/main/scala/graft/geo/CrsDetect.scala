@@ -111,18 +111,25 @@ object CrsDetect {
     }
   }
 
+  // WKT1 writes AUTHORITY["EPSG","32735"]; WKT2 writes ID["EPSG",32735]
+  // — one alternation covers both (codes quoted or bare)
   private val AuthorityRe =
-    "AUTHORITY\\s*\\[\\s*\"EPSG\"\\s*,\\s*\"?(\\d+)\"?\\s*\\]".r
+    "(?:AUTHORITY|ID)\\s*\\[\\s*\"EPSG\"\\s*,\\s*\"?(\\d+)\"?\\s*\\]".r
+  // WKT2 parameter values may carry a trailing unit node before ']' —
+  // stop at the number, don't require the bracket
   private val CentralMeridianRe =
-    "PARAMETER\\s*\\[\\s*\"CENTRAL_MERIDIAN\"\\s*,\\s*(-?\\d+(?:\\.\\d+)?)\\s*\\]".r
+    "PARAMETER\\s*\\[\\s*\"(?:CENTRAL_MERIDIAN|LONGITUDE OF NATURAL ORIGIN)\"\\s*,\\s*(-?\\d+(?:\\.\\d+)?)".r
   private val UtmZoneNameRe = "UTM\\s*[_ ]?ZONE[_ ]?(3[56])\\s*S".r
 
   /** `.prj` sidecar WKT → EPSG, the reference's
     * `_detect_shapefile_crs` step (SlopeGeoJsonUploadView.py:157-162:
-    * `CRS.from_wkt` BEFORE any probing). Recognizes exactly the
-    * reference's candidate space — WGS84 geographic plus the six
-    * southern-UTM candidates — and returns None on anything else or on
-    * garbage, so callers fall back to the probe ladder / `sourceEpsg`.
+    * `CRS.from_wkt` BEFORE any probing — pyproj accepts WKT1 and WKT2;
+    * both dialects parse here: AUTHORITY/ID nodes, PROJCS/PROJCRS and
+    * GEOGCS/GEOGCRS roots, Central_Meridian / "Longitude of natural
+    * origin" parameter spellings). Recognizes exactly the reference's
+    * candidate space — WGS84 geographic plus the six southern-UTM
+    * candidates — and returns None on anything else or on garbage, so
+    * callers fall back to the probe ladder / `sourceEpsg`.
     *
     * Resolution order: (1) the OUTERMOST `AUTHORITY["EPSG",n]` node
     * (outermost = only `]`/`,`/whitespace follow it in well-formed WKT1)
@@ -136,8 +143,12 @@ object CrsDetect {
     val wkt = Option(wkt0).getOrElse("").trim
     if (wkt.isEmpty) return None
     val up = wkt.toUpperCase
-    val isProj = up.startsWith("PROJCS")
-    val isGeog = up.startsWith("GEOGCS") || up.startsWith("GEOGCRS")
+    // WKT1 roots PROJCS/GEOGCS; WKT2 roots PROJCRS/GEOGCRS (and the
+    // 2015-draft PROJECTEDCRS/GEODCRS spellings)
+    val isProj = up.startsWith("PROJCS") || up.startsWith("PROJCRS") ||
+      up.startsWith("PROJECTEDCRS")
+    val isGeog = up.startsWith("GEOGCS") || up.startsWith("GEOGCRS") ||
+      up.startsWith("GEODCRS")
     if (!isProj && !isGeog) return None
 
     // (1) an explicit outermost authority node

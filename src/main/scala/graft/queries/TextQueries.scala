@@ -1331,6 +1331,76 @@ object TextQueries {
       Some(byteFertilityOracleSql))
     ,
 
+    // ---- ROUGE-L sufficient statistics (the eval tier's LCS member) -------
+    // BLEU (q258) measures clipped n-gram overlap; summarization evals
+    // report ROUGE-L, whose core is the LONGEST COMMON SUBSEQUENCE — a
+    // genuinely order-sensitive statistic no n-gram join computes. The
+    // engine runs the real DP (native LcsLength expression, row-local,
+    // O(|c|·|r|) on summary-length texts); the synthesis makes the
+    // oracle CLOSED-FORM (the q194 discipline): cand = ref with every
+    // 5th token replaced by a sentinel that appears nowhere in ref, so
+    // LCS provably equals L - L div 5 (substituted positions can match
+    // nothing; everything else aligns in order) — the DP must land
+    // exactly there for every pair. Corpus P/R/F1 are integer millis
+    // (F1 = 2·LCS/(|C|+|R|) over summed stats).
+    Q("q272_rouge_l",
+      (s, dir) => {
+        val toks = split(trim(col("text")), "\\s+")
+        val ref = slice(toks, 1, 24)
+        val cand = transform(ref, (tok, i) =>
+          when(i % 5 === 4,
+            concat(lit("«"), col("doc_id").cast("string"), lit("_"),
+              i.cast("string")))
+            .otherwise(tok))
+        graft.text.Eval.rougeLStats(
+          t(s, dir, "documents")
+            .select(col("source"), cand.as("cand_tokens"), ref.as("ref_tokens")),
+          groupCol = "source")
+          .orderBy("source")
+      },
+      Some("""
+        WITH p AS (
+          SELECT source,
+            least(len(string_split_regex(trim(text), '\s+')), 24) AS L
+          FROM documents),
+        s AS (SELECT source, L, L - L // 5 AS lcs FROM p)
+        SELECT source, COUNT(*) AS pairs,
+          CAST(SUM(lcs) AS BIGINT) AS lcs_sum,
+          CAST(SUM(L) AS BIGINT) AS cand_tokens,
+          CAST(SUM(L) AS BIGINT) AS ref_tokens,
+          CAST(1000 * SUM(lcs) // SUM(L) AS BIGINT) AS p_milli,
+          CAST(1000 * SUM(lcs) // SUM(L) AS BIGINT) AS r_milli,
+          CAST(2000 * SUM(lcs) // (2 * SUM(L)) AS BIGINT) AS f1_milli
+        FROM s GROUP BY source ORDER BY source"""))
+    ,
+
+    // ---- distinct-n corpus diversity ---------------------------------------
+    // The standard diversity report for generated/curated corpora
+    // (distinct-n, Li et al. 2016): per source and n in 1..3, total vs
+    // distinct n-grams in integer milli-ratio. Low distinct-2 flags a
+    // template-heavy or mode-collapsed source — the curation signal
+    // that complements q104's intra-document repetition filter with a
+    // CROSS-document lens. Grams shuffle once as the count-distinct key
+    // (the BM25-df shape); documents never do.
+    Q("q273_distinct_ngrams",
+      (s, dir) => graft.text.Eval
+        .distinctNgramStats(t(s, dir, "documents"), "source", "text", maxN = 3)
+        .orderBy("source", "n"),
+      Some("""
+        WITH tok AS (
+          SELECT source, string_split_regex(trim(text), '\s+') AS w
+          FROM documents),
+        g AS (
+          SELECT source, n.n, array_to_string(w[i:i+n.n-1], ' ') AS gram
+          FROM tok, (SELECT unnest([1, 2, 3]) AS n) n,
+               UNNEST(generate_series(1, len(w) - n.n + 1)) AS t(i)
+          WHERE len(w) >= n.n)
+        SELECT source, n, COUNT(*) AS total_ngrams,
+          CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+          CAST(1000 * COUNT(DISTINCT gram) // COUNT(*) AS BIGINT) AS distinct_milli
+        FROM g GROUP BY 1, 2 ORDER BY 1, 2"""))
+    ,
+
     // ---- BLEU sufficient statistics (corpus-level eval) --------------------
     // The generation-eval family's entry: per-lang EXACT clipped n-gram
     // matches/totals (n = 1..4) and length sums for (candidate = doc,

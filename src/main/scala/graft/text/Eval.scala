@@ -81,4 +81,120 @@ object Eval {
       (1 to maxN).flatMap(n => Seq(col(s"match_$n"), col(s"total_$n"),
         col(s"p${n}_milli"))): _*)
   }
+
+  /** Longest-common-subsequence length of two token arrays — the
+    * two-row dynamic program, row-local, O(|a|·|b|) with O(|b|) state.
+    * Static target for both interpreted eval and generated code.
+    */
+  def lcsLen(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 || m == 0) return 0
+    val as = Array.tabulate(n)(a.getUTF8String)
+    val bs = Array.tabulate(m)(b.getUTF8String)
+    val dp = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      var prev = 0 // dp[i-1][j-1]
+      var j = 1
+      while (j <= m) {
+        val tmp = dp(j)
+        dp(j) =
+          if (as(i - 1) == bs(j - 1)) prev + 1
+          else math.max(dp(j), dp(j - 1))
+        prev = tmp
+        j += 1
+      }
+      i += 1
+    }
+    dp(m)
+  }
+
+  /** `lcs_length(cand_tokens, ref_tokens)` as a Column (fully codegen —
+    * a `defineCodeGen` call into [[lcsLen]], the UnicodeNorm
+    * discipline). Cost bound: eval pairs are summary-length texts; the
+    * DP is row-local and never touches an exchange.
+    */
+  def lcsLength(cand: Column, ref: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(LcsLength(
+      ColumnBridge.expression(cand), ColumnBridge.expression(ref)))
+  }
+
+  /** Corpus-level ROUGE-L sufficient statistics per `groupCol`: pair
+    * count, summed LCS and token lengths, and the corpus-level
+    * precision / recall / F1 in integer milli-units — P = LCS/|C|,
+    * R = LCS/|R|, and F1 = 2·LCS/(|C|+|R|) (the harmonic mean collapses
+    * to that closed form at β=1 over summed stats). Pure integers
+    * (order-independent, hash-oracle-able); null millis on empty sides.
+    */
+  def rougeLStats(pairs: DataFrame, groupCol: String = "lang",
+      candCol: String = "cand_tokens", refCol: String = "ref_tokens"): DataFrame =
+    pairs.select(col(groupCol),
+        lcsLength(col(candCol), col(refCol)).cast("long").as("lcs"),
+        size(col(candCol)).cast("long").as("clen"),
+        size(col(refCol)).cast("long").as("rlen"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("pairs"),
+        sum("lcs").as("lcs_sum"),
+        sum("clen").as("cand_tokens"),
+        sum("rlen").as("ref_tokens"))
+      .select(col(groupCol), col("pairs"), col("lcs_sum"),
+        col("cand_tokens"), col("ref_tokens"),
+        when(col("cand_tokens") > 0,
+          expr("1000 * lcs_sum div cand_tokens")).as("p_milli"),
+        when(col("ref_tokens") > 0,
+          expr("1000 * lcs_sum div ref_tokens")).as("r_milli"),
+        when(col("cand_tokens") + col("ref_tokens") > 0,
+          expr("2000 * lcs_sum div (cand_tokens + ref_tokens)")).as("f1_milli"))
+
+  /** Distinct-n diversity statistics (Li et al. 2016's distinct-n, the
+    * standard corpus-diversity report): per group and n in 1..maxN, the
+    * total and distinct n-gram counts and distinct_milli = 1000·distinct
+    * div total. Two narrow aggregates; grams shuffle as strings once
+    * (count-distinct needs the gram as the key — same shape as BM25's
+    * df), documents never do.
+    */
+  def distinctNgramStats(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN out of range: $maxN")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val g = docs.select(col(groupCol),
+        explode(flatten(array((1 to maxN).map(n =>
+          transform(grams(toks, n), x => struct(lit(n).as("n"), x.as("gram")))): _*)))
+          .as("g"))
+      .select(col(groupCol), col("g.n").as("n"), col("g.gram").as("gram"))
+    g.groupBy(groupCol, "n")
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct(col("gram")).as("distinct_ngrams"))
+      .withColumn("distinct_milli",
+        expr("1000 * distinct_ngrams div total_ngrams"))
+  }
+}
+
+/** The LCS dynamic program as one BinaryExpression (codegen'd wrapper
+  * over [[Eval.lcsLen]]).
+  */
+case class LcsLength(left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Eval.lcsLen(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.text.Eval.lcsLen($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(left = newLeft, right = newRight)
 }

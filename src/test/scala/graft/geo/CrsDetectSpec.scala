@@ -90,6 +90,33 @@ class CrsDetectSpec extends AnyFunSuite {
     assert(fromPrjWkt(Wgs84GeogWkt).contains(4326))
   }
 
+  test("fromPrjWkt: WKT2 dialect — PROJCRS/GEOGCRS roots, ID nodes, long parameter names") {
+    // QGIS-style WKT2 with a trailing ID node
+    val wkt2 = """PROJCRS["WGS 84 / UTM zone 35S",
+      |BASEGEOGCRS["WGS 84",DATUM["World Geodetic System 1984",
+      |ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]],
+      |PRIMEM["Greenwich",0],ID["EPSG",4326]],
+      |CONVERSION["UTM zone 35S",METHOD["Transverse Mercator",ID["EPSG",9807]],
+      |PARAMETER["Longitude of natural origin",27,ANGLEUNIT["degree",0.0174532925199433]],
+      |PARAMETER["Scale factor at natural origin",0.9996,SCALEUNIT["unity",1]],
+      |PARAMETER["False easting",500000,LENGTHUNIT["metre",1]],
+      |PARAMETER["False northing",10000000,LENGTHUNIT["metre",1]]],
+      |CS[Cartesian,2],AXIS["(E)",east],AXIS["(N)",north],
+      |LENGTHUNIT["metre",1],ID["EPSG",32735]]"""
+      .stripMargin.replace("\n", "")
+    assert(fromPrjWkt(wkt2).contains(32735))
+    // same WKT2 without the outer ID: parameters resolve it (long
+    // parameter-name spelling, WKT2 unit nodes after the value)
+    val noId = wkt2.replace(",ID[\"EPSG\",32735]", "")
+    assert(fromPrjWkt(noId).contains(32735))
+    // WKT2 geographic root
+    assert(fromPrjWkt(
+      """GEOGCRS["WGS 84",DATUM["World Geodetic System 1984",
+        |ELLIPSOID["WGS 84",6378137,298.257223563]],
+        |PRIMEM["Greenwich",0],CS[ellipsoidal,2]]"""
+        .stripMargin.replace("\n", "")).contains(4326))
+  }
+
   test("fromPrjWkt: Arc datums select the 209xx/263xx candidates") {
     val arc50 = Utm35SWkt
       .replace("WGS_1984_UTM_Zone_35S", "Arc_1950_UTM_Zone_35S")

@@ -53,4 +53,60 @@ class EvalSpec extends SparkSpec {
     assert(m("fr").getAs[Long]("match_1") === 0L)
     assert(m("fr").getAs[Long]("p1_milli") === 0L)
   }
+
+  // ---- ROUGE-L / LCS -------------------------------------------------------
+
+  private def lcs(a: String, b: String): Int = {
+    import org.apache.spark.sql.functions._
+    Seq((a, b)).toDF("c", "r")
+      .select(Eval.lcsLength(split(col("c"), " "), split(col("r"), " ")))
+      .head().getInt(0)
+  }
+
+  test("LCS: hand-computed values, order sensitivity, duplicates, empties") {
+    assert(lcs("a b c d", "b d e") === 2) // b, d
+    assert(lcs("a b", "b a") === 1) // ORDER matters: no n-gram trick sees this
+    assert(lcs("a a b a", "a b a a") === 3) // duplicate-heavy alignment
+    assert(lcs("x y z", "p q r") === 0)
+    assert(lcs("same same", "same same") === 2)
+    // the classic: LCS("ABCBDAB","BDCABA") = 4 (e.g. B C A B), tokenized
+    assert(lcs("A B C B D A B", "B D C A B A") === 4)
+  }
+
+  test("rougeLStats: corpus millis from summed stats; F1 closed form") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("en", "a b c d", "a x c y"), // LCS 2 (a c), clen 4, rlen 4
+      ("en", "p q", "p q"), // LCS 2, 2, 2
+      ("de", "m", "n")) // LCS 0, 1, 1
+      .toDF("lang", "c", "r")
+      .select(col("lang"), split(col("c"), " ").as("ct"), split(col("r"), " ").as("rt"))
+    val out = Eval.rougeLStats(df, "lang", "ct", "rt")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("en").getAs[Long]("lcs_sum") === 4L)
+    assert(out("en").getAs[Long]("cand_tokens") === 6L)
+    assert(out("en").getAs[Long]("p_milli") === 666L) // 4000 div 6
+    assert(out("en").getAs[Long]("f1_milli") === 666L) // 8000 div 12
+    assert(out("de").getAs[Long]("lcs_sum") === 0L)
+    assert(out("de").getAs[Long]("p_milli") === 0L)
+  }
+
+  test("distinctNgramStats: totals, distincts, milli ratio by hand") {
+    val docs = Seq(
+      ("a", "x y x y"), // uni: 4 total, 2 distinct; bi: 3 total ('x y','y x','x y') 2 distinct
+      ("a", "x y"), // uni: +2 total, same 2 distinct; bi: +1 'x y'
+      ("b", "u v w")) // uni 3/3, bi 2/2, tri 1/1
+      .toDF("source", "text")
+    val out = Eval.distinctNgramStats(docs, "source", "text", maxN = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r).toMap
+    assert(out(("a", 1)).getAs[Long]("total_ngrams") === 6L)
+    assert(out(("a", 1)).getAs[Long]("distinct_ngrams") === 2L)
+    assert(out(("a", 1)).getAs[Long]("distinct_milli") === 333L)
+    assert(out(("a", 2)).getAs[Long]("total_ngrams") === 4L)
+    assert(out(("a", 2)).getAs[Long]("distinct_ngrams") === 2L)
+    assert(out(("b", 3)).getAs[Long]("total_ngrams") === 1L)
+    assert(out(("b", 3)).getAs[Long]("distinct_milli") === 1000L)
+    // doc 'x y' has no trigram: group (a, 3) counts only the first doc's 2
+    assert(out(("a", 3)).getAs[Long]("total_ngrams") === 2L)
+  }
 }
