@@ -1331,6 +1331,35 @@ object TextQueries {
       Some(byteFertilityOracleSql))
     ,
 
+    // ---- tokenizer as a SERVED ARTIFACT: save -> load -> encode ------------
+    // The fourth persisted serving artifact (ANN index q154, inverted
+    // index q214, packed corpus q209): a vocabulary is trained ONCE and
+    // every later encode job loads the kilobyte merge table instead of
+    // re-reading the corpus. The row trains q185's exact model, writes
+    // it, RELOADS it, and encodes under the LOADED merges — sharing
+    // q185's oracle verbatim, so one drifted byte in the round-trip
+    // flips every document hash.
+    Q("q274_bpe_artifact",
+      (s, dir) => {
+        graft.text.BpeEncoder.register(s)
+        val d = t(s, dir, "documents")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bpe_artifact").toString
+        graft.text.BpeTrainer.save(s,
+          graft.text.BpeTrainer.fit(s, d, merges = 8), path)
+        val loaded = graft.text.BpeTrainer.load(s, path)
+        val doc = graft.text.BpeEncoder.encode(col("text"),
+          loaded.merges.map { case (a, b, _) => (a, b) })
+        d.select(col("doc_id"), doc.as("d"))
+          .select(col("doc_id"),
+            (length(col("d")) - length(replace(col("d"), lit("("), lit(""))))
+              .cast("long").as("n_pieces"),
+            md5(col("d")).as("pieces_md5"))
+          .orderBy("doc_id")
+      },
+      Some(bpeEncodeOracleSql))
+    ,
+
     // ---- ROUGE-L sufficient statistics (the eval tier's LCS member) -------
     // BLEU (q258) measures clipped n-gram overlap; summarization evals
     // report ROUGE-L, whose core is the LONGEST COMMON SUBSEQUENCE — a

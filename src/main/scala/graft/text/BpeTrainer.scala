@@ -280,6 +280,37 @@ object BpeTrainer {
   def byteString(piece: String): String =
     piece.map(c => (c.toInt - 256).toString).mkString("-")
 
+  /** Persist a trained model as a SERVED ARTIFACT (the tokenizer joins
+    * the ANN index / inverted index / packed corpus family): two
+    * parquet tables — `merges` (step, a, b, cnt; step carries the
+    * application order, the part of a BPE model that IS the model) and
+    * `alphabet` (idx, sym). Load reconstructs the model bit-for-bit, so
+    * a trained-once vocabulary serves every later encode job without
+    * retraining — at 100 TB, training reads the corpus once; encoding
+    * under a loaded artifact reads only these kilobyte tables.
+    */
+  def save(spark: SparkSession, model: BpeModel, path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((a, b, c), i) => (i + 1L, a, b, c) }
+      .toDF("step", "a", "b", "cnt")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/merges")
+    model.alphabet.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("idx", "sym")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/alphabet")
+  }
+
+  /** Load a [[save]]d model: merges back in training order. */
+  def load(spark: SparkSession, path: String): BpeModel = {
+    import spark.implicits._
+    val merges = spark.read.parquet(s"$path/merges")
+      .orderBy("step").select("a", "b", "cnt")
+      .as[(String, String, Long)].collect().toSeq
+    val alphabet = spark.read.parquet(s"$path/alphabet")
+      .orderBy("idx").select("sym").as[String].collect().toSeq
+    BpeModel(alphabet, merges)
+  }
+
   /** WordPiece-style training: each round fuses the pair maximizing the
     * LIKELIHOOD score count(a,b) / (count(a) * count(b)) — pairs that
     * co-occur far more than their parts' popularity predicts, which

@@ -202,6 +202,20 @@ class BpeSpec extends SparkSpec {
     assert(batM.rounds <= seqM.rounds)
   }
 
+  test("save/load round-trips the model bit-for-bit (served-artifact contract)") {
+    val d = Seq("low low low newest newest",
+      "lower lower newest newest widest").toDF("text")
+    for (m <- Seq(BpeTrainer.fit(spark, d, merges = 4),
+        BpeTrainer.fitBytes(spark, d, merges = 4))) {
+      val path = java.nio.file.Files.createTempDirectory("bpe_art").toString
+      BpeTrainer.save(spark, m, path)
+      val back = BpeTrainer.load(spark, path)
+      assert(back.merges === m.merges, "merge order is the model — must survive")
+      assert(back.alphabet === m.alphabet)
+      assert(back.vocab === m.vocab)
+    }
+  }
+
   test("native BpeEncode applies byte merges per pretoken (no-whitespace invariant)") {
     BpeEncoder.register(spark)
     val d = Seq("aaaa aaaa bb").toDF("text")
