@@ -73,6 +73,11 @@ object LzwCodec {
         if (code != EoiCode) { writeString(code); oldCode = code }
       } else {
         require(oldCode >= 0, "LZW stream does not start with ClearCode")
+        // a conformant encoder clears at 4094, so nextCode never reaches
+        // 4095 — a stream that doesn't must fail loudly, not overrun the
+        // 4096-entry table
+        require(nextCode < 4095,
+          "LZW table overflow: stream never emitted ClearCode")
         if (code < nextCode) {
           writeString(code)
           prefix(nextCode) = oldCode; append(nextCode) = first(code)
