@@ -111,7 +111,12 @@ object ShpReader {
   def readWithAttributes(spark: SparkSession, shpPath: String,
       dbfPath: Option[String] = None): DataFrame = {
     val sidecar = dbfPath.getOrElse(shpPath.replaceAll("\\.[Ss][Hh][Pp]$", "") + ".dbf")
-    if (!Files.exists(Paths.get(sidecar))) return read(spark, shpPath)
+    if (!Files.exists(Paths.get(sidecar))) {
+      // only the DERIVED sidecar may be legitimately absent (bare .shp
+      // upload); an EXPLICITLY named .dbf that is missing is caller error
+      require(dbfPath.isEmpty, s"dbf sidecar not found: $sidecar")
+      return read(spark, shpPath)
+    }
     val feats = parse(shpPath)
     val dbf = DbfReader.parse(sidecar)
     require(dbf.records.length == feats.length,

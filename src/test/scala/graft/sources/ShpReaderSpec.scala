@@ -155,5 +155,11 @@ class ShpReaderSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ShpReader.readWithAttributes(spark, dir.resolve("bare.shp").toString)
     }
+    // an EXPLICITLY named missing .dbf is caller error, never a silent
+    // fallback (only the derived sidecar may legitimately be absent)
+    intercept[IllegalArgumentException] {
+      ShpReader.readWithAttributes(spark, dir.resolve("bare.shp").toString,
+        dbfPath = Some(dir.resolve("nope.dbf").toString))
+    }
   }
 }
