@@ -306,6 +306,74 @@ object GeoQueries {
             THEN 30.0 + (x.x + 0.5) * 0.5 END AS DECIMAL(12,2))) AS DOUBLE) AS sum_x
         FROM px x
         GROUP BY b ORDER BY b"""))
+    ,
+
+    // ---- S4 parity: FULL shapefile-zip e2e (PolygonZ + multipart) ----------
+    // One record per nation key, rotating through the pyshp envelope:
+    // b%3==0 a PolygonZ (type 15, real Z block trailing the XY section —
+    // misreading Z as coordinates breaks area AND centroid), b%3==1 a
+    // multipart type-5 with two CW exteriors + a CCW hole (winding
+    // organization must split it into a 2-polygon MultiPolygon and attach
+    // the hole by containment), b%3==2 a Point. Geometry + .dbf
+    // attributes ride a REAL zip through [[graft.sources.ShapefileZip]]
+    // (archive walk, picker, case-variant .DBF sidecar). The output pins
+    // the reference's centroid quirk IN the oracle: `_calculate_centroid`
+    // handles only Point/Polygon, so MultiPolygon rows yield NULL lon/lat
+    // (village_admin_boundaries_etl_view.py:299-321). All coordinates are
+    // small exact integers (sums exact, one correctly-rounded division),
+    // so the closed-form oracle is hash-exact. Driver-side build is the
+    // upload-payload contract (request bodies, not bulk scans).
+    Q("q275_shapefile_zip_e2e",
+      (s, dir) => {
+        import graft.sources.{ShapefileZip, ShpWriter}
+        val keys = t(s, dir, "nation")
+          .select(col("n_nationkey").cast("int"))
+          .collect().map(_.getInt(0)).sorted.toSeq
+        def cw(x: Double, y: Double, side: Double) = Seq(
+          (x, y), (x, y + side), (x + side, y + side), (x + side, y), (x, y))
+        def ccw(x: Double, y: Double, side: Double) = Seq(
+          (x, y), (x + side, y), (x + side, y + side), (x, y + side), (x, y))
+        val recs: Seq[ShpWriter.Rec] = keys.map { b =>
+          val x0 = b.toDouble; val y0 = 2.0 * b
+          (b % 3) match {
+            case 0 => ShpWriter.PolyRec(Seq(cw(x0, y0, 1.0 + b % 4)), withZ = true)
+            case 1 => ShpWriter.PolyRec(Seq(
+              cw(x0, y0, 4.0), cw(x0 + 10.0, y0, 2.0), ccw(x0 + 1.0, y0 + 1.0, 1.0)))
+            case _ => ShpWriter.PointRec(1.5 * b, -b.toDouble)
+          }
+        }
+        val zip = ShpWriter.zipArchive(
+          "upload/villages.shp" -> ShpWriter.encode(recs),
+          "upload/villages.DBF" -> ShpWriter.dbf(
+            Seq(("VILL_NAME", 12)), keys.map(b => Seq(s"feat$b"))))
+        val c = graft.geo.GeoFunctions.stCentroidVertexMean(col("geom"))
+        ShapefileZip.read(s, zip).features.select(
+            col("feature_index"),
+            col("geometry_type"),
+            when(col("geometry_type") === "Polygon",
+              graft.geo.GeoFunctions.stArea(col("geom"))).as("area"),
+            when(col("geometry_type") === "MultiPolygon",
+              size(col("geom_multi"))).as("n_polys"),
+            c.getField("lon").as("lon"), // null geom ⇒ null centroid: the quirk
+            c.getField("lat").as("lat"),
+            col("properties")("VILL_NAME").as("vill_name"))
+          .orderBy("feature_index")
+      },
+      Some("""
+        WITH k AS (SELECT CAST(n_nationkey AS INT) AS b FROM nation)
+        SELECT
+          b AS feature_index,
+          CASE b % 3 WHEN 0 THEN 'Polygon' WHEN 1 THEN 'MultiPolygon'
+            ELSE 'Point' END AS geometry_type,
+          CASE WHEN b % 3 = 0
+            THEN CAST((1 + b % 4) * (1 + b % 4) AS DOUBLE) END AS area,
+          CASE WHEN b % 3 = 1 THEN 2 END AS n_polys,
+          CASE WHEN b % 3 = 0 THEN (5.0 * b + 2.0 * (1 + b % 4)) / 5.0
+               WHEN b % 3 = 2 THEN 1.5 * b END AS lon,
+          CASE WHEN b % 3 = 0 THEN (10.0 * b + 2.0 * (1 + b % 4)) / 5.0
+               WHEN b % 3 = 2 THEN CAST(-b AS DOUBLE) END AS lat,
+          'feat' || b AS vill_name
+        FROM k ORDER BY feature_index"""))
   )
 
   /** The q115 test ring: a 25-vertex closed square (side 6, corner at

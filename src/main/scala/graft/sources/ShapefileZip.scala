@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.io.ByteArrayInputStream
 import java.util.zip.ZipInputStream
 import scala.collection.mutable
@@ -26,12 +26,23 @@ object ShapefileZip {
       features: DataFrame,
       prjWkt: Option[String])
 
-  /** All entries of a zip archive, fully read (names normalized to
-    * forward slashes; directories skipped).
+  /** Hard ceiling on TOTAL decompressed bytes across the archive (default
+    * 1 GiB — far above any real admin-boundary upload, far below driver
+    * heap): uploads are untrusted request bodies, and a zip bomb must
+    * fail loudly here, before any shapefile validation, instead of
+    * OOMing the driver.
     */
-  def entries(zipBytes: Array[Byte]): Map[String, Array[Byte]] = {
+  val DefaultMaxDecompressedBytes: Long = 1L << 30
+
+  /** All entries of a zip archive, fully read (names normalized to
+    * forward slashes; directories skipped). Fails loudly when the
+    * archive inflates past `maxDecompressedBytes`.
+    */
+  def entries(zipBytes: Array[Byte],
+      maxDecompressedBytes: Long = DefaultMaxDecompressedBytes): Map[String, Array[Byte]] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(zipBytes))
     val out = mutable.LinkedHashMap[String, Array[Byte]]()
+    var total = 0L
     try {
       var e = zin.getNextEntry
       while (e != null) {
@@ -39,7 +50,13 @@ object ShapefileZip {
           val buf = new java.io.ByteArrayOutputStream()
           val chunk = new Array[Byte](8192)
           var n = zin.read(chunk)
-          while (n > 0) { buf.write(chunk, 0, n); n = zin.read(chunk) }
+          while (n > 0) {
+            total += n
+            require(total <= maxDecompressedBytes,
+              s"zip inflates past $maxDecompressedBytes decompressed bytes " +
+                s"(at entry ${e.getName}) — refusing a likely zip bomb")
+            buf.write(chunk, 0, n); n = zin.read(chunk)
+          }
           out += e.getName.replace('\\', '/') -> buf.toByteArray
         }
         zin.closeEntry()
@@ -91,8 +108,7 @@ object ShapefileZip {
         case Some(d) if !d.records(i).deleted => d.records(i).toMap(d.fields)
         case _ => Map.empty[String, String]
       }
-      Row(f.featureIndex, f.geometryType,
-        f.rings.map(_.map(p => Seq(p._1, p._2))), props)
+      ShpReader.featureRow(f, props)
     }
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toList, 1), ShpReader.frameSchema)

@@ -105,6 +105,18 @@ class ShapefileZipSpec extends SparkSpec {
     assert(math.abs(pt.getDouble(1) - (-5.2)) < 1e-6)
   }
 
+  test("zip bomb fails loudly at the decompressed-byte ceiling, not at driver OOM") {
+    // 8 MiB of zeros compresses to a few KiB; a 1 MiB ceiling must trip
+    // while draining, before any shapefile validation sees the payload
+    val bomb = zipOf("innocent.shp" -> new Array[Byte](8 << 20))
+    val ex = intercept[IllegalArgumentException] {
+      ShapefileZip.entries(bomb, maxDecompressedBytes = 1 << 20)
+    }
+    assert(ex.getMessage.contains("zip bomb"))
+    // the default ceiling leaves real uploads untouched
+    assert(ShapefileZip.entries(bomb)("innocent.shp").length == (8 << 20))
+  }
+
   test("zip without any .shp is loud; shp-only zip still reads bare") {
     intercept[IllegalArgumentException] {
       ShapefileZip.read(spark, zipOf("a.txt" -> "x".getBytes("UTF-8")))

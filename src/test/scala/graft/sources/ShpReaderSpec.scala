@@ -4,69 +4,207 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Builds a tiny .shp byte-for-byte per the public ESRI spec and reads it
-  * back through [[ShpReader]] into the GeoJson feature frame.
+/** Builds tiny .shp files byte-for-byte per the public ESRI spec and reads
+  * them back through [[ShpReader]] into the GeoJson feature frame — now
+  * covering the full pyshp shape-type surface: Z/M variants (XY parsed,
+  * Z/M blocks skipped), MultiPoint, multi-part PolyLine, and winding-based
+  * polygon-ring organization into Polygon/MultiPolygon.
   */
 class ShpReaderSpec extends SparkSpec {
 
-  /** One Polygon record (2 rings: square + hole triangle) + one Point. */
-  private def fixtureBytes: Array[Byte] = {
-    def polygonContent: Array[Byte] = {
-      val rings = Seq(
-        Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)),
-        Seq((1.0, 1.0), (2.0, 1.0), (1.0, 2.0), (1.0, 1.0)))
-      val numPoints = rings.map(_.size).sum
-      val buf = ByteBuffer.allocate(4 + 32 + 8 + 4 * rings.size + 16 * numPoints)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      buf.putInt(5) // Polygon
-      buf.putDouble(0).putDouble(0).putDouble(4).putDouble(4) // box
-      buf.putInt(rings.size).putInt(numPoints)
-      var start = 0
-      rings.foreach { r => buf.putInt(start); start += r.size }
-      rings.flatten.foreach { case (x, y) => buf.putDouble(x).putDouble(y) }
-      buf.array()
+  private type Ring = Seq[(Double, Double)]
+
+  // ---- byte-level fixture builders ----------------------------------------
+
+  /** Polygon/PolyLine-family record content. For Z/M variants the spec
+    * appends [range + per-point values] blocks after the XY section; we
+    * write real (nonzero) Z/M values so a parser that misreads them as
+    * coordinates fails loudly in the asserts.
+    */
+  private def partsContent(shapeType: Int, rings: Seq[Ring],
+      withZ: Boolean = false, withM: Boolean = false): Array[Byte] = {
+    val numPoints = rings.map(_.size).sum
+    val zBytes = if (withZ) 16 + 8 * numPoints else 0
+    val mBytes = if (withM) 16 + 8 * numPoints else 0
+    val buf = ByteBuffer
+      .allocate(4 + 32 + 8 + 4 * rings.size + 16 * numPoints + zBytes + mBytes)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(shapeType)
+    val xs = rings.flatten.map(_._1); val ys = rings.flatten.map(_._2)
+    buf.putDouble(xs.min).putDouble(ys.min).putDouble(xs.max).putDouble(ys.max)
+    buf.putInt(rings.size).putInt(numPoints)
+    var start = 0
+    rings.foreach { r => buf.putInt(start); start += r.size }
+    rings.flatten.foreach { case (x, y) => buf.putDouble(x).putDouble(y) }
+    if (withZ) {
+      buf.putDouble(100.0).putDouble(200.0)
+      (0 until numPoints).foreach(i => buf.putDouble(100.0 + i))
     }
-    def pointContent: Array[Byte] = {
-      val buf = ByteBuffer.allocate(4 + 16).order(ByteOrder.LITTLE_ENDIAN)
-      buf.putInt(1).putDouble(2.5).putDouble(3.5)
-      buf.array()
+    if (withM) {
+      buf.putDouble(1.0).putDouble(2.0)
+      (0 until numPoints).foreach(i => buf.putDouble(1.0 + i * 0.25))
     }
-    val recs = Seq(polygonContent, pointContent)
+    buf.array()
+  }
+
+  private def pointContent(shapeType: Int, x: Double, y: Double,
+      extraDoubles: Int = 0): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + 16 + 8 * extraDoubles).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(shapeType).putDouble(x).putDouble(y)
+    (0 until extraDoubles).foreach(i => buf.putDouble(500.0 + i))
+    buf.array()
+  }
+
+  private def multiPointContent(shapeType: Int, pts: Seq[(Double, Double)],
+      zmBlocks: Int = 0): Array[Byte] = {
+    val buf = ByteBuffer
+      .allocate(4 + 32 + 4 + 16 * pts.size + zmBlocks * (16 + 8 * pts.size))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(shapeType)
+    buf.putDouble(pts.map(_._1).min).putDouble(pts.map(_._2).min)
+    buf.putDouble(pts.map(_._1).max).putDouble(pts.map(_._2).max)
+    buf.putInt(pts.size)
+    pts.foreach { case (x, y) => buf.putDouble(x).putDouble(y) }
+    (0 until zmBlocks).foreach { b =>
+      buf.putDouble(10.0 * b).putDouble(10.0 * b + 1)
+      pts.indices.foreach(i => buf.putDouble(10.0 * b + i))
+    }
+    buf.array()
+  }
+
+  /** Assemble record contents into a complete .shp byte stream. */
+  private def shpFile(recs: Seq[Array[Byte]], headerShapeType: Int = 5): Array[Byte] = {
     val total = 100 + recs.map(8 + _.length).sum
     val buf = ByteBuffer.allocate(total)
     buf.order(ByteOrder.BIG_ENDIAN)
-    buf.putInt(9994) // file code
+    buf.putInt(9994)
     (0 until 5).foreach(_ => buf.putInt(0))
-    buf.putInt(total / 2) // file length in 16-bit words
+    buf.putInt(total / 2)
     buf.order(ByteOrder.LITTLE_ENDIAN)
-    buf.putInt(1000) // version
-    buf.putInt(5)    // shape type
-    (0 until 8).foreach(_ => buf.putDouble(0)) // bbox + z/m ranges
+    buf.putInt(1000).putInt(headerShapeType)
+    (0 until 8).foreach(_ => buf.putDouble(0))
     recs.zipWithIndex.foreach { case (content, i) =>
       buf.order(ByteOrder.BIG_ENDIAN)
-      buf.putInt(i + 1)              // record number, 1-based
-      buf.putInt(content.length / 2) // content length in words
+      buf.putInt(i + 1)
+      buf.putInt(content.length / 2)
       buf.put(content)
     }
     buf.array()
   }
+
+  // spec-correct windings: exterior CLOCKWISE (negative signed area),
+  // holes counter-clockwise
+  private val squareCw: Ring = Seq((0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0))
+  private val holeTriCcw: Ring = Seq((1.0, 1.0), (2.0, 1.0), (1.0, 2.0), (1.0, 1.0))
+
+  /** One Polygon record (CW square + CCW hole) + one Point — the original
+    * S4 fixture with spec-correct winding.
+    */
+  private def fixtureBytes: Array[Byte] =
+    shpFile(Seq(partsContent(5, Seq(squareCw, holeTriCcw)), pointContent(1, 2.5, 3.5)))
+
+  // ---- parsing -------------------------------------------------------------
 
   test("parses polygon rings and point records per the ESRI layout") {
     val feats = ShpReader.parseBytes(fixtureBytes)
     assert(feats.size == 2)
     val poly = feats(0)
     assert(poly.geometryType == "Polygon" && poly.rings.size == 2)
-    assert(poly.rings(0).size == 5 && poly.rings(0).head == ((0.0, 0.0)))
-    assert(poly.rings(1) == Seq((1.0, 1.0), (2.0, 1.0), (1.0, 2.0), (1.0, 1.0)))
+    assert(poly.rings(0) == squareCw)
+    assert(poly.rings(1) == holeTriCcw)
     assert(feats(1).geometryType == "Point")
     assert(feats(1).rings == Seq(Seq((2.5, 3.5))))
   }
+
+  test("Z/M variants parse XY identically, skipping the trailing Z/M blocks") {
+    val feats = ShpReader.parseBytes(shpFile(Seq(
+      partsContent(15, Seq(squareCw, holeTriCcw), withZ = true, withM = true), // PolygonZ
+      partsContent(25, Seq(squareCw), withM = true),                           // PolygonM
+      pointContent(11, 2.5, 3.5, extraDoubles = 2),                            // PointZ (z+m)
+      pointContent(21, 7.5, 8.5, extraDoubles = 1),                            // PointM
+      partsContent(13, Seq(Seq((0.0, 0.0), (1.0, 1.0)),
+        Seq((5.0, 5.0), (6.0, 5.0), (7.0, 4.0))), withZ = true))))             // PolyLineZ, 2 parts
+    assert(feats.map(_.geometryType) ==
+      Seq("Polygon", "Polygon", "Point", "Point", "MultiLineString"))
+    assert(feats(0).rings == Seq(squareCw, holeTriCcw))
+    assert(feats(1).rings == Seq(squareCw))
+    assert(feats(2).rings == Seq(Seq((2.5, 3.5))))
+    assert(feats(3).rings == Seq(Seq((7.5, 8.5))))
+    assert(feats(4).rings(1) == Seq((5.0, 5.0), (6.0, 5.0), (7.0, 4.0)))
+  }
+
+  test("MultiPoint family parses its point set (Z/M blocks skipped)") {
+    val pts = Seq((1.0, 2.0), (3.0, 4.0), (5.0, 6.0))
+    val feats = ShpReader.parseBytes(shpFile(Seq(
+      multiPointContent(8, pts),
+      multiPointContent(18, pts, zmBlocks = 2),
+      multiPointContent(28, pts, zmBlocks = 1))))
+    assert(feats.map(_.geometryType) == Seq("MultiPoint", "MultiPoint", "MultiPoint"))
+    assert(feats.forall(_.rings == Seq(pts)))
+  }
+
+  test("single-part PolyLine stays LineString; multi-part becomes MultiLineString") {
+    val feats = ShpReader.parseBytes(shpFile(Seq(
+      partsContent(3, Seq(Seq((0.0, 0.0), (1.0, 1.0)))),
+      partsContent(3, Seq(Seq((0.0, 0.0), (1.0, 1.0)), Seq((2.0, 2.0), (3.0, 3.0)))))))
+    assert(feats.map(_.geometryType) == Seq("LineString", "MultiLineString"))
+  }
+
+  // ---- ring organization (pyshp organize_polygon_rings parity) -------------
+
+  test("multipart polygon with two exteriors splits into MultiPolygon by winding") {
+    // rings deliberately interleaved in the file: exterior A, exterior B,
+    // then A's hole — assignment must be by containment, not file order
+    val extB: Ring = Seq((10.0, 0.0), (10.0, 3.0), (13.0, 3.0), (13.0, 0.0), (10.0, 0.0))
+    val holeA: Ring = Seq((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0))
+    val feats = ShpReader.parseBytes(
+      shpFile(Seq(partsContent(5, Seq(squareCw, extB, holeA)))))
+    assert(feats.size == 1)
+    val f = feats(0)
+    assert(f.geometryType == "MultiPolygon")
+    assert(f.polygons == Seq(Seq(squareCw, holeA), Seq(extB)))
+    // flattened rings ride `rings` in organized order
+    assert(f.rings == Seq(squareCw, holeA, extB))
+  }
+
+  test("PolygonZ multipart also splits (same XY machinery through the Z path)") {
+    val extB: Ring = Seq((10.0, 0.0), (10.0, 3.0), (13.0, 3.0), (13.0, 0.0), (10.0, 0.0))
+    val feats = ShpReader.parseBytes(
+      shpFile(Seq(partsContent(15, Seq(squareCw, extB), withZ = true))))
+    assert(feats(0).geometryType == "MultiPolygon")
+    assert(feats(0).polygons == Seq(Seq(squareCw), Seq(extB)))
+  }
+
+  test("organizePolygonRings: orphan holes promote; nested exterior wins by area") {
+    // orphan: CCW ring outside every exterior becomes its own polygon
+    val orphan: Ring = Seq((50.0, 50.0), (51.0, 50.0), (51.0, 51.0), (50.0, 50.0))
+    val extB: Ring = Seq((10.0, 0.0), (10.0, 3.0), (13.0, 3.0), (13.0, 0.0), (10.0, 0.0))
+    assert(ShpReader.organizePolygonRings(Seq(squareCw, extB, orphan)) ==
+      Seq(Seq(squareCw), Seq(extB), Seq(orphan)))
+    // nested: a small CW exterior inside the big one; a hole inside BOTH
+    // bboxes+rings attaches to the smaller (most-immediate) exterior
+    val nested: Ring = Seq((0.5, 0.5), (0.5, 3.5), (3.5, 3.5), (3.5, 0.5), (0.5, 0.5))
+    val hole: Ring = Seq((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0))
+    assert(ShpReader.organizePolygonRings(Seq(squareCw, nested, hole)) ==
+      Seq(Seq(squareCw), Seq(nested, hole)))
+    // all-CCW (wrong-wound) record: every ring degrades to its own exterior
+    val ccwSquare = squareCw.reverse
+    assert(ShpReader.organizePolygonRings(Seq(ccwSquare, holeTriCcw)) ==
+      Seq(Seq(ccwSquare), Seq(holeTriCcw)))
+    // single ring of either winding is a plain Polygon
+    assert(ShpReader.organizePolygonRings(Seq(ccwSquare)) == Seq(Seq(ccwSquare)))
+    assert(ShpReader.parseBytes(shpFile(Seq(partsContent(5, Seq(ccwSquare)))))
+      .head.geometryType == "Polygon")
+  }
+
+  // ---- frame ---------------------------------------------------------------
 
   test("reads into the GeoJson feature frame; geo layer runs unchanged") {
     val path = java.nio.file.Files.createTempFile("fixture", ".shp")
     java.nio.file.Files.write(path, fixtureBytes)
     val df = ShpReader.read(spark, path.toString)
-    assert(df.columns.toSeq == Seq("feature_index", "geometry_type", "geom", "properties"))
+    assert(df.columns.toSeq ==
+      Seq("feature_index", "geometry_type", "geom", "geom_multi", "properties"))
     val poly = df.filter(col("geometry_type") === "Polygon")
     // shoelace area over the ring encoding: 16 (square) - 0.5 (hole) = 15.5
     val area = poly.select(graft.geo.GeoFunctions.stArea(col("geom"))).head().getDouble(0)
@@ -75,15 +213,47 @@ class ShpReaderSpec extends SparkSpec {
     assert(poly.select(graft.geo.GeoFunctions.stIsValidPolygon(col("geom"))).head().getBoolean(0))
   }
 
-  test("rejects non-shapefile bytes") {
+  test("MultiPolygon frame row: geom null (centroid quirk), geom_multi full") {
+    val extB: Ring = Seq((10.0, 0.0), (10.0, 3.0), (13.0, 3.0), (13.0, 0.0), (10.0, 0.0))
+    val path = java.nio.file.Files.createTempFile("multi", ".shp")
+    java.nio.file.Files.write(path,
+      shpFile(Seq(partsContent(5, Seq(squareCw, extB, holeTriCcw)),
+        partsContent(5, Seq(squareCw)))))
+    val df = ShpReader.read(spark, path.toString)
+    val multi = df.filter(col("geometry_type") === "MultiPolygon")
+    // the reference's _calculate_centroid handles only Point/Polygon and
+    // returns (None, None) for MultiPolygon
+    // (village_admin_boundaries_etl_view.py:299-321) — preserved: the
+    // polygon-rank geom is null, so the vertex-mean centroid is null/null
+    val c = multi.select(graft.geo.GeoFunctions.stCentroidVertexMean(col("geom")).as("c"))
+      .select(col("c.lon"), col("c.lat")).head()
+    assert(c.isNullAt(0) && c.isNullAt(1))
+    // but the geometry itself is NOT lost: geom_multi carries both polygons
+    val gm = multi.select(size(col("geom_multi"))).head().getInt(0)
+    assert(gm == 2)
+    // and the plain-Polygon row still centroids normally
+    val cp = df.filter(col("geometry_type") === "Polygon")
+      .select(graft.geo.GeoFunctions.stCentroidVertexMean(col("geom")).as("c"))
+      .select(col("c.lon"), col("c.lat")).head()
+    assert(math.abs(cp.getDouble(0) - 1.6) < 1e-9) // (0+0+4+4+0)/5
+    assert(math.abs(cp.getDouble(1) - 1.6) < 1e-9) // (0+4+4+0+0)/5
+  }
+
+  test("rejects non-shapefile bytes and MultiPatch") {
     intercept[IllegalArgumentException] {
       ShpReader.parseBytes(Array.fill[Byte](128)(7))
     }
+    // MultiPatch (31) stays a loud failure, not silent data loss
+    val mp = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(31).array()
+    intercept[IllegalArgumentException] {
+      ShpReader.parseBytes(shpFile(Seq(mp)))
+    }
   }
+
+  // ---- .dbf pairing ---------------------------------------------------------
 
   /** A matching 2-record .dbf for [[fixtureBytes]] (polygon + point). */
   private def dbfSidecar(deleteSecond: Boolean = false): Array[Byte] = {
-    import java.nio.{ByteBuffer, ByteOrder}
     val fields = Seq(("VILLAGE", 'C', 10), ("POP", 'N', 6))
     val rows = Seq(
       (false, Seq("Kigarama  ", "  1250")),
@@ -118,7 +288,8 @@ class ShpReaderSpec extends SparkSpec {
     java.nio.file.Files.write(shp, fixtureBytes)
     java.nio.file.Files.write(dbf, dbfSidecar())
     val df = ShpReader.readWithAttributes(spark, shp.toString)
-    assert(df.columns.toSeq == Seq("feature_index", "geometry_type", "geom", "properties"))
+    assert(df.columns.toSeq ==
+      Seq("feature_index", "geometry_type", "geom", "geom_multi", "properties"))
     val rows = df.orderBy("feature_index")
       .select(col("geometry_type"), col("properties")).collect()
     assert(rows(0).getString(0) === "Polygon")
@@ -126,6 +297,16 @@ class ShpReaderSpec extends SparkSpec {
       Map("VILLAGE" -> "Kigarama", "POP" -> "1250"))
     assert(rows(1).getMap[String, String](1).toMap ===
       Map("VILLAGE" -> "Remera", "POP" -> "980"))
+  }
+
+  test("readWithAttributes probes sidecar case variants (.DBF from zip tools)") {
+    val dir = java.nio.file.Files.createTempDirectory("shpcase")
+    java.nio.file.Files.write(dir.resolve("v.shp"), fixtureBytes)
+    java.nio.file.Files.write(dir.resolve("v.DBF"), dbfSidecar())
+    val rows = ShpReader.readWithAttributes(spark, dir.resolve("v.shp").toString)
+      .orderBy("feature_index").select(col("properties")).collect()
+    assert(rows(0).getMap[String, String](0).toMap ===
+      Map("VILLAGE" -> "Kigarama", "POP" -> "1250"))
   }
 
   test("readWithAttributes: deleted .dbf row keeps geometry with empty properties") {
