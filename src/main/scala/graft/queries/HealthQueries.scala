@@ -289,5 +289,54 @@ object HealthQueries {
             rate(s"SUM(CASE WHEN year = $y AND is_positive THEN 1 ELSE 0 END)",
               s"COUNT(CASE WHEN year = $y THEN 1 END)") + s" AS y$y").mkString(",\n          ")}
         FROM lab GROUP BY month ORDER BY month"""))
+    ,
+
+    // ---- S1 parity: UTF-16LE lab-CSV ingest ≡ UTF-8 ingest -----------------
+    // The reference accepts Windows/Excel lab exports because chardet
+    // runs before pd.read_csv (health_center_lab__data_upload_views.py:
+    // 60-70) — UTF-16 variants included. This row writes the SAME lab
+    // rows as a UTF-8 CSV and as a BOM'd CRLF UTF-16LE CSV (the Excel
+    // "Unicode Text" shape), ingests both through CsvSource's sniff →
+    // transcode path, and emits the UTF-16 frame plus a per-row equality
+    // bit against the UTF-8 frame. Any BOM residue, NUL interleave,
+    // replacement char, or retained \r flips the hash. Driver-side file
+    // build is the upload-payload contract (request bodies, not bulk
+    // scans); the accented character crosses Scala → UTF-16LE bytes →
+    // transcode → Spark and must land identical to DuckDB's chr(233).
+    Q("q276_csv_utf16_ingest",
+      (s, dir) => {
+        import graft.sources.CsvSource
+        import java.nio.file.Files
+        val keys = t(s, dir, "nation")
+          .select(col("n_nationkey").cast("int"), col("n_name"))
+          .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+        val body = "lab_id,name,village,result\r\n" + keys.map { case (k, n) =>
+          s"$k,$n,Villé_${k % 7},${if (k % 3 == 0) "POSITIVE" else "neg"}"
+        }.mkString("\r\n") + "\r\n"
+        val d0 = Files.createTempDirectory("graft_csv16")
+        val p8 = d0.resolve("lab_utf8.csv"); val p16 = d0.resolve("lab_utf16.csv")
+        Files.write(p8, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Files.write(p16,
+          Array[Byte](0xFF.toByte, 0xFE.toByte) ++ body.getBytes("UTF-16LE"))
+        require(CsvSource.detectEncoding(p16.toString) == "UTF-16LE",
+          "UTF-16LE lab export must be detected, not read as latin-1 garbage")
+        val utf16 = CsvSource.read(s, p16.toString, inferSchema = false)
+        val utf8 = CsvSource.read(s, p8.toString, inferSchema = false)
+          .select(col("lab_id").cast("int").as("lab_id"),
+            concat_ws("|", col("name"), col("village"), col("result")).as("row8"))
+        utf16.select(col("lab_id").cast("int").as("lab_id"), col("name"),
+            col("village"), col("result"))
+          .join(utf8, Seq("lab_id"))
+          .select(col("lab_id"), col("name"), col("village"), col("result"),
+            (concat_ws("|", col("name"), col("village"), col("result")) === col("row8"))
+              .as("matches_utf8"))
+          .orderBy("lab_id")
+      },
+      Some("""
+        SELECT CAST(n_nationkey AS INT) AS lab_id, n_name AS name,
+          'Vill' || chr(233) || '_' || CAST(n_nationkey % 7 AS VARCHAR) AS village,
+          CASE WHEN n_nationkey % 3 = 0 THEN 'POSITIVE' ELSE 'neg' END AS result,
+          TRUE AS matches_utf8
+        FROM nation ORDER BY lab_id"""))
   )
 }

@@ -2,13 +2,31 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.charset.{Charset, CharsetDecoder, CodingErrorAction, StandardCharsets}
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 
 /** S1: encoding-aware CSV ingestion. The reference sniffs bytes with
   * chardet before pandas parses (health_center_lab__data_upload_views.py:
-  * 55-70); Spark needs the charset declared up front, so we probe a small
-  * prefix driver-side (cheap: one file head, not a data pass) and pass the
-  * winner to the distributed reader.
+  * 55-70; malaria_htmis_api_upload_view.py:122-129) — and chardet
+  * identifies BOM-carrying and BOM-less UTF-16/32 Windows/Excel exports,
+  * not just the byte-probe ladder. Detection order here mirrors that:
+  *
+  *   1. BOM sniff (UTF-32LE/BE, UTF-16LE/BE, UTF-8).
+  *   2. NUL-density probe for BOM-less UTF-16 (ASCII-heavy UTF-16 text is
+  *      ~half NUL bytes; their parity says LE vs BE). Without this, the
+  *      latin-1 fallback — which never fails — would "succeed" on a
+  *      UTF-16 CSV as NUL-interleaved garbage: the one silent-wrong-data
+  *      path the probe ladder had.
+  *   3. The strict-decode ladder UTF-8 → windows-1252 → latin-1.
+  *
+  * Spark's distributed CSV reader needs a charset declared up front, and
+  * its line-oriented split handles multi-byte-unit charsets poorly (BOM
+  * lands in the first header cell, a CRLF terminator leaves a trailing
+  * \r on the last field) — so wide-charset files are TRANSCODED to UTF-8
+  * driver-side first, BOM stripped, exactly what `pd.read_csv(encoding=…)`
+  * does in the reference. That is sound at scale for the same reason the
+  * probe is: these are upload request bodies (MBs, already on the
+  * driver), not bulk scans — a 100-TB corpus lands as parquet/UTF-8, and
+  * the distributed frame starts at the returned DataFrame either way.
   */
 object CsvSource {
 
@@ -17,10 +35,51 @@ object CsvSource {
     Charset.forName("windows-1252"),
     StandardCharsets.ISO_8859_1)
 
-  /** Detect the charset of a file from its first `probeBytes` bytes: first
-    * candidate that decodes without error wins (UTF-8's strictness makes it
-    * a reliable first probe; latin-1 never fails and is the fallback, same
-    * ladder the reference's chardet usage effectively lands on).
+  /** Charsets whose files must transcode before the line-split reader. */
+  private val WideCharsets =
+    Set("UTF-16LE", "UTF-16BE", "UTF-32LE", "UTF-32BE")
+
+  /** BOM table, longest-prefix-first (UTF-32LE's FF FE 00 00 must win
+    * over UTF-16LE's FF FE).
+    */
+  private val Boms: Seq[(Array[Byte], String)] = Seq(
+    Array[Byte](0x00, 0x00, 0xFE.toByte, 0xFF.toByte) -> "UTF-32BE",
+    Array[Byte](0xFF.toByte, 0xFE.toByte, 0x00, 0x00) -> "UTF-32LE",
+    Array[Byte](0xFE.toByte, 0xFF.toByte) -> "UTF-16BE",
+    Array[Byte](0xFF.toByte, 0xFE.toByte) -> "UTF-16LE",
+    Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) -> "UTF-8")
+
+  private def bomCharset(bytes: Array[Byte]): Option[String] =
+    Boms.collectFirst {
+      case (bom, cs) if bytes.length >= bom.length &&
+        bom.indices.forall(i => bytes(i) == bom(i)) => cs
+    }
+
+  /** BOM-less UTF-16 heuristic: a text probe that is ≥ 20% NUL bytes is
+    * not any single-byte or UTF-8 encoding; the NULs' parity picks the
+    * endianness (ASCII 'a' is `61 00` in LE — NULs at odd offsets — and
+    * `00 61` in BE).
+    */
+  private def nulProbe(bytes: Array[Byte]): Option[String] = {
+    if (bytes.length < 8) return None
+    var even = 0; var odd = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0) { if (i % 2 == 0) even += 1 else odd += 1 }
+      i += 1
+    }
+    val frac = (even + odd).toDouble / bytes.length
+    if (frac < 0.2) None
+    else if (odd > even) Some("UTF-16LE")
+    else Some("UTF-16BE")
+  }
+
+  /** Detect the charset of a file from its first `probeBytes` bytes:
+    * BOM, then the NUL-density UTF-16 probe, then the first strict
+    * candidate that decodes without error (UTF-8's strictness makes it a
+    * reliable first probe; latin-1 never fails and is the fallback, the
+    * ladder the reference's chardet usage effectively lands on for
+    * single-byte text).
     */
   def detectEncoding(path: String, probeBytes: Int = 64 * 1024): String = {
     val f = Paths.get(path)
@@ -30,35 +89,89 @@ object CsvSource {
     val in = Files.newInputStream(f)
     try { var off = 0; while (off < n) { val r = in.read(bytes, off, n - off); if (r < 0) off = n else off += r } }
     finally in.close()
-    // when the probe is a PREFIX of a larger file, decode with
-    // endOfInput=false so a multibyte sequence split at the probe
-    // boundary reads as "underflow, more input coming" instead of
-    // malformed — a hard-truncated decode() misdetected valid UTF-8
-    // files larger than the probe as windows-1252
-    val complete = n.toLong == size
-    candidates.find { cs =>
-      val dec: CharsetDecoder = cs.newDecoder()
-        .onMalformedInput(CodingErrorAction.REPORT)
-        .onUnmappableCharacter(CodingErrorAction.REPORT)
-      val out = java.nio.CharBuffer.allocate(n + 1)
-      val res = dec.decode(java.nio.ByteBuffer.wrap(bytes), out, complete)
-      val flushed = if (complete && !res.isError) dec.flush(out) else res
-      !res.isError && !flushed.isError
-    }.getOrElse(StandardCharsets.ISO_8859_1).name()
+    bomCharset(bytes).orElse(nulProbe(bytes)).getOrElse {
+      // when the probe is a PREFIX of a larger file, decode with
+      // endOfInput=false so a multibyte sequence split at the probe
+      // boundary reads as "underflow, more input coming" instead of
+      // malformed — a hard-truncated decode() misdetected valid UTF-8
+      // files larger than the probe as windows-1252
+      val complete = n.toLong == size
+      candidates.find { cs =>
+        val dec: CharsetDecoder = cs.newDecoder()
+          .onMalformedInput(CodingErrorAction.REPORT)
+          .onUnmappableCharacter(CodingErrorAction.REPORT)
+        val out = java.nio.CharBuffer.allocate(n + 1)
+        val res = dec.decode(java.nio.ByteBuffer.wrap(bytes), out, complete)
+        val flushed = if (complete && !res.isError) dec.flush(out) else res
+        !res.isError && !flushed.isError
+      }.getOrElse(StandardCharsets.ISO_8859_1).name()
+    }
+  }
+
+  /** Stream-transcode `src` to a UTF-8 temp file, decoding with
+    * `charsetName` and dropping a leading BOM/ZWNBSP. Malformed input is
+    * a LOUD failure (CodingErrorAction.REPORT): a mis-detected wide file
+    * must error, not ship U+FFFD rows into the frame.
+    */
+  private[sources] def transcodeToUtf8(src: Path, charsetName: String): Path = {
+    val dec = Charset.forName(charsetName).newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    val out = Files.createTempFile("graft_csv_utf8_", ".csv")
+    val reader = new java.io.InputStreamReader(Files.newInputStream(src), dec)
+    val writer = new java.io.OutputStreamWriter(
+      Files.newOutputStream(out), StandardCharsets.UTF_8)
+    try {
+      val buf = new Array[Char](64 * 1024)
+      var first = true
+      var n = reader.read(buf)
+      while (n > 0) {
+        var start = 0
+        if (first && buf(0) == '\uFEFF') start = 1
+        first = false
+        writer.write(buf, start, n - start)
+        n = reader.read(buf)
+      }
+    } finally { reader.close(); writer.close() }
+    out
   }
 
   /** Header CSV scan with sniffed encoding; schema inference can be
-    * replaced by an explicit schema for production reads.
+    * replaced by an explicit schema for production reads. Wide charsets
+    * (UTF-16/32, either endianness, BOM or not) and BOM-carrying UTF-8
+    * transcode to a clean UTF-8 copy first (see class doc), so the frame
+    * is identical to what a UTF-8 ingest of the same rows produces.
     */
   def read(spark: SparkSession, path: String,
       inferSchema: Boolean = true): DataFrame = {
     // Spark 4 whitelists CSV charsets; allow the full JVM charset set so
     // sniffed encodings like windows-1252 read natively.
     spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    val detected = detectEncoding(path)
+    val p = Paths.get(path)
+    val (readPath, encoding) =
+      if (WideCharsets.contains(detected))
+        (transcodeToUtf8(p, detected).toString, "UTF-8")
+      else if (detected == "UTF-8" && hasUtf8Bom(p))
+        (transcodeToUtf8(p, "UTF-8").toString, "UTF-8")
+      else (path, detected)
     spark.read
       .option("header", "true")
-      .option("encoding", detectEncoding(path))
+      .option("encoding", encoding)
       .option("inferSchema", inferSchema.toString)
-      .csv(path)
+      .csv(readPath)
+  }
+
+  private def hasUtf8Bom(p: Path): Boolean = {
+    val in = Files.newInputStream(p)
+    try {
+      val head = new Array[Byte](3)
+      var off = 0
+      while (off < 3) {
+        val r = in.read(head, off, 3 - off)
+        if (r < 0) return false else off += r
+      }
+      head(0) == 0xEF.toByte && head(1) == 0xBB.toByte && head(2) == 0xBF.toByte
+    } finally in.close()
   }
 }
