@@ -271,7 +271,11 @@ object GeoQueries {
               tile = if ((b / 3) % 2 == 1) Some((16, 16)) else None,
               rowsPerStrip = 9,
               sampleFormat = if (intVariant) 1 else 3,
-              bits = if (intVariant) 16 else 32)
+              bits = if (intVariant) 16 else 32,
+              // odd keys emit BigTIFF (magic 43, 64-bit offsets/LONG8):
+              // half the board crosses the >4 GiB-layout GDAL switches to,
+              // same closed-form oracle hash
+              bigTiff = b % 2 == 1)
             val tiff = TiffWriter.encode(W, H, vals, layout,
               0.5, 0.25, 30.0, -1.0,
               nodata = Some(if (intVariant) 65535.0 else -9999.0))

@@ -56,26 +56,44 @@ object TiffReader {
       case _ => throw new IllegalArgumentException("not a TIFF (no II/MM byte-order mark)")
     }
     val buf = ByteBuffer.wrap(bytes).order(order)
-    require(buf.getShort(2) == 42, "not a TIFF (magic != 42)")
-    val ifdOff = buf.getInt(4)
-    val nTags = buf.getShort(ifdOff) & 0xFFFF
+    // magic 42 = classic TIFF (4-byte offsets, 12-byte IFD entries);
+    // magic 43 = BigTIFF (the public Aware Systems/libtiff-4 extension
+    // GDAL emits automatically above 4 GiB: 8-byte offsets, 20-byte
+    // entries, LONG8/SLONG8/IFD8 value types) — a 100-TB raster store
+    // WILL contain these, and `rasterio.open` reads them transparently
+    // (SlopeGeoJsonUploadView.py:205)
+    val magic = buf.getShort(2)
+    require(magic == 42 || magic == 43, s"not a TIFF (magic $magic != 42/43)")
+    val big = magic == 43
+    if (big) require(buf.getShort(4) == 8 && buf.getShort(6) == 0,
+      "malformed BigTIFF header (offset bytesize != 8)")
+    val inlineMax = if (big) 8 else 4
+    def offsetAt(p: Int): Long =
+      if (big) buf.getLong(p) else buf.getInt(p) & 0xFFFFFFFFL
+    val ifdOff = (if (big) buf.getLong(8) else buf.getInt(4) & 0xFFFFFFFFL).toInt
+    val nTags = (if (big) buf.getLong(ifdOff) else (buf.getShort(ifdOff) & 0xFFFF).toLong).toInt
 
     // tag id -> (type, count, valueOffsetPos)
     final case class Tag(ttype: Int, count: Int, pos: Int)
+    val entrySize = if (big) 20 else 12
     val tags = (0 until nTags).map { i =>
-      val p = ifdOff + 2 + i * 12
-      (buf.getShort(p) & 0xFFFF) -> Tag(buf.getShort(p + 2) & 0xFFFF, buf.getInt(p + 4), p + 8)
+      val p = ifdOff + (if (big) 8 else 2) + i * entrySize
+      val count = (if (big) buf.getLong(p + 4) else buf.getInt(p + 4).toLong).toInt
+      (buf.getShort(p) & 0xFFFF) ->
+        Tag(buf.getShort(p + 2) & 0xFFFF, count, p + (if (big) 12 else 8))
     }.toMap
 
     def typeSize(t: Int): Int = t match {
       case 1 | 2 | 6 | 7 => 1; case 3 | 8 => 2; case 4 | 9 | 11 => 4
-      case 5 | 10 | 12 => 8
+      case 5 | 10 | 12 | 16 | 17 | 18 => 8
       case t0 => throw new IllegalArgumentException(s"tiff tag type $t0")
     }
-    /** All numeric values of a tag (inline when they fit in 4 bytes). */
+    /** All numeric values of a tag (inline when they fit in the entry's
+      * value field — 4 bytes classic, 8 BigTIFF).
+      */
     def values(tag: Tag): Seq[Double] = {
       val sz = typeSize(tag.ttype)
-      val base = if (sz * tag.count <= 4) tag.pos else buf.getInt(tag.pos)
+      val base = (if (sz * tag.count <= inlineMax) tag.pos.toLong else offsetAt(tag.pos)).toInt
       (0 until tag.count).map { i =>
         val p = base + i * sz
         tag.ttype match {
@@ -87,13 +105,14 @@ object TiffReader {
           case 9 => buf.getInt(p).toDouble
           case 11 => buf.getFloat(p).toDouble
           case 12 => buf.getDouble(p)
+          case 16 | 17 | 18 => buf.getLong(p).toDouble
           case 5 | 10 => buf.getInt(p).toDouble / buf.getInt(p + 4)
         }
       }
     }
     def scalar(id: Int): Option[Double] = tags.get(id).map(t => values(t).head)
     def ascii(id: Int): Option[String] = tags.get(id).map { t =>
-      val base = if (t.count <= 4) t.pos else buf.getInt(t.pos)
+      val base = (if (t.count <= inlineMax) t.pos.toLong else offsetAt(t.pos)).toInt
       new String(bytes, base, t.count, "US-ASCII").takeWhile(_ != '\u0000')
     }
 
@@ -102,9 +121,17 @@ object TiffReader {
     val bits = scalar(258).getOrElse(8.0).toInt
     val sampleFormat = scalar(339).getOrElse(1.0).toInt // 1 uint, 2 int, 3 float
     val compression = scalar(259).getOrElse(1.0).toInt
+    // unknown codecs fail LOUDLY with the codec named — notably ZSTD
+    // (50000), a common modern GDAL creation option whose frame format
+    // (FSE/Huffman entropy stages) has no JVM-built-in decoder; see
+    // COVERAGE.md for the implement-vs-refuse decision
+    val codecName = Map(2 -> "CCITT-RLE", 6 -> "old-JPEG", 7 -> "JPEG",
+      34712 -> "JPEG2000", 50000 -> "ZSTD", 50001 -> "WEBP", 34887 -> "LERC")
     require(compression == 1 || compression == 5 || compression == 8 ||
         compression == 32946 || compression == 32773,
-      s"unsupported TIFF compression $compression (none/LZW/Deflate/PackBits only)")
+      s"unsupported TIFF compression $compression" +
+        codecName.get(compression).map(n => s" ($n)").getOrElse("") +
+        " (none/LZW/Deflate/PackBits only)")
     val predictor = scalar(317).getOrElse(1.0).toInt
     require(predictor == 1 || predictor == 2,
       s"unsupported TIFF predictor $predictor (none/horizontal only)")

@@ -47,7 +47,12 @@ object TiffWriter {
       tile: Option[(Int, Int)] = None, // (tileW, tileH); None = strips
       rowsPerStrip: Int = Int.MaxValue,
       sampleFormat: Int = 3, // 1 uint, 2 int, 3 float
-      bits: Int = 32)
+      bits: Int = 32,
+      // BigTIFF (magic 43): 8-byte offsets, 20-byte IFD entries, LONG8
+      // segment offset/count tags — the layout GDAL switches to above
+      // 4 GiB, emitted here at any size so the reader's 64-bit paths are
+      // byte-tested without a 4 GiB fixture
+      bigTiff: Boolean = false)
 
   /** Encode `values` (row-major, width*height) under `layout` with the
     * GeoTIFF affine (pixel sizes + origin at the outer corner of pixel
@@ -147,15 +152,19 @@ object TiffWriter {
     val tiled = layout.tile.isDefined
     val offsetsId = if (tiled) 324 else 273
     val countsId = if (tiled) 325 else 279
+    val big = layout.bigTiff
+    // segment offsets/counts ride LONG8 (16) in BigTIFF — the 64-bit
+    // value path GDAL uses — and LONG (4) classic
+    val longType = if (big) 16 else 4
 
     var tags = ArrayBuffer[T](
       T(256, 3, Seq(width.toLong)), T(257, 3, Seq(height.toLong)),
       T(258, 3, Seq(layout.bits.toLong)), T(259, 3, Seq(layout.compression.toLong)),
       T(262, 3, Seq(1L)),
-      T(offsetsId, 4, Seq.fill(segments.size)(0L)), // patched below
+      T(offsetsId, longType, Seq.fill(segments.size)(0L)), // patched below
       T(277, 3, Seq(1L)))
     segTags.foreach { case (id, vs) => tags += T(id, if (id == 278) 4 else 3, vs) }
-    tags += T(countsId, 4, segments.map(_.length.toLong))
+    tags += T(countsId, longType, segments.map(_.length.toLong))
     if (layout.predictor != 1) tags += T(317, 3, Seq(layout.predictor.toLong))
     tags += T(339, 3, Seq(layout.sampleFormat.toLong))
     tags += T(33550, 12, Nil, Seq(pixelScaleX, pixelScaleY, 0.0))
@@ -163,8 +172,14 @@ object TiffWriter {
     nodataStr.foreach(s => tags += T(42113, 2, Nil, Nil, Some(s)))
     val sorted = tags.sortBy(_.id)
 
-    val ifdOff = 8
-    val ifdSize = 2 + sorted.size * 12 + 4
+    // classic: 8-byte header, 2-byte tag count, 12-byte entries, 4-byte
+    // next-IFD pointer; BigTIFF: 16-byte header, 8-byte count, 20-byte
+    // entries, 8-byte pointer, values inline up to 8 bytes
+    val ifdOff = if (big) 16 else 8
+    val entrySize = if (big) 20 else 12
+    val inlineMax = if (big) 8 else 4
+    val countOff = if (big) 8 else 2
+    val ifdSize = countOff + sorted.size * entrySize + inlineMax
     var overflowOff = ifdOff + ifdSize
     // lay out overflow areas
     def valueBytes(t: T): Int = t.ttype match {
@@ -172,11 +187,12 @@ object TiffWriter {
       case 3 => 2 * t.vals.size
       case 4 => 4 * t.vals.size
       case 12 => 8 * t.dbls.size
+      case 16 => 8 * t.vals.size
       case tt => throw new IllegalArgumentException(s"writer tag type $tt")
     }
     val overflowAt = sorted.map { t =>
       val n = valueBytes(t)
-      if (n <= 4) -1
+      if (n <= inlineMax) -1
       else { val at = overflowOff; overflowOff = at + n; at }
     }
     // segment data after all overflow
@@ -184,11 +200,19 @@ object TiffWriter {
     val segAt = segments.map { s => val at = segOff; segOff = at + s.length; at }
     val total = segOff
     val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
-    buf.put(0, 0x49.toByte); buf.put(1, 0x49.toByte); buf.putShort(2, 42)
-    buf.putInt(4, ifdOff)
-    buf.putShort(ifdOff, sorted.size.toShort)
+    buf.put(0, 0x49.toByte); buf.put(1, 0x49.toByte)
+    if (big) {
+      buf.putShort(2, 43)
+      buf.putShort(4, 8); buf.putShort(6, 0) // offset bytesize + constant
+      buf.putLong(8, ifdOff.toLong)
+      buf.putLong(ifdOff, sorted.size.toLong)
+    } else {
+      buf.putShort(2, 42)
+      buf.putInt(4, ifdOff)
+      buf.putShort(ifdOff, sorted.size.toShort)
+    }
     sorted.zipWithIndex.foreach { case (t, i) =>
-      val p = ifdOff + 2 + i * 12
+      val p = ifdOff + countOff + i * entrySize
       val realVals: Seq[Long] =
         if (t.id == offsetsId) segAt.map(_.toLong) else t.vals
       buf.putShort(p, t.id.toShort); buf.putShort(p + 2, t.ttype.toShort)
@@ -197,9 +221,12 @@ object TiffWriter {
         case 12 => t.dbls.size
         case _ => realVals.size
       }
-      buf.putInt(p + 4, count)
+      val valuePos = if (big) { buf.putLong(p + 4, count.toLong); p + 12 }
+        else { buf.putInt(p + 4, count); p + 8 }
       val n = valueBytes(t)
-      val at = if (n <= 4) p + 8 else { buf.putInt(p + 8, overflowAt(i)); overflowAt(i) }
+      val at = if (n <= inlineMax) valuePos
+        else if (big) { buf.putLong(valuePos, overflowAt(i).toLong); overflowAt(i) }
+        else { buf.putInt(valuePos, overflowAt(i)); overflowAt(i) }
       t.ttype match {
         case 2 => t.asciiz.get.getBytes("US-ASCII").zipWithIndex.foreach {
           case (b, j) => buf.put(at + j, b) }
@@ -207,11 +234,14 @@ object TiffWriter {
           buf.putShort(at + 2 * j, v.toShort) }
         case 4 => realVals.zipWithIndex.foreach { case (v, j) =>
           buf.putInt(at + 4 * j, v.toInt) }
+        case 16 => realVals.zipWithIndex.foreach { case (v, j) =>
+          buf.putLong(at + 8 * j, v) }
         case 12 => t.dbls.zipWithIndex.foreach { case (v, j) =>
           buf.putDouble(at + 8 * j, v) }
       }
     }
-    buf.putInt(ifdOff + 2 + sorted.size * 12, 0) // next IFD
+    val nextIfdAt = ifdOff + countOff + sorted.size * entrySize
+    if (big) buf.putLong(nextIfdAt, 0L) else buf.putInt(nextIfdAt, 0) // next IFD
     segments.zip(segAt).foreach { case (s, at) =>
       System.arraycopy(s, 0, buf.array(), at, s.length)
     }

@@ -166,6 +166,59 @@ class TiffReaderSpec extends SparkSpec {
         0.5, 0.25, 30.0, -1.0, Some(-9999.0)))
   }
 
+  test("BigTIFF (magic 43) round-trips: every compression, strips and tiles, predictor") {
+    // the same raster through the 64-bit header/IFD/LONG8 layout GDAL
+    // emits above 4 GiB — byte-identical grid to the classic encodes
+    for (comp <- Seq(1, 5, 8, 32773)) {
+      assertGrid(TiffWriter.encode(CW, CH, slopeVals,
+        TiffWriter.Layout(compression = comp, rowsPerStrip = 9, bigTiff = true),
+        0.5, 0.25, 30.0, -1.0, Some(-9999.0)))
+      assertGrid(TiffWriter.encode(CW, CH, slopeVals,
+        TiffWriter.Layout(compression = comp, tile = Some((16, 16)), bigTiff = true),
+        0.5, 0.25, 30.0, -1.0, Some(-9999.0)))
+    }
+    // predictor-2 uint16 through the BigTIFF path
+    val ints = Array.tabulate(CW * CH)(i => ((i * 37) % 251).toDouble)
+    val big = TiffWriter.encode(CW, CH, ints,
+      TiffWriter.Layout(compression = 5, predictor = 2, sampleFormat = 1,
+        bits = 16, rowsPerStrip = 7, bigTiff = true))
+    assert(TiffReader.parseBytes(big).values.toSeq == ints.toSeq)
+    // header shape: magic 43, offset bytesize 8, constant 0
+    val b = java.nio.ByteBuffer.wrap(big).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(b.getShort(2) == 43 && b.getShort(4) == 8 && b.getShort(6) == 0)
+    // and a BigTIFF encode is BYTE-different from classic but value-equal
+    val classic = TiffWriter.encode(CW, CH, ints,
+      TiffWriter.Layout(compression = 5, predictor = 2, sampleFormat = 1,
+        bits = 16, rowsPerStrip = 7))
+    assert(!java.util.Arrays.equals(big, classic))
+    assert(TiffReader.parseBytes(classic).values.toSeq ==
+      TiffReader.parseBytes(big).values.toSeq)
+  }
+
+  test("malformed BigTIFF header (offset bytesize != 8) is loud") {
+    val big = TiffWriter.encode(4, 3, new Array[Double](12),
+      TiffWriter.Layout(bigTiff = true))
+    val patched = big.clone()
+    java.nio.ByteBuffer.wrap(patched).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(4, 4.toShort)
+    val ex = intercept[IllegalArgumentException] { TiffReader.parseBytes(patched) }
+    assert(ex.getMessage.contains("BigTIFF"))
+  }
+
+  test("ZSTD (50000) compression is a pinned LOUD failure naming the codec") {
+    // GDAL's ZSTD creation option produces frames whose entropy stages
+    // (FSE + Huffman) have no JVM-built-in decoder; until a decoder is
+    // warranted the contract is refuse-loudly-by-name, never silent
+    // garbage (COVERAGE.md records the decision)
+    val t = TiffWriter.encode(4, 3, new Array[Double](12))
+    val b = java.nio.ByteBuffer.wrap(t).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifd = b.getInt(4); val n = b.getShort(ifd) & 0xFFFF
+    val p = (0 until n).map(i => ifd + 2 + i * 12).find(q => (b.getShort(q) & 0xFFFF) == 259).get
+    b.putShort(p + 8, 50000.toShort) // 50000 fits a SHORT value slot (0xC350)
+    val ex = intercept[IllegalArgumentException] { TiffReader.parseBytes(t) }
+    assert(ex.getMessage.contains("50000") && ex.getMessage.contains("ZSTD"))
+  }
+
   test("horizontal predictor (2) round-trips for u8/u16/s16/u32, strips and tiles") {
     val ints = Array.tabulate(CW * CH)(i => ((i * 37) % 251).toDouble)
     val signed = Array.tabulate(CW * CH)(i => (((i * 37) % 251) - 125).toDouble)
