@@ -1360,6 +1360,75 @@ object TextQueries {
       Some(bpeEncodeOracleSql))
     ,
 
+    // ---- BYTE-level tokenizer as a served artifact -------------------------
+    // q274 serves the word-level model; this row closes the sweep for
+    // the byte-level (GPT-2-shape) vocabulary: train (or reuse q270's
+    // cached) byte model, SAVE it, RELOAD it, and recompute q271's
+    // fertility report under the LOADED merges — sharing q271's oracle
+    // verbatim, so one byte drifted through the save/load round-trip
+    // (merge order, shifted-char fidelity, counts) flips every source's
+    // hash. The artifact is the kilobyte merge table: at 100 TB the
+    // corpus is read once at training; every later encode job reads
+    // only this.
+    Q("q277_byte_bpe_artifact",
+      (s, dir) => {
+        graft.text.BpeEncoder.register(s)
+        val d = t(s, dir, "documents")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_byte_bpe_artifact").toString
+        graft.text.BpeTrainer.save(s, cachedByteModel(s, dir), path)
+        val loaded = graft.text.BpeTrainer.load(s, path)
+        val toks = regexp_extract_all(col("text"),
+          lit(graft.text.BpeTrainer.BytePretokenPattern), lit(0))
+        val enc = graft.text.BpeEncoder.encode(col("w"),
+          loaded.merges.map { case (a, b, _) => (a, b) })
+        d.select(col("doc_id"), col("source"), explode(toks).as("tok"))
+          .select(col("doc_id"), col("source"),
+            graft.text.BpeTrainer.shiftedBytes(col("tok")).as("w"))
+          .select(col("doc_id"), col("source"),
+            length(col("w")).cast("long").as("nbytes"),
+            (length(enc) - length(replace(enc, lit("("), lit(""))))
+              .cast("long").as("p"))
+          .groupBy("source")
+          .agg(countDistinct(col("doc_id")).as("docs"),
+            count(lit(1)).as("pretokens"),
+            sum("nbytes").as("bytes"),
+            sum("p").as("pieces"))
+          .select(col("source"), col("docs"), col("pretokens"), col("bytes"),
+            col("pieces"),
+            expr("bytes * 1000 div pieces").as("bytes_per_piece_milli"),
+            expr("pieces * 1000 div pretokens").as("pieces_per_pretoken_milli"))
+          .orderBy("source")
+      },
+      Some(byteFertilityOracleSql))
+    ,
+
+    // ---- WordPiece tokenizer as a served artifact ---------------------------
+    // Completes the three-tokenizer artifact sweep (word-BPE q274,
+    // byte-BPE q277): q184's likelihood-trained model is SAVED, RELOADED,
+    // and the reloaded merge table re-emitted in q184's exact shape
+    // against q184's oracle verbatim — step order, pieces, and pair
+    // counts must survive the round-trip bit-for-bit. (Reload-ENCODE
+    // parity for WordPiece's greedy inference is spec-tier:
+    // BpeTrainerSpec asserts SubwordTokenizer output under fresh vs
+    // reloaded vocab is identical.)
+    Q("q278_wordpiece_artifact",
+      (s, dir) => {
+        import s.implicits._
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_wordpiece_artifact").toString
+        graft.text.BpeTrainer.save(s,
+          graft.text.BpeTrainer.fitWordPiece(s, t(s, dir, "documents"), merges = 8),
+          path)
+        val loaded = graft.text.BpeTrainer.load(s, path)
+        loaded.merges.zipWithIndex.map { case ((a, b, c), i) =>
+          (i + 1L, a, b, a + b, c)
+        }.toDF("step", "piece_a", "piece_b", "merged", "pair_count")
+          .orderBy("step")
+      },
+      Some(wordPieceOracleSql))
+    ,
+
     // ---- ROUGE-L sufficient statistics (the eval tier's LCS member) -------
     // BLEU (q258) measures clipped n-gram overlap; summarization evals
     // report ROUGE-L, whose core is the LONGEST COMMON SUBSEQUENCE — a
@@ -1411,6 +1480,40 @@ object TextQueries {
     // that complements q104's intra-document repetition filter with a
     // CROSS-document lens. Grams shuffle once as the count-distinct key
     // (the BM25-df shape); documents never do.
+    // The approx face (q279) keeps the SAME single gram explode/shuffle
+    // and adds an HLL++ counter beside the exact distinct, emitting a
+    // within-bound bit — the hash proves the sketch lands inside 5·rsd
+    // of truth on this corpus; EvalApproxSpec asserts the bound against
+    // the exact row at sf0.1, and Eval.distinctNgramStatsApprox is the
+    // pure-sketch recipe a 100-TB report runs (mergeable partials, no
+    // exact-distinct shuffle).
+    Q("q279_distinct_ngrams_approx",
+      (s, dir) => graft.text.Eval
+        .ngramFrame(t(s, dir, "documents"), "source", "text", maxN = 3)
+        .groupBy("source", "n")
+        .agg(count(lit(1)).as("total_ngrams"),
+          countDistinct(col("gram")).as("distinct_ngrams"),
+          approx_count_distinct(col("gram"), 0.01).as("approx"))
+        .select(col("source"), col("n"), col("total_ngrams"),
+          col("distinct_ngrams"),
+          (abs(col("approx") - col("distinct_ngrams")).cast("double") /
+            col("distinct_ngrams") <= lit(0.05)).as("within_5pct"))
+        .orderBy("source", "n"),
+      Some("""
+        WITH tok AS (
+          SELECT source, string_split_regex(trim(text), '\s+') AS w
+          FROM documents),
+        g AS (
+          SELECT source, n.n, array_to_string(w[i:i+n.n-1], ' ') AS gram
+          FROM tok, (SELECT unnest([1, 2, 3]) AS n) n,
+               UNNEST(generate_series(1, len(w) - n.n + 1)) AS t(i)
+          WHERE len(w) >= n.n)
+        SELECT source, n, COUNT(*) AS total_ngrams,
+          CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+          TRUE AS within_5pct
+        FROM g GROUP BY 1, 2 ORDER BY 1, 2"""))
+    ,
+
     Q("q273_distinct_ngrams",
       (s, dir) => graft.text.Eval
         .distinctNgramStats(t(s, dir, "documents"), "source", "text", maxN = 3)

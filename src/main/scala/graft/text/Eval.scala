@@ -156,20 +156,47 @@ object Eval {
     * df), documents never do.
     */
   def distinctNgramStats(docs: DataFrame, groupCol: String = "source",
-      textCol: String = "text", maxN: Int = 3): DataFrame = {
-    require(maxN >= 1 && maxN <= 8, s"maxN out of range: $maxN")
-    val toks = split(trim(col(textCol)), "\\s+")
-    val g = docs.select(col(groupCol),
-        explode(flatten(array((1 to maxN).map(n =>
-          transform(grams(toks, n), x => struct(lit(n).as("n"), x.as("gram")))): _*)))
-          .as("g"))
-      .select(col(groupCol), col("g.n").as("n"), col("g.gram").as("gram"))
-    g.groupBy(groupCol, "n")
+      textCol: String = "text", maxN: Int = 3): DataFrame =
+    ngramFrame(docs, groupCol, textCol, maxN)
+      .groupBy(groupCol, "n")
       .agg(count(lit(1)).as("total_ngrams"),
         countDistinct(col("gram")).as("distinct_ngrams"))
       .withColumn("distinct_milli",
         expr("1000 * distinct_ngrams div total_ngrams"))
+
+  /** The exploded (group, n, gram) frame both distinct-n faces aggregate —
+    * public so callers can compose exact + approx counters over ONE
+    * explode/shuffle.
+    */
+  def ngramFrame(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", maxN: Int = 3): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN out of range: $maxN")
+    val toks = split(trim(col(textCol)), "\\s+")
+    docs.select(col(groupCol),
+        explode(flatten(array((1 to maxN).map(n =>
+          transform(grams(toks, n), x => struct(lit(n).as("n"), x.as("gram")))): _*)))
+          .as("g"))
+      .select(col(groupCol), col("g.n").as("n"), col("g.gram").as("gram"))
   }
+
+  /** The 100-TB face of [[distinctNgramStats]]: the distinct count rides
+    * an HLL++ sketch (`approx_count_distinct`, relative standard
+    * deviation `rsd`) instead of an exact distinct — sketches partial-
+    * aggregate and MERGE, so the gram key space never needs a global
+    * exact-distinct shuffle and the report's cost stops scaling with
+    * vocabulary size. The exact face keeps the hash oracle (q273); this
+    * is the recipe a 100-TB diversity report actually runs, and
+    * EvalApproxSpec pins its relative error against the exact row at
+    * sf0.1.
+    */
+  def distinctNgramStatsApprox(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", maxN: Int = 3, rsd: Double = 0.01): DataFrame =
+    ngramFrame(docs, groupCol, textCol, maxN)
+      .groupBy(groupCol, "n")
+      .agg(count(lit(1)).as("total_ngrams"),
+        approx_count_distinct(col("gram"), rsd).as("approx_distinct_ngrams"))
+      .withColumn("approx_distinct_milli",
+        expr("1000 * approx_distinct_ngrams div total_ngrams"))
 }
 
 /** The LCS dynamic program as one BinaryExpression (codegen'd wrapper

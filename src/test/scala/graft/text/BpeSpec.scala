@@ -206,7 +206,8 @@ class BpeSpec extends SparkSpec {
     val d = Seq("low low low newest newest",
       "lower lower newest newest widest").toDF("text")
     for (m <- Seq(BpeTrainer.fit(spark, d, merges = 4),
-        BpeTrainer.fitBytes(spark, d, merges = 4))) {
+        BpeTrainer.fitBytes(spark, d, merges = 4),
+        BpeTrainer.fitWordPiece(spark, d, merges = 4))) {
       val path = java.nio.file.Files.createTempDirectory("bpe_art").toString
       BpeTrainer.save(spark, m, path)
       val back = BpeTrainer.load(spark, path)
@@ -214,6 +215,23 @@ class BpeSpec extends SparkSpec {
       assert(back.alphabet === m.alphabet)
       assert(back.vocab === m.vocab)
     }
+  }
+
+  test("WordPiece reload-encode parity: greedy inference identical under fresh vs loaded vocab") {
+    val d = Seq("low low low newest newest",
+      "lower lower newest newest widest").toDF("text")
+    val fresh = BpeTrainer.fitWordPiece(spark, d, merges = 4)
+    val path = java.nio.file.Files.createTempDirectory("wp_art").toString
+    BpeTrainer.save(spark, fresh, path)
+    val loaded = BpeTrainer.load(spark, path)
+    // WordPiece inference IS greedy longest-match over the vocab
+    // (alphabet + merged pieces) — the q136 tokenizer
+    val words = Seq("lowest", "newest", "low", "wider", "unseen").toDF("w")
+    def enc(vocab: Seq[String]) = words
+      .select(col("w"), SubwordTokenizer.tokenize(col("w"), vocab).as("t"))
+      .orderBy("w").collect().map(_.toString).toSeq
+    assert(enc(loaded.vocab) === enc(fresh.vocab),
+      "encoding under the reloaded artifact must equal fresh-model encoding")
   }
 
   test("native BpeEncode applies byte merges per pretoken (no-whitespace invariant)") {
