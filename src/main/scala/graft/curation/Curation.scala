@@ -1489,6 +1489,102 @@ object Curation {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** q142's verdict report computed FROM a [[writeTrainingOrder]] layout
+    * with NO global window anywhere: restore the tiled discipline
+    * (`repartitionByRange` on the interleave key + in-partition sort, so
+    * partition p holds a contiguous slice of the global order), run-length
+    * encode each partition in ONE streaming pass (an iterator, not a
+    * buffered list — runs stream out as rows stream in), then stitch runs
+    * that span partition boundaries through a collected boundary table of
+    * one row per partition. Driver state is O(partitions); run rows stay
+    * distributed (at 100 TB, runs ≈ docs while all sources are live).
+    * Output: per source — runs, docs, first_pos (1-based global), max_run
+    * — byte-identical to the window-built report (oracle-shared with the
+    * retired row_number shorthand).
+    */
+  def trainingOrderReport(spark: org.apache.spark.sql.SparkSession,
+      path: String, numFiles: Int = 8,
+      sourceCol: String = "source"): DataFrame = {
+    import spark.implicits._
+    val tiled = spark.read.parquet(path)
+      .repartitionByRange(numFiles, col("rk"), col(sourceCol))
+      .sortWithinPartitions("rk", sourceCol)
+      .select(col(sourceCol).cast("string").as[String])
+    // one row per partition-local run: (pid, run, src, len, local_start)
+    val runs = tiled.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      if (!it.hasNext) Iterator.empty
+      else new Iterator[(Int, Long, String, Long, Long)] {
+        private var nextStart = 0L
+        private var runIdx = -1L
+        private var lookahead = it.next()
+        private var exhausted = false
+        def hasNext: Boolean = !exhausted
+        def next(): (Int, Long, String, Long, Long) = {
+          val src = lookahead
+          val start = nextStart
+          var len = 1L
+          var continued = false
+          while (it.hasNext && !continued) {
+            val s = it.next()
+            if (s == src) len += 1 else { lookahead = s; continued = true }
+          }
+          if (!continued) exhausted = true
+          nextStart = start + len
+          runIdx += 1
+          (pid, runIdx, src, len, start)
+        }
+      }
+    }.toDF("pid", "run", "src", "len", "local_start")
+      // runs feed two consumers (boundary table + final grouping); cache
+      // the narrow frame so the corpus is run-length encoded exactly once
+      .persist()
+    // boundary table: ≤ 1 row per partition, collected to the driver
+    val parts = runs.groupBy("pid").agg(
+        sum("len").as("rows"), max("run").as("last_run"),
+        min_by(col("src"), col("run")).as("first_src"),
+        max_by(col("src"), col("run")).as("last_src"))
+      .orderBy("pid")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+    // pid -> global position offset (prefix sums of partition row counts)
+    var acc = 0L
+    val offsets = parts.map { case (pid, rows, _, _, _) =>
+      val o = acc; acc += rows; (pid, o)
+    }.toSeq
+    // chain boundary-spanning runs: a partition's FIRST run merges into
+    // the previous chain when sources match; single-run partitions chain
+    // through. remap holds (pid, run) -> chain-head key for merged heads.
+    val remap = scala.collection.mutable.ArrayBuffer[(Int, Long, Int, Long)]()
+    var headPid = -1; var headRun = -1L; var headSrc: String = null
+    parts.foreach { case (pid, _, lastRun, firstSrc, lastSrc) =>
+      if (headSrc != null && headSrc == firstSrc) {
+        remap += ((pid, 0L, headPid, headRun))
+        if (lastRun != 0L) { headPid = pid; headRun = lastRun; headSrc = lastSrc }
+        // single-run partition: chain head (and source) carry forward
+      } else {
+        headPid = pid; headRun = lastRun; headSrc = lastSrc
+      }
+    }
+    val offDf = broadcast(offsets.toDF("pid", "off"))
+    val remapDf = broadcast(remap.toSeq.toDF("pid", "run", "gpid", "grun"))
+    runs.join(offDf, Seq("pid"))
+      .join(remapDf, Seq("pid", "run"), "left")
+      .select(
+        coalesce(col("gpid"), col("pid")).as("gp"),
+        coalesce(col("grun"), col("run")).as("gr"),
+        col("src"), col("len"), (col("off") + col("local_start") + 1L).as("gpos"))
+      .groupBy("gp", "gr")
+      .agg(max("src").as("source"), // identical across a merged chain
+        sum("len").as("run_len"), min("gpos").as("run_pos"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("runs"),
+        sum(col("run_len")).as("docs"),
+        min(col("run_pos")).as("first_pos"),
+        max(col("run_len")).as("max_run"))
+      .orderBy("source")
+  }
+
   /** Materialize [[packSegments]]'s dataloader index as the on-disk
     * training-corpus layout: segment rows written under
     * `path/segments/<stratum>=.../`, range-partitioned and sorted by

@@ -462,38 +462,22 @@ object CurationQueries {
     // while all sources are live, growing only after smaller sources
     // exhaust.
     //
-    // 100 TB shape: ranks and the interleave key are narrow window work
-    // per source; the TOTAL order is materialized by
-    // Curation.writeTrainingOrder — repartitionByRange on (rk, source) +
-    // in-partition sort, spec-proven to tile the identical global order
-    // with no single-partition window — and the global row_number here is
-    // bench-scale shorthand for that layout (the verdict columns are
-    // identical either way).
+    // 100 TB shape: the row IS the production path now — the order is
+    // MATERIALIZED by Curation.writeTrainingOrder (repartitionByRange on
+    // the interleave key (rk, source) + in-partition sort, spec-proven
+    // to tile the identical global order) and the verdict columns come
+    // from Curation.trainingOrderReport: a streaming partition-local
+    // run-length encode over the tiled layout plus an O(partitions)
+    // boundary stitch — no global row_number window anywhere in the
+    // plan (PlanShapeSpec-asserted), the round-12/13 registry's last
+    // deliberate single-partition window retired.
     Q("q142_training_order",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val perSource = Window.partitionBy("source")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        val global = Window.orderBy("rk", "source")
-        val runs = Window.orderBy("pos")
-        val ordered = t(s, dir, "documents")
-          .select(col("doc_id"), col("source"))
-          .withColumn("rk", row_number().over(perSource).cast("long"))
-          .withColumn("pos", row_number().over(global).cast("long"))
-        ordered
-          .withColumn("run_start",
-            when(lag(col("source"), 1).over(runs).isNull ||
-              lag(col("source"), 1).over(runs) =!= col("source"), 1L).otherwise(0L))
-          .withColumn("run_id", sum(col("run_start")).over(
-            runs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy("source", "run_id")
-          .agg(count(lit(1)).as("run_len"), min(col("pos")).as("run_pos"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("runs"),
-            sum(col("run_len")).as("docs"),
-            min(col("run_pos")).as("first_pos"),
-            max(col("run_len")).as("max_run"))
-          .orderBy("source")
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_train_order").toString
+        graft.curation.Curation.writeTrainingOrder(
+          t(s, dir, "documents").select(col("doc_id"), col("source")), tmp)
+        graft.curation.Curation.trainingOrderReport(s, tmp)
       },
       Some("""
         WITH ordered AS (

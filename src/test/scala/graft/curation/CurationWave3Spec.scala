@@ -315,6 +315,50 @@ class CurationWave3Spec extends SparkSpec {
     assert(perFile.flatten.map(_._3).toSeq === expected)
   }
 
+  test("trainingOrderReport equals the window-built report, incl. boundary-spanning runs") {
+    import org.apache.spark.sql.expressions.Window
+
+    def windowReport(d: org.apache.spark.sql.DataFrame) = {
+      val perSource = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val global = Window.orderBy("rk", "source")
+      val runsW = Window.orderBy("pos")
+      d.select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(perSource).cast("long"))
+        .withColumn("pos", row_number().over(global).cast("long"))
+        .withColumn("run_start",
+          when(lag(col("source"), 1).over(runsW).isNull ||
+            lag(col("source"), 1).over(runsW) =!= col("source"), 1L).otherwise(0L))
+        .withColumn("run_id", sum(col("run_start")).over(
+          runsW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("source", "run_id")
+        .agg(count(lit(1)).as("run_len"), min(col("pos")).as("run_pos"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("runs"), sum(col("run_len")).as("docs"),
+          min(col("run_pos")).as("first_pos"), max(col("run_len")).as("max_run"))
+        .orderBy("source").collect().toSeq
+    }
+    def tiledReport(d: org.apache.spark.sql.DataFrame, numFiles: Int) = {
+      val dir = Files.createTempDirectory("torder").toString + "/out"
+      Curation.writeTrainingOrder(d.select(col("doc_id"), col("source")),
+        dir, numFiles = numFiles)
+      Curation.trainingOrderReport(spark, dir, numFiles = numFiles)
+        .collect().toSeq
+    }
+    // balanced 3-source round-robin (the q142 shape)
+    val balanced = docs((1L to 60L).map(i => (i, s"t$i", "en", s"s${(i % 3) + 1}")))
+    assert(tiledReport(balanced, 4) === windowReport(balanced))
+    // a SINGLE source: one global run spanning every partition — the
+    // boundary stitch must chain single-run partitions into one group
+    val mono = docs((1L to 40L).map(i => (i, s"t$i", "en", "only")))
+    assert(tiledReport(mono, 5) === windowReport(mono))
+    // unbalanced: a dominant source whose tail runs cross partition
+    // boundaries after the small sources exhaust
+    val skewed = docs((1L to 50L).map(i =>
+      (i, s"t$i", "en", if (i <= 44) "big" else if (i <= 47) "mid" else "tiny")))
+    assert(tiledReport(skewed, 4) === windowReport(skewed))
+  }
+
   // ---- crossSurprisalReport (q187: the reference-LM filter) --------------
 
   test("crossSurprisalReport: known, zero-bit, and OOV bigrams score exactly") {

@@ -109,6 +109,21 @@ class PlanShapeSpec extends SparkSpec
     }
   }
 
+  test("q142 training-order report has NO window at all (tiled layout + boundary stitch)") {
+    // the registry's last deliberate single-partition window is retired:
+    // the verdict columns come from a partition-local run-length encode
+    // over writeTrainingOrder's range-tiled files, stitched through an
+    // O(partitions) boundary table — a global row_number would funnel
+    // the corpus through one task at 100 TB
+    val plan = SparkEntry.queries("q142_training_order")(spark, dir)
+      .queryExecution.executedPlan
+    val windows = collect(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"q142 must not use any window: ${windows.map(_.partitionSpec)}")
+  }
+
   test("q116 chunk dedup: no hot-key window, only hashes shuffle") {
     val plan = SparkEntry.queries("q116_chunk_dedup")(spark, dir)
       .queryExecution.executedPlan
