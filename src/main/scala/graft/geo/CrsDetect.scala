@@ -120,6 +120,11 @@ object CrsDetect {
   private val CentralMeridianRe =
     "PARAMETER\\s*\\[\\s*\"(?:CENTRAL_MERIDIAN|LONGITUDE OF NATURAL ORIGIN)\"\\s*,\\s*(-?\\d+(?:\\.\\d+)?)".r
   private val UtmZoneNameRe = "UTM\\s*[_ ]?ZONE[_ ]?(3[56])\\s*S".r
+  // Southern-hemisphere marker must be the FALSE_NORTHING parameter's own
+  // value — a bare substring test would misfire on any other 10000000 in
+  // the WKT (a 10000000 false easting, a remark)
+  private val FalseNorthingRe =
+    "PARAMETER\\s*\\[\\s*\"(?:FALSE_NORTHING|FALSE NORTHING)\"\\s*,\\s*(-?\\d+(?:\\.\\d+)?)".r
 
   /** `.prj` sidecar WKT → EPSG, the reference's
     * `_detect_shapefile_crs` step (SlopeGeoJsonUploadView.py:157-162:
@@ -171,8 +176,11 @@ object CrsDetect {
             case Some(_) => None
             case None => UtmZoneNameRe.findFirstMatchIn(up).map(_.group(1).toInt)
           }
-        // southern hemisphere required (all candidates are ...S)
-        val southern = up.contains("10000000") ||
+        // southern hemisphere required (all candidates are ...S) —
+        // anchored to the FALSE_NORTHING value itself, never a substring
+        val southern =
+          FalseNorthingRe.findFirstMatchIn(up)
+            .exists(_.group(1).toDouble == 10000000.0) ||
           UtmZoneNameRe.findFirstMatchIn(up).isDefined
         val datumBase: Option[Int] =
           if (up.contains("ARC_1950") || up.contains("ARC 1950")) Some(20900)

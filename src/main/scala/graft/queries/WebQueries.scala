@@ -52,20 +52,32 @@ object WebQueries {
 
   /** The q253 extraction chain, replayed in DuckDB on expression `x` —
     * regex-for-regex identical to [[WebText.htmlText]] (explicit
-    * whitespace class; numeric references decode FIRST via the same
-    * tokenize-transform-join and validity guard, amp decodes last).
+    * whitespace class; ALL character references — numeric and named —
+    * decode in ONE tokenize-transform-join pass over the shared
+    * [[WebText.EntityToken]] pattern, so decoded output is never
+    * rescanned and neither escape direction double-decodes:
+    * `&amp;#65;` stays literal `&#65;`, `&#38;lt;` stays literal
+    * `&lt;`).
     */
   private def duckExtract(x: String): String = {
     val noScript = s"regexp_replace($x, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
     val noStyle = s"regexp_replace($noScript, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
     val noTags = s"regexp_replace($noStyle, '<[^>]*>', ' ', 'g')"
-    // numeric character references: identical tokenization (shared
-    // pattern constant), identical validity window, chr() where Spark
-    // spells out the UTF-8 arithmetic — same decoded string either way
-    val numDecoded =
-      s"""array_to_string(list_transform(
-        regexp_extract_all($noTags, '${graft.text.WebText.NumericEntityToken}', 0),
-        t -> CASE WHEN coalesce(CASE
+    // character references: identical tokenization (shared pattern
+    // constant), identical validity window, chr() where Spark spells
+    // out the UTF-8 arithmetic — same decoded string either way; the
+    // named six are spelled as literal CASE arms (the same table
+    // HtmlEntities.Named holds)
+    s"""trim(regexp_replace(array_to_string(list_transform(
+        regexp_extract_all($noTags, '${graft.text.WebText.EntityToken}', 0),
+        t -> CASE
+             WHEN t = '&lt;' THEN '<'
+             WHEN t = '&gt;' THEN '>'
+             WHEN t = '&quot;' THEN '"'
+             WHEN t = '&apos;' THEN ''''
+             WHEN t = '&nbsp;' THEN ' '
+             WHEN t = '&amp;' THEN '&'
+             WHEN coalesce(CASE
                WHEN regexp_matches(t, '^&#[0-9]{1,7};$$') THEN CAST(t[3:-2] AS BIGINT)
                WHEN regexp_matches(t, '^&#[xX][0-9a-fA-F]{1,6};$$') THEN CAST('0x' || t[4:-2] AS BIGINT)
                END, 0) BETWEEN 1 AND 1114111
@@ -77,11 +89,7 @@ object WebQueries {
                WHEN regexp_matches(t, '^&#[0-9]{1,7};$$') THEN CAST(t[3:-2] AS BIGINT)
                WHEN regexp_matches(t, '^&#[xX][0-9a-fA-F]{1,6};$$') THEN CAST('0x' || t[4:-2] AS BIGINT)
                END AS INTEGER))
-             ELSE t END), '')"""
-    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&apos;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(numDecoded) { case (c, (f, r)) => s"replace($c, '$f', '$r')" }
-    s"trim(regexp_replace($ent, '[ \\t\\n\\r\\f]+', ' ', 'g'))"
+             ELSE t END), ''), '[ \\t\\n\\r\\f]+', ' ', 'g'))"""
   }
 
   val all: Seq[Q] = Seq(

@@ -18,53 +18,56 @@ import org.apache.spark.sql.functions._
   * script/style stripping uses `(?is)` + non-greedy `.*?`, identical
   * semantics in both engines; entity decoding covers the named set
   * amp/lt/gt/quot/apos/nbsp plus NUMERIC character references
-  * (`&#NNNN;` decimal, `&#xHH;` hex — see [[decodeNumericEntities]]).
+  * (`&#NNNN;` decimal, `&#xHH;` hex — see [[decodeHtmlEntities]]).
   */
 object WebText {
 
   private val Space = "[ \\t\\n\\r\\f]"
 
   /** Lossless entity-or-text tokenization: a position either starts a
-    * bounded numeric reference, a maximal `&`-free run, or a bare `&`.
-    * Digit-count bounds (7 dec / 6 hex) keep the codepoint inside int
-    * range; longer digit strings simply fail the entity alternatives
-    * and pass through as text. Shared verbatim with the DuckDB oracle
-    * replay (WebQueries.duckExtract).
+    * bounded numeric reference, one of the six named entities, a
+    * maximal `&`-free run, or a bare `&`. Digit-count bounds (7 dec /
+    * 6 hex) keep the codepoint inside int range; longer digit strings
+    * simply fail the entity alternatives and pass through as text.
+    * Shared verbatim with the DuckDB oracle replay
+    * (WebQueries.duckExtract).
     */
-  val NumericEntityToken: String =
-    "&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};|[^&]+|&"
+  val EntityToken: String =
+    "&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};|" +
+      "&(?:lt|gt|quot|apos|nbsp|amp);|[^&]+|&"
 
-  /** Decode numeric character references — `&#8212;` and `&#x2014;`
-    * alike — for valid codepoints (1..U+10FFFF, surrogates excluded);
-    * invalid or out-of-range references pass through UNdecoded on both
-    * engines (the oracle guards with the same validity CASE over the
-    * same [[NumericEntityToken]] tokenization). Runs BEFORE the
-    * named-entity fold, so `&amp;#65;` stays the literal `&#65;` (the
-    * double-escape rule: `&#` never materializes out of a decoded
-    * `&amp;`). A fully-codegen native expression
-    * ([[DecodeNumEntities]]) — a `transform` HOF here would drop the
-    * whole extraction projection to interpreted evaluation.
+  /** Decode HTML character references in ONE pass — numeric (`&#8212;`
+    * and `&#x2014;` alike, valid codepoints 1..U+10FFFF surrogates
+    * excluded) AND the named six (amp/lt/gt/quot/apos/nbsp); invalid
+    * or out-of-range references pass through UNdecoded on both engines
+    * (the oracle guards with the same validity CASE over the same
+    * [[EntityToken]] tokenization). Single-pass means each reference
+    * decodes exactly once and decoded output is never rescanned, so
+    * NEITHER escape direction double-decodes: `&amp;#65;` stays the
+    * literal `&#65;` and `&#38;lt;` stays the literal `&lt;` — exactly
+    * what a real HTML parser renders. A fully-codegen native
+    * expression ([[DecodeHtmlEntities]]) — a `transform` HOF here
+    * would drop the whole extraction projection to interpreted
+    * evaluation.
     */
-  def decodeNumericEntities(c: Column): Column =
+  def decodeHtmlEntities(c: Column): Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
-      DecodeNumEntities(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+      DecodeHtmlEntities(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
   /** Visible text of an HTML document: drop script/style subtrees, turn
     * every remaining tag into a space (word-boundary preserving), decode
-    * numeric character references then the named entities, collapse
-    * whitespace runs, trim. `&amp;` decodes LAST so `&amp;lt;` yields the
-    * literal `&lt;` (the HTML double-escape rule), never a spurious `<`;
-    * numeric decode runs FIRST so `&amp;#65;` stays literal `&#65;`.
+    * all character references — numeric and named — in ONE pass
+    * ([[decodeHtmlEntities]]), collapse whitespace runs, trim. The
+    * single pass IS the double-escape rule: `&amp;lt;` yields the
+    * literal `&lt;` and `&#38;lt;` the literal `&lt;` too — decoded
+    * output is never rescanned, so no ordering of passes can
+    * re-decode another pass's output.
     */
   def htmlText(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
-    val numDecoded = decodeNumericEntities(noTags)
-    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(numDecoded) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
-    trim(regexp_replace(ent, s"$Space+", " "))
+    trim(regexp_replace(decodeHtmlEntities(noTags), s"$Space+", " "))
   }
 
   /** Rows-of-cells of every <table> in an HTML document, as

@@ -145,5 +145,13 @@ class CrsDetectSpec extends AnyFunSuite {
     assert(fromPrjWkt(
       "PROJCS[\"UTM 12N\",PROJECTION[\"Transverse_Mercator\"],AUTHORITY[\"EPSG\",\"32612\"]]")
       .isEmpty)
+    // a 10000000 appearing OUTSIDE False_Northing (here a false easting,
+    // northing 0 = northern zone) must NOT classify the WKT as southern —
+    // the hemisphere test anchors to the False_Northing parameter value
+    assert(fromPrjWkt(Utm35SWkt.replace("_35S", "_35N")
+      .replace("PARAMETER[\"False_Easting\",500000.0]",
+        "PARAMETER[\"False_Easting\",10000000.0]")
+      .replace("PARAMETER[\"False_Northing\",10000000.0]",
+        "PARAMETER[\"False_Northing\",0.0]")).isEmpty)
   }
 }

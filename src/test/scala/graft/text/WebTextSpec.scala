@@ -33,12 +33,18 @@ class WebTextSpec extends SparkSpec {
     assert(extract("a<br/>b") === "a b")
   }
 
-  test("entities: named set decodes, amp decodes last (double-escape rule)") {
+  test("entities: named set decodes once, single-pass (double-escape rule)") {
     assert(extract("x &amp; y") === "x & y")
     assert(extract("&lt;tag&gt;") === "<tag>")
     // &amp;lt; is an ESCAPED '&lt;' — must yield the literal text '&lt;',
-    // never a '<' (decoding amp first would create one)
+    // never a '<' (rescanning amp's output would create one)
     assert(extract("&amp;lt;") === "&lt;")
+    // the symmetric direction: &#38; is the NUMERIC escape of '&' — the
+    // decoded '&' must not combine with the following 'lt;' into a new
+    // reference (a numeric-then-named two-pass gets this wrong)
+    assert(extract("&#38;lt;") === "&lt;")
+    assert(extract("&#38;amp;") === "&amp;")
+    assert(extract("&amp;amp;") === "&amp;")
     assert(extract("a&nbsp;b") === "a b")
     assert(extract("&copy;") === "&copy;") // outside the documented subset
   }
@@ -55,8 +61,8 @@ class WebTextSpec extends SparkSpec {
     // astral plane: 4-byte UTF-8 (emoji)
     assert(extract("&#x1F600;") === new String(Character.toChars(0x1F600)))
     assert(extract("&#128512;") === new String(Character.toChars(0x1F600)))
-    // double-escape: &amp;#65; is an ESCAPED '&#65;' — numeric decode
-    // runs FIRST so the later amp decode cannot manufacture a reference
+    // double-escape: &amp;#65; is an ESCAPED '&#65;' — single-pass
+    // decode never rescans amp's output, so no reference materializes
     assert(extract("&amp;#65;") === "&#65;")
     // invalid references pass through undecoded: out of range, surrogate,
     // zero, unterminated, over-long digits, bare &#
