@@ -240,8 +240,8 @@ object GeoQueries {
     // (v = ((x*31 + y*17 + b) % 97) / 4.0, nodata holes at
     // (x*7 + y*11) % 23 == 0), encoded into a REAL GeoTIFF whose layout
     // rotates through the rasterio envelope — compression none/LZW/
-    // Deflate/PackBits (b%4), strips vs 16x16 tiles ((b/3)%2), and a
-    // predictor-2 uint16 variant (b%5==4, values stored x4) — then
+    // Deflate/PackBits/ZSTD ((b/2)%5), strips vs 16x16 tiles ((b/3)%2),
+    // and a predictor-2 uint16 variant (b%5==4, values stored x4) — then
     // decoded back and aggregated. The oracle predicts the zonal facts
     // from the painting function alone, so any byte-level defect in any
     // layout (LZW width schedule, tile clipping, differencing, nodata)
@@ -266,7 +266,11 @@ object GeoQueries {
               }
             }
             val layout = TiffWriter.Layout(
-              compression = Seq(1, 5, 8, 32773)((b % 4).toInt),
+              // (b/2)%5 walks none/LZW/Deflate/PackBits/ZSTD with a
+              // period coprime-ish to the other rotations, so ZSTD
+              // crosses strips, tiles, BigTIFF and the predictor-2
+              // uint16 variant across the 25 nation keys
+              compression = Seq(1, 5, 8, 32773, 50000)(((b / 2) % 5).toInt),
               predictor = if (intVariant) 2 else 1,
               tile = if ((b / 3) % 2 == 1) Some((16, 16)) else None,
               rowsPerStrip = 9,

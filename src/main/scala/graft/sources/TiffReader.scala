@@ -16,11 +16,14 @@ import java.nio.file.{Files, Paths}
   * Scope: single-band rasters (uint8/16/32, int8/16/32, float32/64),
   * strip- OR tile-organized (TileWidth/TileLength/TileOffsets, edge
   * tiles padded per spec), uncompressed, LZW (TIFF variant: MSB-first,
-  * early code-width change), Deflate (tags 8/32946) or PackBits (32773)
-  * compressed, with
+  * early code-width change), Deflate (tags 8/32946), PackBits (32773),
+  * ZSTD (50000 — GDAL's modern creation default, decoded via zstd-jni
+  * which ships in every Spark distribution) or JPEG (7, TechNote 2 —
+  * 8-bit grayscale via the JDK's required ImageIO plugin, with the
+  * JPEGTables/347 hoist merged per tile) compressed, with
   * the horizontal-differencing predictor (tag 317 = 2) for integer
   * samples — the envelope `rasterio.open` accepts for real-world slope
-  * uploads, which are almost always LZW/Deflate and often tiled
+  * uploads, which are almost always LZW/Deflate/ZSTD and often tiled
   * (SlopeGeoJsonUploadView.py:205 reads via rasterio/GDAL).
   * Output is the per-pixel grid frame the geo layer consumes
   * (`GeoPipeline.zonalSlopeStats` samples): (px, py, x, y, value) with x/y
@@ -121,22 +124,27 @@ object TiffReader {
     val bits = scalar(258).getOrElse(8.0).toInt
     val sampleFormat = scalar(339).getOrElse(1.0).toInt // 1 uint, 2 int, 3 float
     val compression = scalar(259).getOrElse(1.0).toInt
-    // unknown codecs fail LOUDLY with the codec named — notably ZSTD
-    // (50000), a common modern GDAL creation option whose frame format
-    // (FSE/Huffman entropy stages) has no JVM-built-in decoder; see
-    // COVERAGE.md for the implement-vs-refuse decision
-    val codecName = Map(2 -> "CCITT-RLE", 6 -> "old-JPEG", 7 -> "JPEG",
-      34712 -> "JPEG2000", 50000 -> "ZSTD", 50001 -> "WEBP", 34887 -> "LERC")
-    require(compression == 1 || compression == 5 || compression == 8 ||
-        compression == 32946 || compression == 32773,
+    // unknown codecs fail LOUDLY with the codec named — never silent
+    // garbage. ZSTD (50000) decodes via zstd-jni, which ships in every
+    // Spark distribution (spark.io.compression.codec=zstd rides the
+    // same jar); JPEG (7, TechNote 2) via the JDK's required ImageIO
+    // JPEG plugin with the JPEGTables (347) hoist merged back per tile
+    val codecName = Map(2 -> "CCITT-RLE", 6 -> "old-JPEG (pre-TechNote-2)",
+      34712 -> "JPEG2000", 50001 -> "WEBP", 34887 -> "LERC")
+    require(compression == 1 || compression == 5 || compression == 7 ||
+        compression == 8 || compression == 32946 || compression == 32773 ||
+        compression == 50000,
       s"unsupported TIFF compression $compression" +
         codecName.get(compression).map(n => s" ($n)").getOrElse("") +
-        " (none/LZW/Deflate/PackBits only)")
+        " (none/LZW/JPEG/Deflate/PackBits/ZSTD only)")
     val predictor = scalar(317).getOrElse(1.0).toInt
     require(predictor == 1 || predictor == 2,
       s"unsupported TIFF predictor $predictor (none/horizontal only)")
     require(predictor == 1 || sampleFormat != 3,
       "horizontal predictor (2) is integer-only; floating-point rasters must use predictor 1")
+    require(compression != 7 || (bits == 8 && sampleFormat == 1 && predictor == 1),
+      s"JPEG-in-TIFF supports 8-bit unsigned without predictor only " +
+        s"(got $bits-bit sf=$sampleFormat predictor=$predictor)")
     val samplesPerPixel = scalar(277).getOrElse(1.0).toInt
     require(samplesPerPixel == 1, s"only single-band rasters supported (spp=$samplesPerPixel)")
 
@@ -147,13 +155,36 @@ object TiffReader {
     val bytesPerSample = bits / 8
     val out = new Array[Double](width * height)
 
-    /** One decompressed segment (strip or tile), exact expected size. */
-    def decodeSegment(off: Long, byteCount: Option[Long], expected: Int): Array[Byte] = {
+    // JPEGTables (347, UNDEFINED bytes): the shared abbreviated table
+    // stream GDAL hoists tile DQT/DHT segments into; merged back in
+    // front of each tile's scan before the ImageIO decode
+    val jpegTables: Option[Array[Byte]] =
+      tags.get(347).map(t => values(t).map(_.toInt.toByte).toArray)
+
+    /** One decompressed segment (strip or tile) of `segW` x `segRows`
+      * samples, exact expected byte size.
+      */
+    def decodeSegment(off: Long, byteCount: Option[Long],
+        segW: Int, segRows: Int): Array[Byte] = {
+      val expected = segW * segRows * bytesPerSample
       // a declared count overrunning the file means truncation: clamp,
       // and let the per-codec exactness requires report it loudly
       val avail = math.max(0L, bytes.length - off)
       val count = math.min(byteCount.getOrElse(avail), avail).toInt
       compression match {
+        case 7 =>
+          JpegSegments.decodeGray(
+            java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + count),
+            jpegTables, segW, segRows)
+        case 50000 =>
+          val seg = new Array[Byte](expected)
+          val n = try com.github.luben.zstd.Zstd.decompressByteArray(
+              seg, 0, expected, bytes, off.toInt, count)
+            catch { case e: com.github.luben.zstd.ZstdException =>
+              throw new IllegalArgumentException(
+                s"ZSTD segment at $off: ${e.getMessage}", e) }
+          require(n == expected, s"ZSTD segment yielded $n of $expected bytes")
+          seg
         case 1 =>
           require(count >= expected, s"segment at $off: $count bytes < expected $expected (truncated?)")
           java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + expected)
@@ -250,8 +281,7 @@ object TiffReader {
         s"tiled TIFF declares ${tileOffsets.length} tiles, grid needs ${across * down}")
       var ti = 0
       while (ti < across * down) {
-        val seg = decodeSegment(tileOffsets(ti), tileCounts.map(_(ti)),
-          tileW * tileH * bytesPerSample)
+        val seg = decodeSegment(tileOffsets(ti), tileCounts.map(_(ti)), tileW, tileH)
         fillRegion(seg, tileW, tileH, (ti % across) * tileW, (ti / across) * tileH)
         ti += 1
       }
@@ -262,8 +292,7 @@ object TiffReader {
       var s = 0
       while (s * rowsPerStrip < height) {
         val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
-        val seg = decodeSegment(stripOffsets(s), stripCounts.map(_(s)),
-          rows * width * bytesPerSample)
+        val seg = decodeSegment(stripOffsets(s), stripCounts.map(_(s)), width, rows)
         fillRegion(seg, width, rows, 0, s * rowsPerStrip)
         s += 1
       }

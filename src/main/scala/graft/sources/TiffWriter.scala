@@ -42,7 +42,7 @@ object TiffWriter {
   }
 
   final case class Layout(
-      compression: Int = 1, // 1 none, 5 LZW, 8 deflate, 32773 PackBits
+      compression: Int = 1, // 1 none, 5 LZW, 7 JPEG, 8 deflate, 32773 PackBits, 50000 ZSTD
       predictor: Int = 1, // 1 none, 2 horizontal (integer only)
       tile: Option[(Int, Int)] = None, // (tileW, tileH); None = strips
       rowsPerStrip: Int = Int.MaxValue,
@@ -52,7 +52,12 @@ object TiffWriter {
       // segment offset/count tags — the layout GDAL switches to above
       // 4 GiB, emitted here at any size so the reader's 64-bit paths are
       // byte-tested without a 4 GiB fixture
-      bigTiff: Boolean = false)
+      bigTiff: Boolean = false,
+      // compression 7 only: hoist the (identical) DQT/DHT marker segments
+      // out of every tile stream into a shared JPEGTables field (tag 347)
+      // — GDAL's default JPEG-in-TIFF layout; false emits self-contained
+      // interchange streams per segment (the JDK TIFF writer's layout)
+      jpegTables: Boolean = false)
 
   /** Encode `values` (row-major, width*height) under `layout` with the
     * GeoTIFF affine (pixel sizes + origin at the outer corner of pixel
@@ -65,11 +70,14 @@ object TiffWriter {
       nodata: Option[Double] = None): Array[Byte] = {
     require(values.length == width * height,
       s"values ${values.length} != $width x $height")
-    require(Seq(1, 5, 8, 32773).contains(layout.compression),
+    require(Seq(1, 5, 7, 8, 32773, 50000).contains(layout.compression),
       s"compression ${layout.compression}")
     require(layout.predictor == 1 || layout.predictor == 2, s"predictor ${layout.predictor}")
     require(layout.predictor == 1 || layout.sampleFormat != 3,
       "horizontal predictor is integer-only")
+    require(layout.compression != 7 ||
+        (layout.bits == 8 && layout.sampleFormat == 1 && layout.predictor == 1),
+      "JPEG-in-TIFF: 8-bit unsigned, no predictor (JPEG is its own transform)")
     val bps = layout.bits / 8
 
     /** One segment's samples (row-major segW x rows), differenced and
@@ -106,6 +114,14 @@ object TiffWriter {
         case 1 => raw.array()
         case 5 => LzwCodec.encode(raw.array())
         case 32773 => packBits(raw.array())
+        case 7 => JpegSegments.encodeGray(raw.array(), segW, rows)
+        case 50000 =>
+          // standard zstd frames per segment, exactly what GDAL's
+          // COMPRESS=ZSTD writes; level 9 = GDAL's ZSTD_LEVEL default.
+          // zstd-jni ships in every Spark distribution (spark.io
+          // .compression.codec=zstd rides the same jar), so the codec
+          // is on the classpath of any cluster this library runs on
+          com.github.luben.zstd.Zstd.compress(raw.array(), 9)
         case 8 =>
           val d = new java.util.zip.Deflater()
           d.setInput(raw.array()); d.finish()
@@ -121,7 +137,7 @@ object TiffWriter {
     }
 
     // build all segments
-    val (segments, segTags): (Seq[Array[Byte]], Seq[(Int, Seq[Long])]) =
+    val (rawSegments, segTags): (Seq[Array[Byte]], Seq[(Int, Seq[Long])]) =
       layout.tile match {
         case Some((tw, th)) =>
           val across = (width + tw - 1) / tw
@@ -144,9 +160,23 @@ object TiffWriter {
           (segs, Seq(278 -> Seq(rps.toLong)))
       }
 
+    // GDAL's JPEGTables layout: every tile's DQT/DHT hoists into ONE
+    // shared abbreviated table stream (tag 347), tiles become
+    // abbreviated image streams. The hoist is only sound when the
+    // tables are identical across tiles (they are: one encoder, fixed
+    // quality) — enforced, never assumed
+    val (segments, jpegTablesStream): (Seq[Array[Byte]], Option[Array[Byte]]) =
+      if (layout.compression == 7 && layout.jpegTables) {
+        val split = rawSegments.map(JpegSegments.splitTables)
+        val tables = split.head._1
+        require(split.forall(s => java.util.Arrays.equals(s._1, tables)),
+          "JPEG tile streams carry differing DQT/DHT tables; cannot hoist into JPEGTables")
+        (split.map(_._2), Some(tables))
+      } else (rawSegments, None)
+
     // assemble: header + IFD + overflow values + segment data
     final case class T(id: Int, ttype: Int, vals: Seq[Long], dbls: Seq[Double] = Nil,
-        asciiz: Option[String] = None)
+        asciiz: Option[String] = None, raw: Option[Array[Byte]] = None)
     val nodataStr = nodata.map(v =>
       (if (v == v.floor && math.abs(v) < 1e15) v.toLong.toString else v.toString) + "\u0000")
     val tiled = layout.tile.isDefined
@@ -166,6 +196,7 @@ object TiffWriter {
     segTags.foreach { case (id, vs) => tags += T(id, if (id == 278) 4 else 3, vs) }
     tags += T(countsId, longType, segments.map(_.length.toLong))
     if (layout.predictor != 1) tags += T(317, 3, Seq(layout.predictor.toLong))
+    jpegTablesStream.foreach(b => tags += T(347, 7, Nil, raw = Some(b)))
     tags += T(339, 3, Seq(layout.sampleFormat.toLong))
     tags += T(33550, 12, Nil, Seq(pixelScaleX, pixelScaleY, 0.0))
     tags += T(33922, 12, Nil, Seq(0.0, 0.0, 0.0, originX, originY, 0.0))
@@ -186,6 +217,7 @@ object TiffWriter {
       case 2 => t.asciiz.get.length
       case 3 => 2 * t.vals.size
       case 4 => 4 * t.vals.size
+      case 7 => t.raw.get.length
       case 12 => 8 * t.dbls.size
       case 16 => 8 * t.vals.size
       case tt => throw new IllegalArgumentException(s"writer tag type $tt")
@@ -218,6 +250,7 @@ object TiffWriter {
       buf.putShort(p, t.id.toShort); buf.putShort(p + 2, t.ttype.toShort)
       val count = t.ttype match {
         case 2 => t.asciiz.get.length
+        case 7 => t.raw.get.length
         case 12 => t.dbls.size
         case _ => realVals.size
       }
@@ -229,6 +262,8 @@ object TiffWriter {
         else { buf.putInt(valuePos, overflowAt(i)); overflowAt(i) }
       t.ttype match {
         case 2 => t.asciiz.get.getBytes("US-ASCII").zipWithIndex.foreach {
+          case (b, j) => buf.put(at + j, b) }
+        case 7 => t.raw.get.zipWithIndex.foreach {
           case (b, j) => buf.put(at + j, b) }
         case 3 => realVals.zipWithIndex.foreach { case (v, j) =>
           buf.putShort(at + 2 * j, v.toShort) }

@@ -205,18 +205,161 @@ class TiffReaderSpec extends SparkSpec {
     assert(ex.getMessage.contains("BigTIFF"))
   }
 
-  test("ZSTD (50000) compression is a pinned LOUD failure naming the codec") {
-    // GDAL's ZSTD creation option produces frames whose entropy stages
-    // (FSE + Huffman) have no JVM-built-in decoder; until a decoder is
-    // warranted the contract is refuse-loudly-by-name, never silent
-    // garbage (COVERAGE.md records the decision)
-    val t = TiffWriter.encode(4, 3, new Array[Double](12))
-    val b = java.nio.ByteBuffer.wrap(t).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+  test("ZSTD (50000) round-trips: strips, tiles, BigTIFF, predictor, float and int") {
+    // GDAL's modern creation default; frames decode via zstd-jni, the
+    // codec every Spark distribution already ships for shuffle/IO
+    for (tile <- Seq(None, Some((16, 16))); big <- Seq(false, true))
+      assertGrid(TiffWriter.encode(CW, CH, slopeVals,
+        TiffWriter.Layout(compression = 50000, tile = tile, rowsPerStrip = 9,
+          bigTiff = big),
+        0.5, 0.25, 30.0, -1.0, Some(-9999.0)))
+    val ints = Array.tabulate(CW * CH)(i => ((i * 37) % 251).toDouble)
+    for ((sf, bits) <- Seq((1, 8), (1, 16), (2, 16), (1, 32))) {
+      val vals = if (sf == 2) ints.map(_ - 125) else ints
+      val enc = TiffWriter.encode(CW, CH, vals,
+        TiffWriter.Layout(compression = 50000, predictor = 2, tile = Some((16, 16)),
+          sampleFormat = sf, bits = bits))
+      assert(TiffReader.parseBytes(enc).values.toSeq == vals.toSeq, s"sf=$sf bits=$bits")
+    }
+  }
+
+  // Three frames over the same 16 KiB text-like payload, produced by the
+  // REFERENCE zstd CLI (level 3, level 19, --no-check) — an encoder
+  // independent of zstd-jni, so frame-format interop (Huffman literals,
+  // FSE sequences, optional content checksum) is pinned against the
+  // canonical implementation, not against the decoder's own sibling.
+  private def cliPayload: Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < 400) {
+      sb.append(f"the slope raster tile row ${i % 140}%03d with nodata at margin; ")
+      i += 1
+    }
+    sb.toString.getBytes("US-ASCII").take(16384)
+  }
+  private val CliZstdFrames = Map(
+    "level3" -> "KLUv/WQAPwUJAFZQKRqQJWkOALRWof9XZSNlFLsDRLuJiAiRWN0FPS4AIQAZAHQ3JfGsaAJQMAQOYoAcghCHCDAUyOAYBaQtKTAcpCAYhxzFORAHKQgMhAMpBid005TEs6KLpiSeFd0zJfGs6JopiWdFt0xJPCu6ZEriWQX///////////+bknhWdI0piWdFt5iSeFYBd3d3d3dmZmZmZlVVVVVVRERERET//9+2bdv+AYDJqCHw7v8d8DW2AxL4/0cQ+BP4ewd79s9IkkwmSSIhSZJkkkkSSZJMSpIkkUmSRJJUEskkyUiSJJFMkkSSzCSSrNxS5ySSyXgiSSKZCSJJMolBEpJkNpEkSeYEkSRJYkISSZJNTJIkM0FKEklikIwkyaJthQGyCpLOT7I=",
+    "level19" -> "KLUv/WQAP10HAPJMIRSQGx4A2rpGrCi7W/SSIqSUSmaaENS8mnhWv+bVxLO6Na8mntWreTXxrP5qXk08q3fzauJZnZtXE8/q27yaeFbX5tXEs3o2ryae1bF5NfGsfs2riWd1a15NPKtX82riWRGQGAQTIOQEFDiBoCRUOMZD/+lRGBoOwyFmcJqAoWFRjoaGwgmAjagRoNv+vwHwNbYDEvj/BIERBP4E/n4GAeOfW0mSkkiQTCKJBxJJMvkgkSSZbwJLkiSygWSSSSKRTJLEgxFJknyQkSTJB5GSJPkgkUmSDySSSfJBIskkH0gkyUSg3sJTWQWSzk+y",
+    "nocheck" -> "KLUv/WAAPwUJAFZQKRqQJWkOALRWof9XZSNlFLsDRLuJiAiRWN0FPS4AIQAZAHQ3JfGsaAJQMAQOYoAcghCHCDAUyOAYBaQtKTAcpCAYhxzFORAHKQgMhAMpBid005TEs6KLpiSeFd0zJfGs6JopiWdFt0xJPCu6ZEriWQX///////////+bknhWdI0piWdFt5iSeFYBd3d3d3dmZmZmZlVVVVVVRERERET//9+2bdv+AYDJqCHw7v8d8DW2AxL4/0cQ+BP4ewd79s9IkkwmSSIhSZJkkkkSSZJMSpIkkUmSRJJUEskkyUiSJJFMkkSSzCSSrNxS5ySSyXgiSSKZCSJJMolBEpJkNpEkSeYEkSRJYkISSZJNTJIkM0FKEklikIwkyaJthQGyCg==")
+
+  test("ZSTD frames from the reference CLI implementation decode inside a TIFF") {
+    // 16384 payload bytes = one 128x128 uint8 strip: write the raster
+    // uncompressed, then swap the strip for the CLI frame and flip the
+    // compression tag — the reader must recover the exact payload
+    val payload = cliPayload
+    val vals = payload.map(b => (b & 0xFF).toDouble)
+    val plain = TiffWriter.encode(128, 128, vals,
+      TiffWriter.Layout(compression = 1, sampleFormat = 1, bits = 8, rowsPerStrip = 128))
+    val b = java.nio.ByteBuffer.wrap(plain).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val ifd = b.getInt(4); val n = b.getShort(ifd) & 0xFFFF
-    val p = (0 until n).map(i => ifd + 2 + i * 12).find(q => (b.getShort(q) & 0xFFFF) == 259).get
-    b.putShort(p + 8, 50000.toShort) // 50000 fits a SHORT value slot (0xC350)
-    val ex = intercept[IllegalArgumentException] { TiffReader.parseBytes(t) }
-    assert(ex.getMessage.contains("50000") && ex.getMessage.contains("ZSTD"))
+    def entry(id: Int): Int =
+      (0 until n).map(i => ifd + 2 + i * 12).find(p => (b.getShort(p) & 0xFFFF) == id).get
+    val stripOff = b.getInt(entry(273) + 8)
+    for ((name, b64) <- CliZstdFrames) {
+      val frame = java.util.Base64.getDecoder.decode(b64)
+      val patched = java.util.Arrays.copyOf(plain, stripOff + frame.length)
+      val pb = java.nio.ByteBuffer.wrap(patched).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      pb.putShort(entry(259) + 8, 50000.toShort) // 0xC350 in the SHORT slot
+      pb.putInt(entry(279) + 8, frame.length)
+      System.arraycopy(frame, 0, patched, stripOff, frame.length)
+      val g = TiffReader.parseBytes(patched)
+      assert(g.width == 128 && g.height == 128, name)
+      assert(g.values.toSeq == vals.toSeq, s"$name payload mismatch")
+    }
+  }
+
+  test("corrupt ZSTD segments fail loudly naming the codec") {
+    val enc = TiffWriter.encode(CW, CH, slopeVals,
+      TiffWriter.Layout(compression = 50000, rowsPerStrip = 47))
+    // truncation: the frame header declares more than remains
+    val ex1 = intercept[IllegalArgumentException] {
+      TiffReader.parseBytes(java.util.Arrays.copyOf(enc, enc.length - 25))
+    }
+    assert(ex1.getMessage.contains("ZSTD"))
+    // bit-flip inside the frame body
+    val flipped = enc.clone()
+    flipped(flipped.length - 40) = (flipped(flipped.length - 40) ^ 0x55).toByte
+    val ex2 = intercept[IllegalArgumentException] { TiffReader.parseBytes(flipped) }
+    assert(ex2.getMessage.contains("ZSTD"))
+  }
+
+  // ---- JPEG-in-TIFF (compression 7, TechNote 2) ---------------------------
+
+  test("JPEG-in-TIFF from the JDK TIFF writer decodes (independent implementation)") {
+    val (w, h) = (61, 47)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 7 + y * 13 + (x * y) % 31) % 256)
+    for (tiled <- Seq(false, true)) {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType("JPEG")
+      if (tiled) {
+        p.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setTiling(16, 16, 0, 0)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); writer.dispose()
+      val bytes = bos.toByteArray
+      // ground truth = the JDK's own TIFF reader on the same bytes (JPEG
+      // is lossy, so agreement is judged decode-vs-decode, never against
+      // the pre-compression samples)
+      val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val g = TiffReader.parseBytes(bytes)
+      assert(g.width == w && g.height == h, s"tiled=$tiled")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(g.value(x, y) == jdk.getRaster.getSample(x, y, 0).toDouble,
+          s"tiled=$tiled pixel ($x,$y)")
+    }
+  }
+
+  test("JPEG-in-TIFF with the JPEGTables hoist (tag 347) round-trips and cross-checks") {
+    val vals = Array.tabulate(CW * CH)(i => ((i % CW) * 7 + (i / CW) * 13).toDouble % 256)
+    def enc(tables: Boolean) = TiffWriter.encode(CW, CH, vals,
+      TiffWriter.Layout(compression = 7, sampleFormat = 1, bits = 8,
+        tile = Some((16, 16)), jpegTables = tables))
+    val hoisted = enc(tables = true)
+    val selfContained = enc(tables = false)
+    // the hoist is lossless byte plumbing: identical decoded grids
+    val gh = TiffReader.parseBytes(hoisted)
+    val gs = TiffReader.parseBytes(selfContained)
+    assert(gh.values.toSeq == gs.values.toSeq)
+    // tag 347 present in the hoisted file, absent otherwise
+    def hasTag(bytes: Array[Byte], id: Int): Boolean = {
+      val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ifd = b.getInt(4); val n = b.getShort(ifd) & 0xFFFF
+      (0 until n).exists(i => (b.getShort(ifd + 2 + i * 12) & 0xFFFF) == id)
+    }
+    assert(hasTag(hoisted, 347) && !hasTag(selfContained, 347))
+    // the hoisted layout is smaller: shared tables paid once, not per tile
+    assert(hoisted.length < selfContained.length)
+    // independent cross-check: the JDK TIFF reader decodes the hoisted
+    // file (its TIFFJPEGDecompressor honors JPEGTables) to the same grid
+    val jdk = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(hoisted))
+    assert(jdk != null, "JDK ImageIO could not read the JPEGTables tiff")
+    for (y <- 0 until CH; x <- 0 until CW)
+      assert(gh.value(x, y) == jdk.getRaster.getSample(x, y, 0).toDouble, s"($x,$y)")
+  }
+
+  test("JPEG-in-TIFF beyond 8-bit grayscale is a loud failure") {
+    intercept[IllegalArgumentException] {
+      TiffWriter.encode(4, 3, new Array[Double](12),
+        TiffWriter.Layout(compression = 7, sampleFormat = 1, bits = 16))
+    }
+    // reader side: a valid 8-bit JPEG tiff whose BitsPerSample lies 16
+    val ok = TiffWriter.encode(4, 3, Array.fill(12)(9.0),
+      TiffWriter.Layout(compression = 7, sampleFormat = 1, bits = 8))
+    val b = java.nio.ByteBuffer.wrap(ok).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifd = b.getInt(4); val n = b.getShort(ifd) & 0xFFFF
+    val p = (0 until n).map(i => ifd + 2 + i * 12).find(q => (b.getShort(q) & 0xFFFF) == 258).get
+    b.putShort(p + 8, 16.toShort)
+    val ex = intercept[IllegalArgumentException] { TiffReader.parseBytes(ok) }
+    assert(ex.getMessage.contains("JPEG"))
   }
 
   test("horizontal predictor (2) round-trips for u8/u16/s16/u32, strips and tiles") {
@@ -292,7 +435,8 @@ class TiffReaderSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TiffReader.parseBytes(java.util.Arrays.copyOf(enc, enc.length - 40))
     }
-    // unknown compression tag still rejects loudly (7 = old-style JPEG)
+    // unknown compression tag still rejects loudly, naming the codec
+    // (6 = old-style pre-TechNote-2 JPEG, which GDAL also refuses to write)
     val jpegTag = TiffWriter.encode(4, 3, new Array[Double](12))
     val idx = { // find the compression tag and flip it
       val b = java.nio.ByteBuffer.wrap(jpegTag).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -300,8 +444,8 @@ class TiffReaderSpec extends SparkSpec {
       (0 until n).map(i => ifd + 2 + i * 12).find(p => (b.getShort(p) & 0xFFFF) == 259).get
     }
     java.nio.ByteBuffer.wrap(jpegTag).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      .putShort(idx + 8, 7.toShort)
+      .putShort(idx + 8, 6.toShort)
     val ex = intercept[IllegalArgumentException] { TiffReader.parseBytes(jpegTag) }
-    assert(ex.getMessage.contains("compression"))
+    assert(ex.getMessage.contains("compression") && ex.getMessage.contains("old-JPEG"))
   }
 }
