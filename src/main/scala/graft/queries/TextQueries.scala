@@ -1602,6 +1602,95 @@ object TextQueries {
         ORDER BY t.lang"""))
     ,
 
+    // ---- chrF sufficient statistics (character-level MT eval) --------------
+    // BLEU's character-level companion (chrF, Popović 2015) — the other
+    // standard MT metric, and the one that survives tokenizer mismatch
+    // (it needs no tokenization at all). Texts lose all whitespace, then
+    // per n in 1..6 the clipped char-n-gram matches plus BOTH sides'
+    // totals — chrF is an F-score, so recall needs reference
+    // denominators BLEU never ships. Integers + milli P/R only (the β=2
+    // harmonic combination is the caller's float cosmetics, like BLEU's
+    // geometric mean). Same pairs, same plan shape as q258: one narrow
+    // (pair, n, gram) exchange, no window, documents never shuffle.
+    Q("q280_chrf_stats",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+        val pairs = d.join(
+            d.select((col("doc_id") + 1).as("doc_id"), col("text").as("ref_text")),
+            Seq("doc_id"))
+          .select(col("doc_id").as("pair_id"), col("lang"),
+            col("text").as("cand_text"), col("ref_text"))
+        graft.text.Eval.chrFStats(pairs).orderBy("lang")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang,
+            regexp_replace(text, '[ \t\n\r\f]+', '', 'g') AS s
+          FROM documents),
+        p AS (
+          SELECT c.doc_id AS pair, c.lang, c.s AS sc, r.s AS sr
+          FROM d c JOIN d r ON r.doc_id = c.doc_id - 1),
+        cg AS (
+          SELECT pair, lang, n, gram, COUNT(*) AS c_cnt FROM (
+            SELECT pair, lang, ns.n AS n, sc[i:i + ns.n - 1] AS gram
+            FROM p, (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n) ns,
+              UNNEST(generate_series(1, length(sc) - ns.n + 1)) AS s(i))
+          GROUP BY 1, 2, 3, 4),
+        rg AS (
+          SELECT pair, n, gram, COUNT(*) AS r_cnt FROM (
+            SELECT pair, ns.n AS n, sr[i:i + ns.n - 1] AS gram
+            FROM p, (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n) ns,
+              UNNEST(generate_series(1, length(sr) - ns.n + 1)) AS s(i))
+          GROUP BY 1, 2, 3),
+        mt AS (
+          SELECT lang, n, CAST(SUM(LEAST(c_cnt, r_cnt)) AS BIGINT) AS matched
+          FROM cg JOIN rg USING (pair, n, gram) GROUP BY 1, 2),
+        tot AS (
+          SELECT lang, COUNT(*) AS pairs,
+            CAST(SUM(length(sc)) AS BIGINT) AS cand_chars,
+            CAST(SUM(length(sr)) AS BIGINT) AS ref_chars,
+            CAST(SUM(GREATEST(length(sc), 0)) AS BIGINT) AS c1,
+            CAST(SUM(GREATEST(length(sr), 0)) AS BIGINT) AS r1,
+            CAST(SUM(GREATEST(length(sc) - 1, 0)) AS BIGINT) AS c2,
+            CAST(SUM(GREATEST(length(sr) - 1, 0)) AS BIGINT) AS r2,
+            CAST(SUM(GREATEST(length(sc) - 2, 0)) AS BIGINT) AS c3,
+            CAST(SUM(GREATEST(length(sr) - 2, 0)) AS BIGINT) AS r3,
+            CAST(SUM(GREATEST(length(sc) - 3, 0)) AS BIGINT) AS c4,
+            CAST(SUM(GREATEST(length(sr) - 3, 0)) AS BIGINT) AS r4,
+            CAST(SUM(GREATEST(length(sc) - 4, 0)) AS BIGINT) AS c5,
+            CAST(SUM(GREATEST(length(sr) - 4, 0)) AS BIGINT) AS r5,
+            CAST(SUM(GREATEST(length(sc) - 5, 0)) AS BIGINT) AS c6,
+            CAST(SUM(GREATEST(length(sr) - 5, 0)) AS BIGINT) AS r6
+          FROM p GROUP BY 1)
+        SELECT t.lang, t.pairs, t.cand_chars, t.ref_chars,
+          COALESCE(m1.matched, 0) AS match_1, t.c1 AS ctotal_1, t.r1 AS rtotal_1,
+          CASE WHEN t.c1 > 0 THEN 1000 * COALESCE(m1.matched, 0) // t.c1 END AS prec1_milli,
+          CASE WHEN t.r1 > 0 THEN 1000 * COALESCE(m1.matched, 0) // t.r1 END AS rec1_milli,
+          COALESCE(m2.matched, 0) AS match_2, t.c2 AS ctotal_2, t.r2 AS rtotal_2,
+          CASE WHEN t.c2 > 0 THEN 1000 * COALESCE(m2.matched, 0) // t.c2 END AS prec2_milli,
+          CASE WHEN t.r2 > 0 THEN 1000 * COALESCE(m2.matched, 0) // t.r2 END AS rec2_milli,
+          COALESCE(m3.matched, 0) AS match_3, t.c3 AS ctotal_3, t.r3 AS rtotal_3,
+          CASE WHEN t.c3 > 0 THEN 1000 * COALESCE(m3.matched, 0) // t.c3 END AS prec3_milli,
+          CASE WHEN t.r3 > 0 THEN 1000 * COALESCE(m3.matched, 0) // t.r3 END AS rec3_milli,
+          COALESCE(m4.matched, 0) AS match_4, t.c4 AS ctotal_4, t.r4 AS rtotal_4,
+          CASE WHEN t.c4 > 0 THEN 1000 * COALESCE(m4.matched, 0) // t.c4 END AS prec4_milli,
+          CASE WHEN t.r4 > 0 THEN 1000 * COALESCE(m4.matched, 0) // t.r4 END AS rec4_milli,
+          COALESCE(m5.matched, 0) AS match_5, t.c5 AS ctotal_5, t.r5 AS rtotal_5,
+          CASE WHEN t.c5 > 0 THEN 1000 * COALESCE(m5.matched, 0) // t.c5 END AS prec5_milli,
+          CASE WHEN t.r5 > 0 THEN 1000 * COALESCE(m5.matched, 0) // t.r5 END AS rec5_milli,
+          COALESCE(m6.matched, 0) AS match_6, t.c6 AS ctotal_6, t.r6 AS rtotal_6,
+          CASE WHEN t.c6 > 0 THEN 1000 * COALESCE(m6.matched, 0) // t.c6 END AS prec6_milli,
+          CASE WHEN t.r6 > 0 THEN 1000 * COALESCE(m6.matched, 0) // t.r6 END AS rec6_milli
+        FROM tot t
+          LEFT JOIN mt m1 ON m1.lang = t.lang AND m1.n = 1
+          LEFT JOIN mt m2 ON m2.lang = t.lang AND m2.n = 2
+          LEFT JOIN mt m3 ON m3.lang = t.lang AND m3.n = 3
+          LEFT JOIN mt m4 ON m4.lang = t.lang AND m4.n = 4
+          LEFT JOIN mt m5 ON m5.lang = t.lang AND m5.n = 5
+          LEFT JOIN mt m6 ON m6.lang = t.lang AND m6.n = 6
+        ORDER BY t.lang"""))
+    ,
+
     // ---- content-defined chunking: shift-resistant dedup ------------------
     // The storage-dedup technique (FastCDC's idea at word grain): a word
     // closes its chunk when md5(word) starts with '0' (p = 1/16, ~16-word

@@ -197,6 +197,74 @@ object Eval {
         approx_count_distinct(col("gram"), rsd).as("approx_distinct_ngrams"))
       .withColumn("approx_distinct_milli",
         expr("1000 * approx_distinct_ngrams div total_ngrams"))
+
+  /** chrF sufficient statistics (Popović 2015) per `groupCol` — the
+    * character-level companion to [[bleuStats]]: texts lose ALL
+    * whitespace (chrF's definition: character n-grams never span what a
+    * tokenizer would split), then per n in 1..maxN the clipped char
+    * n-gram matches plus BOTH sides' totals, because chrF is an
+    * F-score — recall needs the reference denominators BLEU never
+    * ships. Pure integers (match_n / ctotal_n / rtotal_n, plus
+    * milli-scaled precision/recall); the β=2 harmonic combination over
+    * n is the caller's float cosmetics, exactly like BLEU's geometric
+    * mean. Same plan shape as [[bleuStats]]: one narrow (pair, n, gram)
+    * exchange, no window, documents never shuffle. chrF++ = these
+    * statistics unioned with [[bleuStats]]' word 1-2-grams.
+    */
+  def chrFStats(pairs: DataFrame, groupCol: String = "lang",
+      pairCol: String = "pair_id", candCol: String = "cand_text",
+      refCol: String = "ref_text", maxN: Int = 6): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN out of range: $maxN")
+    // explicit whitespace class (Java's \s includes \x0B, RE2's does
+    // not) — the WebText cross-engine regex discipline
+    def squash(c: Column): Column = regexp_replace(c, "[ \\t\\n\\r\\f]+", "")
+    def charGrams(s: Column, n: Int): Column =
+      when(length(s) >= n,
+        transform(sequence(lit(1), length(s) - lit(n - 1)), i => s.substr(i, lit(n))))
+        .otherwise(array())
+    val base = pairs.select(col(groupCol), col(pairCol).as("pair"),
+      squash(col(candCol)).as("sc"), squash(col(refCol)).as("sr"))
+    def gramRows(s: Column): Column =
+      explode(flatten(array((1 to maxN).map(n =>
+        transform(charGrams(s, n), g => struct(lit(n).as("n"), g.as("gram")))): _*)))
+    val cand = base.select(col(groupCol), col("pair"), gramRows(col("sc")).as("g"))
+      .groupBy(col(groupCol), col("pair"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("c_cnt"))
+    val ref = base.select(col("pair"), gramRows(col("sr")).as("g"))
+      .groupBy(col("pair"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("r_cnt"))
+    val matches = cand.join(ref, Seq("pair", "n", "gram"))
+      .groupBy(groupCol, "n")
+      .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("matched"))
+    val totals = base.select(col(groupCol), col("pair"),
+        length(col("sc")).cast("long").as("clen"),
+        length(col("sr")).cast("long").as("rlen"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("pairs"),
+        sum("clen").as("cand_chars"), sum("rlen").as("ref_chars"),
+        struct((1 to maxN).flatMap(n => Seq(
+          sum(greatest(col("clen") - lit(n - 1), lit(0L))).as(s"c$n"),
+          sum(greatest(col("rlen") - lit(n - 1), lit(0L))).as(s"r$n"))): _*).as("tot"))
+    val m = (1 to maxN).foldLeft(
+        totals.join(matches.groupBy(groupCol).agg(
+          map_from_entries(collect_list(struct(col("n"), col("matched"))))
+            .as("mm")), Seq(groupCol), "left_outer")) { (d, n) =>
+      d.withColumn(s"match_$n",
+          coalesce(element_at(col("mm"), n), lit(0L)))
+        .withColumn(s"ctotal_$n", col(s"tot.c$n"))
+        .withColumn(s"rtotal_$n", col(s"tot.r$n"))
+        .withColumn(s"prec${n}_milli",
+          when(col(s"ctotal_$n") > 0,
+            expr(s"1000 * match_$n div ctotal_$n")).otherwise(lit(null)))
+        .withColumn(s"rec${n}_milli",
+          when(col(s"rtotal_$n") > 0,
+            expr(s"1000 * match_$n div rtotal_$n")).otherwise(lit(null)))
+    }
+    m.select(col(groupCol) +: col("pairs") +: col("cand_chars") +:
+      col("ref_chars") +:
+      (1 to maxN).flatMap(n => Seq(col(s"match_$n"), col(s"ctotal_$n"),
+        col(s"rtotal_$n"), col(s"prec${n}_milli"), col(s"rec${n}_milli"))): _*)
+  }
 }
 
 /** The LCS dynamic program as one BinaryExpression (codegen'd wrapper

@@ -109,4 +109,37 @@ class EvalSpec extends SparkSpec {
     // doc 'x y' has no trigram: group (a, 3) counts only the first doc's 2
     assert(out(("a", 3)).getAs[Long]("total_ngrams") === 2L)
   }
+
+  test("chrFStats: whitespace removal, clipping, recall side, by hand") {
+    // cand 'ab ba' -> 'abba' (4 chars), ref 'ab ab' -> 'abab'
+    // 1-grams: cand {a:2,b:2}, ref {a:2,b:2} -> match 4 of 4 (P=R=1000)
+    // 2-grams: cand {ab,bb,ba}, ref {ab:2,ba} -> clip: ab 1, ba 1 = 2 of 3
+    val out = Eval.chrFStats(
+      Seq((1L, "en", "ab ba", "ab ab")).toDF("pair_id", "lang", "cand_text", "ref_text"),
+      maxN = 3).collect().map(r => r.getString(0) -> r).toMap
+    val m = out("en")
+    assert(m.getAs[Long]("cand_chars") === 4L && m.getAs[Long]("ref_chars") === 4L)
+    assert(m.getAs[Long]("match_1") === 4L &&
+      m.getAs[Long]("ctotal_1") === 4L && m.getAs[Long]("rtotal_1") === 4L)
+    assert(m.getAs[Long]("prec1_milli") === 1000L && m.getAs[Long]("rec1_milli") === 1000L)
+    assert(m.getAs[Long]("match_2") === 2L && m.getAs[Long]("ctotal_2") === 3L)
+    assert(m.getAs[Long]("prec2_milli") === 666L && m.getAs[Long]("rec2_milli") === 666L)
+    // 3-grams: cand {abb,bba}, ref {aba,bab} -> 0 matches
+    assert(m.getAs[Long]("match_3") === 0L && m.getAs[Long]("ctotal_3") === 2L)
+    // asymmetric lengths drive P and R apart: cand 'aaa', ref 'aaaaaa'
+    // 1-grams match 3 (clip at cand count): P = 3/3, R = 3/6
+    val asym = Eval.chrFStats(
+      Seq((1L, "en", "aaa", "aaaaaa")).toDF("pair_id", "lang", "cand_text", "ref_text"),
+      maxN = 1).collect().head
+    assert(asym.getAs[Long]("match_1") === 3L)
+    assert(asym.getAs[Long]("prec1_milli") === 1000L)
+    assert(asym.getAs[Long]("rec1_milli") === 500L)
+    // short side: empty-after-squash candidate yields zero totals, null P
+    val empty = Eval.chrFStats(
+      Seq((1L, "en", " \t ", "ab")).toDF("pair_id", "lang", "cand_text", "ref_text"),
+      maxN = 1).collect().head
+    assert(empty.getAs[Long]("ctotal_1") === 0L)
+    assert(empty.isNullAt(empty.fieldIndex("prec1_milli")))
+    assert(empty.getAs[Long]("rtotal_1") === 2L && empty.getAs[Long]("rec1_milli") === 0L)
+  }
 }
