@@ -1429,6 +1429,138 @@ object TextQueries {
       Some(wordPieceOracleSql))
     ,
 
+    // ---- Unigram-LM tokenizer (SentencePiece shape): seed stage ------------
+    // The fourth subword family member (word-BPE q180, byte-BPE q270,
+    // WordPiece q184 all GROW vocabularies; unigram SHRINKS one). Stage 1
+    // is fully SQL-expressible and oracled here: the seed vocabulary =
+    // top-K substrings (length 1..4) of the corpus word table by
+    // frequency-weighted occurrence count, ties lexicographic. The EM +
+    // prune stages are float lattice math — verified spec-tier against
+    // EXHAUSTIVE segmentation enumeration (UnigramSpec), the honest tier
+    // for math SQL cannot replay bit-exactly.
+    Q("q281_unigram_seed",
+      (s, dir) => graft.text.Unigram
+        .seedPieceFrame(t(s, dir, "documents"), "text", maxPieceLen = 4)
+        .orderBy(desc("weight"), col("piece"))
+        .limit(40),
+      Some("""
+        WITH w AS (
+          SELECT tok AS word, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents)
+          WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY 1),
+        s AS (
+          SELECT word[i:i + ks.k - 1] AS piece,
+            CAST(SUM(freq) AS BIGINT) AS weight
+          FROM w, (SELECT unnest([1, 2, 3, 4]) AS k) ks,
+            UNNEST(generate_series(1, length(word) - ks.k + 1)) AS t(i)
+          GROUP BY 1)
+        SELECT piece, weight FROM s ORDER BY weight DESC, piece LIMIT 40"""))
+    ,
+
+    // ---- Unigram Viterbi under a fixed integer-scored vocabulary -----------
+    // The inference half with a FULL hash oracle: Viterbi segmentation
+    // of every corpus word under a literal (piece, score) table shared
+    // verbatim by both engines. The objective is the single integer
+    // D = sum(128*score - 1) per piece — exactly the lexicographic
+    // (max total score, then min piece count) order while piece counts
+    // stay under 128 (pretokens are short; viterbiScored requires it) —
+    // so the DP needs no float and no tie-break judgment calls. The
+    // oracle replays the IDENTICAL DP as a recursive CTE carrying a
+    // 4-wide best-score window (maxPieceLen = 4), and (score, tokens)
+    // extract from D by exact integer identities. One narrow word-table
+    // aggregate; the per-word DP is row-local.
+    Q("q282_unigram_viterbi",
+      (s, dir) => {
+        import s.implicits._
+        val vocab = unigramScoredVocab.toMap
+        graft.text.Unigram.wordTable(t(s, dir, "documents"), "text")
+          .as[(String, Long)].map { case (w, f) =>
+            val (sc, tk) = graft.text.Unigram.viterbiScored(w, vocab, 4)
+              .getOrElse(throw new IllegalStateException(
+                s"unsegmentable word under a full-alphabet vocab: $w"))
+            (w, f, sc.toLong, tk.toLong)
+          }.toDF("word", "freq", "score", "tokens").orderBy("word")
+      },
+      Some(s"""
+        WITH RECURSIVE w AS (
+          SELECT tok AS word, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents)
+          WHERE regexp_matches(tok, '^[a-z]+$$') GROUP BY 1),
+        v(piece, s) AS (VALUES $unigramScoredVocabSql),
+        dp AS (
+          SELECT word, 0 AS i, CAST(0 AS BIGINT) AS d0,
+            CAST(-1000000 AS BIGINT) AS d1, CAST(-1000000 AS BIGINT) AS d2,
+            CAST(-1000000 AS BIGINT) AS d3
+          FROM w
+          UNION ALL
+          SELECT dp.word, dp.i + 1,
+            greatest(
+              coalesce(dp.d0 + 128 * v1.s - 1, -1000000),
+              coalesce(dp.d1 + 128 * v2.s - 1, -1000000),
+              coalesce(dp.d2 + 128 * v3.s - 1, -1000000),
+              coalesce(dp.d3 + 128 * v4.s - 1, -1000000)) AS d0,
+            dp.d0 AS d1, dp.d1 AS d2, dp.d2 AS d3
+          FROM dp
+          LEFT JOIN v v1 ON v1.piece = dp.word[dp.i + 1 : dp.i + 1]
+          LEFT JOIN v v2 ON dp.i >= 1 AND v2.piece = dp.word[dp.i : dp.i + 1]
+          LEFT JOIN v v3 ON dp.i >= 2 AND v3.piece = dp.word[dp.i - 1 : dp.i + 1]
+          LEFT JOIN v v4 ON dp.i >= 3 AND v4.piece = dp.word[dp.i - 2 : dp.i + 1]
+          WHERE dp.i < length(dp.word)),
+        fin AS (SELECT word, d0 FROM dp WHERE i = length(word))
+        SELECT w.word, w.freq, (f.d0 + 127) // 128 AS score,
+          128 * ((f.d0 + 127) // 128) - f.d0 AS tokens
+        FROM w JOIN fin f USING (word) ORDER BY word"""))
+    ,
+
+    // ---- Unigram tokenizer as a served artifact ----------------------------
+    // Closes the four-tokenizer artifact sweep (word-BPE q274, byte-BPE
+    // q277, WordPiece q278): TRAIN the unigram model (EM + prune over the
+    // word table), SAVE the exact integer micro-count table, RELOAD it,
+    // and Viterbi-encode every corpus word under BOTH models. The oracle
+    // predicts every fact in closed form: per word-initial, the word and
+    // frequency sums from the table — and ZERO mismatches, because the
+    // artifact stores the integers the trainer accumulated, making the
+    // reloaded probabilities bit-identical. One drifted byte (piece
+    // order, count, max_piece_len) puts a 1 in some mismatch cell and
+    // flips the hash. Also proves every word SEGMENTS under the trained
+    // model (mismatch counts unsegmentable words too).
+    Q("q283_unigram_artifact",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_unigram_artifact").toString
+        val fresh = graft.text.Unigram.fit(s, docs, vocabSize = 40,
+          maxPieceLen = 4, seedSize = 120, emIters = 2)
+        graft.text.Unigram.save(s, fresh, path)
+        val loaded = graft.text.Unigram.load(s, path)
+        val lpF = fresh.logProb
+        val lpL = loaded.logProb
+        graft.text.Unigram.wordTable(docs, "text")
+          .as[(String, Long)].map { case (w, f) =>
+            val a = graft.text.Unigram.viterbi(w, lpF, 4)
+            val b = graft.text.Unigram.viterbi(w, lpL, 4)
+            (w.substring(0, 1), f, if (a == b && a.nonEmpty) 0L else 1L)
+          }.toDF("initial", "freq", "mm")
+          .groupBy("initial")
+          .agg(count(lit(1)).as("words"), sum("freq").as("freq"),
+            sum("mm").as("mismatches"))
+          .orderBy("initial")
+      },
+      Some("""
+        WITH w AS (
+          SELECT tok AS word, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents)
+          WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY 1)
+        SELECT word[1:1] AS initial, CAST(COUNT(*) AS BIGINT) AS words,
+          CAST(SUM(freq) AS BIGINT) AS freq,
+          CAST(0 AS BIGINT) AS mismatches
+        FROM w GROUP BY 1 ORDER BY 1"""))
+    ,
+
     // ---- ROUGE-L sufficient statistics (the eval tier's LCS member) -------
     // BLEU (q258) measures clipped n-gram overlap; summarization evals
     // report ROUGE-L, whose core is the LONGEST COMMON SUBSEQUENCE — a
@@ -2009,6 +2141,22 @@ object TextQueries {
     * 3^rounds scans of `documents` — measured as a "too many open files"
     * failure at 8 rounds (the pqOraclePartsBatch lesson, round 9).
     */
+  /** q282's fixed vocabulary: the full single-char alphabet (every word
+    * stays segmentable) plus multi-char pieces whose integer scores make
+    * fusing them worthwhile — one literal table, embedded verbatim in
+    * BOTH engines so neither can drift.
+    */
+  private lazy val unigramScoredVocab: Seq[(String, Int)] =
+    ('a' to 'z').map(c => c.toString -> 1) ++ Seq(
+      "qu" -> 3, "er" -> 3, "re" -> 3, "in" -> 3, "at" -> 3, "us" -> 4,
+      "um" -> 4, "it" -> 3, "is" -> 3, "eo" -> 3,
+      "tio" -> 6, "ent" -> 6, "col" -> 5, "dat" -> 5, "ust" -> 5,
+      "fil" -> 5, "ius" -> 7, "mon" -> 5, "tch" -> 6,
+      "olum" -> 9, "atch" -> 9, "ilte" -> 8, "umer" -> 8)
+
+  private def unigramScoredVocabSql: String =
+    unigramScoredVocab.map { case (p, s) => s"('$p',$s)" }.mkString(",")
+
   private def bpeHeaderCtes: String = s"""
         w AS MATERIALIZED (
           SELECT tok AS word, COUNT(*) AS freq FROM (
