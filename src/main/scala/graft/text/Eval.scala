@@ -164,15 +164,31 @@ object Eval {
       .withColumn("distinct_milli",
         expr("1000 * distinct_ngrams div total_ngrams"))
 
+  /** Scan-parallelism floor: when the input arrives narrower than half
+    * the session's parallelism (a single unsplittable file — one parquet
+    * row group, one gzip member — the droplet layouts real lakes
+    * accumulate), redistribute ONCE at ingest so the CPU-heavy explode
+    * below it isn't serialized onto one core. On a properly-laid-out
+    * corpus (thousands of splits at 100 TB) the branch is a no-op; the
+    * videoAssetsWithNearDups synthesis path applies the same corrective.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
+  }
+
   /** The exploded (group, n, gram) frame both distinct-n faces aggregate —
     * public so callers can compose exact + approx counters over ONE
-    * explode/shuffle.
+    * explode/shuffle. The gram strings are the ONLY key exchange;
+    * documents cross at most the ingest-spread corrective above (never a
+    * key exchange).
     */
   def ngramFrame(docs: DataFrame, groupCol: String = "source",
       textCol: String = "text", maxN: Int = 3): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN out of range: $maxN")
     val toks = split(trim(col(textCol)), "\\s+")
-    docs.select(col(groupCol),
+    spread(docs.select(col(groupCol), col(textCol)))
+      .select(col(groupCol),
         explode(flatten(array((1 to maxN).map(n =>
           transform(grams(toks, n), x => struct(lit(n).as("n"), x.as("gram")))): _*)))
           .as("g"))
