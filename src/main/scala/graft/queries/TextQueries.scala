@@ -1622,9 +1622,16 @@ object TextQueries {
     Q("q279_distinct_ngrams_approx",
       (s, dir) => graft.text.Eval
         .ngramFrame(t(s, dir, "documents"), "source", "text", maxN = 3)
+        // two-level: dedup on the gram FIRST (map-side combining), then
+        // count rows for the exact distinct and feed the HLL only the
+        // deduplicated grams — duplicates never change an HLL register,
+        // so the estimate is bit-identical to sketching the raw stream,
+        // while the three-aggregate Expand over every duplicated gram
+        // disappears from the plan
+        .groupBy("source", "n", "gram").agg(count(lit(1)).as("cnt"))
         .groupBy("source", "n")
-        .agg(count(lit(1)).as("total_ngrams"),
-          countDistinct(col("gram")).as("distinct_ngrams"),
+        .agg(sum("cnt").as("total_ngrams"),
+          count(lit(1)).as("distinct_ngrams"),
           approx_count_distinct(col("gram"), 0.01).as("approx"))
         .select(col("source"), col("n"), col("total_ngrams"),
           col("distinct_ngrams"),

@@ -36,6 +36,14 @@ object Eval {
     * (candidate, reference) pair. Output per group: pairs, cand_tokens,
     * ref_tokens, and per n in 1..maxN `match_n`, `total_n`,
     * `p{n}_milli` (= 1000·match div total, null when total is 0).
+    *
+    * Plan shape: BLEU clips per PAIR, and both texts of a pair live on
+    * ONE row — so the clipped matches compute as a row-local codegen'd
+    * projection ([[clippedOverlap]]: sort + two-pointer merge per n) and
+    * the ONLY exchange anywhere is the final per-group rollup. No
+    * (pair, n, gram) shuffle, no join; gram strings never leave their
+    * row. `pairCol` stays in the signature for call-site clarity but no
+    * pair identity is needed beyond the row itself.
     */
   def bleuStats(pairs: DataFrame, groupCol: String = "lang",
       pairCol: String = "pair_id", candCol: String = "cand_text",
@@ -43,38 +51,27 @@ object Eval {
     require(maxN >= 1 && maxN <= 8, s"maxN out of range: $maxN")
     val toksC = split(trim(col(candCol)), "\\s+")
     val toksR = split(trim(col(refCol)), "\\s+")
-    val base = pairs.select(col(groupCol), col(pairCol).as("pair"),
-      toksC.as("tc"), toksR.as("tr"))
-    def gramCounts(toks: Column): Column =
-      explode(flatten(array((1 to maxN).map(n =>
-        transform(grams(toks, n), g => struct(lit(n).as("n"), g.as("gram")))): _*)))
-    val cand = base.select(col(groupCol), col("pair"), gramCounts(col("tc")).as("g"))
-      .groupBy(col(groupCol), col("pair"), col("g.n").as("n"), col("g.gram").as("gram"))
-      .agg(count(lit(1)).as("c_cnt"))
-    val ref = base.select(col("pair"), gramCounts(col("tr")).as("g"))
-      .groupBy(col("pair"), col("g.n").as("n"), col("g.gram").as("gram"))
-      .agg(count(lit(1)).as("r_cnt"))
-    val matches = cand.join(ref, Seq("pair", "n", "gram"))
-      .groupBy(groupCol, "n")
-      .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("matched"))
-    val totals = base.select(col(groupCol), col("pair"),
-        size(col("tc")).cast("long").as("clen"),
-        size(col("tr")).cast("long").as("rlen"))
-      .groupBy(groupCol)
-      .agg(count(lit(1)).as("pairs"),
-        sum("clen").as("cand_tokens"), sum("rlen").as("ref_tokens"),
-        struct((1 to maxN).map(n =>
-          sum(greatest(col("clen") - lit(n - 1), lit(0L))).as(s"t$n")): _*).as("tot"))
+    // spread BEFORE the per-row gram work: eval pairs usually arrive off
+    // a tiny broadcast join planned into a single scan partition, which
+    // would serialize the whole projection onto one core
+    val base = spread(pairs.select(col(groupCol),
+      toksC.as("tc"), toksR.as("tr")))
+    val perRow = base.select(col(groupCol) ::
+      size(col("tc")).cast("long").as("clen") ::
+      size(col("tr")).cast("long").as("rlen") ::
+      (1 to maxN).map(n =>
+        clippedOverlap(grams(col("tc"), n), grams(col("tr"), n)).as(s"m$n")).toList: _*)
+    val aggs =
+      count(lit(1)).as("pairs") ::
+      sum("clen").as("cand_tokens") :: sum("rlen").as("ref_tokens") ::
+      (1 to maxN).flatMap(n => Seq(
+        sum(col(s"m$n")).as(s"match_$n"),
+        sum(greatest(col("clen") - lit(n - 1), lit(0L))).as(s"total_$n"))).toList
     val m = (1 to maxN).foldLeft(
-        totals.join(matches.groupBy(groupCol).agg(
-          map_from_entries(collect_list(struct(col("n"), col("matched"))))
-            .as("mm")), Seq(groupCol), "left_outer")) { (d, n) =>
-      d.withColumn(s"match_$n",
-          coalesce(element_at(col("mm"), n), lit(0L)))
-        .withColumn(s"total_$n", col(s"tot.t$n"))
-        .withColumn(s"p${n}_milli",
-          when(col(s"total_$n") > 0,
-            expr(s"1000 * match_$n div total_$n")).otherwise(lit(null)))
+        perRow.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)) { (d, n) =>
+      d.withColumn(s"p${n}_milli",
+        when(col(s"total_$n") > 0,
+          expr(s"1000 * match_$n div total_$n")).otherwise(lit(null)))
     }
     m.select(col(groupCol) +: col("pairs") +: col("cand_tokens") +:
       col("ref_tokens") +:
@@ -119,6 +116,46 @@ object Eval {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(LcsLength(
       ColumnBridge.expression(cand), ColumnBridge.expression(ref)))
+  }
+
+  /** Multiset clipped-overlap size of two string arrays:
+    * sum over distinct values g of min(count_a(g), count_b(g)) — BLEU's
+    * clipped match, computed where both gram lists already live (the
+    * row), via sort + two-pointer merge, O(G log G) and allocation-lean.
+    * Static target for both interpreted eval and generated code.
+    */
+  def clippedOverlapCount(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0 || m == 0) return 0L
+    val as = Array.tabulate(n)(a.getUTF8String)
+    val bs = Array.tabulate(m)(b.getUTF8String)
+    java.util.Arrays.sort(as.asInstanceOf[Array[Object]])
+    java.util.Arrays.sort(bs.asInstanceOf[Array[Object]])
+    var i = 0; var j = 0; var matched = 0L
+    while (i < n && j < m) {
+      val c = as(i).compareTo(bs(j))
+      if (c < 0) i += 1
+      else if (c > 0) j += 1
+      else {
+        val v = as(i)
+        var ci = 0; var cj = 0
+        while (i < n && as(i) == v) { ci += 1; i += 1 }
+        while (j < m && bs(j) == v) { cj += 1; j += 1 }
+        matched += math.min(ci, cj)
+      }
+    }
+    matched
+  }
+
+  /** [[clippedOverlapCount]] as a fully-codegen Column (the LcsLength
+    * discipline) — lets the BLEU/chrF statistics run as ONE row-local
+    * projection with no (pair, n, gram) exchange anywhere.
+    */
+  def clippedOverlap(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(ClippedOverlap(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
   /** Corpus-level ROUGE-L sufficient statistics per `groupCol`: pair
@@ -238,38 +275,29 @@ object Eval {
       when(length(s) >= n,
         transform(sequence(lit(1), length(s) - lit(n - 1)), i => s.substr(i, lit(n))))
         .otherwise(array())
-    val base = pairs.select(col(groupCol), col(pairCol).as("pair"),
-      squash(col(candCol)).as("sc"), squash(col(refCol)).as("sr"))
-    def gramRows(s: Column): Column =
-      explode(flatten(array((1 to maxN).map(n =>
-        transform(charGrams(s, n), g => struct(lit(n).as("n"), g.as("gram")))): _*)))
-    val cand = base.select(col(groupCol), col("pair"), gramRows(col("sc")).as("g"))
-      .groupBy(col(groupCol), col("pair"), col("g.n").as("n"), col("g.gram").as("gram"))
-      .agg(count(lit(1)).as("c_cnt"))
-    val ref = base.select(col("pair"), gramRows(col("sr")).as("g"))
-      .groupBy(col("pair"), col("g.n").as("n"), col("g.gram").as("gram"))
-      .agg(count(lit(1)).as("r_cnt"))
-    val matches = cand.join(ref, Seq("pair", "n", "gram"))
-      .groupBy(groupCol, "n")
-      .agg(sum(least(col("c_cnt"), col("r_cnt"))).as("matched"))
-    val totals = base.select(col(groupCol), col("pair"),
-        length(col("sc")).cast("long").as("clen"),
-        length(col("sr")).cast("long").as("rlen"))
-      .groupBy(groupCol)
-      .agg(count(lit(1)).as("pairs"),
-        sum("clen").as("cand_chars"), sum("rlen").as("ref_chars"),
-        struct((1 to maxN).flatMap(n => Seq(
-          sum(greatest(col("clen") - lit(n - 1), lit(0L))).as(s"c$n"),
-          sum(greatest(col("rlen") - lit(n - 1), lit(0L))).as(s"r$n"))): _*).as("tot"))
+    // bleuStats' plan shape at character grain: clipping is per pair,
+    // both sides live on the row, so matches are a row-local codegen'd
+    // projection ([[clippedOverlap]]) and the only exchange is the
+    // per-group rollup — crucial here, where 6 char-gram orders explode
+    // ~6x harder than BLEU's word grams
+    val base = spread(pairs.select(col(groupCol),
+      squash(col(candCol)).as("sc"), squash(col(refCol)).as("sr")))
+    val perRow = base.select(col(groupCol) ::
+      length(col("sc")).cast("long").as("clen") ::
+      length(col("sr")).cast("long").as("rlen") ::
+      (1 to maxN).map(n =>
+        clippedOverlap(charGrams(col("sc"), n), charGrams(col("sr"), n))
+          .as(s"m$n")).toList: _*)
+    val aggs =
+      count(lit(1)).as("pairs") ::
+      sum("clen").as("cand_chars") :: sum("rlen").as("ref_chars") ::
+      (1 to maxN).flatMap(n => Seq(
+        sum(col(s"m$n")).as(s"match_$n"),
+        sum(greatest(col("clen") - lit(n - 1), lit(0L))).as(s"ctotal_$n"),
+        sum(greatest(col("rlen") - lit(n - 1), lit(0L))).as(s"rtotal_$n"))).toList
     val m = (1 to maxN).foldLeft(
-        totals.join(matches.groupBy(groupCol).agg(
-          map_from_entries(collect_list(struct(col("n"), col("matched"))))
-            .as("mm")), Seq(groupCol), "left_outer")) { (d, n) =>
-      d.withColumn(s"match_$n",
-          coalesce(element_at(col("mm"), n), lit(0L)))
-        .withColumn(s"ctotal_$n", col(s"tot.c$n"))
-        .withColumn(s"rtotal_$n", col(s"tot.r$n"))
-        .withColumn(s"prec${n}_milli",
+        perRow.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)) { (d, n) =>
+      d.withColumn(s"prec${n}_milli",
           when(col(s"ctotal_$n") > 0,
             expr(s"1000 * match_$n div ctotal_$n")).otherwise(lit(null)))
         .withColumn(s"rec${n}_milli",
@@ -281,6 +309,34 @@ object Eval {
       (1 to maxN).flatMap(n => Seq(col(s"match_$n"), col(s"ctotal_$n"),
         col(s"rtotal_$n"), col(s"prec${n}_milli"), col(s"rec${n}_milli"))): _*)
   }
+}
+
+/** Multiset clipped overlap as one BinaryExpression (codegen'd wrapper
+  * over [[Eval.clippedOverlapCount]]).
+  */
+case class ClippedOverlap(left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Eval.clippedOverlapCount(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.text.Eval.clippedOverlapCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** The LCS dynamic program as one BinaryExpression (codegen'd wrapper

@@ -110,6 +110,27 @@ class EvalSpec extends SparkSpec {
     assert(out(("a", 3)).getAs[Long]("total_ngrams") === 2L)
   }
 
+  test("clippedOverlap: sort-merge count equals the naive per-value minimum") {
+    import org.apache.spark.sql.functions._
+    def overlap(a: Seq[String], b: Seq[String]): Long =
+      Seq((a, b)).toDF("a", "b")
+        .select(Eval.clippedOverlap(col("a"), col("b"))).head().getLong(0)
+    // hand values
+    assert(overlap(Seq("x", "x", "y"), Seq("x", "y", "y")) === 2L) // min(2,1)+min(1,2)
+    assert(overlap(Seq("a"), Seq("b")) === 0L)
+    assert(overlap(Nil, Seq("a")) === 0L)
+    assert(overlap(Seq("q", "q", "q"), Seq("q")) === 1L) // clipping
+    // property: equals the naive definition on pseudo-random multisets
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val a = Seq.fill(rnd.nextInt(30))(('a' + rnd.nextInt(4)).toChar.toString)
+      val b = Seq.fill(rnd.nextInt(30))(('a' + rnd.nextInt(4)).toChar.toString)
+      val naive = (a ++ b).distinct.map(v =>
+        math.min(a.count(_ == v), b.count(_ == v)).toLong).sum
+      assert(overlap(a, b) === naive, s"$a vs $b")
+    }
+  }
+
   test("chrFStats: whitespace removal, clipping, recall side, by hand") {
     // cand 'ab ba' -> 'abba' (4 chars), ref 'ab ab' -> 'abab'
     // 1-grams: cand {a:2,b:2}, ref {a:2,b:2} -> match 4 of 4 (P=R=1000)
