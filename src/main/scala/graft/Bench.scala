@@ -49,7 +49,8 @@ object Bench {
         (if (sel("skew")) benchSkew(spark, sfDir) else Nil) ++
         (if (sel("bucket")) benchBucketed(spark, sfDir) else Nil) ++
         (if (sel("zorder")) benchZOrder(spark) else Nil) ++
-        (if (sel("bpe")) benchBpeRounds(spark, sfDir) else Nil)
+        (if (sel("bpe")) benchBpeRounds(spark, sfDir) else Nil) ++
+        (if (sel("codec")) benchCodec(spark, sfDir) else Nil)
       val mq = micros.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
       spark.stop()
       println(s"""{"metric":"micros","queries":$mq}""")
@@ -177,7 +178,11 @@ object Bench {
     // (hence scheduling wall time) cut by the provably-commuting batch
     val bpeResults = benchBpeRounds(spark, sfDir)
 
-    val qs = (annBuild ++ textBuild ++ results ++ bucketResults ++ zorderResults ++ skewResults ++ bpeResults)
+    // ---- storage-codec demo: the parquet compression decision that
+    // dominates a 100-TB footprint (write cost vs bytes vs scan cost)
+    val codecResults = benchCodec(spark, sfDir)
+
+    val qs = (annBuild ++ textBuild ++ results ++ bucketResults ++ zorderResults ++ skewResults ++ bpeResults ++ codecResults)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -501,6 +506,58 @@ object Bench {
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] skew demo failed: $e"); Seq.empty
+    }
+  }
+
+  /** Parquet codec trade-off on the fact table: write cost, on-disk
+    * bytes, full-width scan cost for snappy (Spark's default), zstd
+    * (the modern footprint/speed sweet spot — same frames the shuffle
+    * codec and the TIFF tag-50000 path use), and gzip (the legacy
+    * archival choice). At 100 TB the bytes column IS the storage bill
+    * and the scan column IS every later query's floor, so this is the
+    * one knob worth a standing measurement. The scan forces every
+    * column through xxhash64(struct(*)) — a bare count would let the
+    * reader skip the data pages entirely and measure footers. Timings
+    * are min-of-2 interleaved rounds (see benchBucketed); bytes are
+    * deterministic and reported from round 1 in MB.
+    */
+  private def benchCodec(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    try {
+      val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val root = java.nio.file.Files.createTempDirectory("graft_codec").toString
+      val codecs = Seq("snappy", "zstd", "gzip")
+      val samples = scala.collection.mutable.Map[String, List[Double]]()
+      def record(k: String, v: Double): Unit =
+        samples(k) = v :: samples.getOrElse(k, Nil)
+      for (round <- 1 to 2; c <- codecs) {
+        val path = s"$root/${c}_$round"
+        val t0 = System.nanoTime()
+        base.write.option("compression", c).mode("overwrite").parquet(path)
+        record(s"codec_${c}_write", (System.nanoTime() - t0) / 1e9)
+        if (round == 1) {
+          val bytes = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+            .filter(p => p.toString.endsWith(".parquet"))
+            .mapToLong(p => java.nio.file.Files.size(p)).sum()
+          record(s"codec_${c}_mb", bytes / 1e6)
+        }
+        val t1 = System.nanoTime()
+        spark.read.parquet(path)
+          .select(xxhash64(struct(col("*"))).as("h"))
+          // decimal sum: a long sum of full-range hashes overflows ANSI
+          .agg(sum(col("h").cast("decimal(38,0)"))).queryExecution.toRdd.count()
+        record(s"codec_${c}_scan", (System.nanoTime() - t1) / 1e9)
+      }
+      // best-effort cleanup: the replicas are ~30 MB of /tmp
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+      samples.toSeq.map { case (k, vs) => k -> vs.min }.sortBy(_._1)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] codec demo failed: $e"); Seq.empty
     }
   }
 }
