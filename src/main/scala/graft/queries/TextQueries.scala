@@ -1429,6 +1429,63 @@ object TextQueries {
       Some(wordPieceOracleSql))
     ,
 
+    // ---- WER sufficient statistics (token edit distance) -------------------
+    // The eval family's order-AND-alignment member: BLEU rewards overlap,
+    // ROUGE-L rewards in-order subsequences, WER charges every
+    // insertion/deletion/substitution — the ASR/MT headline metric. The
+    // engine runs the token-level Levenshtein DP as a row-local codegen
+    // expression (TokenEditDistance) with the rollup as the only
+    // exchange. The oracle computes the IDENTICAL distance via an
+    // independent implementation: every distinct token maps to one
+    // single-BYTE codepoint (DuckDB's levenshtein is byte-based — a
+    // codepoint above 127 would double-charge substitutions; the
+    // synthetic corpus's ~30-word vocabulary fits printable ASCII with
+    // room to spare), pairs re-encode as strings, and the built-in
+    // byte DP must land on the same integers as the token DP.
+    Q("q284_wer_stats",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+        val pairs = d.join(
+            d.select((col("doc_id") + 1).as("doc_id"), col("text").as("ref_text")),
+            Seq("doc_id"))
+          .select(col("lang"), col("text").as("cand_text"), col("ref_text"))
+        graft.text.Eval.werStats(pairs).orderBy("lang")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+          FROM documents),
+        p AS (
+          SELECT c.doc_id AS pair, c.lang, c.t AS tc, r.t AS tr
+          FROM d c JOIN d r ON r.doc_id = c.doc_id - 1),
+        vocab AS (
+          SELECT tok, 32 + CAST(ROW_NUMBER() OVER (ORDER BY tok) AS INT) AS cp FROM (
+            SELECT DISTINCT tok FROM (
+              SELECT unnest(tc) AS tok FROM p UNION SELECT unnest(tr) FROM p))),
+        ec AS (
+          SELECT pair, string_agg(chr(v.cp), '' ORDER BY u.i) AS s
+          FROM (SELECT pair, i, tc[i] AS tok FROM p,
+                UNNEST(generate_series(1, len(tc))) AS t(i)) u
+          JOIN vocab v ON v.tok = u.tok GROUP BY pair),
+        er AS (
+          SELECT pair, string_agg(chr(v.cp), '' ORDER BY u.i) AS s
+          FROM (SELECT pair, i, tr[i] AS tok FROM p,
+                UNNEST(generate_series(1, len(tr))) AS t(i)) u
+          JOIN vocab v ON v.tok = u.tok GROUP BY pair),
+        ed AS (
+          SELECT p.pair, p.lang,
+            levenshtein(coalesce(ec.s, ''), coalesce(er.s, '')) AS edits,
+            len(p.tc) AS clen, len(p.tr) AS rlen
+          FROM p LEFT JOIN ec ON ec.pair = p.pair
+            LEFT JOIN er ON er.pair = p.pair)
+        SELECT lang, COUNT(*) AS pairs, CAST(SUM(edits) AS BIGINT) AS edits_sum,
+          CAST(SUM(clen) AS BIGINT) AS cand_tokens,
+          CAST(SUM(rlen) AS BIGINT) AS ref_tokens,
+          CASE WHEN SUM(rlen) > 0 THEN 1000 * CAST(SUM(edits) AS BIGINT)
+            // CAST(SUM(rlen) AS BIGINT) END AS wer_milli
+        FROM ed GROUP BY 1 ORDER BY 1"""))
+    ,
+
     // ---- Unigram-LM tokenizer (SentencePiece shape): seed stage ------------
     // The fourth subword family member (word-BPE q180, byte-BPE q270,
     // WordPiece q184 all GROW vocabularies; unigram SHRINKS one). Stage 1

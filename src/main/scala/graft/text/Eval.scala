@@ -118,6 +118,71 @@ object Eval {
       ColumnBridge.expression(cand), ColumnBridge.expression(ref)))
   }
 
+  /** Levenshtein edit distance between two TOKEN arrays (unit costs) —
+    * WER's numerator. Token-level, not character-level: substituting a
+    * five-letter word costs 1, not 5. Two-row DP, row-local, O(|a|·|b|)
+    * with O(|b|) state — the [[lcsLen]] discipline. Static target for
+    * both interpreted eval and generated code.
+    */
+  def editDistance(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val n = a.numElements(); val m = b.numElements()
+    if (n == 0) return m
+    if (m == 0) return n
+    val as = Array.tabulate(n)(a.getUTF8String)
+    val bs = Array.tabulate(m)(b.getUTF8String)
+    val dp = Array.tabulate(m + 1)(identity)
+    var i = 1
+    while (i <= n) {
+      var prev = dp(0) // dp[i-1][j-1]
+      dp(0) = i
+      var j = 1
+      while (j <= m) {
+        val tmp = dp(j)
+        val sub = if (as(i - 1) == bs(j - 1)) prev else prev + 1
+        dp(j) = math.min(sub, math.min(dp(j) + 1, dp(j - 1) + 1))
+        prev = tmp
+        j += 1
+      }
+      i += 1
+    }
+    dp(m)
+  }
+
+  /** [[editDistance]] as a fully-codegen Column. */
+  def tokenEditDistance(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(TokenEditDistance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Word-error-rate sufficient statistics per `groupCol` — the ASR/MT
+    * eval the BLEU family lacks (BLEU rewards overlap; WER charges every
+    * insertion/deletion/substitution): per group, pair count, summed
+    * token edit distance, candidate/reference token sums, and
+    * wer_milli = 1000·edits div ref_tokens. Row-local DP
+    * ([[tokenEditDistance]]) + one narrow rollup, the
+    * [[bleuStats]]/[[chrFStats]] plan shape.
+    */
+  def werStats(pairs: DataFrame, groupCol: String = "lang",
+      candCol: String = "cand_text", refCol: String = "ref_text"): DataFrame = {
+    val toksC = split(trim(col(candCol)), "\\s+")
+    val toksR = split(trim(col(refCol)), "\\s+")
+    spread(pairs.select(col(groupCol), toksC.as("tc"), toksR.as("tr")))
+      .select(col(groupCol),
+        tokenEditDistance(col("tc"), col("tr")).cast("long").as("edits"),
+        size(col("tc")).cast("long").as("clen"),
+        size(col("tr")).cast("long").as("rlen"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("pairs"),
+        sum("edits").as("edits_sum"),
+        sum("clen").as("cand_tokens"),
+        sum("rlen").as("ref_tokens"))
+      .withColumn("wer_milli",
+        when(col("ref_tokens") > 0,
+          expr("1000 * edits_sum div ref_tokens")).otherwise(lit(null)))
+  }
+
   /** Multiset clipped-overlap size of two string arrays:
     * sum over distinct values g of min(count_a(g), count_b(g)) — BLEU's
     * clipped match, computed where both gram lists already live (the
@@ -309,6 +374,34 @@ object Eval {
       (1 to maxN).flatMap(n => Seq(col(s"match_$n"), col(s"ctotal_$n"),
         col(s"rtotal_$n"), col(s"prec${n}_milli"), col(s"rec${n}_milli"))): _*)
   }
+}
+
+/** Token-level Levenshtein distance as one BinaryExpression (codegen'd
+  * wrapper over [[Eval.editDistance]]).
+  */
+case class TokenEditDistance(left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Eval.editDistance(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.text.Eval.editDistance($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Multiset clipped overlap as one BinaryExpression (codegen'd wrapper

@@ -110,6 +110,51 @@ class EvalSpec extends SparkSpec {
     assert(out(("a", 3)).getAs[Long]("total_ngrams") === 2L)
   }
 
+  test("tokenEditDistance: hand values and recursive-definition property") {
+    import org.apache.spark.sql.functions._
+    def dist(a: Seq[String], b: Seq[String]): Int =
+      Seq((a, b)).toDF("a", "b")
+        .select(Eval.tokenEditDistance(col("a"), col("b"))).head().getInt(0)
+    assert(dist(Seq("a", "b", "c"), Seq("a", "b", "c")) === 0)
+    assert(dist(Seq("a", "b", "c"), Seq("a", "x", "c")) === 1) // substitution
+    assert(dist(Seq("a", "b"), Seq("a", "b", "c")) === 1) // insertion
+    assert(dist(Seq("a", "b", "c"), Seq("b", "c")) === 1) // deletion
+    assert(dist(Nil, Seq("x", "y")) === 2)
+    assert(dist(Seq("x", "y"), Nil) === 2)
+    // token grain, not characters: one long-word substitution costs 1
+    assert(dist(Seq("kitten", "sat"), Seq("sitting", "sat")) === 1)
+    // property: equals the textbook recursion on pseudo-random sequences
+    def naive(a: List[String], b: List[String]): Int = (a, b) match {
+      case (Nil, _) => b.length
+      case (_, Nil) => a.length
+      case (x :: xs, y :: ys) =>
+        math.min(naive(xs, ys) + (if (x == y) 0 else 1),
+          math.min(naive(xs, b) + 1, naive(a, ys) + 1))
+    }
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 15) {
+      val a = List.fill(rnd.nextInt(8))(('a' + rnd.nextInt(3)).toChar.toString)
+      val b = List.fill(rnd.nextInt(8))(('a' + rnd.nextInt(3)).toChar.toString)
+      assert(dist(a, b) === naive(a, b), s"$a vs $b")
+    }
+  }
+
+  test("werStats: golden values over a two-group corpus") {
+    val out = Eval.werStats(Seq(
+        (1L, "en", "the cat sat", "the cat sat"), // 0 edits
+        (2L, "en", "a b c d", "a x c"), // sub + del -> 2
+        (3L, "de", "ja", "ja nein")) // 1 insertion
+        .toDF("pair_id", "lang", "cand_text", "ref_text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getAs[Long]("pairs") === 2L)
+    assert(en.getAs[Long]("edits_sum") === 2L)
+    assert(en.getAs[Long]("cand_tokens") === 7L && en.getAs[Long]("ref_tokens") === 6L)
+    assert(en.getAs[Long]("wer_milli") === 333L) // 1000*2 div 6
+    val de = out("de")
+    assert(de.getAs[Long]("edits_sum") === 1L && de.getAs[Long]("wer_milli") === 500L)
+  }
+
   test("clippedOverlap: sort-merge count equals the naive per-value minimum") {
     import org.apache.spark.sql.functions._
     def overlap(a: Seq[String], b: Seq[String]): Long =
