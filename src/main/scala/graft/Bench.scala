@@ -535,9 +535,11 @@ object Bench {
         base.write.option("compression", c).mode("overwrite").parquet(path)
         record(s"codec_${c}_write", (System.nanoTime() - t0) / 1e9)
         if (round == 1) {
-          val bytes = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
-            .filter(p => p.toString.endsWith(".parquet"))
-            .mapToLong(p => java.nio.file.Files.size(p)).sum()
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+          val bytes =
+            try walk.filter(p => p.toString.endsWith(".parquet"))
+              .mapToLong(p => java.nio.file.Files.size(p)).sum()
+            finally walk.close()
           record(s"codec_${c}_mb", bytes / 1e6)
         }
         val t1 = System.nanoTime()
@@ -550,9 +552,10 @@ object Bench {
       // best-effort cleanup: the replicas are ~30 MB of /tmp
       try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(root))
-          .sorted(java.util.Comparator.reverseOrder())
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
       } catch { case _: Throwable => () }
       samples.toSeq.map { case (k, vs) => k -> vs.min }.sortBy(_._1)
     } catch {

@@ -1568,6 +1568,13 @@ object Curation {
     }
     val offDf = broadcast(offsets.toDF("pid", "off"))
     val remapDf = broadcast(remap.toSeq.toDF("pid", "run", "gpid", "grun"))
+    // release the cache eagerly (async): the boundary collect above has
+    // already run off it, and the returned rollup either reads blocks
+    // still resident or recomputes the partition-local RLE — Spark
+    // falls back to recompute for evicted cached blocks by design. The
+    // alternative (holding the cache for the caller) leaks one pinned
+    // frame per report invocation for the life of the session.
+    runs.unpersist(blocking = false)
     runs.join(offDf, Seq("pid"))
       .join(remapDf, Seq("pid", "run"), "left")
       .select(

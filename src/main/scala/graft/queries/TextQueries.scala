@@ -1505,7 +1505,8 @@ object TextQueries {
           SELECT tok AS word, COUNT(*) AS freq FROM (
             SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
             FROM documents)
-          WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY 1),
+          WHERE regexp_matches(tok, '^[a-z]+$') AND length(tok) <= 64
+          GROUP BY 1),
         s AS (
           SELECT word[i:i + ks.k - 1] AS piece,
             CAST(SUM(freq) AS BIGINT) AS weight
@@ -1544,7 +1545,8 @@ object TextQueries {
           SELECT tok AS word, COUNT(*) AS freq FROM (
             SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
             FROM documents)
-          WHERE regexp_matches(tok, '^[a-z]+$$') GROUP BY 1),
+          WHERE regexp_matches(tok, '^[a-z]+$$') AND length(tok) <= 64
+          GROUP BY 1),
         v(piece, s) AS (VALUES $unigramScoredVocabSql),
         dp AS (
           SELECT word, 0 AS i, CAST(0 AS BIGINT) AS d0,
@@ -1611,7 +1613,8 @@ object TextQueries {
           SELECT tok AS word, COUNT(*) AS freq FROM (
             SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
             FROM documents)
-          WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY 1)
+          WHERE regexp_matches(tok, '^[a-z]+$') AND length(tok) <= 64
+          GROUP BY 1)
         SELECT word[1:1] AS initial, CAST(COUNT(*) AS BIGINT) AS words,
           CAST(SUM(freq) AS BIGINT) AS freq,
           CAST(0 AS BIGINT) AS mismatches

@@ -55,21 +55,36 @@ object CsvSource {
         bom.indices.forall(i => bytes(i) == bom(i)) => cs
     }
 
-  /** BOM-less UTF-16 heuristic: a text probe that is ≥ 20% NUL bytes is
-    * not any single-byte or UTF-8 encoding; the NULs' parity picks the
-    * endianness (ASCII 'a' is `61 00` in LE — NULs at odd offsets — and
-    * `00 61` in BE).
+  /** BOM-less UTF-16/32 heuristic. UTF-32 first — its signature is
+    * structural, not statistical: every code point is < 0x110000, so in
+    * LE the byte at offset ≡ 3 (mod 4) is ALWAYS NUL (and ≡ 2 is NUL for
+    * all BMP text); in BE the same holds at offsets ≡ 0 / ≡ 1. Without
+    * this check an ASCII-heavy BOM-less UTF-32 file (~75% NULs, odd
+    * outnumbering even) would pass the UTF-16 parity test and transcode
+    * as valid-but-NUL-interleaved UTF-16 — NUL is a legal code point, so
+    * even a REPORTing decoder stays silent. Then UTF-16: a probe ≥ 20%
+    * NUL bytes is not any single-byte or UTF-8 encoding; the NULs'
+    * parity picks the endianness (ASCII 'a' is `61 00` in LE — NULs at
+    * odd offsets — and `00 61` in BE).
     */
   private def nulProbe(bytes: Array[Byte]): Option[String] = {
     if (bytes.length < 8) return None
+    val quads = bytes.length / 4
+    val byMod4 = new Array[Int](4)
     var even = 0; var odd = 0
     var i = 0
     while (i < bytes.length) {
-      if (bytes(i) == 0) { if (i % 2 == 0) even += 1 else odd += 1 }
+      if (bytes(i) == 0) {
+        if (i % 2 == 0) even += 1 else odd += 1
+        if (i < quads * 4) byMod4(i % 4) += 1
+      }
       i += 1
     }
     val frac = (even + odd).toDouble / bytes.length
-    if (frac < 0.2) None
+    def f4(k: Int) = byMod4(k).toDouble / quads
+    if (frac >= 0.5 && f4(3) >= 0.999 && f4(2) >= 0.9) Some("UTF-32LE")
+    else if (frac >= 0.5 && f4(0) >= 0.999 && f4(1) >= 0.9) Some("UTF-32BE")
+    else if (frac < 0.2) None
     else if (odd > even) Some("UTF-16LE")
     else Some("UTF-16BE")
   }
@@ -81,7 +96,16 @@ object CsvSource {
     * ladder the reference's chardet usage effectively lands on for
     * single-byte text).
     */
-  def detectEncoding(path: String, probeBytes: Int = 64 * 1024): String = {
+  def detectEncoding(path: String, probeBytes: Int = 64 * 1024): String =
+    detect(path, probeBytes)._1
+
+  /** Detection plus whether the probe saw a BOM — one read serves both
+    * the charset decision and read()'s strip-the-BOM decision (the
+    * probe already contains those bytes; re-opening the file to ask
+    * again would be duplicate I/O and could disagree on a concurrently
+    * rewritten file).
+    */
+  private def detect(path: String, probeBytes: Int = 64 * 1024): (String, Boolean) = {
     val f = Paths.get(path)
     val size = Files.size(f)
     val n = math.min(size, probeBytes.toLong).toInt
@@ -89,7 +113,8 @@ object CsvSource {
     val in = Files.newInputStream(f)
     try { var off = 0; while (off < n) { val r = in.read(bytes, off, n - off); if (r < 0) off = n else off += r } }
     finally in.close()
-    bomCharset(bytes).orElse(nulProbe(bytes)).getOrElse {
+    val fromBom = bomCharset(bytes)
+    val cs = fromBom.orElse(nulProbe(bytes)).getOrElse {
       // when the probe is a PREFIX of a larger file, decode with
       // endOfInput=false so a multibyte sequence split at the probe
       // boundary reads as "underflow, more input coming" instead of
@@ -106,6 +131,7 @@ object CsvSource {
         !res.isError && !flushed.isError
       }.getOrElse(StandardCharsets.ISO_8859_1).name()
     }
+    (cs, fromBom.isDefined)
   }
 
   /** Stream-transcode `src` to a UTF-8 temp file, decoding with
@@ -118,6 +144,10 @@ object CsvSource {
       .onMalformedInput(CodingErrorAction.REPORT)
       .onUnmappableCharacter(CodingErrorAction.REPORT)
     val out = Files.createTempFile("graft_csv_utf8_", ".csv")
+    // upload-sized scratch copy, reclaimed at JVM exit (the Spark read
+    // below streams from it lazily, so an eager post-read delete could
+    // race the executors)
+    out.toFile.deleteOnExit()
     val reader = new java.io.InputStreamReader(Files.newInputStream(src), dec)
     val writer = new java.io.OutputStreamWriter(
       Files.newOutputStream(out), StandardCharsets.UTF_8)
@@ -132,7 +162,11 @@ object CsvSource {
         writer.write(buf, start, n - start)
         n = reader.read(buf)
       }
-    } finally { reader.close(); writer.close() }
+    } finally {
+      // writer.close() must run (it flushes the final chunk) even when
+      // reader.close() throws
+      try reader.close() finally writer.close()
+    }
     out
   }
 
@@ -147,12 +181,12 @@ object CsvSource {
     // Spark 4 whitelists CSV charsets; allow the full JVM charset set so
     // sniffed encodings like windows-1252 read natively.
     spark.conf.set("spark.sql.legacy.javaCharsets", "true")
-    val detected = detectEncoding(path)
+    val (detected, hadBom) = detect(path)
     val p = Paths.get(path)
     val (readPath, encoding) =
       if (WideCharsets.contains(detected))
         (transcodeToUtf8(p, detected).toString, "UTF-8")
-      else if (detected == "UTF-8" && hasUtf8Bom(p))
+      else if (detected == "UTF-8" && hadBom)
         (transcodeToUtf8(p, "UTF-8").toString, "UTF-8")
       else (path, detected)
     spark.read
@@ -160,18 +194,5 @@ object CsvSource {
       .option("encoding", encoding)
       .option("inferSchema", inferSchema.toString)
       .csv(readPath)
-  }
-
-  private def hasUtf8Bom(p: Path): Boolean = {
-    val in = Files.newInputStream(p)
-    try {
-      val head = new Array[Byte](3)
-      var off = 0
-      while (off < 3) {
-        val r = in.read(head, off, 3 - off)
-        if (r < 0) return false else off += r
-      }
-      head(0) == 0xEF.toByte && head(1) == 0xBB.toByte && head(2) == 0xBF.toByte
-    } finally in.close()
   }
 }

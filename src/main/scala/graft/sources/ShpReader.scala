@@ -33,8 +33,10 @@ import scala.collection.mutable.ArrayBuffer
   *   M-variant, so XY parsing is layout-identical and the record length
   *   delimits the skip.
   *
-  * Output rows match [[GeoJson.explodeFeatures]]'s feature frame
-  * (feature_index, geometry_type, geom, geom_multi, properties). The
+  * Output rows carry [[GeoJson.explodeFeatures]]'s feature frame
+  * (feature_index, geometry_type, geom, properties) EXTENDED with a
+  * rank-4 `geom_multi` column — a union against a GeoJSON-sourced frame
+  * needs the extra column selected away (or added null) first. The
   * polygon-rank `geom` column is NULL for MultiPolygon features — full
   * coordinates ride the rank-4 `geom_multi` column instead — which
   * preserves the reference's quirk that `_calculate_centroid` handles

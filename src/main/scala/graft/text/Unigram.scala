@@ -186,12 +186,23 @@ object Unigram {
 
   // ------------------------------------------------------------------- seed
 
+  /** Pretokens longer than this are dropped at the gate — the
+    * SentencePiece trainer applies the same cap (its
+    * max_sentence(piece)_length guards), and the bound is what lets the
+    * lattice run in the linear probability domain
+    * ([[expectedCounts]]'s underflow window) and the scored Viterbi use
+    * the 128-packed objective. A 64-char run of [a-z] with no space is
+    * junk (concatenation artifacts, DNA-like strings), not vocabulary.
+    */
+  val MaxWordLen: Int = 64
+
   /** The distinct-word frequency table (same gate as [[BpeTrainer]]:
-    * post-normalization `^[a-z]+$` pretokens).
+    * post-normalization `^[a-z]+$` pretokens, capped at [[MaxWordLen]] —
+    * oracle SQL replaying this table must carry the same length bound).
     */
   def wordTable(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
-      .filter(col("word").rlike("^[a-z]+$"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) <= MaxWordLen)
       .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
 
   /** Seed vocabulary: every substring of length 1..maxPieceLen of every
@@ -203,15 +214,20 @@ object Unigram {
     */
   def seedVocab(docs: DataFrame, textCol: String = "text",
       maxPieceLen: Int = 4, seedSize: Int = 200): Seq[(String, Long)] = {
-    val pieces = seedPieceFrame(docs, textCol, maxPieceLen)
-    val top = pieces
-      .orderBy(desc("weight"), col("piece"))
-      .limit(seedSize)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val alphabet = pieces.filter(length(col("piece")) === 1)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    (top ++ alphabet.filterNot(a => top.exists(_._1 == a._1)))
-      .sortBy { case (p, wgt) => (-wgt, p) }
+    // one aggregation pays for both collects (top-K and the ≤-alphabet
+    // single-char rows) — without the cache the two collects would each
+    // re-run the full wordTable + substring explode
+    val pieces = seedPieceFrame(docs, textCol, maxPieceLen).cache()
+    try {
+      val top = pieces
+        .orderBy(desc("weight"), col("piece"))
+        .limit(seedSize)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val alphabet = pieces.filter(length(col("piece")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      (top ++ alphabet.filterNot(a => top.exists(_._1 == a._1)))
+        .sortBy { case (p, wgt) => (-wgt, p) }
+    } finally pieces.unpersist()
   }
 
   /** The exploded (piece, weight) frame behind [[seedVocab]] — public so
@@ -236,20 +252,22 @@ object Unigram {
       prob: Map[String, Double], maxPieceLen: Int): (Map[String, Long], Long) = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(prob)
-    val agg = words.as[(String, Long)].flatMap { case (w, f) =>
-        val (counts, logZ) = expectedCounts(w, bc.value, maxPieceLen)
-        val ll = if (logZ.isNegInfinity) 0L else math.rint(logZ * f * 1e6).toLong
-        counts.toSeq.sortBy(_._1).map { case (p, e) =>
-          (p, math.rint(e * f * 1e6).toLong, 0L)
-        } :+ (("", 0L, ll))
-      }
-      .toDF("piece", "micros", "ll")
-      .groupBy("piece").agg(sum("micros").as("micros"), sum("ll").as("ll"))
-      .collect()
-    val counts = agg.filter(_.getString(0).nonEmpty)
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val ll = agg.map(_.getLong(2)).sum
-    (counts, ll)
+    try {
+      val agg = words.as[(String, Long)].flatMap { case (w, f) =>
+          val (counts, logZ) = expectedCounts(w, bc.value, maxPieceLen)
+          val ll = if (logZ.isNegInfinity) 0L else math.rint(logZ * f * 1e6).toLong
+          counts.toSeq.sortBy(_._1).map { case (p, e) =>
+            (p, math.rint(e * f * 1e6).toLong, 0L)
+          } :+ (("", 0L, ll))
+        }
+        .toDF("piece", "micros", "ll")
+        .groupBy("piece").agg(sum("micros").as("micros"), sum("ll").as("ll"))
+        .collect()
+      val counts = agg.filter(_.getString(0).nonEmpty)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ll = agg.map(_.getLong(2)).sum
+      (counts, ll)
+    } finally bc.destroy() // fit runs ~dozens of sweeps; stale broadcasts add up
   }
 
   private def normalize(counts: Map[String, Long]): Map[String, Double] = {

@@ -41,7 +41,14 @@ class SourcesSpec extends SparkSpec {
       "UTF-32LE" -> file(Array[Byte](0xFF.toByte, 0xFE.toByte, 0, 0) ++
         body.getBytes("UTF-32LE")),
       "UTF-32BE" -> file(Array[Byte](0, 0, 0xFE.toByte, 0xFF.toByte) ++
-        body.getBytes("UTF-32BE")))
+        body.getBytes("UTF-32BE")),
+      // BOM-less UTF-32: the structural probe (top byte of every code
+      // point is 0) must claim these BEFORE the UTF-16 parity test —
+      // an ASCII-heavy UTF-32 file passes the parity test and would
+      // otherwise transcode as valid-but-NUL-interleaved UTF-16 (NUL is
+      // a legal code point, so even a REPORTing decoder stays silent)
+      "UTF-32LE" -> file(body.getBytes("UTF-32LE")),
+      "UTF-32BE" -> file(body.getBytes("UTF-32BE")))
     variants.foreach { case (expected, path) =>
       assert(CsvSource.detectEncoding(path) == expected, s"detect($path)")
       val df = CsvSource.read(spark, path, inferSchema = false)
