@@ -273,10 +273,44 @@ object Eval {
     * below it isn't serialized onto one core. On a properly-laid-out
     * corpus (thousands of splits at 100 TB) the branch is a no-op; the
     * videoAssetsWithNearDups synthesis path applies the same corrective.
+    *
+    * The probe reads the INITIAL physical plan
+    * (`queryExecution.sparkPlan`), which Catalyst builds without running
+    * anything — an `.rdd.getNumPartitions` probe here would finalize the
+    * adaptive plan and eagerly materialize every upstream shuffle stage
+    * at DataFrame-CONSTRUCTION time (executed again by the real action),
+    * turning a pure query-builder API into one that launches jobs.
+    * [[estimateParts]] walks the plan the way rows actually flow: a
+    * shuffle exchange resets the partition count, a broadcast build side
+    * contributes nothing to the probe side's partitioning, and narrow
+    * operators carry the leaf scans' split counts through.
     */
   private def spread(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < want) df.repartition(want) else df
+    val est = estimateParts(df.queryExecution.sparkPlan).getOrElse(1)
+    if (est.toLong * 2 < want) df.repartition(want) else df
+  }
+
+  /** Estimated output-partition count of an un-executed physical plan —
+    * None for subtrees that never set the downstream partitioning (a
+    * broadcast build side) or that we can't see into (exotic leaves,
+    * conservatively treated as single-partition by the caller).
+    */
+  private def estimateParts(
+      p: org.apache.spark.sql.execution.SparkPlan): Option[Int] = p match {
+    case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike =>
+      None // build side: the join's output keeps the PROBE side's splits
+    case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+      Some(s.numPartitions)
+    case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+      // split arithmetic over the already-listed FileIndex — no job
+      Some(s.inputRDD.getNumPartitions)
+    case _: org.apache.spark.sql.execution.LocalTableScanExec =>
+      // local rows slice to leafNodeDefaultParallelism; anything narrower
+      // is fewer rows than cores — no starvation possible
+      Some(Int.MaxValue)
+    case leaf if leaf.children.isEmpty => None
+    case other => other.children.flatMap(estimateParts(_)).reduceOption(_ max _)
   }
 
   /** The exploded (group, n, gram) frame both distinct-n faces aggregate —

@@ -176,6 +176,48 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("eval builders are lazy: construction launches no Spark jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions._
+    val sc = spark.sparkContext
+    // job properties are thread-local: tag this thread so concurrently
+    // running suites' jobs can't pollute the count
+    val tag = "graft.eval.lazyprobe"
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (j.properties != null && j.properties.getProperty(tag) != null)
+          seen.incrementAndGet()
+    }
+    // inputs built BEFORE the tag: spark.read.parquet may run its own
+    // schema-inference job, which is not the contract under test
+    val d = sf("documents").select(col("doc_id"), col("lang"), col("text"))
+    val pairs = d.join(
+        d.select((col("doc_id") + 1).as("doc_id"), col("text").as("ref_text")),
+        Seq("doc_id"))
+      .select(col("lang"), col("text").as("cand_text"), col("ref_text"))
+    sc.addSparkListener(listener)
+    sc.setLocalProperty(tag, "1")
+    try {
+      // the round-14 regression: spread() probed .rdd.getNumPartitions,
+      // which finalizes AQE and runs every upstream stage HERE, at
+      // DataFrame-construction time (and again at the real action)
+      Eval.bleuStats(pairs); Eval.chrFStats(pairs); Eval.werStats(pairs)
+      Eval.distinctNgramStats(d, groupCol = "lang", textCol = "text")
+      // marker action (exactly one job, no shuffle); listener delivery is
+      // in-order per bus, so once it lands any construction-time job from
+      // this thread would already have been counted
+      spark.range(1).collect()
+      val deadline = System.nanoTime() + 10000000000L
+      while (seen.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(seen.get() === 1,
+        "constructing eval frames launched Spark jobs (AQE finalized at build time)")
+    } finally {
+      sc.setLocalProperty(tag, null)
+      sc.removeSparkListener(listener)
+    }
+  }
+
   test("chrFStats: whitespace removal, clipping, recall side, by hand") {
     // cand 'ab ba' -> 'abba' (4 chars), ref 'ab ab' -> 'abab'
     // 1-grams: cand {a:2,b:2}, ref {a:2,b:2} -> match 4 of 4 (P=R=1000)
