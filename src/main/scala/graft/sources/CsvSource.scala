@@ -18,15 +18,20 @@ import java.nio.file.{Files, Path, Paths}
   *      path the probe ladder had.
   *   3. The strict-decode ladder UTF-8 → windows-1252 → latin-1.
   *
-  * Spark's distributed CSV reader needs a charset declared up front, and
-  * its line-oriented split handles multi-byte-unit charsets poorly (BOM
+  * Spark's distributed CSV reader needs a charset declared up front, its
+  * line-oriented split handles multi-byte-unit charsets poorly (BOM
   * lands in the first header cell, a CRLF terminator leaves a trailing
-  * \r on the last field) — so wide-charset files are TRANSCODED to UTF-8
-  * driver-side first, BOM stripped, exactly what `pd.read_csv(encoding=…)`
-  * does in the reference. That is sound at scale for the same reason the
-  * probe is: these are upload request bodies (MBs, already on the
-  * driver), not bulk scans — a 100-TB corpus lands as parquet/UTF-8, and
-  * the distributed frame starts at the returned DataFrame either way.
+  * \r on the last field), and Spark 4 whitelists the charsets it will
+  * parse at all (CharsetProvider.VALID_CHARSETS — windows-1252 is not in
+  * it). So any file outside the native set DECODES driver-side into
+  * record lines, BOM stripped, and feeds the `Dataset[String]` CSV
+  * reader — exactly what `pd.read_csv(encoding=…)` does in the
+  * reference, with no scratch temp file to leak and no session-wide
+  * `spark.sql.legacy.javaCharsets` flag flipped as a side effect. That
+  * is sound at scale for the same reason the probe is: these are upload
+  * request bodies (MBs, already on the driver, size-gated loudly below),
+  * not bulk scans — a 100-TB corpus lands as parquet/UTF-8, and the
+  * distributed frame starts at the returned DataFrame either way.
   */
 object CsvSource {
 
@@ -134,65 +139,78 @@ object CsvSource {
     (cs, fromBom.isDefined)
   }
 
-  /** Stream-transcode `src` to a UTF-8 temp file, decoding with
-    * `charsetName` and dropping a leading BOM/ZWNBSP. Malformed input is
-    * a LOUD failure (CodingErrorAction.REPORT): a mis-detected wide file
-    * must error, not ship U+FFFD rows into the frame.
+  /** Ceiling for the driver-side decode path. The reference caps uploads
+    * at 100 MB (SlopeGeoJsonUploadView.py:502); 256 MB keeps headroom
+    * while guaranteeing a LOUD, named failure instead of an opaque OOM
+    * when someone points this upload-ingest path at a bulk extract.
     */
-  private[sources] def transcodeToUtf8(src: Path, charsetName: String): Path = {
+  private[sources] val MaxDriverDecodeBytes: Long = 256L << 20
+
+  /** Charsets Spark 4's distributed CSV reader accepts natively
+    * (CharsetProvider.VALID_CHARSETS \u2229 the probe ladder's outcomes).
+    * Anything else decodes driver-side \u2014 never by flipping the
+    * session-wide `spark.sql.legacy.javaCharsets` legacy flag.
+    */
+  private val NativeCharsets = Set("UTF-8", "ISO-8859-1", "US-ASCII")
+
+  /** Decode `src` driver-side with `charsetName` into CSV record lines,
+    * splitting on the same boundaries Hadoop's LineRecordReader uses for
+    * a file-based scan (\n, \r\n, \r \u2014 `BufferedReader.readLine`'s
+    * exact set) and dropping a leading BOM/ZWNBSP. Malformed input is a
+    * LOUD failure (CodingErrorAction.REPORT): a mis-detected wide file
+    * must error, not ship U+FFFD rows into the frame. The lines feed the
+    * `Dataset[String]` CSV reader directly, so \u2014 unlike the former
+    * temp-file transcode \u2014 nothing is left on disk to reclaim.
+    */
+  private[sources] def decodeRecords(src: Path, charsetName: String): Vector[String] = {
+    val size = Files.size(src)
+    require(size <= MaxDriverDecodeBytes,
+      s"$src is $size bytes in $charsetName, over the " +
+        s"$MaxDriverDecodeBytes-byte driver-side decode ceiling for " +
+        "upload-grade CSV ingest; re-encode as UTF-8 for a distributed scan")
     val dec = Charset.forName(charsetName).newDecoder()
       .onMalformedInput(CodingErrorAction.REPORT)
       .onUnmappableCharacter(CodingErrorAction.REPORT)
-    val out = Files.createTempFile("graft_csv_utf8_", ".csv")
-    // upload-sized scratch copy, reclaimed at JVM exit (the Spark read
-    // below streams from it lazily, so an eager post-read delete could
-    // race the executors)
-    out.toFile.deleteOnExit()
-    val reader = new java.io.InputStreamReader(Files.newInputStream(src), dec)
-    val writer = new java.io.OutputStreamWriter(
-      Files.newOutputStream(out), StandardCharsets.UTF_8)
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(Files.newInputStream(src), dec))
     try {
-      val buf = new Array[Char](64 * 1024)
+      val out = Vector.newBuilder[String]
       var first = true
-      var n = reader.read(buf)
-      while (n > 0) {
-        var start = 0
-        if (first && buf(0) == '\uFEFF') start = 1
+      var line = reader.readLine()
+      while (line != null) {
+        if (first && line.nonEmpty && line.charAt(0) == '\uFEFF')
+          line = line.substring(1)
         first = false
-        writer.write(buf, start, n - start)
-        n = reader.read(buf)
+        out += line
+        line = reader.readLine()
       }
-    } finally {
-      // writer.close() must run (it flushes the final chunk) even when
-      // reader.close() throws
-      try reader.close() finally writer.close()
-    }
-    out
+      out.result()
+    } finally reader.close()
   }
 
   /** Header CSV scan with sniffed encoding; schema inference can be
-    * replaced by an explicit schema for production reads. Wide charsets
-    * (UTF-16/32, either endianness, BOM or not) and BOM-carrying UTF-8
-    * transcode to a clean UTF-8 copy first (see class doc), so the frame
-    * is identical to what a UTF-8 ingest of the same rows produces.
+    * replaced by an explicit schema for production reads. Charsets the
+    * distributed reader can't take natively \u2014 UTF-16/32 (either
+    * endianness, BOM or not), BOM-carrying UTF-8, windows-1252 \u2014 decode
+    * driver-side first (see class doc), so the frame is identical to
+    * what a UTF-8 ingest of the same rows produces.
     */
   def read(spark: SparkSession, path: String,
       inferSchema: Boolean = true): DataFrame = {
-    // Spark 4 whitelists CSV charsets; allow the full JVM charset set so
-    // sniffed encodings like windows-1252 read natively.
-    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
     val (detected, hadBom) = detect(path)
-    val p = Paths.get(path)
-    val (readPath, encoding) =
-      if (WideCharsets.contains(detected))
-        (transcodeToUtf8(p, detected).toString, "UTF-8")
-      else if (detected == "UTF-8" && hadBom)
-        (transcodeToUtf8(p, "UTF-8").toString, "UTF-8")
-      else (path, detected)
-    spark.read
+    val reader = spark.read
       .option("header", "true")
-      .option("encoding", encoding)
       .option("inferSchema", inferSchema.toString)
-      .csv(readPath)
+    if (WideCharsets.contains(detected) || hadBom ||
+        !NativeCharsets.contains(detected)) {
+      import spark.implicits._
+      val records = decodeRecords(Paths.get(path), detected)
+      val slices = math.max(1, math.min(records.size,
+        spark.sparkContext.defaultParallelism))
+      reader.csv(spark.createDataset(
+        spark.sparkContext.parallelize(records, slices)))
+    } else {
+      reader.option("encoding", detected).csv(path)
+    }
   }
 }

@@ -90,16 +90,21 @@ object JpegSegments {
     var i = 2
     var done = false
     while (!done) {
-      val m = marker(stream, i)
+      val (m, mi) = markerSkippingFill(stream, i)
       if (m == 0xDA) { // SOS: header section over; the rest is the scan
-        image ++= stream.view.slice(i, stream.length)
+        image ++= stream.view.slice(mi, stream.length)
         done = true
       } else {
-        val len = ((stream(i + 2) & 0xFF) << 8) | (stream(i + 3) & 0xFF)
-        val seg = stream.view.slice(i, i + 2 + len)
+        require(mi + 3 < stream.length,
+          f"JPEG segment 0xFF$m%02X at byte $mi truncated before its length field")
+        val len = ((stream(mi + 2) & 0xFF) << 8) | (stream(mi + 3) & 0xFF)
+        require(len >= 2 && mi + 2 + len <= stream.length,
+          f"JPEG segment 0xFF$m%02X at byte $mi declares $len content bytes, " +
+            s"overrunning the ${stream.length}-byte stream")
+        val seg = stream.view.slice(mi, mi + 2 + len)
         if (m == 0xDB || m == 0xC4) tables ++= seg // DQT / DHT
         else if (!((m >= 0xE0 && m <= 0xEF) || m == 0xFE)) image ++= seg
-        i += 2 + len
+        i = mi + 2 + len
       }
     }
     tables += 0xFF.toByte += 0xD9.toByte
@@ -124,5 +129,20 @@ object JpegSegments {
     require(at + 1 < b.length && (b(at) & 0xFF) == 0xFF,
       s"expected JPEG marker at byte $at")
     b(at + 1) & 0xFF
+  }
+
+  /** Marker id at/after `at`, skipping the optional 0xFF fill bytes ITU
+    * T.81 §B.1.1.2 permits before any marker; returns (id, index of the
+    * marker's FINAL 0xFF) so callers measure segments from the real
+    * marker, not the padding. A stream that ends inside fill bytes fails
+    * loudly instead of reading past the array.
+    */
+  private def markerSkippingFill(b: Array[Byte], at: Int): (Int, Int) = {
+    require(at + 1 < b.length && (b(at) & 0xFF) == 0xFF,
+      s"expected JPEG marker at byte $at")
+    var i = at
+    while (i + 1 < b.length && (b(i + 1) & 0xFF) == 0xFF) i += 1
+    require(i + 1 < b.length, s"JPEG stream truncated in fill bytes at byte $at")
+    (b(i + 1) & 0xFF, i)
   }
 }

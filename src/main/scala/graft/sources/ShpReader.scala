@@ -15,7 +15,7 @@ import scala.collection.mutable.ArrayBuffer
   * little-endian shape type + bbox), then records of
   * [big-endian rec#/length][little-endian geometry].
   *
-  * Supported shapes — the full pyshp surface minus MultiPatch:
+  * Supported shapes — the full pyshp surface:
   *   - Point (1) and its Z/M variants (11, 21): XY read, Z/M skipped.
   *   - MultiPoint (8, 18, 28): one point set per record.
   *   - PolyLine (3, 13, 23): single-part records emit with the GeoJSON
@@ -29,6 +29,13 @@ import scala.collection.mutable.ArrayBuffer
   *     ambiguity, orphan holes promote to exteriors, an all-hole record
   *     degrades each ring to its own exterior). One exterior → Polygon
   *     (exterior first, then its holes); several → MultiPolygon.
+  *   - MultiPatch (31): the 3-D surface-patch type. No GeoJSON rank
+  *     exists for triangle strips/fans (pyshp's own `__geo_interface__`
+  *     refuses it), so — like pyshp's raw `.parts`/`.points` access,
+  *     which IS how the reference iterates shapes
+  *     (SlopeGeoJsonUploadView.py:326-422) — each XY part is emitted as
+  *     one ring of a `"MultiPatch"` feature; part types (strip/fan/ring
+  *     roles) are structural metadata the reference never reads.
   *   Z/M coordinate blocks trail the XY section in every Z- and
   *   M-variant, so XY parsing is layout-identical and the record length
   *   delimits the skip.
@@ -65,7 +72,23 @@ object ShpReader {
   final case class ShpFeature(featureIndex: Int, geometryType: String,
       rings: Seq[Ring], polygons: Seq[Seq[Ring]] = Nil)
 
-  def parse(path: String): Seq[ShpFeature] = parseBytes(Files.readAllBytes(Paths.get(path)))
+  /** Hard ceiling on the whole-file driver parse — the same loud-failure
+    * discipline as [[ShapefileZip.DefaultMaxDecompressedBytes]] (1 GiB):
+    * reference uploads cap at 100 MB (SlopeGeoJsonUploadView.py:502), so
+    * a bare .shp anywhere near this is not an upload and must fail with
+    * a NAMED error here, not an opaque array failure at the JVM's 2 GiB
+    * byte-array limit.
+    */
+  val MaxShpBytes: Long = 1L << 30
+
+  def parse(path: String): Seq[ShpFeature] = {
+    val p = Paths.get(path)
+    val size = Files.size(p)
+    require(size <= MaxShpBytes,
+      s"$path is $size bytes, over the $MaxShpBytes-byte driver-parse " +
+        "ceiling for upload-grade .shp ingest")
+    parseBytes(Files.readAllBytes(p))
+  }
 
   def parseBytes(bytes: Array[Byte]): Seq[ShpFeature] = {
     require(bytes.length >= 100, "shp too short for the 100-byte header")
@@ -108,10 +131,25 @@ object ShpReader {
             out += ShpFeature(recNo - 1, "Polygon", polys.head)
           else
             out += ShpFeature(recNo - 1, "MultiPolygon", polys.flatten, polys)
+        case 31 => // MultiPatch: box, numParts, numPoints, parts, partTypes, points, z [, m]
+          // pyshp's raw surface (.parts/.points — no GeoJSON conversion
+          // exists for triangle strips/fans, and pyshp's own
+          // __geo_interface__ refuses type 31): each XY part becomes one
+          // ring of a "MultiPatch" feature, the Z block trails and is
+          // skipped by the record-length walk like every Z variant
+          body.position(body.position() + 32)
+          val numParts = body.getInt
+          val numPoints = body.getInt
+          val parts = Array.fill(numParts)(body.getInt)
+          body.position(body.position() + 4 * numParts) // partTypes
+          val pts = Array.fill(numPoints)((body.getDouble, body.getDouble))
+          val bounds = parts :+ numPoints
+          out += ShpFeature(recNo - 1, "MultiPatch",
+            (0 until numParts).map(i => pts.slice(bounds(i), bounds(i + 1)).toSeq))
         case t =>
           throw new IllegalArgumentException(
             s"record $recNo: unsupported shape type $t " +
-              "(Point/MultiPoint/PolyLine/Polygon and their Z/M variants only)")
+              "(Point/MultiPoint/PolyLine/Polygon/MultiPatch and Z/M variants only)")
       }
       off += 8 + contentBytes
     }

@@ -239,15 +239,64 @@ class ShpReaderSpec extends SparkSpec {
     assert(math.abs(cp.getDouble(1) - 1.6) < 1e-9) // (0+4+4+0+0)/5
   }
 
-  test("rejects non-shapefile bytes and MultiPatch") {
+  test("rejects non-shapefile bytes and unknown shape types") {
     intercept[IllegalArgumentException] {
       ShpReader.parseBytes(Array.fill[Byte](128)(7))
     }
-    // MultiPatch (31) stays a loud failure, not silent data loss
-    val mp = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(31).array()
-    intercept[IllegalArgumentException] {
-      ShpReader.parseBytes(shpFile(Seq(mp)))
+    // a genuinely unknown type id stays a loud, NAMED failure
+    val unknown = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(99).array()
+    val e = intercept[IllegalArgumentException] {
+      ShpReader.parseBytes(shpFile(Seq(unknown)))
     }
+    assert(e.getMessage.contains("unsupported shape type 99"))
+  }
+
+  /** MultiPatch record: box, numParts, numPoints, parts, partTypes,
+    * points, then the mandatory Z block (type 31 is inherently 3-D).
+    */
+  private def multiPatchContent(parts: Seq[Ring], partTypes: Seq[Int]): Array[Byte] = {
+    val numPoints = parts.map(_.size).sum
+    val buf = ByteBuffer
+      .allocate(4 + 32 + 8 + 4 * parts.size * 2 + 16 * numPoints + 16 + 8 * numPoints)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(31)
+    val xs = parts.flatten.map(_._1); val ys = parts.flatten.map(_._2)
+    buf.putDouble(xs.min).putDouble(ys.min).putDouble(xs.max).putDouble(ys.max)
+    buf.putInt(parts.size).putInt(numPoints)
+    var start = 0
+    parts.foreach { p => buf.putInt(start); start += p.size }
+    partTypes.foreach(buf.putInt)
+    parts.flatten.foreach { case (x, y) => buf.putDouble(x).putDouble(y) }
+    // real (nonzero) Z values so a parser that misreads the partTypes or
+    // Z block as coordinates fails the asserts loudly
+    buf.putDouble(10.0).putDouble(20.0)
+    (0 until numPoints).foreach(i => buf.putDouble(10.0 + i))
+    buf.array()
+  }
+
+  test("MultiPatch (31): XY parts parse as rings, partTypes and Z skipped") {
+    val strip: Ring = Seq((0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0))
+    val ring: Ring = Seq((5.0, 5.0), (5.0, 6.0), (6.0, 6.0), (5.0, 5.0))
+    val feats = ShpReader.parseBytes(shpFile(
+      Seq(multiPatchContent(Seq(strip, ring), Seq(0, 2))), headerShapeType = 31))
+    assert(feats.size == 1)
+    assert(feats.head.geometryType == "MultiPatch")
+    assert(feats.head.rings == Seq(strip, ring))
+    // a following record still parses (the Z block was length-skipped)
+    val two = ShpReader.parseBytes(shpFile(Seq(
+      multiPatchContent(Seq(strip), Seq(0)), pointContent(1, 2.5, 3.5)),
+      headerShapeType = 31))
+    assert(two.map(_.geometryType) == Seq("MultiPatch", "Point"))
+    assert(two(1).rings == Seq(Seq((2.5, 3.5))))
+  }
+
+  test("bare-.shp driver parse is size-gated loudly") {
+    val p = java.nio.file.Files.createTempFile("huge", ".shp")
+    val raf = new java.io.RandomAccessFile(p.toFile, "rw")
+    try raf.setLength(ShpReader.MaxShpBytes + 1) finally raf.close()
+    val e = intercept[IllegalArgumentException] { ShpReader.parse(p.toString) }
+    assert(e.getMessage.contains("driver-parse ceiling"))
+    java.nio.file.Files.delete(p)
   }
 
   // ---- .dbf pairing ---------------------------------------------------------

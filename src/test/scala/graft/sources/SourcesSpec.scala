@@ -67,8 +67,35 @@ class SourcesSpec extends SparkSpec {
     val p = Files.createTempFile("trunc", ".csv")
     Files.write(p, ("a,b\r\nx,y\r\n".getBytes("UTF-16LE") :+ 0x41.toByte))
     intercept[Exception] {
-      CsvSource.transcodeToUtf8(p, "UTF-16LE")
+      CsvSource.decodeRecords(p, "UTF-16LE")
     }
+  }
+
+  test("CsvSource: driver-decode path is size-gated loudly") {
+    // sparse file over the ceiling: the gate must fire on Files.size
+    // BEFORE any byte is decoded, with the ceiling named in the message
+    val p = Files.createTempFile("huge", ".csv")
+    val raf = new java.io.RandomAccessFile(p.toFile, "rw")
+    try raf.setLength(CsvSource.MaxDriverDecodeBytes + 1) finally raf.close()
+    val e = intercept[IllegalArgumentException] {
+      CsvSource.decodeRecords(p, "UTF-16LE")
+    }
+    assert(e.getMessage.contains("decode ceiling"))
+    Files.delete(p)
+  }
+
+  test("CsvSource.read never mutates session conf (legacy.javaCharsets)") {
+    // windows-1252 is outside Spark 4's CSV charset whitelist; the read
+    // must decode driver-side instead of flipping the session-wide
+    // legacy flag as a side effect (round-14 verdict hygiene item)
+    spark.conf.unset("spark.sql.legacy.javaCharsets")
+    val p = Files.createTempFile("cp1252b", ".csv")
+    Files.write(p, "name,city\nAimé,Kigali\n".getBytes(Charset.forName("windows-1252")))
+    val df = CsvSource.read(spark, p.toString)
+    assert(df.collect().head.getString(0) == "Aimé")
+    // unset → the registered default ("false"); a read that flipped the
+    // session flag would leave "true" here
+    assert(spark.conf.get("spark.sql.legacy.javaCharsets") == "false")
   }
 
   test("GeoJson explodes FeatureCollections and reassembles them") {
