@@ -1459,9 +1459,16 @@ object TextQueries {
           SELECT c.doc_id AS pair, c.lang, c.t AS tc, r.t AS tr
           FROM d c JOIN d r ON r.doc_id = c.doc_id - 1),
         vocab AS (
+          -- byte-based levenshtein is only token-exact while every mapped
+          -- codepoint stays single-byte in UTF-8: ENFORCE the <= 127
+          -- bound instead of assuming it, so a grown fixture fails this
+          -- oracle loudly rather than double-charging substitutions
+          SELECT tok, CASE WHEN cp > 127 THEN CAST(error(
+              'q284 oracle: token vocabulary exceeds the single-byte codepoint range') AS INT)
+            ELSE cp END AS cp FROM (
           SELECT tok, 32 + CAST(ROW_NUMBER() OVER (ORDER BY tok) AS INT) AS cp FROM (
             SELECT DISTINCT tok FROM (
-              SELECT unnest(tc) AS tok FROM p UNION SELECT unnest(tr) FROM p))),
+              SELECT unnest(tc) AS tok FROM p UNION SELECT unnest(tr) FROM p)))),
         ec AS (
           SELECT pair, string_agg(chr(v.cp), '' ORDER BY u.i) AS s
           FROM (SELECT pair, i, tc[i] AS tok FROM p,

@@ -323,10 +323,19 @@ object Unigram {
         }
         val targetMulti = math.max(0, vocabSize - counts.count(_._1.length == 1))
         val mustDrop = math.max(0, multi.size - targetMulti)
-        val dropN = math.min(mustDrop,
-          math.max(1, (multi.size * pruneFraction).toInt))
-        val dropped = losses.sortBy { case (p, l) => (l, p) }.take(dropN).map(_._1).toSet
-        counts = counts.filter { case (p, _) => p.length == 1 || !dropped.contains(p) }
+        if (mustDrop == 0) {
+          // vocabSize is below the un-prunable floor (the alphabet):
+          // every multi-char piece is already gone, so no further
+          // iteration can shrink the vocabulary — return the over-target
+          // alphabet now instead of burning the remaining guard rounds'
+          // distributed E-steps on zero progress
+          guard = 64
+        } else {
+          val dropN = math.min(mustDrop,
+            math.max(1, (multi.size * pruneFraction).toInt))
+          val dropped = losses.sortBy { case (p, l) => (l, p) }.take(dropN).map(_._1).toSet
+          counts = counts.filter { case (p, _) => p.length == 1 || !dropped.contains(p) }
+        }
       }
       val (fin, _) = eStep(spark, words, normalize(counts), maxPieceLen)
       val finAdj = counts.keys.map { p =>

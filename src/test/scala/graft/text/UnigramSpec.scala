@@ -103,6 +103,22 @@ class UnigramSpec extends SparkSpec {
       assert(Unigram.viterbi(w, lp, m.maxPieceLen).nonEmpty, w)
   }
 
+  test("fit below the alphabet floor returns promptly with the alphabet") {
+    // vocabSize below the un-prunable floor (14 corpus chars): once every
+    // multi-char piece is gone no pruning progress is possible — fit must
+    // break out instead of burning the remaining guard rounds' E-steps
+    val t0 = System.nanoTime()
+    val m = Unigram.fit(spark, corpus, vocabSize = 5, maxPieceLen = 4,
+      seedSize = 40, emIters = 1)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val alphabet = "moneo imputo praebalteata cummi valens"
+      .replace(" ", "").map(_.toString).toSet
+    assert(m.vocab.toSet == alphabet) // over-target but correct: the floor
+    // 64 guard rounds of distributed E-steps would take minutes; the
+    // early break leaves only the handful of real pruning rounds
+    assert(secs < 60.0, s"fit spun the guard loop: ${secs}s")
+  }
+
   test("fit is partitioning-independent (micro-quantized sums are associative)") {
     val m1 = Unigram.fit(spark, corpus.repartition(1), vocabSize = 30,
       maxPieceLen = 4, seedSize = 80)
