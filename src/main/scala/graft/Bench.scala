@@ -50,7 +50,9 @@ object Bench {
         (if (sel("bucket")) benchBucketed(spark, sfDir) else Nil) ++
         (if (sel("zorder")) benchZOrder(spark) else Nil) ++
         (if (sel("bpe")) benchBpeRounds(spark, sfDir) else Nil) ++
-        (if (sel("codec")) benchCodec(spark, sfDir) else Nil)
+        (if (sel("codec")) benchCodec(spark, sfDir) else Nil) ++
+        (if (sel("sketch")) benchDistinctSketch(spark, sfDir) else Nil) ++
+        (if (sel("ccnet")) benchCcnetStages(spark, sfDir) else Nil)
       val mq = micros.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
       spark.stop()
       println(s"""{"metric":"micros","queries":$mq}""")
@@ -182,7 +184,19 @@ object Bench {
     // dominates a 100-TB footprint (write cost vs bytes vs scan cost)
     val codecResults = benchCodec(spark, sfDir)
 
-    val qs = (annBuild ++ textBuild ++ results ++ bucketResults ++ zorderResults ++ skewResults ++ bpeResults ++ codecResults)
+    // ---- pure-sketch distinct-n: the 100-TB diversity-report recipe
+    // (q279's registry row carries the EXACT distinct beside the HLL so
+    // its oracle can assert the bound — correct verification design, but
+    // its time reads as "the approx face"; this row times the sketch-only
+    // path a production report actually runs)
+    val sketchResults = benchDistinctSketch(spark, sfDir)
+
+    // ---- CCNet chain, stage-attributed: q191 is the registry's most
+    // expensive composed row; these rows (the q214/text_index_build
+    // pattern) name the stage when it regresses, the composed row stays
+    val ccnetResults = benchCcnetStages(spark, sfDir)
+
+    val qs = (annBuild ++ textBuild ++ results ++ bucketResults ++ zorderResults ++ skewResults ++ bpeResults ++ codecResults ++ sketchResults ++ ccnetResults)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -506,6 +520,103 @@ object Bench {
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] skew demo failed: $e"); Seq.empty
+    }
+  }
+
+  /** The pure-sketch distinct-n path ([[graft.text.Eval.distinctNgramStatsApprox]],
+    * 1% rsd): one gram explode, mergeable HLL partials, NO exact-distinct
+    * shuffle — the recipe a 100-TB diversity report runs. Timed min-of-2
+    * beside exact q273 and bound-verification q279 so the board reads
+    * sketch < exact, the story the approx face exists to tell.
+    */
+  private def benchDistinctSketch(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
+    try {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.text.Eval.distinctNgramStatsApprox(docs, "source", "text", maxN = 3)
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Seq("distinct_ngrams_sketch" -> ts.min)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] sketch distinct-n micro failed: $e"); Seq.empty
+    }
+
+  /** q191's six-stage CCNet chain with per-stage wall attribution: each
+    * stage materializes (toRdd.count) against its ALREADY-materialized
+    * inputs, so a regression names the stage instead of the chain. Same
+    * code path as the registry row — the stage frames are the exact
+    * pinned intermediates q191 builds; the composed row's time stays the
+    * end-to-end truth (these rows do NOT sum to it exactly: the composed
+    * plan shares scans the stage-grain materialization repeats).
+    */
+  private def benchCcnetStages(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.storage.StorageLevel
+    val pinned = scala.collection.mutable.ListBuffer[DataFrame]()
+    def mat(df: DataFrame): (DataFrame, Double) = {
+      val t0 = System.nanoTime()
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      p.queryExecution.toRdd.count()
+      pinned += p
+      (p, (System.nanoTime() - t0) / 1e9)
+    }
+    try {
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      // stage 1: span-removal clean — the corpus checkpoint
+      val (cleaned, tClean) = mat(graft.curation.Curation.removeDupSpans(d)
+        .join(d.select("doc_id", "lang"), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_kept"),
+          col("clean_text").as("text")))
+      val tgt = cleaned.filter(col("doc_id") % 2 === 1)
+      val ref = cleaned.filter(col("doc_id") % 2 === 0)
+      // stage 2: quality funnel
+      val (funnelIds, tFunnel) = mat(
+        graft.curation.Curation.funnelSurvivors(tgt).select("doc_id"))
+      // stage 3: bloom decontamination
+      val toks0 = split(trim(col("text")), "\\s+")
+      val bench = d.filter(col("doc_id") % 50 === 0)
+        .select(array_join(
+          slice(toks0, lit(3), greatest(size(toks0) - 2, lit(0))), " ").as("btext"))
+      val (deconIds, tDecon) = mat(graft.curation.Curation
+        .bloomDecontaminateSurvivors(
+          tgt.select("doc_id", "text"), bench, benchTextCol = "btext")
+        .select("doc_id"))
+      val surv12 = funnelIds.join(deconIds, Seq("doc_id"), "left_semi")
+      // stage 4: cross-surprisal LM scoring
+      val (scores12, tSurprisal) = mat(graft.curation.Curation
+        .crossSurprisalScores(tgt, ref, strataCol = "lang")
+        .join(surv12, Seq("doc_id"), "left_semi"))
+      // stage 5: tercile keep
+      val (keepIds, tTerciles) = mat(
+        graft.curation.Curation.tercileKeepIds(scores12, "lang"))
+      // stage 6: token budget + packing + per-lang report
+      val counted = tgt.select(col("lang"), col("doc_id"), col("n_kept").as("n"))
+        .join(keepIds, Seq("doc_id"), "left_semi")
+        .filter(col("n") > 0)
+      val t0 = System.nanoTime()
+      val k4 = graft.curation.Curation.cumsumByStratum(counted, "lang", "doc_id", "n")
+        .filter(col("cum") <= 4000)
+      graft.curation.Curation.packSegments(k4.select("lang", "doc_id", "n"),
+          seqTokens = 256)
+        .groupBy("lang").agg(countDistinct("seq").as("sequences"),
+          sum("seg_len").as("packed_tokens"))
+        .queryExecution.toRdd.count()
+      val tPack = (System.nanoTime() - t0) / 1e9
+      Seq(
+        "ccnet_stage_clean" -> tClean,
+        "ccnet_stage_funnel" -> tFunnel,
+        "ccnet_stage_decon" -> tDecon,
+        "ccnet_stage_surprisal" -> tSurprisal,
+        "ccnet_stage_terciles" -> tTerciles,
+        "ccnet_stage_pack_report" -> tPack)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] ccnet stage micro failed: $e"); Seq.empty
+    } finally {
+      pinned.foreach(p => { p.unpersist(); () })
     }
   }
 
