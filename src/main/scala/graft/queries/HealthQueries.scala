@@ -338,5 +338,47 @@ object HealthQueries {
           CASE WHEN n_nationkey % 3 = 0 THEN 'POSITIVE' ELSE 'neg' END AS result,
           TRUE AS matches_utf8
         FROM nation ORDER BY lab_id"""))
+    ,
+
+    // S1 face 3 — chardet's CJK long tail, structurally claimed: a
+    // Shift_JIS lab export (kana-bearing Japanese, the Windows-Excel
+    // Japanese default) and a GBK export (hanzi-dense Chinese) both
+    // detect, decode driver-side, and hash-match DuckDB's chr()-built
+    // expected strings codepoint for codepoint. Same upload-payload
+    // contract as q276; the oracle builds the text from integer
+    // codepoints so no tool in the compare chain can mangle it.
+    Q("q285_csv_cjk_ingest",
+      (s, dir) => {
+        import graft.sources.CsvSource
+        import java.nio.file.Files
+        val keys = t(s, dir, "nation").select(col("n_nationkey").cast("int"))
+          .collect().map(_.getInt(0)).sorted.toSeq
+        def body(city: Int => String): String =
+          "id,city\r\n" + keys.map(k => s"$k,${city(k)}").mkString("\r\n") + "\r\n"
+        // 東京こんにちは / 北京你好世界 spelled as escapes so the contract
+        // survives any source-encoding mishap
+        val jaCity = "\u6771\u4EAC\u3053\u3093\u306B\u3061\u306F"
+        val zhCity = "\u5317\u4EAC\u4F60\u597D\u4E16\u754C"
+        val d0 = Files.createTempDirectory("graft_csvcjk")
+        val pj = d0.resolve("ja_sjis.csv"); val pz = d0.resolve("zh_gbk.csv")
+        Files.write(pj, body(k => s"$jaCity${k % 7}").getBytes("Shift_JIS"))
+        Files.write(pz, body(k => s"$zhCity${k % 7}").getBytes("GBK"))
+        require(CsvSource.detectEncoding(pj.toString) == "Shift_JIS",
+          "kana-bearing Shift_JIS export must be detected, not latin-1 garbage")
+        require(CsvSource.detectEncoding(pz.toString) == "GBK",
+          "hanzi-dense GBK export must be detected, not latin-1 garbage")
+        val dj = CsvSource.read(s, pj.toString, inferSchema = false)
+          .select(col("id").cast("int").as("id"), col("city").as("city_ja"))
+        val dz = CsvSource.read(s, pz.toString, inferSchema = false)
+          .select(col("id").cast("int").as("id"), col("city").as("city_zh"))
+        dj.join(dz, Seq("id")).orderBy("id")
+      },
+      Some("""
+        SELECT CAST(n_nationkey AS INT) AS id,
+          chr(26481)||chr(20140)||chr(12371)||chr(12435)||chr(12395)||chr(12385)||chr(12399)
+            ||CAST(n_nationkey % 7 AS VARCHAR) AS city_ja,
+          chr(21271)||chr(20140)||chr(20320)||chr(22909)||chr(19990)||chr(30028)
+            ||CAST(n_nationkey % 7 AS VARCHAR) AS city_zh
+        FROM nation ORDER BY id"""))
   )
 }

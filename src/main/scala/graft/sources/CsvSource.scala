@@ -16,7 +16,12 @@ import java.nio.file.{Files, Path, Paths}
   *      latin-1 fallback — which never fails — would "succeed" on a
   *      UTF-16 CSV as NUL-interleaved garbage: the one silent-wrong-data
   *      path the probe ladder had.
-  *   3. The strict-decode ladder UTF-8 → windows-1252 → latin-1.
+  *   3. Strict UTF-8 (its strictness makes it a reliable first probe).
+  *   4. The CJK multi-byte probe: Shift_JIS (kana-bearing strict decode)
+  *      then GBK (hanzi-dense, kana-free strict decode) — chardet's
+  *      long-tail encodings claimed structurally; see [[cjkProbe]] for
+  *      exactly what is in and out of scope and why.
+  *   5. The single-byte ladder windows-1252 → latin-1 (never fails).
   *
   * Spark's distributed CSV reader needs a charset declared up front, its
   * line-oriented split handles multi-byte-unit charsets poorly (BOM
@@ -35,8 +40,10 @@ import java.nio.file.{Files, Path, Paths}
   */
 object CsvSource {
 
+  /** The single-byte tail of the ladder (UTF-8 and the CJK multi-byte
+    * probes run before these; latin-1 never fails and is the floor).
+    */
   private val candidates: Seq[Charset] = Seq(
-    StandardCharsets.UTF_8,
     Charset.forName("windows-1252"),
     StandardCharsets.ISO_8859_1)
 
@@ -126,17 +133,82 @@ object CsvSource {
       // malformed — a hard-truncated decode() misdetected valid UTF-8
       // files larger than the probe as windows-1252
       val complete = n.toLong == size
-      candidates.find { cs =>
-        val dec: CharsetDecoder = cs.newDecoder()
-          .onMalformedInput(CodingErrorAction.REPORT)
-          .onUnmappableCharacter(CodingErrorAction.REPORT)
-        val out = java.nio.CharBuffer.allocate(n + 1)
-        val res = dec.decode(java.nio.ByteBuffer.wrap(bytes), out, complete)
-        val flushed = if (complete && !res.isError) dec.flush(out) else res
-        !res.isError && !flushed.isError
-      }.getOrElse(StandardCharsets.ISO_8859_1).name()
+      if (strictDecode(StandardCharsets.UTF_8, bytes, complete).isDefined) "UTF-8"
+      else cjkProbe(bytes, complete).getOrElse {
+        candidates.find(c => strictDecode(c, bytes, complete).isDefined)
+          .getOrElse(StandardCharsets.ISO_8859_1).name()
+      }
     }
     (cs, fromBom.isDefined)
+  }
+
+  /** Strict decode of the probe bytes under `cs` — Some(text) iff every
+    * byte sequence is valid AND mappable (CodingErrorAction.REPORT on
+    * both axes); `complete=false` treats a trailing underflow as OK (the
+    * probe may cut a multibyte sequence).
+    */
+  private def strictDecode(cs: Charset, bytes: Array[Byte],
+      complete: Boolean): Option[String] = {
+    val dec: CharsetDecoder = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    val out = java.nio.CharBuffer.allocate(bytes.length + 1)
+    val res = dec.decode(java.nio.ByteBuffer.wrap(bytes), out, complete)
+    val flushed = if (complete && !res.isError) dec.flush(out) else res
+    if (res.isError || flushed.isError) None
+    else { out.flip(); Some(out.toString) }
+  }
+
+  /** chardet's CJK long tail, claimed structurally rather than by
+    * language model — runs only after strict UTF-8 has FAILED (so high
+    * bytes exist in a non-UTF-8 arrangement):
+    *
+    *   - Shift_JIS qualifies when it strict-decodes AND the result is
+    *     kana-bearing (≥ 8 full-width kana, ≥ 5% of chars): real
+    *     Japanese prose always carries kana (particles/okurigana), while
+    *     GBK or cp1252 bytes mis-decoded under Shift_JIS yield half-width
+    *     katakana (U+FF61-FF9F) or isolated kanji, never full-width-kana
+    *     density.
+    *   - GBK qualifies when it strict-decodes to CJK-unified-dense text
+    *     (≥ 8 hanzi, ≥ 15% of chars) that is NOT kana-bearing — the
+    *     kana exclusion keeps Shift_JIS Japanese (whose bytes often form
+    *     valid GBK pairs mapping to rare hanzi) out of the GBK branch;
+    *     order does the converse (GBK Chinese under Shift_JIS has no
+    *     full-width kana, so Shift_JIS never claims it).
+    *
+    * Deliberately OUT of scope, matching the module's deterministic-
+    * ladder discipline: EUC-JP/EUC-KR (they share GB2312's 94×94 layout
+    * — row 0xA4 is hiragana in BOTH EUC-JP and GBK — so nothing
+    * structural separates them from GBK; chardet disambiguates with
+    * per-language frequency models) and single-byte Cyrillic (KOI8-R
+    * decodes never fail and accented-Latin bytes look like coherent
+    * Cyrillic, so only a frequency model could tell it from cp1252).
+    * Those fall through to the documented cp1252→latin-1 ladder:
+    * deterministic ingest, never a crash. Kanji-only Japanese (no kana —
+    * not prose) detects as GBK by construction; documented, accepted.
+    */
+  private def cjkProbe(bytes: Array[Byte], complete: Boolean): Option[String] = {
+    // hiragana U+3040-309F + katakana U+30A0-30FF (full-width only; the
+    // half-width forms U+FF61-FF9F are exactly what mis-decodes produce)
+    def fullKana(c: Char): Boolean = c >= 0x3040 && c <= 0x30FF
+    // CJK Unified Ideographs + Extension A
+    def cjkUnified(c: Char): Boolean =
+      (c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3400 && c <= 0x4DBF)
+    val sjis = strictDecode(Charset.forName("Shift_JIS"), bytes, complete)
+      .exists { s =>
+        val kana = s.count(fullKana)
+        kana >= 8 && kana.toLong * 20 >= s.length
+      }
+    if (sjis) Some("Shift_JIS")
+    else {
+      val gbk = strictDecode(Charset.forName("GBK"), bytes, complete)
+        .exists { s =>
+          val cjk = s.count(cjkUnified)
+          val kana = s.count(fullKana)
+          cjk >= 8 && cjk.toLong * 7 >= s.length && kana.toLong * 20 < s.length
+        }
+      if (gbk) Some("GBK") else None
+    }
   }
 
   /** Ceiling for the driver-side decode path. The reference caps uploads

@@ -60,6 +60,37 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("CsvSource detects Shift_JIS and GBK structurally; ladder unchanged for Latin") {
+    def file(bytes: Array[Byte]): String = {
+      val p = Files.createTempFile("cjk", ".csv"); Files.write(p, bytes); p.toString
+    }
+    // Japanese prose (kana-bearing — particles/okurigana, as real text is)
+    val ja = "名前,都市\nこんにちは世界です,東京の会社\nありがとうございます,大阪の学校\n"
+    // Chinese prose (hanzi-dense, no kana)
+    val zh = "名字,城市\n你好世界欢迎光临,北京的公司\n非常感谢大家支持,上海的学校\n"
+    val sjisPath = file(ja.getBytes("Shift_JIS"))
+    val gbkPath = file(zh.getBytes("GBK"))
+    assert(CsvSource.detectEncoding(sjisPath) == "Shift_JIS")
+    assert(CsvSource.detectEncoding(gbkPath) == "GBK")
+    // both ingest to the same rows a UTF-8 ingest of the same text gives
+    val viaUtf8Ja = CsvSource.read(spark, file(ja.getBytes(StandardCharsets.UTF_8)),
+      inferSchema = false).collect().map(_.toSeq).toSeq
+    val viaSjis = CsvSource.read(spark, sjisPath, inferSchema = false)
+      .collect().map(_.toSeq).toSeq
+    assert(viaSjis == viaUtf8Ja)
+    val viaUtf8Zh = CsvSource.read(spark, file(zh.getBytes(StandardCharsets.UTF_8)),
+      inferSchema = false).collect().map(_.toSeq).toSeq
+    val viaGbk = CsvSource.read(spark, gbkPath, inferSchema = false)
+      .collect().map(_.toSeq).toSeq
+    assert(viaGbk == viaUtf8Zh)
+    // the CJK probe must NOT claim accent-dense Latin text: cp1252 bytes
+    // like 0xE9+ASCII break Shift_JIS/GBK strict decode or stay far
+    // under the kana/hanzi density gates
+    val fr = "nom,ville\nAimé Côté,Kigali\nRenée Müller,Huyé\n"
+    assert(CsvSource.detectEncoding(file(fr.getBytes(Charset.forName("windows-1252"))))
+      == "windows-1252")
+  }
+
   test("CsvSource: mis-detected wide file fails loudly, not as U+FFFD rows") {
     // valid UTF-16LE text has no decoder under UTF-16BE at the surrogate
     // gap rarely — instead craft a truncated (odd-length) UTF-16 payload:
