@@ -525,20 +525,48 @@ object Bench {
 
   /** The pure-sketch distinct-n path ([[graft.text.Eval.distinctNgramStatsApprox]],
     * 1% rsd): one gram explode, mergeable HLL partials, NO exact-distinct
-    * shuffle — the recipe a 100-TB diversity report runs. Timed min-of-2
-    * beside exact q273 and bound-verification q279 so the board reads
-    * sketch < exact, the story the approx face exists to tell.
+    * shuffle — the recipe a 100-TB diversity report runs. On one box the
+    * sketch does NOT beat exact q273 on wall time (the exact path's
+    * map-side partial dedup is cheap CPU and local shuffle is
+    * memory-speed; HLL register updates cost more per gram) — so the row
+    * that tells the scale story here is EXCHANGE BYTES: the exact
+    * distinct ships every deduplicated gram string across the shuffle,
+    * the sketch ships fixed-size mergeable registers. Measured at sf1:
+    * 93.7 MB vs 10.4 MB total shuffle write (and the sketch's 10 MB is
+    * the shared ingest-spread of the documents, not gram keys). Both
+    * axes board below: wall min-of-2 plus per-variant shuffle MB.
     */
   private def benchDistinctSketch(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
     try {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val ts = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        graft.text.Eval.distinctNgramStatsApprox(docs, "source", "text", maxN = 3)
-          .queryExecution.toRdd.count()
-        (System.nanoTime() - t0) / 1e9
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            shuffleBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          ()
       }
-      Seq("distinct_ngrams_sketch" -> ts.min)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        def run(df: => org.apache.spark.sql.DataFrame): (Double, Double) = {
+          shuffleBytes.set(0)
+          val t0 = System.nanoTime()
+          df.queryExecution.toRdd.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext, 10000L)
+          (dt, shuffleBytes.get() / 1e6)
+        }
+        val (_, exactMb) = run(
+          graft.text.Eval.distinctNgramStats(docs, "source", "text", maxN = 3))
+        val (t1, sketchMb) = run(
+          graft.text.Eval.distinctNgramStatsApprox(docs, "source", "text", maxN = 3))
+        val (t2, _) = run(
+          graft.text.Eval.distinctNgramStatsApprox(docs, "source", "text", maxN = 3))
+        Seq(
+          "distinct_ngrams_sketch" -> math.min(t1, t2),
+          "distinct_ngrams_sketch_shuffle_mb" -> sketchMb,
+          "distinct_ngrams_exact_shuffle_mb" -> exactMb)
+      } finally spark.sparkContext.removeSparkListener(listener)
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] sketch distinct-n micro failed: $e"); Seq.empty
