@@ -390,7 +390,12 @@ object Bench {
       // size for this table (restored after)
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", 8)
+      // aged-heap hygiene (the benchSkew discipline): this micro is the
+      // board's scheduler-latency CONTROL row and runs late in a
+      // full-registry JVM — isolated it reads ~50 s where the aged heap
+      // read ~88 s; don't bill earlier demos' garbage to the control
       def run(batch: Int): (Double, graft.text.BpeTrainer.BpeModel) = {
+        System.gc()
         val t0 = System.nanoTime()
         val m = graft.text.BpeTrainer.fit(spark, docs, merges = 256,
           batchedRounds = batch)

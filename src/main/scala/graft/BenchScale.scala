@@ -32,7 +32,10 @@ import org.apache.spark.sql.functions._
   */
 object BenchScale {
 
-  private val Rep = 10
+  /** Replication factor — env-overridable (SPARK_GRAFT_REP=100 gives the
+    * second scaling point, a two-decade curve sf0.1 → ×10 → ×100).
+    */
+  private val Rep = sys.env.getOrElse("SPARK_GRAFT_REP", "10").toInt
 
   /** Headline subset: every workload family with one-to-few
     * representative rows (the round-14 verdict's list, plus the eval and
@@ -68,7 +71,13 @@ object BenchScale {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val dst = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    val dst = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+      if (Rep == 10) "/tmp/graft_sf1" else s"/tmp/graft_rep$Rep")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_sf1.json")
+    // optional trim for the expensive high-rep run
+    val subset = sys.env.get("SPARK_GRAFT_SCALE_SUBSET")
+      .map(_.split(",").map(_.trim).toSet)
+    val boarded = subset.fold(headline)(sel => headline.filter(sel))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -105,7 +114,7 @@ object BenchScale {
     // transient-stall discipline); a failed query reports in "errors"
     val errors = scala.collection.mutable.ListBuffer[String]()
     val samples = scala.collection.mutable.Map[(String, String), List[Double]]()
-    for (_ <- 1 to 2; name <- headline; dir <- Seq(src, dst);
+    for (_ <- 1 to 2; name <- boarded; dir <- Seq(src, dst);
          fn <- SparkEntry.queries.get(name)) {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
@@ -118,7 +127,7 @@ object BenchScale {
           System.err.println(s"[bench-sf1] $name @ $dir failed: $e")
       }
     }
-    val rows = headline.flatMap { name =>
+    val rows = boarded.flatMap { name =>
       (samples.get((name, src)), samples.get((name, dst))) match {
         case (Some(a), Some(b)) if a.nonEmpty && b.nonEmpty =>
           Some((name, a.min, b.min))
@@ -135,7 +144,7 @@ object BenchScale {
     val line =
       f"""{"metric":"sf1_scaling","rep":$Rep,"sf01_total":${rows.map(_._2).sum}%.3f,"sf1_total":${rows.map(_._3).sum}%.3f,"median_ratio":$median%.2f,"queries":$qs,"errors":$errs}"""
     spark.stop()
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_sf1.json"),
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(line)
@@ -175,7 +184,10 @@ object BenchScale {
     // identical statistical shape (lengths, token boundaries, scripts),
     // so shingle/minhash candidate growth stays LINEAR — see class doc
     val alpha = "abcdefghijklmnopqrstuvwxyz"
-    def rot(k: Int) = alpha.drop(k) + alpha.take(k)
+    // mod-25 offset, never identity for r>0: at Rep>26 rotations recur
+    // (replicas k and k+25 are exact copies — bounded 4-deep at Rep=100,
+    // a mildly DENSER candidate set, i.e. conservative for scaling)
+    def rot(k: Int) = { val o = k % 25 + 1; alpha.drop(o) + alpha.take(o) }
     val rotated = (1 until Rep).foldLeft(
         when(col("__r") === 0, col("text"))) { (acc, k) =>
       acc.when(col("__r") === k,

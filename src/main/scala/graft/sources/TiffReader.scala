@@ -128,7 +128,15 @@ object TiffReader {
     // garbage. ZSTD (50000) decodes via zstd-jni, which ships in every
     // Spark distribution (spark.io.compression.codec=zstd rides the
     // same jar); JPEG (7, TechNote 2) via the JDK's required ImageIO
-    // JPEG plugin with the JPEGTables (347) hoist merged back per tile
+    // JPEG plugin with the JPEGTables (347) hoist merged back per tile.
+    // WEBP (50001) stays a named failure BY CONTRACT, not as debt: WebP
+    // encodes 3/4-band RGB(A) only, and GDAL itself refuses to create a
+    // 1-band WEBP TIFF — the combination is undefined for the
+    // single-band DEM/slope rasters this reader models, so there is no
+    // correct decode to implement. JPEG2000 (34712) and LERC (34887)
+    // remain named failures: plausible for DEMs but absent from the
+    // reference's raster envelope, and no independent decoder exists in
+    // this environment to cross-check a from-spec implementation against
     val codecName = Map(2 -> "CCITT-RLE", 6 -> "old-JPEG (pre-TechNote-2)",
       34712 -> "JPEG2000", 50001 -> "WEBP", 34887 -> "LERC")
     require(compression == 1 || compression == 5 || compression == 7 ||

@@ -362,6 +362,25 @@ class TiffReaderSpec extends SparkSpec {
     assert(ex.getMessage.contains("JPEG"))
   }
 
+  test("exotic codecs (WEBP/JPEG2000/LERC) fail loudly BY NAME — the pinned contract") {
+    // WEBP (50001) is undefined for single-band rasters (WebP encodes
+    // RGB(A) only; GDAL refuses to create a 1-band WEBP TIFF), and
+    // JPEG2000/LERC have no independent decoder here to cross-check an
+    // implementation against — so the contract is a NAMED failure, and
+    // this test pins the name so the gap can never go silent
+    for ((code, name) <- Seq(50001 -> "WEBP", 34712 -> "JPEG2000", 34887 -> "LERC")) {
+      val ok = TiffWriter.encode(4, 3, Array.fill(12)(9.0),
+        TiffWriter.Layout(compression = 5, sampleFormat = 1, bits = 8))
+      val b = java.nio.ByteBuffer.wrap(ok).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ifd = b.getInt(4); val n = b.getShort(ifd) & 0xFFFF
+      val p = (0 until n).map(i => ifd + 2 + i * 12)
+        .find(q => (b.getShort(q) & 0xFFFF) == 259).get
+      b.putShort(p + 8, code.toShort) // unsigned-short value slot
+      val e = intercept[IllegalArgumentException] { TiffReader.parseBytes(ok) }
+      assert(e.getMessage.contains(name), s"code $code must fail naming $name")
+    }
+  }
+
   test("horizontal predictor (2) round-trips for u8/u16/s16/u32, strips and tiles") {
     val ints = Array.tabulate(CW * CH)(i => ((i * 37) % 251).toDouble)
     val signed = Array.tabulate(CW * CH)(i => (((i * 37) % 251) - 125).toDouble)
