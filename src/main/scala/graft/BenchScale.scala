@@ -89,10 +89,17 @@ object BenchScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    if (!new java.io.File(s"$dst/_generated_ok").exists()) {
+    // the marker RECORDS (rep, src): a rerun with a different replication
+    // factor or source against the same dst must regenerate, not silently
+    // board stale data under a freshly-stamped "rep" value
+    val marker = java.nio.file.Paths.get(s"$dst/_generated_ok")
+    val stamp = s"$Rep $src"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == stamp
+    if (!fresh) {
       System.err.println(s"[bench-sf1] generating $dst from $src (x$Rep)")
       generate(spark, src, dst)
-      new java.io.File(s"$dst/_generated_ok").createNewFile()
+      java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
       ()
     }
 
@@ -147,7 +154,8 @@ object BenchScale {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    println(line)
+    // printed once: unlike Bench (whose driver tails stdout and needs the
+    // straddle-proof double print), this main's authority is the file
     println(line)
     System.out.flush()
   }

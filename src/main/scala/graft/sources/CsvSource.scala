@@ -212,11 +212,21 @@ object CsvSource {
   }
 
   /** Ceiling for the driver-side decode path. The reference caps uploads
-    * at 100 MB (SlopeGeoJsonUploadView.py:502); 256 MB keeps headroom
+    * at 100 MB (SlopeGeoJsonUploadView.py:502); 128 MB keeps headroom
     * while guaranteeing a LOUD, named failure instead of an opaque OOM
     * when someone points this upload-ingest path at a bulk extract.
+    *
+    * Memory profile, sized deliberately: the decoded lines live on the
+    * driver heap for the LIFETIME of the returned DataFrame (the
+    * parallelized collection is referenced by its plan), at roughly
+    * 1-2.5× the file bytes (compact Latin-1 strings 1 B/char, CJK
+    * 2 B/char, plus per-line object overhead) — so one live frame costs
+    * ≤ ~320 MB retained and a session must hold many simultaneously-live
+    * wide-charset frames to feel it. That bound is WHY the ceiling sits
+    * at 128 MB rather than higher; raise it only with the retained-heap
+    * math above in mind.
     */
-  private[sources] val MaxDriverDecodeBytes: Long = 256L << 20
+  private[sources] val MaxDriverDecodeBytes: Long = 128L << 20
 
   /** Charsets Spark 4's distributed CSV reader accepts natively
     * (CharsetProvider.VALID_CHARSETS \u2229 the probe ladder's outcomes).

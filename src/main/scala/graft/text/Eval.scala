@@ -286,9 +286,40 @@ object Eval {
     * operators carry the leaf scans' split counts through.
     */
   private def spread(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    val est = estimateParts(df.queryExecution.sparkPlan).getOrElse(1)
-    if (est.toLong * 2 < want) df.repartition(want) else df
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val sess = df.sparkSession
+    val want = sess.sparkContext.defaultParallelism
+    val plan = df.queryExecution.sparkPlan
+    val shuffled = plan.exists {
+      case _: ShuffleExchangeLike => true; case _ => false
+    }
+    val aqeCoalesce =
+      sess.conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
+        sess.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true").toBoolean
+    if (shuffled && aqeCoalesce) {
+      // the static exchange shows shuffle.partitions, but AQE coalescing
+      // is BYTE-driven: a small-byte exchange collapses to 1-2 runtime
+      // partitions regardless, re-serializing the CPU-dense gram work
+      // downstream (the old post-AQE .rdd probe caught this; a lazy probe
+      // must predict it). Leaf scan bytes are the reliable static signal
+      // — join-output stats amplify multiplicatively — so when the ENTIRE
+      // file input is small enough that AQE would coalesce below the
+      // session parallelism, force the floor: trivially cheap at exactly
+      // the sizes where it fires, a no-op at lake scale. The inserted
+      // repartition is user-specified, which AQE coalescing exempts.
+      val leafBytes = plan.collect {
+        case s: FileSourceScanExec => s.relation.location.sizeInBytes
+      }.sum
+      val advisory = sess.sessionState.conf.getConfString(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864")
+      val advisoryBytes = org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(advisory)
+      if (leafBytes < advisoryBytes * want) df.repartition(want) else df
+    } else {
+      val est = estimateParts(plan).getOrElse(1)
+      if (est.toLong * 2 < want) df.repartition(want) else df
+    }
   }
 
   /** Estimated output-partition count of an un-executed physical plan —
@@ -305,6 +336,22 @@ object Eval {
     case s: org.apache.spark.sql.execution.FileSourceScanExec =>
       // split arithmetic over the already-listed FileIndex — no job
       Some(s.inputRDD.getNumPartitions)
+    case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      // a cached frame carries the partitioning of the plan that was
+      // cached — recurse into it rather than forcing a re-shuffle of
+      // something the user deliberately materialized
+      estimateParts(c.relation.cachedPlan)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      // AQE wrapper (a LeafExecNode — e.g. what InMemoryRelation caches):
+      // walk its INITIAL plan, which exists without executing anything;
+      // touching executedPlan here could finalize an unfinished AQE run
+      estimateParts(a.inputPlan)
+    case r: org.apache.spark.sql.execution.RDDScanExec =>
+      Some(r.rdd.getNumPartitions) // an existing RDD: reading its
+    case r: org.apache.spark.sql.execution.ExternalRDDScanExec[_] =>
+      Some(r.rdd.getNumPartitions) // partition array runs nothing
+    case r: org.apache.spark.sql.execution.RangeExec =>
+      Some(r.numSlices)
     case _: org.apache.spark.sql.execution.LocalTableScanExec =>
       // local rows slice to leafNodeDefaultParallelism; anything narrower
       // is fewer rows than cores — no starvation possible

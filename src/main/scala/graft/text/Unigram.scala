@@ -38,7 +38,13 @@ object Unigram {
     * on demand. Single-character pieces are never pruned, so any
     * alphabet word segments.
     */
-  final case class UnigramModel(pieces: Seq[(String, Long)], maxPieceLen: Int) {
+  /** `fitRounds` = EM+prune loop iterations [[fit]] actually executed
+    * (0 for loaded/hand-built models; NOT persisted by [[save]]): it
+    * exists so specs can assert structurally that fit stopped — e.g. at
+    * the un-prunable alphabet floor — instead of racing a wall clock.
+    */
+  final case class UnigramModel(pieces: Seq[(String, Long)], maxPieceLen: Int,
+      fitRounds: Int = 0) {
     lazy val logProb: Map[String, Double] = {
       val total = pieces.map(_._2).sum.toDouble
       pieces.map { case (p, c) => p -> (math.log(c.toDouble) - math.log(total)) }.toMap
@@ -293,7 +299,8 @@ object Unigram {
     var counts: Map[String, Long] = seed.map { case (p, w) => p -> w * 1000000L }.toMap
     try {
       var guard = 0
-      while (counts.size > vocabSize && guard < 64) {
+      var floorHit = false
+      while (counts.size > vocabSize && guard < 64 && !floorHit) {
         guard += 1
         var it = 0
         while (it < emIters) {
@@ -329,7 +336,7 @@ object Unigram {
           // iteration can shrink the vocabulary — return the over-target
           // alphabet now instead of burning the remaining guard rounds'
           // distributed E-steps on zero progress
-          guard = 64
+          floorHit = true
         } else {
           val dropN = math.min(mustDrop,
             math.max(1, (multi.size * pruneFraction).toInt))
@@ -342,7 +349,7 @@ object Unigram {
         p -> (if (p.length == 1) math.max(fin.getOrElse(p, 0L), 1L)
               else fin.getOrElse(p, 0L))
       }.filter { case (p, c) => c > 0L }.toSeq.sortBy { case (p, c) => (-c, p) }
-      UnigramModel(finAdj, maxPieceLen)
+      UnigramModel(finAdj, maxPieceLen, fitRounds = guard)
     } finally words.unpersist()
   }
 

@@ -218,6 +218,49 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("spread: cached input at session parallelism is never re-shuffled") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val docs = sf("documents").select(col("source"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism).cache()
+    docs.count() // materialize the cache
+    try {
+      // the partitioning probe must see THROUGH InMemoryTableScan into
+      // the cached plan's partitioning instead of treating the cache as
+      // an opaque single-partition leaf and re-shuffling it
+      val plan = Eval.ngramFrame(docs).queryExecution.sparkPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeLike => e }
+      assert(exchanges.isEmpty,
+        s"cached input at full parallelism was re-shuffled:\n$plan")
+    } finally { docs.unpersist(); () }
+  }
+
+  test("spread: small shuffle-joined input still gets the parallelism floor") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    // force a shuffle join: the static exchange then claims
+    // shuffle.partitions, but AQE coalescing would collapse this
+    // small-byte exchange to 1-2 runtime partitions and serialize the
+    // gram explode — the floor must fire on the leaf-bytes signal
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val d = sf("documents").select(col("doc_id"), col("lang"), col("text"))
+      val pairs = d.join(
+          d.select((col("doc_id") + 1).as("doc_id"), col("text").as("ref_text")),
+          Seq("doc_id"))
+        .select(col("lang"), col("text").as("cand_text"), col("ref_text"))
+      val want = spark.sparkContext.defaultParallelism
+      val plan = Eval.bleuStats(pairs).queryExecution.sparkPlan
+      val floor = plan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning == RoundRobinPartitioning(want) => e
+      }
+      assert(floor.nonEmpty,
+        s"no parallelism-floor repartition($want) in the shuffled-input plan:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("chrFStats: whitespace removal, clipping, recall side, by hand") {
     // cand 'ab ba' -> 'abba' (4 chars), ref 'ab ab' -> 'abab'
     // 1-grams: cand {a:2,b:2}, ref {a:2,b:2} -> match 4 of 4 (P=R=1000)
