@@ -17,8 +17,8 @@ import java.nio.file.{Files, Path, Paths}
   *      UTF-16 CSV as NUL-interleaved garbage: the one silent-wrong-data
   *      path the probe ladder had.
   *   3. Strict UTF-8 (its strictness makes it a reliable first probe).
-  *   4. The CJK multi-byte probe: Shift_JIS (kana-bearing strict decode)
-  *      then GBK (hanzi-dense, kana-free strict decode) — chardet's
+  *   4. The CJK multi-byte probe: Shift_JIS, then EUC-JP (kana-bearing
+  *      strict decodes), then GBK (hanzi-dense, kana-free) — chardet's
   *      long-tail encodings claimed structurally; see [[cjkProbe]] for
   *      exactly what is in and out of scope and why.
   *   5. The single-byte ladder windows-1252 → latin-1 (never fails).
@@ -169,18 +169,25 @@ object CsvSource {
     *     GBK or cp1252 bytes mis-decoded under Shift_JIS yield half-width
     *     katakana (U+FF61-FF9F) or isolated kanji, never full-width-kana
     *     density.
+    *   - EUC-JP qualifies by the same kana gate, checked AFTER Shift_JIS
+    *     and BEFORE GBK. The shared 94×94 layout (row 0xA4 is hiragana
+    *     in both EUC-JP and GB2312) makes the ORDER the disambiguator:
+    *     Shift_JIS bytes fail EUC-JP's strict decode outright (leads
+    *     81-9F/E0-EF are invalid EUC leads), GBK Chinese decodes under
+    *     EUC-JP as kanji with no kana density, and a file whose MAJORITY
+    *     decodes into the kana rows is Japanese text in all but name.
     *   - GBK qualifies when it strict-decodes to CJK-unified-dense text
     *     (≥ 8 hanzi, ≥ 15% of chars) that is NOT kana-bearing — the
-    *     kana exclusion keeps Shift_JIS Japanese (whose bytes often form
-    *     valid GBK pairs mapping to rare hanzi) out of the GBK branch;
-    *     order does the converse (GBK Chinese under Shift_JIS has no
-    *     full-width kana, so Shift_JIS never claims it).
+    *     kana exclusion keeps Shift_JIS/EUC-JP Japanese (whose bytes
+    *     often form valid GBK pairs, and whose kana rows GBK maps to
+    *     kana) out of the GBK branch; the earlier branches do the
+    *     converse (GBK Chinese carries no full-width-kana density under
+    *     any of the three decodes).
     *
     * Deliberately OUT of scope, matching the module's deterministic-
-    * ladder discipline: EUC-JP/EUC-KR (they share GB2312's 94×94 layout
-    * — row 0xA4 is hiragana in BOTH EUC-JP and GBK — so nothing
-    * structural separates them from GBK; chardet disambiguates with
-    * per-language frequency models) and single-byte Cyrillic (KOI8-R
+    * ladder discipline: EUC-KR (hangul rows decode under GBK/EUC-JP as
+    * plausible hanzi — only frequency models separate Korean from
+    * Chinese text structurally) and single-byte Cyrillic (KOI8-R
     * decodes never fail and accented-Latin bytes look like coherent
     * Cyrillic, so only a frequency model could tell it from cp1252).
     * Those fall through to the documented cp1252→latin-1 ladder:
@@ -194,12 +201,21 @@ object CsvSource {
     // CJK Unified Ideographs + Extension A
     def cjkUnified(c: Char): Boolean =
       (c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3400 && c <= 0x4DBF)
+    def kanaDense(s: String): Boolean = {
+      val kana = s.count(fullKana)
+      kana >= 8 && kana.toLong * 20 >= s.length
+    }
     val sjis = strictDecode(Charset.forName("Shift_JIS"), bytes, complete)
-      .exists { s =>
-        val kana = s.count(fullKana)
-        kana >= 8 && kana.toLong * 20 >= s.length
-      }
+      .exists(kanaDense)
     if (sjis) Some("Shift_JIS")
+    else if (strictDecode(Charset.forName("EUC-JP"), bytes, complete)
+        .exists(kanaDense))
+      // kana-dense under EUC-JP is safe to claim DESPITE the shared 94x94
+      // layout: Shift_JIS bytes fail EUC-JP's strict decode (leads
+      // 81-9F/E0-EF are invalid EUC leads), GBK Chinese decodes kanji-only
+      // (no kana density), and a GB2312 file whose MAJORITY is the kana
+      // rows is Japanese text in all but name
+      Some("EUC-JP")
     else {
       val gbk = strictDecode(Charset.forName("GBK"), bytes, complete)
         .exists { s =>

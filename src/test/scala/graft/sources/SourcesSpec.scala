@@ -60,7 +60,7 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
-  test("CsvSource detects Shift_JIS and GBK structurally; ladder unchanged for Latin") {
+  test("CsvSource detects Shift_JIS, EUC-JP and GBK structurally; Latin ladder unchanged") {
     def file(bytes: Array[Byte]): String = {
       val p = Files.createTempFile("cjk", ".csv"); Files.write(p, bytes); p.toString
     }
@@ -69,8 +69,13 @@ class SourcesSpec extends SparkSpec {
     // Chinese prose (hanzi-dense, no kana)
     val zh = "名字,城市\n你好世界欢迎光临,北京的公司\n非常感谢大家支持,上海的学校\n"
     val sjisPath = file(ja.getBytes("Shift_JIS"))
+    val eucPath = file(ja.getBytes("EUC-JP"))
     val gbkPath = file(zh.getBytes("GBK"))
     assert(CsvSource.detectEncoding(sjisPath) == "Shift_JIS")
+    // same Japanese text in EUC-JP: Shift_JIS strict decode fails on EUC
+    // leads, the kana gate claims EUC-JP BEFORE GBK can read the shared
+    // 94x94 kana rows as its own
+    assert(CsvSource.detectEncoding(eucPath) == "EUC-JP")
     assert(CsvSource.detectEncoding(gbkPath) == "GBK")
     // both ingest to the same rows a UTF-8 ingest of the same text gives
     val viaUtf8Ja = CsvSource.read(spark, file(ja.getBytes(StandardCharsets.UTF_8)),
@@ -78,6 +83,9 @@ class SourcesSpec extends SparkSpec {
     val viaSjis = CsvSource.read(spark, sjisPath, inferSchema = false)
       .collect().map(_.toSeq).toSeq
     assert(viaSjis == viaUtf8Ja)
+    val viaEuc = CsvSource.read(spark, eucPath, inferSchema = false)
+      .collect().map(_.toSeq).toSeq
+    assert(viaEuc == viaUtf8Ja)
     val viaUtf8Zh = CsvSource.read(spark, file(zh.getBytes(StandardCharsets.UTF_8)),
       inferSchema = false).collect().map(_.toSeq).toSeq
     val viaGbk = CsvSource.read(spark, gbkPath, inferSchema = false)
