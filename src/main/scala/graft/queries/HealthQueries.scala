@@ -17,6 +17,27 @@ import Qx._
   */
 object HealthQueries {
 
+  /** Build an upload-payload CSV fixture under a temp dir and delete the
+    * whole dir BEFORE returning (VERDICT r15 #3: no `graft_csv*` residue
+    * per registry run). Safe to delete eagerly because every fixture face
+    * inside is wide-charset or BOM'd, so [[graft.sources.CsvSource.read]]
+    * decodes it driver-side into a parallelized record collection — the
+    * returned frame holds its rows in driver memory and nothing streams
+    * from these files after `build` returns. A fixture that takes the
+    * native file-scan path (plain UTF-8, no BOM) must NOT go through
+    * here: its frame reads the file lazily at action time.
+    */
+  private def withTempCsvDir[A](prefix: String)(
+      build: java.nio.file.Path => A): A = {
+    val d0 = java.nio.file.Files.createTempDirectory(prefix)
+    try build(d0)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d0).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   /** Deterministic lab-record synthesis (Spark side). */
   private def labRecords(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
@@ -295,14 +316,17 @@ object HealthQueries {
     // The reference accepts Windows/Excel lab exports because chardet
     // runs before pd.read_csv (health_center_lab__data_upload_views.py:
     // 60-70) — UTF-16 variants included. This row writes the SAME lab
-    // rows as a UTF-8 CSV and as a BOM'd CRLF UTF-16LE CSV (the Excel
-    // "Unicode Text" shape), ingests both through CsvSource's sniff →
-    // transcode path, and emits the UTF-16 frame plus a per-row equality
-    // bit against the UTF-8 frame. Any BOM residue, NUL interleave,
-    // replacement char, or retained \r flips the hash. Driver-side file
-    // build is the upload-payload contract (request bodies, not bulk
-    // scans); the accented character crosses Scala → UTF-16LE bytes →
-    // transcode → Spark and must land identical to DuckDB's chr(233).
+    // rows as a BOM'd UTF-8 CSV (Excel's "CSV UTF-8" export shape) and
+    // as a BOM'd CRLF UTF-16LE CSV (the Excel "Unicode Text" shape),
+    // ingests both through CsvSource's sniff → driver-decode path, and
+    // emits the UTF-16 frame plus a per-row equality bit against the
+    // UTF-8 frame. Any BOM residue, NUL interleave, replacement char, or
+    // retained \r flips the hash. Driver-side file build is the
+    // upload-payload contract (request bodies, not bulk scans); the
+    // accented character crosses Scala → UTF-16LE bytes → decode → Spark
+    // and must land identical to DuckDB's chr(233). Both faces carry a
+    // BOM, so both decode driver-side and the fixture dir is deleted
+    // before this builder returns (withTempCsvDir).
     Q("q276_csv_utf16_ingest",
       (s, dir) => {
         import graft.sources.CsvSource
@@ -313,24 +337,26 @@ object HealthQueries {
         val body = "lab_id,name,village,result\r\n" + keys.map { case (k, n) =>
           s"$k,$n,Villé_${k % 7},${if (k % 3 == 0) "POSITIVE" else "neg"}"
         }.mkString("\r\n") + "\r\n"
-        val d0 = Files.createTempDirectory("graft_csv16")
-        val p8 = d0.resolve("lab_utf8.csv"); val p16 = d0.resolve("lab_utf16.csv")
-        Files.write(p8, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        Files.write(p16,
-          Array[Byte](0xFF.toByte, 0xFE.toByte) ++ body.getBytes("UTF-16LE"))
-        require(CsvSource.detectEncoding(p16.toString) == "UTF-16LE",
-          "UTF-16LE lab export must be detected, not read as latin-1 garbage")
-        val utf16 = CsvSource.read(s, p16.toString, inferSchema = false)
-        val utf8 = CsvSource.read(s, p8.toString, inferSchema = false)
-          .select(col("lab_id").cast("int").as("lab_id"),
-            concat_ws("|", col("name"), col("village"), col("result")).as("row8"))
-        utf16.select(col("lab_id").cast("int").as("lab_id"), col("name"),
-            col("village"), col("result"))
-          .join(utf8, Seq("lab_id"))
-          .select(col("lab_id"), col("name"), col("village"), col("result"),
-            (concat_ws("|", col("name"), col("village"), col("result")) === col("row8"))
-              .as("matches_utf8"))
-          .orderBy("lab_id")
+        withTempCsvDir("graft_csv16") { d0 =>
+          val p8 = d0.resolve("lab_utf8.csv"); val p16 = d0.resolve("lab_utf16.csv")
+          Files.write(p8, Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+            body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          Files.write(p16,
+            Array[Byte](0xFF.toByte, 0xFE.toByte) ++ body.getBytes("UTF-16LE"))
+          require(CsvSource.detectEncoding(p16.toString) == "UTF-16LE",
+            "UTF-16LE lab export must be detected, not read as latin-1 garbage")
+          val utf16 = CsvSource.read(s, p16.toString, inferSchema = false)
+          val utf8 = CsvSource.read(s, p8.toString, inferSchema = false)
+            .select(col("lab_id").cast("int").as("lab_id"),
+              concat_ws("|", col("name"), col("village"), col("result")).as("row8"))
+          utf16.select(col("lab_id").cast("int").as("lab_id"), col("name"),
+              col("village"), col("result"))
+            .join(utf8, Seq("lab_id"))
+            .select(col("lab_id"), col("name"), col("village"), col("result"),
+              (concat_ws("|", col("name"), col("village"), col("result")) === col("row8"))
+                .as("matches_utf8"))
+            .orderBy("lab_id")
+        }
       },
       Some("""
         SELECT CAST(n_nationkey AS INT) AS lab_id, n_name AS name,
@@ -359,19 +385,20 @@ object HealthQueries {
         // survives any source-encoding mishap
         val jaCity = "\u6771\u4EAC\u3053\u3093\u306B\u3061\u306F"
         val zhCity = "\u5317\u4EAC\u4F60\u597D\u4E16\u754C"
-        val d0 = Files.createTempDirectory("graft_csvcjk")
-        val pj = d0.resolve("ja_sjis.csv"); val pz = d0.resolve("zh_gbk.csv")
-        Files.write(pj, body(k => s"$jaCity${k % 7}").getBytes("Shift_JIS"))
-        Files.write(pz, body(k => s"$zhCity${k % 7}").getBytes("GBK"))
-        require(CsvSource.detectEncoding(pj.toString) == "Shift_JIS",
-          "kana-bearing Shift_JIS export must be detected, not latin-1 garbage")
-        require(CsvSource.detectEncoding(pz.toString) == "GBK",
-          "hanzi-dense GBK export must be detected, not latin-1 garbage")
-        val dj = CsvSource.read(s, pj.toString, inferSchema = false)
-          .select(col("id").cast("int").as("id"), col("city").as("city_ja"))
-        val dz = CsvSource.read(s, pz.toString, inferSchema = false)
-          .select(col("id").cast("int").as("id"), col("city").as("city_zh"))
-        dj.join(dz, Seq("id")).orderBy("id")
+        withTempCsvDir("graft_csvcjk") { d0 =>
+          val pj = d0.resolve("ja_sjis.csv"); val pz = d0.resolve("zh_gbk.csv")
+          Files.write(pj, body(k => s"$jaCity${k % 7}").getBytes("Shift_JIS"))
+          Files.write(pz, body(k => s"$zhCity${k % 7}").getBytes("GBK"))
+          require(CsvSource.detectEncoding(pj.toString) == "Shift_JIS",
+            "kana-bearing Shift_JIS export must be detected, not latin-1 garbage")
+          require(CsvSource.detectEncoding(pz.toString) == "GBK",
+            "hanzi-dense GBK export must be detected, not latin-1 garbage")
+          val dj = CsvSource.read(s, pj.toString, inferSchema = false)
+            .select(col("id").cast("int").as("id"), col("city").as("city_ja"))
+          val dz = CsvSource.read(s, pz.toString, inferSchema = false)
+            .select(col("id").cast("int").as("id"), col("city").as("city_zh"))
+          dj.join(dz, Seq("id")).orderBy("id")
+        }
       },
       Some("""
         SELECT CAST(n_nationkey AS INT) AS id,

@@ -118,14 +118,17 @@ object ShpReader {
         case 8 | 18 | 28 => // MultiPoint / Z / M: box, numPoints, points [, z/m]
           body.position(body.position() + 32)
           val numPoints = body.getInt
+          require(numPoints >= 0 && body.remaining() >= 16L * numPoints,
+            s"record $recNo: point count $numPoints inconsistent with " +
+              s"${body.remaining()} remaining content bytes (truncated/corrupt .shp)")
           val pts = Seq.fill(numPoints)((body.getDouble, body.getDouble))
           out += ShpFeature(recNo - 1, "MultiPoint", Seq(pts))
         case 3 | 13 | 23 => // PolyLine / Z / M: box, numParts, numPoints, parts, points [, z/m]
-          val parts = readParts(body)
+          val parts = readParts(body, recNo)
           out += ShpFeature(recNo - 1,
             if (parts.size > 1) "MultiLineString" else "LineString", parts)
         case 5 | 15 | 25 => // Polygon / Z / M: same XY layout as PolyLine
-          val rings = readParts(body)
+          val rings = readParts(body, recNo)
           val polys = organizePolygonRings(rings)
           if (polys.size == 1)
             out += ShpFeature(recNo - 1, "Polygon", polys.head)
@@ -137,15 +140,13 @@ object ShpReader {
           // __geo_interface__ refuses type 31): each XY part becomes one
           // ring of a "MultiPatch" feature, the Z block trails and is
           // skipped by the record-length walk like every Z variant
-          body.position(body.position() + 32)
-          val numParts = body.getInt
-          val numPoints = body.getInt
-          val parts = Array.fill(numParts)(body.getInt)
-          body.position(body.position() + 4 * numParts) // partTypes
+          val (parts, numPoints) =
+            readPartHeader(body, recNo, partTypeInts = true)
+          body.position(body.position() + 4 * parts.length) // partTypes
           val pts = Array.fill(numPoints)((body.getDouble, body.getDouble))
           val bounds = parts :+ numPoints
           out += ShpFeature(recNo - 1, "MultiPatch",
-            (0 until numParts).map(i => pts.slice(bounds(i), bounds(i + 1)).toSeq))
+            (0 until parts.length).map(i => pts.slice(bounds(i), bounds(i + 1)).toSeq))
         case t =>
           throw new IllegalArgumentException(
             s"record $recNo: unsupported shape type $t " +
@@ -160,14 +161,46 @@ object ShpReader {
     * blocks that follow in the 13/15/23/25 variants are skipped by the
     * record-length walk).
     */
-  private def readParts(body: ByteBuffer): Seq[Ring] = {
+  private def readParts(body: ByteBuffer, recNo: Int): Seq[Ring] = {
+    val (parts, numPoints) = readPartHeader(body, recNo, partTypeInts = false)
+    val pts = Array.fill(numPoints)((body.getDouble, body.getDouble))
+    val bounds = parts :+ numPoints
+    (0 until parts.length).map(i => pts.slice(bounds(i), bounds(i + 1)).toSeq)
+  }
+
+  /** Skips the 32-byte box, then reads and VALIDATES the numParts /
+    * numPoints / part-offset prologue shared by PolyLine, Polygon and
+    * MultiPatch records: counts must be non-negative and fit inside the
+    * record's declared content length (with an extra int per part for
+    * MultiPatch's partTypes block), and part offsets must be
+    * non-decreasing and within [0, numPoints]. Corrupt counts otherwise
+    * surface as BufferUnderflow/NegativeArraySize JVM faults, and
+    * out-of-order offsets silently truncate rings (`slice` clamps) — this
+    * module's contract is a NAMED, record-numbered failure instead.
+    */
+  private def readPartHeader(body: ByteBuffer, recNo: Int,
+      partTypeInts: Boolean): (Array[Int], Int) = {
     body.position(body.position() + 32) // skip box (4 doubles)
     val numParts = body.getInt
     val numPoints = body.getInt
+    require(numParts >= 0 && numPoints >= 0,
+      s"record $recNo: negative part/point count " +
+        s"($numParts parts, $numPoints points) (corrupt .shp)")
+    val need = 4L * numParts * (if (partTypeInts) 2 else 1) + 16L * numPoints
+    require(body.remaining() >= need,
+      s"record $recNo: $numParts parts / $numPoints points need $need " +
+        s"bytes, record content has ${body.remaining()} (truncated/corrupt .shp)")
     val parts = Array.fill(numParts)(body.getInt)
-    val pts = Array.fill(numPoints)((body.getDouble, body.getDouble))
-    val bounds = parts :+ numPoints
-    (0 until numParts).map(i => pts.slice(bounds(i), bounds(i + 1)).toSeq)
+    var prev = 0
+    var i = 0
+    while (i < parts.length) {
+      require(parts(i) >= prev && parts(i) <= numPoints,
+        s"record $recNo: part offset ${parts(i)} at index $i is " +
+          s"decreasing or out of range (numPoints=$numPoints) (corrupt .shp)")
+      prev = parts(i)
+      i += 1
+    }
+    (parts, numPoints)
   }
 
   // ---- ring winding / organization (pyshp organize_polygon_rings) ---------

@@ -284,42 +284,98 @@ object Eval {
     * shuffle exchange resets the partition count, a broadcast build side
     * contributes nothing to the probe side's partitioning, and narrow
     * operators carry the leaf scans' split counts through.
+    *
+    * `sparkPlan` predates EnsureRequirements, so join/aggregate exchanges
+    * are NOT in that tree yet (only explicit repartitions are — verified
+    * empirically on 4.1.2: a forced sort-merge join's sparkPlan has zero
+    * ShuffleExchangeLike nodes). The shuffle test therefore looks for the
+    * operators that will FORCE an exchange during preparation: any node
+    * requiring a non-trivial, non-broadcast child distribution
+    * (sort-merge / shuffled-hash joins, shuffle aggregates, global
+    * sorts). A pre-satisfied distribution (both sides already bucketed)
+    * false-positives into the byte branch, which is harmless: the floor
+    * only acts when the whole input is under advisory×parallelism bytes.
+    *
+    * MISFIRE CEILING (the heuristic's worst case, pinned by EvalSpec's
+    * boundary test): leaf bytes are on-disk COMPRESSED parquet while
+    * AQE's advisory applies to (larger) shuffle bytes, so the floor can
+    * fire on inputs AQE would have kept wide. The extra work is one
+    * round-robin pass over an input that is by the firing condition
+    * under advisory×parallelism bytes on disk — 2 GiB at the 64 MB/32
+    * defaults — i.e. O(seconds) once, at exactly the sizes where a wrong
+    * coalesce would cost minutes of serialized gram CPU downstream.
     */
   private def spread(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.catalyst.plans.physical.{
+      BroadcastDistribution, UnspecifiedDistribution}
     val sess = df.sparkSession
     val want = sess.sparkContext.defaultParallelism
     val plan = df.queryExecution.sparkPlan
-    val shuffled = plan.exists {
-      case _: ShuffleExchangeLike => true; case _ => false
+    val shuffled = plan.exists { n =>
+      n.isInstanceOf[ShuffleExchangeLike] ||
+        n.requiredChildDistribution.exists {
+          case UnspecifiedDistribution => false
+          case _: BroadcastDistribution => false
+          case _ => true
+        }
     }
     val aqeCoalesce =
       sess.conf.get("spark.sql.adaptive.enabled", "true").toBoolean &&
         sess.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true").toBoolean
     if (shuffled && aqeCoalesce) {
-      // the static exchange shows shuffle.partitions, but AQE coalescing
-      // is BYTE-driven: a small-byte exchange collapses to 1-2 runtime
-      // partitions regardless, re-serializing the CPU-dense gram work
-      // downstream (the old post-AQE .rdd probe caught this; a lazy probe
-      // must predict it). Leaf scan bytes are the reliable static signal
+      // the runtime exchange will claim shuffle.partitions, but AQE
+      // coalescing is BYTE-driven: a small-byte exchange collapses to 1-2
+      // runtime partitions regardless, re-serializing the CPU-dense gram
+      // work downstream (the old post-AQE .rdd probe caught this; a lazy
+      // probe must predict it). Leaf bytes are the reliable static signal
       // — join-output stats amplify multiplicatively — so when the ENTIRE
-      // file input is small enough that AQE would coalesce below the
-      // session parallelism, force the floor: trivially cheap at exactly
-      // the sizes where it fires, a no-op at lake scale. The inserted
+      // input is small enough that AQE would coalesce below the session
+      // parallelism, force the floor: trivially cheap at exactly the
+      // sizes where it fires, a no-op at lake scale. The inserted
       // repartition is user-specified, which AQE coalescing exempts.
-      val leafBytes = plan.collect {
-        case s: FileSourceScanExec => s.relation.location.sizeInBytes
-      }.sum
       val advisory = sess.sessionState.conf.getConfString(
         "spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864")
       val advisoryBytes = org.apache.spark.network.util.JavaUtils
         .byteStringAsBytes(advisory)
-      if (leafBytes < advisoryBytes * want) df.repartition(want) else df
+      knownLeafBytes(plan) match {
+        case Some(leafBytes) =>
+          if (leafBytes < advisoryBytes * want) df.repartition(want) else df
+        case None =>
+          // no sized leaves anywhere (pure RDD/local input): bytes can't
+          // be predicted, so fall back to the split-count estimate rather
+          // than unconditionally re-shuffling arbitrarily large inputs
+          val est = estimateParts(plan).getOrElse(1)
+          if (est.toLong * 2 < want) df.repartition(want) else df
+      }
     } else {
       val est = estimateParts(plan).getOrElse(1)
       if (est.toLong * 2 < want) df.repartition(want) else df
     }
+  }
+
+  /** Total bytes of the plan's sizeable leaves — file scans plus cached
+    * relations (via their statistics, computed without launching jobs) —
+    * or None when the plan has no leaf whose size is knowable statically
+    * (RDD-backed, local rows). Recurses through the leaf wrappers that
+    * hide real scans: InMemoryTableScanExec's cached plan and
+    * AdaptiveSparkPlanExec's initial plan.
+    */
+  private def knownLeafBytes(
+      p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = {
+    val sizes: Seq[Long] = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(s.relation.location.sizeInBytes)
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        knownLeafBytes(c.relation.cachedPlan) match {
+          case Some(b) => Seq(b)
+          case None => Seq(c.relation.computeStats().sizeInBytes
+            .min(BigInt(Long.MaxValue)).toLong)
+        }
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        knownLeafBytes(a.inputPlan).toSeq
+    }.flatten
+    if (sizes.isEmpty) None else Some(sizes.sum)
   }
 
   /** Estimated output-partition count of an un-executed physical plan —

@@ -31,4 +31,19 @@ class QueriesSmokeSpec extends SparkSpec {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("CSV upload fixtures leave no graft_csv* temp dirs behind") {
+    // VERDICT r15 #3: q276/q285 used to leak one temp dir per invocation;
+    // withTempCsvDir now deletes eagerly (safe — both faces driver-decode).
+    // Delta-based so a concurrent JVM's fixtures can't fail this suite.
+    import scala.jdk.CollectionConverters._
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def fixtures(): Set[String] = java.nio.file.Files.list(tmp).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("graft_csv")).toSet
+    val before = fixtures()
+    for (q <- Seq("q276_csv_utf16_ingest", "q285_csv_cjk_ingest"))
+      assert(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count() > 0)
+    val residue = fixtures() -- before
+    assert(residue.isEmpty, s"leaked fixture dirs: $residue")
+  }
 }

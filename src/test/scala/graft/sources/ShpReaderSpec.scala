@@ -290,6 +290,41 @@ class ShpReaderSpec extends SparkSpec {
     assert(two(1).rings == Seq(Seq((2.5, 3.5))))
   }
 
+  test("corrupt part prologues fail by name with the record number") {
+    // ADVICE r15: corrupt numParts/numPoints/part offsets must surface as
+    // this module's record-numbered IllegalArgumentException, not JVM
+    // BufferUnderflow/NegativeArraySize faults or silently clamped rings.
+    // Content starts at 108; numParts@+36, numPoints@+40, parts@+44.
+    def poly = shpFile(Seq(partsContent(5, Seq(squareCw, holeTriCcw))))
+    def mutated(off: Int, v: Int): Array[Byte] = {
+      val b = poly
+      ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).putInt(off, v)
+      b
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      ShpReader.parseBytes(mutated(144, -1)) } // numParts = -1
+    assert(e1.getMessage.contains("record 1") && e1.getMessage.contains("negative"))
+    val e2 = intercept[IllegalArgumentException] {
+      ShpReader.parseBytes(mutated(148, 1000000)) } // numPoints overruns content
+    assert(e2.getMessage.contains("record 1") &&
+      e2.getMessage.contains("truncated/corrupt"))
+    val e3 = intercept[IllegalArgumentException] {
+      ShpReader.parseBytes(mutated(152, 6)) } // parts (6,5): decreasing
+    assert(e3.getMessage.contains("record 1") &&
+      e3.getMessage.contains("decreasing or out of range"))
+    val e4 = intercept[IllegalArgumentException] {
+      ShpReader.parseBytes(mutated(156, 10)) } // parts (0,10) > 9 points
+    assert(e4.getMessage.contains("record 1") &&
+      e4.getMessage.contains("decreasing or out of range"))
+    // the MultiPatch (31) branch shares the same validated prologue
+    val strip: Ring = Seq((0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0))
+    val mp = shpFile(Seq(multiPatchContent(Seq(strip), Seq(0))), headerShapeType = 31)
+    ByteBuffer.wrap(mp).order(ByteOrder.LITTLE_ENDIAN).putInt(148, Int.MaxValue)
+    val e5 = intercept[IllegalArgumentException] { ShpReader.parseBytes(mp) }
+    assert(e5.getMessage.contains("record 1") &&
+      e5.getMessage.contains("truncated/corrupt"))
+  }
+
   test("bare-.shp driver parse is size-gated loudly") {
     val p = java.nio.file.Files.createTempFile("huge", ".shp")
     val raf = new java.io.RandomAccessFile(p.toFile, "rw")

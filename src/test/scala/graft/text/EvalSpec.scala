@@ -261,6 +261,88 @@ class EvalSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("spread: multi-split shuffle-joined input — floor comes from the byte branch") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    // ADVICE r15: on 4.1.2, EnsureRequirements inserts join/aggregate
+    // exchanges only into executedPlan, so a probe that looks for
+    // ShuffleExchangeLike in sparkPlan never sees a join-forced shuffle.
+    // This fixture has >= parallelism/2 FILE SPLITS, so the split-count
+    // fallback (est*2 < want) CANNOT fire — if the parallelism floor
+    // appears, it can only have come from detecting the shuffle-forcing
+    // join operator and taking the leaf-bytes AQE-coalesce branch.
+    val want = spark.sparkContext.defaultParallelism
+    val dir = java.nio.file.Files.createTempDirectory("graft_spread_splits")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      sf("documents").select(col("doc_id"), col("lang"), col("text"))
+        .repartition(want).write.mode("overwrite").parquet(s"$dir/docs")
+      val d = spark.read.parquet(s"$dir/docs")
+      val splits = d.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec => s.inputRDD.getNumPartitions
+      }.head
+      assert(splits >= want / 2, s"fixture must be multi-split, got $splits")
+      val pairs = d.join(
+          d.select((col("doc_id") + 1).as("doc_id"), col("text").as("ref_text")),
+          Seq("doc_id"))
+        .select(col("lang"), col("text").as("cand_text"), col("ref_text"))
+      val plan = Eval.bleuStats(pairs).queryExecution.sparkPlan
+      val floor = plan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning == RoundRobinPartitioning(want) => e
+      }
+      assert(floor.nonEmpty,
+        s"no parallelism-floor repartition($want) over a multi-split shuffled input:\n$plan")
+      // boundary pin (misfire ceiling): with the advisory shrunk to 1 byte,
+      // leafBytes >= advisory*want, so AQE would NOT coalesce below the
+      // session parallelism and the floor must stand down — the byte
+      // threshold, not the mere presence of a join, is what fires it
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1b")
+      val plan2 = Eval.bleuStats(pairs).queryExecution.sparkPlan
+      val floor2 = plan2.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning == RoundRobinPartitioning(want) => e
+      }
+      assert(floor2.isEmpty,
+        s"floor fired above the advisory-byte threshold:\n$plan2")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("spread: RDD-backed shuffle-joined input at parallelism is not re-shuffled") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    // ADVICE r15 (low): the byte probe sums only sizeable leaves; an
+    // RDD-backed input has none, and must fall back to the split-count
+    // estimate instead of being unconditionally re-shuffled
+    val want = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val rdd = spark.sparkContext
+        .parallelize(1 to 400, want).map(i => (i.toLong, s"tok$i text body"))
+      val d = spark.createDataFrame(rdd).toDF("doc_id", "text")
+      val pairs = d.join(
+          d.select((col("doc_id") + 1).as("doc_id"), col("text").as("ref_text")),
+          Seq("doc_id"))
+        .select(lit("xx").as("lang"), col("text").as("cand_text"), col("ref_text"))
+      val plan = Eval.bleuStats(pairs).queryExecution.sparkPlan
+      val floor = plan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning == RoundRobinPartitioning(want) => e
+      }
+      assert(floor.isEmpty,
+        s"RDD input already at parallelism $want was re-shuffled:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("chrFStats: whitespace removal, clipping, recall side, by hand") {
     // cand 'ab ba' -> 'abba' (4 chars), ref 'ab ab' -> 'abab'
     // 1-grams: cand {a:2,b:2}, ref {a:2,b:2} -> match 4 of 4 (P=R=1000)
