@@ -66,7 +66,30 @@ object BenchScale {
     "q258_bleu_stats", "q280_chrf_stats", "q284_wer_stats",
     // curation chain + packing
     "q103_decontaminate", "q191_ccnet_pipeline", "q142_training_order",
-    "q229_bfd_pack")
+    "q229_bfd_pack",
+    // graph (VERDICT r15 #1: previously plan-audit-only) — q264 extracts
+    // edges from synthesized HTML then ranks; q241 mode-votes labels along
+    // chain+hub edges; q260 pointer-jumps redirect chains. All three edge
+    // sets derive from the key-scaled documents, so edges grow linearly
+    // with the replication (dst fan-in grows where the synthesis pins a
+    // fixed universe — more in-links per popular node, not new nodes,
+    // which only DENSIFIES the per-node aggregates pagerank sums over)
+    "q264_web_pagerank", "q241_label_propagation", "q260_redirect_resolution",
+    // inverted index lifecycle — q214 searches the shared per-dir index
+    // (built outside the timings as text_index_build); q215/q216 build,
+    // merge/forget and compact PRIVATE segments inside the timed region
+    // by design (incremental-ingest cost IS the operator)
+    "q214_inverted_index_query", "q215_inverted_index_merge",
+    "q216_inverted_index_forget",
+    // tokenizer training — per-replica alphabet rotation grows the word
+    // table ~linearly, the axis trainer cost actually scales on
+    "q189_bpe_train_batched", "q282_unigram_viterbi",
+    // multimodal decode — assets synthesize per document row; decode is
+    // partition-local, payloads never cross an exchange
+    "q130_image_decode", "q128_wav_decode",
+    // ANN served-artifact lifecycle (VERDICT r15 #6: build/query had
+    // scaling points, forget/rebuild did not)
+    "q208_ann_index_forget", "q182_index_rebuild_swap")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -117,6 +140,15 @@ object BenchScale {
     val buildSmall = buildIndex(src)
     val buildBig = buildIndex(dst)
 
+    // same discipline for q214's shared per-dir inverted index
+    def buildTextIndex(dir: String): Double = {
+      val t0 = System.nanoTime()
+      graft.queries.CurationQueries.ensureTextIndex(spark, dir)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val textSmall = buildTextIndex(src)
+    val textBig = buildTextIndex(dst)
+
     // min-of-2 via two full interleaved passes per scale (Bench's
     // transient-stall discipline); a failed query reports in "errors"
     val errors = scala.collection.mutable.ListBuffer[String]()
@@ -143,7 +175,8 @@ object BenchScale {
     }
     val qs = (rows.map { case (n, a, b) =>
         f""""$n":{"sf01":$a%.3f,"sf1":$b%.3f,"ratio":${b / a}%.2f}"""
-      } :+ f""""ann_index_build":{"sf01":$buildSmall%.3f,"sf1":$buildBig%.3f,"ratio":${buildBig / buildSmall}%.2f}""")
+      } :+ f""""ann_index_build":{"sf01":$buildSmall%.3f,"sf1":$buildBig%.3f,"ratio":${buildBig / buildSmall}%.2f}"""
+        :+ f""""text_index_build":{"sf01":$textSmall%.3f,"sf1":$textBig%.3f,"ratio":${textBig / textSmall}%.2f}""")
       .mkString("{", ",", "}")
     val ratios = rows.map { case (_, a, b) => b / a }.sorted
     val median = if (ratios.isEmpty) 0.0 else ratios(ratios.size / 2)

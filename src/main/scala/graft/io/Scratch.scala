@@ -1,0 +1,35 @@
+package graft.io
+
+/** Per-JVM scratch root for queries that must materialize an on-disk
+  * artifact INSIDE their timed region (private inverted-index segments,
+  * packed-corpus shards, tokenizer artifacts) and then return a frame
+  * that lazily READS it — eager deletion (the
+  * [[graft.queries.HealthQueries]] withTempCsvDir discipline) would
+  * yank files out from under the returned plan, so these live until JVM
+  * exit instead: every dir is allocated under ONE root registered with a
+  * shutdown hook, and the whole root is removed when the registry /
+  * bench / verify JVM ends. Repeated invocations within one JVM still
+  * accumulate (bounded by the run), but nothing survives the run — the
+  * residue standard VERDICT r15 #3 set for the CSV fixtures, extended to
+  * every per-run artifact.
+  */
+object Scratch {
+
+  private lazy val root: java.nio.file.Path = {
+    val r = java.nio.file.Files.createTempDirectory("graft_scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(r)))
+    r
+  }
+
+  /** A fresh directory under the shutdown-cleaned root. */
+  def dir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(root, prefix).toString
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    try
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    catch { case _: Throwable => () } // best-effort: the OS tmp reaper backs this up
+  }
+}

@@ -473,8 +473,7 @@ object CurationQueries {
     // deliberate single-partition window retired.
     Q("q142_training_order",
       (s, dir) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_train_order").toString
+        val tmp = graft.io.Scratch.dir("graft_train_order")
         graft.curation.Curation.writeTrainingOrder(
           t(s, dir, "documents").select(col("doc_id"), col("source")), tmp)
         graft.curation.Curation.trainingOrderReport(s, tmp)
@@ -1694,8 +1693,7 @@ object CurationQueries {
     // segments, and aggregates per stratum.
     Q("q209_packed_corpus_forget",
       (s, dir) => {
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_packed_forget").toString
+        val base = graft.io.Scratch.dir("graft_packed_forget")
         val d = t(s, dir, "documents")
         graft.curation.Curation.writePackedCorpus(d, base)
         graft.curation.Curation.forgetFromPackedCorpus(s, base,
@@ -1782,8 +1780,7 @@ object CurationQueries {
     // search a shared session index instead; see `text_index_build`.)
     Q("q215_inverted_index_merge",
       (s, dir) => {
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_inv_merge").toString
+        val base = graft.io.Scratch.dir("graft_inv_merge")
         val d = t(s, dir, "documents")
         graft.text.InvertedIndex.build(s,
           d.filter(col("doc_id") % 2 === 0), s"$base/a")
@@ -1833,8 +1830,7 @@ object CurationQueries {
     // a private index it is allowed to mutate (never the shared one).
     Q("q216_inverted_index_forget",
       (s, dir) => {
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_inv_forget").toString
+        val base = graft.io.Scratch.dir("graft_inv_forget")
         val d = t(s, dir, "documents")
         graft.text.InvertedIndex.build(s, d, s"$base/idx")
         graft.text.InvertedIndex.delete(s, s"$base/idx",

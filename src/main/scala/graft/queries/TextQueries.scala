@@ -842,8 +842,7 @@ object TextQueries {
     Q("q127_sigstore_dedup",
       (s, dir) => {
         val full = corpus(s, dir)
-        val storeDir = java.nio.file.Files
-          .createTempDirectory("graft_sigstore").toString + "/sigs"
+        val storeDir = graft.io.Scratch.dir("graft_sigstore") + "/sigs"
         graft.curation.Curation.writeSignatureStore(
           full.filter(col("doc_id") < 250), storeDir)
         graft.curation.Curation.incrementalNearDup(
@@ -1343,8 +1342,7 @@ object TextQueries {
       (s, dir) => {
         graft.text.BpeEncoder.register(s)
         val d = t(s, dir, "documents")
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_bpe_artifact").toString
+        val path = graft.io.Scratch.dir("graft_bpe_artifact")
         graft.text.BpeTrainer.save(s,
           graft.text.BpeTrainer.fit(s, d, merges = 8), path)
         val loaded = graft.text.BpeTrainer.load(s, path)
@@ -1374,8 +1372,7 @@ object TextQueries {
       (s, dir) => {
         graft.text.BpeEncoder.register(s)
         val d = t(s, dir, "documents")
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_byte_bpe_artifact").toString
+        val path = graft.io.Scratch.dir("graft_byte_bpe_artifact")
         graft.text.BpeTrainer.save(s, cachedByteModel(s, dir), path)
         val loaded = graft.text.BpeTrainer.load(s, path)
         val toks = regexp_extract_all(col("text"),
@@ -1415,8 +1412,7 @@ object TextQueries {
     Q("q278_wordpiece_artifact",
       (s, dir) => {
         import s.implicits._
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_wordpiece_artifact").toString
+        val path = graft.io.Scratch.dir("graft_wordpiece_artifact")
         graft.text.BpeTrainer.save(s,
           graft.text.BpeTrainer.fitWordPiece(s, t(s, dir, "documents"), merges = 8),
           path)
@@ -1596,8 +1592,7 @@ object TextQueries {
       (s, dir) => {
         import s.implicits._
         val docs = t(s, dir, "documents")
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_unigram_artifact").toString
+        val path = graft.io.Scratch.dir("graft_unigram_artifact")
         val fresh = graft.text.Unigram.fit(s, docs, vocabSize = 40,
           maxPieceLen = 4, seedSize = 120, emIters = 2)
         graft.text.Unigram.save(s, fresh, path)

@@ -152,7 +152,8 @@ class UnigramSpec extends SparkSpec {
   test("save/load round-trips bit-identically; reloaded Viterbi agrees") {
     val m = Unigram.fit(spark, corpus, vocabSize = 30, maxPieceLen = 4,
       seedSize = 80)
-    val path = java.nio.file.Files.createTempDirectory("graft_unigram").toString
+    // under the shutdown-cleaned scratch root: no residue after the JVM
+    val path = graft.io.Scratch.dir("graft_unigram")
     Unigram.save(spark, m, path)
     val l = Unigram.load(spark, path)
     assert(l.pieces == m.pieces && l.maxPieceLen == m.maxPieceLen)
