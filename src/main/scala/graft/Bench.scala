@@ -678,10 +678,12 @@ object Bench {
     * names the stage; the composed registry row stays the end-to-end
     * truth (stage rows do not sum to it exactly — the fused plan never
     * materializes the intermediate gram/bucket arrays these pins do).
-    * Same expressions as TextQueries q267, rebuilt here at stage grain.
+    * The expressions are the SHARED [[graft.text.QualityClassifier]]
+    * builders q267 itself composes, applied here at stage grain — a
+    * recipe change cannot decouple these rows from the registry row.
     */
   private def benchQcStages(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
-    import org.apache.spark.sql.{Column, DataFrame}
+    import org.apache.spark.sql.DataFrame
     import org.apache.spark.storage.StorageLevel
     val pinned = scala.collection.mutable.ListBuffer[DataFrame]()
     def mat(df: DataFrame): (DataFrame, Double) = {
@@ -692,27 +694,19 @@ object Bench {
       (p, (System.nanoTime() - t0) / 1e9)
     }
     try {
+      import graft.text.QualityClassifier
       val d = spark.read.parquet(s"$sfDir/documents.parquet")
       val toks = graft.text.TextFunctions.tokens(col("text"))
-      val bigrams = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", slice(toks, i, lit(2)))))
-        .otherwise(array().cast("array<string>"))
-      def bucket(g: Column): Column =
-        pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"), lit(64L))
-      def weight(b: Column): Column =
-        pmod(conv(substring(md5(concat(lit("w#"), b.cast("string"))), 1, 4),
-          16, 10).cast("long"), lit(2001L)) - 1000L
       // stage 1: tokenize + word-bigram feature construction
       val (grams, tGrams) = mat(
-        d.select(col("doc_id"), col("lang"), bigrams.as("grams")))
+        d.select(col("doc_id"), col("lang"), QualityClassifier.bigrams(toks).as("grams")))
       // stage 2: hashing-trick bucket ids (md5 per gram — the hot md5)
       val (buckets, tHash) = mat(grams.select(col("doc_id"), col("lang"),
-        transform(col("grams"), g => bucket(g)).as("buckets")))
+        transform(col("grams"), g => QualityClassifier.bucket(g)).as("buckets")))
       // stage 3: content-addressed weights + dot product
       val (scored, tScore) = mat(buckets.select(col("doc_id"), col("lang"),
-        aggregate(col("buckets"), lit(0L), (acc, b) => acc + weight(b))
-          .as("score")))
+        aggregate(col("buckets"), lit(0L),
+          (acc, b) => acc + QualityClassifier.weight(b)).as("score")))
       // stage 4: verdict gate + the global doc_id sort (the one exchange)
       val t0 = System.nanoTime()
       scored.select(col("doc_id"), col("lang"), col("score"),

@@ -131,23 +131,26 @@ object BenchScale {
 
     // the ANN family searches a shared persisted index per sfDir; build
     // both outside the query timings, reported as their own rows (the
-    // Bench ann_index_build discipline)
-    def buildIndex(dir: String): Double = {
-      val t0 = System.nanoTime()
-      graft.queries.SimilarityQueries.ensureIndex(spark, dir)
-      (System.nanoTime() - t0) / 1e9
+    // Bench ann_index_build discipline). Builds are GATED on the boarded
+    // subset actually containing a consumer — a x100 trim that excludes
+    // the index families must not pay minutes of index build for rows
+    // nobody reads (q208/q182/q215/q216 build PRIVATE indexes inside
+    // their own timed regions and need no shared artifact).
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val buildSmall = buildIndex(src)
-    val buildBig = buildIndex(dst)
-
-    // same discipline for q214's shared per-dir inverted index
-    def buildTextIndex(dir: String): Double = {
-      val t0 = System.nanoTime()
-      graft.queries.CurationQueries.ensureTextIndex(spark, dir)
-      (System.nanoTime() - t0) / 1e9
-    }
-    val textSmall = buildTextIndex(src)
-    val textBig = buildTextIndex(dst)
+    val annUsers = Set("q154_ann_index_query", "q155_ann_batch_query")
+    val textUsers = Set("q214_inverted_index_query")
+    val annBuild: Option[(Double, Double)] =
+      if (boarded.exists(annUsers)) Some((
+        timed(graft.queries.SimilarityQueries.ensureIndex(spark, src)),
+        timed(graft.queries.SimilarityQueries.ensureIndex(spark, dst))))
+      else None
+    val textBuild: Option[(Double, Double)] =
+      if (boarded.exists(textUsers)) Some((
+        timed(graft.queries.CurationQueries.ensureTextIndex(spark, src)),
+        timed(graft.queries.CurationQueries.ensureTextIndex(spark, dst))))
+      else None
 
     // min-of-2 via two full interleaved passes per scale (Bench's
     // transient-stall discipline); a failed query reports in "errors"
@@ -173,10 +176,14 @@ object BenchScale {
         case _ => errors += name; None
       }
     }
+    val buildRows =
+      annBuild.map { case (a, b) =>
+        f""""ann_index_build":{"sf01":$a%.3f,"sf1":$b%.3f,"ratio":${b / a}%.2f}""" }.toSeq ++
+      textBuild.map { case (a, b) =>
+        f""""text_index_build":{"sf01":$a%.3f,"sf1":$b%.3f,"ratio":${b / a}%.2f}""" }.toSeq
     val qs = (rows.map { case (n, a, b) =>
         f""""$n":{"sf01":$a%.3f,"sf1":$b%.3f,"ratio":${b / a}%.2f}"""
-      } :+ f""""ann_index_build":{"sf01":$buildSmall%.3f,"sf1":$buildBig%.3f,"ratio":${buildBig / buildSmall}%.2f}"""
-        :+ f""""text_index_build":{"sf01":$textSmall%.3f,"sf1":$textBig%.3f,"ratio":${textBig / textSmall}%.2f}""")
+      } ++ buildRows)
       .mkString("{", ",", "}")
     val ratios = rows.map { case (_, a, b) => b / a }.sorted
     val median = if (ratios.isEmpty) 0.0 else ratios(ratios.size / 2)

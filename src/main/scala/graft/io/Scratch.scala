@@ -25,11 +25,19 @@ object Scratch {
   def dir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(root, prefix).toString
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  /** Best-effort recursive delete, shared by every cleanup path (the
+    * shutdown hook, eager fixture cleanup, spec teardowns): closes the
+    * walk stream and swallows failures — a cleanup error must never mask
+    * the exception that made the cleanup run (the OS tmp reaper backs
+    * this up anyway).
+    */
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    try
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => { java.nio.file.Files.deleteIfExists(f); () })
-    catch { case _: Throwable => () } // best-effort: the OS tmp reaper backs this up
+    try {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
+    } catch { case _: Throwable => () }
   }
 }

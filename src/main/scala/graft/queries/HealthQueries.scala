@@ -30,12 +30,10 @@ object HealthQueries {
   private def withTempCsvDir[A](prefix: String)(
       build: java.nio.file.Path => A): A = {
     val d0 = java.nio.file.Files.createTempDirectory(prefix)
+    // best-effort shared delete: a cleanup failure must never mask the
+    // builder's own exception (e.g. a detectEncoding require message)
     try build(d0)
-    finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(d0).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    finally graft.io.Scratch.deleteRecursively(d0)
   }
 
   /** Deterministic lab-record synthesis (Spark side). */

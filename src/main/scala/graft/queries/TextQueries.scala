@@ -2160,18 +2160,8 @@ object TextQueries {
     // weights and replays the dot product exactly.
     Q("q267_quality_classifier",
       (s, dir) => {
-        val toks = tokens(col("text"))
-        val bigrams = when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => concat_ws(" ", slice(toks, i, lit(2)))))
-          .otherwise(array().cast("array<string>"))
-        def bucket(g: Column): Column =
-          pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"), lit(64L))
-        def weight(b: Column): Column =
-          pmod(conv(substring(md5(concat(lit("w#"), b.cast("string"))), 1, 4),
-            16, 10).cast("long"), lit(2001L)) - 1000L
-        val score = aggregate(bigrams, lit(0L),
-          (acc, g) => acc + weight(bucket(g)))
+        // builders shared with Bench.benchQcStages — see QualityClassifier
+        val score = graft.text.QualityClassifier.score(tokens(col("text")))
         t(s, dir, "documents")
           .select(col("doc_id"), col("lang"), score.as("score"))
           .select(col("doc_id"), col("lang"), col("score"),

@@ -178,7 +178,7 @@ object CsvSource {
     *     EUC-JP as kanji with no kana density, and a file whose MAJORITY
     *     decodes into the kana rows is Japanese text in all but name.
     *   - EUC-KR qualifies when it strict-decodes to hangul-SYLLABLE-dense
-    *     text (≥ 8 in U+AC00-D7A3, ≥ 15% of chars) that is hanja-sparse
+    *     text (≥ 8 in U+AC00-D7A3, ≥ 1/7 of chars) that is hanja-sparse
     *     (CJK-unified < 5%), checked AFTER the Japanese gates and BEFORE
     *     GBK. The order is again the disambiguator — hangul rows (KS X
     *     1001 leads B0-C8) decode under GBK as plausible hanzi, so a
@@ -192,7 +192,7 @@ object CsvSource {
     *     lead-CA-F7 HANJA density — real Korean prose is nearly all
     *     syllables + ASCII, so the hanja-sparse gate rejects it.
     *   - GBK qualifies when it strict-decodes to CJK-unified-dense text
-    *     (≥ 8 hanzi, ≥ 15% of chars) that is NOT kana-bearing — the
+    *     (≥ 8 hanzi, ≥ 1/7 of chars) that is NOT kana-bearing — the
     *     kana exclusion keeps Shift_JIS/EUC-JP Japanese (whose bytes
     *     often form valid GBK pairs, and whose kana rows GBK maps to
     *     kana) out of the GBK branch; the earlier branches do the

@@ -354,28 +354,33 @@ object Eval {
     }
   }
 
-  /** Total bytes of the plan's sizeable leaves — file scans plus cached
-    * relations (via their statistics, computed without launching jobs) —
-    * or None when the plan has no leaf whose size is knowable statically
-    * (RDD-backed, local rows). Recurses through the leaf wrappers that
-    * hide real scans: InMemoryTableScanExec's cached plan and
+  /** Total bytes of the plan's leaves — file scans plus cached relations
+    * (via their statistics, computed without launching jobs) — or None
+    * unless EVERY leaf is sized: a partial sum over a plan that mixes
+    * one small file scan with an unsized (RDD/local/v2) leaf would
+    * drastically UNDERestimate the input and fire the floor on
+    * arbitrarily large joins, voiding the documented misfire ceiling.
+    * Any unsized leaf therefore sends the caller to the split-count
+    * estimate instead. Recurses through the leaf wrappers that hide real
+    * scans: InMemoryTableScanExec's cached plan and
     * AdaptiveSparkPlanExec's initial plan.
     */
   private def knownLeafBytes(
       p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = {
-    val sizes: Seq[Long] = p.collect {
+    val leafSizes: Seq[Option[Long]] = p.collectLeaves().map {
       case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-        Seq(s.relation.location.sizeInBytes)
+        Some(s.relation.location.sizeInBytes)
       case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-        knownLeafBytes(c.relation.cachedPlan) match {
-          case Some(b) => Seq(b)
-          case None => Seq(c.relation.computeStats().sizeInBytes
-            .min(BigInt(Long.MaxValue)).toLong)
-        }
+        knownLeafBytes(c.relation.cachedPlan)
+          .orElse(Some(c.relation.computeStats().sizeInBytes
+            .min(BigInt(Long.MaxValue)).toLong))
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        knownLeafBytes(a.inputPlan).toSeq
-    }.flatten
-    if (sizes.isEmpty) None else Some(sizes.sum)
+        knownLeafBytes(a.inputPlan)
+      case _ => None
+    }
+    if (leafSizes.nonEmpty && leafSizes.forall(_.isDefined))
+      Some(leafSizes.flatten.sum)
+    else None
   }
 
   /** Estimated output-partition count of an un-executed physical plan —

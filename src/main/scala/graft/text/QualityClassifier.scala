@@ -1,0 +1,46 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The fastText-shaped hashed-feature linear classifier's expression
+  * builders — ONE definition shared by the oracle-checked registry row
+  * (q267, TextQueries) and its per-stage bench attribution
+  * (Bench.benchQcStages), so a change to the feature recipe can never
+  * silently decouple the stage rows from the pipeline they attribute.
+  * Word-bigram features hash into [[Buckets]] buckets (first 8 md5 hex
+  * digits mod B — the hashing trick); weights are content-addressed
+  * integers in [-1000, 1000] (md5-derived — no stored model artifact,
+  * every engine rederives identical weights); the forward pass is a
+  * row-local transform + aggregate HOF chain: no explode, no
+  * weight-table join, nothing but the final (doc_id, score) rows in any
+  * exchange. Reference behavior: the quality screens in
+  * app/analytics/quality_filters.py (keyword/score gating before
+  * ingest), re-expressed as a deterministic hashed linear model.
+  */
+object QualityClassifier {
+
+  val Buckets = 64
+
+  /** Word bigrams of a whitespace token array (empty below 2 tokens). */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Hashing-trick bucket id of one gram. */
+  def bucket(g: Column): Column =
+    pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"), lit(Buckets.toLong))
+
+  /** Content-addressed integer weight of a bucket, in [-1000, 1000]. */
+  def weight(b: Column): Column =
+    pmod(conv(substring(md5(concat(lit("w#"), b.cast("string"))), 1, 4),
+      16, 10).cast("long"), lit(2001L)) - 1000L
+
+  /** The fused forward pass: dot(weights, feature multiset) as one
+    * row-local aggregate.
+    */
+  def score(toks: Column): Column =
+    aggregate(bigrams(toks), lit(0L), (acc, g) => acc + weight(bucket(g)))
+}

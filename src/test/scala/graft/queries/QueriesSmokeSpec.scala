@@ -41,7 +41,8 @@ class QueriesSmokeSpec extends SparkSpec {
     def fixtures(): Set[String] = java.nio.file.Files.list(tmp).iterator().asScala
       .map(_.getFileName.toString).filter(_.startsWith("graft_csv")).toSet
     val before = fixtures()
-    for (q <- Seq("q276_csv_utf16_ingest", "q285_csv_cjk_ingest"))
+    for (q <- Seq("q276_csv_utf16_ingest", "q285_csv_cjk_ingest",
+        "q286_csv_euckr_ingest"))
       assert(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count() > 0)
     val residue = fixtures() -- before
     assert(residue.isEmpty, s"leaked fixture dirs: $residue")

@@ -310,9 +310,7 @@ class EvalSpec extends SparkSpec {
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      graft.io.Scratch.deleteRecursively(dir)
     }
   }
 
@@ -340,6 +338,35 @@ class EvalSpec extends SparkSpec {
       }
       assert(floor.isEmpty,
         s"RDD input already at parallelism $want was re-shuffled:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("spread: mixed file+RDD leaves fall to the split estimate, not a partial byte sum") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    // a plan with ONE sized leaf (the small parquet) and one unsized
+    // RDD leaf must NOT sum only the sized leaf — that partial sum
+    // underestimates arbitrarily large RDD inputs and would fire the
+    // floor (an extra full shuffle) on exactly the frames that least
+    // need it; all-leaves-or-nothing sends this to the split estimate,
+    // where the RDD side already carries the session parallelism
+    val want = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val d = sf("documents").select(col("doc_id"), col("text"))
+      val rdd = spark.sparkContext
+        .parallelize(1 to 400, want).map(i => (i.toLong, s"ref body $i"))
+      val refs = spark.createDataFrame(rdd).toDF("doc_id", "ref_text")
+      val pairs = d.join(refs, Seq("doc_id"))
+        .select(lit("xx").as("lang"), col("text").as("cand_text"), col("ref_text"))
+      val plan = Eval.bleuStats(pairs).queryExecution.sparkPlan
+      val floor = plan.collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning == RoundRobinPartitioning(want) => e
+      }
+      assert(floor.isEmpty,
+        s"partial leaf-byte sum re-shuffled a mixed file+RDD input at parallelism $want:\n$plan")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
