@@ -89,7 +89,11 @@ object BenchScale {
     "q130_image_decode", "q128_wav_decode",
     // ANN served-artifact lifecycle (VERDICT r15 #6: build/query had
     // scaling points, forget/rebuild did not)
-    "q208_ann_index_forget", "q182_index_rebuild_swap")
+    "q208_ann_index_forget", "q182_index_rebuild_swap",
+    // events / streaming batch-half — the last family without a point:
+    // user_id/event_id key-scale like every FK, so per-user session and
+    // funnel sizes are unchanged and only the row count grows
+    "q96_stream_dedup", "q114_session_window", "q123_event_funnel")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
