@@ -4,7 +4,15 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Benchmark main — runs the headline queries on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":…,"queries":{name:sec,…}}.
+  * STREAMS one JSON line per completed row, a cumulative board line after
+  * every row, and the final ONE-line board
+  * {"metric":"total",…,"queries":{name:sec,…},"partial":false} (VERDICT
+  * r16 #1: the r16 driver run timed out and yielded `parsed: null`
+  * because the old main printed nothing until the very end — any prefix
+  * of this run now contains a complete, parsable cumulative board, and
+  * BENCH_LOCAL.json on disk is rewritten atomically after every row so a
+  * kill at ANY point leaves a board whose `"partial":true` stamp says
+  * exactly what it is).
   *
   * Each query is forced through full execution with
   * `queryExecution.toRdd.count()` — unlike `df.count()`, this materializes
@@ -19,9 +27,95 @@ object Bench {
     */
   private def headline: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
+  // ---- streaming board state (single-threaded: main drives every write).
+  // rows keeps insertion order = run order, so a prefix board reads as
+  // "how far the run got"; registryNames marks which rows sum into
+  // "value" (registry mins only — micro/demo rows are labeled extras,
+  // matching the pre-streaming board's semantics).
+  private val rows = scala.collection.mutable.LinkedHashMap[String, Double]()
+  private val registryNames = scala.collection.mutable.Set[String]()
+  private val failedRows = scala.collection.mutable.LinkedHashSet[String]()
+  private var sfDirTag = ""
+  private var provenance = ""
+  private var wallT0 = System.nanoTime()
+  private var startupSec = -1.0
+
+  /** Age of the parent (sbt) JVM in seconds — on a driver run this is
+    * sbt startup + compile, i.e. exactly the pre-first-row budget the
+    * r16 timeout burned invisibly. /proc/<ppid>/stat field 22 is
+    * starttime in USER_HZ (100 on Linux) ticks since boot; comm can
+    * contain spaces, so parse from the last ')'.
+    */
+  private def parentAgeSec(): Option[Double] =
+    try {
+      val up = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/uptime")), "UTF-8").split("\\s+")(0).toDouble
+      val pp = java.lang.ProcessHandle.current().parent()
+      if (!pp.isPresent) None
+      else {
+        val stat = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"/proc/${pp.get().pid()}/stat")), "UTF-8")
+        val rest = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
+        Some(up - rest(19).toDouble / 100.0)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def boardLine(partial: Boolean): String = {
+    val qs = rows.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val errs = failedRows.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = rows.collect { case (k, v) if registryNames(k) => v }.sum
+    val wall = (System.nanoTime() - wallT0) / 1e9
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDirTag","partial":$partial,$provenance,"startup_sec":$startupSec%.1f,"wall_sec":$wall%.1f}"""
+  }
+
+  /** Atomic board rewrite: a kill between write and move leaves the last
+    * complete board, never a torn file.
+    */
+  private def writeBoardFile(line: String): Unit =
+    try {
+      val tmp = java.nio.file.Paths.get("BENCH_LOCAL.json.tmp")
+      java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** One completed sample: fold into the min, emit the compact row line
+    * (with the wall offset `t` — the line that attributes WHERE a killed
+    * run's budget went) plus the refreshed cumulative board, and rewrite
+    * the on-disk board.
+    */
+  private def record(name: String, sec: Double, isRegistry: Boolean): Unit = {
+    val v = rows.get(name).fold(sec)(math.min(_, sec))
+    rows(name) = v
+    if (isRegistry) registryNames += name
+    failedRows -= name
+    val t = (System.nanoTime() - wallT0) / 1e9
+    println(f"""{"metric":"row","name":"$name","sec":$sec%.3f,"min":$v%.3f,"t":$t%.1f}""")
+    val board = boardLine(partial = true)
+    println(board)
+    System.out.flush()
+    writeBoardFile(board)
+  }
+
   def main(args: Array[String]): Unit = {
+    wallT0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    sfDirTag = sfDir
+    // provenance stamp (VERDICT r16 #5) + startup breakdown (#1): load1
+    // read BEFORE the session spins up, so it reflects the host we
+    // inherited — on a driver run that includes the sbt compile that just
+    // finished (so `idle:false` there is correct and expected); an
+    // end-of-round re-stamp from a warm sbt reads near-zero and stamps
+    // idle:true. sbt_age_at_main_sec is the pre-fork budget (sbt startup
+    // + compile) that r16's timeout burned invisibly.
+    val load1 = try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split("\\s+")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    val jvmUp = java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000.0
+    val sbtAge = parentAgeSec().getOrElse(-1.0)
+    provenance = f""""idle":${load1 >= 0 && load1 < 4.0},"load1_before":$load1%.2f,"jvm_uptime_at_main_sec":$jvmUp%.1f,"sbt_age_at_main_sec":$sbtAge%.1f,"cpus":$cpus"""
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,6 +133,8 @@ object Bench {
     // JVM/codegen warmup on the smallest scale so measured times reflect
     // execution, not first-query JIT + classload.
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).queryExecution.toRdd.count()
+    // main-entry → Spark warm: everything before the first timed row
+    startupSec = (System.nanoTime() - wallT0) / 1e9
 
     // dev mode: SPARK_GRAFT_MICROS_ONLY=skew|bucket|zorder (comma-separable)
     // runs just the named layout micros — iterating on one demo shouldn't
@@ -53,7 +149,8 @@ object Bench {
         (if (sel("codec")) benchCodec(spark, sfDir) else Nil) ++
         (if (sel("sketch")) benchDistinctSketch(spark, sfDir) else Nil) ++
         (if (sel("ccnet")) benchCcnetStages(spark, sfDir) else Nil) ++
-        (if (sel("qc")) benchQcStages(spark, sfDir) else Nil)
+        (if (sel("qc")) benchQcStages(spark, sfDir) else Nil) ++
+        (if (sel("invmerge")) benchInvIndexMergeStages(spark, sfDir) else Nil)
       val mq = micros.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
       spark.stop()
       println(s"""{"metric":"micros","queries":$mq}""")
@@ -76,17 +173,15 @@ object Bench {
       "q158_ann_index_dedup", "q165_hard_negatives", "q169_filtered_ann",
       "q170_index_drift", "q179_ann_ingest_verdicts", "q181_ann_bucketed_batch")
     var annBuildFailed = false
-    val annBuild =
-      try {
-        val t0 = System.nanoTime()
-        graft.queries.SimilarityQueries.ensureIndex(spark, sfDir)
-        Seq("ann_index_build" -> (System.nanoTime() - t0) / 1e9)
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] ann index build failed: $e")
-          annBuildFailed = true
-          Seq.empty
-      }
+    try {
+      val t0 = System.nanoTime()
+      graft.queries.SimilarityQueries.ensureIndex(spark, sfDir)
+      record("ann_index_build", (System.nanoTime() - t0) / 1e9, isRegistry = false)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] ann index build failed: $e")
+        annBuildFailed = true
+    }
 
     // ---- shared text inverted index: same discipline ------------------
     // q214/q217/q251 search the IDENTICAL persisted index; their rows
@@ -96,17 +191,15 @@ object Bench {
     val textFamily = Seq("q214_inverted_index_query", "q217_phrase_search",
       "q251_sql_text_search")
     var textBuildFailed = false
-    val textBuild =
-      try {
-        val t0 = System.nanoTime()
-        graft.queries.CurationQueries.ensureTextIndex(spark, sfDir)
-        Seq("text_index_build" -> (System.nanoTime() - t0) / 1e9)
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] text index build failed: $e")
-          textBuildFailed = true
-          Seq.empty
-      }
+    try {
+      val t0 = System.nanoTime()
+      graft.queries.CurationQueries.ensureTextIndex(spark, sfDir)
+      record("text_index_build", (System.nanoTime() - t0) / 1e9, isRegistry = false)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] text index build failed: $e")
+        textBuildFailed = true
+    }
 
     // min of two runs: the second run reflects steady-state (JIT-warm,
     // file-cache-warm) execution, which is what a long-lived cluster sees.
@@ -116,18 +209,18 @@ object Bench {
     // 20-50x) then poisons at most one sample per query instead of both.
     // A failing query is reported under "errors", NOT folded into the
     // timings (an aborted duration is not a measurement).
-    val errors = scala.collection.mutable.ListBuffer[String]()
-    val samples = scala.collection.mutable.Map[String, List[Double]]()
     val timed = {
       val afterAnn =
         if (annBuildFailed) {
           System.err.println(s"[bench] skipping ANN family (shared build failed): " +
             annFamily.mkString(", "))
+          annFamily.filter(SparkEntry.queries.contains).foreach(failedRows += _)
           headline.filterNot(annFamily.contains)
         } else headline
       if (textBuildFailed) {
         System.err.println(s"[bench] skipping text-search family (shared build failed): " +
           textFamily.mkString(", "))
+        textFamily.filter(SparkEntry.queries.contains).foreach(failedRows += _)
         afterAnn.filterNot(textFamily.contains)
       } else afterAnn
     }
@@ -139,19 +232,15 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).queryExecution.toRdd.count()
-        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples.getOrElse(name, Nil)
+        record(name, (System.nanoTime() - t0) / 1e9, isRegistry = true)
       } catch {
-        // NonFatal: an OOM here poisons every subsequent timing — die
+        // NonFatal: an OOM here poisons every subsequent timing — die.
+        // A failure only lists under "errors" while NO pass succeeded
+        // (an aborted duration is not a measurement; record() clears the
+        // flag on a later success).
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name failed: $e")
-      }
-    }
-    val results = headline.flatMap { name =>
-      samples.get(name) match {
-        case Some(ts) if ts.nonEmpty => Some(name -> ts.min)
-        case _ =>
-          if (SparkEntry.queries.contains(name)) errors += name
-          None
+          if (!rows.contains(name)) failedRows += name
       }
     }
     // ---- skew-resilience demo: one hot key holding ~50% of the fact side.
@@ -165,56 +254,53 @@ object Bench {
     // 3x its dedicated-run time); variant fairness WITHIN the micro is
     // handled by its own interleaved rounds, so demo order is free to
     // choose for isolation.
-    val skewResults = benchSkew(spark, sfDir)
+    benchSkew(spark, sfDir).foreach { case (k, v) => record(k, v, isRegistry = false) }
 
     // ---- bucketing demo: pay the shuffle once at write time, join
     // exchange-free forever after (the 100-TB co-location strategy)
-    val bucketResults = benchBucketed(spark, sfDir)
+    benchBucketed(spark, sfDir).foreach { case (k, v) => record(k, v, isRegistry = false) }
 
     // ---- z-order data-skipping demo: identical rows + identical box
     // query, three physical layouts. Linear-by-x prunes one dimension;
     // the z-order layout makes BOTH range predicates selective against
     // row-group min/max stats (the Delta/Iceberg OPTIMIZE ZORDER effect).
-    val zorderResults = benchZOrder(spark)
+    benchZOrder(spark).foreach { case (k, v) => record(k, v, isRegistry = false) }
 
     // ---- BPE round-batching demo: same 256 learned merges, driver rounds
     // (hence scheduling wall time) cut by the provably-commuting batch
-    val bpeResults = benchBpeRounds(spark, sfDir)
+    benchBpeRounds(spark, sfDir).foreach { case (k, v) => record(k, v, isRegistry = false) }
 
     // ---- storage-codec demo: the parquet compression decision that
     // dominates a 100-TB footprint (write cost vs bytes vs scan cost)
-    val codecResults = benchCodec(spark, sfDir)
+    benchCodec(spark, sfDir).foreach { case (k, v) => record(k, v, isRegistry = false) }
 
     // ---- pure-sketch distinct-n: the 100-TB diversity-report recipe
     // (q279's registry row carries the EXACT distinct beside the HLL so
     // its oracle can assert the bound — correct verification design, but
     // its time reads as "the approx face"; this row times the sketch-only
     // path a production report actually runs)
-    val sketchResults = benchDistinctSketch(spark, sfDir)
+    benchDistinctSketch(spark, sfDir).foreach { case (k, v) => record(k, v, isRegistry = false) }
 
     // ---- CCNet chain, stage-attributed: q191 is the registry's most
     // expensive composed row; these rows (the q214/text_index_build
     // pattern) name the stage when it regresses, the composed row stays
-    val ccnetResults = benchCcnetStages(spark, sfDir)
+    benchCcnetStages(spark, sfDir).foreach { case (k, v) => record(k, v, isRegistry = false) }
 
     // ---- q267 quality-classifier inference, stage-attributed (same
     // rationale: the most expensive previously-un-attributed row)
-    val qcResults = benchQcStages(spark, sfDir)
+    benchQcStages(spark, sfDir).foreach { case (k, v) => record(k, v, isRegistry = false) }
 
-    val qs = (annBuild ++ textBuild ++ results ++ bucketResults ++ zorderResults ++ skewResults ++ bpeResults ++ codecResults ++ sketchResults ++ ccnetResults ++ qcResults)
-      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // ---- q215 inverted-index MERGE, stage-attributed (VERDICT r16 #3:
+    // the board's heaviest genuine idle-to-idle mover, 6.98→13.39 s)
+    benchInvIndexMergeStages(spark, sfDir).foreach { case (k, v) => record(k, v, isRegistry = false) }
+
+    val line = boardLine(partial = false)
     // stop FIRST: once the context is down no background thread can emit
     // a log line that interleaves with (or trails) the result line
     spark.stop()
     // belt-and-braces artifact: the same line on disk, immune to stdout
     // capture glitches entirely
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    writeBoardFile(line)
     // printed TWICE: the driver keeps only a bounded tail of stdout, and a
     // single ~4 KB line can straddle the window edge (r3's parsed:null).
     // Two consecutive copies guarantee one complete line inside any tail
@@ -726,6 +812,42 @@ object Bench {
       pinned.foreach(p => { p.unpersist(); () })
     }
   }
+
+  /** q215's segment-merge lifecycle with per-stage wall attribution
+    * (VERDICT r16 #3: q215 drifted 1.92× between idle boards with no
+    * plan-touching diff — the only nearby change was relocating its
+    * segment dirs under the shared [[graft.io.Scratch]] root). Each
+    * stage is q215's OWN recipe at stage grain — same builds over the
+    * corpus halves, same merge, same closing query — so a regression
+    * names the stage (build-A / build-B / merge / query) instead of the
+    * composed row; the registry row stays the end-to-end truth. Fresh
+    * Scratch dirs per invocation, same as the registry row's.
+    */
+  private def benchInvIndexMergeStages(spark: SparkSession, sfDir: String): Seq[(String, Double)] =
+    try {
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      val base = graft.io.Scratch.dir("graft_inv_merge_stages")
+      def timed(f: => Unit): Double = {
+        System.gc() // aged-heap hygiene — see benchBucketed
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val tA = timed(graft.text.InvertedIndex.build(spark,
+        d.filter(col("doc_id") % 2 === 0), s"$base/a"))
+      val tB = timed(graft.text.InvertedIndex.build(spark,
+        d.filter(col("doc_id") % 2 === 1), s"$base/b"))
+      val tM = timed(graft.text.InvertedIndex.merge(spark,
+        s"$base/a", s"$base/b", s"$base/m"))
+      val tQ = timed(graft.text.InvertedIndex.query(spark, s"$base/m",
+        Seq("spark", "window", "hash")).queryExecution.toRdd.count())
+      Seq(
+        "inv_merge_stage_build_a" -> tA,
+        "inv_merge_stage_build_b" -> tB,
+        "inv_merge_stage_merge" -> tM,
+        "inv_merge_stage_query" -> tQ)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] inv-merge stage micro failed: $e"); Seq.empty
+    }
 
   /** Parquet codec trade-off on the fact table: write cost, on-disk
     * bytes, full-width scan cost for snappy (Spark's default), zstd

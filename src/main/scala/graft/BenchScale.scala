@@ -37,6 +37,13 @@ object BenchScale {
     */
   private val Rep = sys.env.getOrElse("SPARK_GRAFT_REP", "10").toInt
 
+  /** Interleaved full passes per (query, scale) — min over passes is the
+    * boarded number. Default 2 (the Bench transient-stall discipline);
+    * VERDICT r16 #6 boards the heaviest ×100 rows at 3 so the most-quoted
+    * numbers aren't two-sample measurements.
+    */
+  private val Passes = sys.env.getOrElse("SPARK_GRAFT_SCALE_PASSES", "2").toInt
+
   /** Headline subset: every workload family with one-to-few
     * representative rows (the round-14 verdict's list, plus the eval and
     * ANN families). Micros (skew/zorder/bucket) are EXCLUDED: they
@@ -160,7 +167,7 @@ object BenchScale {
     // transient-stall discipline); a failed query reports in "errors"
     val errors = scala.collection.mutable.ListBuffer[String]()
     val samples = scala.collection.mutable.Map[(String, String), List[Double]]()
-    for (_ <- 1 to 2; name <- boarded; dir <- Seq(src, dst);
+    for (_ <- 1 to Passes; name <- boarded; dir <- Seq(src, dst);
          fn <- SparkEntry.queries.get(name)) {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
@@ -192,8 +199,13 @@ object BenchScale {
     val ratios = rows.map { case (_, a, b) => b / a }.sorted
     val median = if (ratios.isEmpty) 0.0 else ratios(ratios.size / 2)
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // provenance (the Bench discipline): load1 is read at the END here —
+    // the generation step at the start makes the entry load unrepresentative
+    val load1 = try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split("\\s+")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
     val line =
-      f"""{"metric":"sf1_scaling","rep":$Rep,"sf01_total":${rows.map(_._2).sum}%.3f,"sf1_total":${rows.map(_._3).sum}%.3f,"median_ratio":$median%.2f,"queries":$qs,"errors":$errs}"""
+      f"""{"metric":"sf1_scaling","rep":$Rep,"passes":$Passes,"load1_after":$load1%.2f,"sf01_total":${rows.map(_._2).sum}%.3f,"sf1_total":${rows.map(_._3).sum}%.3f,"median_ratio":$median%.2f,"queries":$qs,"errors":$errs}"""
     spark.stop()
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))

@@ -2303,10 +2303,12 @@ object CurationQueries {
         ORDER BY 1"""))
   )
 
+  // stable under the per-JVM Scratch root (see SimilarityQueries
+  // .annIndexPath for the residue rationale — same scheme)
   private def textIndexPath(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val dirTag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${System.getProperty("java.io.tmpdir")}/graft_text_index_${dirTag}_${s.sparkContext.applicationId}"
+    graft.io.Scratch.stableDir(s"graft_text_index_$dirTag")
   }
 
   /** The search rows' SHARED persisted inverted index, built at most once
@@ -2317,8 +2319,8 @@ object CurationQueries {
     * buckets, integer stats, immutable snapshot), so reuse is
     * result-invisible: each query's rows are exactly what a fresh build
     * would return. The `_built_ok` marker commits only a COMPLETED
-    * build; the path carries the applicationId, so no state survives a
-    * session. The bench times one explicit build as its own row
+    * build; the path lives under the per-JVM Scratch root, so no state
+    * survives the run. The bench times one explicit build as its own row
     * (`text_index_build`) — the search rows then measure pure search.
     * q215 (two builds + merge) and q216 (build + forget + compact) keep
     * their builds deliberately: the build IS their story.

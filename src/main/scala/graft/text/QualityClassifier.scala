@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * every engine rederives identical weights); the forward pass is a
   * row-local transform + aggregate HOF chain: no explode, no
   * weight-table join, nothing but the final (doc_id, score) rows in any
-  * exchange. Reference behavior: the quality screens in
-  * app/analytics/quality_filters.py (keyword/score gating before
-  * ingest), re-expressed as a deterministic hashed linear model.
+  * exchange. Beyond-reference work: the reference's only text-quality
+  * gating is the keyword screen in
+  * app/etl_app/utils/helpers.py:213-226 (interpret_test_result's
+  * keyword-order verdict before ingest); this generalizes that
+  * gate-before-ingest idea to a deterministic hashed linear model.
   */
 object QualityClassifier {
 

@@ -36,13 +36,23 @@ class QueriesSmokeSpec extends SparkSpec {
     // VERDICT r15 #3: q276/q285 used to leak one temp dir per invocation;
     // withTempCsvDir now deletes eagerly (safe — both faces driver-decode).
     // Delta-based so a concurrent JVM's fixtures can't fail this suite.
+    // Shared index paths are pinned too (r17): they must allocate under
+    // the shutdown-cleaned Scratch root, never as top-level /tmp entries
+    // (the old applicationId-suffixed scheme leaked one tree per session).
     import scala.jdk.CollectionConverters._
     val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    def fixtures(): Set[String] = java.nio.file.Files.list(tmp).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("graft_csv")).toSet
+    val pinned = Seq("graft_csv", "graft_ann_index", "graft_text_index")
+    // Files.list must be closed (documented contract) — Using releases the
+    // directory handle after the name set is materialized
+    def fixtures(): Set[String] =
+      scala.util.Using.resource(java.nio.file.Files.list(tmp)) { s =>
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => pinned.exists(n.startsWith)).toSet
+      }
     val before = fixtures()
     for (q <- Seq("q276_csv_utf16_ingest", "q285_csv_cjk_ingest",
-        "q286_csv_euckr_ingest"))
+        "q286_csv_euckr_ingest", "q287_csv_koi8r_ingest",
+        "q154_ann_index_query", "q214_inverted_index_query"))
       assert(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count() > 0)
     val residue = fixtures() -- before
     assert(residue.isEmpty, s"leaked fixture dirs: $residue")

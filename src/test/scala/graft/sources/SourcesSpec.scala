@@ -125,11 +125,116 @@ class SourcesSpec extends SparkSpec {
     // (strict EUC-KR fail) or would fail the hanja-sparse gate
     val zh = "名字,城市\n你好世界欢迎光临,北京的公司\n非常感谢大家支持,上海的学校\n"
     assert(CsvSource.detectEncoding(file(zh.getBytes("GBK"))) == "GBK")
-    // KOI8-R remains the documented unclaimable tail: single-byte decodes
-    // never fail structurally, so Cyrillic falls to the deterministic
-    // cp1252 ladder (mojibake ingest, never a crash)
+    // KOI8-R is claimed by the Cyrillic rung as of r17 — see the
+    // dedicated Cyrillic spec below
     val ru = "имя,город\nАнна,Москва\n"
-    assert(CsvSource.detectEncoding(file(ru.getBytes("KOI8-R"))) == "windows-1252")
+    assert(CsvSource.detectEncoding(file(ru.getBytes("KOI8-R"))) == "KOI8-R")
+  }
+
+  test("CsvSource detects KOI8-R vs windows-1251 by density + prose case shape") {
+    def file(bytes: Array[Byte]): String = {
+      val p = Files.createTempFile("cyr", ".csv"); Files.write(p, bytes); p.toString
+    }
+    // Russian prose — mostly lowercase, the shape real exports have.
+    // KOI8-R and cp1251 have byte-REVERSED case planes, so the wrong
+    // decode reads as mostly-uppercase and fails the case gate: the same
+    // text must round out to its own charset from both encodings.
+    val ru = "имя,город\nАнна Петрова,Москва\nИван Сидоров,Санкт-Петербург\n"
+    val koiPath = file(ru.getBytes("KOI8-R"))
+    val cp1251Path = file(ru.getBytes("windows-1251"))
+    assert(CsvSource.detectEncoding(koiPath) == "KOI8-R")
+    assert(CsvSource.detectEncoding(cp1251Path) == "windows-1251")
+    // both ingest to the same rows a UTF-8 ingest gives
+    val viaUtf8 = CsvSource.read(spark, file(ru.getBytes(StandardCharsets.UTF_8)),
+      inferSchema = false).collect().map(_.toSeq).toSeq
+    assert(CsvSource.read(spark, koiPath, inferSchema = false)
+      .collect().map(_.toSeq).toSeq == viaUtf8)
+    assert(CsvSource.read(spark, cp1251Path, inferSchema = false)
+      .collect().map(_.toSeq).toSeq == viaUtf8)
+    // ISO-8859-5 / cp866 / MacCyrillic: the max-lowercase election picks
+    // the genuine charset — a wrong candidate only reads the subset of
+    // letters overlapping its own lowercase plane (ISO-8859-5 Russian
+    // leans on а-п, which KOI8-R also reads as lowercase; the genuine
+    // decode strictly beats it by the р-я letters)
+    assert(CsvSource.detectEncoding(file(ru.getBytes("ISO-8859-5"))) == "ISO-8859-5")
+    assert(CsvSource.detectEncoding(file(ru.getBytes("IBM866"))) == "IBM866")
+    assert(CsvSource.detectEncoding(file(ru.getBytes("x-MacCyrillic"))) == "x-MacCyrillic")
+    for (cs <- Seq("ISO-8859-5", "IBM866", "x-MacCyrillic"))
+      assert(CsvSource.read(spark, file(ru.getBytes(cs)), inferSchema = false)
+        .collect().map(_.toSeq).toSeq == viaUtf8, s"round-trip via $cs")
+    // ALL-CAPS Cyrillic: KOI8-R's uppercase plane (E0-FF) is byte-for-
+    // byte cp1251's LOWERCASE plane, so an all-caps KOI8-R file is
+    // indistinguishable — identical bytes — from legitimate lowercase
+    // cp1251 prose. No detector can split identical bytes; the pinned
+    // deterministic outcome is the mirror charset (cyrillicProbe doc)
+    val caps = "ИМЯ,ГОРОД\nАННА,МОСКВА\nИВАН,ТВЕРЬ\n"
+    assert(CsvSource.detectEncoding(file(caps.getBytes("KOI8-R"))) == "windows-1251")
+    // accent-sparse Latin text can never reach Cyrillic density: the
+    // cp1252 ladder keeps it (the fr fixture of the CJK spec, re-pinned
+    // here against the new rung)
+    val fr = "nom,ville\nAimé Côté,Kigali\nRenée Müller,Huyé\n"
+    assert(CsvSource.detectEncoding(file(fr.getBytes(Charset.forName("windows-1252"))))
+      == "windows-1252")
+    // the GBK election: Cyrillic whose letter runs are ALL even-length
+    // forms valid GBK pairs (hanzi-dense reading!) — the genuine reading
+    // has ~2 letters per fake pair and must win the count election
+    val evenRuns = "ид,мера\nмосква привет,москва привет\n" +
+      "москва привет,москва привет\n"
+    assert(evenRuns.split("[^а-яё]+").filter(_.nonEmpty).forall(_.length % 2 == 0),
+      "fixture drifted: every Cyrillic run must be even-length")
+    assert(CsvSource.detectEncoding(file(evenRuns.getBytes("KOI8-R"))) == "KOI8-R")
+    // ...and genuine Chinese is NEVER contested: its byte spread decodes
+    // mixed-case under every Cyrillic candidate (prose-case gate fails)
+    val zh2 = "名字,城市\n你好世界欢迎光临,北京的公司\n非常感谢大家支持,上海的学校\n"
+    assert(CsvSource.detectEncoding(file(zh2.getBytes("GBK"))) == "GBK")
+  }
+
+  test("CsvSource ambiguous hanja band (2-5%) prefers GBK when GBK reads denser") {
+    def file(bytes: Array[Byte]): String = {
+      val p = Files.createTempFile("band", ".csv"); Files.write(p, bytes); p.toString
+    }
+    // ADVICE r16's named residue: GB2312-pure Chinese whose pairs all
+    // land in KS X 1001 hangul rows (leads B0-C8) plus light hanja-row
+    // usage (lead CA) strict-decodes under EUC-KR as hangul-dense text
+    // with hanja in [2%, 5%) — the band where order alone misdetected it
+    // as EUC-KR. Synthetic pair soup: the claim is band ARITHMETIC, not
+    // any particular sentence.
+    val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+    buf ++= "a,b\n".getBytes("US-ASCII")
+    for (i <- 0 until 96) {
+      buf += (0xB0 + (i % 25)).toByte // leads B0..C8 (hangul rows)
+      buf += (0xA1 + (i % 80)).toByte // trails A1..F0 (assigned both ways)
+    }
+    for (i <- 0 until 4) { buf += 0xCA.toByte; buf += (0xA1 + i).toByte }
+    val bytes = buf.toArray
+    // sanity: the fixture really sits in the ambiguous band under EUC-KR
+    val s = new String(bytes, Charset.forName("EUC-KR"))
+    val hangul = s.count(c => c >= 0xAC00 && c <= 0xD7A3)
+    val hanja = s.count(c =>
+      (c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3400 && c <= 0x4DBF))
+    assert(hangul >= 8 && hangul.toLong * 7 >= s.length, "fixture must be hangul-dense")
+    assert(hanja.toLong * 50 >= s.length && hanja.toLong * 20 < s.length,
+      s"fixture must sit in the 2-5% hanja band (hanja=$hanja len=${s.length})")
+    // under GBK every pair is a hanzi (100 > 96 hangul) → GBK wins now
+    assert(CsvSource.detectEncoding(file(bytes)) == "GBK")
+    // near-zero-hanja Korean is UNAFFECTED: one hanja over long prose
+    // stays under 2% and claims EUC-KR without consulting GBK
+    val ko = "이름,도시\n안녕하세요 세계 여러분 오늘도 좋은 하루 되세요," +
+      "서울의 회사 家\n감사합니다 고맙습니다 반갑습니다,부산의 큰 학교\n"
+    assert(ko.count(c => c >= 0x4E00 && c <= 0x9FFF) == 1 &&
+      ko.length > 50, "fixture drifted: needs exactly one hanja and <2% density")
+    assert(CsvSource.detectEncoding(file(ko.getBytes("EUC-KR"))) == "EUC-KR")
+    // the documented trade (cjkProbe scaladoc): Korean prose whose hanja
+    // usage lands INSIDE the band now reads as GBK — structure cannot
+    // split 3%-hanja Korean from 3%-hanja-row Chinese, and the band's
+    // likelier occupant is the Chinese mojibake path ADVICE r16 flagged
+    val koBand = "이름,도시\n안녕하세요 世 여러분 오늘도 좋은 하루,서울 家 회사\n" +
+      "감사합니다 고맙습니다,부산의 학교\n"
+    val sBand = koBand
+    val bandHanja = sBand.count(c => c >= 0x4E00 && c <= 0x9FFF)
+    assert(bandHanja.toLong * 50 >= sBand.length && bandHanja.toLong * 20 < sBand.length,
+      "fixture drifted out of the 2-5% band")
+    assert(CsvSource.detectEncoding(file(koBand.getBytes("EUC-KR"))) == "GBK")
   }
 
   test("CsvSource: mis-detected wide file fails loudly, not as U+FFFD rows") {
