@@ -477,7 +477,8 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(
-        (conv(substring(md5(concat(lit("bfd#"), col(idCol))), 1, 2), 16, 10)
+        (graft.text.TextSketch.md5PrefixLong(
+            concat(lit("bfd#"), col(idCol)), 2)
           .cast("int") % buckets).as("bucket"),
         col(idCol).cast("long").as("id"),
         size(tokens(col(textCol))).cast("long").as("n"))
@@ -629,7 +630,7 @@ object Curation {
       idCol: String = "doc_id", strataCol: String = "lang",
       flagBits: Int = 3): DataFrame = {
     graft.text.TextSketch.register(docs.sparkSession)
-    def h60(c: Column) = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    def h60(c: Column) = graft.text.TextSketch.md5PrefixLong(c, 15)
     val bi = docs.select(col(idCol), col(strataCol),
         explode(graft.text.TextSketch.wordShingles(col(textCol), 2)).as("g"))
       .select(col(idCol), col(strataCol), h60(col("g")).as("bh"),
@@ -681,7 +682,7 @@ object Curation {
   /** 60-bit md5-prefix hash — the engine-portable gram key (both engines
     * compute `md5` identically; 60 bits keeps the value in a signed long).
     */
-  private def h60(c: Column) = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  private def h60(c: Column) = graft.text.TextSketch.md5PrefixLong(c, 15)
 
   /** One row per word BIGRAM of `textCol` with its 60-bit bigram hash `bh`
     * and first-word unigram hash `uh`, carrying `carry` through — the scan
@@ -773,7 +774,7 @@ object Curation {
       reference: DataFrame, textCol: String, idCol: String,
       strataCol: String, backoffBits: Int, oovBits: Int): DataFrame = {
     graft.text.TextSketch.register(target.sparkSession)
-    def h60(c: Column) = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    def h60(c: Column) = graft.text.TextSketch.md5PrefixLong(c, 15)
     def trigrams(df: DataFrame, carry: Seq[Column]): DataFrame =
       df.select(carry :+
           explode(graft.text.TextSketch.wordShingles(col(textCol), 3)).as("g"): _*)
@@ -1095,8 +1096,7 @@ object Curation {
           .when(col("bucket") === "middle", lit(middleBits))
           .otherwise(lit(tailBits)))
       .withColumn("_h",
-        conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
-          .cast("long"))
+        graft.text.TextSketch.md5PrefixLong(col(idCol).cast("string"), 15))
       .withColumn("kept", expr("shiftright(_h, 60 - _kb) = 0"))
       .drop("_h", "_kb", "t1", "t2")
   }
@@ -1217,8 +1217,7 @@ object Curation {
     require(Integer.bitCount(mBits) == 1 && mBits >= 64,
       s"mBits must be a power of two >= 64, got $mBits")
     val mask = (mBits - 1).toLong
-    def hash60(c: Column): Column =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    def hash60(c: Column): Column = graft.text.TextSketch.md5PrefixLong(c, 15)
     // k=4 double-hashed probe positions: h1 + i*h2 mod m, h2 forced odd
     // so the probe stride cycles the full power-of-two table.
     def positions(h: Column): Column = {
@@ -1377,10 +1376,16 @@ object Curation {
   def removeDupSpans(docs: DataFrame, windowTokens: Int = 10,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     graft.text.TextSketch.register(docs.sparkSession)
+    // window key = 60-bit md5 prefix, not the 32-char hex string: the
+    // (id, h) shuffle carries an 8-byte long per window instead of a
+    // 32-char string (guide §2.3 — narrower shuffle keys; the window
+    // hash is already the paper's approximation, and 60 bits keeps the
+    // collision odds negligible at any corpus the full digest served)
     val winds = docs.select(col(idCol),
         posexplode(graft.text.TextSketch.wordShingles(col(textCol), windowTokens))
           .as(Seq("i", "wtext")))
-      .select(col(idCol), col("i"), md5(col("wtext")).as("h"))
+      .select(col(idCol), col("i"),
+        graft.text.TextSketch.md5PrefixLong(col("wtext"), 15).as("h"))
     // multiplicity via the two-level aggregate (the chunkDedupReport
     // discipline): the (id, h) grain splits a hot boilerplate key across
     // documents at the map-side combine, the per-h totals reduce the
@@ -1441,7 +1446,10 @@ object Curation {
     }
     val segs = docs
       .select(col(idCol), posexplode(segsOf(toks)).as(Seq("seg", "s")))
-      .select(col(idCol), col("seg"), md5(col("s")).as("h"))
+      .select(col(idCol), col("seg"),
+        // 60-bit segment key (see removeDupSpans) — clean_md5 below stays
+        // the full digest, it is part of the declared output
+        graft.text.TextSketch.md5PrefixLong(col("s"), 15).as("h"))
     val keepers = segs.groupBy("h")
       .agg(min(struct(col(idCol), col("seg"))).as("kp"))
     val drops = segs.join(keepers, Seq("h"))

@@ -96,15 +96,22 @@ object LinkGraph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var hub = nodes.withColumn("h", lit(scale))
     var auth = nodes.withColumn("a", lit(0L))
-    for (i <- 1 to iters) {
+    for (_ <- 1 to iters) {
+      // checkpoint the SUM frame, not the rescaled result: rescaled()
+      // consumes sums twice (the scalar max collect + the densifying
+      // join), and un-materialized that recomputed the whole edge⋈score
+      // aggregate once per consumer every round (guide §1.2 — don't
+      // compute things twice; the sums frame is node-grain, two longs).
+      // The rescaled frames stay lazy: one cheap join over checkpointed
+      // sums, so lineage is still bounded per round.
       val aSums = e.join(hub, e("src") === hub("node_id"))
         .groupBy("dst").agg(sum("h").as("a_raw"))
+        .localCheckpoint(eager = true)
       auth = rescaled(nodes, aSums, "dst", "a_raw", "a", scale)
-      if (i < iters) auth = auth.localCheckpoint(eager = true)
       val hSums = e.join(auth, e("dst") === auth("node_id"))
         .groupBy("src").agg(sum("a").as("h_raw"))
+        .localCheckpoint(eager = true)
       hub = rescaled(nodes, hSums, "src", "h_raw", "h", scale)
-      if (i < iters) hub = hub.localCheckpoint(eager = true)
     }
     detach(
       nodes.join(hub, "node_id").join(auth, "node_id")

@@ -483,12 +483,21 @@ object AnnIndex {
       .withColumn("new_cell",
         VecOps.argmaxCell(col("embedding"), col("v_nrm"), children))
       .select(col("vec_id"), col("new_cell"))
+    // pinned: the four consumers below (one count aggregate + two child
+    // writes) each re-ran the resident join AND the k=2 assignment argmax
+    // un-materialized — the cell's rows are split-sized, so the pin is
+    // cheap and the re-assignments are not (guide §5: cache only what is
+    // reused AND expensive to recompute; both hold here)
     val childRows = residents.join(assigned, Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idx = new Path(indexDir(path))
     val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stagingRoot = new Path(idx, StagingDir)
-    val keptN = childRows.filter(col("new_cell") === cell).count()
-    val movedN = childRows.filter(col("new_cell") === newCellId).count()
+    // one aggregate for both member counts (was two full counts)
+    val byChild = childRows.groupBy("new_cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keptN = byChild.getOrElse(cell, 0L)
+    val movedN = byChild.getOrElse(newCellId, 0L)
     // stage EVERYTHING before the journal: both children + the sidecar
     childRows.filter(col("new_cell") === cell).select("vec_id", "codes")
       .write.mode(SaveMode.Overwrite)
@@ -496,6 +505,7 @@ object AnnIndex {
     childRows.filter(col("new_cell") === newCellId).select("vec_id", "codes")
       .write.mode(SaveMode.Overwrite)
       .parquet(new Path(stagingRoot, s"cell=$newCellId").toString)
+    childRows.unpersist()
     val newCoarse = cb.coarse.filterNot(_._1 == cell) ++ children
     newCoarse.sortBy(_._1).toDF("c_id", "centroid", "c_nrm")
       .coalesce(1).write.mode(SaveMode.Overwrite)

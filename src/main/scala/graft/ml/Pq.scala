@@ -36,27 +36,34 @@ object Pq {
 
   /** Squared L2 distance between a subvector column and a literal
     * centroid, folded in element order (bit-reproducible across engines:
-    * the oracle's `list_reduce` folds the same sequence).
+    * the oracle's `list_reduce` folds the same sequence). Native
+    * [[PqSqDist]] — one JVM loop per row, identical values and null
+    * semantics to the `aggregate(zip_with(...))` HOF chain it replaces
+    * (guide §4: the chain paid an interpreted lambda frame per element).
     */
-  private def sqDistTo(sub: Column, c: Seq[Double]): Column =
-    aggregate(
-      zip_with(sub, lit(c.toArray), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+  private def sqDistTo(sub: Column, c: Seq[Double]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(PqSqDist(Seq(
+      ColumnBridge.expression(sub),
+      ColumnBridge.expression(typedLit(c.toIndexedSeq)))))
+  }
 
   /** Subvector m of a 64-wide embedding column (1-based slice). */
   private def subvec(vec: Column, m: Int, subDim: Int): Column =
     slice(vec.cast("array<double>"), m * subDim + 1, subDim)
 
   /** Row-local L2 argmin over a literal codebook; ties break to the
-    * LOWEST centroid index (first `when` wins), matching the oracle's
-    * `ROW_NUMBER ... ORDER BY dist, c_id`.
+    * LOWEST centroid index, matching the oracle's `ROW_NUMBER ... ORDER
+    * BY dist, c_id`. Native [[PqArgminCell]] — bit-identical to the
+    * previous `least + when`-chain over per-centroid HOF distances (which
+    * evaluated K interpreted folds per row TWICE: once inside `least`,
+    * once in the matching `when` arm).
     */
   private def argminCell(sub: Column, cb: SubCodebook): Column = {
-    val dists = cb.map(c => sqDistTo(sub, c))
-    val minD = least(dists: _*)
-    dists.zipWithIndex.tail.foldLeft(when(dists.head === minD, 0L)) {
-      case (acc, (d, i)) => acc.when(d === minD, i.toLong)
-    }
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(PqArgminCell(Seq(
+      ColumnBridge.expression(sub),
+      ColumnBridge.expression(typedLit(cb.map(_.toIndexedSeq).toIndexedSeq)))))
   }
 
   /** Train M sub-codebooks with `iters` Lloyd iterations each. Init per
@@ -73,27 +80,42 @@ object Pq {
       .collect().map(_.getSeq[Double](0))
     require(initRows.length == k, s"PQ init needs $k vectors, got ${initRows.length}")
 
-    (0 until m).map { mi =>
-      var cb: SubCodebook = initRows.map(v => v.slice(mi * subDim, (mi + 1) * subDim)).toSeq
-      for (_ <- 1 to iters) {
+    // All M subspace loops advance together: one corpus pass per Lloyd
+    // iteration computes every subspace's (cell, n, per-dim decimal sums)
+    // — the per-(mi, cell) groups are identical to M independent passes
+    // (subspaces never interact), so the learned codebooks are
+    // bit-identical while the corpus is scanned `iters` times instead of
+    // `m × iters` (guide §1.2: the distributed algorithm first — don't
+    // re-read what one pass can aggregate).
+    var cbs: IndexedSeq[SubCodebook] = (0 until m).map(mi =>
+      initRows.map(v => v.slice(mi * subDim, (mi + 1) * subDim)).toSeq)
+    for (_ <- 1 to iters) {
+      val perM = array((0 until m).map { mi =>
         val sub = subvec(col("embedding"), mi, subDim)
-        val agg = clean
-          .select(sub.as("__sub"))
-          .select(argminCell(col("__sub"), cb).as("cell"), col("__sub").as("sub"))
-          .groupBy("cell")
-          .agg(count(lit(1)).as("n"), (0 until subDim).map(i =>
-            sum((try_element_at(col("sub"), lit(i + 1)) * KMeans.Scale)
-              .cast("decimal(38,0)")).as(s"s$i")): _*)
-          .collect()
-          .map { r =>
-            val n = r.getLong(1)
-            r.getLong(0) -> (0 until subDim).map(i =>
-              java.lang.Double.parseDouble(r.getDecimal(2 + i).toPlainString) / n / KMeans.Scale)
-          }.toMap
-        cb = cb.zipWithIndex.map { case (prev, id) => agg.getOrElse(id.toLong, prev) }
+        struct(lit(mi).as("mi"), argminCell(sub, cbs(mi)).as("cell"),
+          sub.as("sub"))
+      }: _*)
+      val agg = clean
+        .select(explode(perM).as("x"))
+        .select(col("x.mi").as("mi"), col("x.cell").as("cell"),
+          col("x.sub").as("sub"))
+        .groupBy("mi", "cell")
+        .agg(count(lit(1)).as("n"), (0 until subDim).map(i =>
+          sum((try_element_at(col("sub"), lit(i + 1)) * KMeans.Scale)
+            .cast("decimal(38,0)")).as(s"s$i")): _*)
+        .collect()
+        .map { r =>
+          val n = r.getLong(2)
+          (r.getInt(0), r.getLong(1)) -> (0 until subDim).map(i =>
+            java.lang.Double.parseDouble(r.getDecimal(3 + i).toPlainString) / n / KMeans.Scale)
+        }.toMap
+      cbs = cbs.zipWithIndex.map { case (cb, mi) =>
+        cb.zipWithIndex.map { case (prev, id) =>
+          agg.getOrElse((mi, id.toLong), prev)
+        }
       }
-      cb
     }
+    cbs
   }
 
   /** Encode every vector to its M codes — entirely row-local in the scan

@@ -127,6 +127,110 @@ case class VecArgmaxCell(children: Seq[Expression])
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
+/** `pq_sqdist(sub, centroid)` — squared L2 distance between a
+  * double-array column and a LITERAL centroid as one native loop.
+  * Bit-identical to `aggregate(zip_with(sub, lit(c), (x,y)=>(x-y)*(x-y)),
+  * 0.0, (acc,x)=>acc+x)` including its null semantics: a null array or a
+  * length mismatch (zip_with pads the shorter side with null, poisoning
+  * the fold) or a null element yields null; the fold runs left-to-right
+  * from 0.0. The HOF chain it replaces is CodegenFallback with an
+  * interpreted lambda frame PER ELEMENT — this is the PQ training/encode
+  * hot loop (M×K of these per row).
+  */
+case class PqSqDist(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private lazy val centroid: Array[Double] = {
+    val arr = children(1).eval(InternalRow.empty).asInstanceOf[ArrayData]
+    arr.toDoubleArray()
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = children(0).eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    PqMath.sqDist(a, centroid)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+private[ml] object PqMath {
+
+  /** Squared L2 with the zip_with/aggregate null semantics (see
+    * [[PqSqDist]]): boxed null on length mismatch or null element.
+    */
+  def sqDist(a: ArrayData, c: Array[Double]): Any = {
+    if (a.numElements() != c.length) return null
+    var acc = 0.0
+    var i = 0
+    while (i < c.length) {
+      if (a.isNullAt(i)) return null
+      val d = a.getDouble(i) - c(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `pq_argmin_cell(sub, codebook)` — L2 argmin of a double-array column
+  * against a LITERAL sub-codebook (array<array<double>>), as one native
+  * loop. Bit-identical to the `least(dists) + when(d === minD, i)` chain
+  * over [[PqSqDist]]-shaped distances it replaces:
+  *  - a null distance (null array handled first; length mismatch / null
+  *    element) is skipped by `least`, and its `when` arm never matches;
+  *  - `least` orders NaN GREATEST (a NaN distance loses to any non-NaN
+  *    and ties with NaN), and `EqualTo` treats NaN = NaN as true — so the
+  *    all-NaN case picks centroid 0, matching SQL;
+  *  - ties break to the LOWEST centroid index (first `when` wins);
+  *  - every distance null → null.
+  */
+case class PqArgminCell(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  private lazy val codebook: Array[Array[Double]] = {
+    val arr = children(1).eval(InternalRow.empty).asInstanceOf[ArrayData]
+    (0 until arr.numElements())
+      .map(i => arr.getArray(i).toDoubleArray()).toArray
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = children(0).eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    var bestIdx = -1L
+    var best = 0.0
+    var c = 0
+    while (c < codebook.length) {
+      PqMath.sqDist(a, codebook(c)) match {
+        case null => ()
+        case d: java.lang.Double =>
+          val dv = d.doubleValue()
+          // SQL least: NaN sorts greatest; first strict improvement wins,
+          // so equal (incl. NaN == NaN) keeps the earlier (lower) index
+          val better =
+            if (bestIdx < 0L) true
+            else if (dv.isNaN) false
+            else best.isNaN || dv < best
+          if (better) { best = dv; bestIdx = c.toLong }
+      }
+      c += 1
+    }
+    if (bestIdx < 0L) null else bestIdx
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
 object VecOps {
 
   private val name = "vec_dot"

@@ -89,7 +89,7 @@ object CountMin {
     */
   private def bucketOf(width: Int) =
     pmod(
-      conv(substring(md5(concat(col("seed").cast("string"), lit(":"), col("_cmk"))),
-        1, 15), 16, 10).cast("long"),
+      graft.text.TextSketch.md5PrefixLong(
+        concat(col("seed").cast("string"), lit(":"), col("_cmk")), 15),
       lit(width.toLong))
 }

@@ -387,8 +387,8 @@ object PipelineQueries {
         val srcNum = substring(col("source"), 4, 2).cast("int")
         val rate = lit(100) + lit(150) * (srcNum % 4)
         val epochs = lit(1) + (srcNum % 3)
-        val bucket = conv(substring(md5(concat(lit("mix#"), col("doc_id"))), 1, 4), 16, 10)
-          .cast("int") % 1000
+        val bucket = graft.text.TextSketch.md5PrefixLong(
+          concat(lit("mix#"), col("doc_id")), 4).cast("int") % 1000
         d.select(col("source"), rate.as("target_permille"), epochs.as("epochs"),
           (bucket < rate).as("keep"))
           .groupBy("source", "target_permille", "epochs")
@@ -497,8 +497,9 @@ object PipelineQueries {
             (col("b") * col("sq")).cast("double") /
               (col("sqsum") * col("chars")).cast("double"))
           .select("source", "docs", "chars", "weight", "epochs")
-        val u = conv(substring(md5(concat(lit("temp#"), col("doc_id"))), 1, 12),
-          16, 10).cast("long").cast("double") / lit(281474976710656.0) // 2^48
+        val u = graft.text.TextSketch.md5PrefixLong(
+          concat(lit("temp#"), col("doc_id")), 12)
+          .cast("double") / lit(281474976710656.0) // 2^48
         val sampled = d
           .join(broadcast(mix.select("source", "epochs")), "source")
           .withColumn("reps", floor(col("epochs")) +

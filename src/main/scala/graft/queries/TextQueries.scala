@@ -705,7 +705,7 @@ object TextQueries {
         val comp = nonRoot.unionByName(
           nonRoot.select(col("root").as("node"), col("root")).distinct())
         def bucket(c: org.apache.spark.sql.Column) =
-          conv(substring(md5(concat(lit("split#"), c)), 1, 4), 16, 10)
+          graft.text.TextSketch.md5PrefixLong(concat(lit("split#"), c), 4)
             .cast("int") % 100
         def splitOf(b: org.apache.spark.sql.Column) =
           when(b < 80, "train").when(b < 90, "val").otherwise("test")
@@ -1005,8 +1005,8 @@ object TextQueries {
     Q("q30b_hash_split",
       (s, dir) => {
         val d = t(s, dir, "documents")
-        val bucket = conv(substring(md5(concat(lit("split#"), col("doc_id"))), 1, 4), 16, 10)
-          .cast("int") % 100
+        val bucket = graft.text.TextSketch.md5PrefixLong(
+          concat(lit("split#"), col("doc_id")), 4).cast("int") % 100
         d.select(col("lang"),
           when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
           .groupBy("lang", "split").agg(count(lit(1)).as("docs"))
@@ -2032,10 +2032,10 @@ object TextQueries {
         val n = size(toks)
         // cut1 in [1, n-2], cut2 in (cut1, n-1]: both from md5 of the id
         // (content-addressed), so every engine derives the same split
-        val h1 = conv(substring(md5(concat(col("doc_id").cast("string"),
-          lit("#fim1"))), 1, 8), 16, 10).cast("long")
-        val h2 = conv(substring(md5(concat(col("doc_id").cast("string"),
-          lit("#fim2"))), 1, 8), 16, 10).cast("long")
+        val h1 = graft.text.TextSketch.md5PrefixLong(
+          concat(col("doc_id").cast("string"), lit("#fim1")), 8)
+        val h2 = graft.text.TextSketch.md5PrefixLong(
+          concat(col("doc_id").cast("string"), lit("#fim2")), 8)
         val cut1 = (pmod(h1, (n - 2).cast("long")) + 1).cast("int")
         val cut2 = (cut1 + 1 + pmod(h2, (n - 1).cast("long") - cut1)).cast("int")
         val pre = slice(toks, lit(1), cut1)

@@ -40,8 +40,7 @@ object InvertedIndex {
     * [[bucketOf]] for pruning.
     */
   def termBucket(term: Column): Column =
-    pmod(conv(substring(md5(term), 1, 15), 16, 10).cast("long"),
-      lit(Buckets.toLong))
+    pmod(TextSketch.md5PrefixLong(term, 15), lit(Buckets.toLong))
 
   /** Driver-side twin of [[termBucket]] (same md5-prefix math). */
   def bucketOf(term: String): Long = {
@@ -54,18 +53,43 @@ object InvertedIndex {
     val toks = TextFunctions.tokens(col(textCol))
     // positions are POSITIONAL postings (sorted token offsets per doc)
     // — what phrase search intersects; bm25 prunes the column away at
-    // the parquet scan, so ranked queries never pay for it
-    val base = docs.select(col(idCol).as("doc_id"), size(toks).as("dl"),
-      posexplode(toks).as(Seq("pos", "term")))
-    val tf = base.groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).as("tf"),
-        sort_array(collect_list(col("pos"))).as("positions"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    writeLayout(spark, path,
-      tf.join(df, "term"),
-      docs.agg(count(lit(1)).as("n"),
-        sum(size(toks)).cast("long").as("total_tokens")))
+    // the parquet scan, so ranked queries never pay for it.
+    //
+    // Per-doc posting lists are computed ROW-LOCALLY ([[graft.text
+    // .TermPostings]]): the old posexplode → groupBy(term, doc_id, dl)
+    // shuffled every (term, pos) pair just to regroup them by a key set
+    // that included the doc id — i.e. a per-document aggregation that
+    // never needed an exchange (guide §2.3/§2.4). The doc-grain frame is
+    // pinned so the three consumers below (posting rows, df, stats) share
+    // ONE tokenize+postings pass instead of re-scanning the corpus each.
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), size(toks).as("dl"),
+        TextSketch.termPostings(toks).as("po"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tf = perDoc
+        .select(col("doc_id"), col("dl"), explode(col("po")).as("p"))
+        .select(col("p.term").as("term"), col("doc_id"), col("dl"),
+          col("p.tf").as("tf"), col("p.positions").as("positions"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      writeLayout(spark, path,
+        joinDf(tf, df),
+        perDoc.agg(count(lit(1)).as("n"),
+          sum(col("dl")).cast("long").as("total_tokens")))
+    } finally { perDoc.unpersist(); () }
   }
+
+  /** Attach the term-grain df frame to posting-grain rows WITHOUT
+    * shuffling the postings: df is vocabulary-grain (Heaps-law sublinear
+    * in the corpus), so it broadcasts; the posting rows — the side that
+    * carries the positional arrays — never cross an exchange (guide §3.1:
+    * broadcast the side that fits; §8: move the heavy rows zero times,
+    * ship the term-keyed metadata instead). For a corpus whose vocabulary
+    * outgrows the broadcast cap, drop the hint and let AQE pick the
+    * strategy — results are identical either way.
+    */
+  private def joinDf(postings: DataFrame, df: DataFrame): DataFrame =
+    postings.join(broadcast(df), "term")
 
   /** Write postings + stats + marker. Stats persist (n, total_tokens)
     * — integer corpus totals, so [[merge]] and [[compact]] can
@@ -100,14 +124,27 @@ object InvertedIndex {
     Seq(segA, segB).foreach(requireComplete(spark, _))
     val pa = spark.read.parquet(postingsDir(segA))
     val pb = spark.read.parquet(postingsDir(segB))
-    val all = pa.unionByName(pb).drop("df", "tb")
-    val df = all.groupBy("term").agg(count(lit(1)).as("df"))
+    // Merged df adds the OTHER segment's per-term df to each posting's
+    // own denormalized df (exact for disjoint doc sets: dfA + dfB is the
+    // union's count) — each segment's df is already on its rows, so the
+    // recount the old formulation ran (groupBy(term) over the union, then
+    // a term-keyed join that re-shuffled every posting row INCLUDING the
+    // positional arrays) collapses to two vocabulary-grain aggregates
+    // broadcast onto unshuffled posting rows (guide §2.4/§8).
+    def segDf(p: DataFrame, as: String): DataFrame =
+      p.groupBy("term").agg(max("df").as(as))
+    def addOther(p: DataFrame, other: DataFrame, as: String): DataFrame =
+      p.drop("tb").join(broadcast(other), Seq("term"), "left")
+        .withColumn("df", col("df") + coalesce(col(as), lit(0L)))
+        .drop(as)
+    val merged = addOther(pa, segDf(pb, "_dfb"), "_dfb")
+      .unionByName(addOther(pb, segDf(pa, "_dfa"), "_dfa"))
     val sa = spark.read.parquet(statsDir(segA)).head()
     val sb = spark.read.parquet(statsDir(segB)).head()
     import spark.implicits._
     val stats = Seq((sa.getLong(0) + sb.getLong(0),
       sa.getLong(1) + sb.getLong(1))).toDF("n", "total_tokens")
-    writeLayout(spark, out, all.join(df, "term"), stats)
+    writeLayout(spark, out, merged, stats)
   }
 
   /** Tombstone DELETE — the Lucene answer to "an immutable snapshot
@@ -149,6 +186,8 @@ object InvertedIndex {
       .head()
     val kept = p.join(broadcast(dels), Seq("doc_id"), "left_anti")
       .drop("df", "tb")
+    // narrow term-grain recount, broadcast back (joinDf) — the surviving
+    // posting rows and their positional arrays never shuffle
     val df = kept.groupBy("term").agg(count(lit(1)).as("df"))
     val st = spark.read.parquet(statsDir(path)).head()
     import spark.implicits._
@@ -161,7 +200,7 @@ object InvertedIndex {
     // directory — compaction clears the tombstones by construction.
     val root = new org.apache.hadoop.fs.Path(path)
     val staged = stagingPath(root)
-    writeLayout(spark, staged.toString, kept.join(df, "term"), stats)
+    writeLayout(spark, staged.toString, joinDf(kept, df), stats)
     val bak = bakPath(root)
     if (!fs.rename(root, bak))
       throw new java.io.IOException(s"compact backup rename failed: $root")

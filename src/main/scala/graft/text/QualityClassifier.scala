@@ -24,21 +24,25 @@ object QualityClassifier {
 
   val Buckets = 64
 
-  /** Word bigrams of a whitespace token array (empty below 2 tokens). */
-  def bigrams(toks: Column): Column =
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", slice(toks, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
+  /** Word bigrams of a whitespace token array (empty below 2 tokens).
+    * Native one-pass [[graft.text.ArrayBigrams]] — same strings as the
+    * previous `transform(sequence(...), i -> concat_ws(" ", slice(toks,
+    * i, 2)))` HOF chain, which allocated a slice array and an interpreted
+    * lambda frame per bigram (the dominant stage of the q267 forward
+    * pass, per the qc_stage_bigrams bench row).
+    */
+  def bigrams(toks: Column): Column = TextSketch.arrayBigrams(toks)
 
-  /** Hashing-trick bucket id of one gram. */
+  /** Hashing-trick bucket id of one gram. Native md5-prefix (same value
+    * as `conv(substring(md5(g), 1, 8), 16, 10)` — guide §4).
+    */
   def bucket(g: Column): Column =
-    pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"), lit(Buckets.toLong))
+    pmod(TextSketch.md5PrefixLong(g, 8), lit(Buckets.toLong))
 
   /** Content-addressed integer weight of a bucket, in [-1000, 1000]. */
   def weight(b: Column): Column =
-    pmod(conv(substring(md5(concat(lit("w#"), b.cast("string"))), 1, 4),
-      16, 10).cast("long"), lit(2001L)) - 1000L
+    pmod(TextSketch.md5PrefixLong(concat(lit("w#"), b.cast("string")), 4),
+      lit(2001L)) - 1000L
 
   /** The fused forward pass: dot(weights, feature multiset) as one
     * row-local aggregate.

@@ -53,7 +53,7 @@ object TextFunctions {
     * fits a signed long, mirrors DuckDB's CAST('0x'||hex AS BIGINT).
     */
   def tokenHash60(tok: Column): Column =
-    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+    TextSketch.md5PrefixLong(tok, 15)
 
   /** 60-bit SimHash over a token array — computed entirely row-local via
     * higher-order functions (no explode/groupBy): for each bit, tokens

@@ -35,14 +35,29 @@ private object Md5Hash {
   }
 
   /** First 15 hex chars of md5(s) as a 60-bit long. */
-  def first15(s: String): Long = {
+  def first15(s: String): Long =
+    firstN(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), 15)
+
+  /** First `nHex` hex chars of md5(bytes) parsed base 16 — the direct
+    * byte-math form of `conv(substring(md5(x), 1, nHex), 16, 10)`: same
+    * value (md5 hex is big-endian nibble order, conv parses base-16
+    * left-to-right), no hex-string materialization, no base-conversion
+    * parse. nHex <= 15 keeps the value inside a non-negative long.
+    */
+  def firstN(bytes: Array[Byte], nHex: Int): Long = {
     val d = digest.get()
     d.reset()
-    val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val b = d.digest(bytes)
     var v = 0L
     var i = 0
-    while (i < 7) { v = (v << 8) | (b(i) & 0xFFL); i += 1 }
-    (v << 4) | ((b(7) & 0xF0L) >>> 4)
+    while (i < nHex) {
+      val nib =
+        if ((i & 1) == 0) (b(i >> 1) & 0xF0) >>> 4
+        else b(i >> 1) & 0x0F
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
   }
 
   /** Spark `split(trim(text), "\s+")` — trim strips ' ' only. */
@@ -265,6 +280,128 @@ case class SortedIntersectCount(children: Seq[Expression])
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
+/** `md5_prefix_long(s, nHex)` → first `nHex` (≤ 15) hex chars of md5(s)
+  * parsed base 16, as one native expression. Bit-identical to the
+  * `conv(substring(md5(s), 1, nHex), 16, 10).cast("long")` chain it
+  * replaces (guide §4: the chain materializes a 32-char hex string,
+  * substrings it, and reparses base 16 PER ROW — pure allocation that the
+  * byte-math form skips; this hash sits under every gram/bucket/bloom
+  * path, so it is the hottest scalar in the text tier).
+  */
+case class Md5PrefixLong(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private lazy val nHex: Int =
+    children(1).eval(InternalRow.empty).asInstanceOf[Int]
+
+  override def eval(input: InternalRow): Any = {
+    val s = children(0).eval(input)
+    if (s == null) return null
+    Md5Hash.firstN(s.asInstanceOf[UTF8String].getBytes, nHex)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/** `array_bigrams(toks)` → array<string> of space-joined adjacent token
+  * pairs (empty below 2 tokens; null input → empty). One native pass —
+  * replaces the `transform(sequence(1, n-1), i -> concat_ws(" ",
+  * slice(toks, i, 2)))` HOF chain, which allocates a slice array plus an
+  * interpreted lambda frame per bigram (measured: the dominant stage of
+  * the q267 classifier forward pass).
+  */
+case class ArrayBigrams(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val t = children(0).eval(input)
+    if (t == null) return new GenericArrayData(Array.empty[Any])
+    val toks = t.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var prev = toks.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = toks.getUTF8String(i)
+      out(i - 1) = UTF8String.concat(prev, UTF8String.fromString(" "), cur)
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/** `term_postings(toks)` → array<struct<term string, tf long,
+  * positions array<int>>> — the per-document posting lists of a token
+  * array, computed row-locally in ONE pass (first-occurrence order;
+  * positions ascending by construction). Replaces the inverted-index
+  * build's posexplode → groupBy(term, doc_id) → collect_list shuffle:
+  * the grouping keys include the doc id, so the aggregation is perfectly
+  * document-local and never needed an exchange at all (guide §2.3/§2.4 —
+  * the map-side-aggregation limit case). tf and the sorted positions are
+  * bit-identical to the groupBy form.
+  */
+case class TermPostings(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("positions",
+        ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false),
+        nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val t = children(0).eval(input)
+    if (t == null) return null
+    val toks = t.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    // first-occurrence order, positions accumulated ascending
+    val order = new java.util.LinkedHashMap[UTF8String, java.util.ArrayList[Int]]()
+    var i = 0
+    while (i < n) {
+      val term = toks.getUTF8String(i).clone()
+      var ps = order.get(term)
+      if (ps == null) { ps = new java.util.ArrayList[Int](4); order.put(term, ps) }
+      ps.add(i)
+      i += 1
+    }
+    val out = new Array[Any](order.size())
+    val it = order.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val ps = e.getValue
+      val posArr = new Array[Any](ps.size())
+      var p = 0
+      while (p < ps.size()) { posArr(p) = ps.get(p); p += 1 }
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, ps.size().toLong, new GenericArrayData(posArr)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
 object TextSketch {
 
   private val minhashName = "minhash_sig"
@@ -309,4 +446,29 @@ object TextSketch {
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function(intersectName, a, b)
+
+  // ---- registry-free builders (ColumnBridge — usable from pure Column
+  // helpers with no SparkSession at hand, the WebText.htmlText pattern)
+
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  /** First `nHex` (≤ 15) md5 hex chars of `s` as a long — the native,
+    * bit-identical form of `conv(substring(md5(s), 1, nHex), 16, 10)`.
+    */
+  def md5PrefixLong(s: Column, nHex: Int): Column = {
+    require(nHex >= 1 && nHex <= 15, s"nHex out of long range: $nHex")
+    ColumnBridge.column(Md5PrefixLong(Seq(
+      ColumnBridge.expression(s.cast("string")),
+      org.apache.spark.sql.catalyst.expressions.Literal(nHex))))
+  }
+
+  /** Space-joined adjacent token pairs, one native pass (empty below 2
+    * tokens; null → empty).
+    */
+  def arrayBigrams(toks: Column): Column =
+    ColumnBridge.column(ArrayBigrams(Seq(ColumnBridge.expression(toks))))
+
+  /** Per-document posting lists of a token array — see [[TermPostings]]. */
+  def termPostings(toks: Column): Column =
+    ColumnBridge.column(TermPostings(Seq(ColumnBridge.expression(toks))))
 }
