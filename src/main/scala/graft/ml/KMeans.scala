@@ -51,26 +51,38 @@ object KMeans {
       VecOps.norm(col("embedding")).as("v_nrm"))
 
     for (_ <- 1 to iters) {
-      val dimSums = (0 until dims).map(i =>
-        // try_element_at: a short vector contributes null (skipped by sum)
-        // for missing dims instead of an ANSI INVALID_ARRAY_INDEX error
-        sum((try_element_at(col("embedding"), lit(i + 1)).cast("double") * Scale)
-          .cast("decimal(38,0)")).as(s"s$i"))
+      // (cell, dim)-GRAIN update aggregate, not a 64-column-wide one: the
+      // wide form generated one giant whole-stage-codegen aggregate (64
+      // decimal buffers) whose per-plan compile cost dominated a cold
+      // build; this form's generated code is dim-independent and the
+      // decimal partials per (cell, dim) are the IDENTICAL value sets
+      // (decimal integer addition is order-independent), so the learned
+      // centroids are bit-equal. Every row emits every dim index, so the
+      // per-(cell, dim) row count is the cell's row count n, exactly as
+      // count(*) was; try_element_at keeps a short vector contributing
+      // null (skipped by sum) for its missing dims, as before.
       val agg = withNrm
         .withColumn("cell", VecOps.argmaxCell(col("embedding"), col("v_nrm"), codebook))
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n"), dimSums: _*)
+        .select(col("cell"), explode(typedLit((0 until dims).toList)).as("dim"),
+          col("embedding"))
+        .select(col("cell"), col("dim"),
+          (try_element_at(col("embedding"), col("dim") + 1).cast("double") * Scale)
+            .cast("decimal(38,0)").as("v"))
+        .groupBy("cell", "dim")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
         .collect()
-        .map { r =>
-          val n = r.getLong(1)
-          val c = (0 until dims).map(i =>
-            // toString->parseDouble is guaranteed correctly rounded; it
-            // mirrors the oracle's VARCHAR round-trip (see Qx.d2d)
-            java.lang.Double.parseDouble(r.getDecimal(2 + i).toPlainString) / n / Scale)
-          r.getLong(0) -> c
-        }.toMap
+      val byCell = agg.groupBy(_.getLong(0)).map { case (cell, rows) =>
+        val n = rows.head.getLong(2)
+        val c = rows.sortBy(_.getInt(1)).map { r =>
+          if (r.isNullAt(3)) 0.0
+          // toString->parseDouble is guaranteed correctly rounded; it
+          // mirrors the oracle's VARCHAR round-trip (see Qx.d2d)
+          else java.lang.Double.parseDouble(r.getDecimal(3).toPlainString) / n / Scale
+        }.toIndexedSeq
+        cell -> c
+      }
       codebook = codebook.map { case (id, prev, prevNrm) =>
-        agg.get(id) match {
+        byCell.get(id) match {
           case Some(c) => (id, c, norm(c))
           case None => (id, prev, prevNrm) // empty cell: keep centroid
         }
