@@ -1614,17 +1614,24 @@ object Curation {
   def writePackedCorpus(docs: DataFrame, path: String, seqTokens: Int = 512,
       numFiles: Int = 8, strataCol: String = "lang", idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
+    // pinned: the segment frame feeds BOTH the layout write and the
+    // manifest aggregate — un-materialized, the whole tokenize + cumsum
+    // chain (including its pass-1 stats job) ran once per consumer
+    // (guide §5: reused AND expensive; the rows are narrow longs)
     val segs = packSequences(docs, seqTokens, strataCol, idCol, textCol)
-    segs
-      .repartitionByRange(numFiles, col(strataCol), col("seq"))
-      .sortWithinPartitions(strataCol, "seq", "seg_start")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy(strataCol).parquet(s"$path/segments")
-    val manifest = segs.groupBy(strataCol).agg(
-      countDistinct("seq").as("sequences"),
-      count(lit(1)).as("segments"),
-      sum("seg_len").as("tokens"))
-    graft.io.Writers.overwrite(manifest, s"$path/_manifest")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      segs
+        .repartitionByRange(numFiles, col(strataCol), col("seq"))
+        .sortWithinPartitions(strataCol, "seq", "seg_start")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy(strataCol).parquet(s"$path/segments")
+      val manifest = segs.groupBy(strataCol).agg(
+        countDistinct("seq").as("sequences"),
+        count(lit(1)).as("segments"),
+        sum("seg_len").as("tokens"))
+      graft.io.Writers.overwrite(manifest, s"$path/_manifest")
+    } finally { segs.unpersist(); () }
   }
 
   /** The LOADER side of [[writePackedCorpus]]: read the packed layout
