@@ -1692,11 +1692,14 @@ object Curation {
       countDistinct("seq").as("sequences"),
       count(lit(1)).as("segments"),
       sum("seg_len").as("tokens"))
+    // join NULL-SAFELY on the stratum: a null stratum is legitimate (it
+    // round-trips through the hive default-partition sentinel above), and
+    // an equi-join would never match its recount row against its manifest
+    // row — rejecting a complete, verified corpus
+    val r = recounted.toDF(s"r_$strataCol", "r_sequences", "r_segments",
+      "r_tokens")
     val mismatches = manifest
-      .join(recounted.withColumnRenamed("sequences", "r_sequences")
-          .withColumnRenamed("segments", "r_segments")
-          .withColumnRenamed("tokens", "r_tokens"),
-        Seq(strataCol), "full_outer")
+      .join(r, col(strataCol) <=> col(s"r_$strataCol"), "full_outer")
       .filter(!(col("sequences") <=> col("r_sequences")) ||
         !(col("segments") <=> col("r_segments")) ||
         !(col("tokens") <=> col("r_tokens")))

@@ -250,6 +250,23 @@ class CurationWave3Spec extends SparkSpec {
     }
   }
 
+  test("readPackedCorpus: a NULL stratum round-trips and verifies") {
+    // null lang writes through the hive default-partition sentinel; the
+    // loader recovers it AND the verification join must match it
+    // null-safely (an equi-join never matches the null recount row)
+    val d = docs(Seq(
+      (1L, words("a", 25), "en", "s"), (2L, words("b", 7), null, "s")))
+    val base = Files.createTempDirectory("packed_null").toString
+    Curation.writePackedCorpus(d, base, seqTokens = 10)
+    val (manifest, segs) = Curation.readPackedCorpus(spark, base)
+    val m = manifest.collect()
+      .map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m(Some("en")) === ((3L, 3L, 25L)))
+    assert(m(None) === ((1L, 1L, 7L)))
+    assert(segs.filter(col("lang").isNull).count() === 1L)
+  }
+
   // ---- q166 end-to-end composition ---------------------------------------
 
   test("q166: stages drop the right docs (funnel, then dedup, then pack)") {
