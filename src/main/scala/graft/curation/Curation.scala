@@ -28,24 +28,26 @@ object Curation {
   def chunkDedupReport(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", groupCol: String = "source",
       chunkTokens: Int = 20): DataFrame = {
-    val chunks = filter(shingles(tokens(col(textCol)), chunkTokens),
-      (_, i) => i % chunkTokens === 0)
-    val ch = docs.select(col(idCol), col(groupCol), explode(chunks).as("chunk"))
-      .select(col(idCol), col(groupCol), md5(col("chunk")).as("h"))
     // Global multiplicity WITHOUT a count window over the h partition: a
     // boilerplate chunk repeated across billions of docs would funnel
     // every occurrence through ONE window task (windows cannot split a
     // hot key — the one shape no amount of cluster parallelizes). Two-
-    // level aggregate instead: the (id, group, h) grain splits the hot
-    // key across documents at the map-side combine, the per-h totals
-    // reduce the already-collapsed frame, and the h-keyed join-back is
-    // AQE-skew-splittable. The totals branch may cost a second text
-    // scan when Catalyst doesn't reuse the grain exchange — a deliberate
-    // trade: an extra scan is embarrassingly parallel, a hot-key window
-    // is not (callers at extreme scale can persist the narrow grain
-    // themselves).
-    val perDocChunk = ch.groupBy(idCol, groupCol, "h")
-      .agg(count(lit(1)).as("k"))
+    // level aggregate instead — and the FIRST level computes ROW-LOCALLY
+    // (native WindowHashGroups: the (id, group, h) grain's key set
+    // contains the doc id, so the old explode → groupBy corpus-chunk-
+    // grain exchange never needed to exist; guide §2.3/§2.4). The chunk
+    // key is the 60-bit md5 prefix, not the hex string (guide §2.3).
+    // The per-h totals reduce the doc-collapsed frame, and the h-keyed
+    // join-back is AQE-skew-splittable. The totals branch may cost a
+    // second text scan when Catalyst doesn't reuse the grain frame — a
+    // deliberate trade: an extra scan is embarrassingly parallel, a
+    // hot-key window is not (callers at extreme scale can persist the
+    // narrow grain themselves).
+    val perDocChunk = docs.select(col(idCol), col(groupCol),
+        explode(graft.text.TextSketch.windowHashGroups(
+          col(textCol), chunkTokens, chunkTokens, tail = false)).as("g"))
+      .select(col(idCol), col(groupCol), col("g.h").as("h"),
+        col("g.k").as("k"))
     val hTot = perDocChunk.groupBy("h").agg(sum("k").as("cnt"))
       .filter(col("cnt") > 1).select(col("h"), lit(1L).as("isdup"))
     val perDoc = perDocChunk.join(hTot, Seq("h"), "left")
@@ -1322,16 +1324,20 @@ object Curation {
   def dupSpanReport(docs: DataFrame, windowTokens: Int = 10,
       textCol: String = "text", idCol: String = "doc_id",
       groupCol: String = "source"): DataFrame = {
-    graft.text.TextSketch.register(docs.sparkSession)
-    val winds = docs.select(col(idCol), col(groupCol),
-        posexplode(graft.text.TextSketch.wordShingles(col(textCol), windowTokens))
-          .as(Seq("i", "wtext")))
-      .select(col(idCol), col(groupCol), col("i"), md5(col("wtext")).as("h"))
-    // multiplicity via the two-level aggregate — see chunkDedupReport:
-    // windows cannot split a hot boilerplate key; the (id, h) grain
-    // combines map-side and the semi-join is AQE-splittable
-    val perDocWin = winds.groupBy(col(idCol), col(groupCol), col("h"))
-      .agg(collect_list(col("i")).as("iis"), count(lit(1)).as("k"))
+    // the (id, group, h) grain computes ROW-LOCALLY (native
+    // WindowHashGroups — the grouping keys contain the doc id, so the
+    // old posexplode → groupBy corpus-window-grain exchange never needed
+    // to exist; guide §2.3/§2.4). The window key is the 60-bit md5
+    // prefix, not the 32-char hex string (guide §2.3 — narrower shuffle
+    // keys; same approximation argument as removeDupSpans). Multiplicity
+    // stays the two-level aggregate — see chunkDedupReport: windows
+    // cannot split a hot boilerplate key; the doc grain combines
+    // map-side and the semi-join is AQE-splittable.
+    val perDocWin = docs.select(col(idCol), col(groupCol),
+        explode(graft.text.TextSketch.windowHashGroups(
+          col(textCol), windowTokens, 1, tail = false)).as("g"))
+      .select(col(idCol), col(groupCol), col("g.h").as("h"),
+        col("g.iis").as("iis"), col("g.k").as("k"))
     val hTot = perDocWin.groupBy("h").agg(sum("k").as("cnt"))
       .filter(col("cnt") > 1).select("h")
     val dup = perDocWin.join(hTot, Seq("h"), "left_semi")
@@ -1375,24 +1381,23 @@ object Curation {
     */
   def removeDupSpans(docs: DataFrame, windowTokens: Int = 10,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    graft.text.TextSketch.register(docs.sparkSession)
     // window key = 60-bit md5 prefix, not the 32-char hex string: the
     // (id, h) shuffle carries an 8-byte long per window instead of a
     // 32-char string (guide §2.3 — narrower shuffle keys; the window
     // hash is already the paper's approximation, and 60 bits keeps the
-    // collision odds negligible at any corpus the full digest served)
-    val winds = docs.select(col(idCol),
-        posexplode(graft.text.TextSketch.wordShingles(col(textCol), windowTokens))
-          .as(Seq("i", "wtext")))
-      .select(col(idCol), col("i"),
-        graft.text.TextSketch.md5PrefixLong(col("wtext"), 15).as("h"))
-    // multiplicity via the two-level aggregate (the chunkDedupReport
-    // discipline): the (id, h) grain splits a hot boilerplate key across
-    // documents at the map-side combine, the per-h totals reduce the
-    // collapsed frame, and the semi-join is AQE-splittable — no
-    // unsplittable hot-key window (see chunkDedupReport for the trade)
-    val perDocWin = winds.groupBy(col(idCol), col("h"))
-      .agg(collect_list(col("i")).as("iis"), count(lit(1)).as("k"))
+    // collision odds negligible at any corpus the full digest served).
+    // The (id, h) grain itself computes ROW-LOCALLY (native
+    // WindowHashGroups — the grouping key set contains the doc id, so
+    // the old posexplode → groupBy(id, h) corpus-window-grain exchange
+    // never needed to exist; guide §2.3/§2.4, the TermPostings case).
+    // Multiplicity stays the two-level aggregate (the chunkDedupReport
+    // discipline): per-h totals reduce the doc-collapsed frame and the
+    // semi-join is AQE-splittable — no unsplittable hot-key window.
+    val perDocWin = docs.select(col(idCol),
+        explode(graft.text.TextSketch.windowHashGroups(
+          col(textCol), windowTokens, 1, tail = false)).as("g"))
+      .select(col(idCol), col("g.h").as("h"), col("g.iis").as("iis"),
+        col("g.k").as("k"))
     val hTot = perDocWin.groupBy("h").agg(sum("k").as("cnt"))
       .filter(col("cnt") > 1).select("h")
     val dup = perDocWin.join(hTot, Seq("h"), "left_semi")
@@ -1437,19 +1442,18 @@ object Curation {
     require(segmentTokens >= 1, s"segmentTokens must be >= 1: $segmentTokens")
     val segN = segmentTokens
     val toks = tokens(col(textCol))
-    // segment i = tokens [i*segN, (i+1)*segN), 0-based; slice is 1-based
-    def segsOf(tk: Column): Column = {
-      val n = ceil(size(tk).cast("double") / segN).cast("int")
-      when(size(tk) === 0, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), n - 1),
-          i => array_join(slice(tk, i * segN + 1, lit(segN)), " ")))
-    }
+    // segment i = tokens [i*segN, (i+1)*segN), 0-based, trailing partial
+    // included (tail = true). Hashing is native and row-local
+    // (WindowHashGroups — no interpreted transform/slice/array_join
+    // chain, no materialized segment-string array; guide §4); the 60-bit
+    // segment key (see removeDupSpans) is the group h — clean_md5 below
+    // stays the full digest, it is part of the declared output
     val segs = docs
-      .select(col(idCol), posexplode(segsOf(toks)).as(Seq("seg", "s")))
-      .select(col(idCol), col("seg"),
-        // 60-bit segment key (see removeDupSpans) — clean_md5 below stays
-        // the full digest, it is part of the declared output
-        graft.text.TextSketch.md5PrefixLong(col("s"), 15).as("h"))
+      .select(col(idCol),
+        explode(graft.text.TextSketch.windowHashGroups(
+          col(textCol), segN, segN, tail = true)).as("g"))
+      .select(col(idCol), col("g.h").as("h"),
+        explode(col("g.iis")).as("seg"))
     val keepers = segs.groupBy("h")
       .agg(min(struct(col(idCol), col("seg"))).as("kp"))
     val drops = segs.join(keepers, Seq("h"))

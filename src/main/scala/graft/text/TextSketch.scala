@@ -402,6 +402,95 @@ case class TermPostings(children: Seq[Expression])
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
+/** `window_hash_groups(text, width, stride, tail, nHex)` →
+  * array<struct<h long, iis array<int>, k long>> — the per-document
+  * GROUPED window/segment hashes of a text column, computed row-locally
+  * in ONE pass. Windows sit at ordinals o = 0, 1, ... with token start
+  * o*stride and length `width` (truncated at the end when `tail`, else
+  * only full windows emit — the `wordShingles`/`shingles` boundary
+  * semantics); h is the first `nHex` md5 hex chars of the space-joined
+  * window parsed base 16 (the [[Md5PrefixLong]] value); groups are per
+  * distinct h in first-occurrence order with ordinals ascending and
+  * k = |iis|.
+  *
+  * Replaces the span/chunk dedup family's
+  * `posexplode(shingles) → groupBy(id.., h) → collect_list/count`
+  * formulation: that grouping's key set contains the document id, so the
+  * aggregation is perfectly document-local and never needed an exchange
+  * (guide §2.3/§2.4 — the same map-side-aggregation limit case as
+  * [[TermPostings]]); the corpus-window-grain exchange AND the
+  * materialized window-string array both disappear. NULL text → NULL
+  * (explode drops the row, as posexplode over a NULL shingle array did).
+  */
+case class WindowHashGroups(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("iis",
+        ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false),
+        nullable = false),
+      org.apache.spark.sql.types.StructField("k", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  private lazy val width: Int =
+    children(1).eval(InternalRow.empty).asInstanceOf[Int]
+  private lazy val stride: Int =
+    children(2).eval(InternalRow.empty).asInstanceOf[Int]
+  private lazy val tail: Boolean =
+    children(3).eval(InternalRow.empty).asInstanceOf[Boolean]
+  private lazy val nHex: Int =
+    children(4).eval(InternalRow.empty).asInstanceOf[Int]
+
+  override def eval(input: InternalRow): Any = {
+    val t = children(0).eval(input)
+    if (t == null) return null
+    val toks = Md5Hash.sparkTokens(t.asInstanceOf[UTF8String])
+    val n = toks.length
+    val order = new java.util.LinkedHashMap[java.lang.Long, java.util.ArrayList[Int]]()
+    val sb = new java.lang.StringBuilder
+    var o = 0
+    var start = 0
+    while (if (tail) start < n else start + width <= n) {
+      sb.setLength(0)
+      val end = math.min(start + width, n)
+      var j = start
+      while (j < end) {
+        if (j > start) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      val h = java.lang.Long.valueOf(Md5Hash.firstN(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), nHex))
+      var ps = order.get(h)
+      if (ps == null) { ps = new java.util.ArrayList[Int](2); order.put(h, ps) }
+      ps.add(o)
+      o += 1
+      start += stride
+    }
+    val out = new Array[Any](order.size())
+    val it = order.entrySet().iterator()
+    var g = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val ps = e.getValue
+      val posArr = new Array[Any](ps.size())
+      var p = 0
+      while (p < ps.size()) { posArr(p) = ps.get(p); p += 1 }
+      out(g) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey.longValue(), new GenericArrayData(posArr),
+          ps.size().toLong))
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
 object TextSketch {
 
   private val minhashName = "minhash_sig"
@@ -471,4 +560,15 @@ object TextSketch {
   /** Per-document posting lists of a token array — see [[TermPostings]]. */
   def termPostings(toks: Column): Column =
     ColumnBridge.column(TermPostings(Seq(ColumnBridge.expression(toks))))
+
+  /** Per-document grouped window/segment hashes — see [[WindowHashGroups]]. */
+  def windowHashGroups(text: Column, width: Int, stride: Int, tail: Boolean,
+      nHex: Int = 15): Column = {
+    require(width >= 1 && stride >= 1, s"width/stride must be >= 1: $width/$stride")
+    require(nHex >= 1 && nHex <= 15, s"nHex out of long range: $nHex")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    ColumnBridge.column(WindowHashGroups(Seq(
+      ColumnBridge.expression(text.cast("string")),
+      Literal(width), Literal(stride), Literal(tail), Literal(nHex))))
+  }
 }

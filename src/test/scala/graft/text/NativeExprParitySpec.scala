@@ -81,6 +81,48 @@ class NativeExprParitySpec extends SparkSpec {
     assert(n.map(_.toString) === c.map(_.toString))
   }
 
+  test("window_hash_groups matches posexplode + groupBy for all three shapes") {
+    val docs = (texts ++ Seq(
+      // duplicate windows inside one doc (iis with several ordinals)
+      "x y z x y z x y z",
+      (1 to 45).map(i => s"w${i % 9}").mkString(" ")))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val toks = split(trim(col("text")), "\\s+")
+    // (width, stride, tail) — the removeDupSpans / chunkDedupReport /
+    // dedupSegmentsKeepFirst parameterizations
+    for ((w, st, tail) <- Seq((3, 1, false), (4, 4, false), (4, 4, true))) {
+      // classic chain: enumerate window starts, join tokens, hash, group
+      val nWins =
+        if (tail) ceil(size(toks).cast("double") / st).cast("int")
+        else floor((size(toks) - w).cast("double") / st).cast("int") + 1
+      val wtexts = when(size(toks) < (if (tail) 1 else w),
+          array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), nWins - 1),
+          o => array_join(slice(toks, o * st + 1, lit(w)), " ")))
+      val classic = docs
+        .select(col("doc_id"), posexplode(wtexts).as(Seq("o", "wtext")))
+        .select(col("doc_id"), col("o"),
+          TextSketch.md5PrefixLong(col("wtext"), 15).as("h"))
+        .groupBy("doc_id", "h")
+        .agg(sort_array(collect_list(col("o"))).as("iis"),
+          count(lit(1)).as("k"))
+      val native = docs
+        .select(col("doc_id"),
+          explode(TextSketch.windowHashGroups(col("text"), w, st, tail)).as("g"))
+        .select(col("doc_id"), col("g.h").as("h"), col("g.iis").as("iis"),
+          col("g.k").as("k"))
+      val c = classic.orderBy("doc_id", "h").collect().toSeq
+      val n = native.orderBy("doc_id", "h").collect().toSeq
+      assert(n.map(_.toString) === c.map(_.toString), s"(w=$w, st=$st, tail=$tail)")
+      // null text drops the row in both forms; all-duplicate doc groups
+      if (w == 3 && st == 1) {
+        val dupDoc = n.filter(r => r.getLong(0) == texts.length.toLong)
+        assert(dupDoc.count(r => r.getLong(3) > 1L) > 0,
+          "expected a multi-ordinal group")
+      }
+    }
+  }
+
   test("pq sqdist/argmin match the HOF chain incl. edge shapes") {
     import graft.ml.{Pq, KMeans}
     // edge vectors: normal, short (length mismatch), with NaN — the
