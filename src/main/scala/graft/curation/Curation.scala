@@ -1767,36 +1767,60 @@ object Curation {
     }
     if (fs.exists(stgRoot)) fs.delete(stgRoot, true)
     val idFrame = ids.select(col(idCol)).distinct()
-    var removed = 0L
-    fs.listStatus(segRoot)
+    // ONE global pass finds the hit strata AND their removed-row counts
+    // (guide §1.2/§5 — the per-stratum isEmpty probe, before-count, and
+    // staged read-back count were 3 sequential driver-blocking jobs PER
+    // stratum; a billion-stratum corpus pays them serially). Keyed by the
+    // PHYSICAL directory name via input_file_name — exact, with no
+    // partition-value unescaping round-trip; the semi-join keeps the id
+    // frame distributed. The collected map is one small row per HIT
+    // stratum (bounded by the strata the deletion actually touches).
+    val hitCounts = spark.read.parquet(segRoot.toString)
+      .withColumn("_dir",
+        regexp_extract(input_file_name(), "/segments/([^/]+)/[^/]*$", 1))
+      .join(idFrame, Seq(idCol), "left_semi")
+      .groupBy("_dir").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rewrite the hit strata CONCURRENTLY: each stratum's anti-join
+    // write + rename-rename swap touches only its own directory, so the
+    // jobs are independent — submitting them from parallel driver
+    // threads lets the scheduler overlap them instead of paying one
+    // driver-blocking round trip per stratum (guide §1.2; the crash
+    // contract is unchanged — a failure mid-fleet leaves the same state
+    // a failure mid-loop did, and re-running heals via the backup dirs)
+    val hitDirs = fs.listStatus(segRoot)
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-      .foreach { st =>
-        val dirDf = spark.read.parquet(st.getPath.toString)
-        val hit = !dirDf.join(idFrame, Seq(idCol), "left_semi").isEmpty
-        if (hit) {
-          val name = st.getPath.getName
-          val nFiles = math.max(1, fs.listStatus(st.getPath)
-            .count(_.getPath.getName.endsWith(".parquet")))
-          val kept = dirDf.join(idFrame, Seq(idCol), "left_anti")
-            .repartitionByRange(nFiles, col("seq"))
-            .sortWithinPartitions("seq", "seg_start")
-          val beforeN = dirDf.count()
-          val stg = new Path(stgRoot, name)
-          kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(stg.toString)
-          val afterN = spark.read.parquet(stg.toString).count()
-          fs.mkdirs(bakRoot)
-          val bak = new Path(bakRoot, name)
-          if (!fs.rename(st.getPath, bak))
-            throw new java.io.IOException(s"backup rename failed: ${st.getPath} -> $bak")
-          if (!fs.rename(stg, st.getPath)) {
-            fs.rename(bak, st.getPath) // restore — the old stratum is intact
-            throw new java.io.IOException(s"swap failed: $stg -> ${st.getPath}")
-          }
-          fs.delete(bak, true)
-          removed += beforeN - afterN
-        }
+      .filter(st => hitCounts.contains(st.getPath.getName))
+      .toSeq
+    if (hitDirs.nonEmpty) fs.mkdirs(bakRoot)
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, hitDirs.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val fleet = Future.traverse(hitDirs) { st => Future {
+      val name = st.getPath.getName
+      val nFiles = math.max(1, fs.listStatus(st.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")))
+      val kept = spark.read.parquet(st.getPath.toString)
+        .join(idFrame, Seq(idCol), "left_anti")
+        .repartitionByRange(nFiles, col("seq"))
+        .sortWithinPartitions("seq", "seg_start")
+      val stg = new Path(stgRoot, name)
+      kept.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(stg.toString)
+      val bak = new Path(bakRoot, name)
+      if (!fs.rename(st.getPath, bak))
+        throw new java.io.IOException(s"backup rename failed: ${st.getPath} -> $bak")
+      if (!fs.rename(stg, st.getPath)) {
+        fs.rename(bak, st.getPath) // restore — the old stratum is intact
+        throw new java.io.IOException(s"swap failed: $stg -> ${st.getPath}")
       }
+      fs.delete(bak, true)
+      hitCounts(name)
+    } }
+    val removed =
+      try Await.result(fleet, scala.concurrent.duration.Duration.Inf).sum
+      finally pool.shutdown()
     fs.delete(stgRoot, true)
     if (fs.exists(bakRoot) && fs.listStatus(bakRoot).isEmpty)
       fs.delete(bakRoot, true)
