@@ -1411,11 +1411,20 @@ object ExtraQueries {
             .groupBy("event_type")
             .agg(sum(col(valCol) * col("hits")).as("m2"))
         }
-        val hist = ev.groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+        // both histograms are pinned: each feeds >= 2 consumers
+        // (medianDoubled alone reads its input twice — totals + main
+        // chain), so un-materialized the events scan + histogram
+        // aggregate re-ran up to 6x (guide §5: reused AND expensive; the
+        // pinned rows are the value-domain-bounded histograms the
+        // docstring's scale note already relies on). Released by the
+        // harness's per-query clearCache.
+        def pin(df: org.apache.spark.sql.DataFrame) =
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hist = pin(ev.groupBy("event_type", "v").agg(count(lit(1)).as("c")))
         val m2 = medianDoubled(hist, "v")
-        val devHist = hist.join(m2, "event_type")
+        val devHist = pin(hist.join(m2, "event_type")
           .withColumn("dev", abs(col("v") * 2 - col("m2")))
-          .groupBy("event_type", "dev").agg(sum("c").as("c"))
+          .groupBy("event_type", "dev").agg(sum("c").as("c")))
         val mad2 = medianDoubled(devHist, "dev").withColumnRenamed("m2", "mad2")
         hist.join(m2, "event_type").join(mad2, "event_type")
           .groupBy(col("event_type"), col("m2").as("median_x2"), col("mad2").as("mad_x2"))
