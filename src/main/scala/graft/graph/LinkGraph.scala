@@ -43,14 +43,20 @@ object LinkGraph {
   def pagerank(edges: DataFrame, iters: Int, scale: Long): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
     require(scale >= 100L, s"scale too small for 15/100 damping: $scale")
-    val nodes = edges.select(col("src").as("node_id"))
-      .union(edges.select(col("dst").as("node_id")))
+    // pin the raw edge frame FIRST (the hits/labelPropagation shape): the
+    // node union and the degree join below consume it four times, and the
+    // caller's edge derivation is often the expensive part (q264 parses
+    // HTML per edge row; guide §5 — the pinned rows are two longs)
+    val ed = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = ed.select(col("src").as("node_id"))
+      .union(ed.select(col("dst").as("node_id")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // outdeg rides WITH the edge rows so each iteration's contribution
     // pass is scan+join only — degree is paid once, not per round.
-    val e = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    val e = ed
+      .join(ed.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = scale * 15L / 100L
     var ranks = nodes.withColumn("pr", lit(scale))
@@ -66,7 +72,7 @@ object LinkGraph {
       // replay rounds 1..k.
       if (i < iters) ranks = ranks.localCheckpoint(eager = true)
     }
-    detach(ranks, e, nodes)
+    detach(ranks, e, nodes, ed)
   }
 
   /** Integer-exact HITS (Kleinberg 1999): mutually-recursive hub and
@@ -151,12 +157,15 @@ object LinkGraph {
       scale: Long): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
     require(scale >= 100L, s"scale too small for 15/100 damping: $scale")
-    val nodes = edges.select(col("src").as("node_id"))
-      .union(edges.select(col("dst").as("node_id")))
+    // pin the raw edge frame first — see [[pagerank]]
+    val ed = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = ed.select(col("src").as("node_id"))
+      .union(ed.select(col("dst").as("node_id")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val e = edges
-      .join(edges.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    val e = ed
+      .join(ed.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // distinct: a duplicated seed row would duplicate every rank row and
     // double that node's out-contribution each round.
@@ -178,7 +187,7 @@ object LinkGraph {
             .as("pr"))
       if (i < iters) ranks = ranks.localCheckpoint(eager = true)
     }
-    detach(ranks, e, nodes, seeded)
+    detach(ranks, e, nodes, seeded, ed)
   }
 
   /** Materialize `result` (narrow frames only — node ids plus a score or
