@@ -48,6 +48,45 @@ object TextQueries {
     byteModelCache.getOrElse((s.sparkContext.applicationId, dir),
       trainByteModel(s, dir))
 
+  /** The q271/q277 byte-fertility report under a given merge table —
+    * shared so the trained-model and reloaded-artifact rows can never
+    * drift. Encode runs once per DISTINCT (source, pretoken) and the
+    * report re-weights by occurrence count (guide §1.2 — don't compute
+    * the same merge loop per occurrence; integer sums regroup exactly,
+    * and the distinct-word frame is Heaps-law sublinear in the corpus).
+    * Doc/pretoken counts come from one explode-free size() pass; a
+    * source whose docs have zero pretokens drops from the report via the
+    * inner join, exactly as the old explode-based aggregate dropped it.
+    */
+  private def byteFertilityReport(d: org.apache.spark.sql.DataFrame,
+      merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val toks = regexp_extract_all(col("text"),
+      lit(graft.text.BpeTrainer.BytePretokenPattern), lit(0))
+    val ntok = greatest(coalesce(size(toks).cast("long"), lit(0L)), lit(0L))
+    val stats = d.select(col("source"), ntok.as("ntok"))
+      .groupBy("source")
+      .agg(sum(when(col("ntok") > 0, 1L).otherwise(0L)).as("docs"),
+        sum("ntok").as("pretokens"))
+    val enc = graft.text.BpeEncoder.encode(col("w"), merges)
+    val words = d.select(col("source"), explode(toks).as("tok"))
+      .select(col("source"),
+        graft.text.BpeTrainer.shiftedBytes(col("tok")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .select(col("source"), col("c"),
+        length(col("w")).cast("long").as("nbytes"),
+        (length(enc) - length(replace(enc, lit("("), lit(""))))
+          .cast("long").as("p"))
+    val weighted = words.groupBy("source").agg(
+      sum(col("nbytes") * col("c")).as("bytes"),
+      sum(col("p") * col("c")).as("pieces"))
+    stats.join(weighted, Seq("source"))
+      .select(col("source"), col("docs"), col("pretokens"), col("bytes"),
+        col("pieces"),
+        expr("bytes * 1000 div pieces").as("bytes_per_piece_milli"),
+        expr("pieces * 1000 div pretokens").as("pieces_per_pretoken_milli"))
+      .orderBy("source")
+  }
+
   /** q136's fixed subword vocabulary: covers every corpus word in 1-2
     * pieces, includes the win/wind/ow/dow greedy trap, and leaves "dup"
     * prefix-less so the char fallback fires. Lowercase a-z only ('?'
@@ -1303,29 +1342,9 @@ object TextQueries {
     Q("q271_byte_fertility",
       (s, dir) => {
         graft.text.BpeEncoder.register(s)
-        val d = t(s, dir, "documents")
         val model = cachedByteModel(s, dir) // fertility row: shared model
-        val toks = regexp_extract_all(col("text"),
-          lit(graft.text.BpeTrainer.BytePretokenPattern), lit(0))
-        val enc = graft.text.BpeEncoder.encode(col("w"),
+        byteFertilityReport(t(s, dir, "documents"),
           model.merges.map { case (a, b, _) => (a, b) })
-        d.select(col("doc_id"), col("source"), explode(toks).as("tok"))
-          .select(col("doc_id"), col("source"),
-            graft.text.BpeTrainer.shiftedBytes(col("tok")).as("w"))
-          .select(col("doc_id"), col("source"),
-            length(col("w")).cast("long").as("nbytes"),
-            (length(enc) - length(replace(enc, lit("("), lit(""))))
-              .cast("long").as("p"))
-          .groupBy("source")
-          .agg(countDistinct(col("doc_id")).as("docs"),
-            count(lit(1)).as("pretokens"),
-            sum("nbytes").as("bytes"),
-            sum("p").as("pieces"))
-          .select(col("source"), col("docs"), col("pretokens"), col("bytes"),
-            col("pieces"),
-            expr("bytes * 1000 div pieces").as("bytes_per_piece_milli"),
-            expr("pieces * 1000 div pretokens").as("pieces_per_pretoken_milli"))
-          .orderBy("source")
       },
       Some(byteFertilityOracleSql))
     ,
@@ -1371,31 +1390,11 @@ object TextQueries {
     Q("q277_byte_bpe_artifact",
       (s, dir) => {
         graft.text.BpeEncoder.register(s)
-        val d = t(s, dir, "documents")
         val path = graft.io.Scratch.dir("graft_byte_bpe_artifact")
         graft.text.BpeTrainer.save(s, cachedByteModel(s, dir), path)
         val loaded = graft.text.BpeTrainer.load(s, path)
-        val toks = regexp_extract_all(col("text"),
-          lit(graft.text.BpeTrainer.BytePretokenPattern), lit(0))
-        val enc = graft.text.BpeEncoder.encode(col("w"),
+        byteFertilityReport(t(s, dir, "documents"),
           loaded.merges.map { case (a, b, _) => (a, b) })
-        d.select(col("doc_id"), col("source"), explode(toks).as("tok"))
-          .select(col("doc_id"), col("source"),
-            graft.text.BpeTrainer.shiftedBytes(col("tok")).as("w"))
-          .select(col("doc_id"), col("source"),
-            length(col("w")).cast("long").as("nbytes"),
-            (length(enc) - length(replace(enc, lit("("), lit(""))))
-              .cast("long").as("p"))
-          .groupBy("source")
-          .agg(countDistinct(col("doc_id")).as("docs"),
-            count(lit(1)).as("pretokens"),
-            sum("nbytes").as("bytes"),
-            sum("p").as("pieces"))
-          .select(col("source"), col("docs"), col("pretokens"), col("bytes"),
-            col("pieces"),
-            expr("bytes * 1000 div pieces").as("bytes_per_piece_milli"),
-            expr("pieces * 1000 div pretokens").as("pieces_per_pretoken_milli"))
-          .orderBy("source")
       },
       Some(byteFertilityOracleSql))
     ,
