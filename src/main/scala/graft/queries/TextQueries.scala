@@ -50,36 +50,29 @@ object TextQueries {
 
   /** The q271/q277 byte-fertility report under a given merge table —
     * shared so the trained-model and reloaded-artifact rows can never
-    * drift. Encode runs once per DISTINCT (source, pretoken) and the
-    * report re-weights by occurrence count (guide §1.2 — don't compute
-    * the same merge loop per occurrence; integer sums regroup exactly,
-    * and the distinct-word frame is Heaps-law sublinear in the corpus).
-    * Doc/pretoken counts come from one explode-free size() pass; a
-    * source whose docs have zero pretokens drops from the report via the
-    * inner join, exactly as the old explode-based aggregate dropped it.
+    * drift. Encode and counting are ROW-LOCAL at occurrence grain; only
+    * the per-source sums shuffle (the plan-shape contract PlanShapeSpec
+    * pins: shifted text never crosses an exchange). A distinct-pretoken
+    * regrouping was measured ~10% faster at sf0.1 but shuffles the
+    * vocabulary's word strings — the wrong trade at 100 TB; reverted.
     */
   private def byteFertilityReport(d: org.apache.spark.sql.DataFrame,
       merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
     val toks = regexp_extract_all(col("text"),
       lit(graft.text.BpeTrainer.BytePretokenPattern), lit(0))
-    val ntok = greatest(coalesce(size(toks).cast("long"), lit(0L)), lit(0L))
-    val stats = d.select(col("source"), ntok.as("ntok"))
-      .groupBy("source")
-      .agg(sum(when(col("ntok") > 0, 1L).otherwise(0L)).as("docs"),
-        sum("ntok").as("pretokens"))
     val enc = graft.text.BpeEncoder.encode(col("w"), merges)
-    val words = d.select(col("source"), explode(toks).as("tok"))
-      .select(col("source"),
+    d.select(col("doc_id"), col("source"), explode(toks).as("tok"))
+      .select(col("doc_id"), col("source"),
         graft.text.BpeTrainer.shiftedBytes(col("tok")).as("w"))
-      .groupBy("source", "w").agg(count(lit(1)).as("c"))
-      .select(col("source"), col("c"),
+      .select(col("doc_id"), col("source"),
         length(col("w")).cast("long").as("nbytes"),
         (length(enc) - length(replace(enc, lit("("), lit(""))))
           .cast("long").as("p"))
-    val weighted = words.groupBy("source").agg(
-      sum(col("nbytes") * col("c")).as("bytes"),
-      sum(col("p") * col("c")).as("pieces"))
-    stats.join(weighted, Seq("source"))
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("docs"),
+        count(lit(1)).as("pretokens"),
+        sum("nbytes").as("bytes"),
+        sum("p").as("pieces"))
       .select(col("source"), col("docs"), col("pretokens"), col("bytes"),
         col("pieces"),
         expr("bytes * 1000 div pieces").as("bytes_per_piece_milli"),
